@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operators, expressed as declarative DataFrame
+  * transforms so Catalyst provides predicate pushdown, column pruning,
+  * partial aggregation and join-strategy selection for free.
+  *
+  * Oracle-parity note: double-typed SUMs are order-dependent in IEEE
+  * arithmetic, so any engine-vs-oracle hash compare over a shuffled
+  * aggregation would be flaky. We sum in exact DECIMAL and cast the
+  * final result back to double — bit-identical across Spark and DuckDB
+  * regardless of execution order, and still a single map-side-combinable
+  * hash aggregate in Spark.
+  */
+object Relational {
+
+  /** Exact (order-independent) sum of a double column: decimal-sum then
+    * cast back. `scale` must cover the true decimal scale of the data. */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact average, computed as exact-sum / count in double space. */
+  def exactAvg(c: Column, scale: Int = 2): Column =
+    exactSum(c, scale) / count(c)
+
+  /** TPC-H Q1-style pricing summary: filter → hash-aggregate with
+    * map-side partial aggregation; the shipdate predicate is pushed to
+    * the parquet scan. Scales as a single shuffle on a low-cardinality
+    * grouping key (6 groups) — at 100 TB the partial aggregates reduce
+    * each task's output to a handful of rows before the exchange. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        exactSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), 8).as("sum_charge"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Fact⋈dimension revenue rollup. `part` is tiny relative to
+    * `lineitem` at every scale factor (1:30 row ratio, and a dimension
+    * table at 100 TB), so we broadcast it explicitly — no shuffle of the
+    * fact side at all; the only exchange is the final 25-group agg. */
+  def revenueByBrand(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q5-style star join: local-supplier revenue per nation within
+    * one region. Dimensions (region/nation/supplier/customer at fixture
+    * scale) broadcast; the two fact-side joins (orders⋈lineitem) shuffle
+    * on the order key. At 100 TB: customer stops being broadcastable —
+    * Catalyst/AQE falls back to sort-merge on the same plan shape, and
+    * bucketing orders+lineitem by orderkey would remove the big shuffle.
+    */
+  def localSupplierRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === lit(regionName))
+      .groupBy(col("n_name"))
+      .agg(exactSum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+
+  /** Left-semi join: rows of `left` having a match in `right` (EXISTS).
+    * Semi joins ship only the join key of the right side and never
+    * duplicate left rows — the cheapest existence test at scale. */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+
+  /** Left-anti join (NOT EXISTS). */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+
+  /** Global top-k with a total-order tiebreak so results are
+    * deterministic. Spark executes order+limit as TakeOrderedAndProject:
+    * each partition keeps only its local top-k, then the driver merges
+    * k·numPartitions rows — no full sort, no full shuffle, safe at 100 TB
+    * for small k. */
+  def topK(df: DataFrame, k: Int, ordering: Column*): DataFrame =
+    df.orderBy(ordering: _*).limit(k)
+
+  /** Per-group top-k via row_number window; `order` must include a
+    * unique tiebreak column for determinism. One shuffle on the
+    * partition keys; skewed groups are handled by AQE. */
+  def topKPerGroup(df: DataFrame, k: Int, partitionBy: Seq[Column],
+      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionBy: _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}
