@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.ops.Relational
+import graft.functions.functions.py_to_json
+import graft.ingest.JsonIngest
+import graft.ops.{IdempotentWriter, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -85,7 +88,116 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
       a.unionAll(b)
     }),
+
+    // ---- §2.2 O1/O2: nested-field projection + struct rebuild ----
+    "o01_nested_struct_projection" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("ord", struct(
+          col("o_orderdate").as("odate"),
+          col("o_totalprice").as("price"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority")).as("meta")))
+        .select(col("o_orderkey"),
+          col("ord.price").as("price"),
+          col("ord.meta.status").as("status"),
+          year(col("ord.odate")).cast("long").as("order_year"))),
+
+    // ---- §2.2 O3: JSON path extraction (VARIANT-style) ----
+    "o03_json_path_extract" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"))),
+
+    // ---- §2.2 O4/O5: explicit cast chains ----
+    "o04_cast_chain" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_linenumber") % 2).cast("int").cast("boolean").as("is_even"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_shipdate").cast("date").cast("string").as("ship_date_str"))),
+
+    // ---- §2.2 O6: timestamp munging (append :00, parse, trunc) ----
+    "o06_timestamp_munging" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        to_timestamp(
+          concat(date_format(col("ts"), "yyyy-MM-dd HH:mm"), lit(":00")),
+          "yyyy-MM-dd HH:mm:ss").as("parsed_ts"),
+        date_trunc("hour", col("ts")).as("hour_ts"))),
+
+    // ---- §2.2 O7: run-hour derivation + per-run rollup ----
+    "o07_run_hr_rollup" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(JsonIngest.runHr(col("ts")).as("run_hr"))
+        .agg(count(lit(1)).as("n"),
+          Relational.exactSum(col("value")).as("total"))),
+
+    // ---- §2.2 O8: key normalization ----
+    "o08_key_normalization" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderpriority")).distinct()
+        .select(col("o_orderpriority"),
+          JsonIngest.normKey(col("o_orderpriority")).as("norm_key"))),
+
+    // ---- §2.2 O9: python-repr JSON repair (custom expression) ----
+    "o09_json_repair_roundtrip" -> ((s, d) => {
+      val dirty = concat(
+        lit("{'lang': '"), col("lang"),
+        lit("', 'n': "), col("n_chars"),
+        lit(", 'flag': True, 'src': '"), col("source"), lit("',}"))
+      t(s, d, "documents")
+        .select(col("doc_id"), py_to_json(dirty).as("repaired"))
+        .select(col("doc_id"),
+          get_json_object(col("repaired"), "$.lang").as("lang2"),
+          get_json_object(col("repaired"), "$.n").cast("long").as("n2"),
+          get_json_object(col("repaired"), "$.flag").cast("boolean")
+            .as("flag"),
+          get_json_object(col("repaired"), "$.src").as("src2"))
+    }),
+
+    // ---- §2.2 O10: idempotent dynamic-partition-overwrite write ----
+    "o10_idempotent_partition_overwrite" -> ((s, d) => {
+      val gold = t(s, d, "events")
+        .groupBy(JsonIngest.runHr(col("ts")).as("run_hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Relational.exactSum(col("value")).as("total"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_o10_${java.lang.Integer.toHexString(d.hashCode)}"
+      deleteRecursively(new java.io.File(path))
+      IdempotentWriter.replacePartitions(gold, path, Seq("run_hr"))
+      // replay one run_hr with identical data: write ∘ write ≡ write
+      val someHr = gold.agg(min(col("run_hr"))).collect()(0).getLong(0)
+      IdempotentWriter.replacePartitions(
+        gold.filter(col("run_hr") === someHr), path, Seq("run_hr"))
+      s.read.parquet(path).select(col("run_hr").cast("long").as("run_hr"),
+        col("event_type"), col("n"), col("total"))
+    }),
+
+    // ---- §2.2 O12/O13: literal injection (run_hr) ----
+    "o13_literal_injection" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        lit(202608121100L).as("run_hr"))),
+
+    // ---- §2.2 O14: data-driven column rename map ----
+    "o14_rename_map" -> ((s, d) => {
+      val renames = Seq(
+        "p_partkey" -> "part_key", "p_name" -> "part_name",
+        "p_brand" -> "brand", "p_type" -> "part_type",
+        "p_size" -> "part_size", "p_retailprice" -> "retail_price")
+      t(s, d, "part").select(
+        renames.map { case (o, n) => col(o).as(n) }: _*)
+    }),
+
+    // ---- §2.3 J2: VARIANT parse-once + field access ----
+    "j02_variant_single_parse" -> ((s, d) =>
+      JsonIngest.variantParsed(
+        t(s, d, "events").select(col("event_id"), col("props")),
+        StructType(Seq(StructField("k", IntegerType))), "props")
+        .select(col("event_id"), col("parsed.k").as("k"))),
   )
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -143,5 +255,48 @@ object SparkEntry {
       """SELECT o_orderstatus AS category, COUNT(*) AS n FROM orders GROUP BY 1
         |UNION ALL
         |SELECT event_type AS category, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin,
+    "o01_nested_struct_projection" ->
+      """SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
+        | CAST(year(o_orderdate) AS BIGINT) AS order_year FROM orders""".stripMargin,
+    "o03_json_path_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events",
+    "o04_cast_chain" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_linenumber % 2 AS INT) AS BOOLEAN) AS is_even,
+        | CAST(l_shipdate AS DATE) AS ship_date,
+        | CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str
+        |FROM lineitem""".stripMargin,
+    "o06_timestamp_munging" ->
+      """SELECT event_id,
+        | strptime(strftime(ts, '%Y-%m-%d %H:%M') || ':00', '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+        | date_trunc('hour', ts) AS hour_ts
+        |FROM events""".stripMargin,
+    "o07_run_hr_rollup" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d%H') || '00' AS BIGINT) AS run_hr,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+    "o08_key_normalization" ->
+      """SELECT DISTINCT o_orderpriority,
+        | lower(replace(o_orderpriority, ' ', '_')) AS norm_key
+        |FROM orders""".stripMargin,
+    "o09_json_repair_roundtrip" ->
+      """SELECT doc_id, lang AS lang2, n_chars AS n2, TRUE AS flag,
+        | source AS src2 FROM documents""".stripMargin,
+    "o10_idempotent_partition_overwrite" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d%H') || '00' AS BIGINT) AS run_hr,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "o13_literal_injection" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CAST(202608121100 AS BIGINT) AS run_hr FROM orders""".stripMargin,
+    "o14_rename_map" ->
+      """SELECT p_partkey AS part_key, p_name AS part_name, p_brand AS brand,
+        | p_type AS part_type, p_size AS part_size,
+        | p_retailprice AS retail_price FROM part""".stripMargin,
+    "j02_variant_single_parse" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
   )
 }

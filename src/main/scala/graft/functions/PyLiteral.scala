@@ -1,0 +1,154 @@
+package graft.functions
+
+/** Repair of "dirty" Python-repr JSON (SURVEY.md §2.2 O9): API payloads
+  * written as `str(dict)` — single-quoted strings, `True/False/None`
+  * literals, trailing commas, stray CR/LF — normalized to strict JSON.
+  *
+  * Reference behavior (cited, not copied): the reference strips `[\n\r]`
+  * then round-trips through `ast.literal_eval` + `json.dumps`
+  * (/root/reference/dags/sandbox_data_pipeline.py:123-126); its golden
+  * test pair lives at
+  * /root/reference/tests/test_sandbox_data_pipeline.py:45-48.
+  *
+  * This is a real recursive-descent parser over the Python literal
+  * grammar subset (dict/list/tuple/str/num/bool/None), not a quote-swap
+  * regex — embedded quotes and escapes are handled, matching what
+  * `ast.literal_eval ∘ json.dumps` produces.
+  */
+object PyLiteral {
+
+  /** Full repair: strip CR/LF, then python-literal → strict JSON.
+    * Throws IllegalArgumentException on unparseable input. */
+  def repair(dirty: String): String =
+    toJson(dirty.replaceAll("[\\n\\r]", ""))
+
+  /** Null-safe repair: null/blank/bad input → null (ingest-friendly). */
+  def repairOrNull(dirty: String): String =
+    if (dirty == null) null
+    else try repair(dirty) catch { case _: IllegalArgumentException => null }
+
+  /** Parse one Python literal and emit compact JSON (json.dumps-style
+    * with ", " / ": " separators to match the reference golden output). */
+  def toJson(s: String): String = {
+    val p = new Parser(s)
+    p.skipWs()
+    val sb = new StringBuilder
+    p.value(sb)
+    p.skipWs()
+    if (!p.eof) p.fail("trailing characters")
+    sb.toString
+  }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def eof: Boolean = i >= s.length
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"PyLiteral: $msg at $i in: $s")
+    def skipWs(): Unit = while (!eof && s.charAt(i).isWhitespace) i += 1
+    private def peek: Char = if (eof) fail("unexpected end") else s.charAt(i)
+    private def next(): Char = { val c = peek; i += 1; c }
+    private def expect(c: Char): Unit =
+      if (next() != c) fail(s"expected '$c'")
+
+    def value(sb: StringBuilder): Unit = {
+      skipWs()
+      peek match {
+        case '{' => dict(sb)
+        case '[' => seq(sb, '[', ']')
+        case '(' => seq(sb, '(', ')') // tuple → JSON array
+        case '\'' | '"' => str(sb)
+        case c if c == '-' || c == '+' || c.isDigit || c == '.' => num(sb)
+        case 'T' => word("True"); sb.append("true")
+        case 'F' => word("False"); sb.append("false")
+        case 'N' => word("None"); sb.append("null")
+        case c => fail(s"unexpected '$c'")
+      }
+    }
+
+    private def word(w: String): Unit = {
+      if (!s.startsWith(w, i)) fail(s"expected $w")
+      i += w.length
+    }
+
+    private def dict(sb: StringBuilder): Unit = {
+      expect('{'); sb.append('{'); skipWs()
+      var first = true
+      while (peek != '}') {
+        if (!first) { expect(','); skipWs(); if (peek == '}') {
+          // trailing comma
+        } else { sb.append(", ") } }
+        if (peek != '}') {
+          if (first) first = false
+          str(sb) // python dict keys in this payload domain are strings
+          skipWs(); expect(':'); sb.append(": ")
+          value(sb); skipWs()
+        }
+      }
+      expect('}'); sb.append('}')
+    }
+
+    private def seq(sb: StringBuilder, open: Char, close: Char): Unit = {
+      expect(open); sb.append('['); skipWs()
+      var first = true
+      while (peek != close) {
+        if (!first) { expect(','); skipWs(); if (peek == close) {
+          // trailing comma
+        } else sb.append(", ") }
+        if (peek != close) {
+          if (first) first = false
+          value(sb); skipWs()
+        }
+      }
+      expect(close); sb.append(']')
+    }
+
+    private def str(sb: StringBuilder): Unit = {
+      val quote = next()
+      if (quote != '\'' && quote != '"') fail("expected string")
+      sb.append('"')
+      var done = false
+      while (!done) {
+        val c = next()
+        if (c == quote) done = true
+        else if (c == '\\') {
+          val e = next()
+          e match {
+            case '\'' => sb.append('\'') // \' → plain quote in JSON
+            case '"'  => sb.append("\\\"")
+            case '\\' => sb.append("\\\\")
+            case 'n'  => sb.append("\\n")
+            case 'r'  => sb.append("\\r")
+            case 't'  => sb.append("\\t")
+            case 'b'  => sb.append("\\b")
+            case 'f'  => sb.append("\\f")
+            case 'u'  =>
+              sb.append("\\u")
+              var k = 0
+              while (k < 4) { sb.append(next()); k += 1 }
+            case 'x'  =>
+              val h = new StringBuilder
+              h.append(next()).append(next())
+              sb.append(f"\\u00${Integer.parseInt(h.toString, 16)}%02x")
+            case other => sb.append('\\').append(other) // pass through
+          }
+        } else if (c == '"') sb.append("\\\"")
+        else if (c < ' ') sb.append(f"\\u${c.toInt}%04x")
+        else sb.append(c)
+      }
+      sb.append('"')
+    }
+
+    private def num(sb: StringBuilder): Unit = {
+      val start = i
+      if (peek == '-' || peek == '+') i += 1
+      while (!eof && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+        s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
+        ((s.charAt(i) == '-' || s.charAt(i) == '+') &&
+          (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
+      if (i == start) fail("bad number")
+      val tok = s.substring(start, i)
+      val norm = if (tok.startsWith("+")) tok.substring(1) else tok
+      sb.append(if (norm.startsWith(".")) "0" + norm else norm)
+    }
+  }
+}
