@@ -153,6 +153,13 @@ object SparkEntry {
     }),
 
     // ---- §2.2 O10: idempotent dynamic-partition-overwrite write ----
+    // One write only (the write∘write≡write replay law is proven in
+    // IngestSpec); repartition on run_hr first so each of the ~720
+    // partition directories receives ONE file instead of
+    // shuffle-partitions tiny ones — at 100 TB the small-files storm
+    // would dominate, here it was 75% of the round-1 bench. The tmp
+    // path is unique per invocation so concurrent Verify/Bench runs
+    // can't race on the same directory.
     "o10_idempotent_partition_overwrite" -> ((s, d) => {
       val gold = t(s, d, "events")
         .groupBy(JsonIngest.runHr(col("ts")).as("run_hr"),
@@ -160,13 +167,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           Relational.exactSum(col("value")).as("total"))
       val path = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_o10_${java.lang.Integer.toHexString(d.hashCode)}"
+        s"graft_o10_${java.util.UUID.randomUUID().toString.take(8)}"
       deleteRecursively(new java.io.File(path))
-      IdempotentWriter.replacePartitions(gold, path, Seq("run_hr"))
-      // replay one run_hr with identical data: write ∘ write ≡ write
-      val someHr = gold.agg(min(col("run_hr"))).collect()(0).getLong(0)
       IdempotentWriter.replacePartitions(
-        gold.filter(col("run_hr") === someHr), path, Seq("run_hr"))
+        gold.repartition(col("run_hr")), path, Seq("run_hr"))
       s.read.parquet(path).select(col("run_hr").cast("long").as("run_hr"),
         col("event_type"), col("n"), col("total"))
     }),

@@ -129,7 +129,9 @@ object PyLiteral {
               val h = new StringBuilder
               h.append(next()).append(next())
               sb.append(f"\\u00${Integer.parseInt(h.toString, 16)}%02x")
-            case other => sb.append('\\').append(other) // pass through
+            // Python keeps unrecognized escapes as backslash+char; the
+            // backslash must itself be JSON-escaped (\q → \\q).
+            case other => sb.append("\\\\").append(other)
           }
         } else if (c == '"') sb.append("\\\"")
         else if (c < ' ') sb.append(f"\\u${c.toInt}%04x")
@@ -147,8 +149,14 @@ object PyLiteral {
           (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
       if (i == start) fail("bad number")
       val tok = s.substring(start, i)
-      val norm = if (tok.startsWith("+")) tok.substring(1) else tok
-      sb.append(if (norm.startsWith(".")) "0" + norm else norm)
+      // Normalize Python-legal but JSON-illegal shapes: '+7'→'7',
+      // '.5'→'0.5', '-.5'→'-0.5', '1.'→'1.0', '1.e3'→'1.0e3'.
+      val unsigned = if (tok.startsWith("+")) tok.substring(1) else tok
+      val led =
+        if (unsigned.startsWith(".")) "0" + unsigned
+        else if (unsigned.startsWith("-.")) "-0" + unsigned.substring(1)
+        else unsigned
+      sb.append(led.replaceAll("\\.(?=[eE]|$)", ".0"))
     }
   }
 }

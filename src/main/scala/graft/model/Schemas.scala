@@ -81,12 +81,19 @@ object Schemas {
   val cocktailsStage: StructType = StructType(Seq(
     StructField("drinks", ArrayType(cocktailsDrink))))
 
-  /** camelCase→snake_case gold renames, data-driven instead of the
-    * reference's 110 hand-written select lines
-    * (/root/reference/dags/sql/write_cocktails_to_bigquery.sql:67-176). */
+  /** Gold renames, data-driven instead of the reference's 110
+    * hand-written select lines. The reference strips the Hungarian
+    * `str` prefix and snake_cases the rest (`strDrink`→`drink`,
+    * `strInstructionsZH-HANS`→`instructions_zh_hans`, `idDrink`→
+    * `id_drink`) — gold name list at
+    * /root/reference/dags/sql/write_cocktails_to_bigquery.sql:66-115. */
   val cocktailsRenames: Seq[(String, String)] =
     cocktailsDrink.fieldNames.toSeq.map { n =>
-      val snake = n
+      val base =
+        if (n.startsWith("str") && n.length > 3 && n.charAt(3).isUpper)
+          n.substring(3)
+        else n
+      val snake = base
         .replace("ZH-HANS", "ZhHans").replace("ZH-HANT", "ZhHant")
         .replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
       n -> snake

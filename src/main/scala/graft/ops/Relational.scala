@@ -62,19 +62,21 @@ object Relational {
         count(lit(1)).as("n_items"))
 
   /** TPC-H Q5-style star join: local-supplier revenue per nation within
-    * one region. Dimensions (region/nation/supplier/customer at fixture
-    * scale) broadcast; the two fact-side joins (orders⋈lineitem) shuffle
-    * on the order key. At 100 TB: customer stops being broadcastable —
-    * Catalyst/AQE falls back to sort-merge on the same plan shape, and
-    * bucketing orders+lineitem by orderkey would remove the big shuffle.
+    * one region. Only the true constant-size dimensions (nation: 25
+    * rows, region: 5 rows) carry an explicit broadcast hint. customer
+    * and supplier GROW with the fact tables — an explicit broadcast
+    * hint is honored regardless of size and would OOM at 100 TB, so
+    * strategy selection for them is left to Catalyst/AQE (broadcast at
+    * fixture scale, sort-merge at cluster scale; bucketing
+    * orders+lineitem by orderkey would remove the big shuffle).
     */
   def localSupplierRevenue(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
       region: DataFrame, regionName: String): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

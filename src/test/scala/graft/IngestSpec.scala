@@ -57,10 +57,19 @@ class IngestSpec extends SparkSpec {
     val renamed = drinks.select(Schemas.cocktailsRenames.map {
       case (o, n) => col(s"`$o`").as(n)
     }: _*)
-    assert(renamed.columns.contains("id_drink"))
-    assert(renamed.columns.contains("instructions_zh_hans"))
+    // Full gold-name parity with the reference insert list
+    // (/root/reference/dags/sql/write_cocktails_to_bigquery.sql:66-115).
+    val expectedGold = Set(
+      "date_modified", "id_drink", "alcoholic", "category",
+      "creative_commons_confirmed", "drink", "drink_alternate",
+      "drink_thumb", "glass", "iba", "image_attribution", "image_source",
+      "instructions", "instructions_de", "instructions_es",
+      "instructions_fr", "instructions_it", "instructions_zh_hans",
+      "instructions_zh_hant", "tags", "video") ++
+      (1 to 15).flatMap(i => Seq(s"ingredient$i", s"measure$i"))
+    assert(renamed.columns.toSet == expectedGold)
     val m = renamed.filter(col("id_drink") === "11470").collect()(0)
-    assert(m.getAs[String]("str_drink") == "Margarita")
+    assert(m.getAs[String]("drink") == "Margarita")
   }
 
   test("O10: dynamic partition overwrite is idempotent and partial") {

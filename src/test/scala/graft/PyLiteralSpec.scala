@@ -28,12 +28,19 @@ class PyLiteralSpec extends AnyFunSuite {
     assert(PyLiteral.repair("{'t': (1, 2, 3)}") == """{"t": [1, 2, 3]}""")
     assert(PyLiteral.repair("{'n': -1.5e3, 'm': .5, 'k': +7}") ==
       """{"n": -1.5e3, "m": 0.5, "k": 7}""")
+    assert(PyLiteral.repair("{'a': -.5, 'b': 1., 'c': 2.e3}") ==
+      """{"a": -0.5, "b": 1.0, "c": 2.0e3}""")
   }
 
   test("embedded quotes and escapes survive") {
     assert(PyLiteral.repair("{'q': 'it\\'s \"quoted\"'}") ==
       """{"q": "it's \"quoted\""}""")
-    assert(PyLiteral.repair("""{"d": "a\\nb"}""") == """{"d": "a\nb"}""")
+    // Input holds an escaped backslash then 'n' (value = a,\,n,b);
+    // json.dumps∘ast.literal_eval re-escapes the backslash: a\\nb.
+    assert(PyLiteral.repair("""{"d": "a\\nb"}""") == """{"d": "a\\nb"}""")
+    // Python passes unrecognized escapes through as backslash+char;
+    // JSON must escape that backslash.
+    assert(PyLiteral.repair("""{'e': 'a\qb'}""") == """{"e": "a\\qb"}""")
   }
 
   test("trailing commas tolerated everywhere") {
