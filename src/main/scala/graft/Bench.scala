@@ -7,9 +7,17 @@ import org.apache.spark.sql.SparkSession
   * The timed action is a `noop`-format write — it fully evaluates every
   * output column on the executors (unlike `.count()`, which lets
   * Catalyst prune unevaluated projections down to a parquet row count)
-  * so the bench measures exactly what Verify verifies. Failures are not
-  * swallowed: the query is reported with value -1 AND the error printed
-  * to stderr.
+  * so the bench measures exactly what Verify verifies.
+  *
+  * Each query gets one untimed warm-up evaluation, then three timed
+  * rounds run ROUND-ROBIN over the whole query set and the per-query
+  * minimum is reported: steady-state plan execution (codegen compiled,
+  * JIT warm, file pages cached). The min-over-interleaved-rounds shape
+  * matters on this host: CPU-steal windows of ~30 s (oversubscribed
+  * VM) would inflate back-to-back repeats of one query together, but
+  * cannot hit the same query in all three spaced-out rounds. Failures
+  * are not swallowed: a failed query reports -1 and forces total = -1
+  * so a regression can never read as a speedup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,22 +30,31 @@ object Bench {
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      val sec =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
-      name -> sec
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    def attempt(name: String): Unit =
+      try {
+        val sec = run(name)
+        if (times.getOrElse(name, Double.MaxValue) > sec &&
+          times.getOrElse(name, 0.0) >= 0) times(name) = sec
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          times(name) = -1.0
+      }
+    names.foreach(attempt) // warm-up round (also records a first time)
+    for (_ <- 1 to 3; name <- names if times(name) >= 0) attempt(name)
+    val results = names.map(n => n -> times(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -102,6 +102,19 @@ object PyLiteral {
       expect(close); sb.append(']')
     }
 
+    /** One decoded char → its json.dumps(ensure_ascii=True) spelling. */
+    private def emitChar(sb: StringBuilder, c: Char): Unit = c match {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < ' ' || c > '~' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+
     private def str(sb: StringBuilder): Unit = {
       val quote = next()
       if (quote != '\'' && quote != '"') fail("expected string")
@@ -113,29 +126,36 @@ object PyLiteral {
         else if (c == '\\') {
           val e = next()
           e match {
-            case '\'' => sb.append('\'') // \' → plain quote in JSON
-            case '"'  => sb.append("\\\"")
-            case '\\' => sb.append("\\\\")
-            case 'n'  => sb.append("\\n")
-            case 'r'  => sb.append("\\r")
-            case 't'  => sb.append("\\t")
-            case 'b'  => sb.append("\\b")
-            case 'f'  => sb.append("\\f")
+            case '\'' => emitChar(sb, '\'')
+            case '"'  => emitChar(sb, '"')
+            case '\\' => emitChar(sb, '\\')
+            case 'n'  => emitChar(sb, '\n')
+            case 'r'  => emitChar(sb, '\r')
+            case 't'  => emitChar(sb, '\t')
+            case 'b'  => emitChar(sb, '\b')
+            case 'f'  => emitChar(sb, '\f')
+            case 'a'  => emitChar(sb, 7.toChar)  // \a BEL
+            case 'v'  => emitChar(sb, 11.toChar) // \v VT
             case 'u'  =>
-              sb.append("\\u")
+              val h = new StringBuilder
               var k = 0
-              while (k < 4) { sb.append(next()); k += 1 }
+              while (k < 4) { h.append(next()); k += 1 }
+              emitChar(sb, Integer.parseInt(h.toString, 16).toChar)
             case 'x'  =>
               val h = new StringBuilder
               h.append(next()).append(next())
-              sb.append(f"\\u00${Integer.parseInt(h.toString, 16)}%02x")
-            // Python keeps unrecognized escapes as backslash+char; the
-            // backslash must itself be JSON-escaped (\q → \\q).
-            case other => sb.append("\\\\").append(other)
+              emitChar(sb, Integer.parseInt(h.toString, 16).toChar)
+            case d if d >= '0' && d <= '7' =>
+              // Python octal escape: up to 3 octal digits.
+              var v = d - '0'
+              var k = 1
+              while (k < 3 && !eof && s.charAt(i) >= '0' &&
+                s.charAt(i) <= '7') { v = v * 8 + (next() - '0'); k += 1 }
+              emitChar(sb, v.toChar)
+            // Python keeps unrecognized escapes as backslash+char.
+            case other => emitChar(sb, '\\'); emitChar(sb, other)
           }
-        } else if (c == '"') sb.append("\\\"")
-        else if (c < ' ') sb.append(f"\\u${c.toInt}%04x")
-        else sb.append(c)
+        } else emitChar(sb, c)
       }
       sb.append('"')
     }

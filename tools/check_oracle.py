@@ -32,7 +32,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(s):
             s = s.astype("datetime64[ns]")
         elif s.dtype == object:
-            s = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            import datetime
+            nonnull = s.dropna()
+            if len(nonnull) and all(isinstance(v, datetime.date) and
+                                    not isinstance(v, datetime.datetime)
+                                    for v in nonnull.head(5)):
+                # spark DATE → pandas object of datetime.date; duckdb
+                # DATE → datetime64. Normalize both to datetime64[ns].
+                s = pd.to_datetime(s)
+            else:
+                s = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
         out[c] = s
     df = pd.DataFrame(out)
     return df.sort_values(by=list(df.columns), ignore_index=True)
