@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.functions.functions.py_to_json
 import graft.ingest.JsonIngest
+import graft.ns.Dedup
 import graft.ops.{IdempotentWriter, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -203,6 +204,29 @@ object SparkEntry {
         t(s, d, "events").select(col("event_id"), col("props")),
         StructType(Seq(StructField("k", IntegerType))), "props")
         .select(col("event_id"), col("parsed.k").as("k"))),
+
+    // ---- §2.8 [NS] exact dedup: fingerprint-grouped survivors ----
+    "ns01_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- §2.8 [NS] exact near-dup: inverted-index n-gram Jaccard ----
+    "ns02_ngram_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
+    // ---- §2.8 [NS] approx near-dup: banded MinHash LSH ----
+    // No SQL oracle (LSH recall is probabilistic); the driver records
+    // a rows-only check and NsDedupSpec proves >=90% recall against
+    // the exact ns02 pairs plus a no-cartesian plan shape.
+    "ns03_minhash_near_dup" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, maxJaccardDist = 0.5, numHashTables = 8, seed = 42L)),
+
+    // ---- §2.8 [NS] SimHash fingerprints + banded near-dup pairs ----
+    "ns04_simhash_near_dup" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(
+        Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
+        "doc_id", maxHamming = 7, bands = 8)),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -311,5 +335,28 @@ object SparkEntry {
     "j02_variant_single_parse" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
+    "ns01_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        | min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "ns02_ngram_jaccard_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) AS jaccard
+        |FROM pairs p
+        | JOIN sizes sa ON p.id_a = sa.doc_id
+        | JOIN sizes sb ON p.id_b = sb.doc_id
+        |WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5""".stripMargin,
   )
 }

@@ -1,0 +1,179 @@
+package graft.ns
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines (SURVEY.md
+  * §2.8 [NS]): exact dedup, exact n-gram Jaccard similarity join, and
+  * MinHash-LSH / SimHash approximate near-dup detection over a text
+  * column.
+  *
+  * Scale design (the point of every choice here):
+  *  - Exact dedup is a hash aggregation on a 128-bit fingerprint — one
+  *    shuffle keyed on the fingerprint, map-side combinable, no row
+  *    text shipped after the fingerprint is computed.
+  *  - The exact Jaccard join is an INVERTED-INDEX join (explode
+  *    shingles, equi-join on the shingle), never an all-pairs cross
+  *    join: cost is Σ bucket² over shingle buckets, linear-ish for
+  *    natural text. A document-frequency cap drops stop-shingles whose
+  *    buckets would dominate that sum at corpus scale.
+  *  - MinHash-LSH (spark.ml) banding reduces candidate generation to
+  *    equi-joins on band hashes — the standard sublinear path when
+  *    even the inverted index is too big.
+  *  - SimHash packs a document into 64 bits; banded self-join on
+  *    16-bit chunks finds all pairs within Hamming distance 3 by the
+  *    pigeonhole principle, again equi-join only.
+  */
+object Dedup {
+
+  /** Canonical text: trimmed, lower-cased, whitespace collapsed. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** 128-bit content fingerprint of the canonical text. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Exact dedup via fingerprint groups: one survivor (minimum id) per
+    * distinct canonical text, with the group's multiplicity. Output:
+    * (fingerprint, idCol, dup_count). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Generic exact dedup on explicit key columns (`dropDuplicates`):
+    * arbitrary-survivor semantics, one shuffle on the keys. */
+  def dropExactDups(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Distinct word n-grams (shingles) per document:
+    * (idCol, gram). Documents shorter than n words contribute none. */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val words = split(normText(col(textCol)), " ")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("gram"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity join via inverted index: all
+    * document pairs with Jaccard(shingles(a), shingles(b)) >= threshold.
+    * Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * `maxDocFreq`: drop shingles appearing in more than this many
+    * documents before pairing. At fixture scale leave it None for
+    * oracle parity; at corpus scale a cap (say 1000) bounds the worst
+    * shingle bucket and therefore the join's quadratic term.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val g0 = shingles(df, idCol, textCol, n)
+    val g = maxDocFreq match {
+      case Some(cap) =>
+        // Two-pass stop-shingle cut: tiny (gram, df) side, broadcast
+        // back. Keeps the pair join's Σ bucket² bounded by cap².
+        val rare = g0.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= cap)
+          .select(col("gram"))
+        g0.join(rare, "gram")
+      case None => g0
+    }
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = g.select(col(idCol).as("id_a"), col("gram"))
+    val b = g.select(col(idCol).as("id_b"), col("gram"))
+    val common = a.join(b,
+      a("gram") === b("gram") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH approximate near-dup pairs (spark.ml): documents are
+    * shingled, hashed into a sparse binary vector (HashingTF), and
+    * banded by `numHashTables` min-hash functions; candidate pairs come
+    * from equi-joins on band hashes, then the exact Jaccard distance on
+    * the vectors filters them. Output: (id_a, id_b, jaccard_dist),
+    * id_a < id_b, jaccard_dist <= maxJaccardDist. Deterministic for a
+    * fixed seed. */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxJaccardDist: Double, numHashTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val grams = shingles(df, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_list(col("gram")).as("grams"))
+    val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    // MinHashLSH needs >=1 nonzero vector entry; shingles() already
+    // emits only documents with >=1 gram, so no extra filter needed.
+    val vecs = tf.transform(grams)
+    val lsh = new MinHashLSH().setNumHashTables(numHashTables)
+      .setSeed(seed).setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxJaccardDist, "jaccard_dist")
+      .select(col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"), col("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** 64-bit SimHash of the canonical token stream: each token votes
+    * ±1 on every bit of its 64-bit hash; the sign of the vote sum
+    * becomes the fingerprint bit. One explode + one 64-way map-side-
+    * combinable aggregation — no shuffle of document text. Output:
+    * (idCol, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(normText(col(textCol)), " ")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs within `maxHamming`: banded
+    * equi-join on (64/bands)-bit chunks, then exact Hamming filter.
+    * By pigeonhole the result is COMPLETE whenever maxHamming < bands
+    * (a pair within that distance must agree on at least one whole
+    * band); more bands buy recall at the cost of bigger band buckets.
+    * Output: (id_a, id_b, hamming). */
+  def simhashNearDupPairs(sig: DataFrame, idCol: String,
+      maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map { band =>
+        struct(lit(band).as("band"),
+          shiftrightunsigned(col("simhash"), band * width)
+            .bitwiseAND(lit(mask)).as("chunk"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val a = banded.select(col(idCol).as("id_a"),
+      col("simhash").as("sig_a"), col("band"), col("chunk"))
+    val b = banded.select(col(idCol).as("id_b"),
+      col("simhash").as("sig_b"), col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

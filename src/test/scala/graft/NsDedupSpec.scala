@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ns.Dedup
+
+class NsDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def assertNoCartesian(df: DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in plan:\n$plan")
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val df = docs(
+      1L -> "The  Quick\tBrown Fox",
+      2L -> "  the quick brown fox ",
+      3L -> "the quick brown ox")
+      .select(Dedup.fingerprint(col("text")).as("fp"))
+    val fps = df.as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("exactDedup keeps the min id per group with multiplicity") {
+    val out = Dedup.exactDedup(
+      docs(5L -> "a b c", 3L -> "A  b C", 9L -> "x y z"),
+      "doc_id", "text")
+      .select(col("doc_id"), col("dup_count"))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((3L, 2L), (9L, 1L)))
+  }
+
+  test("shingles emits distinct word n-grams, none for short docs") {
+    val out = Dedup.shingles(
+      docs(1L -> "a b c d", 2L -> "a b c a b c", 3L -> "too short"),
+      "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, "a b c"), (1L, "b c d"),
+      (2L, "a b c"), (2L, "b c a"), (2L, "c a b")))
+  }
+
+  test("ngramJaccardPairs matches hand-computed jaccard, no cartesian") {
+    // doc1 grams: {a b c, b c d, c d e}; doc2 grams: {a b c, b c d, c d x}
+    // common=2, union=4 → jaccard 0.5. doc3 shares nothing.
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d x", 3L -> "p q r s t")
+    val out = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.4)
+    assertNoCartesian(out)
+    val rows = out.as[(Long, Long, Double)].collect().toSet
+    assert(rows == Set((1L, 2L, 0.5)))
+  }
+
+  test("ngramJaccardPairs maxDocFreq drops stop-shingles") {
+    // "a b c" appears in all 3 docs; cap=2 removes it, leaving no
+    // shingle shared by docs 1 and 3.
+    val d = docs(1L -> "a b c x", 2L -> "a b c y", 3L -> "a b c z")
+    val all = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.01)
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.01,
+      maxDocFreq = Some(2))
+    assert(all.count() == 3) // all pairs share "a b c"
+    assert(capped.count() == 0)
+  }
+
+  test("minhash LSH finds planted near-dups with high recall, no cartesian") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+    val lsh = Dedup.minhashNearDupPairs(d, "doc_id", "text", 3,
+      maxJaccardDist = 0.5, numHashTables = 8, seed = 42L)
+    assertNoCartesian(lsh)
+    val got = lsh.select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+    // candidate verification keeps precision exact w.r.t. vector jaccard:
+    // every reported pair really is within the distance threshold.
+    val dists = lsh.select(col("jaccard_dist")).as[Double].collect()
+    assert(dists.forall(_ <= 0.5))
+  }
+
+  test("simhash: identical docs agree, near-identical docs are close") {
+    val sig = Dedup.simhash(docs(
+      1L -> "spark shuffles the partition keys across executors today",
+      2L -> "spark  SHUFFLES the partition keys across executors today",
+      3L -> "spark shuffles the partition keys across machines today",
+      4L -> "completely different words about cooking pasta dinner"),
+      "doc_id", "text")
+    val m = sig.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+  }
+
+  test("simhashNearDupPairs: banded join finds close pairs, no cartesian") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = Dedup.simhash(d, "doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(sig, "doc_id",
+      maxHamming = 7, bands = 8)
+    assertNoCartesian(pairs)
+    val got = pairs.select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    // exact near-dups (jaccard >= 0.8 on trigrams) should mostly land
+    // within hamming 7 of each other in simhash space (the banded join
+    // is pigeonhole-complete there with 8 bands, so misses are solely
+    // simhash approximation, not candidate generation).
+    val strong = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(strong.nonEmpty)
+    val recall = strong.count(got.contains).toDouble / strong.size
+    assert(recall >= 0.9, s"recall $recall over ${strong.size} strong pairs")
+  }
+}
