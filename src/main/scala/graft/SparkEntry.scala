@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.functions.functions.py_to_json
 import graft.ingest.JsonIngest
-import graft.ns.Dedup
+import graft.ns.{Dedup, Similarity}
 import graft.ops.{IdempotentWriter, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -227,6 +227,29 @@ object SparkEntry {
       Dedup.simhashNearDupPairs(
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
         "doc_id", maxHamming = 7, bands = 8)),
+
+    // ---- §2.8 [NS] exact brute-force cosine top-k neighbors ----
+    "ns05_topk_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+
+    // ---- §2.8 [NS] approximate top-k via random-projection LSH ----
+    // No SQL oracle (probabilistic recall); NsSimilaritySpec proves
+    // >=70% recall@5 against ns05's exact answer and a bucketed
+    // (non-cartesian) plan.
+    "ns06_ann_topk_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.annTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, minCosine = 0.15)
+    }),
+
+    // ---- §2.8 [NS] embedding-cosine near-dup pairs (LSH-bucketed) ----
+    "ns07_embedding_near_dup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.4)),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -358,5 +381,29 @@ object SparkEntry {
         | JOIN sizes sa ON p.id_a = sa.doc_id
         | JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5""".stripMargin,
+    // cosine arithmetic mirrors Similarity.dot exactly: element-wise
+    // CAST to DOUBLE, multiply, sequential-fold sum — bit-identical to
+    // Spark's aggregate(zip_with(...)), so scores hash-match.
+    "ns05_topk_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+        |WHERE "rank" <= 5""".stripMargin,
   )
 }
