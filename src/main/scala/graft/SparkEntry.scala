@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.functions.functions.py_to_json
 import graft.ingest.JsonIngest
-import graft.ns.{Dedup, Similarity}
+import graft.ns.{Dedup, Similarity, TextOps}
 import graft.ops.{IdempotentWriter, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -250,6 +250,21 @@ object SparkEntry {
     "ns07_embedding_near_dup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.4)),
+
+    // ---- §2.8 [NS] text analysis: stats, quality gate, language id ----
+    "ns08_text_stats" -> ((s, d) =>
+      TextOps.textStats(t(s, d, "documents"), "doc_id", "text")),
+    "ns09_quality_score" -> ((s, d) =>
+      TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text")),
+    "ns10_lang_id" -> ((s, d) =>
+      TextOps.langId(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- §2.8 [NS] mod-p sampled shingle fingerprints ----
+    // xxhash64 has no DuckDB twin → rows-only check; determinism and
+    // sampling laws are proven in NsTextOpsSpec.
+    "ns11_shingle_fingerprints" -> ((s, d) =>
+      TextOps.shingleFingerprints(t(s, d, "documents"), "doc_id", "text",
+        n = 3, p = 4)),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -405,5 +420,65 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, "rank" FROM ranked
         |WHERE "rank" <= 5""".stripMargin,
+    "ns08_text_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_word_len,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS stopword_ratio
+        |FROM base""".stripMargin,
+    "ns09_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_word_len,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS stopword_ratio
+        |  FROM base)
+        |SELECT *,
+        |  CAST(CAST(chk_chars AS INT) + CAST(chk_words AS INT)
+        |     + CAST(chk_avg_word_len AS INT) + CAST(chk_punct AS INT)
+        |     + CAST(chk_stopwords AS INT) AS DOUBLE) / 5 AS quality_score
+        |FROM (
+        |  SELECT *,
+        |    n_chars BETWEEN 50 AND 100000 AS chk_chars,
+        |    n_words BETWEEN 10 AND 50000 AS chk_words,
+        |    avg_word_len BETWEEN 2.0 AND 12.0 AS chk_avg_word_len,
+        |    punct_ratio <= 0.2 AS chk_punct,
+        |    stopword_ratio >= 0.01 AS chk_stopwords
+        |  FROM stats)""".stripMargin,
+    "ns10_lang_id" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM hits""".stripMargin,
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ns.TextOps
+
+class NsTextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("textStats computes hand-checked surface statistics, no shuffle") {
+    val df = TextOps.textStats(
+      docs(1L -> "The quick, quick fox!"), "doc_id", "text")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "textStats must stay map-side")
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_chars") == 21L)
+    assert(r.getAs[Long]("n_words") == 4L)   // the quick, quick fox!
+    // bpe-ish: The, quick, ",", quick, fox, "!" → 6
+    assert(r.getAs[Long]("n_bpe_tokens") == 6L)
+    // norm "the quick, quick fox!" sans spaces = 18 chars / 4 words
+    assert(r.getAs[Double]("avg_word_len") == 4.5)
+    assert(r.getAs[Double]("punct_ratio") == 2.0 / 21)
+    assert(r.getAs[Double]("stopword_ratio") == 0.25) // "the"
+  }
+
+  test("qualityScore applies the five gates with fraction score") {
+    val good = "The engine reads a table of rows and values " +
+      "from the fast disk in order to scan it."  // all five pass
+    val short = "tiny text"                       // fails chars+words
+    val out = TextOps.qualityScore(
+      docs(1L -> good, 2L -> short), "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"),
+        col("chk_chars"), col("chk_words"))
+      .as[(Long, Double, Boolean, Boolean)].collect()
+      .map { case (k, b, c, d) => k -> ((b, c, d)) }.toMap
+    assert(out(1L) == ((1.0, true, true)))
+    assert(out(2L)._2 == false && out(2L)._3 == false)
+    assert(out(2L)._1 <= 0.6)
+  }
+
+  test("langId picks the dominant marker language deterministically") {
+    val out = TextOps.langId(docs(
+      1L -> "the cat and the dog sat in the garden",
+      2L -> "der hund und die katze ist nicht hier",
+      3L -> "le chat est dans les jardins pour une heure",
+      4L -> "el perro y los gatos es una cosa por ahora",
+      5L -> "zzz qqq xxx"), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr",
+      4L -> "es", 5L -> "und"))
+  }
+
+  test("langId on fixture documents: english-ish vocabulary → en/und only") {
+    // the fixture's `lang` column is random metadata; its TEXT is all
+    // drawn from an english-ish vocabulary, so the detector should
+    // only ever answer en (marker hit) or und (no markers present).
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val counts = TextOps.langId(d, "doc_id", "text")
+      .groupBy(col("lang_pred")).count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("en", "und")), counts.toString)
+    assert(counts.getOrElse("en", 0L) > counts.getOrElse("und", 0L))
+  }
+
+  test("shingleFingerprints: shared content shares fingerprints") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "one two three four five six seven eight nine ten")
+    val fp = TextOps.shingleFingerprints(d, "doc_id", "text", n = 3, p = 1)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L).intersect(fp(3L)).isEmpty)
+    // p=2 keeps a strict deterministic subset
+    val sampled = TextOps
+      .shingleFingerprints(d, "doc_id", "text", n = 3, p = 2)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(sampled.getOrElse(1L, Set.empty).subsetOf(fp(1L)))
+    assert(sampled.getOrElse(1L, Set.empty).size < fp(1L).size)
+  }
+}
