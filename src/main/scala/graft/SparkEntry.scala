@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.functions.functions.py_to_json
 import graft.ingest.JsonIngest
-import graft.ns.{Dedup, Similarity, TextOps}
+import graft.ns.{Dedup, Multimodal, Similarity, Sketches, TextOps}
 import graft.ops.{IdempotentWriter, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -265,6 +265,42 @@ object SparkEntry {
     "ns11_shingle_fingerprints" -> ((s, d) =>
       TextOps.shingleFingerprints(t(s, d, "documents"), "doc_id", "text",
         n = 3, p = 4)),
+
+    // ---- §2.8 [NS] HLL++ approx distinct (sketch, mergeable) ----
+    // The estimate is engine-specific → rows-only check; the <=5%
+    // relative-error law is proven in NsSketchesMultimodalSpec.
+    "ns12_approx_distinct" -> ((s, d) =>
+      Sketches.approxDistinct(t(s, d, "events"),
+        Seq(col("event_type")), col("user_id"))),
+
+    // ---- §2.8 [NS] quantile sketch; exact at this accuracy ----
+    "ns13_quantiles" -> ((s, d) =>
+      Sketches.quantiles(t(s, d, "events"), Seq(col("event_type")),
+        col("value"), Seq(0.5, 0.9, 0.99))),
+
+    // ---- §2.8 [NS] multimodal: binary source + batched decode ----
+    // Payload files are materialized once per invocation from the
+    // documents fixture (50 tiny files, driver-side write of a
+    // dimension-sized set), then flow binaryFile → metadata projection
+    // → batched stub decode. sha256/byte_len are REAL payload facts
+    // the oracle reproduces from the source text; dims come from the
+    // clearly-stubbed size-keyed decoder.
+    "ns14_multimodal_features" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_mm_q").toFile
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => { deleteRecursively(dir) }))
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+        .collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath,
+              s"doc_${r.getLong(0)}.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      Multimodal.decodeFeatures(
+        Multimodal.readBinaryDir(s, dir.getPath, "*.txt")).toDF()
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -480,5 +516,18 @@ object SparkEntry {
         |       WHEN es > 0 THEN 'es'
         |       ELSE 'und' END AS lang_pred
         |FROM hits""".stripMargin,
+    "ns13_quantiles" ->
+      """SELECT event_type,
+        | quantile_disc(value, 0.5) AS p50,
+        | quantile_disc(value, 0.9) AS p90,
+        | quantile_disc(value, 0.99) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+    "ns14_multimodal_features" ->
+      """SELECT 'doc_' || doc_id || '.txt' AS file_name,
+        | CAST(length(text) AS BIGINT) AS byte_len,
+        | sha256(text) AS sha256,
+        | CAST(length(text) % 640 + 1 AS INT) AS width,
+        | CAST((length(text) * 7) % 480 + 1 AS INT) AS height
+        |FROM documents WHERE doc_id < 50""".stripMargin,
   )
 }

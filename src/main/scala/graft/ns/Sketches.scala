@@ -1,0 +1,49 @@
+package graft.ns
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregation sketches (SURVEY.md §2.4/§2.8 [NS]):
+  * HyperLogLog++ distinct counts and mergeable quantile summaries.
+  * Both are one-pass, map-side-combinable aggregates whose sketch
+  * buffers merge associatively — the only kind of "distinct/quantile"
+  * that survives 100 TB (an exact global COUNT(DISTINCT) re-shuffles
+  * every key; a sketch ships kilobytes per partition).
+  */
+object Sketches {
+
+  /** Approximate distinct count of `valueCol` per group (HLL++,
+    * default rsd 5%). */
+  def approxDistinct(df: DataFrame, groupCols: Seq[Column],
+      valueCol: Column, rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(approx_count_distinct(valueCol, rsd).as("approx_distinct"))
+
+  /** Approx + exact distinct side by side with the relative error —
+    * the test/measurement harness for [[approxDistinct]]. */
+  def distinctWithError(df: DataFrame, groupCols: Seq[Column],
+      valueCol: Column, rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(approx_count_distinct(valueCol, rsd).as("approx_distinct"),
+        count_distinct(valueCol).as("exact_distinct"))
+      .withColumn("rel_err",
+        abs(col("approx_distinct") - col("exact_distinct"))
+          .cast("double") / col("exact_distinct"))
+
+  /** Per-group quantiles via the Greenwald-Khanna summary
+    * (`percentile_approx`). With `accuracy` >= the group row count the
+    * summary degrades gracefully to EXACT discrete quantiles (the
+    * returned value is always an actual element), which is what makes
+    * the DuckDB `quantile_disc` oracle hash-match at fixture scale
+    * while the same plan stays a bounded-memory sketch at 100 TB.
+    * Output: one `p<NN>` column per requested probability. */
+  def quantiles(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+      probs: Seq[Double], accuracy: Int = 1000000): DataFrame = {
+    val arr = percentile_approx(valueCol,
+      array(probs.map(lit): _*), lit(accuracy))
+    val qs = df.groupBy(groupCols: _*).agg(arr.as("__q"))
+    probs.zipWithIndex.foldLeft(qs) { case (acc, (p, i)) =>
+      acc.withColumn(s"p${(p * 100).round}", element_at(col("__q"), i + 1))
+    }.drop("__q")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.ns.{Multimodal, Sketches}
+
+class NsSketchesMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct stays within 5% of exact per group") {
+    val ev = Tables(spark, sf, "events")
+    val errs = Sketches.distinctWithError(
+      ev, Seq(col("event_type")), col("user_id"))
+      .select(col("rel_err")).as[Double].collect()
+    assert(errs.nonEmpty && errs.forall(_ <= 0.05), errs.mkString(","))
+  }
+
+  test("quantiles returns ordered, element-valued discrete quantiles") {
+    val ev = Tables(spark, sf, "events")
+    val q = Sketches.quantiles(ev, Seq(col("event_type")), col("value"),
+      Seq(0.5, 0.9, 0.99))
+    val rows = q.select(col("event_type"), col("p50"), col("p90"),
+      col("p99")).as[(String, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val values = ev.select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (et, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+      assert(values(et).contains(p50) && values(et).contains(p99),
+        s"quantiles of $et must be actual data elements")
+    }
+  }
+
+  private def sha256hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+
+  test("binaryFile source + batched decode produce real payload facts") {
+    val dir = Files.createTempDirectory("graft_mm").toFile
+    dir.deleteOnExit()
+    val payloads = Map(
+      "a.img" -> "payload-one".getBytes("UTF-8"),
+      "b.img" -> "second-payload-bytes".getBytes("UTF-8"),
+      "skip.txt" -> "not-matched".getBytes("UTF-8"))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(Paths.get(dir.getPath, name), bytes) }
+    val df = Multimodal.readBinaryDir(spark, dir.getPath, "*.img")
+    assert(df.columns.toSet ==
+      Set("path", "modificationTime", "length", "content", "file_name"))
+    val feats = Multimodal.decodeFeatures(df).collect()
+      .map(f => f.file_name -> f).toMap
+    assert(feats.keySet == Set("a.img", "b.img")) // glob filtered
+    payloads.filterKeys(_.endsWith(".img")).foreach { case (name, bytes) =>
+      val f = feats(name)
+      assert(f.byte_len == bytes.length)
+      assert(f.sha256 == sha256hex(bytes))
+      // stub decoder contract: dims are a pure function of size
+      assert(f.width == bytes.length % 640 + 1)
+      assert(f.height == (bytes.length * 7) % 480 + 1)
+    }
+  }
+
+  test("frameSample fans each payload into n deterministic slices") {
+    val dir = Files.createTempDirectory("graft_mm2").toFile
+    dir.deleteOnExit()
+    Files.write(Paths.get(dir.getPath, "v1.bin"),
+      ("frameAAAA" * 8).getBytes("UTF-8"))
+    Files.write(Paths.get(dir.getPath, "v2.bin"),
+      ("frameBBBB" * 8).getBytes("UTF-8"))
+    val df = Multimodal.readBinaryDir(spark, dir.getPath, "*.bin")
+    val frames = Multimodal.frameSample(df, nFrames = 4)
+      .as[(String, Long, String)].collect()
+    assert(frames.length == 8) // 2 files × 4 frames
+    assert(frames.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L)))
+    // deterministic: same content → same frame hashes across files? No —
+    // different content → different hashes; same call twice → identical.
+    val again = Multimodal.frameSample(df, nFrames = 4)
+      .as[(String, Long, String)].collect()
+    assert(frames.sortBy(f => (f._1, f._2)).toSeq ==
+      again.sortBy(f => (f._1, f._2)).toSeq)
+  }
+}
