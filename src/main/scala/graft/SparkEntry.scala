@@ -6,8 +6,11 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.functions.functions.py_to_json
 import graft.ingest.JsonIngest
+import graft.dq.Checks
+import graft.model.Schemas
 import graft.ns.{Dedup, Multimodal, Similarity, Sketches, TextOps}
 import graft.ops.{IdempotentWriter, Relational}
+import graft.pipeline.Run
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -301,7 +304,107 @@ object SparkEntry {
       Multimodal.decodeFeatures(
         Multimodal.readBinaryDir(s, dir.getPath, "*.txt")).toDF()
     }),
+
+    // ---- §3.1 pipeline composition, driver-gated end to end ----
+    // The full bronze→silver→gold→DQ flow over payloads synthesized
+    // deterministically from fixture dimensions, so the WHOLE pipeline
+    // (python-repr repair, declared-schema staged read, gold
+    // transforms, DQ gate, partition-overwrite write, gold read-back)
+    // sits behind a DuckDB oracle expressed over the source table.
+    "p01_weather_pipeline" -> ((s, d) => p01WeatherPipeline(s, d)),
+    "p02_cocktails_pipeline" -> ((s, d) => p02CocktailsPipeline(s, d)),
   )
+
+  private val pipelineRunHr = 202608121000L
+
+  /** Weather flow: one bronze doc per nation row (python-repr for odd
+    * keys — the reference's unrepaired-weather quirk), S11 sensor,
+    * S6 staged read, flat gold transform, Q2 gate, O10 write. */
+  private def p01WeatherPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p01").toFile
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(base)))
+    val bronze = s"${base.getPath}/bronze/weather/run_hr=$pipelineRunHr"
+    val nations = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val payloads = nations.toSeq.map { case (key, name, region) =>
+      val quote = if (key % 2 == 1) "'" else "\""
+      def q(v: Any) = s"$quote$v$quote"
+      val doc = s"{${q("location")}: {${q("name")}: ${q(name)}, " +
+        s"${q("country")}: ${q("US")}, " +
+        s"${q("localtime")}: ${q(f"2026-08-12 10:$key%02d")}}, " +
+        s"${q("current")}: {${q("temp_c")}: ${key + 0.5}, " +
+        s"${q("temp_f")}: ${(key + 0.5) * 2}, ${q("is_day")}: ${key % 2}, " +
+        s"${q("condition")}: {${q("text")}: ${q(s"Cond $region")}, " +
+        s"${q("code")}: ${1000 + region}}, " +
+        s"${q("humidity")}: ${40 + key}, ${q("cloud")}: $key}}"
+      (name, doc)
+    }
+    Run.writeRawText(s, bronze, payloads.map { case (name, doc) =>
+      (name.toLowerCase.replace(" ", "_") + ".json", doc)
+    })
+    require(Run.awaitFiles(s, bronze,
+      payloads.map(_._1 + ".json"), timeoutMs = 5000, pollMs = 20),
+      "p01 bronze objects missing")
+    val stage = JsonIngest.readStaged(s, s"$bronze/*.json",
+      Schemas.weatherStage)
+    val gold = Run.withAuditCols(Run.weatherGoldFlat(stage), pipelineRunHr)
+    Checks.gate(gold, "p01_weather", pipelineRunHr,
+      Checks.CheckConfig(minRows = 1,
+        maxNullRate = Map("city" -> 0.0, "temp_c" -> 0.0),
+        expectedRunHr = Some(pipelineRunHr),
+        uniqueKey = Some(Seq("city_key"))))(_ => ())
+    IdempotentWriter.replacePartitions(gold,
+      s"${base.getPath}/gold/weather", Seq("run_hr"))
+    s.read.parquet(s"${base.getPath}/gold/weather")
+      .select(col("city_key"), col("city"), col("country"),
+        col("localtime_ts"), col("temp_c"), col("temp_f"), col("is_day"),
+        col("condition_text"), col("condition_code"), col("humidity"),
+        col("cloud"), col("run_hr").cast("long").as("run_hr"))
+  }
+
+  /** Cocktails flow: ONE bronze doc holding a dirty python-repr drinks
+    * array built from part rows (raw CR/LF in a string field, trailing
+    * commas), J1 explode + O14 rename gold, Q2 gate, O10 write. */
+  private def p02CocktailsPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p02").toFile
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(base)))
+    val bronze = s"${base.getPath}/bronze/cocktails/run_hr=$pipelineRunHr"
+    val parts = t(s, d, "part")
+      .filter(col("p_partkey") < 20)
+      .select(col("p_partkey").cast("long"), col("p_name"),
+        col("p_brand"), col("p_type"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val drinks = parts.toSeq.map { case (key, name, brand, ptype) =>
+      s"{'idDrink': '$key', 'strDrink': '$name', " +
+        "'strAlcoholic': 'Alcoho\rli\n\rc', " +
+        s"'strCategory': '$ptype', 'strGlass': '$brand', " +
+        s"'strIngredient1': '$brand', 'strMeasure1': '2 oz',}"
+    }.mkString(", ")
+    Run.writeRawText(s, bronze,
+      Seq(("cocktails.json", s"{'drinks': [$drinks],}")))
+    val stage = JsonIngest.readStaged(s, s"$bronze/*.json",
+      Schemas.cocktailsStage)
+    val gold = Run.withAuditCols(Run.cocktailsGold(stage), pipelineRunHr)
+    Checks.gate(gold, "p02_cocktails", pipelineRunHr,
+      Checks.CheckConfig(minRows = 1,
+        maxNullRate = Map("id_drink" -> 0.0, "drink" -> 0.0),
+        expectedRunHr = Some(pipelineRunHr),
+        uniqueKey = Some(Seq("id_drink"))))(_ => ())
+    IdempotentWriter.replacePartitions(gold,
+      s"${base.getPath}/gold/cocktails", Seq("run_hr"))
+    s.read.parquet(s"${base.getPath}/gold/cocktails")
+      .select(col("id_drink").cast("long").as("id_drink"), col("drink"),
+        col("category"), col("glass"), col("ingredient1"),
+        col("measure1"), col("alcoholic"),
+        col("run_hr").cast("long").as("run_hr"))
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
@@ -529,5 +632,27 @@ object SparkEntry {
         | CAST(length(text) % 640 + 1 AS INT) AS width,
         | CAST((length(text) * 7) % 480 + 1 AS INT) AS height
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    "p01_weather_pipeline" ->
+      """SELECT lower(replace(n_name, ' ', '_')) AS city_key,
+        | n_name AS city, 'US' AS country,
+        | strptime('2026-08-12 10:' ||
+        |   lpad(CAST(n_nationkey AS VARCHAR), 2, '0') || ':00',
+        |   '%Y-%m-%d %H:%M:%S') AS localtime_ts,
+        | CAST(n_nationkey + 0.5 AS DOUBLE) AS temp_c,
+        | CAST((n_nationkey + 0.5) * 2 AS DOUBLE) AS temp_f,
+        | n_nationkey % 2 = 1 AS is_day,
+        | 'Cond ' || n_regionkey AS condition_text,
+        | CAST(1000 + n_regionkey AS BIGINT) AS condition_code,
+        | CAST(40 + n_nationkey AS BIGINT) AS humidity,
+        | CAST(n_nationkey AS BIGINT) AS cloud,
+        | CAST(202608121000 AS BIGINT) AS run_hr
+        |FROM nation""".stripMargin,
+    "p02_cocktails_pipeline" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS id_drink,
+        | p_name AS drink, p_type AS category, p_brand AS glass,
+        | p_brand AS ingredient1, '2 oz' AS measure1,
+        | 'Alcoholic' AS alcoholic,
+        | CAST(202608121000 AS BIGINT) AS run_hr
+        |FROM part WHERE p_partkey < 20""".stripMargin,
   )
 }

@@ -25,20 +25,28 @@ import graft.functions.functions.py_to_json
   */
 object JsonIngest {
 
-  /** S7: raw text load — the VARIANT analogue. One row per line/doc. */
-  def readVariant(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path).toDF("json_data")
+  /** S7: raw text load — the VARIANT analogue. `wholeFile=false`: one
+    * row per LINE (newline-delimited JSON fixtures). `wholeFile=true`:
+    * one row per FILE — the faithful analogue of the reference's
+    * one-S3-object-per-API-response bronze layout, and required when
+    * payload strings legally contain raw CR/LF (the dirty-JSON quirk
+    * O9 exists to repair). Parallelism note: wholeFile reads each
+    * object as one task input; bronze is many small objects read in
+    * parallel, never one giant file. */
+  def readVariant(spark: SparkSession, path: String,
+      wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+      .toDF("json_data")
 
   /** O9 applied at ingest: repaired strict-JSON column. */
   def repaired(df: DataFrame, in: String = "json_data"): DataFrame =
     df.withColumn(in, py_to_json(col(in)))
 
-  /** S6: declared-schema load after repair. `multiLine=false`: one JSON
-    * doc per line (the fixture layout); a 100 TB bronze would be many
-    * such files read in parallel — never one giant multiline doc. */
+  /** S6: declared-schema load after repair — one document per bronze
+    * object, schema applied on read (nothing inferred). */
   def readStaged(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
-    val raw = repaired(readVariant(spark, path))
+    val raw = repaired(readVariant(spark, path, wholeFile = true))
     raw.select(from_json(col("json_data"), schema).as("doc"))
       .select(col("doc.*"))
   }

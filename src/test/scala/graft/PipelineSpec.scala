@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.dq.Checks
+import graft.pipeline.Run
+import graft.pipeline.Run.PipelineConfig
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val runHr = 202608121000L
+
+  /** One weather doc; python-repr (single quotes) for odd cities,
+    * strict JSON for even — the reference leaks unrepaired python-repr
+    * on the weather path, our ingest normalizes both (FIXTURES.md A1). */
+  private def weatherDoc(city: String, tempC: Double, isDay: Int,
+      pyRepr: Boolean): String = {
+    val q = if (pyRepr) "'" else "\""
+    def s(v: String) = q + v + q
+    val doc = s"{${s("location")}: {${s("name")}: ${s(city)}, " +
+      s"${s("region")}: ${s("R")}, ${s("country")}: ${s("US")}, " +
+      s"${s("lat")}: 40.5, ${s("lon")}: -73.9, " +
+      s"${s("tz_id")}: ${s("America/New_York")}, " +
+      s"${s("localtime_epoch")}: 1754989200, " +
+      s"${s("localtime")}: ${s("2026-08-12 10:30")}}, " +
+      s"${s("current")}: {${s("last_updated_epoch")}: 1754989100, " +
+      s"${s("last_updated")}: ${s("2026-08-12 10:25")}, " +
+      s"${s("temp_c")}: $tempC, ${s("temp_f")}: ${tempC * 1.8 + 32}, " +
+      s"${s("is_day")}: $isDay, " +
+      s"${s("condition")}: {${s("text")}: ${s("Sunny")}, " +
+      s"${s("icon")}: ${s("//cdn/sun.png")}, ${s("code")}: 1000}, " +
+      s"${s("humidity")}: 60, ${s("cloud")}: 10, ${s("uv")}: 7.0}}"
+    doc
+  }
+
+  private def cocktailsDoc(ids: Seq[Int]): String = {
+    val drinks = ids.map { id =>
+      s"{'idDrink': '$id', 'strDrink': 'Drink $id', " +
+        "'strAlcoholic': 'Alcoho\rli\n\rc', " +   // dirty CR/LF, repaired
+        "'strCategory': 'Cocktail', 'strGlass': 'Coupe', " +
+        "'strInstructions': 'Shake well.', " +
+        "'strIngredient1': 'Tequila', 'strMeasure1': '2 oz',}"
+    }.mkString(", ")
+    s"{'drinks': [$drinks],}"
+  }
+
+  private def freshDirs(): PipelineConfig = {
+    val base = Files.createTempDirectory("graft_pipe").toFile
+    base.deleteOnExit()
+    PipelineConfig(
+      bronzeDir = s"${base.getPath}/bronze",
+      goldDir = s"${base.getPath}/gold",
+      dqDir = s"${base.getPath}/dq")
+  }
+
+  private def landBronze(cfg: PipelineConfig, hr: Long,
+      cocktailIds: Seq[Int] = Seq(11470, 11471, 11472)): Unit = {
+    val cities = Run.topCities(spark).as[String].collect().toSeq
+    Run.writeRawText(spark, s"${cfg.bronzeDir}/weather/run_hr=$hr",
+      cities.zipWithIndex.map { case (c, i) =>
+        (c.toLowerCase.replace(" ", "_") + ".json",
+          weatherDoc(c, 20.0 + i, i % 2, pyRepr = i % 2 == 1))
+      })
+    Run.writeRawText(spark, s"${cfg.bronzeDir}/cocktails/run_hr=$hr",
+      Seq(("cocktails.json", cocktailsDoc(cocktailIds))))
+  }
+
+  test("e2e run: bronze→silver→gold→DQ, both entities, dq_results green") {
+    val cfg = freshDirs()
+    landBronze(cfg, runHr)
+    val report = Run.run(spark, cfg, runHr)
+    assert(report.weatherRows == 5L)
+    assert(report.cocktailsRows == 3L)
+    assert(report.secondSinkWritten)
+
+    val gold = spark.read.parquet(s"${cfg.goldDir}/weather")
+      .filter(col("run_hr") === runHr)
+    // nested structs with parsed timestamps + repaired python-repr docs
+    val ny = gold.filter(col("location.name") === "Los Angeles")
+      .select(col("current.temp_c").cast("double"),
+        col("location.localtime_ts").cast("string"))
+      .as[(Double, String)].collect().head
+    assert(ny._1 == 21.0)
+    assert(ny._2 == "2026-08-12 10:30:00")
+
+    val flat = spark.read.parquet(s"${cfg.goldDir}/weather_flat")
+      .filter(col("run_hr") === runHr)
+    assert(flat.count() == 5L)
+    assert(flat.filter(col("is_day")).count() == 2L) // 0/1 → boolean
+
+    val cock = spark.read.parquet(s"${cfg.goldDir}/cocktails")
+      .filter(col("run_hr") === runHr)
+    val drinks = cock.select(col("id_drink").cast("long"), col("drink"),
+      col("alcoholic")).as[(Long, String, String)].collect().sortBy(_._1)
+    assert(drinks.map(_._1).toSeq == Seq(11470L, 11471L, 11472L))
+    assert(drinks.head._3 == "Alcoholic") // CR/LF stripped by O9 repair
+
+    val dq = spark.read.parquet(cfg.dqDir)
+    assert(dq.filter(!col("success")).isEmpty)
+    assert(dq.select(col("table_name")).distinct().as[String]
+      .collect().toSet == Set("weather_gold", "cocktails_gold"))
+  }
+
+  test("idempotency: rerunning a run_hr replaces, never duplicates") {
+    val cfg = freshDirs()
+    landBronze(cfg, runHr)
+    Run.run(spark, cfg, runHr)
+    val first = spark.read.parquet(s"${cfg.goldDir}/weather")
+      .drop("created_at_ts").collect().toSet
+    Run.run(spark, cfg, runHr) // replay, same bronze
+    val second = spark.read.parquet(s"${cfg.goldDir}/weather")
+      .drop("created_at_ts").collect().toSet
+    assert(first == second)
+    // a different hour lands alongside, untouched by later replays
+    val otherHr = runHr + 100
+    landBronze(cfg, otherHr)
+    Run.run(spark, cfg, otherHr)
+    Run.run(spark, cfg, runHr)
+    val gold = spark.read.parquet(s"${cfg.goldDir}/weather")
+    assert(gold.filter(col("run_hr") === otherHr).count() == 5L)
+    assert(gold.count() == 10L)
+  }
+
+  test("C3: skipSecondSink suppresses exactly the flat sink") {
+    val cfg = freshDirs().copy(skipSecondSink = true)
+    landBronze(cfg, runHr)
+    val report = Run.run(spark, cfg, runHr)
+    assert(!report.secondSinkWritten)
+    assert(spark.read.parquet(s"${cfg.goldDir}/weather").count() == 5L)
+    assert(!new java.io.File(
+      s"${cfg.goldDir}/weather_flat".replace("file:", "")).exists())
+  }
+
+  test("Q2: DQ gate failure blocks the gold write") {
+    val cfg = freshDirs()
+    // duplicate idDrink violates the unique_key check
+    landBronze(cfg, runHr, cocktailIds = Seq(11470, 11470))
+    val e = intercept[Checks.DqGateException] {
+      Run.run(spark, cfg, runHr)
+    }
+    assert(e.getMessage.contains("unique_key_id_drink"))
+    // weather (gated first, green) was written; cocktails was not
+    assert(spark.read.parquet(s"${cfg.goldDir}/weather").count() == 5L)
+    assert(!new java.io.File(s"${cfg.goldDir}/cocktails").exists())
+    // and the red check run is on record
+    val dq = spark.read.parquet(cfg.dqDir)
+    assert(dq.filter(!col("success") &&
+      col("table_name") === "cocktails_gold").count() == 1L)
+  }
+
+  test("S11: sensor waits for normalized names and times out honestly") {
+    val cfg = freshDirs()
+    val dir = s"${cfg.bronzeDir}/weather/run_hr=$runHr"
+    assert(!Run.awaitFiles(spark, dir, Seq("New York.json"),
+      timeoutMs = 200, pollMs = 20))
+    Run.writeRawText(spark, dir, Seq(("new_york.json", "{}")))
+    assert(Run.awaitFiles(spark, dir, Seq("New York.json"),
+      timeoutMs = 200, pollMs = 20))
+  }
+
+  test("Q3: check-status classification") {
+    import Checks.CheckStatus._
+    assert(Checks.CheckStatus.parse("PENDING") == Pending)
+    assert(Checks.CheckStatus.parse("complete") == Complete)
+    assert(Checks.CheckStatus.parse("Skipped") == Skipped)
+    assert(Checks.CheckStatus.parse("???") == Unknown)
+    assert(!Pending.done && Complete.done && Skipped.done && !Unknown.done)
+  }
+}
