@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ingest.JsonIngest
+import graft.ops.IdempotentWriter
+
+/** Structured Streaming restatement of the hourly batch pipeline
+  * (SURVEY.md §7.4.6): when the reference's cron cadence becomes a
+  * stream, the file-arrival sensor (S11) and schedule (C1) collapse
+  * into a file source with available-now/processing-time triggers, and
+  * the run_hr partition becomes a 1-hour event-time tumbling window
+  * with a watermark for late files.
+  *
+  * Scale notes: the windowed rollup is a streaming state store keyed
+  * by (window, event_type) — low cardinality, partial-aggregated
+  * before state lookup. Sessionization keys state by user; the
+  * watermark bounds state size (timed-out sessions are emitted and
+  * evicted), which is what keeps arbitrary stateful processing
+  * feasible on an unbounded 100 TB/day stream.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Internal per-user session accumulator (public: the state encoder
+    * constructs instances from generated code). */
+  final case class SessionState(start: Long, end: Long,
+      n: Long, total: Double)
+
+  /** File-source stream of events (parquet dir, declared schema —
+    * nothing inferred on a production stream). */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** The o07/o10 gold rollup as a stream: 1-hour tumbling event-time
+    * windows with a watermark for stragglers; emits finalized rows
+    * only (append mode downstream). Output: (run_hr, event_type, n,
+    * total). */
+  def hourlyRollup(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(JsonIngest.runHr(col("window.start")).as("run_hr"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Write the rollup stream as idempotent run_hr-partitioned gold:
+    * each finalized window batch REPLACES its run_hr partitions via
+    * dynamic partition overwrite, so replays/retries of a batch are
+    * exactly-once at the partition level — the streaming analogue of
+    * the reference's delete+insert idempotency. */
+  def startGoldStream(rollup: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    rollup.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          IdempotentWriter.replacePartitions(
+            batch.repartition(col("run_hr")), path, Seq("run_hr"))
+      }
+      .start()
+
+  /** Event-time sessionization via flatMapGroupsWithState: a session
+    * is a run of events per user with gaps < `gapMinutes`; sessions
+    * close (and are emitted exactly once) when the gap passes or the
+    * event-time timeout fires past the watermark. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(userId: Long, s: SessionState): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+        s.n, s.total)
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(userId, s))
+      } else {
+        val evs = batch.toIndexedSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        evs.foreach { e =>
+          cur = cur match {
+            case Some(s) if e.ts.getTime - s.end <= gapMs =>
+              Some(SessionState(s.start, e.ts.getTime,
+                s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= close(userId, s)
+              Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+            case None =>
+              Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverse.iterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

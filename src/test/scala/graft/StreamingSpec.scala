@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, ts: String, user: Long, typ: String,
+      value: Double): Event =
+    Event(id, Timestamp.valueOf(ts), user, typ, value)
+
+  test("hourlyRollup finalizes tumbling windows once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.hourlyRollup(mem.toDF())
+      .writeStream.format("memory").queryName("rollup_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.5),
+        ev(2, "2024-01-01 10:40:00", 2, "click", 2.5),
+        ev(3, "2024-01-01 10:59:00", 1, "view", 4.0),
+        ev(4, "2024-01-01 11:10:00", 3, "click", 8.0))
+      q.processAllAvailable()
+      // nothing final yet: watermark is 30 min behind 11:10
+      assert(spark.table("rollup_sink").count() == 0)
+      // an event at 13:00 pushes the watermark to 12:30 → both the
+      // 10:00 and 11:00 windows finalize
+      mem.addData(ev(5, "2024-01-01 13:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("rollup_sink")
+        .select(col("run_hr"), col("event_type"), col("n"), col("total"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (202401011000L, "click", 2L, 4.0),
+        (202401011000L, "view", 1L, 4.0),
+        (202401011100L, "click", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("startGoldStream lands idempotent run_hr-partitioned gold") {
+    val base = Files.createTempDirectory("graft_stream").toFile
+    base.deleteOnExit()
+    val src = s"${base.getPath}/events"
+    val gold = s"${base.getPath}/gold"
+    val ckpt = s"${base.getPath}/ckpt"
+    val events = Seq(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:45:00", 2, "click", 3.0),
+      ev(3, "2024-01-01 12:30:00", 1, "view", 5.0)) // closes hour 10
+    events.toDF().write.mode("overwrite").parquet(src)
+    val stream = EventStream.fileSource(spark, src,
+      events.toDF().schema)
+    val q = EventStream.startGoldStream(
+      EventStream.hourlyRollup(stream), gold, ckpt)
+    q.awaitTermination()
+    val out = spark.read.parquet(gold)
+      .select(col("run_hr").cast("long"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((202401011000L, "click", 2L)))
+    // one file per partition directory (repartitioned before write)
+    val dirs = new java.io.File(gold).listFiles()
+      .filter(_.getName.startsWith("run_hr="))
+    assert(dirs.length == 1)
+    // replaying the whole stream from a fresh checkpoint replaces the
+    // partition rather than duplicating it
+    val q2 = EventStream.startGoldStream(
+      EventStream.hourlyRollup(EventStream.fileSource(spark, src,
+        events.toDF().schema)), gold, s"${base.getPath}/ckpt2")
+    q2.awaitTermination()
+    assert(spark.read.parquet(gold)
+      .filter(col("run_hr") === 202401011000L).count() == 1)
+  }
+
+  test("sessionize: gap closes sessions in-batch, watermark via timeout") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then an event
+      // 110 min later — the gap closes session 1 inside the batch
+      mem.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, "click", 2.0),
+        ev(3, "2024-01-01 12:00:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      val first = spark.table("session_sink")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+      assert(first.toSeq == Seq((1L,
+        Timestamp.valueOf("2024-01-01 10:00:00"),
+        Timestamp.valueOf("2024-01-01 10:10:00"), 2L, 3.0)))
+      // another user far in the future pushes the watermark past the
+      // 12:00 session's timeout → it closes via EventTimeTimeout
+      mem.addData(ev(4, "2024-01-01 15:00:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("session_sink")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(sessions.contains((1L,
+        Timestamp.valueOf("2024-01-01 12:00:00"),
+        Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 4.0)))
+    } finally q.stop()
+  }
+}
