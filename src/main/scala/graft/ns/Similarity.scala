@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design:
   *  - Brute force scores stream each corpus partition against a
-  *    BROADCAST query set — no shuffle to score; the only exchange
-  *    ships slim (query_id, id, score) rows for per-query top-k. Right
-  *    for small |Q|; cost is O(N·|Q|) by construction, so for large
-  *    query sets use the LSH path.
+  *    BROADCAST query set — no shuffle to score; Spark's
+  *    WindowGroupLimit then keeps only the per-partition top-k BEFORE
+  *    the exchange (verified in the physical plan), so the shuffle
+  *    ships at most k rows per (query, partition), not N·|Q|. Right
+  *    for small |Q|; the full scan is O(N·|Q|) by construction, so for
+  *    large query sets use the LSH path.
   *  - The LSH path normalizes vectors and uses random-projection
   *    bucketing (spark.ml BucketedRandomProjectionLSH): candidates
   *    come from equi-joins on bucket ids, never an all-pairs product;

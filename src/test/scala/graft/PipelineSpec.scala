@@ -161,6 +161,14 @@ class PipelineSpec extends SparkSpec {
       timeoutMs = 200, pollMs = 20))
   }
 
+  test("S12: query result renders into a notification template") {
+    val df = Seq(("now", 1L), ("tomorrow", 2L)).toDF("label", "n")
+    val msg = graft.pipeline.Notify.renderMessage(df,
+      "Results:\n{{ results_df }}\ndone")
+    assert(msg ==
+      "Results:\nlabel | n\nnow | 1\ntomorrow | 2\ndone")
+  }
+
   test("Q3: check-status classification") {
     import Checks.CheckStatus._
     assert(Checks.CheckStatus.parse("PENDING") == Pending)
