@@ -169,14 +169,55 @@ object PyLiteral {
           (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
       if (i == start) fail("bad number")
       val tok = s.substring(start, i)
-      // Normalize Python-legal but JSON-illegal shapes: '+7'→'7',
-      // '.5'→'0.5', '-.5'→'-0.5', '1.'→'1.0', '1.e3'→'1.0e3'.
       val unsigned = if (tok.startsWith("+")) tok.substring(1) else tok
-      val led =
-        if (unsigned.startsWith(".")) "0" + unsigned
-        else if (unsigned.startsWith("-.")) "-0" + unsigned.substring(1)
-        else unsigned
-      sb.append(led.replaceAll("\\.(?=[eE]|$)", ".0"))
+      // json.dumps emits ints verbatim (arbitrary precision) but floats
+      // through Python float.__repr__ — reproduce that split exactly.
+      if (unsigned.exists(c => c == '.' || c == 'e' || c == 'E'))
+        sb.append(pyFloatRepr(unsigned.toDouble))
+      else sb.append(unsigned)
+    }
+  }
+
+  /** Python `float.__repr__` reconstruction: shortest round-trip
+    * digits rendered fixed-point for decimal exponents in [-4, 16),
+    * scientific (`d.ddde±EE`, two-digit zero-padded exponent)
+    * outside. Digit strings come from Java's Double.toString, which
+    * is round-trip-minimal for the short decimals that occur in API
+    * payloads — the domain this repair exists for. */
+  private[functions] def pyFloatRepr(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, "non-finite literal")
+    val neg = d < 0.0 || (d == 0.0 && 1.0 / d < 0.0)
+    val js = java.lang.Double.toString(math.abs(d))
+    val (mant, exp) = js.split('E') match {
+      case Array(m) => (m, 0)
+      case Array(m, e) => (m, e.toInt)
+    }
+    val dot = mant.indexOf('.')
+    val rawDigits = mant.replace(".", "")
+    val lead = rawDigits.indexWhere(_ != '0') match {
+      case -1 => 0
+      case k => k
+    }
+    val digits = rawDigits.drop(lead)
+      .reverse.dropWhile(_ == '0').reverse match {
+      case "" => "0"
+      case ds => ds
+    }
+    val sign = if (neg) "-" else ""
+    if (digits == "0") return sign + "0.0"
+    // pointPos: decimal-point position within `digits`
+    val pointPos = dot + exp - lead
+    val e10 = pointPos - 1
+    if (e10 >= 16 || e10 < -4) {
+      val m = if (digits.length == 1) digits
+        else digits.head + "." + digits.tail
+      f"$sign$m%se${if (e10 >= 0) "+" else "-"}${math.abs(e10)}%02d"
+    } else if (pointPos <= 0) {
+      sign + "0." + ("0" * -pointPos) + digits
+    } else if (pointPos >= digits.length) {
+      sign + digits + ("0" * (pointPos - digits.length)) + ".0"
+    } else {
+      sign + digits.take(pointPos) + "." + digits.drop(pointPos)
     }
   }
 }

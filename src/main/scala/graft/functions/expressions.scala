@@ -2,26 +2,39 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Catalyst-native scalar expression for the O9 JSON repair: runs inside
-  * the executor's expression tree (no UDF serialization overhead, no
-  * Row boxing beyond the string itself). CodegenFallback keeps the
-  * surrounding stage in whole-stage codegen; the repair itself is a
-  * per-string parse either way, so interpreted eval of this node is not
-  * the bottleneck — JSON parsing downstream dominates.
-  */
-case class PyToJson(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = StringType
-  override def nullIntolerant: Boolean = true
-  override def nullSafeEval(v: Any): Any = {
-    val out = PyLiteral.repairOrNull(v.asInstanceOf[UTF8String].toString)
+/** Static (Java-callable) kernel for [[PyToJson]] codegen: generated
+  * whole-stage code calls this directly, one virtual call per row, no
+  * Row boxing and no interpreted-expression detour. */
+object PyToJsonKernel {
+  def repair(s: UTF8String): UTF8String = {
+    val out = PyLiteral.repairOrNull(s.toString)
     if (out == null) null else UTF8String.fromString(out)
   }
+}
+
+/** Catalyst-native scalar expression for the O9 JSON repair with full
+  * codegen support: inside a WholeStageCodegen stage this emits a
+  * direct static call into [[PyToJsonKernel]], so the surrounding
+  * operators stay fused (no CodegenFallback row materialization, no
+  * UDF serialization). The repair itself is a per-string parse either
+  * way; what codegen buys is keeping the REST of the stage fused.
+  */
+case class PyToJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    PyToJsonKernel.repair(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.PyToJsonKernel.repair($c);
+      |${ev.isNull} = (${ev.value} == null);
+      |""".stripMargin)
   override def prettyName: String = "py_to_json"
   override protected def withNewChildInternal(c: Expression): PyToJson =
     copy(child = c)

@@ -48,13 +48,15 @@ object Relational {
         max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("count_order"))
 
-  /** Fact⋈dimension revenue rollup. `part` is tiny relative to
-    * `lineitem` at every scale factor (1:30 row ratio, and a dimension
-    * table at 100 TB), so we broadcast it explicitly — no shuffle of the
-    * fact side at all; the only exchange is the final 25-group agg. */
+  /** Fact⋈dimension revenue rollup. `part` is 30× smaller than
+    * `lineitem` but GROWS with it (3 TB at a 100 TB fact table), so no
+    * explicit broadcast hint — a hint is honored regardless of size
+    * and would OOM at scale. Catalyst/AQE broadcasts it at fixture
+    * scale (verified in the plan) and falls back to a shuffled join
+    * beyond the threshold, which is the correct behavior at both ends. */
   def revenueByBrand(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)

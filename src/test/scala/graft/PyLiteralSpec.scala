@@ -26,10 +26,11 @@ class PyLiteralSpec extends AnyFunSuite {
     assert(PyLiteral.repair("{'a': True, 'b': False, 'c': None}") ==
       """{"a": true, "b": false, "c": null}""")
     assert(PyLiteral.repair("{'t': (1, 2, 3)}") == """{"t": [1, 2, 3]}""")
+    // floats render through python float.__repr__, ints verbatim
     assert(PyLiteral.repair("{'n': -1.5e3, 'm': .5, 'k': +7}") ==
-      """{"n": -1.5e3, "m": 0.5, "k": 7}""")
+      """{"n": -1500.0, "m": 0.5, "k": 7}""")
     assert(PyLiteral.repair("{'a': -.5, 'b': 1., 'c': 2.e3}") ==
-      """{"a": -0.5, "b": 1.0, "c": 2.0e3}""")
+      """{"a": -0.5, "b": 1.0, "c": 2000.0}""")
   }
 
   test("embedded quotes and escapes survive") {
