@@ -208,6 +208,23 @@ object SparkEntry {
         StructType(Seq(StructField("k", IntegerType))), "props")
         .select(col("event_id"), col("parsed.k").as("k"))),
 
+    // ---- §2.2 O3 Spark-4-native: true VariantType path access ----
+    "j03_variant_native" -> ((s, d) =>
+      JsonIngest.variantNative(
+        t(s, d, "events").select(col("event_id"), col("props")), "props")
+        .select(col("event_id"),
+          variant_get(col("variant"), "$.k", "int").as("k"))),
+
+    // ---- §2.6/§4.2: one-pass multi-column profile ----
+    // approx_distinct is engine-specific, so the oracle-gated output
+    // keeps the exact metrics; the sketch column is covered in
+    // ProfileVariantSpec.
+    "ns15_column_profile" -> ((s, d) =>
+      graft.dq.Profile.profile(t(s, d, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey"))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("min_str"), col("max_str"))),
+
     // ---- §2.8 [NS] exact dedup: fingerprint-grouped survivors ----
     "ns01_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
@@ -516,6 +533,25 @@ object SparkEntry {
     "j02_variant_single_parse" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
+    "j03_variant_native" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+    "ns15_column_profile" ->
+      """SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |  CAST(MIN(c_custkey) AS VARCHAR) AS min_str,
+        |  CAST(MAX(c_custkey) AS VARCHAR) AS max_str
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_name', COUNT(*),
+        |  SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+        |  CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', COUNT(*),
+        |  SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+        |  CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+        |FROM customer""".stripMargin,
     "ns01_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS doc_id, count(*) AS dup_count

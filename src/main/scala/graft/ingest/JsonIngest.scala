@@ -57,6 +57,16 @@ object JsonIngest {
       in: String = "json_data"): DataFrame =
     df.withColumn("parsed", from_json(col(in), schema))
 
+  /** O3/S7, Spark-4-native: parse once into a true `VariantType`
+    * column — the engine-level Snowflake-VARIANT analogue
+    * (schema-on-read, binary-encoded, typed path access via
+    * `variant_get` with no re-parse and no declared schema). Prefer
+    * this over the string+from_json route when downstream paths are
+    * not known up front; the binary encoding also columnar-shreds in
+    * parquet. */
+  def variantNative(df: DataFrame, in: String = "json_data"): DataFrame =
+    df.withColumn("variant", parse_json(col(in)))
+
   /** O8: key normalization `lower().replace(" ", "_")`
     * (/root/reference/dags/sandbox_data_pipeline.py:113). */
   def normKey(c: Column): Column = lower(regexp_replace(c, " ", "_"))
