@@ -27,6 +27,9 @@ object PyToJsonKernel {
 case class PyToJson(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  // Pure function of the input → Catalyst's ConstantFolding collapses
+  // repairs of literals at plan time.
+  override def foldable: Boolean = child.foldable
   override def nullSafeEval(v: Any): Any =
     PyToJsonKernel.repair(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext,

@@ -13,6 +13,17 @@ import graft.functions.PyLiteral
 class PyLiteralGoldenSpec extends SparkSpec {
   import spark.implicits._
 
+  test("py_to_json of a literal constant-folds at plan time") {
+    import graft.functions.functions.py_to_json
+    import org.apache.spark.sql.functions.lit
+    val df = spark.range(1)
+      .select(py_to_json(lit("{'a': 1}")).as("j"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("""{"a": 1}"""),
+      s"expected folded literal in plan:\n$optimized")
+    assert(df.as[String].collect().head == """{"a": 1}""")
+  }
+
   test("repair matches CPython json.dumps∘ast.literal_eval on the corpus") {
     val cases = spark.read
       .json("src/test/resources/pyliteral_golden.jsonl")
