@@ -93,6 +93,14 @@ object SparkEntry {
       a.unionAll(b)
     }),
 
+    // ---- §2.4 multi-level grouping: ROLLUP / CUBE in one pass ----
+    "q10_rollup_agg" -> ((s, d) =>
+      Relational.rollupAgg(t(s, d, "orders"),
+        "o_orderstatus", "o_orderpriority", "o_totalprice")),
+    "q11_cube_agg" -> ((s, d) =>
+      Relational.cubeAgg(t(s, d, "orders"),
+        "o_orderstatus", "o_orderpriority", "o_totalprice")),
+
     // ---- §2.2 O1/O2: nested-field projection + struct rebuild ----
     "o01_nested_struct_projection" -> ((s, d) =>
       t(s, d, "orders")
@@ -488,6 +496,20 @@ object SparkEntry {
       """SELECT o_orderstatus AS category, COUNT(*) AS n FROM orders GROUP BY 1
         |UNION ALL
         |SELECT event_type AS category, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin,
+    "q10_rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q11_cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "o01_nested_struct_projection" ->
       """SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
         | CAST(year(o_orderdate) AS BIGINT) AS order_year FROM orders""".stripMargin,

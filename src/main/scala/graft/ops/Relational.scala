@@ -89,6 +89,25 @@ object Relational {
         col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
         .as("revenue"))
 
+  /** Multi-level grouped aggregation (§2.4 extension): ROLLUP emits
+    * per-(a,b), per-a, and grand-total rows in ONE pass — Spark plans
+    * it as a single Expand + hash aggregate, so the table is scanned
+    * once for every level instead of once per level. `grouping_id`
+    * (bit-vector of rolled-up keys) disambiguates levels exactly as
+    * SQL GROUPING() does. */
+  def rollupAgg(df: DataFrame, k1: String, k2: String,
+      valueCol: String): DataFrame =
+    df.rollup(col(k1), col(k2))
+      .agg(grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n"), exactSum(col(valueCol)).as("total"))
+
+  /** CUBE variant: all 2^k grouping-set combinations in one pass. */
+  def cubeAgg(df: DataFrame, k1: String, k2: String,
+      valueCol: String): DataFrame =
+    df.cube(col(k1), col(k2))
+      .agg(grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n"), exactSum(col(valueCol)).as("total"))
+
   /** Left-semi join: rows of `left` having a match in `right` (EXISTS).
     * Semi joins ship only the join key of the right side and never
     * duplicate left rows — the cheapest existence test at scale. */

@@ -79,6 +79,51 @@ class StreamingSpec extends SparkSpec {
       .filter(col("run_hr") === 202401011000L).count() == 1)
   }
 
+  test("streaming rollup equals the batch rollup on all closed windows") {
+    val base = Files.createTempDirectory("graft_sb").toFile
+    base.deleteOnExit()
+    val src = s"${base.getPath}/events"
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(src)
+
+    // batch truth, same window boundaries + decimal-free double sums
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(graft.ingest.JsonIngest.runHr(col("window.start"))
+        .as("run_hr"), col("event_type"), col("n"), col("total"),
+        col("window.end").as("wend"))
+    val maxTs = ev.select(max(col("ts"))).as[Timestamp].collect().head
+    val watermark = new Timestamp(maxTs.getTime - 30 * 60000L)
+    val closed = batch.filter(col("wend") <= lit(watermark))
+      .select(col("run_hr"), col("event_type"), col("n"), col("total"))
+      .as[(Long, String, Long, Double)].collect()
+      .map { case (hr, et, n, tot) => (hr, et) -> ((n, tot)) }.toMap
+    assert(closed.nonEmpty)
+
+    val q = EventStream.hourlyRollup(
+      EventStream.fileSource(spark, src, ev.schema))
+      .writeStream.format("memory").queryName("sb_rollup")
+      .option("checkpointLocation", s"${base.getPath}/ckpt")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sb_rollup")
+      .as[(Long, String, Long, Double)].collect()
+      .map { case (hr, et, n, tot) => (hr, et) -> ((n, tot)) }.toMap
+    // every window the watermark closed must match the batch answer
+    // exactly on counts and within float-reassociation noise on sums
+    assert(streamed.keySet == closed.keySet,
+      s"missing=${closed.keySet -- streamed.keySet} " +
+        s"extra=${streamed.keySet -- closed.keySet}")
+    closed.foreach { case (k, (n, tot)) =>
+      val (sn, stot) = streamed(k)
+      assert(sn == n, s"$k count $sn != $n")
+      assert(math.abs(stot - tot) < 1e-6, s"$k total $stot != $tot")
+    }
+  }
+
   test("sessionize: gap closes sessions in-batch, watermark via timeout") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Event]
