@@ -93,6 +93,17 @@ object SparkEntry {
       a.unionAll(b)
     }),
 
+    // ---- §2.7 UDAF: bounded top-k Aggregator (vs q07's window) ----
+    "q12_topk_aggregator" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.ops.TopKAgg.top_k(3)(
+          col("o_totalprice"), col("o_orderkey")).as("topk"))
+        .select(col("o_custkey"), posexplode(col("topk")))
+        .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"),
+          (col("pos") + 1).cast("long").as("rn"))),
+
     // ---- §2.4 multi-level grouping: ROLLUP / CUBE in one pass ----
     "q10_rollup_agg" -> ((s, d) =>
       Relational.rollupAgg(t(s, d, "orders"),
@@ -496,6 +507,12 @@ object SparkEntry {
       """SELECT o_orderstatus AS category, COUNT(*) AS n FROM orders GROUP BY 1
         |UNION ALL
         |SELECT event_type AS category, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin,
+    "q12_topk_aggregator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
     "q10_rollup_agg" ->
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
