@@ -93,6 +93,17 @@ object SparkEntry {
       a.unionAll(b)
     }),
 
+    // ---- §2.3 set ops: INTERSECT / EXCEPT (distinct semantics) ----
+    "q13_intersect" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(t(s, d, "customer").filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("custkey")))),
+    "q14_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))),
+
     // ---- §2.7 UDAF: bounded top-k Aggregator (vs q07's window) ----
     "q12_topk_aggregator" -> ((s, d) =>
       t(s, d, "orders")
@@ -507,6 +518,14 @@ object SparkEntry {
       """SELECT o_orderstatus AS category, COUNT(*) AS n FROM orders GROUP BY 1
         |UNION ALL
         |SELECT event_type AS category, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin,
+    "q13_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""".stripMargin,
+    "q14_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "q12_topk_aggregator" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
