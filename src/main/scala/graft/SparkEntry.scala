@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.functions.functions.py_to_json
 import graft.ingest.JsonIngest
-import graft.dq.Checks
+import graft.dq.{Checks, Metadata}
 import graft.model.Schemas
 import graft.ns.{Dedup, Multimodal, Similarity, Sketches, TextOps}
 import graft.ops.{IdempotentWriter, Relational}
@@ -76,13 +76,21 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rn").cast("long").as("rn"))),
 
-    // ---- §2.3 J1/J2: collect_list ∘ explode ≡ id (lateral flatten) ----
-    "q08_explode_roundtrip" -> ((s, d) =>
-      t(s, d, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(collect_list(col("o_orderkey")).as("keys"))
-        .select(col("o_custkey"),
-          explode(col("keys")).as("o_orderkey"))),
+    // ---- §2.3 J1: lateral flatten (CROSS JOIN UNNEST) ----
+    // Per-row arrays only (split of a string column): the flatten is a
+    // pure map-side Generate, no aggregation, nothing unbounded — the
+    // shape the reference's CROSS JOIN UNNEST over a JSON array field
+    // actually has. (The old q08 materialized every order key of a
+    // customer through collect_list first; an aggregation a hot key
+    // would OOM at corpus scale. The collect_list ∘ explode ≡ id law
+    // it proved lives on as a bounded-sample test in RelationalSpec,
+    // and the real JSON-array flatten is gated by p02.)
+    "q08_lateral_flatten" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")))
+        .select(col("p_partkey"),
+          (col("pos") + 1).cast("long").as("word_idx"),
+          col("col").as("word"))),
 
     // ---- §2.3 U1: UNION ALL ----
     "q09_union_all_counts" -> ((s, d) => {
@@ -255,6 +263,19 @@ object SparkEntry {
         .select(col("column_name"), col("n_rows"), col("n_nulls"),
           col("min_str"), col("max_str"))),
 
+    // ---- §2.6 Q4: DQ run → metadata assertion-run records ----
+    // The reference's DataHub emission re-expressed as a projection of
+    // dq_results; deterministic URNs, no wall-clock columns, so the
+    // whole metadata surface sits behind a DuckDB oracle.
+    "dq01_assertion_events" -> ((s, d) => {
+      val dq = Checks.runChecks(t(s, d, "orders"), "orders",
+        202608121100L,
+        Checks.CheckConfig(minRows = 1,
+          maxNullRate = Map("o_custkey" -> 0.0),
+          uniqueKey = Some(Seq("o_orderkey"))))
+      Metadata.assertionRunEvents(dq, "graft")
+    }),
+
     // ---- §2.8 [NS] exact dedup: fingerprint-grouped survivors ----
     "ns01_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
@@ -263,6 +284,18 @@ object SparkEntry {
     "ns02_ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
+
+    // ---- §2.8 [NS] capped inverted-index join: the 100-TB path ----
+    // Same operator with the document-frequency cap ENGAGED (df <= 5
+    // bites on this fixture: max df is 7). The cap bounds the worst
+    // shingle bucket, so the pair join's Σ bucket² term — quadratic in
+    // the hottest stop-shingle without it — stays <= cap² per gram.
+    // Hash-gated: the oracle applies the identical df cut, and
+    // NsDedupSpec proves capped ⊆ uncapped + equality when the cap
+    // clears the max document frequency.
+    "ns02b_ngram_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = Some(5))),
 
     // ---- §2.8 [NS] approx near-dup: banded MinHash LSH ----
     // No SQL oracle (LSH recall is probabilistic); the driver records
@@ -512,8 +545,10 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
-    "q08_explode_roundtrip" ->
-      "SELECT o_custkey, o_orderkey FROM orders",
+    "q08_lateral_flatten" ->
+      """SELECT p_partkey, CAST(i AS BIGINT) AS word_idx, w[i] AS word
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part),
+        |  UNNEST(range(1, len(w)+1)) AS t(i)""".stripMargin,
     "q09_union_all_counts" ->
       """SELECT o_orderstatus AS category, COUNT(*) AS n FROM orders GROUP BY 1
         |UNION ALL
@@ -594,20 +629,25 @@ object SparkEntry {
     "j03_variant_native" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
+    // DuckDB SUM over integers yields HUGEINT, which pandas widens to
+    // float64 and the value-hash then sees 0.0 vs Spark's int64 0 —
+    // every oracle SUM whose result is a PROJECTED integer column must
+    // be CAST(... AS BIGINT). (COUNT(*) is already BIGINT; SUMs that
+    // only feed arithmetic are fine.)
     "ns15_column_profile" ->
       """SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
-        |  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         |  CAST(MIN(c_custkey) AS VARCHAR) AS min_str,
         |  CAST(MAX(c_custkey) AS VARCHAR) AS max_str
         |FROM customer
         |UNION ALL
         |SELECT 'c_name', COUNT(*),
-        |  SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR)
         |FROM customer
         |UNION ALL
         |SELECT 'c_nationkey', COUNT(*),
-        |  SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
         |FROM customer""".stripMargin,
     "ns01_exact_dedup" ->
@@ -633,6 +673,52 @@ object SparkEntry {
         | JOIN sizes sa ON p.id_a = sa.doc_id
         | JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5""".stripMargin,
+    "ns02b_ngram_jaccard_capped" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams0 AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |rare AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 5),
+        |grams AS (SELECT grams0.doc_id, grams0.g FROM grams0 JOIN rare USING (g)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) AS jaccard
+        |FROM pairs p
+        | JOIN sizes sa ON p.id_a = sa.doc_id
+        | JOIN sizes sb ON p.id_b = sb.doc_id
+        |WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5""".stripMargin,
+    "dq01_assertion_events" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |    COUNT(DISTINCT o_orderkey) AS d
+        |  FROM orders),
+        |checks AS (
+        |  SELECT 'row_count' AS native_type, n >= 1 AS ok,
+        |    'rows=' || n || ' min=1' AS native_results FROM m
+        |  UNION ALL
+        |  SELECT 'null_rate_o_custkey', CAST(nulls AS DOUBLE)/n <= 0.0,
+        |    printf('null_rate=%.4f max=%.4f', CAST(nulls AS DOUBLE)/n, 0.0)
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'unique_key_o_orderkey', d = n,
+        |    'distinct=' || d || ' rows=' || n FROM m)
+        |SELECT
+        |  'urn:li:dataset:(urn:li:dataPlatform:graft,orders,PROD)' AS assertee_urn,
+        |  'urn:li:assertion:' || md5('graft:' || native_type ||
+        |    ':urn:li:dataset:(urn:li:dataPlatform:graft,orders,PROD)') AS assertion_urn,
+        |  native_type, native_results,
+        |  CASE WHEN ok THEN 'SUCCESS' ELSE 'FAILURE' END AS result_type,
+        |  CAST(202608121100 AS BIGINT) AS run_hr,
+        |  'COMPLETE' AS run_status
+        |FROM checks""".stripMargin,
     // cosine arithmetic mirrors Similarity.dot exactly: element-wise
     // CAST to DOUBLE, multiply, sequential-fold sum — bit-identical to
     // Spark's aggregate(zip_with(...)), so scores hash-match.

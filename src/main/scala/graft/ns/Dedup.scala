@@ -47,7 +47,18 @@ object Dedup {
     df.dropDuplicates(cols)
 
   /** Distinct word n-grams (shingles) per document:
-    * (idCol, gram). Documents shorter than n words contribute none. */
+    * (idCol, gram). Documents shorter than n words contribute none.
+    *
+    * The trailing not-null filter is a PLAN-SHAPE device, not
+    * semantics (concat_ws never yields null; null ids are useless to
+    * every consumer): the pair join pushes exactly these IsNotNull
+    * predicates into its two shingle branches, so carrying them here
+    * makes every consumer's distinct-exchange subtree canonically
+    * IDENTICAL — AQE's stage cache then computes the shingle scan +
+    * explode + distinct ONCE and wires ReusedExchange into the other
+    * consumers (sizes, both join sides). Without it the sizes branch
+    * recomputed the whole shingle pipeline (verified on the executed
+    * plan). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val words = split(normText(col(textCol)), " ")
@@ -55,7 +66,9 @@ object Dedup {
       transform(sequence(lit(0), size(words) - n),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(grams).as("gram"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(grams).as("gram"))
+      .filter(col("gram").isNotNull)
       .distinct()
   }
 
@@ -151,6 +164,16 @@ object Dedup {
     * By pigeonhole the result is COMPLETE whenever maxHamming < bands
     * (a pair within that distance must agree on at least one whole
     * band); more bands buy recall at the cost of bigger band buckets.
+    *
+    * Sizing `bands` for corpus scale: each band's chunk space has
+    * 2^(64/bands) values, and the expected band-bucket size is
+    * corpus / 2^(64/bands) — the join cost is Σ bucket² over buckets.
+    * bands=8 (8-bit chunks, 256 values) saturates around 10⁵ docs;
+    * for 10⁸+ docs use bands=4 (16-bit chunks, 65 536 values) and for
+    * full-web scale bands=2 (32-bit chunks), accepting the smaller
+    * guaranteed-complete Hamming radius (maxHamming < bands). Any
+    * divisor of 64 works; NsDedupSpec proves bands=4 and bands=8 agree
+    * wherever both are complete.
     * Output: (id_a, id_b, hamming). */
   def simhashNearDupPairs(sig: DataFrame, idCol: String,
       maxHamming: Int, bands: Int = 8): DataFrame = {

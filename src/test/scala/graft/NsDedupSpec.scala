@@ -69,6 +69,60 @@ class NsDedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  // NOTE the tempting "capped ⊆ uncapped" law is FALSE for thresholded
+  // output: dropping a stop-shingle shrinks the union, so a pair's
+  // jaccard over the surviving shingles can RISE above the threshold.
+  // The sound law is equality once the cap clears every document
+  // frequency — the capped two-pass plan (df count + broadcast cut)
+  // must then be a semantic no-op.
+  test("ngramJaccardPairs: cap above max document frequency is a no-op") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val unc = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5,
+      maxDocFreq = Some(1000000))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(unc.nonEmpty)
+    assert(capped == unc)
+  }
+
+  test("ngramJaccardPairs computes shingles ONCE (exchange reuse)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+    out.collect() // materialize so AQE finalizes its stage graph
+    val plan = out.queryExecution.executedPlan.toString
+    // Only the FINAL adaptive plan counts (the printout appends the
+    // pre-AQE "Initial Plan", where the subtree legitimately repeats).
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val gramExchanges = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("gram")).toSeq
+    val (reused, materialized) =
+      gramExchanges.partition(_.contains("ReusedExchange"))
+    // One real shingle exchange; every other consumer (second join
+    // side, sizes) must hit AQE's stage cache — i.e. the shingle scan
+    // + explode + distinct runs exactly once however many times the
+    // self-join references it.
+    assert(materialized.size == 1,
+      s"shingle exchange materialized ${materialized.size}x:\n$finalPlan")
+    assert(reused.size >= 2,
+      s"expected >=2 reused shingle exchanges:\n$finalPlan")
+  }
+
+  test("simhash banding: bands=4 and bands=8 agree within hamming 3") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = Dedup.simhash(d, "doc_id", "text")
+    def pairs(bands: Int) =
+      Dedup.simhashNearDupPairs(sig, "doc_id", maxHamming = 3,
+        bands = bands)
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+    // maxHamming=3 < 4 <= bands: BOTH bandings are pigeonhole-complete
+    // at this radius, so they must return exactly the same pair set —
+    // band width trades bucket size, never completeness inside radius.
+    assert(pairs(4) == pairs(8))
+  }
+
   test("minhash LSH finds planted near-dups with high recall, no cartesian") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)

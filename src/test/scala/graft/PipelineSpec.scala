@@ -169,6 +169,34 @@ class PipelineSpec extends SparkSpec {
       "Results:\nlabel | n\nnow | 1\ntomorrow | 2\ndone")
   }
 
+  test("Q4: dq_results map to deterministic assertion-run records") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row("gold_t", "row_count", true, false, "rows=5 min=1",
+        runHr, new Timestamp(1L)),
+      Row("gold_t", "freshness", false, false, "max_run_hr=-1 expected=1",
+        runHr, new Timestamp(2L)),
+      Row("gold_t", "async_check", false, true, "still running",
+        runHr, new Timestamp(3L)))
+    val dq = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      graft.model.Schemas.dqResult)
+    val ev = graft.dq.Metadata.assertionRunEvents(dq, "graft")
+      .select("native_type", "result_type", "run_status", "assertion_urn")
+      .as[(String, String, String, String)].collect()
+    assert(ev.map(e => (e._1, e._2, e._3)).toSet == Set(
+      ("row_count", "SUCCESS", "COMPLETE"),
+      ("freshness", "FAILURE", "COMPLETE"),
+      ("async_check", "FAILURE", "PENDING")))
+    // URNs are deterministic (content-addressed), distinct per check,
+    // and independent of wall-clock checked_at.
+    assert(ev.map(_._4).distinct.length == 3)
+    val again = graft.dq.Metadata.assertionRunEvents(dq, "graft")
+      .select("assertion_urn").as[String].collect()
+    assert(ev.map(_._4).sorted.sameElements(again.sorted))
+  }
+
   test("Q3: check-status classification") {
     import Checks.CheckStatus._
     assert(Checks.CheckStatus.parse("PENDING") == Pending)
