@@ -11,6 +11,7 @@ import graft.model.Schemas
 import graft.ns.{Dedup, Multimodal, Similarity, Sketches, TextOps}
 import graft.ops.{IdempotentWriter, Relational}
 import graft.pipeline.Run
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -387,6 +388,44 @@ object SparkEntry {
         }
       Multimodal.decodeFeatures(
         Multimodal.readBinaryDir(s, dir.getPath, "*.txt")).toDF()
+    }),
+
+    // ---- §7.4.6 streaming restatement, driver-gated ----
+    // Runs the WHOLE streaming path per invocation: file-source stream
+    // over the events fixture (AvailableNow trigger), watermarked
+    // 1-hour tumbling rollup, idempotent run_hr-partitioned gold sink,
+    // then reads the gold back. Deterministic because append mode
+    // emits exactly the windows the final watermark (max ts − 30 min)
+    // closed — a condition the DuckDB oracle reproduces in SQL — and
+    // the value sums are decimal-exact. Stream ≡ batch is ALSO proven
+    // as a property in StreamingSpec; this entry puts it behind the
+    // driver's hash gate.
+    "s01_streaming_rollup" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s01").toFile
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(base)))
+      // The file stream source needs a DIRECTORY; stage the fixture
+      // file into one (driver-side copy of a small file, fixture
+      // plumbing like ns14's payload materialization).
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(srcDir.getPath, "events.parquet"))
+      // declared schema from the parquet footer (nanos ts arrives as
+      // LongType under nanosAsLong); normalize to micros in-stream,
+      // mirroring Tables' batch-side normalization.
+      val raw = s.read.parquet(srcDir.getPath).schema
+      val stream = EventStream.fileSource(s, srcDir.getPath, raw)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = EventStream.startGoldStream(
+        EventStream.hourlyRollup(stream),
+        s"${base.getPath}/gold", s"${base.getPath}/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"${base.getPath}/gold")
+        .select(col("run_hr").cast("long").as("run_hr"),
+          col("event_type"), col("n"), col("total"))
     }),
 
     // ---- §3.1 pipeline composition, driver-gated end to end ----
@@ -816,6 +855,18 @@ object SparkEntry {
         | CAST(length(text) % 640 + 1 AS INT) AS width,
         | CAST((length(text) * 7) % 480 + 1 AS INT) AS height
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    // Window close rule: append mode emits a 1-hour window once the
+    // final watermark (max event time − 30 min) passes window end =
+    // date_trunc(hour) + 1 hour. The fixture's max ts never lands on
+    // a half-hour boundary, so <= vs < is immaterial.
+    "s01_streaming_rollup" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT CAST(strftime(ts, '%Y%m%d%H') || '00' AS BIGINT) AS run_hr,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events, mx
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
+        |GROUP BY 1, 2""".stripMargin,
     "p01_weather_pipeline" ->
       """SELECT lower(replace(n_name, ' ', '_')) AS city_key,
         | n_name AS city, 'US' AS country,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.ingest.JsonIngest
-import graft.ops.IdempotentWriter
+import graft.ops.{IdempotentWriter, Relational}
 
 /** Structured Streaming restatement of the hourly batch pipeline
   * (SURVEY.md §7.4.6): when the reference's cron cadence becomes a
@@ -47,13 +47,16 @@ object EventStream {
 
   /** The o07/o10 gold rollup as a stream: 1-hour tumbling event-time
     * windows with a watermark for stragglers; emits finalized rows
-    * only (append mode downstream). Output: (run_hr, event_type, n,
-    * total). */
+    * only (append mode downstream). The value sum goes through decimal
+    * (like the batch o07/o10 rollups) so the streamed total is
+    * order-independent and bit-equal to the batch/oracle answer.
+    * Output: (run_hr, event_type, n, total). */
   def hourlyRollup(events: DataFrame,
       watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"),
+        Relational.exactSum(col("value")).as("total"))
       .select(JsonIngest.runHr(col("window.start")).as("run_hr"),
         col("event_type"), col("n"), col("total"))
 
