@@ -428,6 +428,47 @@ object SparkEntry {
           col("event_type"), col("n"), col("total"))
     }),
 
+    // ---- §7.4.6 arbitrary stateful streaming, driver-gated ----
+    // flatMapGroupsWithState sessionization behind the hash gate: the
+    // emitted set is deterministic — every session closed in-batch by
+    // a later event, plus each user's final session iff the final
+    // watermark passed its timeout — and the oracle reproduces both
+    // rules with gaps-and-islands SQL. total_value is a sequential
+    // double fold in event order; rounding to 2 decimals makes it
+    // comparable (the true sum IS a 2-decimal rational, so both
+    // engines round to the same double).
+    "s02_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s02").toFile
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(base)))
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(srcDir.getPath, "events.parquet"))
+      val raw = s.read.parquet(srcDir.getPath).schema
+      val events = EventStream.fileSource(s, srcDir.getPath, raw)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStream.Event]
+      val out = s"${base.getPath}/sessions"
+      val q = EventStream.sessionize(events, gapMinutes = 720,
+        watermark = "1 hour")
+        .toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).select(col("user_id"), col("session_start"),
+        col("session_end"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+    }),
+
     // ---- §3.1 pipeline composition, driver-gated end to end ----
     // The full bronze→silver→gold→DQ flow over payloads synthesized
     // deterministically from fixture dimensions, so the WHOLE pipeline
@@ -867,6 +908,36 @@ object SparkEntry {
         |FROM events, mx
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
         |GROUP BY 1, 2""".stripMargin,
+    // Emission rules (see the s02 query comment): a session is visible
+    // iff it is not its user's last session (closed in-batch by the
+    // next event) OR its timeout (end + gap) is strictly before the
+    // final watermark (max ts − 1 h). Fixture timestamps are
+    // micro-exact (ns remainder 0), so no precision slack is needed.
+    "s02_sessionize" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |    max(ts) AS session_end, COUNT(*) AS n_events,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS total_value
+        |  FROM sess GROUP BY user_id, sid),
+        |flagged AS (
+        |  SELECT *, sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
+        |  FROM agg)
+        |SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM flagged, mx
+        |WHERE NOT is_last OR session_end + INTERVAL 12 HOUR < m - INTERVAL 1 HOUR""".stripMargin,
     "p01_weather_pipeline" ->
       """SELECT lower(replace(n_name, ' ', '_')) AS city_key,
         | n_name AS city, 'US' AS country,

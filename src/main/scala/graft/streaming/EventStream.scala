@@ -33,7 +33,9 @@ object EventStream {
       session_end: Timestamp, n_events: Long, total_value: Double)
 
   /** Internal per-user session accumulator (public: the state encoder
-    * constructs instances from generated code). */
+    * constructs instances from generated code). Times are MICROSECONDS
+    * since epoch — `Timestamp.getTime` is millis and truncating event
+    * time in a sessionizer silently merges sub-millisecond order. */
   final case class SessionState(start: Long, end: Long,
       n: Long, total: Double)
 
@@ -86,10 +88,21 @@ object EventStream {
       watermark: String = "1 hour"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+
+    // local defs (not object members): the stateful closure must not
+    // capture the enclosing module, which is not serializable
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
     def close(userId: Long, s: SessionState): Session =
-      Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+      Session(userId, fromMicros(s.start), fromMicros(s.end),
         s.n, s.total)
 
     def update(userId: Long, batch: Iterator[Event],
@@ -99,24 +112,27 @@ object EventStream {
         state.remove()
         Iterator.single(close(userId, s))
       } else {
-        val evs = batch.toIndexedSeq.sortBy(_.ts.getTime)
+        val evs = batch.toIndexedSeq.sortBy(e => micros(e.ts))
         var closed = List.empty[Session]
         var cur = state.getOption
         evs.foreach { e =>
+          val us = micros(e.ts)
           cur = cur match {
-            case Some(s) if e.ts.getTime - s.end <= gapMs =>
-              Some(SessionState(s.start, e.ts.getTime,
-                s.n + 1, s.total + e.value))
+            case Some(s) if us - s.end <= gapUs =>
+              Some(SessionState(s.start, us, s.n + 1, s.total + e.value))
             case Some(s) =>
               closed ::= close(userId, s)
-              Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+              Some(SessionState(us, us, 1, e.value))
             case None =>
-              Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+              Some(SessionState(us, us, 1, e.value))
           }
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
+          // the timeout API is millis; round UP so the timeout never
+          // fires a microsecond-truncated instant early
+          state.setTimeoutTimestamp(
+            Math.floorDiv(s.end + gapUs + 999L, 1000L))
         }
         closed.reverse.iterator
       }
