@@ -94,8 +94,10 @@ object Bench {
     def sumOr(rs: Seq[(String, Double)]): Double =
       if (rs.exists(_._2 < 0)) -1.0 else rs.map(_._2).sum
     val total = sumOr(results)
-    val core = sumOr(results.filterNot { case (n, _) =>
-      n.startsWith("ns") || n.startsWith("p0") })
+    // core = the r01-comparable relational/operator families (q/o/j);
+    // the ns suite, pipelines, and streaming queries are extensions
+    val core = sumOr(results.filter { case (n, _) =>
+      n.startsWith("q") || n.startsWith("o") || n.startsWith("j") })
     println(s"""{"metric":"total","value":$total,"unit":"sec","core_total":$core,"bench_wall_sec":$elapsed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -56,6 +56,38 @@ class NsSimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("ivfTopK: high recall via cell probing; equi-join-only plan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    // nlist=16/nprobe=6 probes 3/8 of the cells; measured recall@5 on
+    // this fixture: 0.79 (the 64-dim noisy vectors are a hard case —
+    // the sweep read 0.64/0.79/0.86 at nprobe 4/6/8)
+    val ivf = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6)
+    val plan = ivf.queryExecution.executedPlan.toString
+    // centroid probing is a literal projection, so the ONLY join in
+    // the plan is the corpus equi-join on cell — nothing quadratic
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop:\n$plan")
+    val got = ivf.select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
+    // determinism: same seed → same result set
+    val again = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("cosineNearDupPairs finds high-cosine pairs via bucketed join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // exact truth by brute force (test-only; the operator is bucketed)
