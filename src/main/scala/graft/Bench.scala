@@ -31,9 +31,10 @@ import org.apache.spark.sql.SparkSession
   * total = -1 so a regression can never read as a speedup.
   *
   * Output: `value` = sum over ALL queries; `core_total` = sum over the
-  * relational/operator core (everything except the ns* LLM-data suite
-  * and the p0* pipelines) — comparable against round 1's 20-query
-  * total after subtracting its since-fixed o10 file storm.
+  * relational/operator core (names starting q, o, or j — not the ns
+  * LLM-data suite, the p0 pipelines, or the s0 streaming queries) —
+  * comparable against round 1's 20-query total after subtracting its
+  * since-fixed o10 file storm.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -8,7 +8,7 @@ import graft.functions.functions.py_to_json
 import graft.ingest.JsonIngest
 import graft.dq.{Checks, Metadata}
 import graft.model.Schemas
-import graft.ns.{Dedup, Multimodal, Similarity, Sketches, TextOps}
+import graft.ns.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextOps}
 import graft.ops.{IdempotentWriter, Relational}
 import graft.pipeline.Run
 import graft.streaming.EventStream
@@ -493,6 +493,25 @@ object SparkEntry {
         round(col("total_value"), 2).as("total_value"))
     }),
 
+    // ---- §2.8 [NS] deterministic content-addressed split ----
+    // Train/val/test assignment that survives reruns, repartitioning,
+    // and corpus growth — a pure projection on md5 buckets, so the
+    // whole sampling surface sits behind the cross-engine hash gate.
+    "ns17_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(t(s, d, "documents").select(col("doc_id")),
+        "doc_id", "v1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
+    // ---- §2.8 [NS] per-source quota cap (bounded group top-k) ----
+    "ns18_source_quota" -> ((s, d) =>
+      Sampling.groupQuota(
+        t(s, d, "documents").select(col("source"), col("doc_id"),
+          col("n_chars")),
+        Seq(col("source")), 50,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("rn").cast("long").as("rn"))),
+
     // ---- §3.1 pipeline composition, driver-gated end to end ----
     // The full bronze→silver→gold→DQ flow over payloads synthesized
     // deterministically from fixture dimensions, so the WHOLE pipeline
@@ -920,6 +939,23 @@ object SparkEntry {
         | CAST(length(text) % 640 + 1 AS INT) AS width,
         | CAST((length(text) * 7) % 480 + 1 AS INT) AS height
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    // Spark conv(hex,16,10) and DuckDB CAST('0x'||hex AS BIGINT) agree
+    // on the first-8-hex-chars bucket (verified value-identical).
+    "ns17_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) % 1000 AS bucket,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) % 1000 < 800 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents""".stripMargin,
+    "ns18_source_quota" ->
+      """SELECT source, doc_id, n_chars, rn FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 50""".stripMargin,
     // Window close rule: append mode emits a 1-hour window once the
     // final watermark (max event time − 30 min) passes window end =
     // date_trunc(hour) + 1 hour. The fixture's max ts never lands on

@@ -25,12 +25,12 @@ object TopKAgg {
       s.sortBy(e => (-e.score, e.id)).take(k)
     override def zero: Seq[Entry] = Nil
     // Size-gated sort: append until the buffer holds 2k entries, then
-    // sort-and-truncate to k. The buffer stays bounded (< 2k) but the
-    // per-row cost is amortized O(log k) — one O(k log k) sort per k
-    // appends — instead of a full re-sort on EVERY input row. An entry
-    // outside the best k of any 2k-snapshot can never re-enter the
-    // group's top k, so truncation loses nothing; `finish` restores
-    // the sorted invariant for output.
+    // sort-and-truncate to k — one O(k log k) sort per k appends
+    // instead of a full re-sort on EVERY input row. An entry outside
+    // the best k of any 2k-snapshot can never re-enter the group's
+    // top k, so truncation loses nothing; the buffer stays bounded
+    // (< 2k) for the exchange, and `finish` restores the sorted
+    // invariant for output.
     override def reduce(buf: Seq[Entry], e: Entry): Seq[Entry] = {
       val appended = e +: buf
       if (appended.length >= 2 * k) bound(appended) else appended

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ns.Sampling
+
+class NsSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fractions =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("hashSplit: disjoint-exhaustive labels near declared fractions") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val split = Sampling.hashSplit(d.select(col("doc_id")),
+      "doc_id", "v1", fractions)
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = d.count().toDouble
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == n.toLong) // every row labeled once
+    // md5 buckets are uniform; 500 rows → sd(train share) ≈ 1.8%
+    assert(math.abs(counts("train") / n - 0.8) < 0.08,
+      s"train share ${counts("train") / n}")
+  }
+
+  test("hashSplit: content-addressed — stable under subsetting and rerun") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSplit(df.select(col("doc_id")), "doc_id", "v1",
+        fractions)
+        .select(col("doc_id"), col("split"))
+        .as[(Long, String)].collect().toMap
+    val full = labels(d)
+    val subset = labels(d.filter(col("doc_id") % 3 === 0))
+    // THE property a random split cannot give: a row's assignment
+    // depends only on its identity, so subsetting/growing the corpus
+    // never relabels surviving rows (no eval-set leakage on reruns)
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+    assert(labels(d) == full) // rerun-deterministic
+  }
+
+  test("hashSplit: changing the salt re-deals assignments") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Sampling.hashSplit(d.select(col("doc_id")), "doc_id", "v1",
+      fractions).select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    val b = Sampling.hashSplit(d.select(col("doc_id")), "doc_id", "v2",
+      fractions).select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(a != b)
+  }
+
+  test("groupQuota: no group exceeds the cap; group-limit plan shape") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val capped = Sampling.groupQuota(
+      d.select(col("source"), col("doc_id"), col("n_chars")),
+      Seq(col("source")), 5,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"no per-partition group limit:\n$plan")
+    val perGroup = capped.groupBy("source").count()
+      .as[(String, Long)].collect()
+    assert(perGroup.nonEmpty)
+    assert(perGroup.forall(_._2 <= 5))
+    // kept rows are each group's longest docs
+    val worst = capped.groupBy("source").agg(min("n_chars").as("kept_min"))
+    val dropped = d.join(capped.select("doc_id"), Seq("doc_id"),
+      "left_anti").groupBy("source").agg(max("n_chars").as("drop_max"))
+    val bad = worst.join(dropped, "source")
+      .filter(col("drop_max") > col("kept_min"))
+    assert(bad.isEmpty, "a dropped doc outranked a kept one")
+  }
+}
