@@ -41,8 +41,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    // 30 s: above any query's steal-inflated warm-up (s01 reads ~23 s
+    // when a steal window lands on it, ~4 s calm) so one bad first run
+    // can still be retimed; the global deadline bounds the worst case.
     val retimeCap =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETIME_CAP_SEC", "20").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETIME_CAP_SEC", "30").toDouble
     val deadline =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "360").toDouble
     val builder = SparkSession.builder()
