@@ -1,4 +1,6 @@
 package graft
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
@@ -9,26 +11,45 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune unevaluated projections down to a parquet row count)
   * so the bench measures exactly what Verify verifies.
   *
-  * Timing design, sized to ALWAYS finish inside the driver's wall
-  * budget (round 3's warm-up + 3 full rounds × 43 queries did not:
-  * the driver killed it at rc=124 and the round got NO number):
-  *  - one untimed-in-spirit warm-up evaluation of every query (its
-  *    time is recorded as a fallback),
-  *  - then TWO timed rounds run ROUND-ROBIN over the re-timable
+  * Timing design. Two prior rounds lost their number to the wall
+  * budget: round 3 (warm-up + 3 full rounds × 43 queries) was killed
+  * externally at rc=124, and round 4's warm-up ALONE blew the soft
+  * deadline because one query rode a CPU-steal window to 917 s (vs
+  * ~10 s calm) and nothing bounded a single evaluation. Hence:
+  *
+  *  - EVERY evaluation — warm-up included — runs under a watchdog
+  *    that cancels the query's Spark job group once a per-query cap
+  *    elapses. The cancel is re-issued until the query returns, so a
+  *    multi-job query (pipeline, streaming gate) cannot slip a fresh
+  *    job in after the first cancel. A capped query records the cap
+  *    it hit and is listed in `capped` in the output — a lower bound,
+  *    visibly distinguished from a clean time.
+  *  - The warm-up cap adapts: full `capMax` while the soft deadline
+  *    is distant, shrinking to `capMin` once elapsed time crosses it,
+  *    so a steal-storm degrades to rushed-but-complete coverage
+  *    instead of an external kill. Worst-case warm-up wall is
+  *    deadline + nQueries × capMin.
+  *  - Warm-up order is cheap-core-first (q/o/j/dq families, then the
+  *    rest, known-heavy ns/s queries last) so if the budget dies
+  *    mid-warm-up the r01-comparable core already has numbers.
+  *  - Then up to TWO timed rounds run ROUND-ROBIN over the re-timable
   *    subset, reporting the per-query minimum. Round-robin matters on
-  *    this host: CPU-steal windows of ~30 s would inflate back-to-back
-  *    repeats of one query together, but cannot hit the same query in
-  *    all spaced-out rounds.
-  *  - Re-timable = warm-up succeeded, warm-up time <= RETIME_CAP
-  *    (slow queries keep their warm-up time — a 20 s query does not
-  *    need steady-state precision, it needs to not eat the budget
-  *    3 more times), and not an end-to-end pipeline (p01/p02 are
-  *    ~10-job correctness gates; they run exactly once).
-  *  - A global soft DEADLINE stops launching further evaluations once
-  *    elapsed time crosses it, so even a steal-storm degrades to
-  *    warm-up-only numbers instead of an external kill.
+  *    this host: CPU-steal windows of ~30 s inflate back-to-back
+  *    repeats together but cannot hit the same query in all
+  *    spaced-out rounds. Re-timable = warm-up succeeded under
+  *    `retimeCap` (a 30 s query does not need steady-state precision,
+  *    it needs to not eat the budget again), or was capped (its
+  *    number is phony — one spaced retry may catch a calm window);
+  *    p01/p02 are ~10-job correctness gates and run exactly once.
+  *  - Output says what actually happened: `rounds_completed`,
+  *    `retimed` (count), `capped` (names), `warmup_wall_sec`. A
+  *    consumer can tell steady-state minima from cold or capped
+  *    numbers (round-4 ADVICE).
+  *
   * Failures are not swallowed: a failed query reports -1 and forces
-  * total = -1 so a regression can never read as a speedup.
+  * total = -1 so a regression can never read as a speedup. Capped
+  * queries keep their (lower-bound) elapsed time instead — a steal
+  * window must not read as an engine failure — but are flagged.
   *
   * Output: `value` = sum over ALL queries; `core_total` = sum over the
   * relational/operator core (names starting q, o, or j — not the ns
@@ -41,58 +62,129 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
-    // 30 s: above any query's steal-inflated warm-up (s01 reads ~23 s
-    // when a steal window lands on it, ~4 s calm) so one bad first run
-    // can still be retimed; the global deadline bounds the worst case.
+    // 30 s: above any query's calm time at sf0.1 (heaviest ~17 s) so a
+    // clean warm-up is always retimable; the caps bound the worst case.
     val retimeCap =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETIME_CAP_SEC", "30").toDouble
     val deadline =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "360").toDouble
+    val capMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "60").toDouble
+    val capMin =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_MIN_SEC", "10").toDouble
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+    sc.setLogLevel("WARN")
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
-    def run(name: String): Double = {
+
+    /** One evaluation under a watchdog. Returns Right(sec) on a clean
+      * finish, Left(sec) if the watchdog cancelled it at ~capSec.
+      */
+    var evalSeq = 0
+    def runCapped(name: String, capSec: Double): Either[Double, Double] = {
+      evalSeq += 1
+      val group = s"bench-$name-$evalSeq"
+      val fired = new AtomicBoolean(false)
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep((capSec * 1000).toLong)
+          fired.set(true)
+          // Re-issue: cancelJobGroup only kills ACTIVE jobs; a query
+          // that starts another job after the first cancel needs the
+          // next tick to die too.
+          while (!Thread.interrupted()) {
+            sc.cancelJobGroup(group)
+            Thread.sleep(500)
+          }
+        } catch { case _: InterruptedException => }
+      }, s"bench-watchdog-$name")
+      watchdog.setDaemon(true)
+      sc.setJobGroup(group, s"bench $name", interruptOnCancel = true)
       val s0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - s0) / 1e9
-    }
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val times = scala.collection.mutable.Map.empty[String, Double]
-    def attempt(name: String): Unit =
       try {
-        val sec = run(name)
-        if (times.getOrElse(name, Double.MaxValue) > sec &&
-          times.getOrElse(name, 0.0) >= 0) times(name) = sec
+        watchdog.start()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - s0) / 1e9)
+      } catch {
+        case e: Throwable if fired.get() =>
+          Left((System.nanoTime() - s0) / 1e9)
+      } finally {
+        watchdog.interrupt()
+        sc.clearJobGroup()
+      }
+    }
+
+    val names = SparkEntry.queries.keys.toSeq
+    // Known-heavy at sf0.1 (LSH/ANN candidate joins, streaming gates):
+    // warm them up LAST so a budget blow-out costs extensions, not core.
+    val heavy = Set("ns02_ngram_jaccard_pairs", "ns02b_ngram_jaccard_capped",
+      "ns03_minhash_near_dup", "ns05_topk_cosine", "ns07_embedding_near_dup",
+      "ns16_ivf_topk_cosine", "s01_streaming_rollup", "s02_sessionize")
+    def famRank(n: String): Int =
+      if (heavy(n)) 2
+      else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||
+        n.startsWith("dq")) 0
+      else 1
+    val warmupOrder = names.sortBy(n => (famRank(n), n))
+
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    val cappedAt = scala.collection.mutable.Map.empty[String, Double]
+    val retimed = scala.collection.mutable.Set.empty[String]
+    def attempt(name: String, capSec: Double, isRetime: Boolean): Unit =
+      try {
+        runCapped(name, capSec) match {
+          case Right(sec) =>
+            if (isRetime) retimed += name
+            cappedAt.remove(name)
+            if (times.getOrElse(name, Double.MaxValue) > sec &&
+              times.getOrElse(name, 0.0) >= 0) times(name) = sec
+          case Left(sec) =>
+            System.err.println(f"[bench] $name CAPPED at $sec%.1f s")
+            if (!times.contains(name)) { times(name) = sec; cappedAt(name) = capSec }
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           times(name) = -1.0
       }
-    names.foreach(attempt) // warm-up round (also records a first time)
+    // Warm-up: full cap while under deadline, rushed floor past it.
+    warmupOrder.foreach { n =>
+      attempt(n, if (elapsed < deadline) capMax else capMin, isRetime = false)
+    }
     val warmupWall = elapsed
     val warmupTimes = times.toMap
     def retimable(name: String): Boolean =
-      times(name) >= 0 && times(name) <= retimeCap &&
+      (cappedAt.contains(name) ||
+        (times(name) >= 0 && times(name) <= retimeCap)) &&
         !name.startsWith("p0")
-    for (_ <- 1 to rounds; name <- names if retimable(name))
-      if (elapsed < deadline) attempt(name)
+    var roundsCompleted = 0
+    for (r <- 1 to rounds) {
+      var preempted = false
+      for (name <- names.sorted if retimable(name))
+        if (elapsed < deadline)
+          attempt(name, if (cappedAt.contains(name)) capMax else retimeCap,
+            isRetime = true)
+        else preempted = true
+      if (!preempted) roundsCompleted = r
+    }
     // Phase decomposition to stderr: which queries' FIRST runs carry
-    // the cold-start cost (codegen compile, ml fits, shuffle-file
+    // the cold-start cost (codegen compile, index builds, shuffle-file
     // creation) that the steady-state minima no longer show.
     System.err.println(f"[bench] warmup_wall=$warmupWall%.1f " +
-      f"rounds_wall=${elapsed - warmupWall}%.1f")
+      f"rounds_wall=${elapsed - warmupWall}%.1f retimed=${retimed.size} " +
+      s"capped=${cappedAt.keys.toSeq.sorted.mkString(",")}")
     warmupTimes.toSeq.sortBy(-_._2).take(12).foreach { case (n, s) =>
       System.err.println(f"[bench] warmup $n%-36s $s%8.2f s " +
         f"(steady ${times(n)}%.2f)")
     }
-    val results = names.map(n => n -> times(n))
+    val results = names.sorted.map(n => n -> times(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def sumOr(rs: Seq[(String, Double)]): Double =
@@ -102,7 +194,9 @@ object Bench {
     // the ns suite, pipelines, and streaming queries are extensions
     val core = sumOr(results.filter { case (n, _) =>
       n.startsWith("q") || n.startsWith("o") || n.startsWith("j") })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core_total":$core,"bench_wall_sec":$elapsed,"queries":$qs,"sf":"$sfDir"}""")
+    val cappedJson = cappedAt.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core_total":$core,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

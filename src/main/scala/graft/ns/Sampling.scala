@@ -40,6 +40,8 @@ object Sampling {
     val buckets = 1000
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       "fractions must sum to 1")
+    require(!df.columns.contains("bucket") && !df.columns.contains("split"),
+      "hashSplit writes `bucket` and `split`; input already has one of them")
     val bucket = hashBucket(col(idCol), salt, buckets)
     val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
       .tail.map(f => math.round(f * buckets))

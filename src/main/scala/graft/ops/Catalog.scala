@@ -17,6 +17,13 @@ import org.apache.spark.sql.types.StructType
   */
 object Catalog {
 
+  /** Backtick-quote a (possibly dotted) table name so identifiers with
+    * reserved words, hyphens, or other specials survive SQL
+    * interpolation; each dot-separated part is quoted on its own. */
+  private def quoted(name: String): String =
+    name.split('.').map(p => "`" + p.replace("`", "``") + "`")
+      .mkString(".")
+
   /** `create table if not exists` with a declared schema and no data —
     * the BigQuery-prod-side guard. No-op when the table exists. */
   def ensureTable(spark: SparkSession, name: String,
@@ -29,23 +36,27 @@ object Catalog {
   }
 
   /** `create or replace table ... as select`: the table ends up with
-    * exactly `df`'s rows and schema, whether or not it existed. */
+    * exactly `df`'s rows and schema, whether or not it existed —
+    * parquet `saveAsTable` overwrite drops and recreates the table, so
+    * the schema is replaced along with the rows. */
   def createOrReplaceTable(df: DataFrame, name: String): Unit =
-    df.write.mode("overwrite").option("overwriteSchema", "true")
-      .saveAsTable(name)
+    df.write.mode("overwrite").saveAsTable(name)
 
   /** `truncate` then load: keeps the declared schema, replaces the
     * rows — the Snowflake-stage pattern (schema fixed by DDL, data
-    * replaced every run). */
+    * replaced every run). The table must already exist (the reference
+    * always runs the DDL first); use [[ensureTable]] to guarantee it. */
   def truncateAndLoad(df: DataFrame, name: String): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"TRUNCATE TABLE $name")
+    require(spark.catalog.tableExists(name),
+      s"truncateAndLoad: table $name does not exist — run ensureTable first")
+    spark.sql(s"TRUNCATE TABLE ${quoted(name)}")
     df.write.mode("append").saveAsTable(name)
   }
 
   /** `drop table if exists`. */
   def dropIfExists(spark: SparkSession, name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(name)}")
     ()
   }
 }
