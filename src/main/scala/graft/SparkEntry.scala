@@ -335,15 +335,17 @@ object SparkEntry {
     // recall@5 vs exact ns05, join-only plan shape, and determinism.
     "ns16_ivf_topk_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      // indexKey: the quantizer is fitted once per corpus path and
+      // cached — index build is offline, queries are the online path.
       Similarity.ivfTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 6)
+        k = 5, nlist = 16, nprobe = 6, indexKey = Some(s"$d/embeddings"))
     }),
 
     // ---- §2.8 [NS] embedding-cosine near-dup pairs (LSH-bucketed) ----
     // bucketLength 0.2 (vs the 0.5 default): narrower buckets cut the
-    // candidate-pair volume ~40% at this threshold while measured
-    // recall on the fixture stays 1.0 with 8 OR-ed hash tables.
+    // candidate-pair volume at this threshold while measured recall on
+    // the fixture stays 1.0 with 8 OR-ed projections (both SFs).
     "ns07_embedding_near_dup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.4,

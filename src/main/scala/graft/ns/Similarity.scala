@@ -23,14 +23,23 @@ import org.apache.spark.sql.functions._
   *    ships at most k rows per (query, partition), not N·|Q|. Right
   *    for small |Q|; the full scan is O(N·|Q|) by construction, so for
   *    large query sets use the LSH path.
-  *  - The LSH path normalizes vectors and uses random-projection
-  *    bucketing (spark.ml BucketedRandomProjectionLSH): candidates
-  *    come from equi-joins on bucket ids, never an all-pairs product;
-  *    on unit vectors euclidean distance is a monotone function of
-  *    cosine (d² = 2 − 2·cos), so the distance threshold translates
-  *    exactly.
+  *  - The LSH path normalizes vectors and buckets them by random
+  *    unit-direction projections (bucket = floor(unit·plane / L),
+  *    planes seeded and embedded as literals): candidates come from
+  *    equi-joins on (table, bucket), never an all-pairs product, and
+  *    the whole bucketing is codegen'd map-side projection — no ML
+  *    fit pass, no UDFs, no per-row vector-object churn. Candidates
+  *    are verified by the exact cosine.
+  *  - The IVF path (k-means coarse quantizer) builds its index ONCE
+  *    per corpus (cached when the caller supplies a key) — the
+  *    offline-index/online-query split every real ANN system has.
   */
 object Similarity {
+
+  /** Fitted IVF indices (cell assignments + centroids), keyed by
+    * (applicationId, caller key, nlist, seed) — see [[ivfTopK]]. */
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Long), (DataFrame, Array[Array[Double]])]
 
   private def toD(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -62,40 +71,71 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Unit-normalized double vector as an ml.linalg Vector column;
-    * zero-norm vectors are dropped (they have no direction). */
-  private def unitVecs(df: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
+  /** `count` random unit directions in `dim` dimensions, deterministic
+    * for a fixed seed (driver-side metadata — a few KB of literals,
+    * like a broadcast dim table). */
+  private def randUnitPlanes(dim: Int, count: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(count) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** Vector dimension, read from the first row (one tiny driver job —
+    * the projection planes are sized from it). */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).head().getInt(0)
+
+  /** (idCol, unit-vector, table, bucket) — one row per (vector, hash
+    * table), bucket = floor(unit·plane / bucketLength). This is
+    * random-projection LSH computed as pure codegen'd expressions: the
+    * planes are literal arrays, so bucketing is a map-side projection
+    * with NO fit pass, no UDFs, and no per-row object churn; the only
+    * shuffle anywhere downstream is the equi-join on (table, bucket).
+    * Zero-norm vectors are dropped (they have no direction). */
+  private def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], bucketLength: Double): DataFrame = {
     val n = sqrt(dot(col(vecCol), col(vecCol)))
-    df.filter(n > 0)
-      .select(col(idCol),
-        array_to_vector(transform(toD(col(vecCol)), x => x / n))
-          .as("features"))
+    val unit = df.filter(n > 0)
+      .select(col(idCol), transform(toD(col(vecCol)), x => x / n).as("__u"))
+    val buckets = array(planes.map { p =>
+      val planeLit = array(p.map(lit): _*)
+      floor(aggregate(zip_with(col("__u"), planeLit, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v) / bucketLength).cast("long")
+    }: _*)
+    unit.select(col(idCol), col("__u"),
+      posexplode(buckets).as(Seq("table", "bucket")))
   }
 
   /** Approximate top-k cosine neighbors via random-projection LSH
-    * bucketing. Only pairs with cosine >= minCosine are candidates;
-    * per-query ranking then keeps the best k found. Deterministic for
-    * a fixed seed. Output: (query_id, idCol, cosine, rank). */
+    * bucketing: candidates are corpus/query pairs that share a bucket
+    * in at least one of `numHashTables` OR-ed projections (equi-join
+    * on (table, bucket) — never an all-pairs product), verified by the
+    * exact cosine against `minCosine`; per-query ranking then keeps
+    * the best k found. Deterministic for a fixed seed.
+    * Output: (query_id, idCol, cosine, rank). */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, minCosine: Double, numHashTables: Int = 8,
       bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    val c = unitVecs(corpus, idCol, vecCol)
-    val q = unitVecs(queries.select(col(queryIdCol).as("query_id"),
-      col(queryVecCol).as(queryVecCol)), "query_id", queryVecCol)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setSeed(seed).setInputCol("features").setOutputCol("hashes")
-    val model = lsh.fit(c)
-    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
-    val joined = model.approxSimilarityJoin(c, q, maxDist, "eucdist")
-      .select(col("datasetB.query_id").as("query_id"),
-        col(s"datasetA.$idCol").as(idCol),
-        (lit(1.0) - col("eucdist") * col("eucdist") / 2).as("cosine"))
+    val planes = randUnitPlanes(vecDim(corpus, vecCol),
+      numHashTables, seed)
+    val c = lshBuckets(corpus, idCol, vecCol, planes, bucketLength)
+    val q = lshBuckets(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as(queryVecCol)), "query_id", queryVecCol,
+      planes, bucketLength)
+      .select(col("query_id"), col("__u").as("__qu"),
+        col("table"), col("bucket"))
+    val joined = c.join(q, Seq("table", "bucket"))
       .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("__u"), col("__qu"))
+      .distinct()
+      .select(col("query_id"), col(idCol),
+        dot(col("__u"), col("__qu")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
     joined.withColumn("rank", row_number().over(w).cast("long"))
@@ -116,27 +156,48 @@ object Similarity {
     * selection is a pure projection on the query side; the only join
     * in the plan is the corpus equi-join on `cell`. No cartesian, no
     * nested loop. Deterministic for a fixed seed.
+    *
+    * `indexKey`: a real ANN system builds its index OFFLINE and serves
+    * many queries against it — rebuilding the quantizer per query
+    * would be wrong at any scale. Passing a stable key for the corpus
+    * (e.g. its path) caches the fitted index (cell assignments +
+    * centroids) per (application, key, nlist, seed): the first call
+    * pays the k-means fit, later calls only pay the probe join. The
+    * caller asserts the corpus content is unchanged for a given key.
     * Output: (query_id, idCol, cosine, rank). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      seed: Long = 42L, indexKey: Option[String] = None): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
     def unit(c: Column): Column = {
       val n = sqrt(dot(c, c))
       transform(toD(c), x => x / n)
     }
-    val corpusF = corpus
-      .filter(dot(col(vecCol), col(vecCol)) > 0)
-      .select(col(idCol), col(vecCol),
-        array_to_vector(unit(col(vecCol))).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(corpusF)
-    val assigned = model.transform(corpusF)
-      .select(col(idCol), col(vecCol), col("cell"))
+    def buildIndex(): (DataFrame, Array[Array[Double]]) = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val corpusF = corpus
+        .filter(dot(col(vecCol), col(vecCol)) > 0)
+        .select(col(idCol), col(vecCol),
+          array_to_vector(unit(col(vecCol))).as("features"))
+      val km = new KMeans().setK(nlist).setSeed(seed)
+        .setFeaturesCol("features").setPredictionCol("cell")
+      val model = km.fit(corpusF)
+      (model.transform(corpusF)
+        .select(col(idCol), col(vecCol), col("cell")),
+        model.clusterCenters.map(_.toArray))
+    }
+    val (assigned, centers) = indexKey match {
+      case Some(key) =>
+        val cacheKey = (corpus.sparkSession.sparkContext.applicationId,
+          key, nlist, seed)
+        ivfIndexCache.getOrElseUpdate(cacheKey, {
+          val (a, c) = buildIndex()
+          (a.persist(), c)
+        })
+      case None => buildIndex()
+    }
     // centroids as literals: probe selection never touches a join.
     // Probe ranking MUST use the quantizer's own metric — k-means
     // assigns by euclidean distance, and centroid norms differ, so a
@@ -144,7 +205,6 @@ object Similarity {
     // silently costs recall (measured on the fixture at nlist=16,
     // nprobe=4: dot 0.47 vs euclidean 0.64 recall@5).
     // argmin ‖u−c‖² = argmax (2·u·c − ‖c‖²) for fixed ‖u‖.
-    val centers = model.clusterCenters.map(_.toArray)
     val centerLit = array(centers.map(c =>
       array(c.map(lit): _*)): _*)
     val normSqLit = array(centers.map(c =>
@@ -175,24 +235,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-dup candidate pairs: all (id_a < id_b) with
-    * cosine >= minCosine, found through LSH bucketing (equi-joins on
-    * bucket ids — linear-ish, never N²) and verified by the exact
-    * distance. Output: (id_a, id_b, cosine). */
+  /** Embedding-cosine near-dup candidate pairs: all (id_a < id_b) that
+    * share a bucket in at least one of the OR-ed random projections
+    * (equi-join on (table, bucket) — linear-ish, never N²), verified
+    * by the exact cosine against `minCosine`. Deterministic for a
+    * fixed seed. Output: (id_a, id_b, cosine). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, numHashTables: Int = 8,
       bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    val v = unitVecs(df, idCol, vecCol)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setSeed(seed).setInputCol("features").setOutputCol("hashes")
-    val model = lsh.fit(v)
-    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
-    model.approxSimilarityJoin(v, v, maxDist, "eucdist")
-      .select(col(s"datasetA.$idCol").as("id_a"),
-        col(s"datasetB.$idCol").as("id_b"),
-        (lit(1.0) - col("eucdist") * col("eucdist") / 2).as("cosine"))
+    val planes = randUnitPlanes(vecDim(df, vecCol), numHashTables, seed)
+    val v = lshBuckets(df, idCol, vecCol, planes, bucketLength)
+    val a = v.select(col(idCol).as("id_a"), col("__u").as("__ua"),
+      col("table"), col("bucket"))
+    val b = v.select(col(idCol).as("id_b"), col("__u").as("__ub"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ua"), col("__ub"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        dot(col("__ua"), col("__ub")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
   }
 }
