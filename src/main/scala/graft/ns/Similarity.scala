@@ -89,24 +89,34 @@ object Similarity {
   private def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol)).as("d")).head().getInt(0)
 
-  /** (idCol, unit-vector, table, bucket) — one row per (vector, hash
-    * table), bucket = floor(unit·plane / bucketLength). This is
+  /** (idCol, __u): unit-normalized double vectors; zero-norm vectors
+    * are dropped (they have no direction). */
+  private def unitized(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val n = sqrt(dot(col(vecCol), col(vecCol)))
+    df.filter(n > 0)
+      .select(col(idCol), transform(toD(col(vecCol)), x => x / n).as("__u"))
+  }
+
+  /** (idCol, table, bucket) — one row per (vector, hash table),
+    * bucket = floor(unit·plane / bucketLength). This is
     * random-projection LSH computed as pure codegen'd expressions: the
     * planes are literal arrays, so bucketing is a map-side projection
     * with NO fit pass, no UDFs, and no per-row object churn; the only
     * shuffle anywhere downstream is the equi-join on (table, bucket).
-    * Zero-norm vectors are dropped (they have no direction). */
-  private def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+    * Deliberately id-only: the candidate join and pair-dedup move
+    * 16-byte id pairs, never the vectors — the vectors are attached
+    * ONCE per surviving pair afterwards (carrying them through the
+    * bucket join multiplies the shuffle by the vector width times the
+    * bucket fan-out; measured 6× slower at sf0.1). */
+  private def lshBuckets(unit: DataFrame, idCol: String,
       planes: Array[Array[Double]], bucketLength: Double): DataFrame = {
-    val n = sqrt(dot(col(vecCol), col(vecCol)))
-    val unit = df.filter(n > 0)
-      .select(col(idCol), transform(toD(col(vecCol)), x => x / n).as("__u"))
     val buckets = array(planes.map { p =>
       val planeLit = array(p.map(lit): _*)
       floor(aggregate(zip_with(col("__u"), planeLit, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v) / bucketLength).cast("long")
     }: _*)
-    unit.select(col(idCol), col("__u"),
+    unit.select(col(idCol),
       posexplode(buckets).as(Seq("table", "bucket")))
   }
 
@@ -123,16 +133,18 @@ object Similarity {
       bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {
     val planes = randUnitPlanes(vecDim(corpus, vecCol),
       numHashTables, seed)
-    val c = lshBuckets(corpus, idCol, vecCol, planes, bucketLength)
-    val q = lshBuckets(queries.select(col(queryIdCol).as("query_id"),
-      col(queryVecCol).as(queryVecCol)), "query_id", queryVecCol,
-      planes, bucketLength)
-      .select(col("query_id"), col("__u").as("__qu"),
-        col("table"), col("bucket"))
-    val joined = c.join(q, Seq("table", "bucket"))
+    val cu = unitized(corpus, idCol, vecCol)
+    val qu = unitized(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as(queryVecCol)), "query_id", queryVecCol)
+      .select(col("query_id"), col("__u").as("__qu"))
+    val cand = lshBuckets(cu, idCol, planes, bucketLength)
+      .join(lshBuckets(qu.select(col("query_id"),
+        col("__qu").as("__u")), "query_id", planes, bucketLength),
+        Seq("table", "bucket"))
       .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol), col("__u"), col("__qu"))
+      .select(col("query_id"), col(idCol))
       .distinct()
+    val joined = cand.join(cu, idCol).join(qu, "query_id")
       .select(col("query_id"), col(idCol),
         dot(col("__u"), col("__qu")).as("cosine"))
       .filter(col("cosine") >= minCosine)
@@ -244,15 +256,17 @@ object Similarity {
       minCosine: Double, numHashTables: Int = 8,
       bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {
     val planes = randUnitPlanes(vecDim(df, vecCol), numHashTables, seed)
-    val v = lshBuckets(df, idCol, vecCol, planes, bucketLength)
-    val a = v.select(col(idCol).as("id_a"), col("__u").as("__ua"),
-      col("table"), col("bucket"))
-    val b = v.select(col(idCol).as("id_b"), col("__u").as("__ub"),
-      col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+    val u = unitized(df, idCol, vecCol)
+    val v = lshBuckets(u, idCol, planes, bucketLength)
+    val cand = v.select(col(idCol).as("id_a"), col("table"), col("bucket"))
+      .join(v.select(col(idCol).as("id_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__ua"), col("__ub"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cand
+      .join(u.select(col(idCol).as("id_a"), col("__u").as("__ua")), "id_a")
+      .join(u.select(col(idCol).as("id_b"), col("__u").as("__ub")), "id_b")
       .select(col("id_a"), col("id_b"),
         dot(col("__ua"), col("__ub")).as("cosine"))
       .filter(col("cosine") >= minCosine)

@@ -88,6 +88,25 @@ class NsSimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("ivfTopK indexKey: cached index returns the identical result") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def run() = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6, indexKey = Some(s"$sf/embeddings"))
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    val first = run() // builds + caches the index
+    assert(run() == first) // served from the cached index
+    // and matches the uncached build (same seed → same quantizer)
+    val uncached = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncached == first)
+  }
+
   test("cosineNearDupPairs finds high-cosine pairs via bucketed join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // exact truth by brute force (test-only; the operator is bucketed)
@@ -98,7 +117,11 @@ class NsSimilaritySpec extends SparkSpec {
       .filter(col("c") >= 0.4)
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
-    val got = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+    val got = pairs
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
     val recall = exact.count(got.contains).toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
