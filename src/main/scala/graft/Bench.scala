@@ -196,7 +196,21 @@ object Bench {
       n.startsWith("q") || n.startsWith("o") || n.startsWith("j") })
     val cappedJson = cappedAt.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core_total":$core,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","core_total":$core,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // Durability: three of five rounds lost this line to tail spam
+    // (watchdog-cancel stack traces through shutdown) or external
+    // kills. So: silence logging, stop Spark FIRST so nothing can
+    // print after us, then emit the line LAST on both streams, and
+    // persist it to a file the driver can always read.
+    sc.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (metricLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    System.err.println(metricLine)
+    System.err.flush()
+    println(metricLine)
+    System.out.flush()
   }
 }

@@ -37,9 +37,40 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Fitted IVF indices (cell assignments + centroids), keyed by
-    * (applicationId, caller key, nlist, seed) — see [[ivfTopK]]. */
-  private val ivfIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int, Long), (DataFrame, Array[Array[Double]])]
+    * (applicationId, caller key, nlist, seed) — see [[ivfTopK]].
+    * Bounded LRU: the cached assignments are `.persist()`ed DataFrames
+    * (pinned executor blocks), so an unbounded cache in a long-lived
+    * application indexing many corpora would accumulate pinned memory
+    * forever. Eviction (LRU overflow or [[dropIndex]]) unpersists the
+    * assignments before dropping the entry. */
+  private val maxCachedIndices = 8
+  private type IvfKey = (String, String, Int, Long)
+  private type IvfIndex = (DataFrame, Array[Array[Double]])
+  private val ivfIndexCache =
+    new java.util.LinkedHashMap[IvfKey, IvfIndex](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[IvfKey, IvfIndex]): Boolean =
+        if (size > maxCachedIndices) {
+          try e.getValue._1.unpersist(false) catch { case _: Throwable => }
+          true
+        } else false
+    }
+
+  /** Release the cached IVF index for `key` (every nlist/seed variant,
+    * current application): unpersists the pinned cell assignments and
+    * drops the entries. No-op if nothing is cached under the key. */
+  def dropIndex(spark: org.apache.spark.sql.SparkSession,
+      key: String): Unit = ivfIndexCache.synchronized {
+    val appId = spark.sparkContext.applicationId
+    val it = ivfIndexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == appId && e.getKey._2 == key) {
+        try e.getValue._1.unpersist(false) catch { case _: Throwable => }
+        it.remove()
+      }
+    }
+  }
 
   private def toD(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -180,8 +211,10 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L, indexKey: Option[String] = None): DataFrame = {
+      seed: Long = 42L, indexKey: Option[String] = None,
+      fitSampleCap: Int = 100000): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
+    require(fitSampleCap >= nlist, "fitSampleCap must be >= nlist")
     def unit(c: Column): Column = {
       val n = sqrt(dot(c, c))
       transform(toD(c), x => x / n)
@@ -193,9 +226,19 @@ object Similarity {
         .filter(dot(col(vecCol), col(vecCol)) > 0)
         .select(col(idCol), col(vecCol),
           array_to_vector(unit(col(vecCol))).as("features"))
+      // The quantizer fit is iterative (k passes over its input), so it
+      // is the one step that must NOT see the full corpus at 100 TB:
+      // fit on a deterministic sample capped at `fitSampleCap` rows —
+      // nlist centroids need ~1000·nlist points, not billions — then
+      // assign the FULL corpus in the single transform pass below.
+      val n = corpusF.count()
+      val fitSet =
+        if (n <= fitSampleCap) corpusF
+        else corpusF.sample(withReplacement = false,
+          fitSampleCap.toDouble / n, seed)
       val km = new KMeans().setK(nlist).setSeed(seed)
         .setFeaturesCol("features").setPredictionCol("cell")
-      val model = km.fit(corpusF)
+      val model = km.fit(fitSet)
       (model.transform(corpusF)
         .select(col(idCol), col(vecCol), col("cell")),
         model.clusterCenters.map(_.toArray))
@@ -204,10 +247,16 @@ object Similarity {
       case Some(key) =>
         val cacheKey = (corpus.sparkSession.sparkContext.applicationId,
           key, nlist, seed)
-        ivfIndexCache.getOrElseUpdate(cacheKey, {
-          val (a, c) = buildIndex()
-          (a.persist(), c)
-        })
+        // Lock held across the fit: contending callers for the SAME
+        // key would otherwise fit twice and leak a persisted copy.
+        ivfIndexCache.synchronized {
+          Option(ivfIndexCache.get(cacheKey)).getOrElse {
+            val (a, c) = buildIndex()
+            val idx = (a.persist(), c)
+            ivfIndexCache.put(cacheKey, idx)
+            idx
+          }
+        }
       case None => buildIndex()
     }
     // centroids as literals: probe selection never touches a join.

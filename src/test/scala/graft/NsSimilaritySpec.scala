@@ -107,6 +107,36 @@ class NsSimilaritySpec extends SparkSpec {
     assert(uncached == first)
   }
 
+  test("ivfTopK sampled fit: deterministic, decent recall; dropIndex unpins") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet") // 500 rows
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    // cap < corpus size forces the 100-TB path: quantizer fit on a
+    // deterministic 128-row sample, full corpus assigned afterwards
+    def run() = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 8, fitSampleCap = 128)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = run()
+    assert(run() == got) // same seed + same sample → same quantizer
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"sampled-fit recall $recall")
+    // cached sampled-fit index can be dropped: the persisted cell
+    // assignments are unpinned and the cache entry removed
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 8, fitSampleCap = 128,
+      indexKey = Some("spec-sampled")).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    Similarity.dropIndex(spark, "spec-sampled")
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("cosineNearDupPairs finds high-cosine pairs via bucketed join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // exact truth by brute force (test-only; the operator is bucketed)
