@@ -274,6 +274,18 @@ object SparkEntry {
       Metadata.assertionRunEvents(dq, "graft")
     }),
 
+    // ---- Q4: DataHub link/tag aspects per monitored dataset ----
+    // Monitored set = the distinct document sources; the reference's
+    // per-dataset add_link (institutionalMemory + Monitored_By tag)
+    // becomes one projection emitting both aspect records per source.
+    "dq02_datahub_aspects" -> ((s, d) => {
+      val monitored = t(s, d, "documents")
+        .select(col("source").as("table_name"))
+      Metadata.monitoringAspects(monitored, "graft",
+        concat(lit("https://dq.example/runbook/"), col("table_name")),
+        concat(lit("DQ runbook for "), col("table_name")))
+    }),
+
     // ---- §2.8 [NS] exact dedup: fingerprint-grouped survivors ----
     "ns01_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
@@ -868,6 +880,25 @@ object SparkEntry {
         |  CAST(202608121100 AS BIGINT) AS run_hr,
         |  'COMPLETE' AS run_status
         |FROM checks""".stripMargin,
+    "dq02_datahub_aspects" ->
+      """WITH m AS (SELECT DISTINCT source AS table_name FROM documents)
+        |SELECT
+        |  'urn:li:dataset:(urn:li:dataPlatform:graft,' || table_name ||
+        |    ',PROD)' AS dataset_urn,
+        |  'dataset' AS entity_type, 'UPSERT' AS change_type,
+        |  'institutionalMemory' AS aspect_name,
+        |  'https://dq.example/runbook/' || table_name AS url,
+        |  'DQ runbook for ' || table_name AS description,
+        |  CAST(NULL AS VARCHAR) AS tag_urn
+        |FROM m
+        |UNION ALL
+        |SELECT
+        |  'urn:li:dataset:(urn:li:dataPlatform:graft,' || table_name ||
+        |    ',PROD)',
+        |  'dataset', 'UPSERT', 'globalTags',
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |  'urn:li:tag:Monitored_By_Anomalo'
+        |FROM m""".stripMargin,
     // cosine arithmetic mirrors Similarity.dot exactly: element-wise
     // CAST to DOUBLE, multiply, sequential-fold sum — bit-identical to
     // Spark's aggregate(zip_with(...)), so scores hash-match.

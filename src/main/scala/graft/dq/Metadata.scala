@@ -46,4 +46,46 @@ object Metadata {
       when(col("pending"), "PENDING").otherwise("COMPLETE")
         .as("run_status"))
   }
+
+  /** Institutional-memory link + monitoring-tag aspect records — the
+    * two DataHub aspects the reference emits per monitored dataset
+    * besides assertion runs
+    * (/root/reference/include/utils/anomalo_datahub.py:82-136:
+    * add_link upserts an institutionalMemory element with the runbook
+    * URL, then a globalTags aspect carrying the Monitored_By_Anomalo
+    * tag, each only if absent — i.e. an idempotent per-dataset upsert).
+    *
+    * Engine-side both aspects are one distributed projection over a
+    * `datasets` frame (one row per monitored dataset, `table_name`
+    * column): two records per dataset, discriminated by `aspect_name`
+    * ('institutionalMemory' rows carry url/description, 'globalTags'
+    * rows carry tag_urn; the other columns are null). The reference's
+    * "only add if absent" read-modify-write collapses to `.distinct()`
+    * here: the emitted set is deterministic and replay-idempotent, so
+    * any downstream UPSERT sink converges — no per-dataset REST
+    * round-trips, scale-free at any dataset count. */
+  def monitoringAspects(datasets: DataFrame, platform: String,
+      url: Column, description: Column,
+      tag: String = "Monitored_By_Anomalo"): DataFrame = {
+    val urn = datasetUrn(platform, col("table_name"))
+    val base = datasets.select(col("table_name"), url.as("__url"),
+      description.as("__desc")).distinct()
+    val links = base.select(
+      urn.as("dataset_urn"),
+      lit("dataset").as("entity_type"),
+      lit("UPSERT").as("change_type"),
+      lit("institutionalMemory").as("aspect_name"),
+      col("__url").as("url"),
+      col("__desc").as("description"),
+      lit(null).cast("string").as("tag_urn"))
+    val tags = base.select(
+      urn.as("dataset_urn"),
+      lit("dataset").as("entity_type"),
+      lit("UPSERT").as("change_type"),
+      lit("globalTags").as("aspect_name"),
+      lit(null).cast("string").as("url"),
+      lit(null).cast("string").as("description"),
+      lit(s"urn:li:tag:$tag").as("tag_urn"))
+    links.unionAll(tags)
+  }
 }

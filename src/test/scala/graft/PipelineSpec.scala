@@ -197,6 +197,25 @@ class PipelineSpec extends SparkSpec {
     assert(ev.map(_._4).sorted.sameElements(again.sorted))
   }
 
+  test("Q4: monitoringAspects emits one link + one tag record per dataset") {
+    import org.apache.spark.sql.functions._
+    // duplicate monitored rows collapse (the reference's add-if-absent)
+    val datasets = Seq("t_a", "t_b", "t_a").toDF("table_name")
+    val out = graft.dq.Metadata.monitoringAspects(datasets, "graft",
+      concat(lit("https://dq.example/runbook/"), col("table_name")),
+      concat(lit("DQ runbook for "), col("table_name")))
+      .select("dataset_urn", "aspect_name", "url", "tag_urn")
+      .as[(String, String, Option[String], Option[String])].collect().toSet
+    def urn(t: String) = s"urn:li:dataset:(urn:li:dataPlatform:graft,$t,PROD)"
+    assert(out == Set(
+      (urn("t_a"), "institutionalMemory",
+        Some("https://dq.example/runbook/t_a"), None),
+      (urn("t_b"), "institutionalMemory",
+        Some("https://dq.example/runbook/t_b"), None),
+      (urn("t_a"), "globalTags", None, Some("urn:li:tag:Monitored_By_Anomalo")),
+      (urn("t_b"), "globalTags", None, Some("urn:li:tag:Monitored_By_Anomalo"))))
+  }
+
   test("Q3: check-status classification") {
     import Checks.CheckStatus._
     assert(Checks.CheckStatus.parse("PENDING") == Pending)
