@@ -39,12 +39,24 @@ object Checks {
     }
   }
 
-  /** Declarative check suite for one table. */
+  /** Declarative check suite for one table.
+    *
+    * `approxUniqueRsd`: when set (e.g. 0.01), the uniqueness check
+    * uses HLL++ `approx_count_distinct` at that relative standard
+    * deviation instead of exact `count_distinct`. The exact check is
+    * one full shuffle of the key at 100 TB; the sketch is a few KB per
+    * partition, map-side merged. The trade is semantics: the approx
+    * check can only assert "duplicate fraction ≤ 3·rsd" (it passes iff
+    * distinct ≥ rows·(1 − 3·rsd)), so it catches bulk duplication —
+    * the replay/fan-out bugs DQ gates exist for — but not a handful of
+    * dup keys. Leave None (exact) when the table is dimension-sized or
+    * the gate must prove strict uniqueness. */
   final case class CheckConfig(
       minRows: Long = 1L,
       maxNullRate: Map[String, Double] = Map.empty,
       expectedRunHr: Option[Long] = None,
-      uniqueKey: Option[Seq[String]] = None)
+      uniqueKey: Option[Seq[String]] = None,
+      approxUniqueRsd: Option[Double] = None)
 
   /** Thrown by [[gate]] when a check fails (Q2). */
   final class DqGateException(msg: String) extends RuntimeException(msg)
@@ -61,8 +73,14 @@ object Checks {
           sum(col(c).isNull.cast("long")).as(s"__nulls_$c")) ++
         cfg.expectedRunHr.map(_ =>
           max(col("run_hr")).as("__max_run_hr")).toSeq ++
-        cfg.uniqueKey.map(k =>
-          count_distinct(struct(k.map(col): _*)).as("__distinct_keys")).toSeq
+        cfg.uniqueKey.map { k =>
+          val keys = struct(k.map(col): _*)
+          cfg.approxUniqueRsd match {
+            case Some(rsd) =>
+              approx_count_distinct(keys, rsd).as("__distinct_keys")
+            case None => count_distinct(keys).as("__distinct_keys")
+          }
+        }.toSeq
     val m = df.agg(aggs.head, aggs.tail: _*).collect().head
     val n = m.getAs[Long]("__n")
     val now = new Timestamp(System.currentTimeMillis())
@@ -88,8 +106,16 @@ object Checks {
     }
     cfg.uniqueKey.foreach { k =>
       val d = m.getAs[Long]("__distinct_keys")
-      rows += result(s"unique_key_${k.mkString("_")}",
-        d == n, s"distinct=$d rows=$n")
+      cfg.approxUniqueRsd match {
+        case Some(rsd) =>
+          val floor = math.ceil(n * (1.0 - 3.0 * rsd)).toLong
+          rows += result(s"unique_key_approx_${k.mkString("_")}",
+            d >= floor,
+            s"approx_distinct=$d rows=$n floor=$floor rsd=$rsd")
+        case None =>
+          rows += result(s"unique_key_${k.mkString("_")}",
+            d == n, s"distinct=$d rows=$n")
+      }
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.result(), 1), Schemas.dqResult)

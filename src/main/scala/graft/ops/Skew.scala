@@ -17,13 +17,22 @@ object Skew {
     * (key, salt), spreading each hot key over `saltFactor` tasks.
     * Result equals the unsalted join (SkewSpec proves it); cost is
     * replicating the small side saltFactor×, so size the factor to
-    * the skew, not higher. */
+    * the skew, not higher.
+    *
+    * The salt is xxhash64 of the row id rather than the id itself:
+    * monotonically_increasing_id packs the partition index into the
+    * high bits and a dense per-partition counter into the low bits, so
+    * `mid % saltFactor` would walk 0,1,2,… within each partition —
+    * small trailing partitions would concentrate their hot-key rows on
+    * the low salts. Hashing decorrelates the salt from partition
+    * layout, spreading each hot key uniformly over the factor. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, skewedKey: String,
       otherKey: String, saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val salted = skewed.withColumn("__salt_l",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+      pmod(xxhash64(monotonically_increasing_id()),
+        lit(saltFactor.toLong)))
     val replicated = other.withColumn("__salt_r",
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated,

@@ -66,13 +66,21 @@ object EventStream {
     * each finalized window batch REPLACES its run_hr partitions via
     * dynamic partition overwrite, so replays/retries of a batch are
     * exactly-once at the partition level — the streaming analogue of
-    * the reference's delete+insert idempotency. */
+    * the reference's delete+insert idempotency.
+    *
+    * `trigger` defaults to AvailableNow (drain-and-stop — the batch
+    * restatement and every test/gate use this); continuous operation
+    * on the reference's hourly cadence (C1,
+    * /root/reference/dags/sandbox_data_pipeline.py:240 `0 * * * *`)
+    * passes `Trigger.ProcessingTime("1 hour")` instead — same plan,
+    * same checkpoint, only the firing schedule differs. */
   def startGoldStream(rollup: DataFrame, path: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     rollup.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           IdempotentWriter.replacePartitions(

@@ -151,6 +151,25 @@ class PipelineSpec extends SparkSpec {
       col("table_name") === "cocktails_gold").count() == 1L)
   }
 
+  test("Q1: approx uniqueness passes unique keys, fails bulk duplication") {
+    import graft.dq.Checks
+    val unique = (1L to 2000L).toDF("k")
+    val okRun = Checks.runChecks(unique, "t", 1L,
+      Checks.CheckConfig(uniqueKey = Some(Seq("k")),
+        approxUniqueRsd = Some(0.01)))
+    val ok = okRun.filter(col("check_name") === "unique_key_approx_k")
+      .select("success").as[Boolean].collect()
+    assert(ok.sameElements(Array(true)))
+    // every key duplicated: distinct ≈ n/2, far below the 3·rsd floor
+    val dup = ((1L to 2000L) ++ (1L to 2000L)).toDF("k")
+    val badRun = Checks.runChecks(dup, "t", 1L,
+      Checks.CheckConfig(uniqueKey = Some(Seq("k")),
+        approxUniqueRsd = Some(0.01)))
+    val bad = badRun.filter(col("check_name") === "unique_key_approx_k")
+      .select("success").as[Boolean].collect()
+    assert(bad.sameElements(Array(false)))
+  }
+
   test("S11: sensor waits for normalized names and times out honestly") {
     val cfg = freshDirs()
     val dir = s"${cfg.bronzeDir}/weather/run_hr=$runHr"

@@ -79,6 +79,30 @@ class StreamingSpec extends SparkSpec {
       .filter(col("run_hr") === 202401011000L).count() == 1)
   }
 
+  test("startGoldStream runs under a ProcessingTime trigger (C1 cadence)") {
+    val base = Files.createTempDirectory("graft_pt").toFile
+    base.deleteOnExit()
+    val src = s"${base.getPath}/events"
+    val events = Seq(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 12:30:00", 1, "view", 5.0)) // closes hour 10
+    events.toDF().write.mode("overwrite").parquet(src)
+    // continuous-operation mode: fires on a clock instead of draining;
+    // processAllAvailable makes the test deterministic, then stop()
+    val q = EventStream.startGoldStream(
+      EventStream.hourlyRollup(EventStream.fileSource(spark, src,
+        events.toDF().schema)),
+      s"${base.getPath}/gold", s"${base.getPath}/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"${base.getPath}/gold")
+        .select(col("run_hr").cast("long"), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(out == Set((202401011000L, "click", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming rollup equals the batch rollup on all closed windows") {
     val base = Files.createTempDirectory("graft_sb").toFile
     base.deleteOnExit()
