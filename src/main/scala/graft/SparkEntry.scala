@@ -497,6 +497,41 @@ object SparkEntry {
           round(col("total_value"), 2).as("total_value")), base)
     }),
 
+    // ---- §7.4.6 streaming at-least-once dedup, driver-gated ----
+    // The source dir gets TWO copies of the events fixture — a
+    // replayed delivery, the at-least-once failure mode — and
+    // dropDuplicatesWithinWatermark(event_id) must emit each event
+    // exactly once. Deterministic: both deliveries are byte-identical,
+    // so whichever arrival wins, the emitted row is the same; the
+    // oracle is simply the distinct source rows. Bounded to the
+    // fixture's last 11 days like s02 to cap per-evaluation state.
+    "s03_stream_dedup" -> ((s, d) => {
+      val base = newScratchDir("graft_s03")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      Seq("events_a.parquet", "events_b.parquet").foreach { f =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          java.nio.file.Paths.get(srcDir.getPath, f))
+      }
+      val raw = s.read.parquet(srcDir.getPath).schema
+      val stream = EventStream.fileSource(s, srcDir.getPath, raw)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("ts") >= lit("2024-01-20 00:00:00"))
+      val out = s"${base.getPath}/deduped"
+      val q = EventStream.dedupWithinWatermark(stream, Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(s.read.parquet(out), base)
+    }),
+
     // ---- §2.8 [NS] deterministic content-addressed split ----
     // Train/val/test assignment that survives reruns, repartitioning,
     // and corpus growth — a pure projection on md5 buckets, so the
@@ -1031,6 +1066,9 @@ object SparkEntry {
     // next event) OR its timeout (end + gap) is strictly before the
     // final watermark (max ts − 1 h). Fixture timestamps are
     // micro-exact (ns remainder 0), so no precision slack is needed.
+    "s03_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     "s02_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, ts, value FROM events

@@ -88,6 +88,26 @@ object EventStream {
       }
       .start()
 
+  /** Row-level exact dedup for at-least-once streaming ingest: the
+    * streaming restatement of the reference's batch idempotency guards
+    * (S2 skip-if-exists / O10 delete+insert replace whole re-delivered
+    * BATCHES; a stream re-delivers individual ROWS, e.g. a replayed
+    * source file or a producer retry). `dropDuplicatesWithinWatermark`
+    * keeps one row per key and — unlike plain `dropDuplicates`, whose
+    * key state grows forever — evicts key state once the watermark
+    * passes, so the operator is feasible on an unbounded 100 TB/day
+    * stream: state is bounded by keys-per-watermark-window, and any
+    * duplicate arriving inside the delay it was promised to arrive in
+    * is still caught. Emission is deterministic whenever re-delivered
+    * rows are byte-identical (the at-least-once contract): first
+    * arrival wins and all arrivals are equal. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    require(keys.nonEmpty, "dedupWithinWatermark needs at least one key")
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
+
   /** Event-time sessionization via flatMapGroupsWithState: a session
     * is a run of events per user with gaps < `gapMinutes`; sessions
     * close (and are emitted exactly once) when the gap passes or the

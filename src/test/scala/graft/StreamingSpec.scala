@@ -103,6 +103,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark emits each re-delivered event exactly once") {
+    val base = Files.createTempDirectory("graft_dedup").toFile
+    base.deleteOnExit()
+    val src = s"${base.getPath}/events"
+    // at-least-once delivery: event 2 arrives in both files
+    Seq(ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:06:00", 2, "view", 2.0))
+      .toDF().write.parquet(s"$src/a")
+    Seq(ev(2, "2024-01-01 10:06:00", 2, "view", 2.0),
+        ev(3, "2024-01-01 10:07:00", 1, "click", 3.0))
+      .toDF().write.parquet(s"$src/b")
+    val schema = spark.read.parquet(s"$src/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").option("recursiveFileLookup", "true")
+      .parquet(src)
+    val out = s"${base.getPath}/out"
+    val q = EventStream.dedupWithinWatermark(stream, Seq("event_id"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"${base.getPath}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .as[(Long, String, Double)].collect().toSet
+    assert(rows == Set((1L, "click", 1.0), (2L, "view", 2.0),
+      (3L, "click", 3.0)))
+  }
+
   test("streaming rollup equals the batch rollup on all closed windows") {
     val base = Files.createTempDirectory("graft_sb").toFile
     base.deleteOnExit()
