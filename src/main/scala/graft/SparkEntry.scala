@@ -371,6 +371,42 @@ object SparkEntry {
     "ns10_lang_id" -> ((s, d) =>
       TextOps.langId(t(s, d, "documents"), "doc_id", "text")),
 
+    // ---- §2.8 [NS] PII redaction (C4-style scrub pass) ----
+    // The fixture text carries no PII, so each doc gets a
+    // deterministic synthetic email/phone/IPv4 tail derived from
+    // doc_id (fixture plumbing, ns14-style) — every row then
+    // exercises all three patterns and the oracle rebuilds the same
+    // tail before applying the same sequential count+replace chain.
+    "ns19_pii_redaction" -> ((s, d) => {
+      val doc = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id") * 3, lit(256)).cast("string")).as("text"))
+      TextOps.redactPii(doc, "doc_id", "text")
+    }),
+
+    // ---- §2.8 [NS] repetition metrics (Gopher A1.1) ----
+    // Lines are synthesized by turning ' table ' separators into
+    // newlines (same rewrite in the oracle); the word-soup fixture
+    // then yields real duplicate lines. Oracle computes the same
+    // excess-copy fractions relationally (unnest + group by).
+    "ns20_repetition_stats" -> ((s, d) =>
+      TextOps.repetitionStats(
+        t(s, d, "documents").select(col("doc_id"),
+          regexp_replace(col("text"), " table ", "\n").as("text")),
+        "doc_id", "text")
+        .filter(col("n_lines") > 0)),
+
+    // ---- §2.8 [NS] corpus vocabulary top-k ----
+    "ns21_vocab_topk" -> ((s, d) =>
+      TextOps.vocab(t(s, d, "documents"), "text", 20)),
+
     // ---- §2.8 [NS] mod-p sampled shingle fingerprints ----
     // xxhash64 has no DuckDB twin → rows-only check; determinism and
     // sampling laws are proven in NsTextOpsSpec.
@@ -1018,6 +1054,63 @@ object SparkEntry {
         |       WHEN es > 0 THEN 'es'
         |       ELSE 'und' END AS lang_pred
         |FROM hits""".stripMargin,
+    "ns19_pii_redaction" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com call +1-555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((doc_id * 3) % 256 AS VARCHAR) AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM base),
+        |s2 AS (SELECT doc_id, n_email,
+        |  len(regexp_extract_all(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  regexp_replace(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+        |  FROM s1)
+        |SELECT doc_id,
+        |  CAST(n_email AS BIGINT) AS n_email,
+        |  CAST(n_phone AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS redacted_text
+        |FROM s2""".stripMargin,
+    "ns20_repetition_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_replace(text, ' table ', chr(10), 'g') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(t, chr(10)),
+        |      x -> length(x) > 0)) AS line
+        |  FROM base),
+        |grp AS (
+        |  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+        |  FROM lines GROUP BY doc_id, line),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_uniq,
+        |    SUM(c * len) AS tot_chars, SUM((c - 1) * len) AS dup_chars
+        |  FROM grp GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_uniq AS BIGINT) AS n_unique_lines,
+        |  CAST(n_lines - n_uniq AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |    AS dup_line_frac,
+        |  CAST(dup_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)
+        |    AS dup_char_frac
+        |FROM agg""".stripMargin,
+    "ns21_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM toks GROUP BY word
+        |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
     "ns13_quantiles" ->
       """SELECT event_type,
         | quantile_disc(value, 0.5) AS p50,

@@ -98,6 +98,87 @@ object TextOps {
         .otherwise("und").as("lang_pred"))
   }
 
+  /** PII scrub patterns, applied IN ORDER: each pattern is counted and
+    * redacted on the text as left by the previous one, so a dotted
+    * quad inside an email's domain is counted as email, not as ipv4 —
+    * sequential semantics any engine can reproduce. Patterns are kept
+    * RE2-safe (no lookaround, no backreferences) so they behave
+    * identically under Spark's Java regex and the RE2-family engines
+    * (DuckDB, Go) a cross-engine pipeline may also run them on. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+      "<IPV4>"))
+
+  /** PII redaction for training corpora (the C4/CCNet-style scrub
+    * pass): replace emails, phone numbers, and IPv4 addresses with
+    * typed placeholder tokens and report how many of each were hit.
+    * Pure map-side projection — codegen'd regexp chain, zero shuffle.
+    * Output: (idCol, n_email, n_phone, n_ipv4, redacted_text). */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (redacted, counts) = piiPatterns
+      .foldLeft((col(textCol), Seq.empty[(String, Column)])) {
+        case ((cur, cs), (name, re, repl)) =>
+          (regexp_replace(cur, lit(re), lit(repl)),
+            cs :+ (name -> regexp_count(cur, lit(re))))
+      }
+    df.select(col(idCol) +:
+      counts.map { case (n, c) => c.cast("long").as(s"n_$n") } :+
+      redacted.as("redacted_text"): _*)
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, A1.1):
+    * fraction of lines, and of characters, that are EXCESS copies of
+    * a line already seen in the same document. Pure map-side array
+    * arithmetic — sort the document's lines once, compare adjacent
+    * entries — so no shuffle and no per-line explode; lines-per-doc
+    * is bounded by document size, which a curation pipeline caps
+    * anyway. Docs with no (non-empty) lines report 0 lines and 0.0
+    * fractions. Output: (idCol, n_lines, n_unique_lines,
+    * dup_line_frac, dup_char_frac). */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val sorted = sort_array(lines)
+    val n = size(sorted)
+    val runLen = greatest(n - 1, lit(0))
+    val curr = slice(sorted, lit(2), runLen)
+    val prev = slice(sorted, lit(1), runLen)
+    val nDup = aggregate(
+      zip_with(curr, prev, (a, b) => (a === b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val dupChars = aggregate(
+      zip_with(curr, prev,
+        (a, b) => when(a === b, length(a).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val totChars = aggregate(transform(sorted, l => length(l).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol),
+      n.cast("long").as("n_lines"),
+      (n.cast("long") - nDup).as("n_unique_lines"),
+      when(n === 0, 0.0)
+        .otherwise(nDup.cast("double") / n.cast("double"))
+        .as("dup_line_frac"),
+      when(n === 0, 0.0)
+        .otherwise(dupChars.cast("double") / totChars.cast("double"))
+        .as("dup_char_frac"))
+  }
+
+  /** Corpus vocabulary: word-token histogram, deterministic top-k by
+    * (count desc, word asc). The groupBy partial-aggregates map-side
+    * (each executor ships one row per distinct word, not per token)
+    * and orderBy+limit plans as TakeOrdered — k rows per partition
+    * cross the wire, never the full histogram sorted. Output:
+    * (word, n). */
+  def vocab(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(wordTokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+
   /** Mod-p sampled shingle fingerprints (document sketching in the
     * winnowing family, Schleimer et al. 2003): hash every word
     * n-gram, keep the deterministic ~1/p sample with hash ≡ 0 (mod p).

@@ -11,6 +11,46 @@ class NsTextOpsSpec extends SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("redactPii replaces and counts sequentially, no shuffle") {
+    val df = TextOps.redactPii(docs(
+      // the dotted quad inside the email domain must count as email,
+      // not ipv4 (sequential semantics)
+      1L -> "mail bob@10.0.0.5.example.com or bob@corp.example.org, dial +1-555-010-2030, host 192.168.0.1",
+      2L -> "no pii here"), "doc_id", "text")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "redactPii must stay map-side")
+    val out = df.as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((2L, 1L, 1L,
+      "mail <EMAIL> or <EMAIL>, dial <PHONE>, host <IPV4>")))
+    assert(out(2L) == ((0L, 0L, 0L, "no pii here")))
+  }
+
+  test("repetitionStats measures excess-copy line/char fractions, no shuffle") {
+    val df = TextOps.repetitionStats(docs(
+      1L -> "aaaa\nbb\naaaa\n\ncc",   // 4 non-empty lines, aaaa twice
+      2L -> "xx\nyy",                  // no duplicates
+      3L -> ""),                       // no lines at all
+      "doc_id", "text")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "repetitionStats must stay map-side")
+    val out = df.as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: 4 lines, 3 unique; dup chars = 4 ("aaaa") of 12 total
+    assert(out(1L) == ((4L, 3L, 0.25, 4.0 / 12)))
+    assert(out(2L) == ((2L, 2L, 0.0, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0, 0.0)))
+  }
+
+  test("vocab returns deterministic top-k with (count, word) tiebreak") {
+    val out = TextOps.vocab(docs(
+      1L -> "red red blue green",
+      2L -> "blue red green"), "text", 3)
+      .as[(String, Long)].collect().toSeq
+    // red×3; blue and green tie at 2 → word asc breaks the tie
+    assert(out == Seq(("red", 3L), ("blue", 2L), ("green", 2L)))
+  }
+
   test("textStats computes hand-checked surface statistics, no shuffle") {
     val df = TextOps.textStats(
       docs(1L -> "The quick, quick fox!"), "doc_id", "text")
