@@ -407,6 +407,19 @@ object SparkEntry {
     "ns21_vocab_topk" -> ((s, d) =>
       TextOps.vocab(t(s, d, "documents"), "text", 20)),
 
+    // ---- §2.8 [NS] benchmark decontamination overlap check ----
+    // Eval set = first 50 docs, train corpus = the rest; each eval
+    // doc reports what fraction of its distinct trigrams the corpus
+    // contains. Exact inverted-index path here (oracle parity); the
+    // registered 100 TB path swaps grams for mod-p fingerprints.
+    "ns22_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationScores(
+        docs.filter(col("doc_id") < 50),
+        docs.filter(col("doc_id") >= 50),
+        "doc_id", "text", n = 3)
+    }),
+
     // ---- §2.8 [NS] mod-p sampled shingle fingerprints ----
     // xxhash64 has no DuckDB twin → rows-only check; determinism and
     // sampling laws are proven in NsTextOpsSpec.
@@ -1111,6 +1124,30 @@ object SparkEntry {
         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks GROUP BY word
         |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "ns22_contamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |train AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id >= 50),
+        |hits AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS n_hit
+        |  FROM grams e LEFT JOIN train tr ON e.g = tr.g
+        |  WHERE e.doc_id < 50
+        |  GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CASE WHEN coalesce(h.n_grams, 0) = 0 THEN 0.0
+        |    ELSE CAST(h.n_hit AS DOUBLE) / CAST(h.n_grams AS DOUBLE)
+        |  END AS contamination
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 50) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
     "ns13_quantiles" ->
       """SELECT event_type,
         | quantile_disc(value, 0.5) AS p50,

@@ -114,6 +114,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / C4-analysis
+    * overlap check): for each eval document, the fraction of its
+    * distinct word n-grams that occur ANYWHERE in the training
+    * corpus. The train side collapses to its distinct gram set first
+    * (one map-combinable distinct — corpus text is never shipped),
+    * then grams meet in an inverted-index equi-join on `gram` —
+    * never an eval×train document product — so cost scales with gram
+    * volume, not corpus size × eval size. Eval docs with zero overlap
+    * (or shorter than n words) are kept with contamination 0.0: a
+    * decontamination report that silently drops clean docs can't be
+    * diffed against the eval manifest. At 100 TB, swap raw grams for
+    * [[graft.ns.TextOps.shingleFingerprints]] (mod-p sampled hashes,
+    * p× smaller index) — the join shape is identical on `fp`.
+    * Output: (idCol, n_grams, n_hit, contamination). */
+  def contaminationScores(evalDocs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val eg = shingles(evalDocs, idCol, textCol, n)
+    val tg = shingles(train, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val hits = eg
+      .join(tg.withColumn("__hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    evalDocs.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, 0.0)
+          .otherwise(col("n_hit").cast("double") /
+            col("n_grams").cast("double")).as("contamination"))
+  }
+
   /** Per-document MinHash signature: `numHashes` independent min-hash
     * values, h_j(doc) = min over the doc's shingles of
     * xxhash64(j, xxhash64(seed, shingle)) — the string is hashed once,

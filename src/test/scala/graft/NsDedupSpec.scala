@@ -109,6 +109,27 @@ class NsDedupSpec extends SparkSpec {
       s"expected >=2 reused shingle exchanges:\n$finalPlan")
   }
 
+  test("contaminationScores: hand-checked overlap fractions, no cartesian") {
+    // eval doc 1: trigrams {a b c, b c d, c d e} — corpus contains
+    // "a b c" and "b c d" (via doc 10) but not "c d e" → 2/3
+    // eval doc 2: no trigram in corpus → 0.0
+    // eval doc 3: shorter than n words → 0 grams, 0.0
+    val eval = docs(
+      1L -> "a b c d e",
+      2L -> "x y z w",
+      3L -> "too short")
+    val train = docs(
+      10L -> "q a b c d q",
+      11L -> "unrelated words entirely here")
+    val out = Dedup.contaminationScores(eval, train, "doc_id", "text", 3)
+    assertNoCartesian(out)
+    val m = out.as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(1L) == ((3L, 2L, 2.0 / 3)))
+    assert(m(2L) == ((2L, 0L, 0.0)))
+    assert(m(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("simhash banding: bands=4 and bands=8 agree within hamming 3") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val sig = Dedup.simhash(d, "doc_id", "text")
