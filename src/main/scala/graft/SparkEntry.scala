@@ -600,6 +600,27 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("rn").cast("long").as("rn"))),
 
+    // ---- §2.8 [NS] deterministic mixture sampling ----
+    // Per-source target rates turn the raw corpus into a weighted
+    // training mixture; content-addressed keep/drop (md5 buckets like
+    // ns17) keeps the realized mixture reproducible cross-engine.
+    "ns23_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1, salt = "mix1")),
+
+    // ---- §2.8 [NS] concat-and-chunk packing offsets ----
+    // Global start offset of each doc in the doc_id-ordered
+    // concatenation (by n_chars) and the context-window index it
+    // falls in. Small bucketSize so the two-phase prefix path (not a
+    // single-partition window) is what the fixture actually executes.
+    "ns24_pack_offsets" -> ((s, d) =>
+      Sampling.packOffsets(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", chunkSize = 2048, bucketSize = 100L)),
+
     // ---- §3.1 pipeline composition, driver-gated end to end ----
     // The full bronze→silver→gold→DQ flow over payloads synthesized
     // deterministically from fixture dimensions, so the WHOLE pipeline
@@ -1171,6 +1192,20 @@ object SparkEntry {
         |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'val'
         |    ELSE 'test'
         |  END AS split
+        |FROM documents""".stripMargin,
+    "ns23_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)) AS BIGINT) % 10000
+        |  < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 10000""".stripMargin,
+    "ns24_pack_offsets" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(coalesce(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_offset,
+        |  CAST(floor(CAST(coalesce(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS DOUBLE) / 2048) AS BIGINT) AS pack_id
         |FROM documents""".stripMargin,
     "ns18_source_quota" ->
       """SELECT source, doc_id, n_chars, rn FROM (

@@ -59,4 +59,80 @@ object Sampling {
   def groupQuota(df: DataFrame, groupCols: Seq[Column], quota: Int,
       order: Seq[Column]): DataFrame =
     Relational.topKPerGroup(df, quota, groupCols, order)
+
+  /** Deterministic data mixing: keep each row with its group's target
+    * sampling rate (per-domain/per-source mixture weights — the knob
+    * that turns a raw crawl into a weighted training mixture). The
+    * keep/drop decision is content-addressed like [[hashSplit]]
+    * (md5 of id+salt, 0.01% granularity), so the realized mixture is
+    * reproducible across reruns, engines, and corpus growth, and a
+    * row's fate never depends on partitioning or scan order. Groups
+    * absent from `rates` fall back to `defaultRate`. Pure filter
+    * projection — no shuffle, no RNG. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r =>
+      r >= 0.0 && r <= 1.0), "sampling rates must be in [0, 1]")
+    val buckets = 10000
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultRate)) { case ((g, r), els) =>
+        when(col(groupCol) === g, lit(r)).otherwise(els)
+      }
+    df.filter(hashBucket(col(idCol), salt, buckets).cast("double") <
+      rate * buckets)
+  }
+
+  /** Concat-and-chunk sequence packing offsets (the GPT-style
+    * pretraining layout: concatenate all documents in a fixed order,
+    * then cut fixed-size context windows): each row gets its global
+    * start offset in the concatenation and the chunk (pack) index
+    * that offset falls in.
+    *
+    * The global running sum is computed scalably in two phases, not
+    * with a single-partition window: rows are bucketed by
+    * `orderCol div bucketSize`, each bucket computes its LOCAL
+    * running sum (a window over at most `bucketSize` rows), and the
+    * per-bucket totals — one row per bucket, bounded driver-side by
+    * construction — are prefix-summed on the driver and broadcast
+    * back. At 100 TB with bucketSize = 1e6 that is ~1e5 total rows on
+    * the driver, vs. the single reducer a global ORDER BY window
+    * would funnel every row through. `orderCol` must be non-negative
+    * (require'd); `weightCol` is any per-row length (tokens, chars).
+    * Output: (orderCol, weightCol, start_offset, pack_id). */
+  def packOffsets(df: DataFrame, orderCol: String, weightCol: String,
+      chunkSize: Long, bucketSize: Long = 1000000L): DataFrame = {
+    require(chunkSize > 0 && bucketSize > 0,
+      "chunkSize and bucketSize must be positive")
+    val spark = df.sparkSession
+    val withB = df
+      .withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__bucket",
+        (col(orderCol).cast("long") / bucketSize).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val local = withB.withColumn("__local_start",
+      coalesce(sum(col("__w")).over(w), lit(0L)))
+    val totals = withB.groupBy(col("__bucket"))
+      .agg(sum(col("__w")).as("__tot"),
+        min(col(orderCol).cast("long")).as("__mn"))
+      .collect().map { r =>
+        require(r.getLong(r.fieldIndex("__mn")) >= 0,
+          s"packOffsets needs non-negative $orderCol")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    var acc = 0L
+    val prefixRows = totals.toSeq.map { case (b, t) =>
+      val p = acc; acc += t; (b, p)
+    }
+    import spark.implicits._
+    val prefix = prefixRows.toDF("__bucket", "__prefix")
+    local.join(broadcast(prefix), "__bucket")
+      .select(col(orderCol), col(weightCol),
+        (col("__prefix") + col("__local_start")).as("start_offset"),
+        floor((col("__prefix") + col("__local_start")) / chunkSize)
+          .cast("long").as("pack_id"))
+  }
 }

@@ -51,6 +51,40 @@ class NsSamplingSpec extends SparkSpec {
     assert(a != b)
   }
 
+  test("mixtureSample: realized rates track targets, stable on rerun") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    def run() = Sampling.mixtureSample(d, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.25), defaultRate = 0.0,
+      salt = "t1")
+    val kept = run().groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val tot = d.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("src0") == tot("src0"))          // rate 1.0 keeps all
+    assert(!kept.contains("src2"))               // default 0.0 drops all
+    val share = kept("src1").toDouble / tot("src1")
+    assert(math.abs(share - 0.25) < 0.15, s"src1 share $share")
+    // content-addressed: identical keep set on rerun
+    assert(run().select("doc_id").as[Long].collect().sorted
+      .sameElements(run().select("doc_id").as[Long].collect().sorted))
+  }
+
+  test("packOffsets: contiguous global offsets, bucket-boundary exact") {
+    // bucketSize 3 forces multiple buckets; weights chosen so pack
+    // boundaries land mid-bucket and across buckets
+    val d = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L))
+      .toDF("id", "w")
+    val out = Sampling.packOffsets(d, "id", "w",
+      chunkSize = 6, bucketSize = 3)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // concat order 0..4, each 4 wide: starts 0,4,8,12,16; chunk 6 →
+    // packs 0,0,1,2,2
+    assert(out == Seq((0L, 4L, 0L, 0L), (1L, 4L, 4L, 0L),
+      (2L, 4L, 8L, 1L), (3L, 4L, 12L, 2L), (4L, 4L, 16L, 2L)))
+  }
+
   test("groupQuota: no group exceeds the cap; group-limit plan shape") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val capped = Sampling.groupQuota(
