@@ -629,6 +629,41 @@ object SparkEntry {
     // sits behind a DuckDB oracle expressed over the source table.
     "p01_weather_pipeline" -> ((s, d) => p01WeatherPipeline(s, d)),
     "p02_cocktails_pipeline" -> ((s, d) => p02CocktailsPipeline(s, d)),
+
+    // ---- §2.8 [NS] end-to-end curation pipeline, driver-gated ----
+    // The LLM-data analogue of p01/p02: raw corpus (with a simulated
+    // re-crawl — every 10th doc re-ingested under a new id) →
+    // Gopher quality gate → language gate → exact dedup (original id
+    // survives, dup_count records the replay) → per-source mixture
+    // sampling → train/val/test split. Every stage is an
+    // already-gated operator; this entry gates their COMPOSITION in
+    // one DuckDB oracle. All stages are projections, filters, and
+    // map-combinable aggregations — the whole pipeline is 2 shuffles
+    // (dedup groupBy + the broadcast-joined gates) at any corpus size.
+    "p03_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val replay = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val corpus = docs.unionAll(replay)
+      val quality = TextOps.qualityScore(corpus, "doc_id", "text")
+        .filter(col("quality_score") === 1.0).select("doc_id")
+      val english = TextOps.langId(corpus, "doc_id", "text")
+        .filter(col("lang_pred") === "en").select("doc_id")
+      val kept = corpus.join(quality, "doc_id").join(english, "doc_id")
+      val surv = Dedup.exactDedup(kept, "doc_id", "text")
+      val enriched = surv
+        .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+      val mixed = Sampling.mixtureSample(enriched, "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25,
+        salt = "p03mix")
+      Sampling.hashSplit(
+        mixed.select(col("doc_id"), col("source"), col("dup_count")),
+        "doc_id", "p03split",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("source"), col("dup_count"),
+          col("split"))
+    }),
   )
 
   private val pipelineRunHr = 202608121000L
@@ -1193,6 +1228,53 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split
         |FROM documents""".stripMargin,
+    "p03_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |base AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM corpus),
+        |stats AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars, len(toks) AS n_words,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS awl,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS sw,
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es
+        |  FROM base),
+        |keep AS (
+        |  SELECT doc_id FROM stats
+        |  WHERE n_chars BETWEEN 50 AND 100000
+        |    AND n_words BETWEEN 10 AND 50000
+        |    AND awl BETWEEN 2.0 AND 12.0 AND punct <= 0.2 AND sw >= 0.01
+        |    AND en >= de AND en >= fr AND en >= es AND en > 0),
+        |surv AS (
+        |  SELECT min(b.doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM base b JOIN keep k ON b.doc_id = k.doc_id
+        |  GROUP BY md5(b.norm)),
+        |enr AS (
+        |  SELECT s.doc_id, c.source, s.dup_count
+        |  FROM surv s JOIN corpus c ON s.doc_id = c.doc_id),
+        |mixed AS (
+        |  SELECT * FROM enr
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p03mix'), 1, 8)) AS BIGINT) % 10000
+        |    < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |        ELSE 0.25 END) * 10000)
+        |SELECT doc_id, source, dup_count,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p03split'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p03split'), 1, 8)) AS BIGINT) % 1000 < 950 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM mixed""".stripMargin,
     "ns23_mixture_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)) AS BIGINT) % 10000

@@ -170,6 +170,20 @@ class PipelineSpec extends SparkSpec {
     assert(bad.sameElements(Array(false)))
   }
 
+  test("p03 curation: originals survive replays, dup_count marks them") {
+    val out = SparkEntry.queries("p03_curation_pipeline")(spark, sf)
+      .select("doc_id", "dup_count", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    // dedup keeps the ORIGINAL id: replayed ids (+100000) never survive
+    assert(out.forall(_._1 < 100000L))
+    // a replayed doc passes/fails the text gates with its twin, so
+    // dup_count is exactly 2 on every 10th doc and 1 otherwise
+    assert(out.forall { case (id, c, _) =>
+      c == (if (id % 10 == 0) 2L else 1L) })
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("S11: sensor waits for normalized names and times out honestly") {
     val cfg = freshDirs()
     val dir = s"${cfg.bronzeDir}/weather/run_hr=$runHr"
