@@ -62,6 +62,15 @@ object Dedup {
     * recomputed the whole shingle pipeline (verified on the executed
     * plan). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleStream(df, idCol, textCol, n).distinct()
+
+  /** [[shingles]] WITHOUT the per-(id, gram) distinct — the raw
+    * exploded gram stream, still map-side only. For consumers that
+    * reduce the stream some cheaper way (e.g. [[contaminationScores]]
+    * broadcast-filters it before any shuffle), the distinct would be
+    * a full corpus-wide exchange bought for nothing. */
+  def shingleStream(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val words = split(normText(col(textCol)), " ")
     val grams = when(size(words) >= n,
@@ -71,7 +80,6 @@ object Dedup {
     df.filter(col(idCol).isNotNull)
       .select(col(idCol), explode(grams).as("gram"))
       .filter(col("gram").isNotNull)
-      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity join via inverted index: all
@@ -124,17 +132,30 @@ object Dedup {
     * volume, not corpus size × eval size. Eval docs with zero overlap
     * (or shorter than n words) are kept with contamination 0.0: a
     * decontamination report that silently drops clean docs can't be
-    * diffed against the eval manifest. At 100 TB, swap raw grams for
-    * [[graft.ns.TextOps.shingleFingerprints]] (mod-p sampled hashes,
-    * p× smaller index) — the join shape is identical on `fp`.
+    * diffed against the eval manifest.
+    *
+    * Plan shape (the part that must survive 100 TB): the eval
+    * benchmark is small by the nature of the check, so its distinct
+    * gram set BROADCASTS; the train corpus's raw gram stream
+    * ([[shingleStream]] — no distinct, pure map side) is semi-joined
+    * against that broadcast, so the corpus contributes zero
+    * shuffles — the only exchange after the broadcast filter is a
+    * distinct over the surviving grams, bounded by |eval gram set|.
+    * If even raw grams are too wide, swap both sides to
+    * [[graft.ns.TextOps.shingleFingerprints]] (mod-p sampled hashes)
+    * — the shape is identical on `fp`.
     * Output: (idCol, n_grams, n_hit, contamination). */
   def contaminationScores(evalDocs: DataFrame, train: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val eg = shingles(evalDocs, idCol, textCol, n)
-    val tg = shingles(train, idCol, textCol, n)
-      .select(col("gram")).distinct()
+    val hitGrams = shingleStream(train, idCol, textCol, n)
+      .select(col("gram"))
+      .join(broadcast(eg.select(col("gram")).distinct()),
+        Seq("gram"), "leftsemi")
+      .distinct()
     val hits = eg
-      .join(tg.withColumn("__hit", lit(1L)), Seq("gram"), "left")
+      .join(broadcast(hitGrams.withColumn("__hit", lit(1L))),
+        Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))

@@ -123,6 +123,11 @@ class NsDedupSpec extends SparkSpec {
       11L -> "unrelated words entirely here")
     val out = Dedup.contaminationScores(eval, train, "doc_id", "text", 3)
     assertNoCartesian(out)
+    // the train side must meet the eval gram set via broadcast — a
+    // sort-merge join here would mean the corpus gram stream shuffles
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "contamination must broadcast the eval gram set")
     val m = out.as[(Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(m(1L) == ((3L, 2L, 2.0 / 3)))

@@ -85,6 +85,26 @@ class NsSamplingSpec extends SparkSpec {
       (2L, 4L, 8L, 1L), (3L, 4L, 12L, 2L), (4L, 4L, 16L, 2L)))
   }
 
+  test("packOffsets plans no single-partition exchange") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val out = Sampling.packOffsets(d, "doc_id", "n_chars",
+      chunkSize = 2048, bucketSize = 100L)
+    // the whole point of the two-phase prefix: the global cumsum must
+    // NOT funnel every row through one reducer
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"),
+      "packOffsets must not plan a single-partition global window")
+    // and offsets are still globally consistent: sorted by doc_id,
+    // each start equals the previous start + previous weight
+    val rows = out.orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.sliding(2).foreach {
+      case Array((_, w1, s1, _), (_, _, s2, _)) => assert(s2 == s1 + w1)
+      case _ => ()
+    }
+  }
+
   test("groupQuota: no group exceeds the cap; group-limit plan shape") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val capped = Sampling.groupQuota(
