@@ -407,6 +407,18 @@ object SparkEntry {
     "ns21_vocab_topk" -> ((s, d) =>
       TextOps.vocab(t(s, d, "documents"), "text", 20)),
 
+    // ---- §2.8 [NS] incremental dedup of a new ingest batch ----
+    // Known store = fingerprints of docs < 250; "new batch" = docs
+    // >= 200, so the 200-249 overlap must be anti-joined away and
+    // only genuinely fresh content survives with its fingerprint.
+    "ns25_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val known = docs.filter(col("doc_id") < 250)
+        .select(Dedup.fingerprint(col("text")).as("fingerprint"))
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") >= 200), known, "doc_id", "text")
+    }),
+
     // ---- §2.8 [NS] benchmark decontamination overlap check ----
     // Eval set = first 50 docs, train corpus = the rest; each eval
     // doc reports what fraction of its distinct trigrams the corpus
@@ -571,6 +583,48 @@ object SparkEntry {
       val q = EventStream.dedupWithinWatermark(stream, Seq("event_id"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(s.read.parquet(out), base)
+    }),
+
+    // ---- §7.4.6 streaming curation pass, driver-gated ----
+    // The curation operators are stateless projections, so they run
+    // UNCHANGED on a stream: quality + language gates as pure-column
+    // filters, then the ns19 PII scrub (same synthetic tail), inside
+    // one micro-batched file stream. No watermark needed — nothing
+    // here holds state. Gates the claim that batch curation and
+    // stream curation are the same code.
+    "s04_stream_curation" -> ((s, d) => {
+      val base = newScratchDir("graft_s04")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/documents.parquet"),
+        java.nio.file.Paths.get(srcDir.getPath, "documents.parquet"))
+      val raw = s.read.parquet(srcDir.getPath).schema
+      val kept = s.readStream.schema(raw).parquet(srcDir.getPath)
+        .filter(TextOps.qualityScoreCol(col("text")) === 1.0 &&
+          TextOps.langIdCol(col("text")) === "en")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"),
+              4, "0"),
+            lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+            pmod(col("doc_id") * 3, lit(256)).cast("string"))
+            .as("text"))
+      val out = s"${base.getPath}/curated"
+      val q = TextOps.redactPii(kept, "doc_id", "text")
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", s"${base.getPath}/ckpt")
@@ -1180,6 +1234,65 @@ object SparkEntry {
         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks GROUP BY word
         |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "ns25_incremental_dedup" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents),
+        |known AS (SELECT DISTINCT fingerprint FROM fps WHERE doc_id < 250),
+        |fresh AS (
+        |  SELECT f.fingerprint, f.doc_id FROM fps f
+        |  WHERE f.doc_id >= 200
+        |    AND f.fingerprint NOT IN (SELECT fingerprint FROM known))
+        |SELECT fingerprint, min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count
+        |FROM fresh GROUP BY 1""".stripMargin,
+    "s04_stream_curation" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars, len(toks) AS n_words,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS awl,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS sw,
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es
+        |  FROM base),
+        |keep AS (
+        |  SELECT doc_id FROM stats
+        |  WHERE n_chars BETWEEN 50 AND 100000
+        |    AND n_words BETWEEN 10 AND 50000
+        |    AND awl BETWEEN 2.0 AND 12.0 AND punct <= 0.2 AND sw >= 0.01
+        |    AND en >= de AND en >= fr AND en >= es AND en > 0),
+        |pii AS (
+        |  SELECT b.doc_id,
+        |    b.text || ' contact user' || CAST(b.doc_id AS VARCHAR)
+        |      || '@mail.example.com call +1-555-'
+        |      || lpad(CAST(b.doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST((b.doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(b.doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((b.doc_id * 3) % 256 AS VARCHAR) AS t0
+        |  FROM base b JOIN keep k ON b.doc_id = k.doc_id),
+        |s1 AS (SELECT doc_id,
+        |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM pii),
+        |s2 AS (SELECT doc_id, n_email,
+        |  len(regexp_extract_all(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  regexp_replace(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+        |  FROM s1)
+        |SELECT doc_id,
+        |  CAST(n_email AS BIGINT) AS n_email,
+        |  CAST(n_phone AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS redacted_text
+        |FROM s2""".stripMargin,
     "ns22_contamination" ->
       """WITH docs AS (
         |  SELECT doc_id,

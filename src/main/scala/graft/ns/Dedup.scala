@@ -48,6 +48,30 @@ object Dedup {
   def dropExactDups(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** Incremental exact dedup: dedupe a NEW ingest batch against the
+    * fingerprint store of everything already in the corpus — the
+    * daily-ingest shape, where re-running [[exactDedup]] over the
+    * whole corpus for each batch would rescan 100 TB to admit 100 GB.
+    * New docs whose fingerprint is already known are dropped
+    * (anti-join on `fingerprint`); the remainder is deduped
+    * within-batch as usual, yielding the rows (and fingerprints) to
+    * append to the store. The anti-join shuffles the NEW batch plus
+    * a fingerprint-only projection of the store; keep the store
+    * bucketed by fingerprint (`ops/Bucketing`) and the store side
+    * arrives co-located with no exchange at all.
+    * Output: (fingerprint, idCol, dup_count) — [[exactDedup]] schema,
+    * batch-new content only. */
+  def incrementalExactDedup(newDocs: DataFrame,
+      knownFingerprints: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fresh = newDocs
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+      .join(knownFingerprints.select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+      .drop("fingerprint")
+    exactDedup(fresh, idCol, textCol)
+  }
+
   /** Distinct word n-grams (shingles) per document:
     * (idCol, gram). Documents shorter than n words contribute none.
     *

@@ -59,6 +59,40 @@ object TextOps {
         .as("stopword_ratio"))
   }
 
+  /** [[qualityScore]]'s final score as a pure COLUMN, for pipelines
+    * that can't join (a streaming select, a single-projection filter).
+    * Same five checks as the DataFrame form — the agreement is a
+    * tested law (NsTextOpsSpec), so the two can gate interchangeably. */
+  def qualityScoreCol(text: Column): Column = {
+    val norm = Dedup.normText(text)
+    val toks = split(norm, " ")
+    val nWords = size(toks)
+    val nChars = length(text)
+    val awl = length(regexp_replace(norm, " ", "")).cast("double") / nWords
+    val punct =
+      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / nChars
+    val sw = countIn(toks, stopwordsEn).cast("double") / nWords
+    val checks = Seq(nChars.between(50, 100000),
+      nWords.between(10, 50000), awl.between(2.0, 12.0),
+      punct <= 0.2, sw >= 0.01)
+    checks.map(_.cast("int")).reduce(_ + _).cast("double") / checks.size
+  }
+
+  /** [[langId]]'s prediction as a pure COLUMN (same marker sets, same
+    * preference order). */
+  def langIdCol(text: Column): Column = {
+    val toks = split(Dedup.normText(text), " ")
+    val en = countIn(toks, stopwordsEn)
+    val de = countIn(toks, markersDe)
+    val fr = countIn(toks, markersFr)
+    val es = countIn(toks, markersEs)
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
   /** Gopher-style quality gate over [[textStats]]: five boolean checks
     * plus the fraction passed as a score. A training pipeline keeps
     * documents with quality_score = 1.0 (or a chosen cut). */
@@ -84,19 +118,8 @@ object TextOps {
     * preference order (en, de, fr, es), 'und' when nothing hits.
     * Pure heuristic — by design cheap, deterministic, and expressible
     * in ANSI SQL for the oracle. Output: (idCol, lang_pred). */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = wordTokens(col(textCol))
-    val en = countIn(toks, stopwordsEn)
-    val de = countIn(toks, markersDe)
-    val fr = countIn(toks, markersFr)
-    val es = countIn(toks, markersEs)
-    df.select(col(idCol),
-      when(en >= de && en >= fr && en >= es && en > 0, "en")
-        .when(de >= fr && de >= es && de > 0, "de")
-        .when(fr >= es && fr > 0, "fr")
-        .when(es > 0, "es")
-        .otherwise("und").as("lang_pred"))
-  }
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), langIdCol(col(textCol)).as("lang_pred"))
 
   /** PII scrub patterns, applied IN ORDER: each pattern is counted and
     * redacted on the text as left by the previous one, so a dotted

@@ -51,6 +51,19 @@ class NsTextOpsSpec extends SparkSpec {
     assert(out == Seq(("red", 3L), ("blue", 2L), ("green", 2L)))
   }
 
+  test("qualityScoreCol/langIdCol agree with the DataFrame forms") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fromDf = TextOps.qualityScore(d, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+      .join(TextOps.langId(d, "doc_id", "text"), "doc_id")
+    val fromCols = d.select(col("doc_id"),
+      TextOps.qualityScoreCol(col("text")).as("quality_score"),
+      TextOps.langIdCol(col("text")).as("lang_pred"))
+    assert(fromDf.exceptAll(fromCols).isEmpty &&
+      fromCols.exceptAll(fromDf).isEmpty)
+  }
+
   test("textStats computes hand-checked surface statistics, no shuffle") {
     val df = TextOps.textStats(
       docs(1L -> "The quick, quick fox!"), "doc_id", "text")
