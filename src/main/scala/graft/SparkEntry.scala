@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -379,15 +379,7 @@ object SparkEntry {
     // tail before applying the same sequential count+replace chain.
     "ns19_pii_redaction" -> ((s, d) => {
       val doc = t(s, d, "documents").select(col("doc_id"),
-        concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail.example.com call +1-555-"),
-          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
-          lit("-"),
-          lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
-          lit(" from 10.0."),
-          pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
-          pmod(col("doc_id") * 3, lit(256)).cast("string")).as("text"))
+        withPiiTail(col("text"), col("doc_id")).as("text"))
       TextOps.redactPii(doc, "doc_id", "text")
     }),
 
@@ -612,17 +604,7 @@ object SparkEntry {
         .filter(TextOps.qualityScoreCol(col("text")) === 1.0 &&
           TextOps.langIdCol(col("text")) === "en")
         .select(col("doc_id"),
-          concat(col("text"),
-            lit(" contact user"), col("doc_id").cast("string"),
-            lit("@mail.example.com call +1-555-"),
-            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
-            lit("-"),
-            lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"),
-              4, "0"),
-            lit(" from 10.0."),
-            pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
-            pmod(col("doc_id") * 3, lit(256)).cast("string"))
-            .as("text"))
+          withPiiTail(col("text"), col("doc_id")).as("text"))
       val out = s"${base.getPath}/curated"
       val q = TextOps.redactPii(kept, "doc_id", "text")
         .writeStream
@@ -691,24 +673,23 @@ object SparkEntry {
     // survives, dup_count records the replay) → per-source mixture
     // sampling → train/val/test split. Every stage is an
     // already-gated operator; this entry gates their COMPOSITION in
-    // one DuckDB oracle. All stages are projections, filters, and
-    // map-combinable aggregations — the whole pipeline is 2 shuffles
-    // (dedup groupBy + the broadcast-joined gates) at any corpus size.
+    // one DuckDB oracle. The text gates are pure-column FILTERS (no
+    // corpus-sized self-joins), so the whole pipeline is one dedup
+    // groupBy plus the dimension-bounded source join at any scale.
     "p03_curation_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       val replay = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("doc_id", col("doc_id") + 100000L)
       val corpus = docs.unionAll(replay)
-      val quality = TextOps.qualityScore(corpus, "doc_id", "text")
-        .filter(col("quality_score") === 1.0).select("doc_id")
-      val english = TextOps.langId(corpus, "doc_id", "text")
-        .filter(col("lang_pred") === "en").select("doc_id")
-      val kept = corpus.join(quality, "doc_id").join(english, "doc_id")
-      val surv = Dedup.exactDedup(kept, "doc_id", "text")
-      val enriched = surv
-        .join(corpus.select(col("doc_id"), col("source")), "doc_id")
-      val mixed = Sampling.mixtureSample(enriched, "doc_id", "source",
+      val kept = corpus
+        .filter(TextOps.qualityScoreCol(col("text")) === 1.0 &&
+          TextOps.langIdCol(col("text")) === "en")
+      // the survivor's source rides through the dedup agg (carry) —
+      // no corpus-sized join-back to recover it
+      val surv = Dedup.exactDedup(kept, "doc_id", "text",
+        carry = Seq("source"))
+      val mixed = Sampling.mixtureSample(surv, "doc_id", "source",
         Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25,
         salt = "p03mix")
       Sampling.hashSplit(
@@ -721,6 +702,22 @@ object SparkEntry {
   )
 
   private val pipelineRunHr = 202608121000L
+
+  /** Deterministic synthetic PII tail for the redaction gates (the
+    * fixture text carries no PII): email + phone + IPv4 derived from
+    * doc_id. ONE definition shared by ns19 and s04 so the two gates
+    * can't silently diverge; the SQL oracles rebuild the identical
+    * tail. */
+  private def withPiiTail(text: Column, id: Column): Column =
+    concat(text,
+      lit(" contact user"), id.cast("string"),
+      lit("@mail.example.com call +1-555-"),
+      lpad(pmod(id, lit(1000)).cast("string"), 3, "0"),
+      lit("-"),
+      lpad(pmod(id * 7, lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."),
+      pmod(id, lit(256)).cast("string"), lit("."),
+      pmod(id * 3, lit(256)).cast("string"))
 
   /** Weather flow: one bronze doc per nation row (python-repr for odd
     * keys — the reference's unrepaired-weather quirk), S11 sensor,

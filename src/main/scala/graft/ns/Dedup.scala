@@ -36,12 +36,20 @@ object Dedup {
   def fingerprint(c: Column): Column = md5(normText(c))
 
   /** Exact dedup via fingerprint groups: one survivor (minimum id) per
-    * distinct canonical text, with the group's multiplicity. Output:
-    * (fingerprint, idCol, dup_count). */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * distinct canonical text, with the group's multiplicity. `carry`
+    * columns ride along with the SURVIVOR's values (min_by on id) —
+    * cheaper than the join-back a consumer would otherwise pay to
+    * recover payload columns. Output:
+    * (fingerprint, idCol, dup_count, carry...). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val aggs = Seq(min(col(idCol)).as(idCol),
+      count(lit(1)).as("dup_count")) ++
+      carry.map(c => min_by(col(c), col(idCol)).as(c))
     df.withColumn("fingerprint", fingerprint(col(textCol)))
       .groupBy(col("fingerprint"))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Generic exact dedup on explicit key columns (`dropDuplicates`):
     * arbitrary-survivor semantics, one shuffle on the keys. */
@@ -60,17 +68,18 @@ object Dedup {
     * bucketed by fingerprint (`ops/Bucketing`) and the store side
     * arrives co-located with no exchange at all.
     * Output: (fingerprint, idCol, dup_count) — [[exactDedup]] schema,
-    * batch-new content only. */
+    * batch-new content only. The fingerprint computed for the
+    * anti-join is carried into the group-by rather than recomputed
+    * (the regex+md5 chain is the expensive part of the row). */
   def incrementalExactDedup(newDocs: DataFrame,
       knownFingerprints: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val fresh = newDocs
+      textCol: String): DataFrame =
+    newDocs
       .withColumn("fingerprint", fingerprint(col(textCol)))
       .join(knownFingerprints.select(col("fingerprint")),
         Seq("fingerprint"), "left_anti")
-      .drop("fingerprint")
-    exactDedup(fresh, idCol, textCol)
-  }
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
   /** Distinct word n-grams (shingles) per document:
     * (idCol, gram). Documents shorter than n words contribute none.

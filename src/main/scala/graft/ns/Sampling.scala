@@ -92,13 +92,25 @@ object Sampling {
     * The global running sum is computed scalably in two phases, not
     * with a single-partition window: rows are bucketed by
     * `orderCol div bucketSize`, each bucket computes its LOCAL
-    * running sum (a window over at most `bucketSize` rows), and the
-    * per-bucket totals — one row per bucket, bounded driver-side by
-    * construction — are prefix-summed on the driver and broadcast
-    * back. At 100 TB with bucketSize = 1e6 that is ~1e5 total rows on
-    * the driver, vs. the single reducer a global ORDER BY window
-    * would funnel every row through. `orderCol` must be non-negative
-    * (require'd); `weightCol` is any per-row length (tokens, chars).
+    * running sum (a window over at most `bucketSize` ids' worth of
+    * rows), and the per-bucket totals are prefix-summed on the driver
+    * and broadcast back — vs. the single reducer a global ORDER BY
+    * window would funnel every row through.
+    *
+    * The driver holds ONE ROW PER NON-EMPTY BUCKET, i.e. at most
+    * max(orderCol)/bucketSize rows: with DENSE ids (the corpus-manifest
+    * norm this operator targets) that is ~1e5 rows at 100 TB with
+    * bucketSize = 1e6. With SPARSE ids (content hashes as ids) the
+    * bucket count degrades toward the row count — size bucketSize to
+    * the ID RANGE, not the row count, or re-key to a dense manifest id
+    * first. The totals pass re-scans only (orderCol, weightCol) —
+    * column-pruned at the source — before the windowed pass scans the
+    * full rows.
+    *
+    * `orderCol` must be non-negative (require'd); `weightCol` is any
+    * per-row length (tokens, chars) — null weights count as width 0.
+    * All arithmetic is integral (`div`), so offsets stay exact past
+    * 2^53 where double division would round.
     * Output: (orderCol, weightCol, start_offset, pack_id). */
   def packOffsets(df: DataFrame, orderCol: String, weightCol: String,
       chunkSize: Long, bucketSize: Long = 1000000L): DataFrame = {
@@ -106,9 +118,9 @@ object Sampling {
       "chunkSize and bucketSize must be positive")
     val spark = df.sparkSession
     val withB = df
-      .withColumn("__w", col(weightCol).cast("long"))
-      .withColumn("__bucket",
-        (col(orderCol).cast("long") / bucketSize).cast("long"))
+      .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .withColumn("__ord", col(orderCol).cast("long"))
+      .withColumn("__bucket", expr(s"__ord div ${bucketSize}L"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bucket")).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window
@@ -116,8 +128,7 @@ object Sampling {
     val local = withB.withColumn("__local_start",
       coalesce(sum(col("__w")).over(w), lit(0L)))
     val totals = withB.groupBy(col("__bucket"))
-      .agg(sum(col("__w")).as("__tot"),
-        min(col(orderCol).cast("long")).as("__mn"))
+      .agg(sum(col("__w")).as("__tot"), min(col("__ord")).as("__mn"))
       .collect().map { r =>
         require(r.getLong(r.fieldIndex("__mn")) >= 0,
           s"packOffsets needs non-negative $orderCol")
@@ -130,9 +141,9 @@ object Sampling {
     import spark.implicits._
     val prefix = prefixRows.toDF("__bucket", "__prefix")
     local.join(broadcast(prefix), "__bucket")
+      .withColumn("__start", col("__prefix") + col("__local_start"))
       .select(col(orderCol), col(weightCol),
-        (col("__prefix") + col("__local_start")).as("start_offset"),
-        floor((col("__prefix") + col("__local_start")) / chunkSize)
-          .cast("long").as("pack_id"))
+        col("__start").as("start_offset"),
+        expr(s"__start div ${chunkSize}L").as("pack_id"))
   }
 }

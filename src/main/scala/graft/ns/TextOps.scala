@@ -59,10 +59,29 @@ object TextOps {
         .as("stopword_ratio"))
   }
 
+  /** The five Gopher gate thresholds — ONE definition shared by the
+    * DataFrame form ([[qualityScore]]) and the Column form
+    * ([[qualityScoreCol]]), so a threshold change can't make the two
+    * gates drift. Given the five stats columns, returns the named
+    * boolean checks in order. */
+  private def qualityChecks(nChars: Column, nWords: Column,
+      avgWordLen: Column, punctRatio: Column,
+      stopwordRatio: Column): Seq[(String, Column)] = Seq(
+    "chk_chars" -> nChars.between(50, 100000),
+    "chk_words" -> nWords.between(10, 50000),
+    "chk_avg_word_len" -> avgWordLen.between(2.0, 12.0),
+    "chk_punct" -> (punctRatio <= 0.2),
+    "chk_stopwords" -> (stopwordRatio >= 0.01))
+
+  private def scoreOf(checks: Seq[(String, Column)]): Column =
+    checks.map { case (_, c) => c.cast("int") }
+      .reduce(_ + _).cast("double") / checks.size
+
   /** [[qualityScore]]'s final score as a pure COLUMN, for pipelines
     * that can't join (a streaming select, a single-projection filter).
-    * Same five checks as the DataFrame form — the agreement is a
-    * tested law (NsTextOpsSpec), so the two can gate interchangeably. */
+    * Same five checks as the DataFrame form — shared via
+    * [[qualityChecks]], and the agreement is additionally a tested
+    * law (NsTextOpsSpec), so the two can gate interchangeably. */
   def qualityScoreCol(text: Column): Column = {
     val norm = Dedup.normText(text)
     val toks = split(norm, " ")
@@ -72,10 +91,7 @@ object TextOps {
     val punct =
       regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / nChars
     val sw = countIn(toks, stopwordsEn).cast("double") / nWords
-    val checks = Seq(nChars.between(50, 100000),
-      nWords.between(10, 50000), awl.between(2.0, 12.0),
-      punct <= 0.2, sw >= 0.01)
-    checks.map(_.cast("int")).reduce(_ + _).cast("double") / checks.size
+    scoreOf(qualityChecks(nChars, nWords, awl, punct, sw))
   }
 
   /** [[langId]]'s prediction as a pure COLUMN (same marker sets, same
@@ -99,18 +115,13 @@ object TextOps {
   def qualityScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val s = textStats(df, idCol, textCol)
-    val checks = Seq(
-      "chk_chars" -> col("n_chars").between(50, 100000),
-      "chk_words" -> col("n_words").between(10, 50000),
-      "chk_avg_word_len" -> col("avg_word_len").between(2.0, 12.0),
-      "chk_punct" -> (col("punct_ratio") <= 0.2),
-      "chk_stopwords" -> (col("stopword_ratio") >= 0.01))
+    val checks = qualityChecks(col("n_chars"), col("n_words"),
+      col("avg_word_len"), col("punct_ratio"), col("stopword_ratio"))
     val withChecks = checks.foldLeft(s) {
       case (acc, (name, c)) => acc.withColumn(name, c)
     }
     withChecks.withColumn("quality_score",
-      checks.map { case (n, _) => col(n).cast("int") }
-        .reduce(_ + _).cast("double") / checks.size)
+      scoreOf(checks.map { case (n, _) => n -> col(n) }))
   }
 
   /** Marker-token language identification: count hits from each

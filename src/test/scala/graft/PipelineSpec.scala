@@ -170,6 +170,15 @@ class PipelineSpec extends SparkSpec {
     assert(bad.sameElements(Array(false)))
   }
 
+  test("Q1: vacuous approx-uniqueness rsd (>= 1/3) is rejected") {
+    import graft.dq.Checks
+    intercept[IllegalArgumentException] {
+      Checks.runChecks(Seq(1L).toDF("k"), "t", 1L,
+        Checks.CheckConfig(uniqueKey = Some(Seq("k")),
+          approxUniqueRsd = Some(0.34)))
+    }
+  }
+
   test("p03 curation: originals survive replays, dup_count marks them") {
     val out = SparkEntry.queries("p03_curation_pipeline")(spark, sf)
       .select("doc_id", "dup_count", "split")
