@@ -399,6 +399,12 @@ object SparkEntry {
     "ns21_vocab_topk" -> ((s, d) =>
       TextOps.vocab(t(s, d, "documents"), "text", 20)),
 
+    // ---- §2.8 [NS] tf-idf keyword extraction (linear idf) ----
+    "ns26_tfidf_terms" -> ((s, d) =>
+      TextOps.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 5)
+        .select(col("doc_id"), col("word"), col("tf"), col("score"),
+          col("rn").cast("long").as("rn"))),
+
     // ---- §2.8 [NS] incremental dedup of a new ingest batch ----
     // Known store = fingerprints of docs < 250; "new batch" = docs
     // >= 200, so the 200-249 overlap must be anti-joined away and
@@ -1231,6 +1237,29 @@ object SparkEntry {
         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks GROUP BY word
         |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "ns26_tfidf_terms" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(toks, x -> length(x) > 0)) AS word
+        |  FROM base),
+        |tf AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM words GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, t.tf,
+        |    CAST(t.tf AS DOUBLE) * n.n / d.dfreq AS score
+        |  FROM tf t JOIN dfreq d ON t.word = d.word, n)
+        |SELECT doc_id, word, tf, score, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin,
     "ns25_incremental_dedup" ->
       """WITH fps AS (
         |  SELECT doc_id,

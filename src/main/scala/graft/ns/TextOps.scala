@@ -213,6 +213,40 @@ object TextOps {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  /** Per-document salient terms by tf-idf with a LINEAR idf
+    * (tf · N / df instead of tf · log(N/df)): log would rank the same
+    * way but ties the score to libm's ln, which differs in the last
+    * bits across engines — the linear form is one multiply and one
+    * divide on exact integers, so the scores are bit-identical in any
+    * engine and the operator can sit behind the cross-engine hash
+    * gate. Ranking is deterministic via the (score desc, word asc)
+    * tiebreak.
+    *
+    * Plan: term counts are a map-combinable groupBy(id, word); the
+    * document-frequency side collapses to one row per vocabulary word
+    * (Zipf-bounded — millions of rows at web scale, megabytes) and is
+    * BROADCAST back, so the corpus shuffles once for tf and never for
+    * the join. The final per-doc top-k plans as a window group limit
+    * (partition-local prune before the exchange).
+    * Output: (idCol, word, tf, score, rn). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val n = df.count()
+    val toks = df.select(col(idCol),
+      explode(wordTokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = toks.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(broadcast(dfreq), "word")
+      .withColumn("score",
+        col("tf").cast("double") * n / col("dfreq"))
+    graft.ops.Relational.topKPerGroup(
+      scored.select(col(idCol), col("word"), col("tf"), col("score")),
+      k, Seq(col(idCol)), Seq(col("score").desc, col("word").asc))
+  }
+
   /** Mod-p sampled shingle fingerprints (document sketching in the
     * winnowing family, Schleimer et al. 2003): hash every word
     * n-gram, keep the deterministic ~1/p sample with hash ≡ 0 (mod p).

@@ -51,6 +51,19 @@ class NsTextOpsSpec extends SparkSpec {
     assert(out == Seq(("red", 3L), ("blue", 2L), ("green", 2L)))
   }
 
+  test("tfidfTopTerms ranks rare terms above common ones") {
+    // "rare" appears in 1 of 3 docs, "base" in all 3: for doc 1,
+    // score(rare) = 2*3/1 = 6 > score(base) = 2*3/3 = 2
+    val out = TextOps.tfidfTopTerms(docs(
+      1L -> "rare rare base base",
+      2L -> "base other",
+      3L -> "base other"), "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L)
+      .orderBy("rn")
+      .as[(Long, String, Long, Double, Int)].collect().toSeq
+    assert(out == Seq((1L, "rare", 2L, 6.0, 1), (1L, "base", 2L, 2.0, 2)))
+  }
+
   test("qualityScoreCol/langIdCol agree with the DataFrame forms") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
