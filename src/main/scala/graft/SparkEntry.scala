@@ -399,6 +399,11 @@ object SparkEntry {
     "ns21_vocab_topk" -> ((s, d) =>
       TextOps.vocab(t(s, d, "documents"), "text", 20)),
 
+    // ---- §2.8 [NS] per-source token accounting ----
+    "ns27_token_accounting" -> ((s, d) =>
+      TextOps.tokenAccounting(t(s, d, "documents"),
+        Seq(col("source")), "text")),
+
     // ---- §2.8 [NS] tf-idf keyword extraction (linear idf) ----
     "ns26_tfidf_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 5)
@@ -1237,6 +1242,13 @@ object SparkEntry {
         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks GROUP BY word
         |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "ns27_token_accounting" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS total_words,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "ns26_tfidf_terms" ->
       """WITH base AS (
         |  SELECT doc_id,

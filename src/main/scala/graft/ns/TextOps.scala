@@ -213,6 +213,20 @@ object TextOps {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  /** Corpus token accounting: documents and token/word/char totals
+    * per group (source, split, language — whatever the mixture is
+    * budgeted by). One map-combinable aggregation over map-side
+    * stats — the number that decides how many epochs of each source a
+    * token budget buys. Output: (groupCols..., n_docs, total_tokens,
+    * total_words, total_chars). */
+  def tokenAccounting(df: DataFrame, groupCols: Seq[Column],
+      textCol: String): DataFrame =
+    df.groupBy(groupCols: _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(bpeTokenCount(col(textCol))).as("total_tokens"),
+      sum(size(wordTokens(col(textCol)))).as("total_words"),
+      sum(length(col(textCol))).as("total_chars"))
+
   /** Per-document salient terms by tf-idf with a LINEAR idf
     * (tf · N / df instead of tf · log(N/df)): log would rank the same
     * way but ties the score to libm's ln, which differs in the last

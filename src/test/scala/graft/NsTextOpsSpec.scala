@@ -51,6 +51,18 @@ class NsTextOpsSpec extends SparkSpec {
     assert(out == Seq(("red", 3L), ("blue", 2L), ("green", 2L)))
   }
 
+  test("tokenAccounting sums per group, hand-checked") {
+    val out = TextOps.tokenAccounting(
+      docs(1L -> "one two", 2L -> "three four five!")
+        .withColumn("src", when(col("doc_id") === 1L, "a").otherwise("b")),
+      Seq(col("src")), "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (s, a, b, c, d) => s -> ((a, b, c, d)) }.toMap
+    assert(out("a") == ((1L, 2L, 2L, 7L)))
+    // "three four five!" → bpe: three,four,five,"!" = 4 tokens
+    assert(out("b") == ((1L, 4L, 3L, 16L)))
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     // "rare" appears in 1 of 3 docs, "base" in all 3: for doc 1,
     // score(rare) = 2*3/1 = 6 > score(base) = 2*3/3 = 2
