@@ -270,7 +270,11 @@ object TextOps {
     * (idCol, fp). */
   def shingleFingerprints(df: DataFrame, idCol: String, textCol: String,
       n: Int, p: Int): DataFrame =
-    Dedup.shingles(df, idCol, textCol, n)
+    // hash the RAW gram stream and mod-p filter before any exchange:
+    // the one distinct then shuffles (id, long) pairs already cut p× —
+    // never gram strings, and never a pre-distinct of the full gram
+    // set (stream duplicates collapse in the same final distinct)
+    Dedup.shingleStream(df, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("gram")).as("fp"))
       .filter(pmod(col("fp"), lit(p)) === 0)
       .distinct()
