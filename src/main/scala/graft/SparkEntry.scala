@@ -684,9 +684,10 @@ object SparkEntry {
     // survives, dup_count records the replay) → per-source mixture
     // sampling → train/val/test split. Every stage is an
     // already-gated operator; this entry gates their COMPOSITION in
-    // one DuckDB oracle. The text gates are pure-column FILTERS (no
-    // corpus-sized self-joins), so the whole pipeline is one dedup
-    // groupBy plus the dimension-bounded source join at any scale.
+    // one DuckDB oracle. The text gates are pure-column FILTERS and
+    // the survivor's source rides through the dedup agg (carry), so
+    // the whole pipeline is ONE shuffle — the dedup groupBy — plus
+    // pure filters/projections at any scale.
     "p03_curation_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("text"))

@@ -67,10 +67,12 @@ object Checks {
       cfg: CheckConfig): DataFrame = {
     // rsd >= 1/3 would drive the pass floor n·(1−3·rsd) to zero or
     // below — the check would pass on ANY data, a vacuous gate worse
-    // than no gate (it reports success). Reject it up front.
-    cfg.approxUniqueRsd.foreach(rsd => require(rsd > 0.0 && rsd < 1.0 / 3,
-      s"approxUniqueRsd must be in (0, 1/3), got $rsd — at 1/3 the " +
-        "uniqueness floor reaches zero and the check passes vacuously"))
+    // than no gate (it reports success). Reject it up front — but only
+    // when a uniqueKey actually uses it; inert config must stay inert.
+    if (cfg.uniqueKey.isDefined)
+      cfg.approxUniqueRsd.foreach(rsd => require(rsd > 0.0 && rsd < 1.0 / 3,
+        s"approxUniqueRsd must be in (0, 1/3), got $rsd — at 1/3 the " +
+          "uniqueness floor reaches zero and the check passes vacuously"))
     val spark = df.sparkSession
     val nullCols = cfg.maxNullRate.keys.toSeq
     val aggs =

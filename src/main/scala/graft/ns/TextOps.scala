@@ -245,7 +245,11 @@ object TextOps {
     * Output: (idCol, word, tf, score, rn). */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val n = df.count()
+    // N enters the plan as a broadcast 1-row aggregate, not an eager
+    // df.count(): building this operator stays a pure (lazy) plan
+    // like every other TextOps function, and no separate corpus scan
+    // runs just to fetch the scalar
+    val nDf = df.agg(count(lit(1)).as("__n"))
     val toks = df.select(col(idCol),
       explode(wordTokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
@@ -254,8 +258,9 @@ object TextOps {
     val dfreq = tf.groupBy(col("word"))
       .agg(count(lit(1)).as("dfreq"))
     val scored = tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(nDf))
       .withColumn("score",
-        col("tf").cast("double") * n / col("dfreq"))
+        col("tf").cast("double") * col("__n") / col("dfreq"))
     graft.ops.Relational.topKPerGroup(
       scored.select(col(idCol), col("word"), col("tf"), col("score")),
       k, Seq(col(idCol)), Seq(col("score").desc, col("word").asc))
