@@ -76,6 +76,21 @@ class NsTextOpsSpec extends SparkSpec {
     assert(out == Seq((1L, "rare", 2L, 6.0, 1), (1L, "base", 2L, 2.0, 2)))
   }
 
+  test("vocab plans TakeOrdered; tfidf broadcasts the df side") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // top-k must NOT be a global sort — k rows per partition only
+    val vplan = TextOps.vocab(d, "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(vplan.contains("TakeOrdered"),
+      s"vocab should plan TakeOrderedAndProject:\n$vplan")
+    // the vocabulary-sized df table must broadcast, not sort-merge
+    val tplan = TextOps.tfidfTopTerms(d, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(tplan.contains("BroadcastHashJoin"),
+      s"tfidf should broadcast the document-frequency side:\n$tplan")
+  }
+
   test("qualityScoreCol/langIdCol agree with the DataFrame forms") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
