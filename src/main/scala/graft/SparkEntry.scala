@@ -658,6 +658,10 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
         defaultRate = 0.1, salt = "mix1")),
 
+    // ---- §2.8 [NS] deterministic corpus shuffle (training order) ----
+    "ns28_pseudo_shuffle" -> ((s, d) =>
+      Sampling.pseudoShuffle(t(s, d, "documents"), "doc_id", "shuf1")),
+
     // ---- §2.8 [NS] concat-and-chunk packing offsets ----
     // Global start offset of each doc in the doc_id-ordered
     // concatenation (by n_chars) and the context-window index it
@@ -1432,6 +1436,15 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)) AS BIGINT) % 10000
         |  < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
         |      WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 10000""".stripMargin,
+    "ns28_pseudo_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':shuf1') AS h,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf1'), 1, 8)) AS BIGINT) % 1000 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY b, h, doc_id) AS BIGINT) AS shuffle_rank
+        |FROM h""".stripMargin,
     "ns24_pack_offsets" ->
       """SELECT doc_id, n_chars,
         |  CAST(coalesce(SUM(n_chars) OVER (ORDER BY doc_id

@@ -83,6 +83,44 @@ object Sampling {
       rate * buckets)
   }
 
+  /** Deterministic corpus shuffle: a content-addressed pseudo-random
+    * permutation rank for training order. Sorting by a hash of the id
+    * is the standard trick (reproducible, engine-independent, no RNG
+    * state); the rank is materialized WITHOUT a single-partition
+    * global window by the same two-phase scheme as [[packOffsets]]:
+    * rows hash into `buckets` groups, each group ranks locally by
+    * (md5, id) — a window over ~N/buckets rows — and the per-bucket
+    * row counts (exactly `buckets` rows on the driver) are
+    * prefix-summed and broadcast back. The total order is
+    * (bucket, md5, id): any fixed pseudorandom total order is a valid
+    * shuffle, and this one both engines can compute bit-identically.
+    * Changing `salt` re-deals the whole permutation.
+    * Output: (idCol, shuffle_rank), ranks exactly 1..N. */
+  def pseudoShuffle(df: DataFrame, idCol: String, salt: String,
+      buckets: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    val withB = df.select(col(idCol))
+      .withColumn("__h",
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+      .withColumn("__b", hashBucket(col(idCol), salt, buckets))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    val local = withB.withColumn("__lr",
+      row_number().over(w).cast("long"))
+    val counts = withB.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val prefixRows = counts.toSeq.map { case (b, c) =>
+      val p = acc; acc += c; (b, p)
+    }
+    import spark.implicits._
+    val prefix = prefixRows.toDF("__b", "__prefix")
+    local.join(broadcast(prefix), "__b")
+      .select(col(idCol),
+        (col("__prefix") + col("__lr")).as("shuffle_rank"))
+  }
+
   /** Concat-and-chunk sequence packing offsets (the GPT-style
     * pretraining layout: concatenate all documents in a fixed order,
     * then cut fixed-size context windows): each row gets its global

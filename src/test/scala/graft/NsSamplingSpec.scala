@@ -85,6 +85,24 @@ class NsSamplingSpec extends SparkSpec {
       (2L, 4L, 8L, 1L), (3L, 4L, 12L, 2L), (4L, 4L, 16L, 2L)))
   }
 
+  test("pseudoShuffle: exact permutation, salt-sensitive, no global sort") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"))
+    val n = d.count()
+    val out = Sampling.pseudoShuffle(d, "doc_id", "s1", buckets = 7)
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"),
+      "pseudoShuffle must not plan a single-partition window")
+    val ranks = out.select("shuffle_rank").as[Long].collect().sorted
+    assert(ranks.sameElements(1L to n))     // exact permutation 1..N
+    // content-addressed: rerun identical; new salt re-deals
+    def perm(salt: String) =
+      Sampling.pseudoShuffle(d, "doc_id", salt, buckets = 7)
+        .orderBy("shuffle_rank").select("doc_id").as[Long].collect().toSeq
+    assert(perm("s1") == perm("s1"))
+    assert(perm("s1") != perm("s2"))
+  }
+
   test("packOffsets plans no single-partition exchange") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("n_chars"))
