@@ -1,6 +1,6 @@
 package graft.ns
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Relational
@@ -83,6 +83,21 @@ object Sampling {
       rate * buckets)
   }
 
+  /** Driver-side prefix sum of one long per bucket, returned as a
+    * broadcastable (__bucket, __prefix) frame — the shared second
+    * phase of [[packOffsets]] and [[pseudoShuffle]]'s two-phase
+    * global-rank scheme. Input is (bucket, total) pairs already
+    * collected (bounded by the caller's bucket count). */
+  private def broadcastPrefix(perBucket: Array[(Long, Long)],
+      spark: SparkSession): DataFrame = {
+    var acc = 0L
+    val rows = perBucket.sortBy(_._1).toSeq.map { case (b, t) =>
+      val p = acc; acc += t; (b, p)
+    }
+    import spark.implicits._
+    broadcast(rows.toDF("__bucket", "__prefix"))
+  }
+
   /** Deterministic corpus shuffle: a content-addressed pseudo-random
     * permutation rank for training order. Sorting by a hash of the id
     * is the standard trick (reproducible, engine-independent, no RNG
@@ -98,25 +113,29 @@ object Sampling {
     * Output: (idCol, shuffle_rank), ranks exactly 1..N. */
   def pseudoShuffle(df: DataFrame, idCol: String, salt: String,
       buckets: Int = 1000): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
     val spark = df.sparkSession
     val withB = df.select(col(idCol))
       .withColumn("__h",
         md5(concat(col(idCol).cast("string"), lit(":" + salt))))
-      .withColumn("__b", hashBucket(col(idCol), salt, buckets))
+      // bucket DERIVED from __h (first 8 hex chars, same arithmetic
+      // as hashBucket): the bucket/hash consistency the total order
+      // depends on is structural, and md5 runs once per row
+      .withColumn("__bucket",
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % buckets)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+      .partitionBy(col("__bucket")).orderBy(col("__h"), col(idCol))
     val local = withB.withColumn("__lr",
       row_number().over(w).cast("long"))
-    val counts = withB.groupBy(col("__b"))
+    val counts = withB.groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val prefixRows = counts.toSeq.map { case (b, c) =>
-      val p = acc; acc += c; (b, p)
-    }
-    import spark.implicits._
-    val prefix = prefixRows.toDF("__b", "__prefix")
-    local.join(broadcast(prefix), "__b")
+      .collect().map { r =>
+        require(!r.isNullAt(0), s"pseudoShuffle requires non-null " +
+          s"$idCol — a null id hashes to a null bucket and cannot " +
+          "be ranked")
+        (r.getLong(0), r.getLong(1))
+      }
+    local.join(broadcastPrefix(counts, spark), "__bucket")
       .select(col(idCol),
         (col("__prefix") + col("__lr")).as("shuffle_rank"))
   }
@@ -171,14 +190,8 @@ object Sampling {
         require(r.getLong(r.fieldIndex("__mn")) >= 0,
           s"packOffsets needs non-negative $orderCol")
         (r.getLong(0), r.getLong(1))
-      }.sortBy(_._1)
-    var acc = 0L
-    val prefixRows = totals.toSeq.map { case (b, t) =>
-      val p = acc; acc += t; (b, p)
-    }
-    import spark.implicits._
-    val prefix = prefixRows.toDF("__bucket", "__prefix")
-    local.join(broadcast(prefix), "__bucket")
+      }
+    local.join(broadcastPrefix(totals, spark), "__bucket")
       .withColumn("__start", col("__prefix") + col("__local_start"))
       .select(col(orderCol), col(weightCol),
         col("__start").as("start_offset"),
