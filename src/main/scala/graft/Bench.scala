@@ -197,6 +197,12 @@ object Bench {
     val cappedJson = cappedAt.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","core_total":$core,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // The full line is ~4 KB at 64 queries and can start BEFORE the
+    // driver's fixed-size tail window, leaving it a parse-proof
+    // fragment (round-6 artifact: parsed=null despite the line being
+    // present). A second, short, totals-only line — printed LAST —
+    // always fits the window whole.
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","core_total":$core,"n_queries":${results.size},"rounds_completed":$roundsCompleted,"capped":$cappedJson,"sf":"$sfDir"}"""
     // Durability: three of five rounds lost this line to tail spam
     // (watchdog-cancel stack traces through shutdown) or external
     // kills. So: silence logging, stop Spark FIRST so nothing can
@@ -206,11 +212,13 @@ object Bench {
     try spark.stop() catch { case _: Throwable => }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
-      (metricLine + "\n").getBytes("UTF-8"))
+      (metricLine + "\n" + shortLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
     System.err.println(metricLine)
+    System.err.println(shortLine)
     System.err.flush()
     println(metricLine)
+    println(shortLine)
     System.out.flush()
   }
 }
