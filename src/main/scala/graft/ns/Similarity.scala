@@ -214,35 +214,6 @@ object Similarity {
       seed: Long = 42L, indexKey: Option[String] = None,
       fitSampleCap: Int = 100000): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    require(fitSampleCap >= nlist, "fitSampleCap must be >= nlist")
-    def unit(c: Column): Column = {
-      val n = sqrt(dot(c, c))
-      transform(toD(c), x => x / n)
-    }
-    def buildIndex(): (DataFrame, Array[Array[Double]]) = {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val corpusF = corpus
-        .filter(dot(col(vecCol), col(vecCol)) > 0)
-        .select(col(idCol), col(vecCol),
-          array_to_vector(unit(col(vecCol))).as("features"))
-      // The quantizer fit is iterative (k passes over its input), so it
-      // is the one step that must NOT see the full corpus at 100 TB:
-      // fit on a deterministic sample capped at `fitSampleCap` rows —
-      // nlist centroids need ~1000·nlist points, not billions — then
-      // assign the FULL corpus in the single transform pass below.
-      val n = corpusF.count()
-      val fitSet =
-        if (n <= fitSampleCap) corpusF
-        else corpusF.sample(withReplacement = false,
-          fitSampleCap.toDouble / n, seed)
-      val km = new KMeans().setK(nlist).setSeed(seed)
-        .setFeaturesCol("features").setPredictionCol("cell")
-      val model = km.fit(fitSet)
-      (model.transform(corpusF)
-        .select(col(idCol), col(vecCol), col("cell")),
-        model.clusterCenters.map(_.toArray))
-    }
     val (assigned, centers) = indexKey match {
       case Some(key) =>
         val cacheKey = (corpus.sparkSession.sparkContext.applicationId,
@@ -251,13 +222,105 @@ object Similarity {
         // key would otherwise fit twice and leak a persisted copy.
         ivfIndexCache.synchronized {
           Option(ivfIndexCache.get(cacheKey)).getOrElse {
-            val (a, c) = buildIndex()
+            val (a, c) = buildIvfIndex(corpus, idCol, vecCol, nlist,
+              seed, fitSampleCap)
             val idx = (a.persist(), c)
             ivfIndexCache.put(cacheKey, idx)
             idx
           }
         }
-      case None => buildIndex()
+      case None =>
+        buildIvfIndex(corpus, idCol, vecCol, nlist, seed, fitSampleCap)
+    }
+    ivfTopKWithIndex(assigned, centers, idCol, vecCol,
+      queries, queryIdCol, queryVecCol, k, nprobe)
+  }
+
+  /** Fit an IVF index without querying it: returns (cell assignments
+    * `(idCol, vecCol, cell)`, centroids). This is the OFFLINE half of
+    * the index/query split; pair with [[saveIvfIndex]] /
+    * [[loadIvfIndex]] to survive application restarts, or let
+    * [[ivfTopK]]'s `indexKey` cache it in-process. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L,
+      fitSampleCap: Int = 100000): (DataFrame, Array[Array[Double]]) = {
+    require(fitSampleCap >= nlist, "fitSampleCap must be >= nlist")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    def unit(c: Column): Column = {
+      val n = sqrt(dot(c, c))
+      transform(toD(c), x => x / n)
+    }
+    val corpusF = corpus
+      .filter(dot(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol), col(vecCol),
+        array_to_vector(unit(col(vecCol))).as("features"))
+    // The quantizer fit is iterative (k passes over its input), so it
+    // is the one step that must NOT see the full corpus at 100 TB:
+    // fit on a deterministic sample capped at `fitSampleCap` rows —
+    // nlist centroids need ~1000·nlist points, not billions — then
+    // assign the FULL corpus in the single transform pass below.
+    val n = corpusF.count()
+    val fitSet =
+      if (n <= fitSampleCap) corpusF
+      else corpusF.sample(withReplacement = false,
+        fitSampleCap.toDouble / n, seed)
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(fitSet)
+    (model.transform(corpusF)
+      .select(col(idCol), col(vecCol), col("cell")),
+      model.clusterCenters.map(_.toArray))
+  }
+
+  /** Persist a fitted IVF index under `dir`: cell assignments as
+    * parquet at `dir/assignments`, centroids as JSON lines
+    * `(cell, centroid)` at `dir/centroids`. Both go through Spark
+    * writers, so `dir` can be any filesystem the session reaches
+    * (object store included) — nothing is driver-local. Doubles
+    * round-trip exactly (shortest-representation JSON). */
+  def saveIvfIndex(index: (DataFrame, Array[Array[Double]]),
+      dir: String): Unit = {
+    val (assigned, centers) = index
+    assigned.write.mode("overwrite").parquet(s"$dir/assignments")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1) // nlist rows — one tiny file, not 32 splinters
+      .write.mode("overwrite").json(s"$dir/centroids")
+  }
+
+  /** Load an index written by [[saveIvfIndex]]. The assignments come
+    * back as a lazy parquet scan (NOT collected — at 100 TB the
+    * assignment table is corpus-sized); only the nlist centroid rows
+    * are collected. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Array[Array[Double]]) = {
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    val centers = spark.read.json(s"$dir/centroids")
+      .select(col("cell").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(centers.nonEmpty, s"no centroids found under $dir/centroids")
+    (assigned, centers)
+  }
+
+  /** The ONLINE half of [[ivfTopK]]: probe a prefit index (from
+    * [[buildIvfIndex]] or [[loadIvfIndex]]) with `queries`.
+    * Output: (query_id, idCol, cosine, rank). */
+  def ivfTopKWithIndex(assigned: DataFrame,
+      centers: Array[Array[Double]], idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val nlist = centers.length
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    def unit(c: Column): Column = {
+      val n = sqrt(dot(c, c))
+      transform(toD(c), x => x / n)
     }
     // centroids as literals: probe selection never touches a join.
     // Probe ranking MUST use the quantizer's own metric — k-means

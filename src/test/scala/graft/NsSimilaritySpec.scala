@@ -137,6 +137,39 @@ class NsSimilaritySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
+  test("IVF index save/load round-trips with identical query results") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val built = Similarity.buildIvfIndex(
+      emb, "vec_id", "embedding", nlist = 16)
+    def query(idx: (org.apache.spark.sql.DataFrame,
+        Array[Array[Double]])) =
+      Similarity.ivfTopKWithIndex(idx._1, idx._2, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nprobe = 6)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val fresh = query(built)
+    assert(fresh.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toFile
+    dir.deleteOnExit()
+    Similarity.saveIvfIndex(built, dir.getPath)
+    val loaded = Similarity.loadIvfIndex(spark, dir.getPath)
+    // centroids survive the JSON round-trip bit-exactly, in cell order
+    assert(loaded._2.length == built._2.length)
+    assert(loaded._2.zip(built._2).forall { case (a, b) =>
+      a.sameElements(b) })
+    // and a RESTARTED application's index (the loaded one) answers
+    // queries identically — cosine included, not just ids
+    assert(query(loaded) == fresh)
+    // ivfTopK over the same corpus/seed agrees with the offline split
+    val inline = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(inline == fresh)
+  }
+
   test("cosineNearDupPairs finds high-cosine pairs via bucketed join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // exact truth by brute force (test-only; the operator is bucketed)
