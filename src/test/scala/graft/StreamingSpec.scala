@@ -177,6 +177,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s01 path under ProcessingTime matches its AvailableNow answer") {
+    // The reference-cadence mode (C1 hourly → Trigger.ProcessingTime)
+    // EXECUTED on the real s01 path — fixture events, watermarked
+    // hourly rollup, gold sink — not just type-checked: fire on a
+    // clock, drain with processAllAvailable, stop, and the landed gold
+    // must be exactly what the drain-and-stop trigger lands.
+    val base = Files.createTempDirectory("graft_s01pt").toFile
+    base.deleteOnExit()
+    val src = s"${base.getPath}/events"
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(src)
+    def run(trigger: org.apache.spark.sql.streaming.Trigger,
+        tag: String): Set[(Long, String, Long, Double)] = {
+      val q = EventStream.startGoldStream(
+        EventStream.hourlyRollup(
+          EventStream.fileSource(spark, src, ev.schema)),
+        s"${base.getPath}/gold_$tag", s"${base.getPath}/ckpt_$tag",
+        trigger)
+      try {
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"${base.getPath}/gold_$tag")
+        .select(col("run_hr").cast("long"), col("event_type"),
+          col("n"), col("total"))
+        .as[(Long, String, Long, Double)].collect().toSet
+    }
+    val clocked = run(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      "pt")
+    val drained = run(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), "an")
+    assert(clocked.nonEmpty)
+    // both sums ride the same decimal-exact path before the final
+    // double cast → bit-equal, no float tolerance needed
+    assert(clocked == drained)
+  }
+
   test("sessionize: gap closes sessions in-batch, watermark via timeout") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Event]
