@@ -187,6 +187,9 @@ object Sampling {
     val totals = withB.groupBy(col("__bucket"))
       .agg(sum(col("__w")).as("__tot"), min(col("__ord")).as("__mn"))
       .collect().map { r =>
+        require(!r.isNullAt(r.fieldIndex("__mn")),
+          s"packOffsets requires non-null $orderCol — a null order " +
+            "value hashes to a null bucket and cannot be offset")
         require(r.getLong(r.fieldIndex("__mn")) >= 0,
           s"packOffsets needs non-negative $orderCol")
         (r.getLong(0), r.getLong(1))

@@ -187,9 +187,11 @@ class PipelineSpec extends SparkSpec {
     // dedup keeps the ORIGINAL id: replayed ids (+100000) never survive
     assert(out.forall(_._1 < 100000L))
     // a replayed doc passes/fails the text gates with its twin, so
-    // dup_count is exactly 2 on every 10th doc and 1 otherwise
+    // every 10th doc carries at least its replay (>= 2; == 2 would
+    // additionally assume no two DISTINCT fixture docs share identical
+    // normalized text — true today, but not a property this test owns)
     assert(out.forall { case (id, c, _) =>
-      c == (if (id % 10 == 0) 2L else 1L) })
+      if (id % 10 == 0) c >= 2L else c >= 1L })
     assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
   }
 
