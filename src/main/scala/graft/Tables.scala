@@ -23,8 +23,11 @@ object Tables {
     // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
     // so it arrives as nanos-since-epoch LongType. Normalize to Spark's
     // native micros TimestampType here so every downstream operator sees
-    // a plain timestamp column.
-    if (name == "events")
+    // a plain timestamp column. Branch on the arriving type so an
+    // events table that already carries native micros timestamps
+    // (a non-driver fixture) passes through untouched.
+    if (name == "events" &&
+      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
