@@ -460,7 +460,9 @@ object SparkEntry {
     // dimension-sized set), then flow binaryFile → metadata projection
     // → batched stub decode. sha256/byte_len are REAL payload facts
     // the oracle reproduces from the source text; dims come from the
-    // clearly-stubbed size-keyed decoder.
+    // size-keyed stub, pinned EXPLICITLY so the gate stays stable even
+    // if a doc's text happens to start with a PNM magic — the real
+    // header-parse path is gated separately by ns29.
     "ns14_multimodal_features" -> ((s, d) => {
       val dir = newScratchDir("graft_mm_q")
       t(s, d, "documents").filter(col("doc_id") < 50)
@@ -472,7 +474,35 @@ object SparkEntry {
             r.getString(1).getBytes("UTF-8"))
         }
       materializeAndDrop(Multimodal.decodeFeatures(
-        Multimodal.readBinaryDir(s, dir.getPath, "*.txt")).toDF(), dir)
+        Multimodal.readBinaryDir(s, dir.getPath, "*.txt"),
+        decode = batch => batch.map(Multimodal.stubDims)).toDF(), dir)
+    }),
+
+    // ---- §2.8 [NS] multimodal: REAL header decode, oracle-gated ----
+    // Per-doc BMP payloads are materialized with dims derived from the
+    // text length (w = len%31+1, h = len*7%17+1), then flow through
+    // the SAME binaryFile → batched-decode path as ns14 — but here the
+    // default decoder PARSES the BMP header, so width/height/byte_len
+    // are real payload facts the oracle recomputes from the
+    // construction arithmetic (byte_len = 54 + ((w*3+3) div 4 * 4)·h,
+    // the exact size Multimodal.writeBmp emits). sha256 is omitted:
+    // DuckDB cannot reconstruct the binary payload.
+    "ns29_bmp_decode" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_bmp")
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val len = r.getInt(1)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath, s"doc_$id.bmp"),
+            Multimodal.writeBmp(len % 31 + 1, (len * 7) % 17 + 1,
+              seed = id))
+        }
+      materializeAndDrop(Multimodal.decodeFeatures(
+        Multimodal.readBinaryDir(s, dir.getPath, "*.bmp"))
+        .toDF().select(col("file_name"), col("byte_len"),
+          col("width"), col("height")), dir)
     }),
 
     // ---- §7.4.6 streaming restatement, driver-gated ----
@@ -733,7 +763,13 @@ object SparkEntry {
       lpad(pmod(id * 7, lit(10000)).cast("string"), 4, "0"),
       lit(" from 10.0."),
       pmod(id, lit(256)).cast("string"), lit("."),
-      pmod(id * 3, lit(256)).cast("string"))
+      pmod(id * 3, lit(256)).cast("string"),
+      lit(" card 4111-1111-1111-"),
+      lpad(pmod(id, lit(10000)).cast("string"), 4, "0"),
+      lit(" ssn "),
+      lpad(pmod(id, lit(1000)).cast("string"), 3, "0"), lit("-"),
+      lpad(pmod(id * 3, lit(100)).cast("string"), 2, "0"), lit("-"),
+      lpad(pmod(id * 9, lit(10000)).cast("string"), 4, "0"))
 
   /** Weather flow: one bronze doc per nation row (python-repr for odd
     * keys — the reference's unrepaired-weather quirk), S11 sensor,
@@ -1198,7 +1234,12 @@ object SparkEntry {
         |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
         |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
         |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
-        |      || CAST((doc_id * 3) % 256 AS VARCHAR) AS t0
+        |      || CAST((doc_id * 3) % 256 AS VARCHAR)
+        |      || ' card 4111-1111-1111-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST((doc_id * 3) % 100 AS VARCHAR), 2, '0')
+        |      || '-' || lpad(CAST((doc_id * 9) % 10000 AS VARCHAR), 4, '0') AS t0
         |  FROM documents),
         |s1 AS (SELECT doc_id,
         |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
@@ -1207,13 +1248,23 @@ object SparkEntry {
         |s2 AS (SELECT doc_id, n_email,
         |  len(regexp_extract_all(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
         |  regexp_replace(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
-        |  FROM s1)
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_phone,
+        |  len(regexp_extract_all(t2, '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS n_cc,
+        |  regexp_replace(t2, '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CC>', 'g') AS t3
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_phone, n_cc,
+        |  len(regexp_extract_all(t3, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+        |  regexp_replace(t3, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t4
+        |  FROM s3)
         |SELECT doc_id,
         |  CAST(n_email AS BIGINT) AS n_email,
         |  CAST(n_phone AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
-        |  regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS redacted_text
-        |FROM s2""".stripMargin,
+        |  CAST(n_cc AS BIGINT) AS n_cc,
+        |  CAST(n_ssn AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t4, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(t4, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS redacted_text
+        |FROM s4""".stripMargin,
     "ns20_repetition_stats" ->
       """WITH base AS (
         |  SELECT doc_id, regexp_replace(text, ' table ', chr(10), 'g') AS t
@@ -1286,7 +1337,11 @@ object SparkEntry {
         |fresh AS (
         |  SELECT f.fingerprint, f.doc_id FROM fps f
         |  WHERE f.doc_id >= 200
-        |    AND f.fingerprint NOT IN (SELECT fingerprint FROM known))
+        |    -- NOT EXISTS, not NOT IN: a NULL fingerprint in the known
+        |    -- store would make NOT IN return zero rows while Spark's
+        |    -- left_anti keeps null-keyed rows
+        |    AND NOT EXISTS (SELECT 1 FROM known k
+        |                    WHERE k.fingerprint = f.fingerprint))
         |SELECT fingerprint, min(doc_id) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS dup_count
         |FROM fresh GROUP BY 1""".stripMargin,
@@ -1320,7 +1375,12 @@ object SparkEntry {
         |      || lpad(CAST(b.doc_id % 1000 AS VARCHAR), 3, '0') || '-'
         |      || lpad(CAST((b.doc_id * 7) % 10000 AS VARCHAR), 4, '0')
         |      || ' from 10.0.' || CAST(b.doc_id % 256 AS VARCHAR) || '.'
-        |      || CAST((b.doc_id * 3) % 256 AS VARCHAR) AS t0
+        |      || CAST((b.doc_id * 3) % 256 AS VARCHAR)
+        |      || ' card 4111-1111-1111-'
+        |      || lpad(CAST(b.doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ssn ' || lpad(CAST(b.doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST((b.doc_id * 3) % 100 AS VARCHAR), 2, '0')
+        |      || '-' || lpad(CAST((b.doc_id * 9) % 10000 AS VARCHAR), 4, '0') AS t0
         |  FROM base b JOIN keep k ON b.doc_id = k.doc_id),
         |s1 AS (SELECT doc_id,
         |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
@@ -1329,13 +1389,23 @@ object SparkEntry {
         |s2 AS (SELECT doc_id, n_email,
         |  len(regexp_extract_all(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
         |  regexp_replace(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
-        |  FROM s1)
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_phone,
+        |  len(regexp_extract_all(t2, '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS n_cc,
+        |  regexp_replace(t2, '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CC>', 'g') AS t3
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_phone, n_cc,
+        |  len(regexp_extract_all(t3, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+        |  regexp_replace(t3, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t4
+        |  FROM s3)
         |SELECT doc_id,
         |  CAST(n_email AS BIGINT) AS n_email,
         |  CAST(n_phone AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
-        |  regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS redacted_text
-        |FROM s2""".stripMargin,
+        |  CAST(n_cc AS BIGINT) AS n_cc,
+        |  CAST(n_ssn AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t4, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(t4, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS redacted_text
+        |FROM s4""".stripMargin,
     "ns22_contamination" ->
       """WITH docs AS (
         |  SELECT doc_id,
@@ -1373,6 +1443,17 @@ object SparkEntry {
         | CAST(length(text) % 640 + 1 AS INT) AS width,
         | CAST((length(text) * 7) % 480 + 1 AS INT) AS height
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    // Recomputes the BMP construction arithmetic: the engine parsed
+    // these numbers out of real payload headers; the oracle re-derives
+    // them from the text length the payloads were built from.
+    "ns29_bmp_decode" ->
+      """SELECT 'doc_' || doc_id || '.bmp' AS file_name,
+        | CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS byte_len,
+        | CAST(w AS INT) AS width,
+        | CAST(h AS INT) AS height
+        |FROM (SELECT doc_id, length(text) % 31 + 1 AS w,
+        |        (length(text) * 7) % 17 + 1 AS h
+        |      FROM documents WHERE doc_id < 50)""".stripMargin,
     // Spark conv(hex,16,10) and DuckDB CAST('0x'||hex AS BIGINT) agree
     // on the first-8-hex-chars bucket (verified value-identical).
     "ns17_hash_split" ->
@@ -1478,8 +1559,11 @@ object SparkEntry {
     // next event) OR its timeout (end + gap) is strictly before the
     // final watermark (max ts − 1 h). Fixture timestamps are
     // micro-exact (ns remainder 0), so no precision slack is needed.
+    // DISTINCT states the dedup semantics explicitly: the fixture's
+    // event_ids are unique within one file copy, but the oracle must
+    // not silently rely on that.
     "s03_stream_dedup" ->
-      """SELECT event_id, user_id, event_type, value FROM events
+      """SELECT DISTINCT event_id, user_id, event_type, value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     "s02_sessionize" ->
       """WITH ev AS (

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata alongside — pointer-not-payload beyond
   * ~1 MB per object is the 100 TB rule (store a path, not the bytes).
   *
-  * The DECODE step is STUBBED: this container has no image/audio
-  * codecs, so [[defaultDecode]] is a clearly-marked deterministic fake
-  * keyed on payload size. Everything AROUND the decode is real and
-  * tested — the binaryFile source schema, the metadata projection, the
-  * batched `mapPartitions` execution shape (the Scala analogue of a
-  * vectorized/batched decode UDF: payload bytes reach the decoder in
-  * per-partition batches, never row-at-a-time through the driver), and
-  * the frame-sampling fan-out.
+  * The DECODE step is real for the dependency-free formats — BMP and
+  * PNM (PBM/PGM/PPM) dimensions are parsed from the payload header in
+  * pure JVM code ([[parseDims]]) — and falls back to a clearly-marked
+  * deterministic fake ([[stubDims]]) for formats that need a codec
+  * this container does not have (JPEG/MP4/...). Everything AROUND the
+  * decode is real and tested — the binaryFile source schema, the
+  * metadata projection, the batched `mapPartitions` execution shape
+  * (the Scala analogue of a vectorized/batched decode UDF: payload
+  * bytes reach the decoder in per-partition batches, never
+  * row-at-a-time through the driver), and the frame-sampling fan-out.
   */
 object Multimodal {
 
@@ -30,13 +32,95 @@ object Multimodal {
     * contract does not change. */
   type DecodeBatch = Seq[Array[Byte]] => Seq[(Int, Int)]
 
-  /** STUB decoder: deterministic fake dimensions from the payload
-    * size. Replace with a real codec to productionize; keeping it a
-    * pure function of the bytes preserves idempotent re-runs. */
+  /** STUB fallback for codec-requiring formats: deterministic fake
+    * dimensions from the payload size. A pure function of the bytes,
+    * so re-runs stay idempotent; a real deployment plugs a codec into
+    * [[decodeFeatures]] for those formats. */
+  def stubDims(bytes: Array[Byte]): (Int, Int) =
+    ((bytes.length % 640 + 1), ((bytes.length * 7) % 480 + 1))
+
+  /** Real header decode for the codec-free image formats:
+    *  - BMP (`BM` magic): BITMAPCOREHEADER (DIB size 12, u16 dims at
+    *    18/20) and BITMAPINFOHEADER+ (DIB size >= 40, i32 dims at
+    *    18/22; negative height = top-down rows, dims are |height|).
+    *    Little-endian throughout, per the public format spec.
+    *  - PNM `P1`..`P6`: ASCII header `magic [#comment]* width height`,
+    *    tokens separated by whitespace, `#` comments run to newline.
+    * Returns None for anything else (malformed or codec-requiring). */
+  def parseDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
+    def le32(off: Int): Int =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    if (bytes.length >= 22 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val dib = le32(14)
+      if (dib == 12) {
+        val (w, h) = (le16(18), le16(20))
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else if (dib >= 40 && bytes.length >= 26) {
+        val (w, h) = (le32(18), le32(22))
+        if (w > 0 && h != 0) Some((w, math.abs(h))) else None
+      } else None
+    } else if (bytes.length >= 2 && bytes(0) == 'P' &&
+      bytes(1) >= '1' && bytes(1) <= '6') {
+      // Tokenize just far enough for two decimal fields.
+      var i = 2
+      def nextInt(): Option[Int] = {
+        while (i < bytes.length &&
+          (Character.isWhitespace(bytes(i)) || bytes(i) == '#')) {
+          if (bytes(i) == '#')
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          else i += 1
+        }
+        var v = 0L; var any = false
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); any = true
+          if (v > Int.MaxValue) return None
+          i += 1
+        }
+        if (any) Some(v.toInt) else None
+      }
+      for { w <- nextInt(); h <- nextInt() if w > 0 && h > 0 }
+        yield (w, h)
+    } else None
+  }
+
+  /** Default decoder: real header parse where the format allows it,
+    * size-keyed stub otherwise. */
   val defaultDecode: DecodeBatch =
-    batch => batch.map { bytes =>
-      ((bytes.length % 640 + 1), ((bytes.length * 7) % 480 + 1))
+    batch => batch.map(bytes => parseDims(bytes).getOrElse(stubDims(bytes)))
+
+  /** Minimal 24-bit BMP encoder (BITMAPINFOHEADER, bottom-up rows,
+    * 4-byte row padding) — fixture/round-trip counterpart of
+    * [[parseDims]]. Pixels are a deterministic function of `seed` and
+    * position, so payload bytes (hence sha256) are reproducible.
+    * File size is exactly `54 + ((w*3 + 3)/4*4) * h`. */
+  def writeBmp(width: Int, height: Int, seed: Long = 0L): Array[Byte] = {
+    require(width > 0 && height > 0, "BMP dims must be positive")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val fileSize = 54 + rowSize * height
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putInt(0).putInt(54)                       // reserved, data offset
+    b.putInt(40).putInt(width).putInt(height)     // BITMAPINFOHEADER
+      .putShort(1).putShort(24)                   // planes, bpp
+      .putInt(0).putInt(rowSize * height)         // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed + y.toLong * width + x
+        b.put((v % 251).toByte).put((v % 241).toByte).put((v % 239).toByte)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowSize) { b.put(0.toByte); pad += 1 }
+      y += 1
     }
+    b.array()
+  }
 
   /** Binary-file source: one row per file under `dir` matching `glob`,
     * with Spark's binaryFile schema (path, modificationTime, length,

@@ -143,14 +143,23 @@ object TextOps {
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
       "<EMAIL>"),
     ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    // card before ssn: both are dash-grouped digit runs, and fixing
+    // the order fixes which pattern owns an ambiguous span in BOTH
+    // engines. 16-digit 4-4-4-4 grouping (dash or space), the public
+    // card-number display format; Luhn validation is out of scope —
+    // a scrub pass prefers the false positive.
+    ("cc", "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}", "<CC>"),
+    // SSN display format AAA-GG-SSSS (public format spec)
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
       "<IPV4>"))
 
   /** PII redaction for training corpora (the C4/CCNet-style scrub
-    * pass): replace emails, phone numbers, and IPv4 addresses with
-    * typed placeholder tokens and report how many of each were hit.
-    * Pure map-side projection — codegen'd regexp chain, zero shuffle.
-    * Output: (idCol, n_email, n_phone, n_ipv4, redacted_text). */
+    * pass): replace emails, phone numbers, card numbers, SSNs, and
+    * IPv4 addresses with typed placeholder tokens and report how many
+    * of each were hit. Pure map-side projection — codegen'd regexp
+    * chain, zero shuffle. Output:
+    * (idCol, n_email, n_phone, n_cc, n_ssn, n_ipv4, redacted_text). */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (redacted, counts) = piiPatterns
       .foldLeft((col(textCol), Seq.empty[(String, Column)])) {
@@ -242,9 +251,19 @@ object TextOps {
     * BROADCAST back, so the corpus shuffles once for tf and never for
     * the join. The final per-doc top-k plans as a window group limit
     * (partition-local prune before the exchange).
+    *
+    * `minDf` caps the broadcast side against adversarial vocabularies
+    * (an unfiltered web crawl's long tail of unique garbage tokens can
+    * push "one row per word" to GBs): words seen in fewer than minDf
+    * documents are cut BEFORE the broadcast. The inner join then also
+    * drops those words' tf rows — at minDf = 1 (default) nothing is
+    * cut, and any minDf > 1 run scores a subset of the minDf = 1 rows
+    * (cutting can promote surviving words into the per-doc top-k, so
+    * the subset law holds for (doc, word, tf, score), not for rn).
     * Output: (idCol, word, tf, score, rn). */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, minDf: Int = 1): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
     // N enters the plan as a broadcast 1-row aggregate, not an eager
     // df.count(): building this operator stays a pure (lazy) plan
     // like every other TextOps function, and no separate corpus scan
@@ -257,6 +276,7 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("word"))
       .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= minDf)
     val scored = tf.join(broadcast(dfreq), "word")
       .crossJoin(broadcast(nDf))
       .withColumn("score",

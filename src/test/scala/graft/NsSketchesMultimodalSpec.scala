@@ -64,6 +64,73 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("writeBmp → parseDims round-trips, including row-padding widths") {
+    // widths 1..5 cover every row-padding residue (w*3 mod 4)
+    for (w <- 1 to 5; h <- Seq(1, 3, 17)) {
+      val bytes = Multimodal.writeBmp(w, h, seed = 42L)
+      assert(bytes.length == 54 + (w * 3 + 3) / 4 * 4 * h,
+        s"file size formula for ${w}x$h")
+      assert(Multimodal.parseDims(bytes).contains((w, h)))
+    }
+    // deterministic payload: same args → identical bytes
+    assert(Multimodal.writeBmp(4, 2, 7L).sameElements(
+      Multimodal.writeBmp(4, 2, 7L)))
+    assert(!Multimodal.writeBmp(4, 2, 7L).sameElements(
+      Multimodal.writeBmp(4, 2, 8L)))
+  }
+
+  test("parseDims handles core-header, top-down, PNM, and rejects junk") {
+    // hand-built BITMAPCOREHEADER (DIB size 12, u16 dims at 18/20)
+    val core = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    core.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+    core.putInt(12).putShort(640.toShort).putShort(480.toShort)
+      .putShort(1).putShort(24)
+    assert(Multimodal.parseDims(core.array()).contains((640, 480)))
+    // top-down BMP: negative i32 height → |height|
+    val topDown = Multimodal.writeBmp(5, 3)
+    val bb = java.nio.ByteBuffer.wrap(topDown)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -3)
+    assert(Multimodal.parseDims(topDown).contains((5, 3)))
+    // PNM: whitespace variants + '#' comments before/between fields
+    assert(Multimodal.parseDims("P6 12 8 255 ".getBytes("UTF-8"))
+      .contains((12, 8)))
+    assert(Multimodal.parseDims(
+      "P5\n# a comment\n 640\n# another\n480\n255\n".getBytes("UTF-8"))
+      .contains((640, 480)))
+    assert(Multimodal.parseDims("P1\n3 2\n".getBytes("UTF-8"))
+      .contains((3, 2)))
+    // rejections: junk, truncated BM, zero dims, non-numeric PNM text
+    assert(Multimodal.parseDims("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseDims(Array[Byte]('B', 'M', 0, 0)).isEmpty)
+    assert(Multimodal.parseDims("P6 0 8 255 ".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseDims(
+      "P2 was a fine year for text".getBytes("UTF-8")).isEmpty)
+    val zeroW = Multimodal.writeBmp(5, 3)
+    java.nio.ByteBuffer.wrap(zeroW)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(18, 0)
+    assert(Multimodal.parseDims(zeroW).isEmpty)
+  }
+
+  test("default decode parses real headers and falls back to the stub") {
+    val dir = Files.createTempDirectory("graft_mm_bmp").toFile
+    dir.deleteOnExit()
+    val bmp = Multimodal.writeBmp(31, 17, seed = 1L)
+    val opaque = "jpeg-shaped opaque payload".getBytes("UTF-8")
+    Files.write(Paths.get(dir.getPath, "real.bmp"), bmp)
+    Files.write(Paths.get(dir.getPath, "opaque.bin"), opaque)
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.readBinaryDir(spark, dir.getPath, "*")).collect()
+      .map(f => f.file_name -> f).toMap
+    assert(feats("real.bmp").width == 31 && feats("real.bmp").height == 17)
+    assert(feats("real.bmp").byte_len == bmp.length)
+    assert(feats("real.bmp").sha256 == sha256hex(bmp))
+    val (sw, sh) = Multimodal.stubDims(opaque)
+    assert(feats("opaque.bin").width == sw &&
+      feats("opaque.bin").height == sh)
+  }
+
   test("frameSample fans each payload into n deterministic slices") {
     val dir = Files.createTempDirectory("graft_mm2").toFile
     dir.deleteOnExit()

@@ -16,14 +16,38 @@ class NsTextOpsSpec extends SparkSpec {
       // the dotted quad inside the email domain must count as email,
       // not ipv4 (sequential semantics)
       1L -> "mail bob@10.0.0.5.example.com or bob@corp.example.org, dial +1-555-010-2030, host 192.168.0.1",
-      2L -> "no pii here"), "doc_id", "text")
+      2L -> "no pii here",
+      // card (dash AND space groupings) + ssn; the ssn pattern must
+      // never fire inside a card number (cc is redacted first)
+      3L -> "pay 4111-1111-1111-1234 or 5500 0000 0000 0004, ssn 123-45-6789"),
+      "doc_id", "text")
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
       "redactPii must stay map-side")
-    val out = df.as[(Long, Long, Long, Long, String)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
-    assert(out(1L) == ((2L, 1L, 1L,
+    val out = df.as[(Long, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(1L) == ((2L, 1L, 0L, 0L, 1L,
       "mail <EMAIL> or <EMAIL>, dial <PHONE>, host <IPV4>")))
-    assert(out(2L) == ((0L, 0L, 0L, "no pii here")))
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 0L, "no pii here")))
+    assert(out(3L) == ((0L, 0L, 2L, 1L, 0L,
+      "pay <CC> or <CC>, ssn <SSN>")))
+  }
+
+  test("tfidf minDf cuts the broadcast side; output is a subset") {
+    val d = docs(
+      1L -> "rare rare base base",
+      2L -> "base other",
+      3L -> "base other")
+    def rows(minDf: Int) =
+      TextOps.tfidfTopTerms(d, "doc_id", "text", 2, minDf = minDf)
+        .as[(Long, String, Long, Double, Int)].collect().toSet
+    val full = rows(1)
+    val cut = rows(2)
+    // every minDf=2 row is a minDf=1 row modulo rank renumbering
+    assert(cut.map(r => (r._1, r._2, r._3, r._4))
+      .subsetOf(full.map(r => (r._1, r._2, r._3, r._4))))
+    // "rare" (df=1) is gone from doc 1 at minDf=2, "base" (df=3) stays
+    assert(!cut.exists(_._2 == "rare") && full.exists(_._2 == "rare"))
+    assert(cut.exists(r => r._1 == 1L && r._2 == "base"))
   }
 
   test("repetitionStats measures excess-copy line/char fractions, no shuffle") {
