@@ -361,9 +361,20 @@ object Similarity {
 
   /** Embedding-cosine near-dup candidate pairs: all (id_a < id_b) that
     * share a bucket in at least one of the OR-ed random projections
-    * (equi-join on (table, bucket) — linear-ish, never N²), verified
+    * (equi-join on (table, bucket) — never an N² product), verified
     * by the exact cosine against `minCosine`. Deterministic for a
-    * fixed seed. Output: (id_a, id_b, cosine). */
+    * fixed seed. Output: (id_a, id_b, cosine).
+    *
+    * Scale: candidate volume is Σ bucket-occupancy² per table, and
+    * occupancy grows LINEARLY with corpus density at fixed
+    * `bucketLength` — so a 10× corpus costs ~100× candidate work
+    * unless the bucketing is re-tuned (the classic LSH density trap;
+    * measured sf0.1 → sf1 in SCALE.md). Operate it like any
+    * production LSH: narrow `bucketLength` (or raise `minCosine`) as
+    * density grows, and buy recall back with more OR-ed
+    * `numHashTables` — candidates are exact-verified, so precision
+    * is 1.0 at every setting and the verified pair count measures
+    * recall directly. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, numHashTables: Int = 8,
       bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {

@@ -260,15 +260,20 @@ object TextOps {
     * cut, and any minDf > 1 run scores a subset of the minDf = 1 rows
     * (cutting can promote surviving words into the per-doc top-k, so
     * the subset law holds for (doc, word, tf, score), not for rn).
+    *
+    * `knownN` short-circuits the corpus-count side: by default N is a
+    * broadcast 1-row aggregate, which keeps the operator a pure lazy
+    * plan but DOES execute a second full scan of `df` at runtime
+    * (deferred, not avoided — at 100 TB that is a real extra pass,
+    * even though it prunes to zero columns). A caller that already
+    * knows the corpus size (catalog stats, a prior accounting pass,
+    * the ingest manifest) passes it here and the plan scans the
+    * corpus exactly once. Same N ⇒ bit-identical output either way.
     * Output: (idCol, word, tf, score, rn). */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
-      k: Int, minDf: Int = 1): DataFrame = {
+      k: Int, minDf: Int = 1, knownN: Option[Long] = None): DataFrame = {
     require(minDf >= 1, "minDf must be >= 1")
-    // N enters the plan as a broadcast 1-row aggregate, not an eager
-    // df.count(): building this operator stays a pure (lazy) plan
-    // like every other TextOps function, and no separate corpus scan
-    // runs just to fetch the scalar
-    val nDf = df.agg(count(lit(1)).as("__n"))
+    require(knownN.forall(_ > 0), "knownN must be > 0 when given")
     val toks = df.select(col(idCol),
       explode(wordTokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
@@ -277,10 +282,14 @@ object TextOps {
     val dfreq = tf.groupBy(col("word"))
       .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") >= minDf)
-    val scored = tf.join(broadcast(dfreq), "word")
-      .crossJoin(broadcast(nDf))
-      .withColumn("score",
-        col("tf").cast("double") * col("__n") / col("dfreq"))
+    val withN = knownN match {
+      case Some(n) => tf.join(broadcast(dfreq), "word")
+        .withColumn("__n", lit(n))
+      case None => tf.join(broadcast(dfreq), "word")
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+    }
+    val scored = withN.withColumn("score",
+      col("tf").cast("double") * col("__n") / col("dfreq"))
     graft.ops.Relational.topKPerGroup(
       scored.select(col(idCol), col("word"), col("tf"), col("score")),
       k, Seq(col(idCol)), Seq(col("score").desc, col("word").asc))

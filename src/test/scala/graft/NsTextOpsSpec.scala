@@ -50,6 +50,25 @@ class NsTextOpsSpec extends SparkSpec {
     assert(cut.exists(r => r._1 == 1L && r._2 == "base"))
   }
 
+  test("tfidf knownN skips the corpus-count scan, same output") {
+    val d = docs(
+      1L -> "rare rare base base",
+      2L -> "base other",
+      3L -> "base other")
+    val dflt = TextOps.tfidfTopTerms(d, "doc_id", "text", 2)
+    val known = TextOps.tfidfTopTerms(d, "doc_id", "text", 2,
+      knownN = Some(3L))
+    assert(known.as[(Long, String, Long, Double, Int)].collect().toSet ==
+      dflt.as[(Long, String, Long, Double, Int)].collect().toSet)
+    // the knownN plan must not contain the 1-row corpus-count subtree
+    val aggs = known.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("HashAggregate"))
+    val dfltAggs = dflt.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs < dfltAggs,
+      s"knownN should drop the corpus-count aggregate ($aggs vs $dfltAggs)")
+  }
+
   test("repetitionStats measures excess-copy line/char fractions, no shuffle") {
     val df = TextOps.repetitionStats(docs(
       1L -> "aaaa\nbb\naaaa\n\ncc",   // 4 non-empty lines, aaaa twice

@@ -16,10 +16,15 @@ cross-copy keys never collide. Distribution-shaping rules:
     grow pair outputs quadratically and misrepresent the workload).
     doc_id stride is a multiple of 10 to preserve the doc_id % 10
     replay proportions some queries select on.
-  - embeddings: copy i circularly shifts the vector by i positions —
-    norm and per-copy geometry are preserved exactly while copies of
-    the same vector point in (near-)independent directions, so
-    near-dup pair counts scale ~linearly with copies.
+  - embeddings: copy i applies a seeded SIGNED COORDINATE PERMUTATION
+    (numpy RandomState(i): shuffle + Rademacher sign flips). An
+    orthogonal transform preserves norms and every within-copy cosine
+    exactly, while cross-copy cosines collapse to ~1/sqrt(d) noise —
+    far below near-dup thresholds — so pair structure scales exactly
+    linearly with copies. (A circular shift is NOT enough: embedding
+    coordinates are autocorrelated for clustered data, so shifted
+    copies stayed mutually near-duplicate and the sf1 true-pair count
+    came out ~10x superlinear. Sign flips are the decorrelator.)
   - events: event_id/user_id offset, timestamps untouched; written
     with pyarrow parquet 2.6 so ts stays TIMESTAMP(NANOS) like the
     driver's fixture (the engine's nanosAsLong path is exercised).
@@ -95,11 +100,27 @@ def main() -> None:
         f" text || ' c{i}' AS text, lang, source,"
         f" CAST(length(text || ' c{i}') AS BIGINT) AS n_chars"
         f" FROM '{src}/documents.parquet'")
-    gen("embeddings", lambda i:
-        f"SELECT vec_id + {i * s_vec} AS vec_id,"
-        + ("embedding" if i == 0 else
-           f" list_concat(embedding[{i + 1}:], embedding[1:{i}])")
-        + f" AS embedding, label FROM '{src}/embeddings.parquet'")
+    # embeddings via numpy: per-copy signed coordinate permutation
+    import numpy as np
+    et = pq.read_table(f"{src}/embeddings.parquet")
+    vec = np.array(et["embedding"].combine_chunks().to_pylist(),
+                   dtype=np.float32)
+    dim = vec.shape[1]
+    eparts = []
+    for i in range(copies):
+        if i == 0:
+            v = vec
+        else:
+            rs = np.random.RandomState(i)
+            perm = rs.permutation(dim)
+            signs = rs.randint(0, 2, dim).astype(np.float32) * 2 - 1
+            v = vec[:, perm] * signs
+        ids = pc.add(et["vec_id"], i * s_vec)
+        emb = pa.array(list(v), type=et.schema.field("embedding").type)
+        eparts.append(pa.table(
+            {"vec_id": ids, "embedding": emb, "label": et["label"]}))
+    pq.write_table(pa.concat_tables(eparts), f"{dst}/embeddings.parquet")
+    print(f"embeddings: {copies} copies (signed coordinate permutation)")
 
     # events via pyarrow: keeps ts TIMESTAMP(NANOS) bit-for-bit
     ev = pq.read_table(f"{src}/events.parquet")
