@@ -22,13 +22,17 @@ import graft.ns.Similarity
   *    counts are comparable across settings: more pairs = more
   *    recall, never false positives).
   *
-  * Usage: runMain graft.ScaleProbe SF_DIR BUCKET_LENGTHS(comma)
-  * Output: one JSON line. Results recorded in SCALE.md. */
+  * Usage: runMain graft.ScaleProbe SF_DIR BUCKET_LENGTHS(comma) [MINCOS]
+  * MINCOS (default 0.4) sets the near-dup threshold: sweeping it up
+  * separates output-volume cost from candidate-generation cost (at a
+  * threshold with zero true pairs, the probe times pure bucketing +
+  * verify overhead). Output: one JSON line. Results in SCALE.md. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val bls = (if (args.length > 1) args(1) else "0.1")
       .split(",").map(_.toDouble).toSeq
+    val minCos = if (args.length > 2) args(2).toDouble else 0.4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,11 +60,11 @@ object ScaleProbe {
     // LSH near-dup: per-bucketLength wall + verified pair count
     val lsh = bls.map { bl =>
       val (n, sec) = timed(Similarity.cosineNearDupPairs(
-        emb, "vec_id", "embedding", minCosine = 0.4,
+        emb, "vec_id", "embedding", minCosine = minCos,
         numHashTables = 8, bucketLength = bl).count())
       f""""bl_$bl":{"sec":$sec%.1f,"pairs":$n}"""
     }.mkString(",")
-    val line = f"""{"metric":"scale_probe","sf":"$sfDir","ivf_cold_sec":$coldSec%.1f,"ivf_warm_probe_sec":$warmSec%.1f,$lsh}"""
+    val line = f"""{"metric":"scale_probe","sf":"$sfDir","min_cosine":$minCos,"ivf_cold_sec":$coldSec%.1f,"ivf_warm_probe_sec":$warmSec%.1f,$lsh}"""
     spark.stop()
     println(line)
   }

@@ -505,6 +505,48 @@ object SparkEntry {
           col("width"), col("height")), dir)
     }),
 
+    // ---- §2.9 [NS] temporal joins: as-of and range ----
+    // Spark has no native ASOF JOIN; a raw inequality join plans as a
+    // broadcast-nested-loop. ops/TemporalJoin expresses both as
+    // single-shuffle equi-plans. Times are exact epoch micros on both
+    // engines (unix_micros / epoch_us both truncate the fixture's
+    // nanos). Tolerance: purchases only match a view ≤ 1 h older.
+    "ns30_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("vts_us"),
+          col("event_id").as("view_event_id"),
+          col("value").as("view_value"))
+      graft.ops.TemporalJoin.asofJoin(p, v, Seq("user_id"),
+        "ts_us", "vts_us", payload = Seq("view_event_id", "view_value"),
+        tolerance = Some(3600L * 1000000L),
+        rightTieBreak = Some("view_event_id"),
+        matchedTimeAs = "view_ts_us")
+    }),
+
+    // Clicks in the hour BEFORE each purchase (attribution window).
+    // binSize = the window length, so each interval spans ≤ 2 bins.
+    "ns31_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_ts_us"))
+        .withColumn("w_start_us", col("p_ts_us") - 3600L * 1000000L)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user_id"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      graft.ops.TemporalJoin.rangeJoin(p, c,
+        keys = Seq("user_id" -> "c_user_id"),
+        startCol = "w_start_us", endCol = "p_ts_us",
+        pointCol = "click_ts_us", binSize = 3600L * 1000000L)
+        .select(col("purchase_id"), col("user_id"), col("p_ts_us"),
+          col("click_id"), col("click_ts_us"))
+    }),
+
     // ---- §7.4.6 streaming restatement, driver-gated ----
     // Runs the WHOLE streaming path per invocation: file-source stream
     // over the events fixture (AvailableNow trigger), watermarked
@@ -1454,6 +1496,39 @@ object SparkEntry {
         |FROM (SELECT doc_id, length(text) % 31 + 1 AS w,
         |        (length(text) * 7) % 17 + 1 AS h
         |      FROM documents WHERE doc_id < 50)""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN is the as-of oracle; tolerance
+    // is applied as a post-hoc CASE exactly like the engine nulls
+    // out-of-tolerance matches. epoch_us(ts) == Spark unix_micros
+    // (both truncate the fixture's nanos to micros). The fixture has
+    // no (user_id, ts) ties among views (verified), so DuckDB's
+    // unspecified tie pick can't diverge from the engine's
+    // view_event_id tiebreak.
+    "ns30_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, epoch_us(ts) AS vts_us,
+        |             event_id AS view_event_id, value AS view_value
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  CASE WHEN p.ts_us - v.vts_us <= 3600000000
+        |    THEN v.view_event_id END AS view_event_id,
+        |  CASE WHEN p.ts_us - v.vts_us <= 3600000000
+        |    THEN v.view_value END AS view_value,
+        |  CASE WHEN p.ts_us - v.vts_us <= 3600000000
+        |    THEN v.vts_us END AS view_ts_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.vts_us""".stripMargin,
+    // The range oracle is the plain inequality join the engine's
+    // binned equi-join must exactly reproduce.
+    "ns31_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  epoch_us(p.ts) AS p_ts_us,
+        |  c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts)
+        |     BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
     // Spark conv(hex,16,10) and DuckDB CAST('0x'||hex AS BIGINT) agree
     // on the first-8-hex-chars bucket (verified value-identical).
     "ns17_hash_split" ->

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TemporalJoin
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // left: (key, ts, label) — right: (key, ts, rid, price)
+  private val trades = Seq(
+    (1L, 100L, "a"),   // matches rid 11 (ts 90, newest <= 100)
+    (1L, 95L, "b"),    // ts tie with rid 12? no: matches rid 11 too
+    (1L, 90L, "c"),    // INCLUSIVE: right at exactly 90 matches
+    (1L, 10L, "d"),    // before any right row -> unmatched
+    (2L, 500L, "e"),   // key 2: matches rid 21 (ts 100) but tolerance cuts it
+    (3L, 50L, "f"))    // key with no right rows at all
+    .toDF("k", "ts", "label")
+  private val quotes = Seq(
+    (1L, 80L, 10L, 1.5),
+    (1L, 90L, 11L, 2.5),
+    (2L, 100L, 21L, 9.0))
+    .toDF("k", "qts", "rid", "price")
+
+  test("asofJoin: backward nearest, inclusive tie, tolerance, unmatched") {
+    val out = TemporalJoin.asofJoin(trades, quotes, Seq("k"),
+      "ts", "qts", payload = Seq("rid", "price"),
+      tolerance = Some(300L), rightTieBreak = Some("rid"),
+      matchedTimeAs = "qts")
+      .as[(Long, Long, String, Option[Long], Option[Double], Option[Long])]
+      .collect().map(r => r._3 -> ((r._4, r._5, r._6))).toMap
+    assert(out("a") == ((Some(11L), Some(2.5), Some(90L))))
+    assert(out("b") == ((Some(11L), Some(2.5), Some(90L))))
+    assert(out("c") == ((Some(11L), Some(2.5), Some(90L)))) // inclusive
+    assert(out("d") == ((None, None, None)))                // nothing before
+    assert(out("e") == ((None, None, None)))                // 400 > tol 300
+    assert(out("f") == ((None, None, None)))                // key absent
+  }
+
+  test("asofJoin: equal right timestamps break by largest tiebreak") {
+    val r = Seq((1L, 90L, 11L, 2.5), (1L, 90L, 12L, 3.5))
+      .toDF("k", "qts", "rid", "price")
+    val out = TemporalJoin.asofJoin(
+      Seq((1L, 100L)).toDF("k", "ts"), r, Seq("k"), "ts", "qts",
+      payload = Seq("rid", "price"), rightTieBreak = Some("rid"))
+      .select("rid", "price").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((12L, 3.5)))
+  }
+
+  test("asofJoin: payload struct is atomic — a null column does not tear") {
+    // newest quote has null price; a per-column last() would leak the
+    // OLDER quote's price into the newer rid. The struct must not.
+    val r = Seq((1L, 80L, Some(10L), Some(1.5)), (1L, 90L, Some(11L), None))
+      .toDF("k", "qts", "rid", "price")
+    val out = TemporalJoin.asofJoin(
+      Seq((1L, 100L)).toDF("k", "ts"), r, Seq("k"), "ts", "qts",
+      payload = Seq("rid", "price"))
+      .select("rid", "price").as[(Option[Long], Option[Double])].collect()
+    assert(out.toSeq == Seq((Some(11L), None)))
+  }
+
+  test("asofJoin plans one keyed window — no nested-loop, no cartesian") {
+    val p = plan(TemporalJoin.asofJoin(trades, quotes, Seq("k"),
+      "ts", "qts", payload = Seq("rid", "price")))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"asofJoin must not plan a nested loop:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      s"asofJoin should cost at most the union's exchanges:\n$p")
+  }
+
+  test("rangeJoin ≡ naive inequality join, dup-free, across bin sizes") {
+    // content-addressed synthetic intervals/points (no RNG state)
+    val iv = spark.range(200).select(
+      col("id").as("iv_id"), pmod(col("id"), lit(7L)).as("ik"),
+      pmod(xxhash64(col("id")), lit(1000L)).as("s"),
+      (pmod(xxhash64(col("id")), lit(1000L)) +
+        pmod(xxhash64(col("id"), lit(3)), lit(50L))).as("e"))
+    val pt = spark.range(500).select(
+      (col("id") + 10000L).as("pt_id"), pmod(col("id"), lit(7L)).as("pk"),
+      pmod(xxhash64(col("id"), lit(7)), lit(1050L)).as("p"))
+    val naive = iv.join(pt, iv("ik") === pt("pk") &&
+        pt("p").between(iv("s"), iv("e")))
+      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+    for (bin <- Seq(10L, 50L, 400L)) {
+      val got = TemporalJoin.rangeJoin(iv, pt, Seq("ik" -> "pk"),
+        "s", "e", "p", binSize = bin)
+        .select("iv_id", "pt_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"bin=$bin produced duplicates")
+      assert(got.toSet == naive, s"bin=$bin diverged from inequality join")
+    }
+  }
+
+  test("rangeJoin plans an equi-join, not a nested loop") {
+    val iv = Seq((1L, 1L, 0L, 10L)).toDF("iv_id", "ik", "s", "e")
+    val pt = Seq((2L, 1L, 5L)).toDF("pt_id", "pk", "p")
+    val p = plan(TemporalJoin.rangeJoin(iv, pt, Seq("ik" -> "pk"),
+      "s", "e", "p", binSize = 10L))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"rangeJoin must plan an equi-join:\n$p")
+  }
+}
