@@ -32,9 +32,8 @@ object TemporalJoin {
     * row. One exchange on `keys`, linear scan per partition — at
     * 100 TB the cost is the same as any keyed window (sessionization,
     * top-k), and AQE handles key-count skew. A key whose single
-    * partition is too hot for one reducer needs time-chunking with
-    * per-chunk carry-in seeds; that variant is deliberately not built
-    * until a workload needs it (the union trick composes with it).
+    * partition is too hot for one reducer needs `asofJoinChunked`
+    * below, which time-chunks the window.
     *
     * The right payload rides in ONE struct so `last(..., ignoreNulls)`
     * picks the newest right ROW atomically — per-column `last` would
@@ -87,6 +86,116 @@ object TemporalJoin {
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rightU.unionByName(leftU)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val inTol = tolerance match {
+      case Some(t) => col("__m").isNotNull &&
+        col("__t") - col("__m.__rt") <= t
+      case None => col("__m").isNotNull
+    }
+    matched.select(
+      leftCols.map(col) ++
+        payload.map(p => when(inTol, col(s"__m.$p")).as(p)) :+
+        when(inTol, col("__m.__rt")).as(matchedTimeAs): _*)
+  }
+
+  /** `asofJoin` for HOT keys: identical semantics, but the window
+    * partitions on (keys, time-chunk) instead of keys alone, so one
+    * key's timeline spreads over `timeline span / chunk` parallel
+    * tasks instead of serializing on a single reducer — the window
+    * analogue of salting a skewed join (`Skew.saltedJoin`), except
+    * the "salt" must follow time to preserve ordering semantics.
+    *
+    * The cross-chunk dependency (a left row early in a chunk matching
+    * a right row from an older chunk) is restored with CARRY-IN
+    * seeds: the per-(key, chunk) newest right row is first reduced
+    * with one map-combinable `max_by` aggregation (tiny output —
+    * one row per key per active chunk), a prefix-max window over
+    * THAT summary computes "newest right row strictly before each
+    * chunk", and the seeds are unioned into their chunk sorting
+    * before every real row (side −1 < right 0 < left 1; a seed's
+    * true time is always < the chunk start, so a real in-chunk right
+    * row correctly shadows it). The expensive data-sized window then
+    * never crosses a chunk boundary. Cost: one extra small shuffle
+    * (the summary agg) versus `asofJoin`; same output, proven as an
+    * equality law in TemporalJoinSpec.
+    *
+    * Pick `chunk` so a hot key's densest chunk fits a reducer —
+    * the same sizing call as a salt factor. Times are non-negative
+    * longs (epoch), like `rangeJoin`. */
+  def asofJoinChunked(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTimeCol: String, rightTimeCol: String,
+      payload: Seq[String], chunk: Long,
+      tolerance: Option[Long] = None,
+      rightTieBreak: Option[String] = None,
+      matchedTimeAs: String = "matched_ts"): DataFrame = {
+    require(chunk > 0, "chunk must be > 0")
+    val leftCols = left.columns.toSeq
+    require(payload.nonEmpty, "asofJoinChunked needs payload columns")
+    require(payload.forall(right.columns.contains),
+      s"payload not in right: ${payload.filterNot(right.columns.contains)}")
+    require(!payload.exists(leftCols.contains) &&
+      !leftCols.contains(matchedTimeAs),
+      "right payload / matchedTimeAs names must not collide with left columns")
+
+    val tie = rightTieBreak.map(col).getOrElse(lit(0L)).cast("long")
+    // `div` = exact long division (`/` on longs is double division in
+    // Spark); trunc == floor for the documented non-negative times.
+    // Always applied to the already-long __t column.
+    val chunkCol = expr(s"__t div ${chunk}L")
+    val rStruct = struct(col(rightTimeCol).cast("long").as("__rt") +:
+      tie.as("__rtie") +: payload.map(col): _*)
+
+    val rightU = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTimeCol).cast("long").as("__t"),
+        lit(0).as("__side"), tie.as("__tie"), rStruct.as("__r")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      .withColumn("__c", chunkCol)
+
+    val leftU = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTimeCol).cast("long").as("__t"),
+        lit(1).as("__side"), lit(0L).as("__tie"),
+        lit(null).cast(rightU.schema("__r").dataType).as("__r")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+      .withColumn("__c", chunkCol)
+
+    // newest right row per (keys, chunk): one map-combinable agg
+    val perChunk = rightU.groupBy((keys.map(col) :+ col("__c")): _*)
+      .agg(max_by(col("__r"),
+        struct(col("__t"), col("__tie"))).as("__r"))
+    // EVERY chunk that holds any row needs a seed row in the summary
+    // — a chunk with only left rows still needs the carry-in from
+    // older chunks (otherwise its left rows would match nothing).
+    // distinct is map-side-combined to summary size before exchange.
+    val allChunks = rightU.select((keys.map(col) :+ col("__c")): _*)
+      .unionByName(leftU.select((keys.map(col) :+ col("__c")): _*))
+      .distinct()
+    // newest right row STRICTLY BEFORE each chunk — a prefix window
+    // over the summary (rows = keys × active chunks, not data-sized).
+    // max of the (__rt, __rtie, ...) struct IS the newest row because
+    // struct comparison is lexicographic on (time, tiebreak) first.
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__c").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = allChunks
+      .join(perChunk, (keys :+ "__c").toSeq, "left")
+      .withColumn("__seed", max(col("__r")).over(seedW))
+      .filter(col("__seed").isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          (col("__c") * chunk).as("__t"), lit(-1).as("__side"),
+          col("__seed.__rtie").as("__tie"), col("__seed").as("__r")) ++
+          leftCols.filterNot(keys.contains).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      .withColumn("__c", chunkCol)
+
+    val w = Window.partitionBy((keys.map(col) :+ col("__c")): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rightU.unionByName(seeds).unionByName(leftU)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val inTol = tolerance match {

@@ -94,6 +94,47 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinChunked ≡ asofJoin across chunk sizes (hot single key)") {
+    // ONE key (the worst skew case the chunked variant exists for),
+    // content-addressed times with cross-chunk gaps and exact ties
+    val l = spark.range(300).select(lit(1L).as("k"),
+      pmod(xxhash64(col("id")), lit(5000L)).as("ts"),
+      col("id").as("lid"))
+    val r = spark.range(120).select(lit(1L).as("k"),
+      // times cluster mod 4000 so some chunks are empty (seed gaps)
+      pmod(xxhash64(col("id"), lit(9)), lit(4000L)).as("qts"),
+      col("id").as("rid"),
+      (pmod(xxhash64(col("id"), lit(11)), lit(100L)).cast("double") / 10)
+        .as("price"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid", "price", "qts")
+        .as[(Long, Option[Long], Option[Double], Option[Long])]
+        .collect().toSet
+    val base = rows(TemporalJoin.asofJoin(l, r, Seq("k"), "ts", "qts",
+      payload = Seq("rid", "price"), tolerance = Some(700L),
+      rightTieBreak = Some("rid"), matchedTimeAs = "qts"))
+    for (chunk <- Seq(10L, 97L, 1000L, 100000L)) {
+      val got = rows(TemporalJoin.asofJoinChunked(l, r, Seq("k"),
+        "ts", "qts", payload = Seq("rid", "price"), chunk = chunk,
+        tolerance = Some(700L), rightTieBreak = Some("rid"),
+        matchedTimeAs = "qts"))
+      assert(got == base, s"chunk=$chunk diverged from asofJoin")
+    }
+  }
+
+  test("asofJoinChunked partitions the big window by time chunk") {
+    val p = plan(TemporalJoin.asofJoinChunked(trades, quotes, Seq("k"),
+      "ts", "qts", payload = Seq("rid", "price"), chunk = 100L))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+    // the data-sized window must include __c in its partition spec
+    assert(p.contains("windowspecdefinition(k#") ||
+      p.contains("specifiedwindowframe"), s"no window in plan:\n$p")
+    assert("partitionBy.*__c|windowspecdefinition\\([^)]*__c".r
+      .findFirstIn(p).isDefined,
+      s"big window should partition on (keys, __c):\n$p")
+  }
+
   test("rangeJoin plans an equi-join, not a nested loop") {
     val iv = Seq((1L, 1L, 0L, 10L)).toDF("iv_id", "ik", "s", "e")
     val pt = Seq((2L, 1L, 5L)).toDF("pt_id", "pk", "p")

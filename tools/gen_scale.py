@@ -19,12 +19,19 @@ cross-copy keys never collide. Distribution-shaping rules:
   - embeddings: copy i applies a seeded SIGNED COORDINATE PERMUTATION
     (numpy RandomState(i): shuffle + Rademacher sign flips). An
     orthogonal transform preserves norms and every within-copy cosine
-    exactly, while cross-copy cosines collapse to ~1/sqrt(d) noise —
-    far below near-dup thresholds — so pair structure scales exactly
-    linearly with copies. (A circular shift is NOT enough: embedding
-    coordinates are autocorrelated for clustered data, so shifted
-    copies stayed mutually near-duplicate and the sf1 true-pair count
-    came out ~10x superlinear. Sign flips are the decorrelator.)
+    exactly, so WITHIN-copy pair structure scales exactly linearly,
+    while cross-copy cosines collapse to ~N(0, 1/d) noise. (A
+    circular shift is NOT enough: embedding coordinates are
+    autocorrelated for clustered data, so shifted copies stayed
+    mutually near-duplicate. Sign flips are the decorrelator.)
+    Caveat that no construction removes: at d=64 the noise std is
+    1/8, so a threshold deep in the tail (e.g. cos 0.4 = 3.2 sigma)
+    is crossed by chance ~7e-4 per cross pair — 1.8e8 cross pairs at
+    10 copies make ~1e5 chance pairs, dwarfing the 10x-scaled 920
+    within-copy pairs. That is intrinsic fixed-dim geometry (tail
+    mass grows quadratically with corpus size), NOT a generator
+    artifact; measure low-threshold near-dup scaling per-output, or
+    raise the threshold (>= 0.7 here) where chance mass is zero.
   - events: event_id/user_id offset, timestamps untouched; written
     with pyarrow parquet 2.6 so ts stays TIMESTAMP(NANOS) like the
     driver's fixture (the engine's nanosAsLong path is exercised).
