@@ -86,10 +86,38 @@ object SkewBench {
     measure("warmup_salted", salted)
     val results = Seq(measure("unsalted", unsalted),
       measure("salted", salted))
-    val js = results.map { case (n, wall, mx, p50, nt) =>
-      f"""\"$n\":{\"wall_sec\":$wall%.2f,\"max_task_ms\":$mx,\"p50_task_ms\":$p50,\"max_over_p50\":${if (p50 > 0) mx.toDouble / p50 else -1}%.1f,\"tasks\":$nt}"""
-    }.mkString(",")
-    val line = s"""{"metric":"skew_salt","rows":$rows,"salt_factor":$saltFactor,"hot_key_share":0.5,$js}"""
+
+    // ---- window-skew twin: as-of join on ONE key ----
+    // The window analogue of the join skew above: every left row has
+    // the same key, so asofJoin's keyed window serializes on one
+    // reducer while asofJoinChunked spreads the timeline over
+    // rows/(chunk-span) parallel tasks. Right side = 1/16 of left.
+    val asofRows = rows / 4
+    val lft = spark.range(asofRows).select(lit(0L).as("k"),
+      pmod(xxhash64(col("id")), lit(asofRows * 4)).as("ts"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(1000L)).cast("double") / 1000.0)
+        .as("v"))
+    val rgt = spark.range(asofRows / 16).select(lit(0L).as("k"),
+      pmod(xxhash64(col("id"), lit(9)), lit(asofRows * 4)).as("qts"),
+      (pmod(xxhash64(col("id"), lit(13)), lit(100L)).cast("double") / 100.0)
+        .as("w"))
+    def asofAgg(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("v"), coalesce(col("w"), lit(0.0)).as("w"))
+    def plainAsof = asofAgg(graft.ops.TemporalJoin.asofJoin(
+      lft, rgt, Seq("k"), "ts", "qts", payload = Seq("w")))
+    def chunkedAsof = asofAgg(graft.ops.TemporalJoin.asofJoinChunked(
+      lft, rgt, Seq("k"), "ts", "qts", payload = Seq("w"),
+      chunk = math.max(1L, asofRows * 4 / (saltFactor * 4))))
+    measure("warmup_asof_plain", plainAsof)
+    measure("warmup_asof_chunked", chunkedAsof)
+    val asofResults = Seq(measure("asof_plain", plainAsof),
+      measure("asof_chunked", chunkedAsof))
+
+    def js(rs: Seq[(String, Double, Long, Long, Int)]) =
+      rs.map { case (n, wall, mx, p50, nt) =>
+        f"""\"$n\":{\"wall_sec\":$wall%.2f,\"max_task_ms\":$mx,\"p50_task_ms\":$p50,\"max_over_p50\":${if (p50 > 0) mx.toDouble / p50 else -1}%.1f,\"tasks\":$nt}"""
+      }.mkString(",")
+    val line = s"""{"metric":"skew_salt","rows":$rows,"salt_factor":$saltFactor,"hot_key_share":0.5,"asof_rows":$asofRows,${js(results)},${js(asofResults)}}"""
     spark.stop()
     println(line)
   }

@@ -547,6 +547,30 @@ object SparkEntry {
           col("click_id"), col("click_ts_us"))
     }),
 
+    // Purchase attribution windows [ts-1h, ts] overlapping error
+    // windows [ts-15m, ts+15m] per user — interval × interval, the
+    // dup-free reporting-bin plan.
+    "ns32_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val hourUs = 3600L * 1000000L
+      val qtrUs = 900L * 1000000L
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (unix_micros(col("ts")) - hourUs).as("p_start_us"),
+          unix_micros(col("ts")).as("p_end_us"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          col("user_id").as("e_user_id"),
+          (unix_micros(col("ts")) - qtrUs).as("e_start_us"),
+          (unix_micros(col("ts")) + qtrUs).as("e_end_us"))
+      graft.ops.TemporalJoin.intervalJoin(p, e,
+        keys = Seq("user_id" -> "e_user_id"),
+        aStart = "p_start_us", aEnd = "p_end_us",
+        bStart = "e_start_us", bEnd = "e_end_us", binSize = hourUs)
+        .select(col("purchase_id"), col("user_id"),
+          col("error_id"), col("e_start_us"), col("e_end_us"))
+    }),
+
     // ---- §7.4.6 streaming restatement, driver-gated ----
     // Runs the WHOLE streaming path per invocation: file-source stream
     // over the events fixture (AvailableNow trigger), watermarked
@@ -1529,6 +1553,18 @@ object SparkEntry {
         | AND epoch_us(c.ts)
         |     BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    // Overlap oracle = the plain inequality join the reporting-bin
+    // plan must reproduce exactly once per pair.
+    "ns32_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  e.event_id AS error_id,
+        |  epoch_us(e.ts) - 900000000 AS e_start_us,
+        |  epoch_us(e.ts) + 900000000 AS e_end_us
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND epoch_us(p.ts) - 3600000000 <= epoch_us(e.ts) + 900000000
+        | AND epoch_us(e.ts) - 900000000 <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' AND e.event_type = 'error'""".stripMargin,
     // Spark conv(hex,16,10) and DuckDB CAST('0x'||hex AS BIGINT) agree
     // on the first-8-hex-chars bucket (verified value-identical).
     "ns17_hash_split" ->

@@ -135,6 +135,30 @@ class TemporalJoinSpec extends SparkSpec {
       s"big window should partition on (keys, __c):\n$p")
   }
 
+  test("intervalJoin ≡ naive overlap join, dup-free, across bin sizes") {
+    val a = spark.range(150).select(
+      col("id").as("a_id"), pmod(col("id"), lit(5L)).as("ak"),
+      pmod(xxhash64(col("id")), lit(800L)).as("as_"),
+      (pmod(xxhash64(col("id")), lit(800L)) +
+        pmod(xxhash64(col("id"), lit(3)), lit(120L))).as("ae"))
+    val b = spark.range(200).select(
+      (col("id") + 5000L).as("b_id"), pmod(col("id"), lit(5L)).as("bk"),
+      pmod(xxhash64(col("id"), lit(7)), lit(900L)).as("bs"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(900L)) +
+        pmod(xxhash64(col("id"), lit(13)), lit(80L))).as("be"))
+    val naive = a.join(b, a("ak") === b("bk") &&
+        a("as_") <= b("be") && b("bs") <= a("ae"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    for (bin <- Seq(7L, 100L, 2000L)) {
+      val got = TemporalJoin.intervalJoin(a, b, Seq("ak" -> "bk"),
+        "as_", "ae", "bs", "be", binSize = bin)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"bin=$bin produced duplicate pairs")
+      assert(got.toSet == naive, s"bin=$bin diverged from overlap join")
+    }
+  }
+
   test("rangeJoin plans an equi-join, not a nested loop") {
     val iv = Seq((1L, 1L, 0L, 10L)).toDF("iv_id", "ik", "s", "e")
     val pt = Seq((2L, 1L, 5L)).toDF("pt_id", "pk", "p")
