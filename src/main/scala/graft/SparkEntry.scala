@@ -571,6 +571,25 @@ object SparkEntry {
           col("error_id"), col("e_start_us"), col("e_end_us"))
     }),
 
+    // Segment-level (paragraph-analogue) exact dedup with reassembly:
+    // 10-word segments, global keep-first, documents stitched back in
+    // order. Two exchanges (segment keep-first + per-doc reassembly).
+    "ns33_segment_dedup" -> ((s, d) =>
+      graft.ns.Dedup.segmentDedup(t(s, d, "documents"),
+        "doc_id", "text", segWords = 10)),
+
+    // Batch gap-sessionization over events (30-min gap): one keyed
+    // window + a map-combinable session rollup. The batch twin of the
+    // streaming s02 path.
+    "ns34_batch_sessionize" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+      graft.ops.Sessionize.sessionSummary(ev, Seq("user_id"), "ts_us",
+        gapUs = 1800L * 1000000L, tieBreak = "event_id",
+        valueCol = "value")
+    }),
+
     // ---- §7.4.6 streaming restatement, driver-gated ----
     // Runs the WHOLE streaming path per invocation: file-source stream
     // over the events fixture (AvailableNow trigger), watermarked
@@ -1565,6 +1584,52 @@ object SparkEntry {
         | AND epoch_us(p.ts) - 3600000000 <= epoch_us(e.ts) + 900000000
         | AND epoch_us(e.ts) - 900000000 <= epoch_us(p.ts)
         |WHERE p.event_type = 'purchase' AND e.event_type = 'error'""".stripMargin,
+    // Segment dedup oracle: identical split → keep-first → ordered
+    // reassembly. DuckDB list slices are 1-based inclusive and clamp
+    // exactly like Spark's slice(arr, start, length).
+    "ns33_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents WHERE trim(text) <> ''),
+        |idx AS (SELECT doc_id, words,
+        |  unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+        |  FROM w),
+        |segs AS (SELECT doc_id, i AS seg_idx,
+        |  array_to_string(words[(i*10+1):(i*10+10)], ' ') AS segment
+        |  FROM idx),
+        |kept AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY segment
+        |    ORDER BY doc_id, seg_idx) = 1 AS keep
+        |  FROM segs)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN segment END, ' '
+        |    ORDER BY seg_idx), '') AS dedup_text
+        |FROM kept GROUP BY doc_id""".stripMargin,
+    // Sessionize oracle: same lag/cumsum construction; the DECIMAL
+    // path keeps the double sum order-independent across engines.
+    "ns34_batch_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |             value FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) - 1
+        |    AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts_us) AS session_start_us,
+        |  max(ts_us) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     // Spark conv(hex,16,10) and DuckDB CAST('0x'||hex AS BIGINT) agree
     // on the first-8-hex-chars bucket (verified value-identical).
     "ns17_hash_split" ->

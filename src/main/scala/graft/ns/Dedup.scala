@@ -335,4 +335,60 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Sub-document (segment-level) exact dedup with reassembly — the
+    * paragraph-dedup pass of C4/Dolma-style curation, at segment
+    * granularity: split each document into fixed-width word segments,
+    * keep only the globally FIRST occurrence of each distinct segment
+    * (ordered by (id, position) — deterministic), and stitch each
+    * document back together from its surviving segments in original
+    * order. Boilerplate repeated across documents (headers, footers,
+    * license blocks) survives exactly once, in the earliest document.
+    *
+    * Plan shape (the scale story): segment explode is map-side;
+    * keep-first is ONE shuffle keyed on the segment text (row_number
+    * over the segment's occurrences — bucket size = the segment's
+    * corpus frequency, no all-pairs anything); reassembly is ONE
+    * groupBy(id) whose collect_list partially aggregates map-side.
+    * Two exchanges total over segment rows — the floor for any
+    * global sub-document dedup that must restore document order.
+    * At 100 TB the segment shuffle carries (segment, id, idx) rows;
+    * text rides the exchange once, which is inherent because the
+    * reassembled output needs it back.
+    *
+    * Output: (idCol, n_segments, n_kept, dedup_text) — one row per
+    * input document that produced ≥1 segment (empty/whitespace-only
+    * text yields none); dedup_text is "" when every segment was a
+    * duplicate. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10): DataFrame = {
+    require(segWords > 0, "segWords must be > 0")
+    val words = split(col(textCol), " ")
+    // split("") is [""] — one empty word — so empty/whitespace-only
+    // documents are filtered explicitly rather than relying on an
+    // empty sequence (null text already drops via posexplode(null)).
+    val segs = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(words) / lit(segWords.toDouble)).cast("long") - 1),
+          i => concat_ws(" ",
+            slice(words, (i * segWords + 1).cast("int"),
+              lit(segWords)))))
+          .as(Seq("seg_idx", "segment")))
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("segment"))
+      .orderBy(col(idCol), col("seg_idx"))
+    val kept = segs.withColumn("__keep",
+      row_number().over(firstOcc) === 1)
+    kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("seg_idx"), col("segment"))))),
+          s => s.getField("segment"))).as("dedup_text"))
+  }
 }

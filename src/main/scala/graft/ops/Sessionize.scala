@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch (gap-based) sessionization: assign every event a per-key
+  * session id such that consecutive events more than `gapUs` apart
+  * start a new session. The batch twin of the Structured Streaming
+  * `EventStream.sessionize` (flatMapGroupsWithState) — same semantics
+  * over a closed input, expressed as ONE keyed window instead of
+  * per-key state, so Catalyst plans a single exchange on the key and
+  * one per-partition sort shared by both window functions (the
+  * new-session lag flag and its running sum).
+  *
+  * Scale: one shuffle on `keys`, one sort; per-key data is processed
+  * serially inside its reducer task, which is the correct shape when
+  * key cardinality (users) ≫ cores and no single key dominates. A
+  * pathological hot key serializes — the window analogue of join
+  * skew — but unlike as-of (see `TemporalJoin.asofJoinChunked`) a
+  * session may span any time chunk boundary, so chunking needs a
+  * cross-chunk merge pass; at that point the streaming sessionizer
+  * with state is the better engine and is already available.
+  *
+  * `tsCol` is a non-null long (epoch micros); `tieBreak` makes the
+  * event order — and therefore the session split — deterministic when
+  * two events share a timestamp. Output: input columns plus
+  * `session_id` (0-based, per key, in time order).
+  */
+object Sessionize {
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+      gapUs: Long, tieBreak: String): DataFrame = {
+    require(gapUs > 0, "gapUs must be > 0")
+    require(!df.columns.contains("session_id"),
+      "input already has a session_id column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieBreak))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prev.isNull || col(tsCol) - prev > gapUs, 1L).otherwise(0L)
+    // Running sum over the SAME (partition, order) spec — Spark plans
+    // one Window operator with one sort for both functions.
+    df.withColumn("session_id",
+      sum(newSession).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+  }
+
+  /** One row per session: bounds, event count, exact total of
+    * `valueCol` (DECIMAL-pathed so the double sum is order-independent
+    * — see Relational.exactSum). Map-side combinable aggregation after
+    * the sessionize window; AQE reuses the exchange because the
+    * groupBy keys extend the window's partition keys. */
+  def sessionSummary(df: DataFrame, keys: Seq[String], tsCol: String,
+      gapUs: Long, tieBreak: String, valueCol: String): DataFrame =
+    sessionize(df, keys, tsCol, gapUs, tieBreak)
+      .groupBy((keys :+ "session_id").map(col): _*)
+      .agg(
+        min(col(tsCol)).as("session_start_us"),
+        max(col(tsCol)).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        Relational.exactSum(col(valueCol)).as("total_value"))
+}

@@ -199,4 +199,43 @@ class NsDedupSpec extends SparkSpec {
     val recall = strong.count(got.contains).toDouble / strong.size
     assert(recall >= 0.9, s"recall $recall over ${strong.size} strong pairs")
   }
+
+  test("segmentDedup: keep-first across docs, ordered reassembly") {
+    // 2-word segments: doc 1 = [a b][c d], doc 2 = [c d][e f],
+    // doc 3 = [a b] — only doc 1's copies of [a b] and [c d] survive.
+    val out = Dedup.segmentDedup(
+      docs(1L -> "a b c d", 2L -> "c d e f", 3L -> "a b"),
+      "doc_id", "text", segWords = 2)
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        col("dedup_text"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("segmentDedup: intra-doc repeats keep only the first position") {
+    val out = Dedup.segmentDedup(
+      docs(7L -> "x y x y z"), "doc_id", "text", segWords = 2)
+      .select(col("n_segments"), col("n_kept"), col("dedup_text"))
+      .as[(Long, Long, String)].collect().toSeq
+    // Segments: [x y][x y][z] — the second [x y] is a duplicate.
+    assert(out == Seq((3L, 2L, "x y z")))
+  }
+
+  test("segmentDedup: dedup-free corpus reassembles to the input text") {
+    val in = docs(1L -> "p q r s t", 2L -> "u v w")
+    val out = Dedup.segmentDedup(in, "doc_id", "text", segWords = 2)
+      .select(col("doc_id"), col("dedup_text"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "p q r s t", 2L -> "u v w"))
+  }
+
+  test("segmentDedup: empty text yields no row; plan stays equi-only") {
+    val df = Dedup.segmentDedup(
+      docs(1L -> "", 2L -> "a b"), "doc_id", "text", segWords = 2)
+    assertNoCartesian(df)
+    assert(df.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
 }
