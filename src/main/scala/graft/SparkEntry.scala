@@ -590,6 +590,30 @@ object SparkEntry {
         valueCol = "value")
     }),
 
+    // Symmetric int8 embedding quantization — pure projection, the
+    // 4x storage path for the widest column in a curated corpus.
+    "ns35_quantize_int8" -> ((s, d) =>
+      graft.ns.Embeddings.quantizeInt8(t(s, d, "embeddings"),
+        "vec_id", "embedding")),
+
+    // L2 normalization — the stored form cosine consumers want (dot
+    // on unit vectors IS cosine). Pure zero-shuffle projection;
+    // bit-exact vs DuckDB via identical left-fold norm accumulation.
+    "ns36_l2_normalize" -> ((s, d) =>
+      graft.ns.Embeddings.l2Normalize(t(s, d, "embeddings"),
+        "vec_id", "embedding")),
+
+    // Near-dup CLUSTERING: transitive closure of the ns02 pair graph
+    // (connected components, hash-to-min), every doc assigned a
+    // cluster + keep-one representative flag. The iterative work is
+    // bounded by the pair graph; the corpus pays one left join.
+    "ns37_dedup_clusters" -> ((s, d) =>
+      graft.ns.Clusters.dedupClusters(
+        t(s, d, "documents"), "doc_id",
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id",
+          "text", n = 3, threshold = 0.5),
+        "id_a", "id_b")),
+
     // ---- §7.4.6 streaming restatement, driver-gated ----
     // Runs the WHOLE streaming path per invocation: file-source stream
     // over the events fixture (AvailableNow trigger), watermarked
@@ -1630,6 +1654,82 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // Quantization oracle: float→double promotion is exact and both
+    // engines round doubles half-away-from-zero, so the int arrays
+    // and the order-independent max error hash-match bit-exactly.
+    "ns35_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |      AS DOUBLE) AS q_scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, q_scale,
+        |    CASE WHEN q_scale = 0
+        |      THEN list_transform(embedding, x -> 0)
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / q_scale)
+        |          AS INTEGER))
+        |    END AS q
+        |  FROM s)
+        |SELECT vec_id, q_scale, q,
+        |  list_max(list_transform(list_zip(embedding, q),
+        |    p -> abs(CAST(p[1] AS DOUBLE)
+        |      - CAST(p[2] AS DOUBLE) * q_scale / 127.0)))
+        |    AS max_abs_err
+        |FROM q""".stripMargin,
+    // L2-normalize oracle: both engines fold the squared norm left-
+    // to-right in doubles (Spark `aggregate` with 0.0 seed, DuckDB
+    // `list_reduce` seeded by the first element — IEEE 0.0 + x²
+    // is bitwise x²), so norm and elements hash-match bit-exactly.
+    "ns36_l2_normalize" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b)) AS norm
+        |  FROM embeddings)
+        |SELECT vec_id, norm,
+        |  CASE WHEN norm = 0
+        |    THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / norm)
+        |  END AS unit
+        |FROM n""".stripMargin,
+    // Clustering oracle: recursive closure over the SAME pair set as
+    // ns02 (SQL repeated verbatim), min reachable id per vertex ==
+    // hash-to-min's fixpoint; docs off the pair graph are singleton
+    // clusters via the left join.
+    "ns37_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM pairs p
+        |   JOIN sizes sa ON p.id_a = sa.doc_id
+        |   JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM jp
+        |  UNION SELECT id_b, id_a FROM jp),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+        |cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  COALESCE(cc.comp, d.doc_id) AS cluster_id,
+        |  (COALESCE(cc.comp, d.doc_id) = d.doc_id) AS is_representative
+        |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id""".stripMargin,
     // Spark conv(hex,16,10) and DuckDB CAST('0x'||hex AS BIGINT) agree
     // on the first-8-hex-chars bucket (verified value-identical).
     "ns17_hash_split" ->

@@ -1,0 +1,101 @@
+package graft.ns
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-dup CLUSTERING: the step after pair generation that the
+  * dedup operators (ns02/ns03/ns04/ns07) feed. Pairwise near-dup
+  * relations are not transitive, but dedup policy must be — "keep
+  * one per group" needs the transitive closure, i.e. connected
+  * components of the pair graph (what C4/Dolma/RefinedWeb-style
+  * curation does between MinHash and the final keep-filter).
+  *
+  * Scale shape (the part that matters at 100 TB): the iterative work
+  * runs ONLY on vertices that appear in a pair — a set bounded by
+  * the near-dup graph, typically orders of magnitude smaller than
+  * the corpus — and the corpus itself contributes exactly one
+  * left join at the end. Each round combines hash-to-min label
+  * propagation (label(v) ← min over v and its neighbours) with
+  * pointer-halving (label(v) ← label(label(v))), so even a
+  * path-shaped component converges in O(log n) rounds, not
+  * O(diameter). Each round is two equi-joins + one map-combinable
+  * min-aggregate on the (vertex, label) frame, and the round's
+  * result is `localCheckpoint`ed: iterative DataFrame lineage
+  * otherwise DOUBLES per round and the plan itself (not the data)
+  * OOMs the driver — the classic Spark iterative-algorithm trap.
+  * On a cluster, a reliable `checkpoint` dir replaces
+  * localCheckpoint for executor-loss tolerance.
+  */
+object Clusters {
+
+  /** Connected components over an undirected edge list via
+    * hash-to-min label propagation. Input edges may be directed /
+    * contain duplicates; they are symmetrized and deduped here.
+    * Returns one row per DISTINCT endpoint: (id, component) with
+    * component = min vertex id reachable — deterministic, engine-
+    * independent, so a SQL engine's recursive closure produces the
+    * identical assignment (ns37 hash-gates exactly that).
+    *
+    * The convergence check (`changed == 0`) counts label changes per
+    * round — an action on the graph-bounded frame, not the corpus.
+    * Labels only ever decrease, so fixpoint == no change. Throws if
+    * `maxIter` rounds don't converge (with pointer-halving that
+    * needs a component of diameter ≳ 2^maxIter — not a real graph). */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // reused every round; flat lineage
+
+    var labels = sym.select(col("a").as("id"), col("a").as("lab"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // hash-to-min: min over self + neighbour labels.
+      val msgs = sym.join(labels, sym("a") === labels("id"))
+        .select(sym("b").as("id"), labels("lab"))
+      val hmin = labels.select(col("id"), col("lab")).union(msgs)
+        .groupBy("id").agg(min("lab").as("lab"))
+      // pointer-halving: lab(v) <- lab(lab(v)). A label is always a
+      // vertex id, and hmin has a row per vertex, so the inner join
+      // is total; min labels leap 2^k hops instead of 1.
+      val ptr = hmin.select(col("id").as("pid"), col("lab").as("plab"))
+      val next = hmin.join(ptr, hmin("lab") === ptr("pid"))
+        .select(hmin("id"), col("plab").as("lab"))
+        .localCheckpoint(true) // truncate the doubling lineage
+      val changed = next
+        .join(labels.withColumnRenamed("lab", "old"), "id")
+        .filter(col("lab") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels.withColumnRenamed("lab", "component")
+  }
+
+  /** Dedup clustering over a full corpus: assign every document a
+    * cluster id (min doc id of its near-dup component; docs in no
+    * pair are their own singleton cluster) and flag the one
+    * representative to keep. Composes a pair generator with
+    * [[connectedComponents]]; the corpus-sized work is the single
+    * final left join.
+    *
+    * Output: (idCol, cluster_id, is_representative). The keep-one
+    * dedup filter is `is_representative`. */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, maxIter)
+    docs.select(col(idCol))
+      .join(cc, docs(idCol) === cc("id"), "left")
+      .select(docs(idCol),
+        coalesce(col("component"), docs(idCol)).as("cluster_id"))
+      .withColumn("is_representative",
+        col(idCol) === col("cluster_id"))
+  }
+}

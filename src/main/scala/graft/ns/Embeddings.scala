@@ -1,0 +1,85 @@
+package graft.ns
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-column storage operators for LLM-data pipelines: vector
+  * quantization for the 100-TB shelf. An `array<float>` embedding
+  * column is typically the widest thing in a curated corpus (d=1k
+  * floats = 4 KB/row); symmetric int8 quantization cuts it 4× with a
+  * per-vector scale, which is what production vector stores ship to
+  * disk. Everything here is a pure projection — map-side, zero
+  * shuffle, codegen'd `transform`/`zip_with` lambdas over the array,
+  * so it composes with any scan without changing the plan shape.
+  */
+object Embeddings {
+
+  /** Symmetric per-vector int8 quantization:
+    * q_i = round(x_i * 127 / scale), scale = max_i |x_i|, so q_i ∈
+    * [-127, 127] and dequantization is q_i * scale / 127. The
+    * all-zero vector (scale 0) quantizes to zeros rather than NaN.
+    * `max_abs_err` is the exact per-vector reconstruction bound
+    * actually achieved (≤ scale/254 by construction — half a quantum
+    * — a law the spec asserts); max is order-independent, so the
+    * value is deterministic under any partitioning.
+    *
+    * All arithmetic is float→double promotion (exact) followed by
+    * double ops in a fixed order — bit-reproducible across engines,
+    * which is why the ns35 gate can hash-match DuckDB.
+    *
+    * Output: (idCol, q_scale double, q array<int>, max_abs_err
+    * double). */
+  def quantizeInt8(df: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    df.select(col(idCol), col(embCol),
+        array_max(transform(col(embCol), x => abs(x)))
+          .cast("double").as("q_scale"))
+      .select(col(idCol), col(embCol), col("q_scale"),
+        when(col("q_scale") === 0d,
+            transform(col(embCol), _ => lit(0)))
+          .otherwise(transform(col(embCol),
+            x => round(x.cast("double") * 127.0 / col("q_scale"))
+              .cast("int"))).as("q"))
+      .select(col(idCol), col("q_scale"), col("q"),
+        array_max(zip_with(col(embCol), col("q"),
+          (x, qi) => abs(x.cast("double") -
+            qi.cast("double") * col("q_scale") / 127.0)))
+          .as("max_abs_err"))
+
+  /** Inverse of [[quantizeInt8]]: x̂_i = q_i * scale / 127 as doubles.
+    * Round-trip law (spec-asserted): max_i |x_i − x̂_i| equals the
+    * `max_abs_err` quantizeInt8 reported, ≤ scale/254. Pure
+    * projection; expects the (q, q_scale) columns quantizeInt8
+    * emits. */
+  def dequantizeInt8(df: DataFrame, qCol: String = "q",
+      scaleCol: String = "q_scale"): DataFrame =
+    df.withColumn("dq", transform(col(qCol),
+      qi => qi.cast("double") * col(scaleCol) / 127.0))
+
+  /** L2 normalization: unit_i = x_i / ‖x‖₂, plus the norm itself —
+    * the projection every cosine-similarity consumer wants
+    * pre-computed (dot product on unit vectors IS cosine), and the
+    * stored form that makes downstream top-k a pure fused
+    * multiply-add. The all-zero vector maps to zeros, not NaN.
+    *
+    * Cross-engine bit-exactness (ns36 hash-gates this vs DuckDB):
+    * the squared-norm accumulation is a LEFT FOLD over the array in
+    * doubles (`aggregate` here, `list_reduce` there — both
+    * sequential left-to-right, and IEEE adds/sqrt/divides are
+    * correctly rounded), so norm and every element agree bitwise.
+    * Pure zero-shuffle projection, one codegen'd higher-order
+    * function per output column.
+    *
+    * Output: (idCol, norm double, unit array<double>). */
+  def l2Normalize(df: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    df.select(col(idCol), col(embCol),
+        sqrt(aggregate(col(embCol), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+          .as("norm"))
+      .select(col(idCol), col("norm"),
+        when(col("norm") === 0d,
+            transform(col(embCol), _ => lit(0.0)))
+          .otherwise(transform(col(embCol),
+            x => x.cast("double") / col("norm"))).as("unit"))
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ns.Clusters
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long)*) = rows.toDF("a", "b")
+
+  test("connectedComponents: two components + direction-independence") {
+    // component {1,2,3} (chain), component {10,11} — edge directions
+    // deliberately mixed; symmetrization must make them irrelevant.
+    val cc = Clusters.connectedComponents(
+        edges(2L -> 1L, 2L -> 3L, 11L -> 10L), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: long chain converges (diameter stress)") {
+    // A 40-vertex path is the worst case for plain hash-to-min
+    // (diameter 39 > maxIter 25); pointer-halving makes label 0
+    // leap 2^k hops per round, so this converges in ~log2(40)
+    // rounds — the test that the halving step actually works.
+    val chain = (0L until 39L).map(i => i -> (i + 1))
+    val cc = Clusters.connectedComponents(edges(chain: _*), "a", "b")
+      .as[(Long, Long)].collect()
+    assert(cc.length == 40 && cc.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents output is a fixpoint") {
+    val e = edges(1L -> 2L, 2L -> 3L, 7L -> 8L)
+    val cc = Clusters.connectedComponents(e, "a", "b")
+    // one more hash-to-min round changes nothing
+    val sym = e.select(col("a"), col("b"))
+      .union(e.select(col("b").as("a"), col("a").as("b")))
+    val again = sym.join(cc, sym("a") === cc("id"))
+      .select(sym("b").as("id"), col("component"))
+      .union(cc.select(col("id"), col("component")))
+      .groupBy("id").agg(min("component").as("next"))
+    val drift = again.join(cc, "id")
+      .filter(col("next") =!= col("component")).count()
+    assert(drift == 0)
+  }
+
+  test("dedupClusters: singletons, representatives, keep-one filter") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val out = Clusters.dedupClusters(docs, "doc_id",
+        edges(1L -> 2L, 2L -> 3L), "a", "b")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, true)))
+    assert(out(2L) == ((2L, 1L, false)))
+    assert(out(3L) == ((3L, 1L, false)))
+    assert(out(4L) == ((4L, 4L, true)))   // singleton: own cluster
+    assert(out(5L) == ((5L, 5L, true)))
+    // the dedup policy: exactly one representative per cluster
+    val perCluster = out.values.groupBy(_._2)
+      .map { case (_, g) => g.count(_._3) }
+    assert(perCluster.forall(_ == 1))
+  }
+
+  test("dedupClusters on fixture: partitions the ns02 pair graph") {
+    val docs = Tables(spark, sf, "documents")
+    val pairs = graft.ns.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val clusters = Clusters.dedupClusters(docs, "doc_id", pairs,
+      "id_a", "id_b")
+    // every paired doc shares its cluster with its pair partner
+    val viol = pairs.select(col("id_a"), col("id_b"))
+      .join(clusters.select(col("doc_id"), col("cluster_id").as("ca")),
+        col("id_a") === col("doc_id")).drop("doc_id")
+      .join(clusters.select(col("doc_id"), col("cluster_id").as("cb")),
+        col("id_b") === col("doc_id")).drop("doc_id")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(viol == 0)
+    // total rows == corpus; representative count == distinct clusters
+    assert(clusters.count() == docs.count())
+    val reps = clusters.filter(col("is_representative")).count()
+    val distinctClusters =
+      clusters.select(col("cluster_id")).distinct().count()
+    assert(reps == distinctClusters)
+  }
+}

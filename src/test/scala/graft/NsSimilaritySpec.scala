@@ -197,4 +197,79 @@ class NsSimilaritySpec extends SparkSpec {
         .filter(col("c") >= 0.39) // tiny fp slack from distance round-trip
         .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet))
   }
+
+  test("quantizeInt8: range, half-quantum error bound, zero guard") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = graft.ns.Embeddings.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("q_scale"), col("max_abs_err"),
+        array_min(col("q")).as("lo"), array_max(col("q")).as("hi"))
+      .as[(Double, Double, Int, Int)].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (scale, err, lo, hi) =>
+      assert(lo >= -127 && hi <= 127, s"q out of int8 range [$lo,$hi]")
+      // round() is at most half a quantum off; the scale element
+      // itself maps exactly to ±127.
+      assert(err <= scale / 254.0 * (1 + 1e-12),
+        s"err $err exceeds half-quantum ${scale / 254.0}")
+    }
+  }
+
+  test("quantizeInt8: all-zero vector quantizes to zeros, not NaN") {
+    val out = graft.ns.Embeddings.quantizeInt8(
+      vecs(1L -> Seq(0f, 0f, 0f), 2L -> Seq(0f, 2f, -4f)),
+      "vec_id", "embedding")
+      .select(col("vec_id"), col("q_scale"), col("q"),
+        col("max_abs_err"))
+      .as[(Long, Double, Seq[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0.0, Seq(0, 0, 0), 0.0)))
+    assert(out(2L)._3 == Seq(0, 64, -127)) // round(2*127/4) = 64
+    assert(out(2L)._2 == 4.0)
+  }
+
+  test("quantizeInt8 is a pure projection: no exchange in the plan") {
+    val plan = graft.ns.Embeddings.quantizeInt8(
+      Tables(spark, sf, "embeddings"), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantize must not shuffle:\n$plan")
+  }
+
+  test("dequantizeInt8 round-trip achieves exactly max_abs_err") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = graft.ns.Embeddings.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb, "vec_id")
+    val rt = graft.ns.Embeddings.dequantizeInt8(q)
+      .select(col("max_abs_err"),
+        array_max(zip_with(col("embedding"), col("dq"),
+          (x, y) => abs(x.cast("double") - y))).as("rt_err"))
+      .as[(Double, Double)].collect()
+    assert(rt.nonEmpty)
+    rt.foreach { case (reported, actual) =>
+      assert(actual == reported,
+        s"round-trip err $actual != reported $reported")
+    }
+  }
+
+  test("l2Normalize: unit norm, zero guard, cosine = dot of units") {
+    val df = vecs(
+      1L -> Seq(3f, 4f), 2L -> Seq(0f, 0f), 3L -> Seq(-1f, 1f))
+    val out = graft.ns.Embeddings.l2Normalize(df, "vec_id", "embedding")
+      .select(col("vec_id"), col("norm"), col("unit"))
+      .as[(Long, Double, Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 5.0 && out(1L)._3 == Seq(0.6, 0.8))
+    assert(out(2L)._2 == 0.0 && out(2L)._3 == Seq(0.0, 0.0))
+    // unit vector really has L2 norm 1 (within one ulp of the fold)
+    val n3 = out(3L)._3.map(x => x * x).sum
+    assert(math.abs(n3 - 1.0) < 1e-12)
+  }
+
+  test("l2Normalize is a pure projection: no exchange in the plan") {
+    val plan = graft.ns.Embeddings.l2Normalize(
+      Tables(spark, sf, "embeddings"), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalize must not shuffle:\n$plan")
+  }
 }
