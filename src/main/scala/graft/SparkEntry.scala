@@ -614,6 +614,19 @@ object SparkEntry {
           "text", n = 3, threshold = 0.5),
         "id_a", "id_b")),
 
+    // Per-label centroids (mean pooling) via EXACT fixed-point sums —
+    // order-independent integer accumulation is what lets a float
+    // mean hash-match across engines.
+    "ns38_label_centroids" -> ((s, d) =>
+      graft.ns.Embeddings.labelCentroids(t(s, d, "embeddings"),
+        "label", "embedding")),
+
+    // Temperature-weighted (T=2) mixture rates per source — the
+    // UniMax-style upweighting that feeds mixtureSample.
+    "ns39_temperature_mixture" -> ((s, d) =>
+      graft.ns.Sampling.temperatureMixRates(t(s, d, "documents"),
+        "source")),
+
     // ---- §7.4.6 streaming restatement, driver-gated ----
     // Runs the WHOLE streaming path per invocation: file-source stream
     // over the events fixture (AvailableNow trigger), watermarked
@@ -1730,6 +1743,35 @@ object SparkEntry {
         |  COALESCE(cc.comp, d.doc_id) AS cluster_id,
         |  (COALESCE(cc.comp, d.doc_id) = d.doc_id) AS is_representative
         |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id""".stripMargin,
+    // Centroid oracle: identical fixed-point pipeline — one round to
+    // 2^-24 quanta (power-of-two scaling is exact; both engines round
+    // half away from zero), exact BIGINT sums, one double division.
+    "ns38_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, i - 1 AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 16777216.0)
+        |      AS BIGINT) AS fx
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |s AS (
+        |  SELECT label, pos, SUM(fx) AS sfx, COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+        |  list(CAST(sfx AS DOUBLE) / (n * 16777216.0) ORDER BY pos)
+        |    AS centroid
+        |FROM s GROUP BY label""".stripMargin,
+    // Rates oracle: sqrt is IEEE-exact on both engines; the Σ √n fold
+    // is ordered by source on both sides (list(... ORDER BY) here,
+    // array_sort'd collect there), so the total is bit-identical.
+    "ns39_temperature_mixture" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT list_reduce(
+        |    list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+        |    (a, b) -> a + b) AS total_w FROM c)
+        |SELECT source, n_docs,
+        |  sqrt(CAST(n_docs AS DOUBLE)) / t.total_w AS rate
+        |FROM c, t""".stripMargin,
     // Spark conv(hex,16,10) and DuckDB CAST('0x'||hex AS BIGINT) agree
     // on the first-8-hex-chars bucket (verified value-identical).
     "ns17_hash_split" ->

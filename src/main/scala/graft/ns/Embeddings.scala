@@ -82,4 +82,46 @@ object Embeddings {
             transform(col(embCol), _ => lit(0.0)))
           .otherwise(transform(col(embCol),
             x => x.cast("double") / col("norm"))).as("unit"))
+
+  /** Per-group embedding centroids (mean pooling) — the SemDeDup /
+    * diversity-balancing primitive: one representative vector per
+    * cluster, label, or source. The mean is computed over EXACT
+    * fixed-point sums: each element is rounded once to `fracBits`
+    * fractional bits (x·2^f is exact — power-of-two scaling — and
+    * the single round is the only quantization, error ≤ 2^-(f+1)),
+    * then accumulated as longs. Integer addition is associative and
+    * commutative, so the sum is order- and partition-independent —
+    * that is what lets ns38 hash-match a SQL engine bit-for-bit,
+    * where a float summation would be order-dependent noise.
+    *
+    * Scale shape: posexplode → groupBy(group, pos) sum(long) is
+    * map-combinable (partial aggregation before the exchange; state
+    * per (group, pos) is two longs), and the final per-group array
+    * rebuild collects exactly d elements per group — bounded by the
+    * embedding dimension, not the corpus. Overflow bound: safe while
+    * group_size · max|x| < 2^(63-fracBits) (≈5·10¹¹ rows per group
+    * at |x| ≤ 1, f = 24). Ragged arrays are averaged per-position
+    * over the rows that have that position; `n_vectors` is the
+    * group's row count (max position count).
+    *
+    * Output: (groupCol, n_vectors, centroid array<double>). */
+  def labelCentroids(df: DataFrame, groupCol: String, embCol: String,
+      fracBits: Int = 24): DataFrame = {
+    require(fracBits >= 1 && fracBits <= 30,
+      s"fracBits must be in [1, 30], got $fracBits")
+    val scale = (1L << fracBits).toDouble
+    df.select(col(groupCol),
+        posexplode(col(embCol)).as(Seq("pos", "x")))
+      .select(col(groupCol), col("pos"),
+        round(col("x").cast("double") * scale).cast("long").as("fx"))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum("fx").as("sfx"), count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(max("n").as("n_vectors"),
+        array_sort(collect_list(struct(col("pos"),
+          (col("sfx").cast("double") / (col("n").cast("double") * scale))
+            .as("m")))).as("pm"))
+      .select(col(groupCol), col("n_vectors"),
+        transform(col("pm"), p => p.getField("m")).as("centroid"))
+  }
 }

@@ -83,6 +83,37 @@ object Sampling {
       rate * buckets)
   }
 
+  /** Temperature-weighted mixture rates at T = 2 (the common
+    * UniMax/multilingual setting): rate(s) = √n_s / Σ_s √n_s —
+    * upweights small sources relative to proportional sampling
+    * without letting any source dominate. Feeds [[mixtureSample]]
+    * (its `rates` map is this frame, collected — bounded by the
+    * source count, not the corpus; the composition law is
+    * spec-tested). T = 2 is the registered setting because √ is an
+    * IEEE correctly-rounded operation on both engines, so ns39
+    * hash-gates bit-exactly; arbitrary T needs `pow`, whose libm
+    * implementations differ across engines — documented, not hidden.
+    *
+    * The Σ √n fold runs over the per-source weights sorted by source
+    * name (a dimension-bounded array on one row), so the double
+    * summation order is fixed and engine-independent. One
+    * map-combinable count shuffle; the total joins back as a 1-row
+    * broadcast.
+    *
+    * Output: (source, n_docs, rate), Σ rate = 1 up to fp rounding. */
+  def temperatureMixRates(df: DataFrame, srcCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts
+      .agg(array_sort(collect_list(struct(col("source"),
+        sqrt(col("n_docs").cast("double")).as("w")))).as("ws"))
+      .select(aggregate(col("ws"), lit(0.0),
+        (a, x) => a + x.getField("w")).as("total_w"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (sqrt(col("n_docs").cast("double")) / col("total_w")).as("rate"))
+  }
+
   /** Driver-side prefix sum of one long per bucket, returned as a
     * broadcastable (__bucket, __prefix) frame — the shared second
     * phase of [[packOffsets]] and [[pseudoShuffle]]'s two-phase

@@ -70,6 +70,43 @@ class NsSamplingSpec extends SparkSpec {
       .sameElements(run().select("doc_id").as[Long].collect().sorted))
   }
 
+  test("temperatureMixRates: sqrt weighting, sums to 1, upweights tails") {
+    // planted power-law: 100/25/4/1 rows → √n = 10/5/2/1, Σ = 18
+    val d = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (1 to 25).map(i => (1000L + i, "mid")) ++
+      (1 to 4).map(i => (2000L + i, "small")) ++
+      Seq((3001L, "tiny"))).toDF("doc_id", "source")
+    val r = Sampling.temperatureMixRates(d, "source")
+      .as[(String, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("big") == (("big", 100L, 10.0 / 18)))
+    assert(r("mid") == (("mid", 25L, 5.0 / 18)))
+    assert(r("small") == (("small", 4L, 2.0 / 18)))
+    assert(r("tiny") == (("tiny", 1L, 1.0 / 18)))
+    assert(math.abs(r.values.map(_._3).sum - 1.0) < 1e-12)
+    // the point of temperature: tiny's share rises vs proportional
+    // (1/130 → 1/18), big's falls (100/130 → 10/18)
+    assert(r("tiny")._3 > 1.0 / 130 && r("big")._3 < 100.0 / 130)
+  }
+
+  test("temperatureMixRates feeds mixtureSample (composition law)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val rates = Sampling.temperatureMixRates(d, "source")
+      .as[(String, Long, Double)].collect()
+      .map(x => x._1 -> x._3).toMap // bounded by the source count
+    val kept = Sampling.mixtureSample(d, "doc_id", "source", rates,
+      defaultRate = 0.0, salt = "t2")
+    // every source survives at its (nonzero) temperature rate, and
+    // the realized corpus-wide keep share tracks Σ n_s · rate_s
+    val expected = d.groupBy("source").count()
+      .as[(String, Long)].collect()
+      .map { case (s, n) => n * rates(s) }.sum
+    val got = kept.count().toDouble
+    assert(math.abs(got - expected) / expected < 0.35,
+      s"kept $got vs expected $expected")
+  }
+
   test("packOffsets: contiguous global offsets, bucket-boundary exact") {
     // bucketSize 3 forces multiple buckets; weights chosen so pack
     // boundaries land mid-bucket and across buckets

@@ -272,4 +272,43 @@ class NsSimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"normalize must not shuffle:\n$plan")
   }
+
+  test("labelCentroids: exact means on representable values") {
+    // values with ≤ 24 fractional bits are fixed-point-exact, so the
+    // centroid is the EXACT arithmetic mean — no fp tolerance needed.
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 2.0f)), (2L, 0, Seq(3.0f, 6.0f)),
+      (3L, 1, Seq(-1.5f, 0.25f))).toDF("vec_id", "label", "embedding")
+    val out = graft.ns.Embeddings.labelCentroids(df, "label", "embedding")
+      .as[(Int, Long, Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0) == ((0, 2L, Seq(2.0, 4.0))))
+    assert(out(1) == ((1, 1L, Seq(-1.5, 0.25))))
+  }
+
+  test("labelCentroids: quantization error bounded by half a quantum") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = graft.ns.Embeddings.labelCentroids(
+      emb, "label", "embedding")
+    // recompute the float mean per label the naive way and compare:
+    // |fixed-point mean − float mean| ≤ 2^-25 per element (the one
+    // rounding), far below any downstream cosine's sensitivity
+    val naive = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("m"))
+    val drift = cents
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "c")))
+      .join(naive, Seq("label", "pos"))
+      .select(max(abs(col("c") - col("m")))).as[Double].head()
+    assert(drift < 1e-6, s"fixed-point drift $drift")
+  }
+
+  test("labelCentroids aggregates map-side: partial agg before exchange") {
+    val plan = graft.ns.Embeddings.labelCentroids(
+        Tables(spark, sf, "embeddings"), "label", "embedding")
+      .queryExecution.executedPlan.toString
+    // partial sum(fx) must appear below the exchange (map-combinable)
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"expected partial aggregation in:\n$plan")
+  }
 }
