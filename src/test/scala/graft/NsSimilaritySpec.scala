@@ -273,6 +273,28 @@ class NsSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"normalize must not shuffle:\n$plan")
   }
 
+  test("int8 storage path preserves search: top-k on dequantized ≈ exact") {
+    // the law that makes ns35 a legitimate storage format for ns05-
+    // style search: brute-force top-5 over the round-tripped corpus
+    // recovers ≥ 90% of the exact top-5 (d=64, err ≤ scale/254/elem)
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val rt = graft.ns.Embeddings.dequantizeInt8(
+        graft.ns.Embeddings.quantizeInt8(emb, "vec_id", "embedding"))
+      .select(col("vec_id"),
+        transform(col("dq"), x => x.cast("float")).as("embedding"))
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect().toSet
+    val exact = topk(emb)
+    val quant = topk(rt)
+    val overlap = exact.intersect(quant).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"quantized top-k overlap $overlap")
+  }
+
   test("labelCentroids: exact means on representable values") {
     // values with ≤ 24 fractional bits are fixed-point-exact, so the
     // centroid is the EXACT arithmetic mean — no fp tolerance needed.
