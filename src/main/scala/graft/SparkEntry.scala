@@ -627,6 +627,27 @@ object SparkEntry {
       graft.ns.Sampling.temperatureMixRates(t(s, d, "documents"),
         "source")),
 
+    // Semantic dedup: cosine near-dup pairs → connected components →
+    // keep-one. Rows-only (LSH bucketing is engine-specific, like
+    // ns07 it builds on); partition/representative laws in
+    // ClustersSpec. Same LSH setting as ns07 (recall 1.0 measured).
+    "ns40_semantic_dedup" -> ((s, d) =>
+      graft.ns.Clusters.semanticDedup(t(s, d, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.4, numHashTables = 8,
+        bucketLength = 0.2)),
+
+    // Incremental MinHash near-dup: the NEW half of the corpus
+    // banded against the stored half, no store self-join. Rows-only
+    // (xxhash64 family); NsDedupSpec proves equality with the full
+    // self-join restricted to cross pairs.
+    "ns41_incremental_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minhashNearDupNewVsStore(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, maxJaccardDist = 0.5)
+    }),
+
     // ---- §7.4.6 streaming restatement, driver-gated ----
     // Runs the WHOLE streaming path per invocation: file-source stream
     // over the events fixture (AvailableNow trigger), watermarked

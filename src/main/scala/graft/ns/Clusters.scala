@@ -98,4 +98,23 @@ object Clusters {
       .withColumn("is_representative",
         col(idCol) === col("cluster_id"))
   }
+
+  /** Semantic dedup (SemDeDup-style): embedding-cosine near-dup
+    * pairs → transitive closure → keep one representative per
+    * semantic cluster. The full composition a curation pipeline
+    * runs between embedding and training: LSH-bucketed candidate
+    * generation (never all-pairs — [[graft.ns.Similarity
+    * .cosineNearDupPairs]], exact-cosine-verified), then
+    * [[dedupClusters]], whose iterative cost is bounded by the
+    * near-dup graph. `filter(col("is_representative"))` is the
+    * deduplicated corpus. Deterministic for a fixed seed.
+    * Output: (idCol, cluster_id, is_representative). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, numHashTables: Int = 8,
+      bucketLength: Double = 0.5, seed: Long = 42L,
+      maxIter: Int = 25): DataFrame =
+    dedupClusters(emb, idCol,
+      graft.ns.Similarity.cosineNearDupPairs(emb, idCol, vecCol,
+        minCosine, numHashTables, bucketLength, seed),
+      "id_a", "id_b", maxIter)
 }

@@ -231,17 +231,35 @@ object Dedup {
     * single-row banding of a generic LSH library doesn't give.
     * Output: (id_a, id_b, jaccard_dist), id_a < id_b, jaccard_dist <=
     * maxJaccardDist. Deterministic for a fixed seed. */
+  /** Banded rows (idCol, band, chunk) from a signature frame: bands
+    * of 2 signature rows each, the shape both the self-join and the
+    * batch-vs-store join consume. */
+  private def bandedSig(sig: DataFrame, idCol: String,
+      numHashTables: Int): DataFrame = {
+    val rowsPerBand = 2
+    sig.select(col(idCol),
+      posexplode(array((0 until numHashTables).map { b =>
+        struct(col(s"mh${rowsPerBand * b}").as("h0"),
+          col(s"mh${rowsPerBand * b + 1}").as("h1"))
+      }: _*)).as(Seq("band", "chunk")))
+  }
+
+  /** Per-document compact shingle-hash set: one sorted array of gram
+    * xxhash64s per doc — the exact-verify operand (per-doc state ~
+    * document size, never fanned out per gram). */
+  private def gramSets(g: DataFrame, idCol: String,
+      seed: Long): DataFrame =
+    g.select(col(idCol), xxhash64(lit(seed), col("gram")).as("gh"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("gh"))).as("ghs"))
+
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxJaccardDist: Double, numHashTables: Int = 8,
       seed: Long = 42L): DataFrame = {
     val rowsPerBand = 2
     val g = shingles(df, idCol, textCol, n)
     val sig = minhashSignature(g, idCol, numHashTables * rowsPerBand, seed)
-    val banded = sig.select(col(idCol),
-      posexplode(array((0 until numHashTables).map { b =>
-        struct(col(s"mh${rowsPerBand * b}").as("h0"),
-          col(s"mh${rowsPerBand * b + 1}").as("h1"))
-      }: _*)).as(Seq("band", "chunk")))
+    val banded = bandedSig(sig, idCol, numHashTables)
     val cand = banded.select(col(idCol).as("id_a"), col("band"),
       col("chunk"))
       .join(banded.select(col(idCol).as("id_b"), col("band"),
@@ -257,10 +275,7 @@ object Dedup {
     // fans a candidate pair out by its gram count: an earlier
     // inverted-index verify did (candidates × ~300 grams of shuffled
     // string rows) and was 20-30× slower at sf0.1.
-    val docsets = g
-      .select(col(idCol), xxhash64(lit(seed), col("gram")).as("gh"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("gh"))).as("ghs"))
+    val docsets = gramSets(g, idCol, seed)
     cand
       .join(docsets.select(col(idCol).as("id_a"), col("ghs").as("ghs_a")),
         "id_a")
@@ -270,6 +285,56 @@ object Dedup {
         size(array_intersect(col("ghs_a"), col("ghs_b"))).as("common"),
         size(col("ghs_a")).as("sz_a"), size(col("ghs_b")).as("sz_b"))
       .select(col("id_a"), col("id_b"),
+        (lit(1.0) - col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common"))).as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+  }
+
+  /** Incremental MinHash near-dup: match a NEW batch against an
+    * existing corpus WITHOUT any store-side self-join — the fuzzy
+    * twin of [[incrementalDedup]], and the shape nightly ingest
+    * actually runs. Band rows from the batch equi-join band rows
+    * from the store (batch×store buckets only), so adding a batch
+    * costs |batch bands| × matching store buckets — the store is
+    * NEVER paired with itself, and a 100-TB store contributes one
+    * banding pass (in production, persist [[minhashSignature]]
+    * output alongside the corpus and feed the saved signatures here
+    * instead of re-shingling; this self-contained form recomputes
+    * them from text for the oracle's sake). Candidates are
+    * exact-verified with the same compact gram-hash arrays as
+    * [[minhashNearDupPairs]]; NsDedupSpec proves this equals the
+    * full self-join restricted to cross (batch, store) pairs.
+    * Output: (batch_id, store_id, jaccard_dist), dist <=
+    * maxJaccardDist. Deterministic for a fixed seed. */
+  def minhashNearDupNewVsStore(batch: DataFrame, store: DataFrame,
+      idCol: String, textCol: String, n: Int, maxJaccardDist: Double,
+      numHashTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = 2
+    val gb = shingles(batch, idCol, textCol, n)
+    val gs = shingles(store, idCol, textCol, n)
+    val bb = bandedSig(
+      minhashSignature(gb, idCol, numHashTables * rowsPerBand, seed),
+      idCol, numHashTables)
+    val bs = bandedSig(
+      minhashSignature(gs, idCol, numHashTables * rowsPerBand, seed),
+      idCol, numHashTables)
+    val cand = bb
+      .select(col(idCol).as("batch_id"), col("band"), col("chunk"))
+      .join(bs.select(col(idCol).as("store_id"), col("band"),
+        col("chunk")), Seq("band", "chunk"))
+      .select(col("batch_id"), col("store_id"))
+      .distinct()
+    cand
+      .join(gramSets(gb, idCol, seed)
+        .select(col(idCol).as("batch_id"), col("ghs").as("ghs_a")),
+        "batch_id")
+      .join(gramSets(gs, idCol, seed)
+        .select(col(idCol).as("store_id"), col("ghs").as("ghs_b")),
+        "store_id")
+      .select(col("batch_id"), col("store_id"),
+        size(array_intersect(col("ghs_a"), col("ghs_b"))).as("common"),
+        size(col("ghs_a")).as("sz_a"), size(col("ghs_b")).as("sz_b"))
+      .select(col("batch_id"), col("store_id"),
         (lit(1.0) - col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common"))).as("jaccard_dist"))
       .filter(col("jaccard_dist") <= maxJaccardDist)

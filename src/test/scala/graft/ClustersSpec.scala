@@ -61,6 +61,27 @@ class ClustersSpec extends SparkSpec {
     assert(perCluster.forall(_ == 1))
   }
 
+  test("semanticDedup: planted copy groups collapse to one rep each") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),  // group A (exact copies)
+      (2L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (10L, Seq(0.0f, 0.0f, 1.0f, -0.2f)), // group B
+      (11L, Seq(0.0f, 0.0f, 1.0f, -0.2f)),
+      (20L, Seq(-1.0f, 1.0f, 1.0f, 1.0f))  // unique
+    ).toDF("vec_id", "embedding")
+    val out = graft.ns.Clusters.semanticDedup(emb, "vec_id",
+        "embedding", minCosine = 0.9)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 6) // partition: every vector assigned
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L && out(3L)._2 == 1L)
+    assert(out(10L)._2 == 10L && out(11L)._2 == 10L)
+    assert(out(20L) == ((20L, 20L, true)))
+    val kept = out.values.filter(_._3).map(_._1).toSet
+    assert(kept == Set(1L, 10L, 20L)) // one per semantic group
+  }
+
   test("dedupClusters on fixture: partitions the ns02 pair graph") {
     val docs = Tables(spark, sf, "documents")
     val pairs = graft.ns.Dedup.ngramJaccardPairs(

@@ -168,6 +168,31 @@ class NsDedupSpec extends SparkSpec {
     assert(dists.forall(_ <= 0.5))
   }
 
+  test("minhashNewVsStore == full self-join restricted to cross pairs") {
+    // the law that makes the incremental path trustworthy: banding
+    // the batch against the store finds EXACTLY the pairs the full
+    // (store ∪ batch) self-join would report between the two halves —
+    // same seed, same bands, same exact verify, bit-equal distances.
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    val store = d.filter(col("doc_id") % 2 === 0)
+    val full = Dedup.minhashNearDupPairs(d, "doc_id", "text", 3,
+      maxJaccardDist = 0.5, numHashTables = 8, seed = 42L)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 2) != (b % 2) } // cross only
+      .map { case (a, b, dist) =>
+        if (a % 2 == 1) (a, b, dist) else (b, a, dist) }
+      .toSet
+    val inc = Dedup.minhashNearDupNewVsStore(batch, store,
+      "doc_id", "text", 3, maxJaccardDist = 0.5, numHashTables = 8,
+      seed = 42L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty, "fixture should contain cross-half near-dups")
+    assert(inc == full, s"incremental ${inc.size} vs full-cross ${full.size}")
+    assertNoCartesian(Dedup.minhashNearDupNewVsStore(batch, store,
+      "doc_id", "text", 3, 0.5))
+  }
+
   test("simhash: identical docs agree, near-identical docs are close") {
     val sig = Dedup.simhash(docs(
       1L -> "spark shuffles the partition keys across executors today",
