@@ -648,6 +648,43 @@ object SparkEntry {
         "doc_id", "text", n = 3, maxJaccardDist = 0.5)
     }),
 
+    // Boilerplate removal: segments appearing in >1 distinct doc are
+    // chrome, stripped from EVERY doc (vs ns33's keep-first). The
+    // boilerplate dictionary is broadcast; the corpus shuffles once.
+    "ns42_boilerplate_removal" -> ((s, d) =>
+      graft.ns.Dedup.boilerplateRemoval(t(s, d, "documents"),
+        "doc_id", "text", segWords = 10, maxDocs = 1)),
+
+    // Sliding-window chunking for retrieval/embedding prep: 32-word
+    // windows, stride 8 (24-word overlap). Zero-shuffle projection.
+    "ns43_chunk_windows" -> ((s, d) =>
+      graft.ns.TextOps.chunkWindows(t(s, d, "documents"),
+        "doc_id", "text", windowWords = 32, strideWords = 8)),
+
+    // Snapshot reconciliation: two deterministic synthetic snapshots
+    // of the documents fixture (old drops ids ≡3 mod 10; new drops
+    // ids ≡7 mod 10 and rewrites ids ≡0 mod 5), diffed by content
+    // md5 in ONE full-outer join over (id, fingerprint) pairs.
+    "ns44_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ns.Snapshot.snapshotDiff(
+        docs.filter(col("doc_id") % 10 =!= 3)
+          .select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text")),
+        "doc_id", "text")
+    }),
+
+    // Rare-token (OOV-rate) quality signal: tokens with corpus df < 3
+    // counted per doc; the common vocabulary (Zipf head) is broadcast,
+    // the corpus pays one per-doc exchange.
+    "ns45_rare_token_stats" -> ((s, d) =>
+      graft.ns.TextOps.rareTokenStats(t(s, d, "documents"),
+        "doc_id", "text", minDf = 3)),
+
     // ---- §7.4.6 streaming restatement, driver-gated ----
     // Runs the WHOLE streaming path per invocation: file-source stream
     // over the events fixture (AvailableNow trigger), watermarked
@@ -1665,6 +1702,82 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN keep THEN segment END, ' '
         |    ORDER BY seg_idx), '') AS dedup_text
         |FROM kept GROUP BY doc_id""".stripMargin,
+    // Boilerplate oracle: identical split; df per segment over
+    // distinct docs; segments with df > 1 stripped everywhere.
+    "ns42_boilerplate_removal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents WHERE trim(text) <> ''),
+        |idx AS (SELECT doc_id, words,
+        |  unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+        |  FROM w),
+        |segs AS (SELECT doc_id, i AS seg_idx,
+        |  array_to_string(words[(i*10+1):(i*10+10)], ' ') AS segment
+        |  FROM idx),
+        |sdf AS (SELECT segment, COUNT(DISTINCT doc_id) AS seg_df
+        |        FROM segs GROUP BY segment),
+        |m AS (SELECT s.doc_id, s.seg_idx, s.segment,
+        |        d.seg_df <= 1 AS keep
+        |      FROM segs s JOIN sdf d ON s.segment = d.segment)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN segment END, ' '
+        |    ORDER BY seg_idx), '') AS clean_text
+        |FROM m GROUP BY doc_id""".stripMargin,
+    // Chunking oracle: same start grid (0, 8, 16, …, first multiple
+    // of 8 reaching len−32); DuckDB's 1-based inclusive list slice
+    // clamps at the tail exactly like Spark's slice(arr, start, len).
+    "ns43_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents WHERE trim(text) <> ''),
+        |idx AS (SELECT doc_id, words,
+        |  unnest(range(CAST(ceil(greatest(len(words) - 32, 0) / 8.0)
+        |    AS BIGINT) + 1)) AS i
+        |  FROM w)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(words[(i*8+1):(i*8+32)], ' ') AS chunk_text,
+        |  CAST(len(words[(i*8+1):(i*8+32)]) AS BIGINT) AS n_words
+        |FROM idx""".stripMargin,
+    // Snapshot-diff oracle: same synthetic snapshots, FULL OUTER
+    // JOIN on id; the fp equality is null-unsafe in both engines
+    // (NULL = NULL falls through to 'changed' in the CASE).
+    "ns44_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp
+        |           FROM documents WHERE doc_id % 10 <> 3),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |            ELSE text END) AS fp
+        |      FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.fp AS old_fp, n.fp AS new_fp
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // Rare-token oracle: normalized tokens (the ns08 CTE), df over
+    // distinct docs, rare = df < 3; the one division is double/int
+    // in both engines (bit-exact IEEE divide).
+    "ns45_rare_token_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS word
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+        |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfreq
+        |          FROM t2 GROUP BY word),
+        |common AS (SELECT word FROM dfreq WHERE dfreq >= 3)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT t2.word) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN c.word IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rare,
+        |  CAST(SUM(CASE WHEN c.word IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS rare_frac
+        |FROM t2 LEFT JOIN common c ON t2.word = c.word
+        |GROUP BY doc_id""".stripMargin,
     // Sessionize oracle: same lag/cumsum construction; the DECIMAL
     // path keeps the double sum order-independent across engines.
     "ns34_batch_sessionize" ->

@@ -428,20 +428,7 @@ object Dedup {
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segWords: Int = 10): DataFrame = {
     require(segWords > 0, "segWords must be > 0")
-    val words = split(col(textCol), " ")
-    // split("") is [""] — one empty word — so empty/whitespace-only
-    // documents are filtered explicitly rather than relying on an
-    // empty sequence (null text already drops via posexplode(null)).
-    val segs = df
-      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0),
-            ceil(size(words) / lit(segWords.toDouble)).cast("long") - 1),
-          i => concat_ws(" ",
-            slice(words, (i * segWords + 1).cast("int"),
-              lit(segWords)))))
-          .as(Seq("seg_idx", "segment")))
+    val segs = segmentRows(df, idCol, textCol, segWords)
     val firstOcc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("segment"))
       .orderBy(col(idCol), col("seg_idx"))
@@ -455,5 +442,70 @@ object Dedup {
           array_sort(collect_list(when(col("__keep"),
             struct(col("seg_idx"), col("segment"))))),
           s => s.getField("segment"))).as("dedup_text"))
+  }
+
+  /** Fixed-width word segments of each document, exploded to one row
+    * per (document, position, segment). Map-side only — the shared
+    * front half of [[segmentDedup]] and [[boilerplateRemoval]].
+    * split("") is [""] — one empty word — so empty/whitespace-only
+    * documents are filtered explicitly rather than relying on an
+    * empty sequence (null text already drops via posexplode(null)). */
+  private def segmentRows(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(words) / lit(segWords.toDouble)).cast("long") - 1),
+          i => concat_ws(" ",
+            slice(words, (i * segWords + 1).cast("int"),
+              lit(segWords)))))
+          .as(Seq("seg_idx", "segment")))
+  }
+
+  /** Boilerplate removal (the CCNet/RefinedWeb cleaning pass):
+    * segments that occur in MORE than `maxDocs` distinct documents
+    * are boilerplate (navigation chrome, cookie banners, license
+    * headers) and are removed from EVERY document — unlike
+    * [[segmentDedup]], which keeps the first occurrence. Documents
+    * are reassembled from their surviving segments in original order.
+    *
+    * Plan shape (the scale story): the document-frequency side
+    * collapses segment rows to one row per distinct segment (a
+    * distinct-count aggregation, partial map-side both phases), and
+    * the boilerplate DICTIONARY — segments with df > maxDocs — is
+    * tiny by construction (the repeated head of the segment
+    * distribution, Zipf-bounded the same way a vocabulary is), so it
+    * is BROADCAST back as a left join and the corpus itself never
+    * shuffles on segment text for the marking step. The corpus pays
+    * exactly one exchange: the per-document reassembly groupBy, whose
+    * collect_list partially aggregates map-side. An adversarial
+    * threshold (maxDocs = 0-ish at web scale) would inflate the
+    * dictionary; callers size maxDocs so the dictionary stays
+    * broadcast-sized, which is also what makes it boilerplate.
+    *
+    * Output: (idCol, n_segments, n_kept, clean_text) — one row per
+    * document with ≥1 segment; clean_text is "" when every segment
+    * was boilerplate. */
+  def boilerplateRemoval(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10, maxDocs: Int = 1): DataFrame = {
+    require(segWords > 0, "segWords must be > 0")
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val segs = segmentRows(df, idCol, textCol, segWords)
+    val boiler = segs
+      .groupBy(col("segment"))
+      .agg(count_distinct(col(idCol)).as("seg_df"))
+      .filter(col("seg_df") > maxDocs)
+      .select(col("segment"), lit(true).as("__bp"))
+    segs.join(broadcast(boiler), Seq("segment"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__bp").isNull,
+            struct(col("seg_idx"), col("segment"))))),
+          s => s.getField("segment"))).as("clean_text"))
   }
 }

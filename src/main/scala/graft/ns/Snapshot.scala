@@ -1,0 +1,63 @@
+package graft.ns
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot reconciliation.
+  *
+  * A curated training corpus is rebuilt on a cadence (re-crawl,
+  * re-filter, re-dedup), and the first question about any rebuild is
+  * the delta: which documents appeared, vanished, or changed content
+  * since the last snapshot. The diff drives incremental downstream
+  * work (re-embed only `changed`+`added`), audit ("why did 3% of the
+  * corpus vanish?"), and retention rules.
+  *
+  * Reference behavior analogue: the skip-if-exists / idempotent
+  * restatement family (sandbox-data-pipeline's S2/O10 guards decide
+  * per-partition freshness; this is the same decision at per-document
+  * granularity across two full snapshots).
+  */
+object Snapshot {
+
+  /** Full-snapshot diff by content fingerprint: one output row per
+    * document id present in EITHER snapshot, labeled
+    * `added` (new only), `removed` (old only), `changed` (both, md5
+    * differs), or `unchanged`. Comparison is on md5 of the raw
+    * content column — byte-identity, not canonical-text identity;
+    * compose with [[Dedup.normText]] upstream when whitespace churn
+    * should not count as change.
+    *
+    * Plan shape: ONE full outer sort-merge join keyed on the id —
+    * the floor for reconciling two unordered snapshots. Each side
+    * projects to (id, 16-byte fingerprint) before the exchange, so
+    * the shuffle carries fingerprints, never document payloads. At
+    * 100 TB, store both snapshots bucketed by id and the exchange
+    * disappears entirely (the o10-family bucketed-write path);
+    * either way the work is linear in ids, and the common
+    * `unchanged` mass never leaves its partition.
+    *
+    * Output: (idCol, status, old_fp, new_fp). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("__old_id"),
+      md5(col(contentCol)).as("old_fp"))
+    val n = newSnap.select(col(idCol).as("__new_id"),
+      md5(col(contentCol)).as("new_fp"))
+    o.join(n, col("__old_id") === col("__new_id"), "full_outer")
+      .select(
+        coalesce(col("__old_id"), col("__new_id")).as(idCol),
+        when(col("__old_id").isNull, "added")
+          .when(col("__new_id").isNull, "removed")
+          // null-unsafe equality on purpose: a null fingerprint (null
+          // content) on either side is never "unchanged"
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
+  /** Roll the per-document diff up to audit counts — one
+    * map-combinable aggregation over [[snapshotDiff]]'s output.
+    * Output: (status, n). */
+  def diffSummary(diff: DataFrame): DataFrame =
+    diff.groupBy(col("status")).agg(count(lit(1)).as("n"))
+}

@@ -312,4 +312,86 @@ object TextOps {
       .select(col(idCol), xxhash64(col("gram")).as("fp"))
       .filter(pmod(col("fp"), lit(p)) === 0)
       .distinct()
+
+  /** Overlapping sliding-window chunks — the retrieval/embedding prep
+    * step that turns each document into windows of `windowWords`
+    * words advancing by `strideWords` (stride < window ⇒ adjacent
+    * chunks overlap by window − stride words, so no boundary-spanning
+    * context is lost to the embedder). Chunk starts are 0, S, 2S, …;
+    * the last start is the first multiple of S reaching the tail, so
+    * every word lands in ≥1 chunk and a short document yields exactly
+    * one chunk. The final chunk clamps at the document end (it may be
+    * shorter than `windowWords`) rather than padding.
+    *
+    * Pure zero-shuffle projection (sequence + slice + posexplode, all
+    * codegen'd) — at 100 TB the cost is the inherent ~window/stride×
+    * output inflation, not coordination; chunk rows inherit the
+    * scan's partitioning so a downstream embedder maps straight over
+    * them. Output: (idCol, chunk_idx, chunk_text, n_words). */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int, strideWords: Int): DataFrame = {
+    require(windowWords > 0, "windowWords must be > 0")
+    require(strideWords > 0 && strideWords <= windowWords,
+      "strideWords must be in [1, windowWords]")
+    val words = split(col(textCol), " ")
+    // last chunk index = ceil(max(len - window, 0) / stride); the
+    // max(0) clamp makes len <= window yield exactly one chunk.
+    val lastIdx = ceil(
+      greatest(size(words) - windowWords, lit(0))
+        / lit(strideWords.toDouble)).cast("long")
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0L), lastIdx),
+          i => concat_ws(" ",
+            slice(words, (i * strideWords + 1).cast("int"),
+              lit(windowWords)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_words"))
+  }
+
+  /** Rare-token statistics — the vocabulary-based quality signal
+    * (OOV-rate filtering): per document, how many of its word tokens
+    * have corpus document frequency BELOW `minDf`. A high rare
+    * fraction flags hash garbage, boilerplate IDs, OCR noise, or
+    * off-distribution text; curation gates on rare_frac the same way
+    * [[qualityScore]] gates on punctuation.
+    *
+    * Plan shape: the document-frequency pass collapses to one row per
+    * distinct word (distinct + map-combinable count — the same
+    * Zipf-bounded vocabulary side tf-idf broadcasts), the COMMON
+    * vocabulary (df ≥ minDf — the Zipf head, small by construction)
+    * is broadcast back, and the scoring pass is a map-side broadcast
+    * left join + one per-document exchange of partially-aggregated
+    * counts. The corpus is scanned twice (df pass + scoring pass),
+    * which is inherent to any corpus-relative signal unless the
+    * vocabulary is precomputed — pass a persisted `vocabDf` from a
+    * prior run to make this one pass. rare_frac is a single integer
+    * division in doubles, bit-identical across engines.
+    *
+    * Output: (idCol, n_tokens, n_types, n_rare, rare_frac). */
+  def rareTokenStats(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int, vocabDf: Option[DataFrame] = None): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    val toks = df.select(col(idCol),
+      explode(wordTokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val dfreq = vocabDf.getOrElse(
+      toks.select(col(idCol), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("dfreq")))
+    val common = dfreq.filter(col("dfreq") >= minDf)
+      .select(col("word"), lit(true).as("__common"))
+    toks.join(broadcast(common), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_distinct(col("word")).as("n_types"),
+        sum(when(col("__common").isNull, 1L).otherwise(0L))
+          .as("n_rare"))
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_tokens").cast("double"))
+  }
 }

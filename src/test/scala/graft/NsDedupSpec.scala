@@ -263,4 +263,46 @@ class NsDedupSpec extends SparkSpec {
     assertNoCartesian(df)
     assert(df.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("boilerplateRemoval strips shared segments from EVERY doc") {
+    // "hdr one two" is shared chrome in docs 1/2/4; unique tails stay.
+    val d = docs(
+      1L -> "hdr one two uniq a b",
+      2L -> "hdr one two uniq c d",
+      3L -> "solo e f",
+      4L -> "hdr one two")
+    val out = Dedup.boilerplateRemoval(d, "doc_id", "text",
+      segWords = 3, maxDocs = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, "uniq a b")))
+    assert(out(2L) == ((2L, 2L, 1L, "uniq c d")))
+    assert(out(3L) == ((3L, 1L, 1L, "solo e f")))
+    // all-boilerplate doc survives as a row with empty clean_text —
+    // unlike segmentDedup, NO doc keeps the shared segment
+    assert(out(4L) == ((4L, 1L, 0L, "")))
+  }
+
+  test("boilerplateRemoval: maxDocs tolerance and intra-doc repeats") {
+    val d = docs(
+      1L -> "hdr one two uniq a b",
+      2L -> "hdr one two uniq c d",
+      // intra-doc repetition counts ONE distinct doc toward df
+      5L -> "rep p q rep p q")
+    val keep2 = Dedup.boilerplateRemoval(d, "doc_id", "text",
+      segWords = 3, maxDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // df("hdr one two") = 2 <= maxDocs → kept everywhere
+    assert(keep2(1L)._4 == "hdr one two uniq a b")
+    assert(keep2(2L)._4 == "hdr one two uniq c d")
+    // df("rep p q") = 1 → kept, both positions
+    assert(keep2(5L) == ((5L, 2L, 2L, "rep p q rep p q")))
+    // the dictionary join is a broadcast, never a segment exchange of
+    // the corpus side
+    val p = Dedup.boilerplateRemoval(d, "doc_id", "text",
+      segWords = 3, maxDocs = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
 }

@@ -220,4 +220,70 @@ class NsTextOpsSpec extends SparkSpec {
     assert(sampled.getOrElse(1L, Set.empty).subsetOf(fp(1L)))
     assert(sampled.getOrElse(1L, Set.empty).size < fp(1L).size)
   }
+
+  test("chunkWindows: stride grid, tail clamp, full coverage, no shuffle") {
+    val ws = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = TextOps.chunkWindows(
+      docs(1L -> ws, 2L -> "a b c"), "doc_id", "text",
+      windowWords = 4, strideWords = 2)
+    // pure projection: nothing in the plan exchanges
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunkWindows shuffles:\n$p")
+    val rows = out.as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 10 words, W=4, S=2 → last start = 6, chunks at 0,2,4,6
+    assert(rows(1L).map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(rows(1L).forall(_._4 == 4L))
+    // short doc: exactly one clamped chunk
+    assert(rows(2L).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, "a b c", 3L)))
+    // coverage law: the union of chunk words is the document
+    val covered = rows(1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == ws.split(" ").toSet)
+  }
+
+  test("chunkWindows: W=S degenerates to disjoint segments") {
+    val ws = (1 to 7).map(i => s"w$i").mkString(" ")
+    val out = TextOps.chunkWindows(docs(1L -> ws), "doc_id", "text",
+      windowWords = 3, strideWords = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq == Seq("w1 w2 w3", "w4 w5 w6", "w7"))
+  }
+
+  test("rareTokenStats: df threshold marks singletons rare") {
+    // "shared" appears in all 3 docs; every other word is unique
+    val d = docs(
+      1L -> "shared only1a only1b",
+      2L -> "shared only2a",
+      3L -> "shared only3a only3b only3c")
+    val out = TextOps.rareTokenStats(d, "doc_id", "text", minDf = 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3L, 2L, 2.0 / 3)))
+    assert(out(2L) == ((2L, 2L, 2L, 1L, 0.5)))
+    assert(out(3L) == ((3L, 4L, 4L, 3L, 0.75)))
+    // plan law: the common vocabulary joins as a broadcast, never an
+    // exchange of the token stream on word
+    val p = TextOps.rareTokenStats(d, "doc_id", "text", minDf = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("rareTokenStats: minDf=1 means nothing is rare; vocabDf reuse") {
+    val d = docs(1L -> "x y z", 2L -> "x q")
+    val base = TextOps.rareTokenStats(d, "doc_id", "text", minDf = 1)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(base.forall(r => r._4 == 0L && r._5 == 0.0))
+    // a precomputed vocabulary (one-pass mode) is bit-identical
+    val vocab = d.select(col("doc_id"),
+        explode(TextOps.wordTokens(col("text"))).as("word"))
+      .distinct().groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val a = TextOps.rareTokenStats(d, "doc_id", "text", minDf = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val b = TextOps.rareTokenStats(d, "doc_id", "text", minDf = 2,
+      vocabDf = Some(vocab))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
 }
