@@ -685,6 +685,18 @@ object SparkEntry {
       graft.ns.TextOps.rareTokenStats(t(s, d, "documents"),
         "doc_id", "text", minDf = 3)),
 
+    // Corpus trigram count table, top 100: map-combinable agg +
+    // TakeOrdered, vocab's n-gram generalization.
+    "ns46_ngram_topk" -> ((s, d) =>
+      graft.ns.TextOps.ngramTopK(t(s, d, "documents"),
+        "doc_id", "text", n = 3, k = 100)),
+
+    // Substring-dedup diagnostic: per-doc duplicated-trigram profile
+    // with the longest consecutive duplicated run (copy-paste span).
+    "ns47_dup_span_profile" -> ((s, d) =>
+      graft.ns.Dedup.dupSpanProfile(t(s, d, "documents"),
+        "doc_id", "text", n = 3)),
+
     // ---- §7.4.6 streaming restatement, driver-gated ----
     // Runs the WHOLE streaming path per invocation: file-source stream
     // over the events fixture (AvailableNow trigger), watermarked
@@ -1778,6 +1790,51 @@ object SparkEntry {
         |    AS DOUBLE) / COUNT(*) AS rare_frac
         |FROM t2 LEFT JOIN common c ON t2.word = c.word
         |GROUP BY doc_id""".stripMargin,
+    // n-gram table oracle: the ns02 gram CTE without DISTINCT
+    // (occurrence counts, not document frequency); the (n desc, gram
+    // asc) tiebreak makes the top-100 cut deterministic.
+    "ns46_ngram_topk" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i))
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n
+        |FROM grams GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
+    // Dup-span oracle: same gram stream WITH positions; corpus-wide
+    // occurrence counts; the longest consecutive duplicated run via
+    // the pos − row_number island trick.
+    "ns47_dup_span_profile" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+        |j AS (SELECT doc_id, pos, c FROM grams JOIN cnt USING (g)),
+        |d AS (SELECT doc_id, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY pos) AS isl
+        |      FROM j WHERE c > 1),
+        |runs AS (SELECT doc_id, count(*) AS run
+        |         FROM d GROUP BY doc_id, isl),
+        |mx AS (SELECT doc_id, max(run) AS mr FROM runs GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |          CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dup
+        |        FROM j GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_grams, t.n_dup,
+        |  CAST(coalesce(m.mr, 0) AS BIGINT) AS max_dup_run,
+        |  CAST(t.n_dup AS DOUBLE) / t.n_grams AS dup_frac
+        |FROM tot t LEFT JOIN mx m ON t.doc_id = m.doc_id""".stripMargin,
     // Sessionize oracle: same lag/cumsum construction; the DECIMAL
     // path keeps the double sum order-independent across engines.
     "ns34_batch_sessionize" ->

@@ -105,12 +105,19 @@ object Dedup {
     * a full corpus-wide exchange bought for nothing. */
   def shingleStream(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val words = split(normText(col(textCol)), " ")
+    // materialize the tokenized array behind a projection boundary
+    // BEFORE the per-gram lambda: common-subexpression elimination
+    // does not reach inside higher-order-function lambda bodies, so
+    // an inline `slice(split(regexp_replace(...)))` re-runs the
+    // regex + split once PER GRAM (~word-count× redundant work per
+    // document — measured 10× on the gram family at sf1)
+    val words = col("__words")
     val grams = when(size(words) >= n,
       transform(sequence(lit(0), size(words) - n),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
     df.filter(col(idCol).isNotNull)
+      .select(col(idCol), split(normText(col(textCol)), " ").as("__words"))
       .select(col(idCol), explode(grams).as("gram"))
       .filter(col("gram").isNotNull)
   }
@@ -452,8 +459,12 @@ object Dedup {
     * empty sequence (null text already drops via posexplode(null)). */
   private def segmentRows(df: DataFrame, idCol: String, textCol: String,
       segWords: Int): DataFrame = {
-    val words = split(col(textCol), " ")
+    // words materialized behind a projection boundary — see
+    // shingleStream: lambda bodies re-evaluate inline splits per
+    // element
+    val words = col("__words")
     df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), split(col(textCol), " ").as("__words"))
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0),
@@ -488,6 +499,69 @@ object Dedup {
     * Output: (idCol, n_segments, n_kept, clean_text) — one row per
     * document with ≥1 segment; clean_text is "" when every segment
     * was boilerplate. */
+  /** Duplicated-span profile — the per-document diagnostic behind
+    * substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): an n-gram
+    * occurring ANYWHERE else in the corpus (another document or
+    * another position of the same one) is a duplicated span witness,
+    * and a run of consecutive duplicated gram positions is a
+    * copy-pasted span of run+n−1 words. Curation gates on
+    * dup_frac / max_dup_run the way Lee et al. cut 50-token repeats —
+    * without building a distributed suffix array, which is the
+    * genuinely-suffix-structured part Spark cannot express as a
+    * relational plan; consecutive-gram runs are the equi-join
+    * approximation of it.
+    *
+    * Plan shape: gram stream (map-side explode) → occurrence counts
+    * (ONE map-combinable exchange on the gram) → join back on the
+    * same key (AQE reuses the exchange subtree, the ns02 pattern) →
+    * ONE per-document aggregation whose run-length scan is a codegen'd
+    * `aggregate` fold over the doc's own sorted dup positions —
+    * per-document bounded, never corpus-wide. The shuffle carries
+    * gram STRINGS for cross-engine gateability; at 100 TB swap the
+    * gram for xxhash64(gram) (8 bytes, the ns11 trick) — collisions
+    * only overcount dups at ~2⁻⁶⁴.
+    *
+    * Output: (idCol, n_grams, n_dup, max_dup_run, dup_frac); docs
+    * with fewer than n words emit no grams and no row. */
+  def dupSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    // words materialized behind a projection boundary — see
+    // shingleStream: lambda bodies re-evaluate inline splits per
+    // element
+    val words = col("__words")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val stream = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), split(normText(col(textCol)), " ").as("__words"))
+      .select(col(idCol), posexplode(grams).as(Seq("pos", "gram")))
+    val counts = stream.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val dupPos = array_sort(collect_list(
+      when(col("cnt") > 1, col("pos").cast("long"))))
+    // longest run of consecutive positions: fold (best, cur, prev)
+    // across the sorted array — empty array yields best = 0
+    val maxRun = aggregate(dupPos,
+      struct(lit(0L).as("best"), lit(0L).as("cur"), lit(-2L).as("prev")),
+      (acc, x) => {
+        val cur = when(x === acc.getField("prev") + 1,
+          acc.getField("cur") + 1).otherwise(lit(1L))
+        struct(greatest(acc.getField("best"), cur).as("best"),
+          cur.as("cur"), x.as("prev"))
+      },
+      acc => acc.getField("best"))
+    stream.join(counts, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"),
+        maxRun.as("max_dup_run"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
   def boilerplateRemoval(df: DataFrame, idCol: String, textCol: String,
       segWords: Int = 10, maxDocs: Int = 1): DataFrame = {
     require(segWords > 0, "segWords must be > 0")

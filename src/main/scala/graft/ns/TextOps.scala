@@ -333,13 +333,17 @@ object TextOps {
     require(windowWords > 0, "windowWords must be > 0")
     require(strideWords > 0 && strideWords <= windowWords,
       "strideWords must be in [1, windowWords]")
-    val words = split(col(textCol), " ")
+    // words materialized behind a projection boundary — see
+    // Dedup.shingleStream: lambda bodies re-evaluate inline splits
+    // per element
+    val words = col("__words")
     // last chunk index = ceil(max(len - window, 0) / stride); the
     // max(0) clamp makes len <= window yield exactly one chunk.
     val lastIdx = ceil(
       greatest(size(words) - windowWords, lit(0))
         / lit(strideWords.toDouble)).cast("long")
     df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), split(col(textCol), " ").as("__words"))
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0L), lastIdx),
@@ -352,6 +356,21 @@ object TextOps {
         col("chunk_text"),
         size(split(col("chunk_text"), " ")).cast("long").as("n_words"))
   }
+
+  /** Corpus n-gram table, top-k by occurrence count — [[vocab]]'s
+    * n-gram generalization, the count table behind classical LM
+    * smoothing, novelty scoring, and stop-gram lists. Same scale
+    * shape as vocab: the groupBy partial-aggregates map-side (one
+    * row per distinct gram per executor, never per occurrence) and
+    * orderBy+limit plans as TakeOrdered, so only k rows per
+    * partition cross the wire. Ties break deterministically by
+    * (count desc, gram asc). Output: (gram, n). */
+  def ngramTopK(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    Dedup.shingleStream(df, idCol, textCol, n)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
 
   /** Rare-token statistics — the vocabulary-based quality signal
     * (OOV-rate filtering): per document, how many of its word tokens

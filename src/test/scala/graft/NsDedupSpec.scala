@@ -305,4 +305,30 @@ class NsDedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
+
+  test("dupSpanProfile: run lengths, intra-doc repeats, no cartesian") {
+    // doc 1 and 2 share the 5-word prefix "c1 c2 c3 c4 c5" → trigram
+    // positions 0,1,2 duplicated in both (run 3). doc 3 is clean.
+    val d = docs(
+      1L -> "c1 c2 c3 c4 c5 u1a u1b u1c",
+      2L -> "c1 c2 c3 c4 c5 u2a u2b u2c",
+      3L -> "z1 z2 z3 z4 z5")
+    val out = Dedup.dupSpanProfile(d, "doc_id", "text", n = 3)
+    assertNoCartesian(out)
+    val rows = out.as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L) == ((1L, 6L, 3L, 3L, 0.5)))
+    assert(rows(2L) == ((2L, 6L, 3L, 3L, 0.5)))
+    assert(rows(3L) == ((3L, 3L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpanProfile: disjoint dup runs report the longest") {
+    // "a b c" at positions 0 and 4 of doc 9 repeats INTRA-doc (cnt 2
+    // from the same doc) → two runs of 1; longest = 1
+    val d = docs(9L -> "a b c x a b c")
+    val rows = Dedup.dupSpanProfile(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // grams: [a b c][b c x][c x a][x a b][a b c] — only "a b c" dups
+    assert(rows.toSeq == Seq((9L, 5L, 2L, 1L, 0.4)))
+  }
 }

@@ -251,6 +251,19 @@ class NsTextOpsSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == Seq("w1 w2 w3", "w4 w5 w6", "w7"))
   }
 
+  test("ngramTopK counts occurrences with deterministic tiebreak") {
+    val d = docs(1L -> "a b c a b c", 2L -> "a b c")
+    // doc1 grams: [a b c][b c a][c a b][a b c]; doc2: [a b c]
+    // counts: "a b c" → 3; "b c a", "c a b" → 1 (tie broken asc)
+    val out = TextOps.ngramTopK(d, "doc_id", "text", n = 3, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b c", 3L), ("b c a", 1L)))
+    // TakeOrdered, not a global sort exchange
+    val p = TextOps.ngramTopK(d, "doc_id", "text", n = 3, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrdered"), s"no TakeOrdered in plan:\n$p")
+  }
+
   test("rareTokenStats: df threshold marks singletons rare") {
     // "shared" appears in all 3 docs; every other word is unique
     val d = docs(
