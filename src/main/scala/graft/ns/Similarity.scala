@@ -124,9 +124,16 @@ object Similarity {
     * are dropped (they have no direction). */
   private def unitized(df: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val n = sqrt(dot(col(vecCol), col(vecCol)))
-    df.filter(n > 0)
-      .select(col(idCol), transform(toD(col(vecCol)), x => x / n).as("__u"))
+    // norm materialized as a column FIRST (the l2Normalize pattern):
+    // dividing by the inline sqrt(dot) expression inside the
+    // transform lambda re-runs the d-element fold once PER ELEMENT —
+    // O(d²) per vector, because common-subexpression elimination does
+    // not reach inside higher-order-function lambda bodies
+    df.select(col(idCol), col(vecCol),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol),
+        transform(toD(col(vecCol)), x => x / col("__n")).as("__u"))
   }
 
   /** (idCol, table, bucket) — one row per (vector, hash table),
@@ -247,14 +254,15 @@ object Similarity {
     require(fitSampleCap >= nlist, "fitSampleCap must be >= nlist")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    def unit(c: Column): Column = {
-      val n = sqrt(dot(c, c))
-      transform(toD(c), x => x / n)
-    }
+    // norm as a materialized column — see unitized: an inline norm
+    // inside the transform lambda is O(d²) per vector
     val corpusF = corpus
-      .filter(dot(col(vecCol), col(vecCol)) > 0)
       .select(col(idCol), col(vecCol),
-        array_to_vector(unit(col(vecCol))).as("features"))
+        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col(vecCol),
+        array_to_vector(transform(toD(col(vecCol)),
+          x => x / col("__n"))).as("features"))
     // The quantizer fit is iterative (k passes over its input), so it
     // is the one step that must NOT see the full corpus at 100 TB:
     // fit on a deterministic sample capped at `fitSampleCap` rows —
@@ -318,10 +326,6 @@ object Similarity {
       k: Int, nprobe: Int): DataFrame = {
     val nlist = centers.length
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    def unit(c: Column): Column = {
-      val n = sqrt(dot(c, c))
-      transform(toD(c), x => x / n)
-    }
     // centroids as literals: probe selection never touches a join.
     // Probe ranking MUST use the quantizer's own metric — k-means
     // assigns by euclidean distance, and centroid norms differ, so a
@@ -333,14 +337,21 @@ object Similarity {
       array(c.map(lit): _*)): _*)
     val normSqLit = array(centers.map(c =>
       lit(c.map(x => x * x).sum)): _*)
+    // the query's unit vector is materialized ONCE as __qunit — the
+    // old inline unit(__qvec) inside the per-cell zip_with re-ran the
+    // norm fold per (cell × element): O(nlist·d²) per query
     val q = queries
-      .filter(dot(col(queryVecCol), col(queryVecCol)) > 0)
       .select(col(queryIdCol).as("query_id"),
-        col(queryVecCol).as("__qvec"))
+        col(queryVecCol).as("__qvec"),
+        sqrt(dot(col(queryVecCol), col(queryVecCol))).as("__qn"))
+      .filter(col("__qn") > 0)
+      .select(col("query_id"), col("__qvec"),
+        transform(toD(col("__qvec")), x => x / col("__qn"))
+          .as("__qunit"))
       .withColumn("__scored",
         transform(sequence(lit(0), lit(nlist - 1)), i => struct(
           (lit(2.0) * aggregate(
-            zip_with(unit(col("__qvec")), element_at(centerLit, i + 1),
+            zip_with(col("__qunit"), element_at(centerLit, i + 1),
               (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
             - element_at(normSqLit, i + 1)).as("score"),
           i.as("cell"))))
