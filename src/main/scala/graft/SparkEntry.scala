@@ -697,6 +697,48 @@ object SparkEntry {
       graft.ns.Dedup.dupSpanProfile(t(s, d, "documents"),
         "doc_id", "text", n = 3)),
 
+    // kNN label propagation: the first 50 vectors are the "unlabeled"
+    // queries, the rest the labeled corpus; each query takes the
+    // majority label of its 5 nearest labeled neighbors (exact
+    // cosine). Votes are integers and every tie has a deterministic
+    // break, so the gate is exact.
+    "ns48_knn_labels" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnClassify(
+        emb.filter(col("vec_id") >= 50), "vec_id", "embedding",
+        "label",
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+    }),
+
+    // Quality-aware survivor selection over the ns37 cluster
+    // assignment: keep the highest-quality member of each near-dup
+    // cluster (not the smallest-id one). Quality = the ns09 gate
+    // score — exact fifths, so ordering is engine-independent.
+    "ns49_cluster_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ns.Clusters.survivorSelection(
+        graft.ns.Clusters.dedupClusters(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.5),
+          "id_a", "id_b"),
+        "doc_id", "cluster_id",
+        docs.select(col("doc_id").as("qid"),
+          TextOps.qualityScoreCol(col("text")).as("q")),
+        "qid", "q")
+    }),
+
+    // Semantic decontamination: vectors 0-19 stand in for a held-out
+    // eval set; every other vector is scored by its max cosine to any
+    // eval vector (eval embedded as literals — zero-shuffle
+    // projection) and flagged at 0.3. The embedding analogue of the
+    // n-gram ns22 gate.
+    "ns50_semantic_contamination" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "embedding", minCosine = 0.3)
+    }),
+
     // ---- §7.4.6 streaming restatement, driver-gated ----
     // Runs the WHOLE streaming path per invocation: file-source stream
     // over the events fixture (AvailableNow trigger), watermarked
@@ -1835,6 +1877,119 @@ object SparkEntry {
         |  CAST(coalesce(m.mr, 0) AS BIGINT) AS max_dup_run,
         |  CAST(t.n_dup AS DOUBLE) / t.n_grams AS dup_frac
         |FROM tot t LEFT JOIN mx m ON t.doc_id = m.doc_id""".stripMargin,
+    // kNN-vote oracle: ns05's exact-cosine ranking (identical fold ⇒
+    // identical doubles ⇒ identical row_number cut), then integer
+    // votes with the same (votes DESC, label) break.
+    "ns48_knn_labels" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (
+        |  SELECT vec_id, embedding, label
+        |  FROM embeddings WHERE vec_id >= 50),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label,
+        |    list_sum(list_transform(range(1, len(c.embedding)+1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM c, q WHERE c.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, label AS pred_label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked WHERE rk <= 5 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT query_id, pred_label, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, pred_label) AS vr
+        |  FROM votes)
+        |SELECT query_id, pred_label, votes FROM best WHERE vr = 1""".stripMargin,
+    // Survivor oracle: ns37's recursive closure (SQL verbatim) joined
+    // to ns09's quality score (exact fifths), keep = top of each
+    // cluster under (score DESC, doc_id).
+    "ns49_cluster_survivors" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM pairs p
+        |   JOIN sizes sa ON p.id_a = sa.doc_id
+        |   JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM jp
+        |  UNION SELECT id_b, id_a FROM jp),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+        |cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |assign AS (
+        |  SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id, CAST(
+        |      CAST(length(text) BETWEEN 50 AND 100000 AS INT)
+        |    + CAST(len(toks) BETWEEN 10 AND 50000 AS INT)
+        |    + CAST(CAST(length(replace(norm, ' ', '')) AS DOUBLE)/len(toks)
+        |        BETWEEN 2.0 AND 12.0 AS INT)
+        |    + CAST(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |        /length(text) <= 0.2 AS INT)
+        |    + CAST(CAST(len(list_filter(toks, t -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+        |        /len(toks) >= 0.01 AS INT)
+        |    AS DOUBLE)/5 AS score
+        |  FROM base)
+        |SELECT a.doc_id, a.cluster_id, q.score,
+        |  (ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+        |     ORDER BY q.score DESC, a.doc_id) = 1) AS keep
+        |FROM assign a JOIN qual q ON a.doc_id = q.doc_id""".stripMargin,
+    // Contamination oracle: per-pair cosine exactly as ns05 (same
+    // fold, same division grouping), max per corpus vector; the
+    // driver-side eval norms are the same sequential fold, so the
+    // doubles are bit-identical.
+    "ns50_semantic_contamination" ->
+      """WITH e AS (
+        |  SELECT embedding AS ee,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS en
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cn
+        |  FROM embeddings WHERE vec_id >= 20),
+        |s AS (
+        |  SELECT c.vec_id,
+        |    max(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.ee[i] AS DOUBLE)))
+        |      / (c.cn * e.en)) AS max_eval_cosine
+        |  FROM c, e WHERE c.cn > 0 AND e.en > 0 GROUP BY 1)
+        |SELECT vec_id, max_eval_cosine,
+        |  max_eval_cosine >= 0.3 AS contaminated FROM s""".stripMargin,
     // Sessionize oracle: same lag/cumsum construction; the DECIMAL
     // path keeps the double sum order-independent across engines.
     "ns34_batch_sessionize" ->

@@ -99,6 +99,36 @@ object Clusters {
         col(idCol) === col("cluster_id"))
   }
 
+  /** Quality-aware survivor selection: within each near-dup cluster
+    * keep the HIGHEST-SCORING member (ties → smallest id), not the
+    * smallest-id one. [[dedupClusters]]'s `is_representative` is the
+    * right keep-one for exact dups; for near-dups the members differ,
+    * and curation pipelines keep the best copy (highest quality
+    * score, longest, most recent — any score column works).
+    *
+    * `assign` is (idCol, clusterCol, ...) as produced by
+    * [[dedupClusters]] / [[semanticDedup]]; `scores` maps id → score.
+    * Output: (idCol, clusterCol, score, keep) — `filter(col("keep"))`
+    * is the deduplicated corpus.
+    *
+    * Scale: one equi-join plus one window partitioned by cluster id.
+    * Cluster sizes are bounded by the near-dup graph (singletons
+    * dominate a real corpus), so the window key is high-cardinality
+    * and skew-free; the sort within each tiny partition group is
+    * negligible. */
+  def survivorSelection(assign: DataFrame, idCol: String,
+      clusterCol: String, scores: DataFrame, scoreIdCol: String,
+      scoreCol: String): DataFrame = {
+    val sc = scores.select(col(scoreIdCol).as("__sid"),
+      col(scoreCol).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    assign.join(sc, assign(idCol) === col("__sid"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(assign(idCol), col(clusterCol), col("score"), col("keep"))
+  }
+
   /** Semantic dedup (SemDeDup-style): embedding-cosine near-dup
     * pairs → transitive closure → keep one representative per
     * semantic cluster. The full composition a curation pipeline

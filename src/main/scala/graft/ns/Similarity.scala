@@ -386,6 +386,97 @@ object Similarity {
     * `numHashTables` — candidates are exact-verified, so precision
     * is 1.0 at every setting and the verified pair count measures
     * recall directly. */
+  /** Majority-vote label assignment from a neighbor list: join each
+    * query's neighbors to the corpus's labels, count votes, keep the
+    * winning label (ties → most votes, then smallest label — fully
+    * deterministic). `neighbors` is (query_id, idCol, ...) as produced
+    * by [[bruteForceTopK]] / [[annTopK]] / [[ivfTopK]], so the same
+    * vote runs over the exact or either approximate neighbor
+    * generator.
+    *
+    * Scale: the neighbor list is |Q|·k rows — broadcast it, so the
+    * corpus-sized label frame is joined map-side and never shuffles;
+    * the vote itself runs on |Q|·k rows. Output:
+    * (query_id, pred_label, votes). */
+  def voteLabels(neighbors: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("__nid"),
+      col(labelCol).as("pred_label"))
+    val voted = lab
+      .join(broadcast(neighbors.select(col("query_id"),
+        col(idCol).as("__vid"))), col("__nid") === col("__vid"))
+      .groupBy(col("query_id"), col("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("pred_label").asc)
+    voted.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("pred_label"), col("votes"))
+  }
+
+  /** k-nearest-neighbor label propagation: classify each query vector
+    * by the majority label of its k nearest labeled corpus vectors
+    * (exact cosine). The standard semi-supervised labeling pass a
+    * training pipeline runs to extend a small hand-labeled set over a
+    * large corpus (quality tiers, topic tags, safety labels).
+    *
+    * This is the EXACT variant (inherits [[bruteForceTopK]]'s
+    * small-|Q| scan shape); at a large query set, generate neighbors
+    * with [[annTopK]] or [[ivfTopK]] and feed [[voteLabels]]
+    * directly — the vote is generator-agnostic by construction. */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int): DataFrame =
+    voteLabels(
+      bruteForceTopK(corpus, idCol, vecCol, queries, queryIdCol,
+        queryVecCol, k),
+      corpus, idCol, labelCol)
+
+  /** Semantic decontamination: flag every corpus vector whose cosine
+    * to ANY held-out evaluation vector reaches `minCosine` — the
+    * embedding-space analogue of n-gram benchmark decontamination
+    * (`Dedup.contaminationScores`), catching paraphrased eval leakage
+    * that exact grams miss.
+    *
+    * Scale: eval sets are small by nature (same rationale as the
+    * n-gram variant's broadcast), so the eval vectors are embedded as
+    * LITERALS — the whole operator is a zero-shuffle, zero-join
+    * codegen'd projection over the corpus, and the max-cosine fold is
+    * O(|eval|·d) per row. `evalCap` guards the plan size; beyond it,
+    * score against a broadcast eval frame + map-combinable max
+    * instead. Zero-norm vectors are excluded on both sides (no
+    * direction ⇒ no cosine).
+    *
+    * Numerics: per-pair cosine is dot/(‖c‖·‖e‖) with ‖e‖ computed
+    * driver-side by the same sequential left fold — bit-identical to
+    * the SQL oracle. Output: (idCol, max_eval_cosine, contaminated). */
+  def semanticContamination(corpus: DataFrame, idCol: String,
+      vecCol: String, evalSet: DataFrame, evalVecCol: String,
+      minCosine: Double, evalCap: Int = 10000): DataFrame = {
+    val rows = evalSet.select(col(evalVecCol).cast("array<double>"))
+      .limit(evalCap + 1).collect()
+    require(rows.length <= evalCap,
+      s"eval set exceeds evalCap=$evalCap: use the broadcast-join path")
+    val vecs = rows.map(_.getSeq[Double](0).toArray)
+      .filter(v => v.exists(_ != 0.0))
+    require(vecs.nonEmpty, "eval set has no non-zero vectors")
+    val norms = vecs.map(v =>
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+    val evalLit = array(vecs.map(v => array(v.map(lit): _*)): _*)
+    val normLit = array(norms.map(lit): _*)
+    corpus
+      // corpus norm materialized as a column (see unitized: an inline
+      // norm inside the lambda would re-fold per eval vector)
+      .select(col(idCol), col(vecCol),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol),
+        array_max(zip_with(evalLit, normLit, (e, en) =>
+          dot(col(vecCol), e) / (col("__n") * en)))
+          .as("max_eval_cosine"))
+      .withColumn("contaminated", col("max_eval_cosine") >= minCosine)
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, numHashTables: Int = 8,
       bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {

@@ -103,4 +103,28 @@ class ClustersSpec extends SparkSpec {
       clusters.select(col("cluster_id")).distinct().count()
     assert(reps == distinctClusters)
   }
+
+  test("survivorSelection: best score wins, id tiebreak, singletons") {
+    // cluster 1 = {1,2,3} with scores 0.2 < 0.8 > 0.4 → survivor 2;
+    // cluster 10 = {10,11} with EQUAL scores → id tiebreak → 10;
+    // 20 is a singleton → survives itself.
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq(
+      1L -> 0.2, 2L -> 0.8, 3L -> 0.4,
+      10L -> 0.5, 11L -> 0.5, 20L -> 0.1).toDF("id", "s")
+    val out = Clusters.survivorSelection(assign, "doc_id",
+      "cluster_id", scores, "id", "s")
+    assert(out.count() == 6)
+    val kept = out.filter(col("keep")).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L))
+    // exactly one survivor per cluster
+    val perCluster = out.groupBy("cluster_id")
+      .agg(sum(col("keep").cast("int")).as("n"))
+      .filter(col("n") =!= 1).count()
+    assert(perCluster == 0)
+  }
 }

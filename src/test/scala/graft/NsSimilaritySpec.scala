@@ -333,4 +333,50 @@ class NsSimilaritySpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
       s"expected partial aggregation in:\n$plan")
   }
+
+  test("knnClassify: planted clusters recovered, vote tiebreak") {
+    // labeled corpus: three +x vectors labeled 0, three +y labeled 1
+    // (small jitter keeps neighbors unambiguous); queries near each
+    // axis must take the axis's label with all 3 votes.
+    val corpus = Seq(
+      (10L, Seq(1f, 0.01f), 0), (11L, Seq(1f, -0.01f), 0),
+      (12L, Seq(0.99f, 0f), 0),
+      (20L, Seq(0.01f, 1f), 1), (21L, Seq(-0.01f, 1f), 1),
+      (22L, Seq(0f, 0.99f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val queries = vecs(1L -> Seq(0.9f, 0.1f), 2L -> Seq(0.1f, 0.9f))
+    val out = Similarity.knnClassify(corpus, "vec_id", "embedding",
+        "label", queries, "vec_id", "embedding", k = 3)
+      .as[(Long, Int, Long)].collect()
+      .map { case (q, l, v) => q -> ((l, v)) }.toMap
+    assert(out == Map(1L -> (0, 3L), 2L -> (1, 3L)))
+    // k=6 → 3 votes each → tie → smaller label wins (deterministic)
+    val tied = Similarity.knnClassify(corpus, "vec_id", "embedding",
+        "label", queries, "vec_id", "embedding", k = 6)
+      .select(col("pred_label")).as[Int].collect()
+    assert(tied.forall(_ == 0))
+  }
+
+  test("semanticContamination: planted leak flagged, zero-shuffle plan") {
+    val evalSet = vecs(100L -> Seq(1f, 0f, 0f), 101L -> Seq(0f, 1f, 0f))
+    val corpus = vecs(
+      1L -> Seq(2f, 0f, 0f),   // parallel to eval 100 → cosine 1
+      2L -> Seq(0f, 0f, 5f),   // orthogonal to both → max 0
+      3L -> Seq(1f, 1f, 0f))   // 45° to both → ~0.707
+    val out = Similarity.semanticContamination(corpus, "vec_id",
+      "embedding", evalSet, "embedding", minCosine = 0.9)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"contamination must be a pure projection:\n$plan")
+    val m = out.as[(Long, Double, Boolean)].collect()
+      .map { case (id, c, f) => id -> (c, f) }.toMap
+    assert(m(1L)._2 && math.abs(m(1L)._1 - 1.0) < 1e-12)
+    assert(!m(2L)._2 && math.abs(m(2L)._1) < 1e-12)
+    assert(!m(3L)._2 && math.abs(m(3L)._1 - math.sqrt(0.5)) < 1e-9)
+    // zero-norm corpus rows are excluded (no direction, no cosine)
+    val z = Similarity.semanticContamination(
+      vecs(7L -> Seq(0f, 0f, 0f), 8L -> Seq(1f, 0f, 0f)),
+      "vec_id", "embedding", evalSet, "embedding", minCosine = 0.5)
+    assert(z.select(col("vec_id")).as[Long].collect().toSeq == Seq(8L))
+  }
 }
