@@ -727,6 +727,17 @@ object SparkEntry {
         "qid", "q")
     }),
 
+    // Epoch-aware upsampling: per-source weights above AND below 1
+    // (src0 2.5 epochs, src2 downsampled, others 1.2); each row gets
+    // floor(w) copies plus a hash-selected extra, tagged 1-based
+    // `epoch`. Deterministic, so the gate is exact.
+    "ns51_epoch_upsample" -> ((s, d) =>
+      graft.ns.Sampling.upsampleEpochs(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
+        defaultWeight = 1.2, salt = "ep1")),
+
     // Semantic decontamination: vectors 0-19 stand in for a held-out
     // eval set; every other vector is scored by its max cosine to any
     // eval vector (eval embedded as literals — zero-shuffle
@@ -1967,6 +1978,25 @@ object SparkEntry {
         |  (ROW_NUMBER() OVER (PARTITION BY a.cluster_id
         |     ORDER BY q.score DESC, a.doc_id) = 1) AS keep
         |FROM assign a JOIN qual q ON a.doc_id = q.doc_id""".stripMargin,
+    // Upsample oracle: same md5 bucket as ns23, same floor/frac
+    // split on literal weights (identical double arithmetic), epochs
+    // via range(1, reps+1) — empty when reps = 0, matching the
+    // pre-explode filter.
+    "ns51_epoch_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |      WHEN 'src2' THEN 0.4 ELSE 1.2 END AS wt,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep1'), 1, 8)) AS BIGINT) % 10000 AS b
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(wt) AS BIGINT)
+        |      + CASE WHEN b < (wt - floor(wt)) * 10000
+        |          THEN 1 ELSE 0 END AS reps
+        |  FROM w)
+        |SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch
+        |FROM r, UNNEST(range(1, reps + 1)) AS t(e)""".stripMargin,
     // Contamination oracle: per-pair cosine exactly as ns05 (same
     // fold, same division grouping), max per corpus vector; the
     // driver-side eval norms are the same sequential fold, so the

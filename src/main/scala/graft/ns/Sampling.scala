@@ -83,6 +83,46 @@ object Sampling {
       rate * buckets)
   }
 
+  /** Epoch-aware upsampling: repeat each row according to its group's
+    * mixture WEIGHT, which — unlike [[mixtureSample]]'s rates — may
+    * exceed 1. A weight w yields floor(w) guaranteed copies plus one
+    * more for the deterministic hash-selected frac(w) of rows, so
+    * every group's expected multiplicity is exactly w and re-runs are
+    * reproducible row-for-row (content-addressed, like every sampler
+    * here). The standard move when a mixture asks for more of a
+    * source than exists: repeat it for multiple training epochs
+    * (data-constrained scaling, Muennighoff et al. 2023) — the
+    * `epoch` column (1-based) lets downstream dedup-by-epoch or
+    * curriculum stages tell copies apart.
+    *
+    * Scale: zero shuffle — a pure projection plus an explode of a
+    * sequence bounded by ceil(max weight); output size is the point
+    * (Σ_g w_g·n_g rows), not a blow-up risk, since weights are
+    * small constants by construction. Weight 0 drops the group.
+    *
+    * Output: input row + epoch. Rows with 0 repeats are dropped
+    * BEFORE explode (Spark's sequence(1, 0) would step backwards). */
+  def upsampleEpochs(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      salt: String): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "upsample weights must be >= 0")
+    require(!df.columns.contains("epoch"),
+      "upsampleEpochs writes `epoch`; input already has it")
+    val buckets = 10000
+    val w = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultWeight)) { case ((g, r), els) =>
+        when(col(groupCol) === g, lit(r)).otherwise(els)
+      }
+    val reps = floor(w).cast("long") +
+      (hashBucket(col(idCol), salt, buckets).cast("double") <
+        (w - floor(w)) * buckets).cast("long")
+    df.withColumn("__reps", reps)
+      .filter(col("__reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__reps"))))
+      .drop("__reps")
+  }
+
   /** Temperature-weighted mixture rates at T = 2 (the common
     * UniMax/multilingual setting): rate(s) = √n_s / Σ_s √n_s —
     * upweights small sources relative to proportional sampling

@@ -181,4 +181,36 @@ class NsSamplingSpec extends SparkSpec {
       .filter(col("drop_max") > col("kept_min"))
     assert(bad.isEmpty, "a dropped doc outranked a kept one")
   }
+
+  test("upsampleEpochs: integer weights exact, fractional tracks, drop at 0") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}"))
+      .toDF("id", "grp")
+    val out = graft.ns.Sampling.upsampleEpochs(df, "id", "grp",
+      Map("g0" -> 3.0, "g1" -> 0.0, "g2" -> 1.5), defaultWeight = 1.0,
+      salt = "t1")
+    val byGrp = out.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    // integer weight: exactly 3 copies of each of the 100 g0 rows
+    assert(byGrp("g0") == 300L)
+    // weight 0: group dropped entirely
+    assert(!byGrp.contains("g1"))
+    // fractional 1.5: every row >= 1 copy, realized mean near 1.5
+    assert(byGrp("g2") >= 100L && math.abs(byGrp("g2") - 150L) <= 25L,
+      s"g2 realized ${byGrp("g2")}")
+    // epochs are 1..reps per id: distinct (id, epoch) == total rows
+    assert(out.select("id", "epoch").distinct().count() == out.count())
+    val maxE = out.filter(col("grp") === "g0")
+      .groupBy("id").agg(max("epoch").as("m"), count(lit(1)).as("n"))
+      .filter(col("m") =!= 3 || col("n") =!= 3).count()
+    assert(maxE == 0, "g0 ids must carry epochs exactly 1,2,3")
+    // content-addressed: rerun is row-identical
+    val again = graft.ns.Sampling.upsampleEpochs(df, "id", "grp",
+      Map("g0" -> 3.0, "g1" -> 0.0, "g2" -> 1.5), defaultWeight = 1.0,
+      salt = "t1")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // zero shuffle: projection + generator only
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"upsampleEpochs must not shuffle:\n$plan")
+  }
 }
