@@ -967,6 +967,49 @@ object SparkEntry {
     // the survivor's source rides through the dedup agg (carry), so
     // the whole pipeline is ONE shuffle — the dedup groupBy — plus
     // pure filters/projections at any scale.
+    // Incremental curation: the 100-TB operating mode — NOTHING
+    // corpus-sized is recurated. snapshotDiff (fingerprint-only
+    // full-outer, payloads never shuffle) isolates added/changed
+    // docs; only that delta pays the quality/lang gates; the
+    // already-curated store contributes a fingerprint projection to
+    // the anti-join (bucketed store ⇒ no exchange); the admitted
+    // batch gets split assignments. Cost ∝ delta, not corpus.
+    "p04_incremental_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      // ns44's deterministic snapshot pair: old drops ids ≡3 (mod
+      // 10), new drops ≡7 (mod 10) and rewrites ids ≡0 (mod 5)
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val delta = graft.ns.Snapshot.snapshotDiff(
+          oldSnap, newSnap, "doc_id", "text")
+        .filter(col("status").isin("added", "changed"))
+        .select(col("doc_id").as("delta_id"))
+      val fresh = newSnap
+        .join(delta, newSnap("doc_id") === col("delta_id"))
+        .drop("delta_id")
+      val kept = fresh
+        .filter(TextOps.qualityScoreCol(col("text")) === 1.0 &&
+          TextOps.langIdCol(col("text")) === "en")
+      // the store holds what ITS ingest admitted: same gates, run at
+      // the old snapshot's own ingest time — fingerprints only
+      val store = oldSnap
+        .filter(TextOps.qualityScoreCol(col("text")) === 1.0 &&
+          TextOps.langIdCol(col("text")) === "en")
+        .select(Dedup.fingerprint(col("text")).as("fingerprint"))
+      val admitted = Dedup.incrementalExactDedup(
+        kept, store, "doc_id", "text")
+      Sampling.hashSplit(
+        admitted.select(col("doc_id"), col("dup_count")),
+        "doc_id", "p04split",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("dup_count"), col("split"))
+    }),
+
     "p03_curation_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("text"))
@@ -2159,6 +2202,74 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split
         |FROM documents""".stripMargin,
+    // Incremental-curation oracle: same snapshot pair, raw-md5 delta
+    // (snapshotDiff semantics), p03's gate SQL over delta and store,
+    // ns25's NOT EXISTS anti-join, ns17's split buckets.
+    "p04_incremental_curation" ->
+      """WITH oldsnap AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3),
+        |newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 != 7),
+        |delta AS (
+        |  SELECT n.doc_id, n.text FROM newsnap n
+        |  LEFT JOIN oldsnap o ON n.doc_id = o.doc_id
+        |  WHERE o.doc_id IS NULL OR md5(o.text) != md5(n.text)),
+        |obase AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM oldsnap),
+        |okeep AS (
+        |  SELECT doc_id, md5(norm) AS fingerprint FROM obase
+        |  WHERE length(text) BETWEEN 50 AND 100000
+        |    AND len(toks) BETWEEN 10 AND 50000
+        |    AND CAST(length(replace(norm, ' ', '')) AS DOUBLE)/len(toks) BETWEEN 2.0 AND 12.0
+        |    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)/length(text) <= 0.2
+        |    AND CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)/len(toks) >= 0.01
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) > 0),
+        |store AS (SELECT DISTINCT fingerprint FROM okeep),
+        |dbase AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM delta),
+        |dkeep AS (
+        |  SELECT doc_id, md5(norm) AS fingerprint FROM dbase
+        |  WHERE length(text) BETWEEN 50 AND 100000
+        |    AND len(toks) BETWEEN 10 AND 50000
+        |    AND CAST(length(replace(norm, ' ', '')) AS DOUBLE)/len(toks) BETWEEN 2.0 AND 12.0
+        |    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)/length(text) <= 0.2
+        |    AND CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)/len(toks) >= 0.01
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) > 0),
+        |fresh AS (
+        |  SELECT k.fingerprint, k.doc_id FROM dkeep k
+        |  WHERE NOT EXISTS (SELECT 1 FROM store s
+        |                    WHERE s.fingerprint = k.fingerprint)),
+        |adm AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM fresh GROUP BY fingerprint)
+        |SELECT doc_id, dup_count,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p04split'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p04split'), 1, 8)) AS BIGINT) % 1000 < 950 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM adm""".stripMargin,
     "p03_curation_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents

@@ -195,6 +195,25 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("p04 incremental curation: only delta docs admitted, store honored") {
+    val out = SparkEntry.queries("p04_incremental_curation")(spark, sf)
+      .select("doc_id", "dup_count", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    // the delta by construction: added ids ≡3 (mod 10), rewritten
+    // ids ≡0 (mod 5) i.e. ≡{0,5} (mod 10) — nothing else may appear
+    assert(out.forall { case (id, _, _) =>
+      Set(0L, 3L, 5L).contains(id % 10) },
+      s"non-delta doc admitted: ${out.filter(r =>
+        !Set(0L, 3L, 5L).contains(r._1 % 10)).take(5).mkString(",")}")
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // rerun is deterministic row-for-row
+    val again = SparkEntry.queries("p04_incremental_curation")(spark, sf)
+      .select("doc_id", "dup_count", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("S11: sensor waits for normalized names and times out honestly") {
     val cfg = freshDirs()
     val dir = s"${cfg.bronzeDir}/weather/run_hr=$runHr"
