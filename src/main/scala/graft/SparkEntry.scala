@@ -727,6 +727,25 @@ object SparkEntry {
         "qid", "q")
     }),
 
+    // Leakage-safe splitting: hash-split on the near-dup CLUSTER id,
+    // not the doc id, so near-duplicates can never straddle
+    // train/val/test (the classic eval-leakage bug a doc-level split
+    // invites). Composition of ns37's clustering with ns17's
+    // content-addressed split; every member inherits its cluster's
+    // assignment by construction.
+    "ns52_cluster_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Sampling.hashSplit(
+        graft.ns.Clusters.dedupClusters(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.5),
+          "id_a", "id_b")
+          .select(col("doc_id"), col("cluster_id")),
+        "cluster_id", "cl1",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    }),
+
     // Epoch-aware upsampling: per-source weights above AND below 1
     // (src0 2.5 epochs, src2 downsampled, others 1.2); each row gets
     // floor(w) copies plus a hash-selected extra, tagged 1-based
@@ -2021,6 +2040,45 @@ object SparkEntry {
         |  (ROW_NUMBER() OVER (PARTITION BY a.cluster_id
         |     ORDER BY q.score DESC, a.doc_id) = 1) AS keep
         |FROM assign a JOIN qual q ON a.doc_id = q.doc_id""".stripMargin,
+    // Cluster-split oracle: ns37's recursive closure (SQL verbatim)
+    // with ns17's bucket CASE applied to cluster_id.
+    "ns52_cluster_split" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM pairs p
+        |   JOIN sizes sa ON p.id_a = sa.doc_id
+        |   JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM jp
+        |  UNION SELECT id_b, id_a FROM jp),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+        |cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |assign AS (
+        |  SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':cl1'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':cl1'), 1, 8)) AS BIGINT) % 1000 < 950 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM assign""".stripMargin,
     // Upsample oracle: same md5 bucket as ns23, same floor/frac
     // split on literal weights (identical double arithmetic), epochs
     // via range(1, reps+1) — empty when reps = 0, matching the

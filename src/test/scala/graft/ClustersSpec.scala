@@ -104,6 +104,29 @@ class ClustersSpec extends SparkSpec {
     assert(reps == distinctClusters)
   }
 
+  test("cluster-level split: near-dup pairs never straddle splits") {
+    val docs = Tables(spark, sf, "documents")
+    val pairs = graft.ns.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val split = graft.ns.Sampling.hashSplit(
+      Clusters.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("cluster_id")),
+      "cluster_id", "cl1",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    // every pair partner lands in the same split — the leakage law
+    val straddle = pairs
+      .join(split.select(col("doc_id"), col("split").as("sa")),
+        col("id_a") === col("doc_id")).drop("doc_id")
+      .join(split.select(col("doc_id"), col("split").as("sb")),
+        col("id_b") === col("doc_id")).drop("doc_id")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle == 0)
+    // one split per cluster, all docs covered
+    assert(split.select("cluster_id", "split").distinct().count() ==
+      split.select("cluster_id").distinct().count())
+    assert(split.count() == docs.count())
+  }
+
   test("survivorSelection: best score wins, id tiebreak, singletons") {
     // cluster 1 = {1,2,3} with scores 0.2 < 0.8 > 0.4 → survivor 2;
     // cluster 10 = {10,11} with EQUAL scores → id tiebreak → 10;
