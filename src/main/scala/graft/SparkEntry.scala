@@ -316,10 +316,17 @@ object SparkEntry {
         n = 3, maxJaccardDist = 0.5, numHashTables = 8, seed = 42L)),
 
     // ---- §2.8 [NS] SimHash fingerprints + banded near-dup pairs ----
-    "ns04_simhash_near_dup" -> ((s, d) =>
+    // Band count adapts to corpus size (Dedup.adaptiveBands): 8-bit
+    // bands below ~8k docs (complete at maxHamming 7), widening as
+    // density grows so the band join stays ~linear. The count() that
+    // sizes it is one cheap scan of a single column.
+    "ns04_simhash_near_dup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
       Dedup.simhashNearDupPairs(
-        Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
-        "doc_id", maxHamming = 7, bands = 8)),
+        Dedup.simhash(docs, "doc_id", "text"),
+        "doc_id", maxHamming = 7,
+        bands = Dedup.adaptiveBands(docs.count()))
+    }),
 
     // ---- §2.8 [NS] exact brute-force cosine top-k neighbors ----
     "ns05_topk_cosine" -> ((s, d) => {
@@ -358,10 +365,20 @@ object SparkEntry {
     // bucketLength 0.2 (vs the 0.5 default): narrower buckets cut the
     // candidate-pair volume at this threshold while measured recall on
     // the fixture stays 1.0 with 8 OR-ed projections (both SFs).
+    // bucketLength 0.1 is the sweep-derived scale setting (SCALE.md:
+    // recall 0.94/0.93 at sf0.1/sf1 — stable across 10× density —
+    // for 1.7× less wall at sf1 than 0.2). The density-adaptive
+    // maxBucketSize cap stays OFF here by MEASUREMENT: this fixture's
+    // ≥0.4 pairs are pure chance tail (max true cosine 0.60, zero
+    // pairs ≥0.7), i.e. pair distance ≈ corpus distance, so any
+    // bucket-bounding scheme sheds them (measured recall 0.18 capped).
+    // The cap is the right default when near-dups are genuinely close
+    // (production corpora) — the planted-pair law in NsSimilaritySpec
+    // proves recall ≥0.9 there with candidates bounded.
     "ns07_embedding_near_dup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.4,
-        numHashTables = 8, bucketLength = 0.2)),
+        numHashTables = 8, bucketLength = 0.1)),
 
     // ---- §2.8 [NS] text analysis: stats, quality gate, language id ----
     "ns08_text_stats" -> ((s, d) =>
@@ -592,34 +609,50 @@ object SparkEntry {
 
     // Symmetric int8 embedding quantization — pure projection, the
     // 4x storage path for the widest column in a curated corpus.
+    // Gate-facing projection posexplodes the int array to one
+    // (vec_id, idx, q_val) row per element: the driver's oracle
+    // harness sorts/hashes SCALAR columns only (raw arrays die in
+    // pandas sort_values — round-7 red). The array form stays the
+    // operator's output and is law-tested in EmbeddingsSpec.
     "ns35_quantize_int8" -> ((s, d) =>
       graft.ns.Embeddings.quantizeInt8(t(s, d, "embeddings"),
-        "vec_id", "embedding")),
+        "vec_id", "embedding")
+        .select(col("vec_id"), col("q_scale"), col("max_abs_err"),
+          posexplode(col("q")).as(Seq("idx", "q_val")))),
 
     // L2 normalization — the stored form cosine consumers want (dot
     // on unit vectors IS cosine). Pure zero-shuffle projection;
     // bit-exact vs DuckDB via identical left-fold norm accumulation.
+    // Scalarized for the gate like ns35 (arrays → (idx, unit_val)).
     "ns36_l2_normalize" -> ((s, d) =>
       graft.ns.Embeddings.l2Normalize(t(s, d, "embeddings"),
-        "vec_id", "embedding")),
+        "vec_id", "embedding")
+        .select(col("vec_id"), col("norm"),
+          posexplode(col("unit")).as(Seq("idx", "unit_val")))),
 
-    // Near-dup CLUSTERING: transitive closure of the ns02 pair graph
+    // Near-dup CLUSTERING: transitive closure of the ns02b pair graph
     // (connected components, hash-to-min), every doc assigned a
     // cluster + keep-one representative flag. The iterative work is
     // bounded by the pair graph; the corpus pays one left join.
+    // The registered generator is the DF-CAPPED one (the 100-TB scale
+    // path — bounds the worst shingle bucket's quadratic term); the
+    // oracle applies the identical df cut.
     "ns37_dedup_clusters" -> ((s, d) =>
       graft.ns.Clusters.dedupClusters(
         t(s, d, "documents"), "doc_id",
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id",
-          "text", n = 3, threshold = 0.5),
+          "text", n = 3, threshold = 0.5, maxDocFreq = Some(5)),
         "id_a", "id_b")),
 
     // Per-label centroids (mean pooling) via EXACT fixed-point sums —
     // order-independent integer accumulation is what lets a float
-    // mean hash-match across engines.
+    // mean hash-match across engines. Scalarized for the gate like
+    // ns35 (centroid array → (idx, centroid_val) rows).
     "ns38_label_centroids" -> ((s, d) =>
       graft.ns.Embeddings.labelCentroids(t(s, d, "embeddings"),
-        "label", "embedding")),
+        "label", "embedding")
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("idx", "centroid_val")))),
 
     // Temperature-weighted (T=2) mixture rates per source — the
     // UniMax-style upweighting that feeds mixtureSample.
@@ -630,11 +663,13 @@ object SparkEntry {
     // Semantic dedup: cosine near-dup pairs → connected components →
     // keep-one. Rows-only (LSH bucketing is engine-specific, like
     // ns07 it builds on); partition/representative laws in
-    // ClustersSpec. Same LSH setting as ns07 (recall 1.0 measured).
+    // ClustersSpec. Same sweep-derived setting as ns07 (bl 0.1,
+    // recall 0.94, cap off — see the ns07 comment for the measured
+    // rationale).
     "ns40_semantic_dedup" -> ((s, d) =>
       graft.ns.Clusters.semanticDedup(t(s, d, "embeddings"),
         "vec_id", "embedding", minCosine = 0.4, numHashTables = 8,
-        bucketLength = 0.2)),
+        bucketLength = 0.1)),
 
     // Incremental MinHash near-dup: the NEW half of the corpus
     // banded against the stored half, no store self-join. Rows-only
@@ -719,7 +754,7 @@ object SparkEntry {
       graft.ns.Clusters.survivorSelection(
         graft.ns.Clusters.dedupClusters(docs, "doc_id",
           Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-            n = 3, threshold = 0.5),
+            n = 3, threshold = 0.5, maxDocFreq = Some(5)),
           "id_a", "id_b"),
         "doc_id", "cluster_id",
         docs.select(col("doc_id").as("qid"),
@@ -738,7 +773,7 @@ object SparkEntry {
       Sampling.hashSplit(
         graft.ns.Clusters.dedupClusters(docs, "doc_id",
           Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-            n = 3, threshold = 0.5),
+            n = 3, threshold = 0.5, maxDocFreq = Some(5)),
           "id_a", "id_b")
           .select(col("doc_id"), col("cluster_id")),
         "cluster_id", "cl1",
@@ -789,17 +824,18 @@ object SparkEntry {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         java.nio.file.Paths.get(srcDir.getPath, "events.parquet"))
-      // declared schema from the parquet footer (nanos ts arrives as
-      // LongType under nanosAsLong); normalize to micros in-stream,
-      // mirroring Tables' batch-side normalization.
+      // declared schema from the parquet footer; Tables.normalizeTs
+      // branches on whatever ts type the fixture shipped (Long nanos,
+      // TIMESTAMP_NTZ, or native timestamp) — the SAME helper the batch
+      // reads use, so a fixture regeneration cannot split the two paths.
       val raw = s.read.parquet(srcDir.getPath).schema
       // One day of the fixture, not all 30: each gold write dynamically
       // replaces one run_hr directory per closed window, and 720
       // directories per evaluation is the same file-creation storm the
       // o10 gate already retired — production restates a handful of
       // recent partitions per batch, never a month at once.
-      val stream = EventStream.fileSource(s, srcDir.getPath, raw)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeTs(
+        EventStream.fileSource(s, srcDir.getPath, raw))
         .filter(col("ts") >= lit("2024-01-30 00:00:00"))
       val q = EventStream.startGoldStream(
         EventStream.hourlyRollup(stream),
@@ -833,8 +869,8 @@ object SparkEntry {
       // fully exercised (multi-event sessions, in-batch closes,
       // timeout closes) without paying for a month of state churn per
       // evaluation; the oracle applies the identical cut.
-      val events = EventStream.fileSource(s, srcDir.getPath, raw)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val events = Tables.normalizeTs(
+        EventStream.fileSource(s, srcDir.getPath, raw))
         .filter(col("ts") >= lit("2024-01-20 00:00:00"))
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -873,8 +909,8 @@ object SparkEntry {
           java.nio.file.Paths.get(srcDir.getPath, f))
       }
       val raw = s.read.parquet(srcDir.getPath).schema
-      val stream = EventStream.fileSource(s, srcDir.getPath, raw)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeTs(
+        EventStream.fileSource(s, srcDir.getPath, raw))
         .filter(col("ts") >= lit("2024-01-20 00:00:00"))
       val out = s"${base.getPath}/deduped"
       val q = EventStream.dedupWithinWatermark(stream, Seq("event_id"))
@@ -1993,9 +2029,11 @@ object SparkEntry {
         |  SELECT doc_id,
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         |  FROM documents),
-        |grams AS (
+        |grams0 AS (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
         |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |rare AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 5),
+        |grams AS (SELECT grams0.doc_id, grams0.g FROM grams0 JOIN rare USING (g)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -2047,9 +2085,11 @@ object SparkEntry {
         |  SELECT doc_id,
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         |  FROM documents),
-        |grams AS (
+        |grams0 AS (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
         |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |rare AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 5),
+        |grams AS (SELECT grams0.doc_id, grams0.g FROM grams0 JOIN rare USING (g)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -2161,13 +2201,17 @@ object SparkEntry {
         |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / q_scale)
         |          AS INTEGER))
         |    END AS q
-        |  FROM s)
-        |SELECT vec_id, q_scale, q,
-        |  list_max(list_transform(list_zip(embedding, q),
-        |    p -> abs(CAST(p[1] AS DOUBLE)
-        |      - CAST(p[2] AS DOUBLE) * q_scale / 127.0)))
-        |    AS max_abs_err
-        |FROM q""".stripMargin,
+        |  FROM s),
+        |o AS (
+        |  SELECT vec_id, q_scale, q,
+        |    list_max(list_transform(list_zip(embedding, q),
+        |      p -> abs(CAST(p[1] AS DOUBLE)
+        |        - CAST(p[2] AS DOUBLE) * q_scale / 127.0)))
+        |      AS max_abs_err
+        |  FROM q)
+        |SELECT vec_id, q_scale, max_abs_err,
+        |  CAST(i - 1 AS INTEGER) AS idx, q[i] AS q_val
+        |FROM o, UNNEST(range(1, len(q) + 1)) AS t(i)""".stripMargin,
     // L2-normalize oracle: both engines fold the squared norm left-
     // to-right in doubles (Spark `aggregate` with 0.0 seed, DuckDB
     // `list_reduce` seeded by the first element — IEEE 0.0 + x²
@@ -2178,13 +2222,17 @@ object SparkEntry {
         |    sqrt(list_reduce(list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
         |      (a, b) -> a + b)) AS norm
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |o AS (
+        |  SELECT vec_id, norm,
+        |    CASE WHEN norm = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / norm)
+        |    END AS unit
+        |  FROM n)
         |SELECT vec_id, norm,
-        |  CASE WHEN norm = 0
-        |    THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
-        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / norm)
-        |  END AS unit
-        |FROM n""".stripMargin,
+        |  CAST(i - 1 AS INTEGER) AS idx, unit[i] AS unit_val
+        |FROM o, UNNEST(range(1, len(unit) + 1)) AS t(i)""".stripMargin,
     // Clustering oracle: recursive closure over the SAME pair set as
     // ns02 (SQL repeated verbatim), min reachable id per vertex ==
     // hash-to-min's fixpoint; docs off the pair graph are singleton
@@ -2194,9 +2242,11 @@ object SparkEntry {
         |  SELECT doc_id,
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         |  FROM documents),
-        |grams AS (
+        |grams0 AS (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
         |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |rare AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 5),
+        |grams AS (SELECT grams0.doc_id, grams0.g FROM grams0 JOIN rare USING (g)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -2231,11 +2281,13 @@ object SparkEntry {
         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
         |s AS (
         |  SELECT label, pos, SUM(fx) AS sfx, COUNT(*) AS n
-        |  FROM e GROUP BY 1, 2)
-        |SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
-        |  list(CAST(sfx AS DOUBLE) / (n * 16777216.0) ORDER BY pos)
-        |    AS centroid
-        |FROM s GROUP BY label""".stripMargin,
+        |  FROM e GROUP BY 1, 2),
+        |nv AS (
+        |  SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors
+        |  FROM s GROUP BY label)
+        |SELECT s.label, nv.n_vectors, CAST(s.pos AS INTEGER) AS idx,
+        |  CAST(s.sfx AS DOUBLE) / (s.n * 16777216.0) AS centroid_val
+        |FROM s JOIN nv ON s.label = nv.label""".stripMargin,
     // Rates oracle: sqrt is IEEE-exact on both engines; the Σ √n fold
     // is ordered by source on both sides (list(... ORDER BY) here,
     // array_sort'd collect there), so the total is bit-identical.

@@ -19,17 +19,31 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-    // so it arrives as nanos-since-epoch LongType. Normalize to Spark's
-    // native micros TimestampType here so every downstream operator sees
-    // a plain timestamp column. Branch on the arriving type so an
-    // events table that already carries native micros timestamps
-    // (a non-driver fixture) passes through untouched.
-    if (name == "events" &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize an event-time column to Spark's native micros
+    * TimestampType, whatever physical shape the fixture shipped it in.
+    * The driver has regenerated `events.parquet` across rounds with
+    * different encodings, so branch on the ARRIVING type:
+    *  - TIMESTAMP(NANOS) parquet + `nanosAsLong` session conf →
+    *    nanos-since-epoch LongType → truncate to micros;
+    *  - plain `timestamp[us]` with no UTC-adjustment flag → Spark reads
+    *    TIMESTAMP_NTZ → cast to TimestampType (exact: the session time
+    *    zone is pinned UTC, so wall-clock == instant);
+    *  - already TimestampType → untouched.
+    * Batch reads (above) and the streaming file sources share THIS one
+    * helper — round 7 broke precisely because the streaming entries
+    * hand-rolled the Long-nanos branch only. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Session configs every graft session needs (Verify/Bench/tests). */

@@ -142,9 +142,11 @@ object Clusters {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, numHashTables: Int = 8,
       bucketLength: Double = 0.5, seed: Long = 42L,
-      maxIter: Int = 25): DataFrame =
+      maxIter: Int = 25,
+      maxBucketSize: Option[Int] = None): DataFrame =
     dedupClusters(emb, idCol,
       graft.ns.Similarity.cosineNearDupPairs(emb, idCol, vecCol,
-        minCosine, numHashTables, bucketLength, seed),
+        minCosine, numHashTables, bucketLength, seed,
+        maxBucketSize = maxBucketSize),
       "id_a", "id_b", maxIter)
 }

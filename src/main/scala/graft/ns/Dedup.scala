@@ -383,6 +383,28 @@ object Dedup {
     * divisor of 64 works; NsDedupSpec proves bands=4 and bands=8 agree
     * wherever both are complete.
     * Output: (id_a, id_b, hamming). */
+  /** Corpus-adaptive band count for [[simhashNearDupPairs]] — the
+    * registered mitigation for the fixed-band density trap (SCALE.md
+    * ns04: 23.9× at 10× corpus). Picks the SMALLEST chunk width
+    * w ∈ {8, 16, 32} whose expected band-bucket occupancy
+    * corpus/2^w stays ≤ `maxOcc`, and returns bands = 64/w: the
+    * band join's Σ bucket² cost then stays ~linear in corpus size.
+    * Fewer, wider bands shrink the guaranteed-complete Hamming
+    * radius (pigeonhole: complete iff maxHamming < bands) — beyond
+    * it recall is probabilistic, concentrated on the closest pairs
+    * (a pair at Hamming h keeps P ≈ 1-(1-((64-w)/64)^h)^bands of
+    * colliding on some whole band). That trade is inherent: banded
+    * completeness at a fixed RELATIVE radius needs width ≤
+    * 64/(maxHamming+1), so width growth must spend the radius.
+    * NsDedupSpec's agreement law (bands=4 ≡ bands=8 wherever both
+    * are complete) covers the contract. */
+  def adaptiveBands(corpusCount: Long, maxOcc: Double = 32.0): Int = {
+    val w = Seq(8, 16, 32)
+      .find(w => corpusCount / math.pow(2.0, w) <= maxOcc)
+      .getOrElse(32)
+    64 / w
+  }
+
   def simhashNearDupPairs(sig: DataFrame, idCol: String,
       maxHamming: Int, bands: Int = 8): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")

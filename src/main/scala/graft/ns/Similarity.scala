@@ -158,6 +158,54 @@ object Similarity {
       posexplode(buckets).as(Seq("table", "bucket")))
   }
 
+  /** Density-adaptive variant of [[lshBuckets]]: buckets whose
+    * occupancy exceeds `maxBucketSize` are SUBDIVIDED by appending
+    * extra projection bits — depth chosen per bucket from its measured
+    * occupancy — so the candidate join's Σ occupancy² term stays
+    * bounded as corpus density grows instead of growing quadratically
+    * (the fixed-parameter LSH density trap SCALE.md decomposes). The
+    * refinement is the same equal-width quantized projection as the
+    * base hash, applied only where the data is dense, so recall cost
+    * is localized to dense regions and sparse buckets are untouched.
+    *
+    * Plan shape: refinement projections are precomputed as a small
+    * `array<long>` column BEFORE the bucket explode (carrying the
+    * vector itself through the bucket stream measured 6× slower — see
+    * [[lshBuckets]]); the adaptive pass adds exactly one occupancy
+    * groupBy + one equi-join back over (table, bucket) id-rows. All
+    * members of a bucket share its depth, so refined buckets are a
+    * true partition of the original bucket. Deterministic: planes are
+    * seeded, occupancy is a count. */
+  private def lshBucketsCapped(unit: DataFrame, idCol: String,
+      planes: Array[Array[Double]], bucketLength: Double,
+      maxBucketSize: Int,
+      refinePlanes: Array[Array[Double]]): DataFrame = {
+    val maxRefine = refinePlanes.length
+    // measured effective split factor per appended projection on
+    // dense (central) buckets; only steers DEPTH selection
+    val branching = 3.0
+    def proj(p: Array[Double]): Column = {
+      val planeLit = array(p.map(lit): _*)
+      floor(aggregate(zip_with(col("__u"), planeLit, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v) / bucketLength).cast("long")
+    }
+    val buckets = array(planes.map(proj): _*)
+    val rb = array(refinePlanes.map(proj): _*)
+    val base = unit.select(col(idCol), rb.as("__rb"),
+      posexplode(buckets).as(Seq("table", "bucket")))
+    val occ = base.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("__occ"))
+    base.join(occ, Seq("table", "bucket"))
+      .withColumn("__depth",
+        when(col("__occ") <= maxBucketSize, lit(0))
+          .otherwise(least(lit(maxRefine),
+            ceil(log(col("__occ").cast("double") / maxBucketSize) /
+              math.log(branching)).cast("int"))))
+      .select(col(idCol), col("table"),
+        xxhash64(col("bucket"),
+          slice(col("__rb"), lit(1), col("__depth"))).as("bucket"))
+  }
+
   /** Approximate top-k cosine neighbors via random-projection LSH
     * bucketing: candidates are corpus/query pairs that share a bucket
     * in at least one of `numHashTables` OR-ed projections (equi-join
@@ -477,12 +525,32 @@ object Similarity {
       .withColumn("contaminated", col("max_eval_cosine") >= minCosine)
   }
 
+  /** All vector pairs with cosine ≥ `minCosine`, candidates from
+    * OR-ed random-projection buckets, each candidate verified exactly
+    * (precision 1.0 always; recall = bucket collision coverage).
+    *
+    * `maxBucketSize`: the 100-TB knob. With it set, over-occupied
+    * buckets are subdivided adaptively ([[lshBucketsCapped]]) so
+    * candidate volume stays ~linear in corpus size at fixed settings;
+    * without it, fixed-parameter bucketing pays Σ occupancy² which
+    * grows ~quadratically with density (measured 62× at 10× corpus —
+    * SCALE.md). Fixture-scale gates leave it engaged: subdividing only
+    * fires where occupancy > cap, and recall on the measured sweep
+    * stays ≥ 0.9 while wall returns to ~linear. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, numHashTables: Int = 8,
-      bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val planes = randUnitPlanes(vecDim(df, vecCol), numHashTables, seed)
+      bucketLength: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Option[Int] = None,
+      maxRefine: Int = 4): DataFrame = {
+    val dim = vecDim(df, vecCol)
+    val planes = randUnitPlanes(dim, numHashTables, seed)
     val u = unitized(df, idCol, vecCol)
-    val v = lshBuckets(u, idCol, planes, bucketLength)
+    val v = maxBucketSize match {
+      case Some(cap) =>
+        lshBucketsCapped(u, idCol, planes, bucketLength, cap,
+          randUnitPlanes(dim, maxRefine, seed ^ 0x5DEECE66DL))
+      case None => lshBuckets(u, idCol, planes, bucketLength)
+    }
     val cand = v.select(col(idCol).as("id_a"), col("table"), col("bucket"))
       .join(v.select(col(idCol).as("id_b"), col("table"), col("bucket")),
         Seq("table", "bucket"))
