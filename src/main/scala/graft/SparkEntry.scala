@@ -544,6 +544,30 @@ object SparkEntry {
         matchedTimeAs = "view_ts_us")
     }),
 
+    // The CHUNKED as-of variant, driver-gated against the SAME DuckDB
+    // ASOF oracle as ns30: partitioning by (key, 6h time-chunk) with
+    // carry-in seeds must be output-identical to the keyed-window
+    // plan. This is the hot-key scale path (SCALE.md: a single-key
+    // window serializes on one reducer — 171.7 max/p50 task skew —
+    // while chunking spreads the same timeline 4× on 32 cores), and
+    // the gate proves the rewrite is semantics-preserving.
+    "ns53_asof_join_chunked" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("vts_us"),
+          col("event_id").as("view_event_id"),
+          col("value").as("view_value"))
+      graft.ops.TemporalJoin.asofJoinChunked(p, v, Seq("user_id"),
+        "ts_us", "vts_us", payload = Seq("view_event_id", "view_value"),
+        chunk = 6L * 3600L * 1000000L,
+        tolerance = Some(3600L * 1000000L),
+        rightTieBreak = Some("view_event_id"),
+        matchedTimeAs = "view_ts_us")
+    }),
+
     // Clicks in the hour BEFORE each purchase (attribution window).
     // binSize = the window length, so each interval spans ≤ 2 bins.
     "ns31_range_join" -> ((s, d) => {
@@ -743,6 +767,24 @@ object SparkEntry {
         emb.filter(col("vec_id") >= 50), "vec_id", "embedding",
         "label",
         emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+    }),
+
+    // The large-|Q| kNN-labeling scale path: neighbors from the LSH
+    // ANN generator instead of the exact broadcast scan (ns48 is
+    // linear in corpus × |Q| by design; annTopK is the sublinear
+    // candidate path — 6.5× at 10× data, SCALE.md), fed to the SAME
+    // generator-agnostic vote. Rows-only (LSH bucketing is
+    // engine-specific); NsSimilaritySpec carries the recall law and
+    // the vote's exactness is gated via ns48.
+    "ns54_knn_labels_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.voteLabels(
+        Similarity.annTopK(
+          emb.filter(col("vec_id") >= 50), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 5, minCosine = -1.0, numHashTables = 8,
+          bucketLength = 0.2),
+        emb.filter(col("vec_id") >= 50), "vec_id", "label")
     }),
 
     // Quality-aware survivor selection over the ns37 cluster
@@ -1805,6 +1847,24 @@ object SparkEntry {
     // unspecified tie pick can't diverge from the engine's
     // view_event_id tiebreak.
     "ns30_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, epoch_us(ts) AS vts_us,
+        |             event_id AS view_event_id, value AS view_value
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  CASE WHEN p.ts_us - v.vts_us <= 3600000000
+        |    THEN v.view_event_id END AS view_event_id,
+        |  CASE WHEN p.ts_us - v.vts_us <= 3600000000
+        |    THEN v.view_value END AS view_value,
+        |  CASE WHEN p.ts_us - v.vts_us <= 3600000000
+        |    THEN v.vts_us END AS view_ts_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.vts_us""".stripMargin,
+    // The chunked variant must reproduce the IDENTICAL as-of result —
+    // same oracle SQL as ns30 (the whole point of the gate: the
+    // skew-spreading rewrite is semantics-preserving).
+    "ns53_asof_join_chunked" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |           FROM events WHERE event_type = 'purchase'),
         |     v AS (SELECT user_id, epoch_us(ts) AS vts_us,

@@ -84,6 +84,17 @@ def main(sf_dir, out_dir):
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
             n_pass += n > 0; n_fail += n == 0
+    # registered queries that errored before writing ANY output (e.g.
+    # analysis failures) are recorded by Verify in errors.json — a
+    # rows-only query with no dir would otherwise vanish silently
+    seen = {d.rstrip("/").split("/")[-1]
+            for d in glob.glob(f"{out_dir}/*/")}
+    err_path = f"{out_dir}/errors.json"
+    if os.path.exists(err_path):
+        for name, msg in sorted(json.load(open(err_path)).items()):
+            if name not in seen:
+                print(f"FAIL {name}: verify error: {msg[:200]}")
+                n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
