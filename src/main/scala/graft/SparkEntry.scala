@@ -222,10 +222,36 @@ object SparkEntry {
           col("event_type"), col("n"), col("total")), dir)
     }),
 
+    // ---- §2.2 O12: audit columns, gated with an INJECTED clock ----
+    // created_at_ts is statement-constant in the reference warehouses
+    // (DEFAULT CURRENT_TIMESTAMP evaluates once per statement);
+    // withAuditCols(at=...) injects that batch instant explicitly —
+    // the replay/backfill form — which is what makes the gate
+    // deterministic. The wall-clock default stays covered by
+    // PipelineSpec.
+    "o12_audit_columns" -> ((s, d) =>
+      graft.pipeline.Run.withAuditCols(t(s, d, "nation"),
+        runHr = 202608121100L,
+        at = Some(java.sql.Timestamp.valueOf("2026-08-12 11:00:00")))),
+
     // ---- §2.2 O12/O13: literal injection (run_hr) ----
     "o13_literal_injection" -> ((s, d) =>
       t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
         lit(202608121100L).as("run_hr"))),
+
+    // ---- §2.1 S12: query→notification render, driver-gated ----
+    // The reference's SqlToSlackOperator templates a query result into
+    // a message string. Deterministic here: a sorted 5-row query and a
+    // fixed template; the oracle rebuilds the identical string with
+    // string_agg. renderMessage's bounded collect is the operator
+    // (notification queries are small by contract).
+    "s12_notification_render" -> ((s, d) => {
+      import s.implicits._
+      val msg = graft.pipeline.Notify.renderMessage(
+        t(s, d, "region").select(col("r_name")).orderBy("r_name"),
+        "Regions loaded:\n{{ results_df }}")
+      Seq(msg).toDF("message")
+    }),
 
     // ---- §2.2 O14: data-driven column rename map ----
     "o14_rename_map" -> ((s, d) => {
@@ -1405,9 +1431,19 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    "o12_audit_columns" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CAST(202608121100 AS BIGINT) AS run_hr,
+        | TIMESTAMP '2026-08-12 11:00:00' AS created_at_ts
+        |FROM nation""".stripMargin,
     "o13_literal_injection" ->
       """SELECT o_orderkey, o_totalprice,
         | CAST(202608121100 AS BIGINT) AS run_hr FROM orders""".stripMargin,
+    // chr(10)-joined pipe table: byte-identical to Notify.renderMessage
+    "s12_notification_render" ->
+      """SELECT 'Regions loaded:' || chr(10) || 'r_name' || chr(10) ||
+        |  string_agg(r_name, chr(10) ORDER BY r_name) AS message
+        |FROM region""".stripMargin,
     "o14_rename_map" ->
       """SELECT p_partkey AS part_key, p_name AS part_name, p_brand AS brand,
         | p_type AS part_type, p_size AS part_size,

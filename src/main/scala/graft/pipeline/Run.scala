@@ -93,10 +93,17 @@ object Run {
 
   /** O12/O13: audit + partition-key columns every gold row carries
     * (created_at_ts DEFAULT CURRENT_TIMESTAMP and the Jinja-injected
-    * run_hr literal of the reference's gold DDL). */
-  def withAuditCols(df: DataFrame, runHr: Long): DataFrame =
+    * run_hr literal of the reference's gold DDL). `at` injects the
+    * batch clock: CURRENT_TIMESTAMP is statement-constant in the
+    * reference warehouses, so the audit value is one instant per
+    * batch — passing it explicitly makes replays/backfills stamp the
+    * ORIGINAL batch time (and makes the o12 gate deterministic);
+    * None keeps the wall-clock default. */
+  def withAuditCols(df: DataFrame, runHr: Long,
+      at: Option[java.sql.Timestamp] = None): DataFrame =
     df.withColumn("run_hr", lit(runHr))
-      .withColumn("created_at_ts", current_timestamp())
+      .withColumn("created_at_ts",
+        at.map(lit(_)).getOrElse(current_timestamp()))
 
   /** BigQuery-analogue nested gold: structs rebuilt with parsed
     * timestamps (O1/O2/O6 — nested projection, struct construction,
