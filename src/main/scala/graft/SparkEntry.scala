@@ -465,6 +465,21 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 200), known, "doc_id", "text")
     }),
 
+    // ---- §2.8 [NS] Bloom-prefiltered incremental dedup ----
+    // Same task as ns25 and hash-gated against the SAME oracle:
+    // Bloom "no" is definite and every "maybe" is exactly verified,
+    // so outputs are identical — only the exchange shrinks (the
+    // store-membership answer moves into a broadcast bitset). The
+    // 100-TB shape for "have we seen this content before".
+    "ns55_bloom_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val known = docs.filter(col("doc_id") < 250)
+        .select(Dedup.fingerprint(col("text")).as("fingerprint"))
+      Dedup.incrementalExactDedupBloom(
+        docs.filter(col("doc_id") >= 200), known, "doc_id", "text",
+        expectedItems = 1000L, fpp = 0.03)
+    }),
+
     // ---- §2.8 [NS] benchmark decontamination overlap check ----
     // Eval set = first 50 docs, train corpus = the rest; each eval
     // doc reports what fraction of its distinct trigrams the corpus
@@ -546,6 +561,30 @@ object SparkEntry {
         Multimodal.readBinaryDir(s, dir.getPath, "*.bmp"))
         .toDF().select(col("file_name"), col("byte_len"),
           col("width"), col("height")), dir)
+    }),
+
+    // Real RIFF/WAVE PCM16 decode (chunk-walking header parse + exact
+    // integer sample fold), same fixture trick as ns29: files are
+    // synthesized from documents rows with a closed-form waveform, so
+    // the oracle predicts every decoded field — including peak and
+    // the exact energy sum — from the generation formulas in SQL.
+    "ns56_wav_decode" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_wav")
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val len = r.getInt(1)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath, s"doc_$id.wav"),
+            Multimodal.writeWav(len % 8000 + 8000,
+              (len * 13) % 2000 + 100))
+        }
+      materializeAndDrop(Multimodal.decodeWavFeatures(
+        Multimodal.readBinaryDir(s, dir.getPath, "*.wav"))
+        .toDF().select(col("file_name"), col("byte_len"),
+          col("sample_rate"), col("channels"), col("n_samples"),
+          col("duration_ms"), col("peak_abs"), col("energy")), dir)
     }),
 
     // ---- §2.9 [NS] temporal joins: as-of and range ----
@@ -1766,6 +1805,40 @@ object SparkEntry {
         |SELECT fingerprint, min(doc_id) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS dup_count
         |FROM fresh GROUP BY 1""".stripMargin,
+    // Bloom prefilter preserves exactness — IDENTICAL oracle to ns25.
+    "ns55_bloom_incremental_dedup" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents),
+        |known AS (SELECT DISTINCT fingerprint FROM fps WHERE doc_id < 250),
+        |fresh AS (
+        |  SELECT f.fingerprint, f.doc_id FROM fps f
+        |  WHERE f.doc_id >= 200
+        |    AND NOT EXISTS (SELECT 1 FROM known k
+        |                    WHERE k.fingerprint = f.fingerprint))
+        |SELECT fingerprint, min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count
+        |FROM fresh GROUP BY 1""".stripMargin,
+    // WAV oracle: every decoded field predicted from the generation
+    // formulas. The sawtooth (i*8192 mod 32768) - 16384 cycles through
+    // {-16384,-8192,0,8192}, so peak is 16384 and energy per full
+    // cycle is 16384^2 + 8192^2 + 0 + 8192^2 = 402653184, plus the
+    // partial-cycle prefix.
+    "ns56_wav_decode" ->
+      """SELECT 'doc_' || doc_id || '.wav' AS file_name,
+        |  CAST(44 + 2 * n AS BIGINT) AS byte_len,
+        |  CAST(r AS INTEGER) AS sample_rate,
+        |  1 AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n * 1000) // r AS BIGINT) AS duration_ms,
+        |  CASE WHEN n > 0 THEN 16384 ELSE 0 END AS peak_abs,
+        |  CAST((n // 4) * 402653184
+        |    + CASE n % 4 WHEN 0 THEN 0 WHEN 1 THEN 268435456
+        |      ELSE 335544320 END AS BIGINT) AS energy
+        |FROM (SELECT doc_id, length(text) % 8000 + 8000 AS r,
+        |        (length(text) * 13) % 2000 + 100 AS n
+        |      FROM documents WHERE doc_id < 50)""".stripMargin,
     "s04_stream_curation" ->
       """WITH base AS (
         |  SELECT doc_id, text,

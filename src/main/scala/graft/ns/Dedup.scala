@@ -81,6 +81,44 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** [[incrementalExactDedup]] with a Bloom-filter pre-filter on the
+    * store's fingerprints — the canonical 100-TB membership shape.
+    * The plain incremental anti-join still SHUFFLES the whole new
+    * batch plus the store's fingerprint projection; at corpus scale
+    * the store side dwarfs every batch. A Bloom filter over the
+    * store's fingerprints (built once per batch — or maintained
+    * incrementally alongside the store in production) is megabytes
+    * for billions of entries, ships task-broadcast, and answers
+    * "definitely new" locally: only the maybe-present survivors
+    * (true duplicates + fpp × batch) reach the exact anti-join, so
+    * the exchange carries ~the duplicate rate instead of the batch.
+    *
+    * EXACTNESS IS PRESERVED — Bloom "no" is definite, and every
+    * Bloom "maybe" is verified by the real anti-join — so this is
+    * hash-gated against the SAME oracle as ns25 (identical output),
+    * and NsDedupSpec proves equality across fpp settings.
+    *
+    * The membership probe is a Scala UDF over the broadcast bitset —
+    * the one deliberate UDF in the codebase: ~100 ns/row of probe
+    * against removing the store-sized exchange entirely; it sits
+    * behind a fingerprint projection, not inside a codegen'd
+    * expression chain. */
+  def incrementalExactDedupBloom(newDocs: DataFrame,
+      knownFingerprints: DataFrame, idCol: String, textCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    val bf = knownFingerprints.stat.bloomFilter(
+      "fingerprint", expectedItems, fpp)
+    val mightContain = udf((fp: String) => bf.mightContainString(fp))
+    val fp = newDocs.withColumn("fingerprint", fingerprint(col(textCol)))
+    val definitelyNew = fp.filter(!mightContain(col("fingerprint")))
+    val maybe = fp.filter(mightContain(col("fingerprint")))
+      .join(knownFingerprints.select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+    definitelyNew.unionByName(maybe)
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+  }
+
   /** Distinct word n-grams (shingles) per document:
     * (idCol, gram). Documents shorter than n words contribute none.
     *

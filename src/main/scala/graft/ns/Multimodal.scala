@@ -122,6 +122,105 @@ object Multimodal {
     b.array()
   }
 
+  /** One decoded audio row: payload facts + real RIFF/WAVE header and
+    * PCM16 sample-stream facts. `energy` is the exact integer sum of
+    * squared samples (order-independent long arithmetic — the
+    * hash-gateable stand-in for RMS, which a consumer derives as
+    * sqrt(energy/n)). */
+  final case class WavFeatures(file_name: String, byte_len: Long,
+      sample_rate: Int, channels: Int, bits_per_sample: Int,
+      n_samples: Long, duration_ms: Long, peak_abs: Int, energy: Long)
+
+  /** Real RIFF/WAVE parse (PCM16): walks the chunk list (`fmt ` may be
+    * followed by `LIST`/`fact`/... before `data` — chunk-skipping is
+    * the part naive parsers get wrong), reads the format block, then
+    * folds the data chunk's little-endian s16 samples for peak and
+    * exact energy. Returns None for malformed/non-PCM16 payloads. */
+  def parseWav(bytes: Array[Byte]): Option[WavFeatures] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    def s16(o: Int): Int = le16(o).toShort.toInt
+    def le32(o: Int): Long =
+      (u8(o) | (u8(o + 1) << 8) | (u8(o + 2) << 16) |
+        (u8(o + 3).toLong << 24)) & 0xffffffffL
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = le32(off + 4)
+      val body = off + 8
+      if (id == "fmt " && sz >= 16 && body + 16 <= bytes.length) {
+        val audioFormat = le16(body)
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((le32(body + 4).toInt, le16(body + 2), le16(body + 14)))
+      } else if (id == "data") {
+        val (rate, ch, bits) = fmt.getOrElse(return None)
+        if (bits != 16 || ch < 1 || rate <= 0) return None
+        val dataLen = math.min(sz, (bytes.length - body).toLong).toInt
+        val n = dataLen / 2
+        var i = 0; var peak = 0; var energy = 0L
+        while (i < n) {
+          val v = s16(body + 2 * i)
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          energy += v.toLong * v
+          i += 1
+        }
+        val frames = n / ch
+        return Some(WavFeatures("", bytes.length.toLong, rate, ch, bits,
+          frames, frames * 1000L / rate, peak, energy))
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off = body + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
+
+  /** Minimal PCM16 mono WAV encoder — fixture/round-trip counterpart
+    * of [[parseWav]]. Samples are a pure function of position (sawtooth
+    * `(i * 8192) mod 32768 − 16384`), so peak and energy are closed
+    * forms an SQL oracle can reproduce exactly. */
+  def writeWav(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && nSamples >= 0, "bad WAV parameters")
+    val dataLen = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                 // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)                // block align, bits
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      b.putShort((((i.toLong * 8192) % 32768) - 16384).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Batched WAV decode over a binaryFile frame — same per-partition
+    * batch shape as [[decodeFeatures]]; malformed payloads are dropped
+    * (a curation pass quarantines, it does not crash). */
+  def decodeWavFeatures(df: DataFrame,
+      batchSize: Int = 64): Dataset[WavFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (name, bytes) =>
+            parseWav(bytes).map(_.copy(file_name = name))
+          }
+        }
+      }
+  }
+
   /** Binary-file source: one row per file under `dir` matching `glob`,
     * with Spark's binaryFile schema (path, modificationTime, length,
     * content) plus a projected file_name. Filters on `length`/path

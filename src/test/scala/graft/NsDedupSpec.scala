@@ -331,4 +331,24 @@ class NsDedupSpec extends SparkSpec {
     // grams: [a b c][b c x][c x a][x a b][a b c] — only "a b c" dups
     assert(rows.toSeq == Seq((9L, 5L, 2L, 1L, 0.4)))
   }
+
+  // Exactness law for the Bloom prefilter: "no" is definite, every
+  // "maybe" is verified — so output EQUALS the plain incremental
+  // anti-join at any fpp, including an aggressive one where false
+  // positives certainly occur.
+  test("bloom-prefiltered incremental dedup equals the exact path at any fpp") {
+    val all = (0L until 200L).map(i => i -> s"doc text ${i % 120}")
+    val df = docs(all: _*)
+    val known = df.filter(col("doc_id") < 120)
+      .select(Dedup.fingerprint(col("text")).as("fingerprint"))
+    val batch = df.filter(col("doc_id") >= 100)
+    val exact = Dedup.incrementalExactDedup(batch, known, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    for (fpp <- Seq(0.5, 0.03, 0.001)) {
+      val bloom = Dedup.incrementalExactDedupBloom(batch, known,
+        "doc_id", "text", expectedItems = 200L, fpp = fpp)
+        .as[(String, Long, Long)].collect().toSet
+      assert(bloom == exact, s"fpp=$fpp diverged")
+    }
+  }
 }

@@ -151,4 +151,38 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     assert(frames.sortBy(f => (f._1, f._2)).toSeq ==
       again.sortBy(f => (f._1, f._2)).toSeq)
   }
+
+  test("writeWav → parseWav round-trips with exact integer sample facts") {
+    val w = Multimodal.parseWav(Multimodal.writeWav(8000, 9)).get
+    assert(w.sample_rate == 8000 && w.channels == 1 &&
+      w.bits_per_sample == 16 && w.n_samples == 9 && w.byte_len == 44 + 18)
+    assert(w.duration_ms == 9 * 1000L / 8000)
+    // sawtooth cycle {-16384,-8192,0,8192}: 9 samples = 2 cycles + 1
+    assert(w.peak_abs == 16384)
+    val cyc = 16384L * 16384 + 8192L * 8192 + 8192L * 8192
+    assert(w.energy == 2 * cyc + 16384L * 16384)
+    // zero-length data chunk
+    val z = Multimodal.parseWav(Multimodal.writeWav(44100, 0)).get
+    assert(z.n_samples == 0 && z.peak_abs == 0 && z.energy == 0L)
+  }
+
+  test("parseWav walks chunk lists and rejects non-PCM16 payloads") {
+    // splice an odd-sized junk chunk between fmt and data: the parser
+    // must skip it (with the pad byte) and still find the samples
+    val base = Multimodal.writeWav(16000, 4)
+    val junk = java.nio.ByteBuffer.allocate(8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0))
+    val spliced = base.slice(0, 36) ++ junk.array() ++ base.slice(36, base.length)
+    // fix RIFF size (not checked by the parser, but keep it honest)
+    val w = Multimodal.parseWav(spliced).get
+    assert(w.sample_rate == 16000 && w.n_samples == 4)
+    // truncated header / wrong magic / 8-bit PCM are rejected
+    assert(Multimodal.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseWav("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    val eightBit = base.clone()
+    eightBit(34) = 8 // bits_per_sample LE16 at offset 34
+    assert(Multimodal.parseWav(eightBit).isEmpty)
+  }
 }
