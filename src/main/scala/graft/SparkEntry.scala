@@ -1033,6 +1033,39 @@ object SparkEntry {
       materializeAndDrop(s.read.parquet(out), base)
     }),
 
+    // ---- §7.4.6 stream-stream range join, driver-gated ----
+    // The streaming twin of ns31: clicks in the hour before each
+    // purchase, as a watermarked stream-stream inner join whose
+    // drained output must EQUAL the batch range join — the DuckDB
+    // oracle is ns31's SQL with the same date cut. Gates the claim
+    // that the streaming restatement extends to joins, not just
+    // aggregations/dedup/sessionization.
+    "s05_stream_stream_join" -> ((s, d) => {
+      val base = newScratchDir("graft_s05")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(srcDir.getPath, "events.parquet"))
+      val raw = s.read.parquet(srcDir.getPath).schema
+      val stream = Tables.normalizeTs(
+        EventStream.fileSource(s, srcDir.getPath, raw))
+        .filter(col("ts") >= lit("2024-01-20 00:00:00"))
+      val out = s"${base.getPath}/joined"
+      val q = EventStream.clickAttribution(stream)
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          col("click_id"), unix_micros(col("c_ts")).as("click_ts_us"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(s.read.parquet(out), base)
+    }),
+
     // ---- §7.4.6 streaming curation pass, driver-gated ----
     // The curation operators are stateless projections, so they run
     // UNCHANGED on a stream: quality + language gates as pure-column
@@ -1839,6 +1872,19 @@ object SparkEntry {
         |FROM (SELECT doc_id, length(text) % 8000 + 8000 AS r,
         |        (length(text) * 13) % 2000 + 100 AS n
         |      FROM documents WHERE doc_id < 50)""".stripMargin,
+    // Drained stream-stream inner join ≡ the batch range join (ns31's
+    // SQL) on the same bounded window — see the s05 registration note.
+    "s05_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  epoch_us(p.ts) AS p_ts_us,
+        |  c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts)
+        |     BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND p.ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND c.ts >= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     "s04_stream_curation" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -108,6 +108,34 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
   }
 
+  /** Stream-stream inner join with event-time range bounds — the
+    * STREAMING twin of the ns31 batch range join: clicks in the
+    * `windowSec` before each purchase, per user. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can evict join state once the watermark passes a row's
+    * match window — the two ingredients that make an unbounded
+    * stream-stream join feasible (state is bounded by
+    * rows-per-watermark-window, not the stream). INNER join + a
+    * time-range condition is deterministic on a drained bounded
+    * source: every pair either matches the range (emitted whichever
+    * batch completes it) or never matches — eviction only drops
+    * state that can no longer satisfy the range, which the batch
+    * twin excludes too. That equivalence IS the s05 driver gate. */
+  def clickAttribution(events: DataFrame, watermark: String = "1 hour",
+      windowSec: Long = 3600L): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, col("user_id") === col("c_user_id") &&
+      col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+      col("c_ts") <= col("p_ts"))
+  }
+
   /** Event-time sessionization via flatMapGroupsWithState: a session
     * is a run of events per user with gaps < `gapMinutes`; sessions
     * close (and are emitted exactly once) when the gap passes or the

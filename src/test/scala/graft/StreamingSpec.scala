@@ -245,4 +245,51 @@ class StreamingSpec extends SparkSpec {
         Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 4.0)))
     } finally q.stop()
   }
+
+  // Stream ≡ batch for the stream-stream range join (the s05 gate's
+  // operator-level twin): the drained watermarked inner join must
+  // equal graft.ops.TemporalJoin.rangeJoin over the same fixture.
+  test("clickAttribution drained equals the batch range join") {
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val batchEv = Tables.normalizeTs(raw)
+    val out = Files.createTempDirectory("graft_s05_law").toFile
+    val srcDir = new java.io.File(out, "src")
+    srcDir.mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(srcDir.getPath, "events.parquet"))
+    val stream = Tables.normalizeTs(
+      EventStream.fileSource(spark, srcDir.getPath, raw.schema))
+    val q = EventStream.clickAttribution(stream)
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        col("click_id"), unix_micros(col("c_ts")).as("click_ts_us"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${out.getPath}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"${out.getPath}/j")
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"${out.getPath}/j")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val hourUs = 3600L * 1000000L
+    val p = batchEv.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_ts_us"))
+      .withColumn("w_start_us", col("p_ts_us") - hourUs)
+    val c = batchEv.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"),
+        unix_micros(col("ts")).as("click_ts_us"))
+    val batch = graft.ops.TemporalJoin.rangeJoin(p, c,
+      keys = Seq("user_id" -> "c_user_id"),
+      startCol = "w_start_us", endCol = "p_ts_us",
+      pointCol = "click_ts_us", binSize = hourUs)
+      .select(col("purchase_id"), col("user_id"), col("p_ts_us"),
+        col("click_id"), col("click_ts_us"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size} pairs")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+  }
 }
