@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.functions.functions.py_to_json
 import graft.ingest.JsonIngest
@@ -40,6 +40,59 @@ object SparkEntry {
     // ---- §2.3 joins: broadcast fact⋈dim ----
     "q02_revenue_by_brand" -> ((s, d) =>
       Relational.revenueByBrand(t(s, d, "lineitem"), t(s, d, "part"))),
+
+    // ---- §3 templated-SQL lifecycle: parameterized spark.sql ----
+    // The reference renders Jinja parameters into SQL text
+    // (run_hr/xcom pulls) and ships it to a warehouse. The Spark
+    // analogue is the PARAMETERIZED sql API — named markers bound
+    // server-side, no string splicing (the injection-safe form of
+    // templating). Gated: the rendered query is q01's SQL and must
+    // hash-match q01's oracle exactly, proving the SQL entry point
+    // and the DataFrame entry point are the same engine.
+    "q15_parameterized_sql" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+          |  MIN(l_quantity) AS min_qty,
+          |  MAX(l_extendedprice) AS max_price,
+          |  COUNT(*) AS count_order
+          |FROM lineitem_v
+          |WHERE l_shipdate <= :cutoff
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+        Map("cutoff" -> "1998-09-01 00:00:00"))
+    }),
+
+    // ---- §2.1 declared-schema CSV load with quarantine ----
+    // CSV face of the bronze→silver ingest: fixture lines derived
+    // from documents (the ns29 trick) plus two planted malformed
+    // rows; PERMISSIVE parse lands bad rows as data (raw line kept),
+    // and the oracle reproduces both the clean and quarantined rows.
+    "j04_csv_ingest" -> ((s, d) => {
+      val dir = newScratchDir("graft_csv")
+      val lines = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).as("n_chars"))
+        .collect()
+        .map(r => s"${r.getLong(0)},${r.getString(1)},${r.getInt(2)}")
+      val planted = Seq("not_a_number,srcX,12", "13,srcY,not_an_int")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir.getPath, "docs.csv"),
+        (lines.toSeq ++ planted).mkString("\n").getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("n_chars", IntegerType)))
+      materializeAndDrop(
+        graft.ingest.CsvIngest.readQuarantined(s, dir.getPath, schema)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col(graft.ingest.CsvIngest.corruptCol).isNotNull
+              .as("quarantined")), dir)
+    }),
 
     // ---- §2.3 joins: multi-table star join ----
     "q03_local_supplier_revenue" -> ((s, d) =>
@@ -1398,6 +1451,32 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // Parameterized-SQL entry point ≡ the DataFrame entry point:
+    // q01's oracle verbatim.
+    "q15_parameterized_sql" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        | MIN(l_quantity) AS min_qty,
+        | MAX(l_extendedprice) AS max_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // CSV quarantine: PERMISSIVE nulls the unparsable FIELD and keeps
+    // the rest, with the raw line in the corrupt column → quarantined
+    // flag; both planted rows reproduced literally.
+    "j04_csv_ingest" ->
+      """SELECT doc_id, source, CAST(length(text) AS INTEGER) AS n_chars,
+        |  FALSE AS quarantined
+        |FROM documents WHERE doc_id < 100
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), 'srcX', 12, TRUE
+        |UNION ALL
+        |SELECT 13, 'srcY', CAST(NULL AS INTEGER), TRUE""".stripMargin,
     "q02_revenue_by_brand" ->
       """SELECT p_brand,
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
