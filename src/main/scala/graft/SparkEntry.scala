@@ -786,6 +786,15 @@ object SparkEntry {
           "text", n = 3, threshold = 0.5, maxDocFreq = Some(5)),
         "id_a", "id_b")),
 
+    // Matryoshka truncation to d'=16 — the embedding storage/latency
+    // ladder; scalarized for the gate like ns35/ns36.
+    "ns57_matryoshka_truncate" -> ((s, d) =>
+      graft.ns.Embeddings.matryoshkaTruncate(t(s, d, "embeddings"),
+        "vec_id", "embedding", dPrime = 16)
+        .select(col("vec_id"), col("full_norm"), col("kept_norm"),
+          col("energy_ratio"),
+          posexplode(col("unit")).as(Seq("idx", "unit_val")))),
+
     // Per-label centroids (mean pooling) via EXACT fixed-point sums —
     // order-independent integer accumulation is what lets a float
     // mean hash-match across engines. Scalarized for the gate like
@@ -2525,6 +2534,33 @@ object SparkEntry {
         |    END AS unit
         |  FROM n)
         |SELECT vec_id, norm,
+        |  CAST(i - 1 AS INTEGER) AS idx, unit[i] AS unit_val
+        |FROM o, UNNEST(range(1, len(unit) + 1)) AS t(i)""".stripMargin,
+    // Matryoshka oracle: same left-fold bit-exactness argument as
+    // ns36, applied to the 16-prefix and the full vector.
+    "ns57_matryoshka_truncate" ->
+      """WITH p AS (
+        |  SELECT vec_id, embedding, embedding[1:16] AS pe
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, pe,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b)) AS full_norm,
+        |    sqrt(list_reduce(list_transform(pe,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b)) AS kept_norm
+        |  FROM p),
+        |o AS (
+        |  SELECT vec_id, full_norm, kept_norm,
+        |    CASE WHEN full_norm = 0 THEN 0.0
+        |      ELSE kept_norm / full_norm END AS energy_ratio,
+        |    CASE WHEN kept_norm = 0
+        |      THEN list_transform(pe, x -> CAST(0 AS DOUBLE))
+        |      ELSE list_transform(pe, x -> CAST(x AS DOUBLE) / kept_norm)
+        |    END AS unit
+        |  FROM n)
+        |SELECT vec_id, full_norm, kept_norm, energy_ratio,
         |  CAST(i - 1 AS INTEGER) AS idx, unit[i] AS unit_val
         |FROM o, UNNEST(range(1, len(unit) + 1)) AS t(i)""".stripMargin,
     // Clustering oracle: recursive closure over the SAME pair set as

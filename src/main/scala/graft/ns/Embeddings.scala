@@ -83,6 +83,40 @@ object Embeddings {
           .otherwise(transform(col(embCol),
             x => x.cast("double") / col("norm"))).as("unit"))
 
+  /** Matryoshka truncation (MRL-style): keep the first `dPrime`
+    * dimensions of each embedding and L2-renormalize — the storage/
+    * latency ladder modern embedding models are trained for (nested
+    * prefixes carry most of the signal, so a 4–16× narrower vector
+    * serves coarse retrieval and the full vector reranks).
+    * `energy_ratio` = ‖x[1..d']‖/‖x‖ is the exact per-vector retained
+    * signal — the number that tells a pipeline whether d' is safe for
+    * its corpus. Pure zero-shuffle projection; the norm folds are the
+    * same sequential left folds as [[l2Normalize]], so every output
+    * is bit-reproducible against a SQL engine (ns57 hash-gates it).
+    * All-zero prefixes map to zero vectors, not NaN.
+    *
+    * Output: (idCol, full_norm, kept_norm, energy_ratio,
+    * unit array<double> of length dPrime). */
+  def matryoshkaTruncate(df: DataFrame, idCol: String, embCol: String,
+      dPrime: Int): DataFrame = {
+    require(dPrime >= 1, s"dPrime must be >= 1, got $dPrime")
+    def sq(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(c, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+    df.select(col(idCol), col(embCol),
+        slice(col(embCol), 1, dPrime).as("__p"))
+      .select(col(idCol), col("__p"),
+        sq(col(embCol)).as("full_norm"), sq(col("__p")).as("kept_norm"))
+      .select(col(idCol), col("full_norm"), col("kept_norm"),
+        when(col("full_norm") === 0d, lit(0.0))
+          .otherwise(col("kept_norm") / col("full_norm"))
+          .as("energy_ratio"),
+        when(col("kept_norm") === 0d,
+            transform(col("__p"), _ => lit(0.0)))
+          .otherwise(transform(col("__p"),
+            x => x.cast("double") / col("kept_norm"))).as("unit"))
+  }
+
   /** Per-group embedding centroids (mean pooling) — the SemDeDup /
     * diversity-balancing primitive: one representative vector per
     * cluster, label, or source. The mean is computed over EXACT

@@ -380,6 +380,39 @@ class NsSimilaritySpec extends SparkSpec {
     assert(z.select(col("vec_id")).as[Long].collect().toSeq == Seq(8L))
   }
 
+  test("matryoshkaTruncate: unit prefix, energy ratio laws, d'=d is l2Normalize") {
+    import graft.ns.Embeddings
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Embeddings.matryoshkaTruncate(emb, "vec_id", "embedding", 16)
+    val rows = out.select(col("vec_id"), col("energy_ratio"),
+      aggregate(col("unit"), lit(0.0), (a, x) => a + x * x).as("sq"),
+      size(col("unit")).as("d"))
+      .as[(Long, Double, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ratio, sq, d) =>
+      assert(d == 16, s"vec $id truncated to $d dims")
+      assert(ratio >= 0.0 && ratio <= 1.0 + 1e-12, s"vec $id ratio $ratio")
+      assert(math.abs(sq - 1.0) < 1e-9, s"vec $id prefix not unit: $sq")
+    }
+    // no shuffle: pure projection
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must be zero-shuffle:\n$plan")
+    // d' = d degenerates to l2Normalize (same folds, ratio 1)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val full = Embeddings.matryoshkaTruncate(emb, "vec_id", "embedding", dim)
+      .select(col("vec_id"), col("energy_ratio"), col("unit"))
+      .as[(Long, Double, Seq[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val l2 = Embeddings.l2Normalize(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("unit"))
+      .as[(Long, Seq[Double])].collect().toMap
+    l2.foreach { case (id, u) =>
+      val (ratio, tu) = (full(id)._1, full(id)._2)
+      assert(math.abs(ratio - 1.0) < 1e-12)
+      assert(tu == u, s"vec $id: d'=d truncation != l2Normalize")
+    }
+  }
+
   // The production-case law for the density-adaptive bucket cap
   // (maxBucketSize): when near-dup pairs are GENUINELY close (planted
   // perturbed copies, cosine ≥ ~0.95 — the real shape of web-scale
