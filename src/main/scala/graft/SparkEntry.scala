@@ -786,6 +786,14 @@ object SparkEntry {
           "text", n = 3, threshold = 0.5, maxDocFreq = Some(5)),
         "id_a", "id_b")),
 
+    // Unigram-LM mean NLL (perplexity-proxy quality signal),
+    // self-scored against the corpus vocabulary. Rows-only: ln is
+    // platform libm (1-ulp), so cross-engine bit equality is not
+    // promised; ordering/monotonicity/determinism laws live in
+    // NsTextOpsSpec.
+    "ns58_unigram_nll" -> ((s, d) =>
+      TextOps.unigramNll(t(s, d, "documents"), "doc_id", "text")),
+
     // Matryoshka truncation to d'=16 — the embedding storage/latency
     // ladder; scalarized for the gate like ns35/ns36.
     "ns57_matryoshka_truncate" -> ((s, d) =>

@@ -413,4 +413,62 @@ object TextOps {
       .withColumn("rare_frac",
         col("n_rare").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Unigram-LM mean negative log-likelihood per document — the
+    * perplexity-filter proxy (the CCNet/Gopher "LM quality" signal)
+    * computable exactly without a model: with additive smoothing
+    * `alpha`, p(w) = (count(w) + alpha) / (total + alpha·(V + 1)),
+    * unseen tokens get the +alpha mass, and
+    * mean_nll = −(1/n)·Σ ln p(w_i) (perplexity = exp(mean_nll)).
+    * Low mean_nll ⇒ the document is made of corpus-typical tokens;
+    * high ⇒ rare/garbled content — the standard keep/drop axis.
+    *
+    * `vocabCounts` (token, n_token): score against a PRECOMPUTED
+    * (possibly foreign) LM vocabulary — the production form, where
+    * the unigram table comes from a reference corpus and this pass
+    * is one join; None self-scores against the input corpus.
+    *
+    * Determinism at any partitioning: each DISTINCT token's nll is
+    * computed once in the vocabulary table and rounded once to
+    * 2^-fracBits quanta; per-document accumulation is then exact
+    * long arithmetic (the labelCentroids scheme), so the mean is
+    * order- and partition-independent. (ln itself is platform libm
+    * — 1-ulp — which is why this is registered rows-only with laws
+    * in NsTextOpsSpec rather than hash-gated.)
+    *
+    * Plan shape: one map-combinable token count (skipped when
+    * `vocabCounts` is supplied), a 2-scalar driver agg, one
+    * token-keyed equi-join of the stream against the vocabulary,
+    * one per-document groupBy of partially-aggregated longs. No
+    * per-row UDFs, no driver-side token data.
+    *
+    * Output: (idCol, n_tokens, mean_nll); documents with zero
+    * tokens after canonicalization are absent (nothing to score). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      vocabCounts: Option[DataFrame] = None, alpha: Double = 0.5,
+      fracBits: Int = 24): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    require(fracBits >= 1 && fracBits <= 30, s"bad fracBits $fracBits")
+    val scale = (1L << fracBits).toDouble
+    val tok = df
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = vocabCounts.getOrElse(
+      tok.groupBy(col("token")).agg(count(lit(1)).as("n_token")))
+    val totals = counts
+      .agg(sum(col("n_token")).cast("long").as("total"),
+        count(lit(1)).as("v"))
+      .head()
+    val denom = totals.getLong(0) + alpha * (totals.getLong(1) + 1.0)
+    val lp = counts.select(col("token"),
+      round(-log((col("n_token").cast("double") + alpha) / denom) * scale)
+        .cast("long").as("__fx"))
+    val oovFx = math.round(-math.log(alpha / denom) * scale)
+    tok.join(lp, Seq("token"), "left")
+      .select(col(idCol), coalesce(col("__fx"), lit(oovFx)).as("__fx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__fx")).cast("double") /
+          (count(lit(1)).cast("double") * scale)).as("mean_nll"))
+  }
 }

@@ -299,4 +299,41 @@ class NsTextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("unigramNll: typical docs score lower than rare-token docs; laws") {
+    // doc 1 = corpus-typical tokens, doc 2 = hapaxes, doc 3 = empty
+    val d = docs(
+      1L -> "the cat sat on the mat the cat sat again",
+      2L -> "zyx qwv plk mnb",
+      3L -> "   ",
+      4L -> "the cat sat on the mat")
+    val out = TextOps.unigramNll(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(3L), "zero-token doc must be absent")
+    assert(out(1L)._2 < out(2L)._2,
+      s"typical ${out(1L)._2} !< rare ${out(2L)._2}")
+    assert(out.values.forall(v => v._2 > 0), "NLL must be positive")
+    // determinism across partitioning (fixed-point accumulation)
+    val re = TextOps.unigramNll(d.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(re == out)
+    // external-vocabulary mode: unseen tokens take the OOV mass, and
+    // a doc of OOV-only tokens scores the worst possible NLL
+    val vocab = Seq(("the", 100L), ("cat", 50L), ("sat", 50L),
+      ("on", 30L), ("mat", 30L), ("again", 5L))
+      .toDF("token", "n_token")
+    val ext = TextOps.unigramNll(d, "doc_id", "text",
+      vocabCounts = Some(vocab))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(ext(2L) > ext(1L) && ext(2L) > ext(4L))
+    // doc 2 is all-OOV: its mean equals the single OOV token NLL
+    val oovOnly = ext(2L)
+    val single = TextOps.unigramNll(docs(9L -> "zzzz"), "doc_id",
+      "text", vocabCounts = Some(vocab))
+      .as[(Long, Long, Double)].collect().head._3
+    assert(math.abs(oovOnly - single) < 1e-9)
+  }
 }
