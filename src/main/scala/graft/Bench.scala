@@ -126,7 +126,9 @@ object Bench {
     // warm them up LAST so a budget blow-out costs extensions, not core.
     val heavy = Set("ns02_ngram_jaccard_pairs", "ns02b_ngram_jaccard_capped",
       "ns03_minhash_near_dup", "ns05_topk_cosine", "ns07_embedding_near_dup",
-      "ns16_ivf_topk_cosine", "s01_streaming_rollup", "s02_sessionize")
+      "ns16_ivf_topk_cosine", "s01_streaming_rollup", "s02_sessionize",
+      "ns40_semantic_dedup", "ns49_cluster_survivors",
+      "s05_stream_stream_join", "ns54_knn_labels_ann")
     def famRank(n: String): Int =
       if (heavy(n)) 2
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||
