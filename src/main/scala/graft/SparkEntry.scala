@@ -786,6 +786,23 @@ object SparkEntry {
           "text", n = 3, threshold = 0.5, maxDocFreq = Some(5)),
         "id_a", "id_b")),
 
+    // Mergeable HLL sketch columns: per-source sketches of content
+    // fingerprints plus the merged-global estimate — the store-the-
+    // sketch-not-the-data pattern. Rows-only (DataSketches binary
+    // layout is engine-specific); the exact merge law (union of part
+    // sketches ≡ sketch of the whole) and 5%-accuracy law live in
+    // NsSketchesMultimodalSpec.
+    "ns59_hll_sketch_union" -> ((s, d) => {
+      val sk = Sketches.hllSketches(t(s, d, "documents"),
+        Seq(col("source")), Dedup.fingerprint(col("text")))
+      sk.select(col("source"),
+          hll_sketch_estimate(col("sketch")).as("distinct_estimate"))
+        .unionByName(
+          Sketches.hllMergeEstimate(sk)
+            .select(lit("__ALL__").as("source"),
+              col("distinct_estimate")))
+    }),
+
     // Unigram-LM mean NLL (perplexity-proxy quality signal),
     // self-scored against the corpus vocabulary. Rows-only: ln is
     // platform libm (1-ulp), so cross-engine bit equality is not

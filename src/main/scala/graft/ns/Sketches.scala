@@ -30,6 +30,35 @@ object Sketches {
         abs(col("approx_distinct") - col("exact_distinct"))
           .cast("double") / col("exact_distinct"))
 
+  /** Mergeable HLL sketch COLUMNS (Apache DataSketches HllSketch,
+    * `hll_sketch_agg`): unlike [[approxDistinct]]'s scalar answer,
+    * this keeps the sketch BINARY per group — the storable form. The
+    * 100-TB pattern: sketch each partition/day/source once, store
+    * kilobytes, and answer any later union (all sources, a month of
+    * days) by merging registers instead of rescanning raw data.
+    * Merging is associative (HLL-mode registers combine by max), so
+    * any grouping of parts converges to one answer; note the union of
+    * SMALL parts is not bit-identical to the whole-data sketch —
+    * DataSketches keeps low-cardinality sketches in exact list/set
+    * mode and a union can promote them to estimating HLL mode — so
+    * the law tested in NsSketchesMultimodalSpec is accuracy (merged
+    * estimate within the sketch's error bound of exact) plus
+    * partition-independence, not register identity. */
+  def hllSketches(df: DataFrame, groupCols: Seq[Column],
+      valueCol: Column, lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("sketch"))
+
+  /** Merge stored sketches to one distinct-count estimate (long).
+    * Strict merge: all sketches must share lgK (the flag allows
+    * heterogeneous configs; keeping it false preserves the
+    * union-equals-whole register identity). */
+  def hllMergeEstimate(sketches: DataFrame,
+      sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(hll_sketch_estimate(
+      hll_union_agg(col(sketchCol), lit(false)))
+      .as("distinct_estimate"))
+
   /** Per-group quantiles via the Greenwald-Khanna summary
     * (`percentile_approx`). With `accuracy` >= the group row count the
     * summary degrades gracefully to EXACT discrete quantiles (the

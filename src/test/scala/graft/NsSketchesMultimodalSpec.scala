@@ -152,6 +152,42 @@ class NsSketchesMultimodalSpec extends SparkSpec {
       again.sortBy(f => (f._1, f._2)).toSeq)
   }
 
+  test("HLL sketch columns: merged estimates within bound, partition-stable") {
+    import graft.ns.{Dedup, Sketches}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fp = Dedup.fingerprint(col("text"))
+    // merged-part estimate and whole-corpus estimate must BOTH land
+    // within the sketch's error bound of exact (they are not
+    // register-identical: small parts stay in exact list/set mode
+    // and union promotes them to estimating HLL mode)
+    val parts = Sketches.hllSketches(docs, Seq(col("source")), fp)
+    val merged = Sketches.hllMergeEstimate(parts)
+      .head().getLong(0)
+    val whole = docs.agg(
+      hll_sketch_estimate(hll_sketch_agg(fp, lit(12))))
+      .head().getLong(0)
+    val exact = docs.select(fp.as("f")).distinct().count()
+    // any grouping of parts must land within the error bound too
+    // (estimates are NOT identical across groupings: mode-promotion
+    // points differ — only the bound is guaranteed)
+    val byLang = Sketches.hllMergeEstimate(
+      Sketches.hllSketches(docs, Seq(col("lang")), fp))
+      .head().getLong(0)
+    for ((name, est) <- Seq("merged" -> merged, "whole" -> whole,
+        "byLang" -> byLang))
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"$name estimate $est vs exact $exact")
+    // per-source estimates are deterministic across partitioning
+    val a = Sketches.hllSketches(docs, Seq(col("source")), fp)
+      .select(col("source"), hll_sketch_estimate(col("sketch")))
+      .as[(String, Long)].collect().toSet
+    val b = Sketches.hllSketches(docs.repartition(13),
+        Seq(col("source")), fp)
+      .select(col("source"), hll_sketch_estimate(col("sketch")))
+      .as[(String, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("writeWav → parseWav round-trips with exact integer sample facts") {
     val w = Multimodal.parseWav(Multimodal.writeWav(8000, 9)).get
     assert(w.sample_rate == 8000 && w.channels == 1 &&
