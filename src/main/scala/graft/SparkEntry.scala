@@ -316,6 +316,28 @@ object SparkEntry {
         renames.map { case (o, n) => col(o).as(n) }: _*)
     }),
 
+    // ---- §2.1 schema evolution across landed batches ----
+    // Production tables GROW columns across runs; readers must take
+    // the union schema and null-fill history. Fixture: an early batch
+    // written WITHOUT n_chars, a later batch with it; a mergeSchema
+    // read returns the union with nulls where the column predates —
+    // the reference's staging-table evolution, on parquet.
+    "j05_schema_evolution" -> ((s, d) => {
+      val dir = newScratchDir("graft_evo")
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("source"))
+        .coalesce(1).write.parquet(s"${dir.getPath}/batch=0")
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).as("n_chars"))
+        .coalesce(1).write.parquet(s"${dir.getPath}/batch=1")
+      materializeAndDrop(
+        s.read.option("mergeSchema", "true").parquet(dir.getPath)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("batch").cast("int").as("batch")), dir)
+    }),
+
     // ---- §2.3 J2: VARIANT parse-once + field access ----
     "j02_variant_single_parse" -> ((s, d) =>
       JsonIngest.variantParsed(
@@ -1633,6 +1655,14 @@ object SparkEntry {
       """SELECT p_partkey AS part_key, p_name AS part_name, p_brand AS brand,
         | p_type AS part_type, p_size AS part_size,
         | p_retailprice AS retail_price FROM part""".stripMargin,
+    // Union schema with null-filled history + the partition column.
+    "j05_schema_evolution" ->
+      """SELECT doc_id, source, CAST(NULL AS INTEGER) AS n_chars,
+        |  0 AS batch
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id, source, CAST(length(text) AS INTEGER), 1
+        |FROM documents WHERE doc_id >= 50 AND doc_id < 100""".stripMargin,
     "j02_variant_single_parse" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
