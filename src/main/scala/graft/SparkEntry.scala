@@ -808,6 +808,31 @@ object SparkEntry {
           "text", n = 3, threshold = 0.5, maxDocFreq = Some(5)),
         "id_a", "id_b")),
 
+    // Per-source curation FUNNEL report — the counts dashboard every
+    // curation run publishes: total → quality-pass → +language-pass →
+    // unique survivors, per source. Exact integer counts (hash-gated);
+    // one pass over the corpus for the gate flags plus the dedup agg,
+    // all map-combinable. Survivor attribution follows exactDedup's
+    // min_by carry (the earliest doc's source owns the group).
+    "ns60_curation_funnel" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val q = TextOps.qualityScoreCol(col("text")) === 1.0
+      val l = TextOps.langIdCol(col("text")) === "en"
+      val surv = Dedup.exactDedup(
+        docs.filter(q && l), "doc_id", "text", carry = Seq("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+      docs.withColumn("__q", q).withColumn("__l", l)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("__q"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("__q") && col("__l"), 1L).otherwise(0L))
+            .as("n_lang"))
+        .join(surv, Seq("source"), "left")
+        .select(col("source"), col("n_total"), col("n_quality"),
+          col("n_lang"), coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+    }),
+
     // Mergeable HLL sketch columns: per-source sketches of content
     // fingerprints plus the merged-global estimate — the store-the-
     // sketch-not-the-data pattern. Rows-only (DataSketches binary
@@ -2812,6 +2837,49 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split
         |FROM mixed""".stripMargin,
+    // Funnel oracle: p03's gate CTEs without the replay union, rolled
+    // to per-source counts; survivor source = the min-doc_id member's
+    // source (exactDedup's min_by carry).
+    "ns60_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, source, norm,
+        |    length(text) AS n_chars, len(toks) AS n_words,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS awl,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS sw,
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es
+        |  FROM base),
+        |flags AS (
+        |  SELECT doc_id, source, norm,
+        |    (n_chars BETWEEN 50 AND 100000
+        |      AND n_words BETWEEN 10 AND 50000
+        |      AND awl BETWEEN 2.0 AND 12.0
+        |      AND punct <= 0.2 AND sw >= 0.01) AS q,
+        |    (en >= de AND en >= fr AND en >= es AND en > 0) AS l
+        |  FROM stats),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM flags
+        |  WHERE q AND l GROUP BY md5(norm)),
+        |survsrc AS (
+        |  SELECT f.source, CAST(count(*) AS BIGINT) AS n_unique
+        |  FROM surv s JOIN flags f ON f.doc_id = s.doc_id
+        |  GROUP BY 1),
+        |funnel AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |    CAST(sum(CASE WHEN q AND l THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
+        |  FROM flags GROUP BY 1)
+        |SELECT fu.source, fu.n_total, fu.n_quality, fu.n_lang,
+        |  COALESCE(ss.n_unique, 0) AS n_unique
+        |FROM funnel fu LEFT JOIN survsrc ss ON fu.source = ss.source""".stripMargin,
     "ns23_mixture_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)) AS BIGINT) % 10000
