@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through raw instead of relaying
+// them through sbt's logger: the logger prefixes every line with
+// "[info] "/"[error] ", which made Bench's JSON totals line unparseable
+// to any consumer doing a plain json.loads per line (8 rounds of
+// `parsed: null` in the driver's bench artifact).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

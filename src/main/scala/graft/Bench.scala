@@ -24,11 +24,17 @@ import org.apache.spark.sql.SparkSession
   *    job in after the first cancel. A capped query records the cap
   *    it hit and is listed in `capped` in the output — a lower bound,
   *    visibly distinguished from a clean time.
-  *  - The warm-up cap adapts: full `capMax` while the soft deadline
-  *    is distant, shrinking to `capMin` once elapsed time crosses it,
-  *    so a steal-storm degrades to rushed-but-complete coverage
-  *    instead of an external kill. Worst-case warm-up wall is
-  *    deadline + nQueries × capMin.
+  *  - Warm-up exists to buy JIT/codegen/shuffle-file warmth, not to
+  *    produce numbers — so it is budgeted at `warmupFrac` (40%) of the
+  *    soft deadline. Known-heavy queries warm under `capMin` ALWAYS
+  *    (a 10 s slice compiles their codegen and seeds their shuffle
+  *    files; their real number comes from the guaranteed-first
+  *    retime below). Round 8 shipped the opposite policy — heavy
+  *    warmed last under the full 60 s cap — and warm-up ate 266 s of
+  *    a 366 s wall: `rounds_completed: 0` and the artifact reported
+  *    cold values 6–10× above steady state (ns49 38.7 s vs 5.8 s).
+  *    Other queries warm under `capMax` while inside the warm-up
+  *    budget and `capMin` past it.
   *  - Warm-up order is cheap-core-first (q/o/j/dq families, then the
   *    rest, known-heavy ns/s queries last) so if the budget dies
   *    mid-warm-up the r01-comparable core already has numbers.
@@ -36,11 +42,15 @@ import org.apache.spark.sql.SparkSession
   *    subset, reporting the per-query minimum. Round-robin matters on
   *    this host: CPU-steal windows of ~30 s inflate back-to-back
   *    repeats together but cannot hit the same query in all
-  *    spaced-out rounds. Re-timable = warm-up succeeded under
-  *    `retimeCap` (a 30 s query does not need steady-state precision,
-  *    it needs to not eat the budget again), or was capped (its
-  *    number is phony — one spaced retry may catch a calm window);
-  *    p01/p02 are ~10-job correctness gates and run exactly once.
+  *    spaced-out rounds. Each round visits capped queries FIRST and
+  *    then the rest in descending warm-up time, so the queries whose
+  *    recorded numbers are phony (capped) or coldest get their spaced
+  *    retime while wall budget remains. Re-timable = warm-up
+  *    succeeded under `retimeCap` (a 30 s query does not need
+  *    steady-state precision, it needs to not eat the budget again),
+  *    or was capped (its number is a lower bound — the retry runs
+  *    under the full `capMax`); p01/p02 are ~10-job correctness gates
+  *    and run exactly once.
   *  - Output says what actually happened: `rounds_completed`,
   *    `retimed` (count), `capped` (names), `warmup_wall_sec`. A
   *    consumer can tell steady-state minima from cold or capped
@@ -72,6 +82,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "60").toDouble
     val capMin =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_MIN_SEC", "10").toDouble
+    val warmupFrac =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_FRAC", "0.4").toDouble
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -141,12 +153,15 @@ object Bench {
     val retimed = scala.collection.mutable.Set.empty[String]
     def attempt(name: String, capSec: Double, isRetime: Boolean): Unit =
       try {
+        val wasCapped = cappedAt.contains(name)
         runCapped(name, capSec) match {
           case Right(sec) =>
             if (isRetime) retimed += name
             cappedAt.remove(name)
-            if (times.getOrElse(name, Double.MaxValue) > sec &&
-              times.getOrElse(name, 0.0) >= 0) times(name) = sec
+            // A capped prior time is a lower bound, not a measurement:
+            // a clean run REPLACES it even when slower.
+            if (wasCapped || (times.getOrElse(name, Double.MaxValue) > sec &&
+              times.getOrElse(name, 0.0) >= 0)) times(name) = sec
           case Left(sec) =>
             System.err.println(f"[bench] $name CAPPED at $sec%.1f s")
             if (!times.contains(name)) { times(name) = sec; cappedAt(name) = capSec }
@@ -156,9 +171,17 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           times(name) = -1.0
       }
-    // Warm-up: full cap while under deadline, rushed floor past it.
+    // Warm-up: heavy queries get a capMin warmth slice (their number
+    // comes from the guaranteed-first retime); everything else runs
+    // under the full cap while inside the warm-up budget, the rushed
+    // floor past it.
+    val warmupBudget = deadline * warmupFrac
     warmupOrder.foreach { n =>
-      attempt(n, if (elapsed < deadline) capMax else capMin, isRetime = false)
+      attempt(n,
+        if (heavy(n)) capMin
+        else if (elapsed < warmupBudget) capMax
+        else capMin,
+        isRetime = false)
     }
     val warmupWall = elapsed
     val warmupTimes = times.toMap
@@ -169,7 +192,11 @@ object Bench {
     var roundsCompleted = 0
     for (r <- 1 to rounds) {
       var preempted = false
-      for (name <- names.sorted if retimable(name))
+      // Capped first (their numbers are phony), then coldest-first, so
+      // a budget blow-out truncates the cheap tail, not the heavy head.
+      val order = names.filter(retimable).sortBy(n =>
+        (if (cappedAt.contains(n)) 0 else 1, -warmupTimes.getOrElse(n, 0.0), n))
+      for (name <- order)
         if (elapsed < deadline)
           attempt(name, if (cappedAt.contains(name)) capMax else retimeCap,
             isRetime = true)
@@ -198,13 +225,15 @@ object Bench {
       n.startsWith("q") || n.startsWith("o") || n.startsWith("j") })
     val cappedJson = cappedAt.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","core_total":$core,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // Freshness stamp (round-7/8 ADVICE): a rerun is verifiably new.
+    val runTs = java.time.Instant.now().toString
+    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full line is ~4 KB at 64 queries and can start BEFORE the
     // driver's fixed-size tail window, leaving it a parse-proof
     // fragment (round-6 artifact: parsed=null despite the line being
     // present). A second, short, totals-only line — printed LAST —
     // always fits the window whole.
-    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","core_total":$core,"n_queries":${results.size},"rounds_completed":$roundsCompleted,"capped":$cappedJson,"sf":"$sfDir"}"""
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","core_total":$core,"n_queries":${results.size},"rounds_completed":$roundsCompleted,"capped":$cappedJson,"sf":"$sfDir"}"""
     // Durability: three of five rounds lost this line to tail spam
     // (watchdog-cancel stack traces through shutdown) or external
     // kills. So: silence logging, stop Spark FIRST so nothing can

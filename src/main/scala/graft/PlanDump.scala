@@ -4,8 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{ExtendedMode, FormattedMode}
 
 /** Dev tool: print the formatted physical plan of named registry
-  * queries (the `.explain("formatted")` audit the scale rules demand,
-  * runnable without evaluating anything).
+  * queries (the `.explain("formatted")` audit the scale rules demand).
+  *
+  * Caveat: "print the plan" is only evaluation-free for the purely
+  * declarative entries. Driver-gated registry entries that MATERIALIZE
+  * as part of constructing their DataFrame — the scratch-dir writers
+  * (o10, j04, j05, p0*), index-building ANN entries, and every s0*
+  * streaming query (which runs its stream to completion and returns
+  * the drained sink) — execute those jobs fully before the plan of
+  * the final read is printed. PlanDump on those names is a run, not
+  * a peek.
   *
   * Usage: runMain graft.PlanDump SF_DIR name1,name2,... [extended]
   */

@@ -282,10 +282,13 @@ object SparkEntry {
     // the replay/backfill form — which is what makes the gate
     // deterministic. The wall-clock default stays covered by
     // PipelineSpec.
+    // The instant is written in UTC to match the oracle's naive
+    // TIMESTAMP literal under spark.sql.session.timeZone=UTC; an
+    // Instant literal is deterministic on any JVM default TZ.
     "o12_audit_columns" -> ((s, d) =>
       graft.pipeline.Run.withAuditCols(t(s, d, "nation"),
         runHr = 202608121100L,
-        at = Some(java.sql.Timestamp.valueOf("2026-08-12 11:00:00")))),
+        at = Some(java.time.Instant.parse("2026-08-12T11:00:00Z")))),
 
     // ---- §2.2 O12/O13: literal injection (run_hr) ----
     "o13_literal_injection" -> ((s, d) =>
@@ -426,7 +429,7 @@ object SparkEntry {
       Dedup.simhashNearDupPairs(
         Dedup.simhash(docs, "doc_id", "text"),
         "doc_id", maxHamming = 7,
-        bands = Dedup.adaptiveBands(docs.count()))
+        bands = Dedup.adaptiveBands(docs.count(), maxHamming = 7))
     }),
 
     // ---- §2.8 [NS] exact brute-force cosine top-k neighbors ----
@@ -851,12 +854,134 @@ object SparkEntry {
     }),
 
     // Unigram-LM mean NLL (perplexity-proxy quality signal),
-    // self-scored against the corpus vocabulary. Rows-only: ln is
-    // platform libm (1-ulp), so cross-engine bit equality is not
-    // promised; ordering/monotonicity/determinism laws live in
-    // NsTextOpsSpec.
+    // self-scored against the corpus vocabulary. Hash-gated (was
+    // rows-only through r8): each distinct token's nll is rounded
+    // ONCE to 2^-24 quanta, so bit equality only needs JVM Math.log
+    // and DuckDB ln() to land on the same rounding side — measured
+    // on this host: 500/500 docs bit-exact at sf0.01. A 1-ulp libm
+    // divergence flips the gate only if some token's -ln(p)·2^24
+    // sits within ~2e-8 of x.5 (~3e-8 odds per token); the
+    // determinism laws stay in NsTextOpsSpec.
     "ns58_unigram_nll" -> ((s, d) =>
       TextOps.unigramNll(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- §2.8 [NS] real BPE tokenization to ids (r9) ----
+    // Encode-to-ids with the checked-in merge table (resources/graft/
+    // bpe/merges.txt): map-side broadcast-codec mapPartitions batches,
+    // scalarized (doc_id, pos, token_id) like ns35/ns36. The oracle is
+    // an INDEPENDENT Python BPE implementation's output over the same
+    // fixture text (tools/gen_bpe.py writes the parquet the oracle SQL
+    // reads), so the gate is a cross-implementation bit equality on
+    // real text, not a self-check. Restricted to doc_id < 100, the
+    // slice the checked-in oracle covers; full-corpus throughput is
+    // probed in SCALE.md.
+    "ns61_bpe_encode" -> ((s, d) =>
+      graft.ns.Bpe.encodeDocs(
+        t(s, d, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text")
+        .toDF()
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id").cast("long").as("token_id"))),
+
+    // Sequence packing on TRUE tokenized lengths — ns24 packs the
+    // n_chars proxy; this packs size(token_ids) from the real encoder
+    // through the same two-phase packOffsets (no global-window
+    // reducer). Gated against per-doc counts of the same independent
+    // oracle table.
+    "ns62_pack_bpe" -> ((s, d) =>
+      Sampling.packOffsets(
+        graft.ns.Bpe.encodeDocs(
+          t(s, d, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text")
+          .toDF()
+          .select(col("doc_id"),
+            size(col("token_ids")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", chunkSize = 512, bucketSize = 100L)),
+
+    // ---- §2.8 [NS] perceptual image hashing (dHash) (r9) ----
+    // 60 closed-form 72×64 BMPs (seed = (i div 2)·1000, so each even/
+    // odd pair is pixel-identical); the engine parses REAL payload
+    // bytes back through parseBmpGray and packs the 9×8 dHash — the
+    // oracle re-derives every hash bit from the generation formula
+    // alone (the ns29/ns56 trick, here over the full pixel grid).
+    "ns63_image_dhash" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_dhash")
+      (0 until 60).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, s"img_$i.bmp"),
+          Multimodal.writeBmp(72, 64, seed = (i / 2).toLong * 1000L))
+      }
+      materializeAndDrop(
+        Multimodal.dhashImages(
+          Multimodal.readBinaryDir(s, dir.getPath, "*.bmp"))
+          .toDF()
+          .select(col("file_name"), col("width"), col("height"),
+            col("dhash")),
+        dir)
+    }),
+
+    // Hamming-banded image near-dup over the same dHashes — EXACTLY
+    // the SimHash band-join machinery (ns04) on a different signature
+    // source, and unlike ns04 this one is hash-GATED: maxHamming 7 <
+    // bands 8 makes the banded join provably complete, so it must
+    // reproduce the oracle's brute-force all-pairs answer bit for bit.
+    "ns64_image_near_dup" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_neardup")
+      (0 until 60).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, s"img_$i.bmp"),
+          Multimodal.writeBmp(72, 64, seed = (i / 2).toLong * 1000L))
+      }
+      val hashes = Multimodal.dhashImages(
+        Multimodal.readBinaryDir(s, dir.getPath, "*.bmp"))
+        .toDF()
+        .select(regexp_extract(col("file_name"), "img_(\\d+)\\.bmp", 1)
+          .cast("long").as("img_id"),
+          col("dhash").as("simhash"))
+      materializeAndDrop(
+        Dedup.simhashNearDupPairs(hashes, "img_id",
+          maxHamming = 7, bands = 8)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming")),
+        dir)
+    }),
+
+    // ---- §2.8 [NS] duplicated-span REMOVAL (r9) ----
+    // ns47 only diagnoses duplicated spans; this strips every run of
+    // >= 3 consecutive corpus-duplicated trigrams and reassembles the
+    // survivors — Lee et al. 2022 substring dedup, oracle-gated on
+    // the reassembled text itself (exact integer span arithmetic).
+    "ns65_dup_span_removal" -> ((s, d) =>
+      Dedup.dupSpanRemoval(t(s, d, "documents"), "doc_id", "text",
+        n = 3, minRun = 3)),
+
+    // ---- §2.8 [NS] per-DOMAIN curation keys (r9) ----
+    // Registrable-domain extraction (public-suffix decision as pure
+    // codegen'd string ops) over deterministic synthetic URLs, then
+    // the ns18 quota per derived domain. URLs exercise subdomain
+    // stripping AND two-level suffixes; both engines construct and
+    // parse them from the same closed form.
+    "ns66_domain_quota" -> ((s, d) => {
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("www."))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("cdn.media."))
+          .otherwise(lit("")),
+        col("source"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(".co.uk"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit(".org"))
+          .otherwise(lit(".com")),
+        lit("/p/"), col("doc_id").cast("string"))
+      Sampling.groupQuota(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+          TextOps.registrableDomain(url,
+            Seq("co.uk", "com.au", "co.jp")).as("domain")),
+        Seq(col("domain")), 20,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("domain"), col("doc_id"), col("n_chars"),
+          col("rn").cast("long").as("rn"))
+    }),
 
     // Matryoshka truncation to d'=16 — the embedding storage/latency
     // ladder; scalarized for the gate like ns35/ns36.
@@ -2324,6 +2449,190 @@ object SparkEntry {
         |    AS DOUBLE) / COUNT(*) AS rare_frac
         |FROM t2 LEFT JOIN common c ON t2.word = c.word
         |GROUP BY doc_id""".stripMargin,
+    // Self-scored unigram NLL: every token is in-vocab so no OOV arm.
+    // Bit equality holds because the nll is fixed-point-quantized per
+    // DISTINCT token (see the ns58 registry comment); the mean is then
+    // exact long arithmetic divided once.
+    "ns58_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n_token
+        |           FROM t2 GROUP BY token),
+        |tot AS (SELECT CAST(SUM(n_token) AS BIGINT) AS total,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+        |lp AS (
+        |  SELECT token,
+        |    CAST(round(-ln((n_token + 0.5) / (total + 0.5*(v+1)))
+        |      * 16777216.0) AS BIGINT) AS fx
+        |  FROM counts, tot)
+        |SELECT t2.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(fx) AS DOUBLE) / (COUNT(*) * 16777216.0) AS mean_nll
+        |FROM t2 JOIN lp USING (token)
+        |GROUP BY t2.doc_id""".stripMargin,
+    // BPE oracle: the expected id stream was produced by the
+    // INDEPENDENT Python encoder in tools/gen_bpe.py from the same
+    // fixture text + checked-in merges; the SQL just reads it. If the
+    // driver regenerates documents with different text, rerun
+    // gen_bpe.py and recommit (BpeFixturePinSpec fails loudly first).
+    "ns61_bpe_encode" ->
+      """SELECT doc_id, pos, token_id
+        |FROM read_parquet('/root/repo/src/test/resources/graft/bpe_oracle_sf001.parquet')""".stripMargin,
+    // True-length packing oracle: ns24's window arithmetic over the
+    // per-doc token counts of the same independent oracle table.
+    "ns62_pack_bpe" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM read_parquet('/root/repo/src/test/resources/graft/bpe_oracle_sf001.parquet')
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_offset,
+        |  CAST(floor(CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS DOUBLE) / 512) AS BIGINT) AS pack_id
+        |FROM lens""".stripMargin,
+    // dHash oracle: every hash bit re-derived from the BMP generation
+    // formula (pixel v = seed + y*72 + x, gray = v%251+v%241+v%239),
+    // cell sums over exact 8×8 blocks, bit = left sum > right sum.
+    // The 64-bit pack runs in HUGEINT and converts to signed BIGINT
+    // (bit 63 is the sign bit on the Spark side).
+    "ns63_image_dhash" ->
+      """WITH imgs AS (
+        |  SELECT CAST(i AS BIGINT) AS img_id,
+        |         CAST((i // 2) * 1000 AS BIGINT) AS seed
+        |  FROM range(0, 60) t(i)),
+        |cells AS (
+        |  SELECT img_id, x // 8 AS cx, y // 8 AS cy,
+        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |        + (seed + y*72 + x) % 239) AS s
+        |  FROM imgs, range(0, 64) ty(y), range(0, 72) tx(x)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.img_id, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
+        |  FROM cells l JOIN cells r
+        |    ON l.img_id = r.img_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8 AND l.s > r.s),
+        |hv AS (
+        |  SELECT img_id,
+        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+        |  FROM imgs LEFT JOIN bits USING (img_id) GROUP BY img_id)
+        |SELECT 'img_' || img_id || '.bmp' AS file_name,
+        |  CAST(72 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+        |  CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+        |    THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT) AS dhash
+        |FROM hv""".stripMargin,
+    // Near-dup oracle: brute-force all-pairs Hamming over the same
+    // closed-form hashes — the banded join is complete at
+    // maxHamming 7 < bands 8, so it must match this exactly.
+    "ns64_image_near_dup" ->
+      """WITH imgs AS (
+        |  SELECT CAST(i AS BIGINT) AS img_id,
+        |         CAST((i // 2) * 1000 AS BIGINT) AS seed
+        |  FROM range(0, 60) t(i)),
+        |cells AS (
+        |  SELECT img_id, x // 8 AS cx, y // 8 AS cy,
+        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |        + (seed + y*72 + x) % 239) AS s
+        |  FROM imgs, range(0, 64) ty(y), range(0, 72) tx(x)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.img_id, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
+        |  FROM cells l JOIN cells r
+        |    ON l.img_id = r.img_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8 AND l.s > r.s),
+        |hv AS (
+        |  SELECT img_id,
+        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+        |  FROM imgs LEFT JOIN bits USING (img_id) GROUP BY img_id),
+        |h AS (
+        |  SELECT img_id,
+        |    CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+        |      THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT) AS dh
+        |  FROM hv)
+        |SELECT a.img_id AS id_a, b.img_id AS id_b,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 7""".stripMargin,
+    // Duplicated-span removal oracle: same trigram stream (ns46's gram
+    // arithmetic), corpus counts, gaps-and-islands runs >= 3, covered
+    // token interval [start, end+2], anti-join + ordered string_agg.
+    "ns65_dup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS pos, w[i] AS token
+        |  FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS gpos,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
+        |  WHERE len(w) >= 3),
+        |dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        |dup AS (SELECT g.doc_id, g.gpos FROM grams g JOIN dupg USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, gpos,
+        |    gpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY gpos) AS k
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, min(gpos) AS s, max(gpos) + 2 AS e
+        |  FROM isl GROUP BY doc_id, k HAVING count(*) >= 3),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, s + j AS pos
+        |  FROM spans, UNNEST(range(0, e - s + 1)) AS t(j)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.token
+        |  FROM tok t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(token, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM toks d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // Per-domain quota oracle: same closed-form URL construction, same
+    // public-suffix decision (two labels, three under a two-level
+    // suffix), ns18's quota window keyed on the derived domain.
+    "ns66_domain_quota" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'www.'
+        |      WHEN 1 THEN 'cdn.media.' ELSE '' END ||
+        |    source ||
+        |    CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+        |      WHEN 1 THEN '.org' ELSE '.com' END ||
+        |    '/p/' || doc_id AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1) AS host
+        |  FROM u),
+        |p AS (SELECT doc_id, n_chars, host,
+        |        string_split(host, '.') AS parts FROM h),
+        |d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN len(parts) >= 3 AND (parts[-2] || '.' || parts[-1])
+        |           IN ('co.uk', 'com.au', 'co.jp')
+        |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+        |         WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
+        |         ELSE host END AS domain
+        |  FROM p)
+        |SELECT domain, doc_id, n_chars, rn FROM (
+        |  SELECT domain, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM d) WHERE rn <= 20""".stripMargin,
     // n-gram table oracle: the ns02 gram CTE without DISTINCT
     // (occurrence counts, not document frequency); the (n desc, gram
     // asc) tiebreak makes the top-100 cut deterministic.

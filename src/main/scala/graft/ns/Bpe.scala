@@ -1,0 +1,157 @@
+package graft.ns
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenization to token IDS (SURVEY.md §2.8 [NS])
+  * — the step beyond [[TextOps.bpeTokenCount]]'s count proxy: emit the
+  * actual id sequence a training pipeline packs into context windows.
+  *
+  * The merge table is FIXED and checked in
+  * (`src/main/resources/graft/bpe/merges.txt`, trained offline by
+  * `tools/gen_bpe.py` on the fixture corpus with classic
+  * highest-pair-count/lexicographic-tie-break BPE training); the
+  * engine only APPLIES merges — training is an offline concern, as in
+  * any production tokenizer. Vocabulary ids are a pure function of the
+  * merge table: `<unk>`=0, printable ASCII 0x21..0x7E in codepoint
+  * order = 1..94, then one id per merge in file order = 95+k. No id
+  * table needs shipping — both sides derive it.
+  *
+  * Encoding semantics (the GPT-2 shape, public knowledge):
+  *  1. canonicalize like [[Dedup.normText]] (trim spaces, lowercase,
+  *     collapse whitespace) so ids are partition/replay stable;
+  *  2. pre-tokenize into letter runs / digit runs / single marks —
+  *     the SAME class split [[TextOps.bpeTokenCount]] counts, so
+  *     `size(token_ids) >= bpeTokenCount(norm)` always (merges only
+  *     join within a pre-token, unknowns map to one id each);
+  *  3. per pre-token, repeatedly merge the LOWEST-RANK adjacent
+  *     symbol pair (all its non-overlapping occurrences, left to
+  *     right) until no pair is in the table;
+  *  4. map symbols to ids; symbols outside the derived vocabulary
+  *     (non-ASCII input) become `<unk>`.
+  *
+  * Execution shape: the ranks map is a few KB — broadcast once and
+  * applied map-side in per-partition batches (the
+  * [[Multimodal.decodeFeatures]] pattern; no per-row UDF, no driver
+  * data path). Encoding is embarrassingly parallel: at 100 TB this is
+  * a pure map stage that pipelines with whatever shuffle follows.
+  */
+object Bpe {
+
+  /** One encoded document: id + the token-id sequence. */
+  final case class Encoded(doc_id: Long, token_ids: Array[Int])
+
+  /** Compiled codec: merge ranks + symbol→id table. */
+  final case class Codec(ranks: Map[(String, String), Int],
+      ids: Map[String, Int]) extends Serializable {
+    val unkId: Int = 0
+  }
+
+  /** [[Dedup.normText]] in plain JVM code (trim spaces, lowercase,
+    * collapse ASCII whitespace) — the encoder runs in mapPartitions,
+    * not in a Column expression, and MUST agree with the SQL-side
+    * canonicalization used everywhere else. */
+  def norm(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+  }
+
+  /** Pre-tokenizer over canonical text: letter runs, digit runs,
+    * single non-alphanumeric marks. Matches
+    * [[TextOps.bpeTokenCount]]'s class split (lowercased input). */
+  private val preToken = java.util.regex.Pattern
+    .compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+
+  def preTokens(normed: String): Iterator[String] = {
+    val m = preToken.matcher(normed)
+    new Iterator[String] {
+      private var ready = m.find()
+      def hasNext: Boolean = ready
+      def next(): String = { val g = m.group(); ready = m.find(); g }
+    }
+  }
+
+  /** Derive the full codec from an ordered merge list. */
+  def codec(merges: Seq[(String, String)]): Codec = {
+    val base = (0x21 to 0x7e).map(_.toChar.toString)
+    val ids = Map("<unk>" -> 0) ++
+      base.zipWithIndex.map { case (s, i) => s -> (i + 1) } ++
+      merges.zipWithIndex.map { case ((a, b), k) =>
+        (a + b) -> (base.size + 1 + k) }
+    Codec(merges.zipWithIndex.map { case (p, k) => p -> k }.toMap, ids)
+  }
+
+  /** The checked-in default merge table (classpath resource). */
+  lazy val default: Codec = {
+    val in = getClass.getResourceAsStream("/graft/bpe/merges.txt")
+    require(in != null, "missing resource graft/bpe/merges.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try codec(src.getLines().filter(_.nonEmpty).map { line =>
+      val i = line.indexOf(' ')
+      (line.substring(0, i), line.substring(i + 1))
+    }.toSeq)
+    finally src.close()
+  }
+
+  /** Greedy BPE over one pre-token: merge ALL non-overlapping
+    * occurrences of the lowest-rank adjacent pair, repeat until no
+    * pair ranks. */
+  def encodeWord(word: String, c: Codec): Array[Int] = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) { syms += word.charAt(i).toString; i += 1 }
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue; var bi = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = c.ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = j }
+        j += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val pa = syms(bi); val pb = syms(bi + 1)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == pa && syms(k + 1) == pb) {
+            out += pa + pb; k += 2
+          } else { out += syms(k); k += 1 }
+        }
+        syms = out
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.iterator.map(s => c.ids.getOrElse(s, c.unkId)).toArray
+  }
+
+  /** Encode a full text: canonicalize, pre-tokenize, BPE per
+    * pre-token, concatenate. */
+  def encode(text: String, c: Codec): Array[Int] =
+    preTokens(norm(text)).flatMap(encodeWord(_, c)).toArray
+
+  /** Corpus encode: (idCol long, textCol string) → [[Encoded]] rows.
+    * Map-side only; the codec is broadcast once per job and applied in
+    * per-partition batches (vectorized-UDF shape, no row-at-a-time
+    * driver involvement). Docs whose canonical text yields no
+    * pre-tokens emit an EMPTY id array (kept, not dropped — packing
+    * needs the row to account for the document). */
+  def encodeDocs(df: DataFrame, idCol: String, textCol: String,
+      c: Codec = default, batchSize: Int = 64): Dataset[Encoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(c)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cod = bc.value
+        it.grouped(batchSize).flatMap(_.map { case (id, text) =>
+          Encoded(id, encode(if (text == null) "" else text, cod))
+        })
+      }
+  }
+}

@@ -185,10 +185,14 @@ object Dedup {
       case None => g0
     }
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = g.select(col(idCol).as("id_a"), col("gram"))
-    val b = g.select(col(idCol).as("id_b"), col("gram"))
+    // Alias both sides of the self-join: `a("gram") === b("gram")`
+    // resolves both sides to the SAME attribute (a and b share g's
+    // lineage), which Spark only untangles via its self-join
+    // heuristic — with a trivially-true-predicate warning per run.
+    val a = g.select(col(idCol).as("id_a"), col("gram")).as("ga")
+    val b = g.select(col(idCol).as("id_b"), col("gram")).as("gb")
     val common = a.join(b,
-      a("gram") === b("gram") && col("id_a") < col("id_b"))
+      col("ga.gram") === col("gb.gram") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -435,12 +439,31 @@ object Dedup {
     * completeness at a fixed RELATIVE radius needs width ≤
     * 64/(maxHamming+1), so width growth must spend the radius.
     * NsDedupSpec's agreement law (bands=4 ≡ bands=8 wherever both
-    * are complete) covers the contract. */
-  def adaptiveBands(corpusCount: Long, maxOcc: Double = 32.0): Int = {
+    * are complete) covers the contract.
+    *
+    * `maxHamming` is the radius the CALLER will filter at: the result
+    * is clamped to the completeness floor bands ≥ maxHamming+1, so
+    * density can never silently push a complete configuration into
+    * the probabilistic regime (a rows-only gate cannot see a recall
+    * drop). When density WANTED fewer bands the clamp logs it — at
+    * that corpus scale the caller must spend radius (lower
+    * maxHamming) to buy density, explicitly. */
+  def adaptiveBands(corpusCount: Long, maxHamming: Int = 7,
+      maxOcc: Double = 32.0): Int = {
+    require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming")
     val w = Seq(8, 16, 32)
       .find(w => corpusCount / math.pow(2.0, w) <= maxOcc)
       .getOrElse(32)
-    64 / w
+    val density = 64 / w
+    // smallest divisor of 64 that keeps pigeonhole completeness
+    val floor = Seq(1, 2, 4, 8, 16, 32, 64)
+      .find(_ >= maxHamming + 1).getOrElse(64)
+    if (density < floor)
+      System.err.println(s"[graft] adaptiveBands: corpus=$corpusCount " +
+        s"wants $density bands but maxHamming=$maxHamming needs ≥$floor " +
+        s"for completeness — clamped to $floor; lower maxHamming to " +
+        s"trade radius for density at this scale")
+    math.max(density, floor)
   }
 
   def simhashNearDupPairs(sig: DataFrame, idCol: String,
@@ -620,6 +643,77 @@ object Dedup {
         maxRun.as("max_dup_run"))
       .withColumn("dup_frac",
         col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Corpus-wide duplicated-span REMOVAL — the acting counterpart of
+    * [[dupSpanProfile]]'s diagnostic (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" substring-dedup pass,
+    * at word-gram granularity): a span is any maximal run of >= `minRun`
+    * consecutive gram positions whose grams each occur more than once
+    * corpus-wide; every occurrence of every span is stripped (the
+    * aggressive C4-style form — corpus-frequent spans are boilerplate)
+    * and each document is reassembled from its surviving tokens in
+    * original order.
+    *
+    * Plan shape: reuses dupSpanProfile's corpus gram-count exchange
+    * (one groupBy gram) for the dup set; islands (gaps-and-islands on
+    * per-doc dup positions) need one id-keyed window; coverage expands
+    * spans to token positions (output ∝ covered tokens, never
+    * span-count × span-length corpus-wide blowup: Σ span lengths ≤
+    * corpus token count); reassembly is ns33's ordered
+    * collect_list(struct) fold. Every exchange is keyed on idCol or
+    * the gram — nothing quadratic, nothing driver-side.
+    *
+    * Output: (idCol, n_words, n_removed, clean_text); a fully-covered
+    * document keeps the row with clean_text = "". */
+  def dupSpanRemoval(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minRun: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minRun >= 1, "minRun must be >= 1")
+    val words = col("__words")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val toks = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), split(normText(col(textCol)), " ").as("__words"))
+    val tokStream = toks
+      .select(col(idCol), posexplode(col("__words")).as(Seq("pos", "token")))
+    val gramStream = toks
+      .select(col(idCol), posexplode(grams).as(Seq("gpos", "gram")))
+    val dupGrams = gramStream.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("gram"))
+    val dup = gramStream.join(dupGrams, Seq("gram"), "leftsemi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("gpos"))
+    val spans = dup
+      .withColumn("__isl", col("gpos") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("gpos")).as("__s"), max(col("gpos")).as("__e"),
+        count(lit(1)).as("__len"))
+      .filter(col("__len") >= minRun)
+      .select(col(idCol), col("__s"),
+        (col("__e") + lit(n - 1)).as("__e"))
+    val covered = spans
+      .select(col(idCol),
+        explode(sequence(col("__s"), col("__e"))).as("pos"))
+      .distinct()
+    val kept = tokStream.join(covered, Seq(idCol, "pos"), "left_anti")
+    val totals = toks
+      .select(col(idCol), size(col("__words")).cast("long").as("n_words"))
+    totals.join(
+      kept.groupBy(col(idCol)).agg(
+        count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token"))).as("clean_text")),
+      Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   def boilerplateRemoval(df: DataFrame, idCol: String, textCol: String,

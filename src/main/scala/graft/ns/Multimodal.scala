@@ -173,8 +173,13 @@ object Multimodal {
         return Some(WavFeatures("", bytes.length.toLong, rate, ch, bits,
           frames, frames * 1000L / rate, peak, energy))
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      off = body + sz.toInt + (sz.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. Advance
+      // in Long: a malformed 32-bit size (e.g. 0xFFFFFFF8) overflows
+      // Int negative and would stall or reverse the walk — drop the
+      // payload instead, and require strict progress.
+      val next = body.toLong + sz + (sz & 1L)
+      if (next <= off.toLong || next > bytes.length.toLong) return None
+      off = next.toInt
     }
     None
   }
@@ -253,6 +258,107 @@ object Multimodal {
             MediaFeatures(name, len, sha, w, h)
           }
         }
+      }
+  }
+
+  /** 24-bit BITMAPINFOHEADER BMP pixel decode to a per-pixel gray sum
+    * grid in FILE row order (no bottom-up flip — a perceptual hash
+    * only needs a deterministic orientation, and the generation
+    * formula in [[writeBmp]] is expressed in file order). Gray is the
+    * plain channel sum b0+b1+b2 (0..765): divisions would only rescale
+    * every later comparison identically, so they are omitted and all
+    * downstream arithmetic stays exact-integer. Returns
+    * (width, height, gray rows in file order); None for anything that
+    * is not a well-formed bottom-row-first 24bpp BMP. */
+  def parseBmpGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32(o: Int): Int =
+      u8(o) | (u8(o + 1) << 8) | (u8(o + 2) << 16) | (u8(o + 3) << 24)
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = le32(10)
+    if (le32(14) < 40) return None
+    val w = le32(18); val h = le32(22)
+    val bpp = (u8(28) | (u8(29) << 8))
+    if (w <= 0 || h <= 0 || bpp != 24) return None
+    val rowSize = (w * 3 + 3) / 4 * 4
+    if (dataOff.toLong + rowSize.toLong * h > bytes.length) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val base = dataOff + y * rowSize
+      while (x < w) {
+        val o = base + 3 * x
+        gray(y * w + x) = u8(o) + u8(o + 1) + u8(o + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** Difference hash (dHash, public perceptual-hash folklore) over a
+    * gray grid: partition the top-left (9·cw)×(8·ch) region into a
+    * 9×8 cell grid (cw = w/9, ch = h/8), take each cell's exact
+    * integer gray SUM (equal-size cells ⇒ comparing sums ≡ comparing
+    * means, with no rounding to argue about), and emit bit
+    * (cy·8 + cx) = 1 iff sum(cx,cy) > sum(cx+1,cy). 64 bits packed
+    * into a long, directly reusable by [[Dedup.simhashNearDupPairs]]'s
+    * Hamming-banded join. Returns None when the image is smaller than
+    * the 9×8 grid. */
+  def dhash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    val cw = w / 9; val ch = h / 8
+    if (cw == 0 || ch == 0) return None
+    val sums = Array.ofDim[Long](9, 8)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        var s = 0L
+        var y = cy * ch
+        while (y < (cy + 1) * ch) {
+          var x = cx * cw
+          while (x < (cx + 1) * cw) { s += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        sums(cx)(cy) = s
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cx)(cy) > sums(cx + 1)(cy))
+          bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(bits)
+  }
+
+  /** One perceptually-hashed image row. */
+  final case class ImageHash(file_name: String, width: Int, height: Int,
+      dhash: Long)
+
+  /** Batched BMP→dHash over a binaryFile frame (the
+    * [[decodeFeatures]] execution shape); malformed/undersized
+    * payloads are dropped, not crashed on. */
+  def dhashImages(df: DataFrame, batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (name, bytes) =>
+          for {
+            (w, h, gray) <- parseBmpGray(bytes)
+            bits <- dhash64(w, h, gray)
+          } yield ImageHash(name, w, h, bits)
+        })
       }
   }
 

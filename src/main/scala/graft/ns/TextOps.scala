@@ -414,6 +414,31 @@ object TextOps {
         col("n_rare").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Registrable-domain extraction from a URL column — the per-DOMAIN
+    * curation key real web corpora quota/report on (per-`source` keys
+    * are a warehouse convenience; crawl governance works on
+    * registrable domains). Pure codegen'd string ops, no UDF:
+    * scheme-authority parse via one regexp, label split, and a
+    * public-suffix decision against `twoLevelSuffixes` — a tiny
+    * excerpt of the public-suffix list compiled INTO the plan as a
+    * literal IN (production would broadcast-join the full PSL table;
+    * the decision shape is the same). Hosts under a two-level suffix
+    * (e.g. `a.b.site.co.uk`) keep three labels, others two; bare or
+    * degenerate hosts pass through unchanged. try_element_at keeps the
+    * expression total under ANSI mode. */
+  def registrableDomain(url: Column,
+      twoLevelSuffixes: Seq[String]): Column = {
+    val host = regexp_extract(url, "^[a-z][a-z0-9+.\\-]*://([^/:?#]+)", 1)
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".",
+      try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
+    when(n >= 3 && last2.isInCollection(twoLevelSuffixes),
+      concat_ws(".", try_element_at(parts, lit(-3)), last2))
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
   /** Unigram-LM mean negative log-likelihood per document — the
     * perplexity-filter proxy (the CCNet/Gopher "LM quality" signal)
     * computable exactly without a model: with additive smoothing
@@ -455,10 +480,16 @@ object TextOps {
       .filter(length(col("token")) > 0)
     val counts = vocabCounts.getOrElse(
       tok.groupBy(col("token")).agg(count(lit(1)).as("n_token")))
+    // sum() over zero rows is null — coalesce so an empty corpus/vocab
+    // short-circuits to an empty result instead of an NPE.
     val totals = counts
-      .agg(sum(col("n_token")).cast("long").as("total"),
+      .agg(coalesce(sum(col("n_token")).cast("long"), lit(0L)).as("total"),
         count(lit(1)).as("v"))
       .head()
+    if (totals.getLong(0) == 0L)
+      return df.select(col(idCol)).limit(0)
+        .withColumn("n_tokens", lit(0L))
+        .withColumn("mean_nll", lit(0.0))
     val denom = totals.getLong(0) + alpha * (totals.getLong(1) + 1.0)
     val lp = counts.select(col("token"),
       round(-log((col("n_token").cast("double") + alpha) / denom) * scale)

@@ -98,9 +98,12 @@ object Run {
     * reference warehouses, so the audit value is one instant per
     * batch — passing it explicitly makes replays/backfills stamp the
     * ORIGINAL batch time (and makes the o12 gate deterministic);
-    * None keeps the wall-clock default. */
+    * None keeps the wall-clock default. The injected clock is an
+    * [[java.time.Instant]], not a java.sql.Timestamp: Timestamp.valueOf
+    * parses in the JVM default timezone, which would make the stamped
+    * instant (and any hash gate over it) environment-sensitive. */
   def withAuditCols(df: DataFrame, runHr: Long,
-      at: Option[java.sql.Timestamp] = None): DataFrame =
+      at: Option[java.time.Instant] = None): DataFrame =
     df.withColumn("run_hr", lit(runHr))
       .withColumn("created_at_ts",
         at.map(lit(_)).getOrElse(current_timestamp()))

@@ -332,6 +332,52 @@ class NsDedupSpec extends SparkSpec {
     assert(rows.toSeq == Seq((9L, 5L, 2L, 1L, 0.4)))
   }
 
+  test("dupSpanRemoval strips every occurrence of a long-enough run") {
+    // docs 1 and 2 share a 6-word span → 4 consecutive dup trigrams
+    // (run >= 3), covering token positions 0..5 in both; doc 3 clean.
+    val d = docs(
+      1L -> "c1 c2 c3 c4 c5 c6 u1a u1b u1c",
+      2L -> "c1 c2 c3 c4 c5 c6 u2a u2b u2c",
+      3L -> "z1 z2 z3 z4 z5")
+    val out = Dedup.dupSpanRemoval(d, "doc_id", "text", n = 3, minRun = 3)
+    assertNoCartesian(out)
+    val rows = out.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L) == ((1L, 9L, 6L, "u1a u1b u1c")))
+    assert(rows(2L) == ((2L, 9L, 6L, "u2a u2b u2c")))
+    assert(rows(3L) == ((3L, 5L, 0L, "z1 z2 z3 z4 z5")))
+  }
+
+  test("dupSpanRemoval: short runs survive, full coverage empties a doc") {
+    // docs 5/6 share only a 5-word span → 3 dup trigram positions =
+    // run 3 (removed at minRun 3, kept at minRun 4)
+    val d = docs(
+      5L -> "c1 c2 c3 c4 c5 u5a u5b u5c",
+      6L -> "c1 c2 c3 c4 c5 u6a u6b u6c")
+    val strict = Dedup.dupSpanRemoval(d, "doc_id", "text", 3, minRun = 4)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(strict(5L)._3 == 0L && strict(5L)._4.startsWith("c1 c2"))
+    val loose = Dedup.dupSpanRemoval(d, "doc_id", "text", 3, minRun = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(loose(5L) == ((5L, 8L, 5L, "u5a u5b u5c")))
+    // identical docs are fully covered → row kept, clean_text empty
+    val dup = docs(7L -> "a b c d e", 8L -> "a b c d e")
+    val gone = Dedup.dupSpanRemoval(dup, "doc_id", "text", 3, minRun = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(gone(7L) == ((7L, 5L, 5L, "")))
+    assert(gone(8L) == ((8L, 5L, 5L, "")))
+  }
+
+  test("adaptiveBands never drops below the completeness floor") {
+    // small corpus: density wants 8 bands, floor satisfied
+    assert(Dedup.adaptiveBands(1000L, maxHamming = 7) == 8)
+    // huge corpus: density wants 2-4 bands but maxHamming 7 needs >= 8
+    assert(Dedup.adaptiveBands(1000000000L, maxHamming = 7) == 8)
+    // spending radius buys density back
+    assert(Dedup.adaptiveBands(1000000000L, maxHamming = 1) == 2)
+    assert(Dedup.adaptiveBands(100000000L, maxHamming = 3) == 4)
+  }
+
   // Exactness law for the Bloom prefilter: "no" is definite, every
   // "maybe" is verified — so output EQUALS the plain incremental
   // anti-join at any fpp, including an aggressive one where false

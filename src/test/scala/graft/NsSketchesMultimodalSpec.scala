@@ -221,4 +221,88 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     eightBit(34) = 8 // bits_per_sample LE16 at offset 34
     assert(Multimodal.parseWav(eightBit).isEmpty)
   }
+
+  test("parseWav drops payloads with Int-overflowing chunk sizes " +
+    "(no infinite walk)") {
+    // a LIST chunk claiming size 0xFFFFFFF8: sz.toInt is -8, so the
+    // pre-fix walk stalled (off never advanced) — must return None,
+    // and promptly
+    val base = Multimodal.writeWav(16000, 4)
+    val evil = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("LIST".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    val spliced = base.slice(0, 36) ++ evil.array() ++
+      base.slice(36, base.length)
+    val done = new java.util.concurrent.CompletableFuture[Boolean]()
+    val t = new Thread(() =>
+      done.complete(Multimodal.parseWav(spliced).isEmpty))
+    t.setDaemon(true); t.start()
+    assert(done.get(10, java.util.concurrent.TimeUnit.SECONDS),
+      "malformed chunk size must be dropped, not parsed")
+    // a data size merely overrunning the payload stays tolerated
+    // (truncated tail: parse what is there) — only the walk is strict
+    val over = base.clone()
+    over(40) = 0x7f // data chunk size (8) -> 127 >> remaining bytes
+    assert(Multimodal.parseWav(over).exists(_.n_samples == 4))
+  }
+
+  test("parseBmpGray returns file-order channel sums matching writeBmp") {
+    val w = 13; val h = 5; val seed = 77L
+    val (pw, ph, gray) = Multimodal.parseBmpGray(
+      Multimodal.writeBmp(w, h, seed)).get
+    assert(pw == w && ph == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = seed + y.toLong * w + x
+      assert(gray(y * w + x) ==
+        (v % 251 + v % 241 + v % 239).toInt, s"pixel ($x,$y)")
+    }
+    // junk and non-24bpp rejected
+    assert(Multimodal.parseBmpGray(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseBmpGray(
+      "P5 3 3 255 aaaaaaaaa".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("dhash64: deterministic, identical inputs agree, single-cell " +
+    "edits stay near") {
+    val w = 72; val h = 64
+    def grayFor(seed: Long): Array[Int] = {
+      val (_, _, g) = Multimodal.parseBmpGray(
+        Multimodal.writeBmp(w, h, seed)).get
+      g
+    }
+    val a = Multimodal.dhash64(w, h, grayFor(42L)).get
+    val b = Multimodal.dhash64(w, h, grayFor(42L)).get
+    assert(a == b)
+    // brighten ONE interior 8x8 cell far above its neighbors: at most
+    // the two comparisons that touch the cell can flip
+    val g2 = grayFor(42L).clone()
+    for (y <- 24 until 32; x <- 24 until 32) g2(y * w + x) += 100000
+    val c = Multimodal.dhash64(w, h, g2).get
+    val hamming = java.lang.Long.bitCount(a ^ c)
+    assert(hamming >= 1 && hamming <= 2, s"hamming $hamming")
+    // too small for the 9x8 grid → None
+    assert(Multimodal.dhash64(5, 5, Array.fill(25)(0)).isEmpty)
+  }
+
+  test("dhashImages finds planted identical pairs through real payloads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dhash_spec")
+    (0 until 6).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"img_$i.bmp"),
+        Multimodal.writeBmp(72, 64, seed = (i / 2).toLong * 500L))
+    }
+    // plus one malformed payload — dropped, not crashed on
+    java.nio.file.Files.write(dir.resolve("img_bad.bmp"),
+      Array[Byte]('B', 'M', 1, 2))
+    val hashes = Multimodal.dhashImages(
+      Multimodal.readBinaryDir(spark, dir.toString, "*.bmp"))
+      .toDF()
+      .select(regexp_extract(col("file_name"), "img_(\\d+)\\.bmp", 1)
+        .cast("long").as("img_id"), col("dhash").as("simhash"))
+    val pairs = graft.ns.Dedup
+      .simhashNearDupPairs(hashes, "img_id", maxHamming = 0, bands = 8)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L), (4L, 5L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }

@@ -336,4 +336,37 @@ class NsTextOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().head._3
     assert(math.abs(oovOnly - single) < 1e-9)
   }
+
+  test("unigramNll: an empty corpus/vocab yields an empty frame, not " +
+    "an NPE") {
+    val empty = docs()
+    val out = TextOps.unigramNll(empty, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "mean_nll"))
+    assert(out.count() == 0)
+    // whitespace-only corpus: tokens exist as rows but none survive
+    // the length filter → same short-circuit
+    val blank = docs(1L -> "   ")
+    assert(TextOps.unigramNll(blank, "doc_id", "text").count() == 0)
+  }
+
+  test("registrableDomain: suffix decision, subdomains, degenerate hosts") {
+    val sfx = Seq("co.uk", "com.au", "co.jp")
+    val cases = Seq(
+      ("https://www.example.com/page?q=1", "example.com"),
+      ("https://example.com/", "example.com"),
+      ("https://a.b.site.co.uk/x", "site.co.uk"),
+      ("https://site.co.uk", "site.co.uk"),
+      ("https://co.uk", "co.uk"),            // bare suffix: 2 labels
+      ("https://cdn.media.news.com.au/img", "news.com.au"),
+      ("https://localhost/admin", "localhost"),
+      ("ftp://deep.sub.host.org:8080/f", "host.org"),
+      ("not a url", ""))
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        TextOps.registrableDomain(col("url"), sfx).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, want) =>
+      assert(out(u) == want, s"$u -> ${out(u)} (want $want)")
+    }
+  }
 }
