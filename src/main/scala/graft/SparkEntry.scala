@@ -983,6 +983,66 @@ object SparkEntry {
           col("rn").cast("long").as("rn"))
     }),
 
+    // ---- §2.8 [NS] perplexity-band filter (r9) ----
+    // CCNet/DCLM-style middle-band selection over ns58's unigram-LM
+    // NLL: drop the easiest 10% and hardest 10%, quantile thresholds
+    // from a 2^16-cell histogram (kilobytes) instead of a global
+    // sort. Bit-stable: bin = floor(mean_nll·2048) over the
+    // identically-derived ns58 doubles, then pure integer cuts.
+    "ns67_perplexity_band" -> ((s, d) =>
+      TextOps.perplexityBandKeep(t(s, d, "documents"), "doc_id",
+        "text", loFrac = 0.1, hiFrac = 0.9)),
+
+    // ---- §2.8 [NS] URL canonicalization + blocklist filter (r9) ----
+    // Closed-form messy URLs (case-shifted scheme/host, default
+    // ports, tracking params, fragments) canonicalized map-side, then
+    // a broadcast anti-join drops blocklisted registrable domains —
+    // the crawl-curation front gate. Hash-gated: the oracle rebuilds
+    // the same URLs and applies the same RFC-3986-safe rules in SQL.
+    "ns68_url_blocklist" -> ((s, d) => {
+      val url = concat(
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("HTTP://"))
+          .otherwise(lit("https://")),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("WWW."))
+          .otherwise(lit("")),
+        col("source"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(".co.uk"))
+          .otherwise(lit(".com")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(":80"))
+            .otherwise(lit(":443"))).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("?utm_source=feed&q="),
+            col("doc_id").cast("string"), lit("&fbclid=xyz")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 1, lit("#frag"))
+          .otherwise(lit("")))
+      val canon = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.canonicalizeUrl(url).as("url_canon"))
+        .withColumn("domain", TextOps.registrableDomain(
+          col("url_canon"), Seq("co.uk", "com.au", "co.jp")))
+      val block = s.createDataFrame(
+        Seq(Tuple1("src3.com"), Tuple1("src7.co.uk"),
+          Tuple1("src15.com"))).toDF("domain")
+      canon.join(broadcast(block), Seq("domain"), "left_anti")
+        .select(col("doc_id"), col("url_canon"), col("domain"))
+    }),
+
+    // ---- §2.8 [NS] token-budget corpus selection (r9) ----
+    // Greedy quality-first selection under a hard token budget (the
+    // final step of every curation recipe): rank by (Gopher score
+    // desc, id), keep while the running weight still fits. Ranked by
+    // the packOffsets two-phase prefix-sum — no global-sort window.
+    // Budget 60k chars ≈ 40% of the sf0.01 corpus, so the cut lands
+    // mid-corpus and both kept and rejected rows gate the arithmetic.
+    "ns69_token_budget_select" -> ((s, d) =>
+      Sampling.tokenBudgetSelect(
+        TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("quality_score"), col("n_chars")),
+        "doc_id", "quality_score", "n_chars", budget = 60000L)),
+
     // Matryoshka truncation to d'=16 — the embedding storage/latency
     // ladder; scalarized for the gate like ns35/ns36.
     "ns57_matryoshka_truncate" -> ((s, d) =>
@@ -2633,6 +2693,152 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY domain
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM d) WHERE rn <= 20""".stripMargin,
+    // Perplexity-band oracle: ns58's NLL CTE verbatim, then the same
+    // histogram-grid quantile cut in pure integer arithmetic —
+    // bin = floor(mean_nll·2048) (2^16 bins over [0,32)), loBin/hiBin
+    // the cells holding positions floor(0.1·n)+1 and ceil(0.9·n).
+    "ns67_perplexity_band" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n_token
+        |           FROM t2 GROUP BY token),
+        |tot AS (SELECT CAST(SUM(n_token) AS BIGINT) AS total,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+        |lp AS (
+        |  SELECT token,
+        |    CAST(round(-ln((n_token + 0.5) / (total + 0.5*(v+1)))
+        |      * 16777216.0) AS BIGINT) AS fx
+        |  FROM counts, tot),
+        |nll AS (
+        |  SELECT t2.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(fx) AS DOUBLE) / (COUNT(*) * 16777216.0) AS mean_nll
+        |  FROM t2 JOIN lp USING (token)
+        |  GROUP BY t2.doc_id),
+        |binned AS (
+        |  SELECT *, least(CAST(floor(mean_nll * 2048.0) AS BIGINT),
+        |                  65535) AS nll_bin
+        |  FROM nll),
+        |cum AS (
+        |  SELECT nll_bin, SUM(c) OVER (ORDER BY nll_bin) AS cum
+        |  FROM (SELECT nll_bin, CAST(count(*) AS BIGINT) AS c
+        |        FROM binned GROUP BY nll_bin)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM binned),
+        |cuts AS (
+        |  SELECT
+        |    (SELECT min(nll_bin) FROM cum, n
+        |      WHERE cum > CAST(floor(0.1 * n) AS BIGINT)) AS lo_bin,
+        |    (SELECT min(nll_bin) FROM cum, n
+        |      WHERE cum >= CAST(ceil(0.9 * n) AS BIGINT)) AS hi_bin)
+        |SELECT doc_id, n_tokens, mean_nll, nll_bin
+        |FROM binned, cuts
+        |WHERE nll_bin BETWEEN lo_bin AND hi_bin""".stripMargin,
+    // URL canonicalization oracle: rebuild the same messy URLs and
+    // apply the same rules — lowercase scheme/host, strip default
+    // port / fragment / tracking params, '/' for the empty path —
+    // then the ns66 registrable-domain decision and the blocklist
+    // anti-join, all in SQL.
+    "ns68_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END)
+        |      ELSE '' END ||
+        |    '/p/' || doc_id ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '?utm_source=feed&q=' || doc_id || '&fbclid=xyz'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    (CASE WHEN (scheme = 'http' AND auth LIKE '%:80')
+        |            OR (scheme = 'https' AND auth LIKE '%:443')
+        |          THEN regexp_replace(auth, ':[0-9]+$', '')
+        |          ELSE auth END) ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN query = '' OR len(kept) = 0 THEN ''
+        |          ELSE '?' || array_to_string(kept, '&') END) AS url_canon
+        |  FROM (SELECT *,
+        |          list_filter(string_split(query, '&'), p ->
+        |            NOT (starts_with(p, 'utm_') OR
+        |                 starts_with(p, 'fbclid=') OR
+        |                 starts_with(p, 'gclid=') OR
+        |                 starts_with(p, 'ref=') OR p = '')) AS kept
+        |        FROM parts)),
+        |dom AS (
+        |  SELECT doc_id, url_canon,
+        |    CASE WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1])
+        |           IN ('co.uk', 'com.au', 'co.jp')
+        |         THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+        |         WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
+        |         ELSE host END AS domain
+        |  FROM (SELECT doc_id, url_canon,
+        |          regexp_extract(url_canon,
+        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1) AS host,
+        |          string_split(regexp_extract(url_canon,
+        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1), '.') AS hp
+        |        FROM canon))
+        |SELECT doc_id, url_canon, domain FROM dom
+        |WHERE domain NOT IN ('src3.com', 'src7.co.uk', 'src15.com')""".stripMargin,
+    // Token-budget oracle: ns09's score CTE, then ONE window in the
+    // (score desc, id) total order — the two-phase prefix-sum must
+    // equal exactly this global cumulative sum.
+    "ns69_token_budget_select" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+        |      / len(toks) AS avg_word_len,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |      AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(toks, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      AS DOUBLE) / len(toks) AS stopword_ratio
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CAST(n_chars BETWEEN 50 AND 100000 AS INT)
+        |       + CAST(n_words BETWEEN 10 AND 50000 AS INT)
+        |       + CAST(avg_word_len BETWEEN 2.0 AND 12.0 AS INT)
+        |       + CAST(punct_ratio <= 0.2 AS INT)
+        |       + CAST(stopword_ratio >= 0.01 AS INT) AS DOUBLE) / 5
+        |      AS quality_score
+        |  FROM stats)
+        |SELECT doc_id, quality_score, n_chars AS weight, cum_before,
+        |  cum_before + n_chars <= 60000 AS kept
+        |FROM (
+        |  SELECT *, CAST(coalesce(SUM(n_chars) OVER (
+        |    ORDER BY quality_score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before
+        |  FROM scored)""".stripMargin,
     // n-gram table oracle: the ns02 gram CTE without DISTINCT
     // (occurrence counts, not document frequency); the (n desc, gram
     // asc) tiebreak makes the top-100 cut deterministic.

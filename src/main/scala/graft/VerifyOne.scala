@@ -27,6 +27,17 @@ object VerifyOne {
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
     }
+    // Subset oracle dump so tools/check_oracle.py can gate a
+    // single-query run exactly like the driver's full pass.
+    val sub = SparkEntry.oracleSql.filter(e => names.contains(e._1))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "oracle_sql.json"),
+      sub.map { case (k, v) =>
+        val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n")
+        s""""$k": "$esc""""
+      }.mkString("{", ",\n", "}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -271,4 +271,73 @@ object Sampling {
         col("__start").as("start_offset"),
         expr(s"__start div ${chunkSize}L").as("pack_id"))
   }
+
+  /** Token-budget-constrained corpus selection: spend a fixed token
+    * budget on the best documents first. The greedy rule every
+    * curation recipe ends with — rank by quality, take documents in
+    * rank order until the budget is exhausted: a document is kept iff
+    * the total weight of all STRICTLY BETTER documents plus its own
+    * still fits. "Better" is the total order (score desc, id asc),
+    * with the score quantized to 1e-9 (`round(score·1e9)`) so the
+    * order key is integral and cross-engine exact; scores must lie in
+    * [0, 1] (normalized quality scores).
+    *
+    * Scalably ranked with NO global sort — the [[packOffsets]]
+    * two-phase scheme with a composite bucket: rows group by
+    * (quantized-score, id div bucketSize), each bucket window-sums
+    * locally (≤ bucketSize ids' worth of rows), and the per-bucket
+    * totals (one driver row per non-empty score×id-range cell) are
+    * prefix-summed in bucket order and broadcast back. Driver row
+    * count is bounded by distinct-scores × id-range/bucketSize — with
+    * coarse scores (e.g. the 6-valued Gopher score) and dense ids
+    * that is ~6·(maxId/bucketSize), far from the row count.
+    *
+    * Output: ALL input rows as (idCol, scoreCol, weight, cum_before,
+    * kept) — kept = cum_before + weight <= budget; emitting the
+    * rejected rows too keeps the budget decision auditable (the
+    * curation-funnel shape, ns60). Null weights count 0; ids must be
+    * non-null and non-negative (require'd at totals time). */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+      weightCol: String, budget: Long,
+      bucketSize: Long = 1000000L): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(bucketSize > 0, "bucketSize must be positive")
+    val spark = df.sparkSession
+    val withB = df
+      .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .withColumn("__neg",
+        lit(1000000000L) - round(col(scoreCol) * 1e9).cast("long"))
+      .withColumn("__ib", expr(s"$idCol div ${bucketSize}L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__neg"), col("__ib")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val local = withB.withColumn("__local",
+      coalesce(sum(col("__w")).over(w), lit(0L)))
+    val totals = withB.groupBy(col("__neg"), col("__ib"))
+      .agg(sum(col("__w")).as("__tot"), min(col(idCol)).as("__mn"))
+      .collect().map { r =>
+        require(!r.isNullAt(r.fieldIndex("__neg")) &&
+          !r.isNullAt(r.fieldIndex("__mn")),
+          s"tokenBudgetSelect requires non-null $scoreCol and $idCol")
+        require(r.getLong(r.fieldIndex("__mn")) >= 0,
+          s"tokenBudgetSelect needs non-negative $idCol")
+        val neg = r.getLong(r.fieldIndex("__neg"))
+        require(neg >= 0L && neg <= 1000000000L,
+          s"tokenBudgetSelect needs $scoreCol in [0, 1]")
+        (neg, r.getLong(r.fieldIndex("__ib")),
+          r.getLong(r.fieldIndex("__tot")))
+      }
+    var acc = 0L
+    val prefixRows = totals.sortBy(t => (t._1, t._2)).toSeq.map {
+      case (neg, ib, tot) => val p = acc; acc += tot; (neg, ib, p)
+    }
+    import spark.implicits._
+    val prefix = broadcast(prefixRows.toDF("__neg", "__ib", "__prefix"))
+    local.join(prefix, Seq("__neg", "__ib"))
+      .withColumn("cum_before", col("__prefix") + col("__local"))
+      .select(col(idCol), col(scoreCol), col("__w").as("weight"),
+        col("cum_before"),
+        (col("cum_before") + col("__w") <= budget).as("kept"))
+  }
 }

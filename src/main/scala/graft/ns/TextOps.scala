@@ -439,6 +439,39 @@ object TextOps {
       .otherwise(host)
   }
 
+  /** URL canonicalization — the normalization every web-corpus
+    * curation key (dedup-by-url, per-domain quota, blocklist) wants
+    * applied FIRST, so `HTTP://Example.COM:80/a?utm_source=x#frag`
+    * and `http://example.com/a` collapse to one key. Rules (the
+    * RFC 3986 §6 safe set plus tracking-param stripping):
+    * scheme and host lowercased; default ports dropped (`:80` for
+    * http, `:443` for https); the fragment dropped; tracking query
+    * parameters removed (`utm_*`, `fbclid`, `gclid`, `ref`) with the
+    * survivors kept in their original order; `?` dropped when no
+    * parameter survives; an empty path becomes `/`. Pure codegen'd
+    * string ops — one regexp parse into (scheme, host+port, path,
+    * query), a higher-order `filter` over the split parameter list,
+    * no UDF — so the canonicalization runs map-side at scan speed.
+    * Non-URL strings (no `scheme://`) pass through unchanged. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val auth = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+    val host = when(
+      (scheme === "http" && auth.endsWith(":80")) ||
+        (scheme === "https" && auth.endsWith(":443")),
+      regexp_replace(auth, ":[0-9]+$", "")).otherwise(auth)
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptParams = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p.startsWith("ref=") || p === ""))
+    val canonQuery = when(query === "" || size(keptParams) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(keptParams, "&")))
+    when(scheme === "", url).otherwise(concat(
+      scheme, lit("://"), host,
+      when(path === "", "/").otherwise(path), canonQuery))
+  }
+
   /** Unigram-LM mean negative log-likelihood per document — the
     * perplexity-filter proxy (the CCNet/Gopher "LM quality" signal)
     * computable exactly without a model: with additive smoothing
@@ -501,5 +534,63 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("__fx")).cast("double") /
           (count(lit(1)).cast("double") * scale)).as("mean_nll"))
+  }
+
+  /** Perplexity-band document filter — the CCNet/DCLM selection rule
+    * on top of [[unigramNll]]: drop the lowest-NLL tail (boilerplate /
+    * degenerate repetition the LM finds too easy) and the highest-NLL
+    * tail (garbled or out-of-distribution text), keep the middle band.
+    *
+    * Band boundaries are QUANTILE-derived but computed on a fixed
+    * histogram grid rather than with a global sort: mean_nll is
+    * binned into `bins` equal-width cells over [0, maxNll) (values
+    * past maxNll clamp into the last cell), the per-cell counts are
+    * cumulated (`bins` rows — kilobytes, regardless of corpus size),
+    * and loBin/hiBin are the cells holding the loFrac/hiFrac quantile
+    * positions. A document is kept iff its cell lies in
+    * [loBin, hiBin] — i.e. the band snaps to bin granularity, which
+    * at the default 2^16 bins is an NLL resolution of 2^-11 nats.
+    * Everything is integer arithmetic on identically-derived doubles
+    * (the ns58 fixed-point values), so the selection is bit-stable
+    * across engines and partitionings — and there is NO global sort:
+    * the only non-map-side work is one `bins`-row aggregation, vs.
+    * the single-reducer ORDER BY window a rank-based cut would cost
+    * at 100 TB.
+    *
+    * Output: the kept documents as (idCol, n_tokens, mean_nll,
+    * nll_bin), nll_bin included so the band decision is auditable. */
+  def perplexityBandKeep(df: DataFrame, idCol: String, textCol: String,
+      loFrac: Double, hiFrac: Double,
+      vocabCounts: Option[DataFrame] = None,
+      bins: Int = 65536, maxNll: Double = 32.0): DataFrame = {
+    require(loFrac >= 0 && hiFrac <= 1 && loFrac < hiFrac,
+      s"need 0 <= loFrac < hiFrac <= 1, got ($loFrac, $hiFrac)")
+    require(bins > 0 && maxNll > 0, "bins and maxNll must be positive")
+    // Persisted: the NLL pipeline feeds three actions (histogram,
+    // total, final filter) — without the pin each would re-tokenize
+    // the corpus. Caller unpersists via the returned plan's lineage
+    // ending; at 100 TB substitute a scratch parquet for the pin.
+    val nll = unigramNll(df, idCol, textCol, vocabCounts).persist()
+    val binned = nll.withColumn("nll_bin",
+      least(floor(col("mean_nll") * (bins / maxNll)).cast("long"),
+        lit(bins - 1L)))
+    // `bins`-row histogram; the cumulative pass and the two quantile
+    // scalars run on this tiny frame, never on the corpus.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nll_bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = binned.groupBy(col("nll_bin"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+    val n = cum.agg(coalesce(sum(col("__c")), lit(0L))).head().getLong(0)
+    if (n == 0L) return binned.limit(0)
+    val loCut = math.floor(loFrac * n).toLong // docs to drop below
+    val hiCut = math.ceil(hiFrac * n).toLong  // last doc position kept
+    val loBin = cum.filter(col("__cum") > loCut)
+      .agg(min(col("nll_bin"))).head().getLong(0)
+    val hiBin = cum.filter(col("__cum") >= hiCut)
+      .agg(min(col("nll_bin"))).head().getLong(0)
+    binned.filter(col("nll_bin").between(loBin, hiBin))
   }
 }

@@ -213,4 +213,45 @@ class NsSamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"upsampleEpochs must not shuffle:\n$plan")
   }
+
+  test("tokenBudgetSelect: equals the global greedy; budget respected") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        (col("doc_id") % 5).cast("double") / 5.0 as "score",
+        col("n_chars"))
+    val budget = 20000L
+    val out = Sampling.tokenBudgetSelect(d, "doc_id", "score",
+      "n_chars", budget, bucketSize = 50L)
+    // reference: ONE global window in (score desc, id) order — the
+    // semantics the two-phase prefix-sum must reproduce exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val ref = d.withColumn("cum_before",
+        coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .select(col("doc_id"), col("cum_before"),
+        (col("cum_before") + col("n_chars") <= budget).as("kept"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = out.select("doc_id", "cum_before", "kept")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == ref.size)
+    got.foreach { case (id, cum, k) =>
+      assert(ref(id) == ((cum, k)), s"doc $id: got ($cum,$k) want ${ref(id)}")
+    }
+    // the kept set's total weight fits the budget; adding the best
+    // rejected row would overflow it
+    val keptW = out.filter(col("kept")).agg(sum("weight"))
+      .as[Long].head()
+    assert(keptW <= budget)
+    val minRejCum = out.filter(!col("kept"))
+      .agg(min(col("cum_before") + col("weight"))).as[Long].head()
+    assert(minRejCum > budget)
+    // stable under repartition
+    val again = Sampling.tokenBudgetSelect(d.repartition(7), "doc_id",
+      "score", "n_chars", budget, bucketSize = 50L)
+      .select("doc_id", "cum_before", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(again == got.map(t => (t._1, t._2, t._3)).toSet)
+  }
 }

@@ -369,4 +369,62 @@ class NsTextOpsSpec extends SparkSpec {
       assert(out(u) == want, s"$u -> ${out(u)} (want $want)")
     }
   }
+
+  test("canonicalizeUrl: rules and idempotence") {
+    val cases = Seq(
+      // lowercase scheme+host, default port off, tracking params off,
+      // fragment off, surviving params keep order
+      ("HTTP://Example.COM:80/a?utm_source=x&q=1&fbclid=z#frag",
+        "http://example.com/a?q=1"),
+      ("https://Example.com:443/b", "https://example.com/b"),
+      // NON-default port survives
+      ("https://example.com:8443/b", "https://example.com:8443/b"),
+      // :80 is only default for http, not https
+      ("https://example.com:80/b", "https://example.com:80/b"),
+      // empty path becomes '/', all-tracking query drops the '?'
+      ("https://EXAMPLE.com?utm_a=1&utm_b=2", "https://example.com/"),
+      ("https://example.com#only-frag", "https://example.com/"),
+      // ref= is tracking; q= containing 'ref' inside value is not
+      ("https://e.com/p?ref=abc&query=ref", "https://e.com/p?query=ref"),
+      // non-URL strings pass through
+      ("not a url", "not a url"))
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), TextOps.canonicalizeUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, want) =>
+      assert(out(u) == want, s"$u -> ${out(u)} (want $want)")
+    }
+    // idempotence: canonical output is a fixed point
+    val once = cases.map(_._2).toDF("url")
+      .select(col("url"), TextOps.canonicalizeUrl(col("url")).as("c"))
+      .as[(String, String)].collect()
+    once.foreach { case (u, c) => assert(c == u, s"not fixed: $u -> $c") }
+  }
+
+  test("perplexityBandKeep: band bounds, full-range no-op, stability") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val all = TextOps.unigramNll(d, "doc_id", "text")
+    val n = all.count()
+    // full band keeps every scored document
+    assert(TextOps.perplexityBandKeep(d, "doc_id", "text", 0.0, 1.0)
+      .count() == n)
+    val kept = TextOps.perplexityBandKeep(d, "doc_id", "text", 0.2, 0.8)
+    val kc = kept.count()
+    // bin snapping keeps AT LEAST the middle 60% and strictly drops
+    // both tails on this fixture
+    assert(kc >= (0.6 * n).toLong && kc < n, s"kept $kc of $n")
+    // every kept nll lies within [min kept, max kept] band and the
+    // dropped docs are exactly the outside-band ones
+    val (lo, hi) = kept.agg(min("nll_bin"), max("nll_bin"))
+      .as[(Long, Long)].head()
+    val binned = all.withColumn("b",
+      least(floor(col("mean_nll") * 2048).cast("long"), lit(65535L)))
+    val outside = binned.filter(col("b") >= lo && col("b") <= hi)
+    assert(outside.count() == kc, "kept set == in-band set")
+    // partition-independence: same kept ids under a repartition
+    val a = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = TextOps.perplexityBandKeep(d.repartition(7), "doc_id",
+      "text", 0.2, 0.8).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
 }
