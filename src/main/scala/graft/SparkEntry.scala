@@ -341,6 +341,21 @@ object SparkEntry {
             col("batch").cast("int").as("batch")), dir)
     }),
 
+    // ---- §2.1 ORC sink + source roundtrip ----
+    // Columnar interchange beyond parquet: write a typed slice
+    // (ints, strings, doubles, dates) to ORC, read it back, gate
+    // against the parquet oracle — fidelity across the format
+    // boundary is the whole test.
+    "j06_orc_roundtrip" -> ((s, d) => {
+      val dir = newScratchDir("graft_orc")
+      t(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"))
+        .write.orc(s"${dir.getPath}/orc")
+      materializeAndDrop(s.read.orc(s"${dir.getPath}/orc"), dir)
+    }),
+
     // ---- §2.3 J2: VARIANT parse-once + field access ----
     "j02_variant_single_parse" -> ((s, d) =>
       JsonIngest.variantParsed(
@@ -1043,6 +1058,76 @@ object SparkEntry {
           .select(col("doc_id"), col("quality_score"), col("n_chars")),
         "doc_id", "quality_score", "n_chars", budget = 60000L)),
 
+    // ---- §2.8 [NS] Gopher top-n-gram repetition fractions ----
+    // The Rae et al. repetition block ns20 doesn't cover: fraction
+    // of chars inside the single most frequent word 2/3/4-gram.
+    // Map-side array fold — zero shuffles.
+    "ns70_topgram_repetition" -> ((s, d) =>
+      TextOps.topGramRepetition(t(s, d, "documents"),
+        "doc_id", "text")),
+
+    // ---- §2.8 [NS] C4-style line-level cleaning ----
+    // The fixture's docs are single-line, so lines are synthesized
+    // the ns20 way (" table " → sentence break) plus three injected
+    // tails that exercise every rule: a lorem-ipsum placeholder
+    // (doc_id%7), a code line with braces (doc_id%11), a too-short
+    // line, and a well-formed closing sentence. The oracle replays
+    // the identical construction.
+    "ns71_c4_line_filter" -> ((s, d) =>
+      TextOps.c4LineFilter(
+        t(s, d, "documents").select(col("doc_id"), concat(
+          regexp_replace(col("text"), " table ", ".\n"),
+          when(col("doc_id") % 7 === 0,
+            lit("\nlorem ipsum dolor sit amet placeholder text here."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+          lit("\ntoo short."),
+          lit("\nthis is a good closing sentence for the document."))
+          .as("text")),
+        "doc_id", "text")),
+
+    // ---- §2.8 [NS] language-balanced per-language quota ----
+    // Per-LANGUAGE caps (composition of ns10's langid and ns18's
+    // bounded group quota): top-40 docs per predicted language by
+    // (n_chars desc, doc_id) — the knob that stops one dominant
+    // language from swamping a multilingual mixture.
+    "ns72_lang_balanced_quota" -> ((s, d) =>
+      Sampling.groupQuota(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+          TextOps.langIdCol(col("text")).as("lang_pred")),
+        Seq(col("lang_pred")), 40,
+        Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("lang_pred"),
+          col("rn").cast("long").as("rn"))),
+
+    // ---- §2.8 [NS] linear quality classifier (integer weights) ----
+    "ns73_linear_quality" -> ((s, d) =>
+      TextOps.linearQualityScore(t(s, d, "documents"),
+        "doc_id", "text")),
+
+    // ---- §2.8 [NS] audio dominant frequency (Goertzel argmax) ----
+    // Clip lengths are multiples of the 64-bin grid, so every probe
+    // frequency is an exact DFT bin and the sawtooth's fundamental
+    // (rate/4, grid j=16) wins with zero leakage — the oracle
+    // predicts a DSP result from the generation formula (ns56's
+    // closed-form trick, one rung up).
+    "ns74_wav_dominant_freq" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_wavdom")
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val len = r.getInt(1)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath, s"doc_$id.wav"),
+            Multimodal.writeWav(len % 8000 + 8000,
+              ((len * 7) % 30 + 2) * 64))
+        }
+      materializeAndDrop(Multimodal.dominantFrequency(
+        Multimodal.readBinaryDir(s, dir.getPath, "*.wav")).toDF(), dir)
+    }),
+
     // Matryoshka truncation to d'=16 — the embedding storage/latency
     // ladder; scalarized for the gate like ns35/ns36.
     "ns57_matryoshka_truncate" -> ((s, d) =>
@@ -1383,6 +1468,37 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       materializeAndDrop(s.read.parquet(out), base)
+    }),
+
+    // ---- §7.4.6 stream-static broadcast enrichment join ----
+    // The one streaming join shape s01–s05 didn't cover: stream ⋈
+    // static dimension (broadcast, stateless) → windowed rollup per
+    // dim attribute. Same fixture day and window-close rule as s01.
+    "s06_stream_static_join" -> ((s, d) => {
+      val base = newScratchDir("graft_s06")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(srcDir.getPath, "events.parquet"))
+      val raw = s.read.parquet(srcDir.getPath).schema
+      val stream = Tables.normalizeTs(
+        EventStream.fileSource(s, srcDir.getPath, raw))
+        .filter(col("ts") >= lit("2024-01-30 00:00:00"))
+      val out = s"${base.getPath}/enriched"
+      val q = EventStream.enrichedRollup(stream,
+        t(s, d, "customer"), "c_custkey", "c_mktsegment")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(
+        s.read.parquet(out)
+          .select(col("run_hr").cast("long").as("run_hr"),
+            col("c_mktsegment"), col("n"), col("total")), base)
     }),
 
     // ---- §7.4.6 streaming curation pass, driver-gated ----
@@ -1873,6 +1989,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, source, CAST(length(text) AS INTEGER), 1
         |FROM documents WHERE doc_id >= 50 AND doc_id < 100""".stripMargin,
+    "j06_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin,
     "j02_variant_single_parse" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
@@ -2225,6 +2345,22 @@ object SparkEntry {
         |FROM (SELECT doc_id, length(text) % 8000 + 8000 AS r,
         |        (length(text) * 13) % 2000 + 100 AS n
         |      FROM documents WHERE doc_id < 50)""".stripMargin,
+    // Drained stream-static broadcast join ≡ the batch join + s01's
+    // window-close rule (append emits a window once the final
+    // watermark passes its end).
+    "s06_stream_static_join" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT CAST(strftime(ts, '%Y%m%d%H') || '00' AS BIGINT)
+        |  AS run_hr,
+        | c.c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |CROSS JOIN mx
+        |WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        | AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |     <= m - INTERVAL 30 MINUTE
+        |GROUP BY 1, 2""".stripMargin,
     // Drained stream-stream inner join ≡ the batch range join (ns31's
     // SQL) on the same bounded window — see the s05 registration note.
     "s05_stream_stream_join" ->
@@ -2839,6 +2975,162 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) AS cum_before
         |  FROM scored)""".stripMargin,
+    // Per-doc argmax restated relationally: unnest each n-gram table,
+    // count, rank (count desc, gram asc). The double is one division
+    // of two exact integers — deterministic across engines (ns20's
+    // proven trick).
+    "ns70_topgram_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks,
+        |    length(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g')) AS n_chars
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(toks)), i ->
+        |    array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 2),
+        |t2 AS (SELECT doc_id, gram, count(*) AS c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g2 GROUP BY doc_id, gram),
+        |g3 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(toks) - 1), i ->
+        |    array_to_string(toks[i:i+2], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 3),
+        |t3 AS (SELECT doc_id, gram, count(*) AS c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g3 GROUP BY doc_id, gram),
+        |g4 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(toks) - 2), i ->
+        |    array_to_string(toks[i:i+3], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 4),
+        |t4 AS (SELECT doc_id, gram, count(*) AS c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g4 GROUP BY doc_id, gram)
+        |SELECT b.doc_id,
+        |  t2.gram AS top2_gram,
+        |  coalesce(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |    / b.n_chars, 0.0) AS top2_frac,
+        |  t3.gram AS top3_gram,
+        |  coalesce(CAST(t3.c * length(t3.gram) AS DOUBLE)
+        |    / b.n_chars, 0.0) AS top3_frac,
+        |  t4.gram AS top4_gram,
+        |  coalesce(CAST(t4.c * length(t4.gram) AS DOUBLE)
+        |    / b.n_chars, 0.0) AS top4_frac
+        |FROM base b
+        |LEFT JOIN (SELECT doc_id, gram, c FROM t2 WHERE rn = 1) t2
+        |  USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, gram, c FROM t3 WHERE rn = 1) t3
+        |  USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, gram, c FROM t4 WHERE rn = 1) t4
+        |  USING (doc_id)""".stripMargin,
+    // Replays the registered fixture construction (sentence breaks +
+    // injected rule-exercising tails), then the identical regex-free
+    // line predicates via list_filter.
+    "ns71_c4_line_filter" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, ' table ', '.' || chr(10), 'g')
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |      'lorem ipsum dolor sit amet placeholder text here.'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+        |      'function f() { return 1; }' ELSE '' END
+        |    || chr(10) || 'too short.'
+        |    || chr(10) ||
+        |    'this is a good closing sentence for the document.' AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id,
+        |    list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)) AS lines
+        |  FROM built),
+        |k AS (SELECT doc_id, len(lines) AS n_lines,
+        |    list_filter(lines, l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+        |        OR l LIKE '%"')
+        |      AND len(list_filter(string_split(l, ' '),
+        |        w -> length(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS keep
+        |  FROM ls)
+        |SELECT doc_id, array_to_string(keep, chr(10)) AS clean_text,
+        |  CAST(len(keep) AS BIGINT) AS n_kept,
+        |  CAST(n_lines - len(keep) AS BIGINT) AS n_dropped
+        |FROM k WHERE len(keep) >= 3""".stripMargin,
+    // ns10's langid CTE + ns18's quota window, composed.
+    "ns72_lang_balanced_quota" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es
+        |  FROM base),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |         WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |         WHEN fr >= es AND fr > 0 THEN 'fr'
+        |         WHEN es > 0 THEN 'es'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM hits)
+        |SELECT doc_id, n_chars, lang_pred, rn FROM (
+        |  SELECT d.doc_id, d.n_chars, l.lang_pred,
+        |    ROW_NUMBER() OVER (PARTITION BY l.lang_pred
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d JOIN lang l USING (doc_id))
+        |WHERE rn <= 40""".stripMargin,
+    // The same fixed micro-weight table inlined as a CASE lambda;
+    // integer sums are order-independent, so logit_micro hash-gates.
+    "ns73_linear_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_transform(toks, t -> CASE t
+        |    WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |    WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |    WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |    WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |    WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |    WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |    WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |    WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |    WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |    WHEN 'http' THEN -60000 ELSE NULL END) AS ws
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ws, x -> x IS NOT NULL)) AS BIGINT)
+        |    AS n_hits,
+        |  CAST(-50000 + coalesce(list_sum(list_transform(ws,
+        |    x -> coalesce(x, 0))), 0) AS BIGINT) AS logit_micro,
+        |  (-50000 + coalesce(list_sum(list_transform(ws,
+        |    x -> coalesce(x, 0))), 0)) > 0 AS keep
+        |FROM w""".stripMargin,
+    // Closed-form DSP oracle: period-4 sawtooth → fundamental at
+    // rate/4 = grid bin 16 of 64, |X(N/4)| = √2·|X(N/2)|, so the
+    // argmax is an exact integer prediction (see the ns74
+    // registration note).
+    "ns74_wav_dominant_freq" ->
+      """SELECT 'doc_' || doc_id || '.wav' AS file_name,
+        |  CAST(r AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  16 AS dom_idx,
+        |  CAST(r AS DOUBLE) / 4 AS dominant_hz
+        |FROM (SELECT doc_id, length(text) % 8000 + 8000 AS r,
+        |        ((length(text) * 7) % 30 + 2) * 64 AS n
+        |      FROM documents WHERE doc_id < 50)""".stripMargin,
     // n-gram table oracle: the ns02 gram CTE without DISTINCT
     // (occurrence counts, not document frequency); the (n desc, gram
     // asc) tiebreak makes the top-100 cut deterministic.

@@ -185,10 +185,14 @@ object Multimodal {
   }
 
   /** Minimal PCM16 mono WAV encoder — fixture/round-trip counterpart
-    * of [[parseWav]]. Samples are a pure function of position (sawtooth
-    * `(i * 8192) mod 32768 − 16384`), so peak and energy are closed
-    * forms an SQL oracle can reproduce exactly. */
-  def writeWav(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    * of [[parseWav]]. Default samples are a pure function of position
+    * (sawtooth `(i * 8192) mod 32768 − 16384`), so peak and energy
+    * are closed forms an SQL oracle can reproduce exactly; tests may
+    * pass a custom `sample` waveform. */
+  def writeWav(sampleRate: Int, nSamples: Int,
+      sample: Int => Short =
+        i => (((i.toLong * 8192) % 32768) - 16384).toShort
+      ): Array[Byte] = {
     require(sampleRate > 0 && nSamples >= 0, "bad WAV parameters")
     val dataLen = nSamples * 2
     val b = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -202,10 +206,114 @@ object Multimodal {
     b.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nSamples) {
-      b.putShort((((i.toLong * 8192) % 32768) - 16384).toShort)
+      b.putShort(sample(i))
       i += 1
     }
     b.array()
+  }
+
+  /** PCM16 sample extraction: the [[parseWav]] chunk walk, but
+    * returning (sample_rate, channel-0 samples) instead of folded
+    * features. Multi-channel payloads keep channel 0 (dominant-
+    * frequency analysis is per-channel; fixtures are mono). Returns
+    * None for malformed/non-PCM16 payloads, same contract as
+    * [[parseWav]]. */
+  def parseWavSamples(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    def s16(o: Int): Int = le16(o).toShort.toInt
+    def le32(o: Int): Long =
+      (u8(o) | (u8(o + 1) << 8) | (u8(o + 2) << 16) |
+        (u8(o + 3).toLong << 24)) & 0xffffffffL
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = le32(off + 4)
+      val body = off + 8
+      if (id == "fmt " && sz >= 16 && body + 16 <= bytes.length) {
+        if (le16(body) != 1) return None
+        fmt = Some((le32(body + 4).toInt, le16(body + 2), le16(body + 14)))
+      } else if (id == "data") {
+        val (rate, ch, bits) = fmt.getOrElse(return None)
+        if (bits != 16 || ch < 1 || rate <= 0) return None
+        val dataLen = math.min(sz, (bytes.length - body).toLong).toInt
+        val frames = dataLen / 2 / ch
+        val out = new Array[Int](frames)
+        var f = 0
+        while (f < frames) { out(f) = s16(body + 2 * f * ch); f += 1 }
+        return Some((rate, out))
+      }
+      val next = body.toLong + sz + (sz & 1L)
+      if (next <= off.toLong || next > bytes.length.toLong) return None
+      off = next.toInt
+    }
+    None
+  }
+
+  final case class WavDominant(file_name: String, sample_rate: Int,
+      n_samples: Long, dom_idx: Int, dominant_hz: Double)
+
+  /** Goertzel power |X(k)|² at normalized frequency `k` cycles/sample
+    * — the O(N) single-bin DFT, exact for integer bins. */
+  def goertzelPower(samples: Array[Int], k: Double): Double = {
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * k)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < samples.length) {
+      val s0 = samples(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** Dominant-frequency extraction over decoded WAV payloads: probe a
+    * FIXED grid of `gridSize/2` candidate frequencies (j/gridSize
+    * cycles/sample for j = 1..gridSize/2, DC excluded, Nyquist
+    * included) with Goertzel, and keep the argmax — ties to the
+    * lowest j. Cost is O(gridSize·N) per clip and wholly map-side
+    * (the [[decodeFeatures]] batch shape), so at 100 TB each
+    * executor scans its own audio partition once; the grid bound is
+    * what keeps per-clip cost linear instead of an N·log N FFT whose
+    * output would then need a full-spectrum argmax anyway.
+    *
+    * When the clip length is a multiple of gridSize the grid
+    * frequencies are exact DFT bins (zero spectral leakage), so on
+    * closed-form fixtures the winning bin is an integer-arithmetic
+    * prediction — which is what lets an SQL oracle gate a DSP
+    * operator bit-for-bit: dom_idx is exact, and dominant_hz =
+    * rate·j/gridSize divides a power of two (exact double).
+    * Malformed or empty payloads are dropped, never thrown. */
+  def dominantFrequency(df: DataFrame, gridSize: Int = 64,
+      batchSize: Int = 64): Dataset[WavDominant] = {
+    require(gridSize >= 2 && gridSize % 2 == 0,
+      "gridSize must be even and >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (name, bytes) =>
+            parseWavSamples(bytes).collect {
+              case (rate, samples) if samples.nonEmpty =>
+                var bestJ = 1
+                var bestP = Double.NegativeInfinity
+                var j = 1
+                while (j <= gridSize / 2) {
+                  val p = goertzelPower(samples, j.toDouble / gridSize)
+                  if (p > bestP) { bestP = p; bestJ = j }
+                  j += 1
+                }
+                WavDominant(name, rate, samples.length.toLong, bestJ,
+                  rate.toDouble * bestJ / gridSize)
+            }
+          }
+        }
+      }
   }
 
   /** Batched WAV decode over a binaryFile frame — same per-partition

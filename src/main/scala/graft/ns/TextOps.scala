@@ -593,4 +593,156 @@ object TextOps {
       .agg(min(col("nll_bin"))).head().getLong(0)
     binned.filter(col("nll_bin").between(loBin, hiBin))
   }
+
+  /** Longest-run fold helper for [[topGramRepetition]]: given a
+    * SORTED array of grams, returns struct(gram, cnt) for the most
+    * frequent element, ties broken toward the lexicographically
+    * smallest (the sort order guarantees the first-seen run wins on
+    * strictly-greater updates). Pure array fold — evaluated inside
+    * the row's codegen, no shuffle, no UDF. */
+  private def topRun(sortedGrams: Column): Column =
+    aggregate(
+      sortedGrams,
+      struct(lit(null).cast("string").as("bg"), lit(0L).as("bc"),
+        lit(null).cast("string").as("cg"), lit(0L).as("cc")),
+      (acc, g) => {
+        val cc = when(g === acc.getField("cg"),
+          acc.getField("cc") + 1L).otherwise(1L)
+        struct(
+          when(cc > acc.getField("bc"), g)
+            .otherwise(acc.getField("bg")).as("bg"),
+          when(cc > acc.getField("bc"), cc)
+            .otherwise(acc.getField("bc")).as("bc"),
+          g.as("cg"), cc.as("cc"))
+      },
+      acc => struct(acc.getField("bg").as("gram"),
+        acc.getField("bc").as("cnt")))
+
+  /** Gopher repetition block the ns20 stats don't cover: for each n
+    * in `ns`, the fraction of the document's characters contained in
+    * its single most-frequent word n-gram (Rae et al. 2021, appendix
+    * A1.1 "fraction of characters in most common n-gram"; their
+    * filter drops docs where the 2/3/4-gram fraction exceeds
+    * 0.20/0.18/0.16).
+    *
+    * Everything is a per-row array computation: tokenize once, build
+    * the n-gram array with `transform(sequence(..))`, sort it, and
+    * fold a run-length counter over the sorted array ([[topRun]]) —
+    * the plan is one WholeStageCodegen projection with NO shuffle, so
+    * at 100 TB each executor scores its own partition and nothing
+    * crosses the wire. Cost is O(len·log len) per doc, bounded by the
+    * corpus's max doc length exactly like ns20.
+    *
+    * Determinism: the fraction is one IEEE division of two exact
+    * integers (occurrences × gram length over canonical-text length),
+    * so it hash-gates across engines. Ties pick the lexicographically
+    * smallest gram. Docs with fewer than n tokens (or empty text)
+    * report a NULL gram and fraction 0.0.
+    *
+    * Output: (idCol, top{n}_gram, top{n}_frac) per requested n. */
+  def topGramRepetition(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "need n >= 1")
+    val toks = wordTokens(col(textCol))
+    val nChars = length(Dedup.normText(col(textCol)))
+    val cols = ns.flatMap { n =>
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val top = topRun(sort_array(grams))
+      val cnt = top.getField("cnt")
+      val gram = top.getField("gram")
+      Seq(gram.as(s"top${n}_gram"),
+        when(cnt === 0L || nChars === 0, 0.0)
+          .otherwise((cnt * length(gram)).cast("double") /
+            nChars.cast("double"))
+          .as(s"top${n}_frac"))
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): a line
+    * survives iff it ends in terminal punctuation (. ! ? or a closing
+    * double quote), carries at least `minWordsPerLine` words, and
+    * contains neither a curly brace (code markers) nor the phrase
+    * "lorem ipsum" (placeholder text); a document survives iff at
+    * least `minKeptLines` of its lines do. Kept lines are re-joined
+    * in original order — line order is positional in the array, so no
+    * sort is ever needed.
+    *
+    * All per-row array ops (split → trim → filter → join): one
+    * codegen'd projection, zero shuffles, linear in document size.
+    * The predicates are deliberately regex-free string ops so the
+    * DuckDB oracle can restate them verbatim.
+    *
+    * Output: (idCol, clean_text, n_kept, n_dropped) for surviving
+    * documents. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    require(minWordsPerLine >= 1 && minKeptLines >= 1,
+      "line and doc thresholds must be positive")
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    val kept = filter(lines, { l =>
+      val terminal = l.endsWith(".") || l.endsWith("!") ||
+        l.endsWith("?") || l.endsWith("\"")
+      val words =
+        size(filter(split(l, " "), w => length(w) > 0)) >=
+          minWordsPerLine
+      terminal && words && !lower(l).contains("lorem ipsum") &&
+        !l.contains("{")
+    })
+    df.select(col(idCol),
+        array_join(kept, "\n").as("clean_text"),
+        size(kept).cast("long").as("n_kept"),
+        (size(lines) - size(kept)).cast("long").as("n_dropped"))
+      .filter(col("n_kept") >= minKeptLines)
+  }
+
+  /** Fixed linear-classifier weights for [[linearQualityScore]], in
+    * micro-units (1e-6) so the whole model evaluates in exact 64-bit
+    * integer arithmetic. Positive mass on closed-class English
+    * function words (the fastText-style "looks like running prose"
+    * signal), negative mass on boilerplate/spam markers — the same
+    * shape as the quality classifiers used for web-corpus curation
+    * (e.g. CCNet / GPT-3's WebText classifier), shrunk to a
+    * checked-in table so the gate is bit-exact. */
+  val defaultQualityWeights: Seq[(String, Long)] = Seq(
+    "the" -> 40000L, "and" -> 30000L, "of" -> 30000L, "to" -> 25000L,
+    "a" -> 25000L, "in" -> 20000L, "is" -> 20000L, "it" -> 15000L,
+    "for" -> 15000L, "with" -> 15000L,
+    "lorem" -> -250000L, "ipsum" -> -250000L, "click" -> -120000L,
+    "subscribe" -> -150000L, "cookie" -> -100000L, "buy" -> -90000L,
+    "winner" -> -120000L, "free" -> -80000L, "http" -> -60000L)
+
+  /** Linear (fastText-style) document quality classifier with a
+    * FIXED, checked-in weight table: logit = bias + Σ weight(token)
+    * over every token occurrence, all in integer micro-units so the
+    * score is bit-exact on any engine, partitioning, or evaluation
+    * order (integer addition is associative — no float-sum drift).
+    *
+    * The weight table is tiny and rides into codegen as a literal
+    * MAP lookup per token — no broadcast join, no UDF, no shuffle;
+    * the plan is one map-side projection. Swapping in a real trained
+    * model is a data change (a bigger `weightsMicro`), not a plan
+    * change; past literal-map size (~thousands of entries) switch to
+    * a broadcast-join on exploded tokens.
+    *
+    * Output: (idCol, n_hits, logit_micro, keep) where n_hits counts
+    * weighted-token occurrences and keep = logit_micro > 0. */
+  def linearQualityScore(df: DataFrame, idCol: String, textCol: String,
+      weightsMicro: Seq[(String, Long)] = defaultQualityWeights,
+      biasMicro: Long = -50000L): DataFrame = {
+    require(weightsMicro.nonEmpty, "need at least one weight")
+    val wmap = map(weightsMicro.flatMap {
+      case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    val ws = transform(wordTokens(col(textCol)),
+      t => element_at(wmap, t))
+    val logit = aggregate(ws, lit(biasMicro),
+      (acc, w) => acc + coalesce(w, lit(0L)))
+    df.select(col(idCol),
+      size(filter(ws, w => w.isNotNull)).cast("long").as("n_hits"),
+      logit.as("logit_micro"),
+      (logit > 0L).as("keep"))
+  }
 }

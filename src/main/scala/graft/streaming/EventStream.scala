@@ -136,6 +136,28 @@ object EventStream {
       col("c_ts") <= col("p_ts"))
   }
 
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * small, slowly-changing dimension table, then the s01 hourly
+    * rollup keyed by the dimension attribute. The static side is
+    * BROADCAST — a stream-static inner join holds no join state at
+    * all (the dim rides to every executor once per micro-batch and
+    * re-reads pick up dim updates), which is why enrichment joins
+    * against catalog/dimension tables are the cheapest join a
+    * streaming pipeline has; only the windowed agg keeps state, and
+    * the watermark bounds it exactly as in [[hourlyRollup]].
+    * Output: (run_hr, dimAttr, n, total). */
+  def enrichedRollup(events: DataFrame, dim: DataFrame,
+      dimKey: String, dimAttr: String,
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col("user_id") === col(dimKey))
+      .groupBy(window(col("ts"), "1 hour"), col(dimAttr))
+      .agg(count(lit(1)).as("n"),
+        Relational.exactSum(col("value")).as("total"))
+      .select(JsonIngest.runHr(col("window.start")).as("run_hr"),
+        col(dimAttr), col("n"), col("total"))
+
   /** Event-time sessionization via flatMapGroupsWithState: a session
     * is a run of events per user with gaps < `gapMinutes`; sessions
     * close (and are emitted exactly once) when the gap passes or the

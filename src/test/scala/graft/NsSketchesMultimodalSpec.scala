@@ -305,4 +305,33 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (2L, 3L), (4L, 5L)))
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
+
+  test("dominantFrequency: sawtooth → rate/4, Nyquist tone → rate/2, " +
+      "pure grid tone → its own bin; malformed dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_goertzel")
+    // period-4 sawtooth (fixture default): fundamental at bin 16/64
+    java.nio.file.Files.write(dir.resolve("saw.wav"),
+      Multimodal.writeWav(8000, 640))
+    // alternating ±A = pure Nyquist tone: bin 32/64
+    java.nio.file.Files.write(dir.resolve("nyq.wav"),
+      Multimodal.writeWav(8000, 640,
+        i => (if (i % 2 == 0) 12000 else -12000).toShort))
+    // pure cosine at 3/64 cycles/sample: bin 3
+    java.nio.file.Files.write(dir.resolve("tone3.wav"),
+      Multimodal.writeWav(8000, 640, i =>
+        math.round(10000.0 *
+          math.cos(2 * math.Pi * 3 * i / 64.0)).toShort))
+    java.nio.file.Files.write(dir.resolve("bad.wav"),
+      Array[Byte]('R', 'I', 'F', 'F', 0, 0))
+    val out = Multimodal.dominantFrequency(
+      Multimodal.readBinaryDir(spark, dir.toString, "*.wav"))
+      .collect().map(w => w.file_name -> ((w.dom_idx, w.dominant_hz)))
+      .toMap
+    assert(out.size == 3, "malformed payload must be dropped")
+    assert(out("saw.wav") == ((16, 2000.0)))
+    assert(out("nyq.wav") == ((32, 4000.0)))
+    assert(out("tone3.wav") == ((3, 375.0)))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }

@@ -427,4 +427,62 @@ class NsTextOpsSpec extends SparkSpec {
       "text", 0.2, 0.8).select("doc_id").as[Long].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("topGramRepetition: exact argmax, lexicographic ties, no shuffle") {
+    // "a b a b a b c": 2-grams [a b]x3 [b a]x2 [b c]x1 → "a b", 9/13
+    // 3-grams: [a b a]x2 [b a b]x2 [a b c]x1 → tie → "a b a", 10/13
+    // 4-grams: [a b a b]x2 others x1 → "a b a b", 14/13... no: 2*7/13
+    val df = TextOps.topGramRepetition(docs(
+      1L -> "a b a b a b c",
+      2L -> "x",           // too short for any n → nulls, 0.0
+      3L -> "  "),         // empty after trim → nulls, 0.0
+      "doc_id", "text")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "topGramRepetition must stay map-side")
+    val out = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "a b" &&
+      out(1L).getDouble(2) == 9.0 / 13.0)
+    assert(out(1L).getString(3) == "a b a" &&
+      out(1L).getDouble(4) == 10.0 / 13.0)
+    assert(out(1L).getString(5) == "a b a b" &&
+      out(1L).getDouble(6) == 14.0 / 13.0)
+    Seq(2L, 3L).foreach { id =>
+      assert(out(id).isNullAt(3) && out(id).getDouble(4) == 0.0)
+    }
+  }
+
+  test("c4LineFilter: per-line rules, doc threshold, order kept") {
+    val good = "this sentence has enough words to pass."
+    val doc1 = Seq(good, "short one.", // < 5 words
+      "no terminal punctuation at all here",
+      "lorem ipsum should be dropped even when long enough.",
+      "code marker { braces are rejected outright.",
+      "ends with a question mark so it survives?",
+      good).mkString("\n")
+    val df = TextOps.c4LineFilter(
+      docs(1L -> doc1, 2L -> (good + "\n" + good)), // only 2 kept → out
+      "doc_id", "text")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L)
+    assert(rows.head.getString(1) == Seq(good,
+      "ends with a question mark so it survives?", good).mkString("\n"),
+      "kept lines keep their original order")
+    assert(rows.head.getLong(2) == 3L && rows.head.getLong(3) == 4L)
+  }
+
+  test("linearQualityScore: exact integer logit, keep threshold") {
+    val df = TextOps.linearQualityScore(docs(
+      1L -> "the cat and the dog click here", // 40k+30k+40k-120k-50k
+      2L -> "the the the",                    // 120k-50k = 70k > 0
+      3L -> ""),                              // bias only
+      "doc_id", "text")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val out = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out(1L) == ((4L, -60000L, false)))
+    assert(out(2L) == ((3L, 70000L, true)))
+    assert(out(3L) == ((0L, -50000L, false)))
+  }
 }
