@@ -1106,6 +1106,23 @@ object SparkEntry {
       TextOps.linearQualityScore(t(s, d, "documents"),
         "doc_id", "text")),
 
+    // ---- §2.8 [NS] weighted sampling without replacement ----
+    // Efraimidis–Spirakis with the RNG replaced by the content hash:
+    // inclusion ∝ n_chars, yet fully reproducible. TakeOrdered cut —
+    // k rows per partition cross the wire, never a sort.
+    "ns75_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100, salt = "es1")),
+
+    // ---- §2.8 [NS] exact stratified split ----
+    // hashSplit's fractions hold only in expectation; this cuts each
+    // source's hash-ranked rows at floor(f·n) so realized counts are
+    // exact per group.
+    "ns76_stratified_split" -> ((s, d) =>
+      Sampling.stratifiedSplit(t(s, d, "documents"), "doc_id",
+        "source", "strat1", Seq("train" -> 0.8, "val" -> 0.1))),
+
     // ---- §2.8 [NS] audio dominant frequency (Goertzel argmax) ----
     // Clip lengths are multiples of the 64-bin grid, so every probe
     // frequency is an exact DFT bin and the sawtooth's fundamental
@@ -3118,6 +3135,37 @@ object SparkEntry {
         |  (-50000 + coalesce(list_sum(list_transform(ws,
         |    x -> coalesce(x, 0))), 0)) > 0 AS keep
         |FROM w""".stripMargin,
+    // Same hash→uniform→ln(u)/w priority, quantized once to nano
+    // fixed-point (ns58 proved libm ln bit-stable across engines on
+    // this host); operand order matches the Spark expression exactly.
+    "ns75_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    CAST(round(ln((CAST(('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':es1'), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0) / n_chars * 1000000000)
+        |      AS BIGINT) AS key_fp
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, weight, key_fp FROM s
+        |ORDER BY key_fp DESC, doc_id LIMIT 100""".stripMargin,
+    // Boundary literals are the EXACT doubles the Scala scanLeft
+    // accumulates (0.8 + 0.1 = 0.9000000000000001 in IEEE), CAST to
+    // DOUBLE so DuckDB's decimal literals don't change the floor.
+    "ns76_stratified_split" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5(
+        |        CAST(doc_id AS VARCHAR) || ':strat1'), 1, 8))
+        |        AS BIGINT) % 1000000, doc_id) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, rn,
+        |  CASE WHEN rn <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+        |       WHEN rn <= floor(CAST(0.9000000000000001 AS DOUBLE)
+        |         * n) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM ranked""".stripMargin,
     // Closed-form DSP oracle: period-4 sawtooth → fundamental at
     // rate/4 = grid bin 16 of 64, |X(N/4)| = √2·|X(N/2)|, so the
     // argmax is an exact integer prediction (see the ns74

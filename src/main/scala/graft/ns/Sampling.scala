@@ -340,4 +340,73 @@ object Sampling {
         col("cum_before"),
         (col("cum_before") + col("__w") <= budget).as("kept"))
   }
+
+  /** Weighted sampling WITHOUT replacement, content-addressed: the
+    * Efraimidis–Spirakis (2006) one-pass scheme with the RNG replaced
+    * by the repo's md5 hash — u = (first-8-hex(md5(id:salt)) + 0.5) /
+    * 2^32 ∈ (0,1), priority ln(u)/w, keep the k largest. A row's
+    * inclusion probability is proportional to its weight, yet the
+    * realized sample is a pure function of (id, salt, weight): rerun,
+    * repartition, engine, and corpus ORDER all wash out — the same
+    * reproducibility contract as [[hashSplit]]/[[mixtureSample]],
+    * extended to weighted-without-replacement.
+    *
+    * The priority is quantized ONCE to nano fixed-point (ns58's
+    * proven idiom — both engines' libm ln agree bit-for-bit on this
+    * host, and one round() makes the comparison integer), so the
+    * top-k cut is deterministic with ties broken by id. Selection
+    * plans as TakeOrdered: each partition ships at most k rows, never
+    * a global sort — at 100 TB the cut costs one map pass plus a
+    * k-row merge. Output: (idCol, weight, key_fp), the k winners. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val v = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 1, 8), 16, 10).cast("long").cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val keyFp = round(log(u) / col(weightCol).cast("double") * 1e9)
+      .cast("long")
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        keyFp.as("key_fp"))
+      .orderBy(col("key_fp").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** EXACT stratified split: where [[hashSplit]] hits its fractions
+    * only in expectation, this assigns per-group COUNTS exactly —
+    * rank each group's rows by (content hash, id) and cut at
+    * floor(f·n) boundaries, so every group lands within one row of
+    * its target fraction and the whole assignment is still a pure
+    * function of (id, salt). One shuffle on the group key (the rank
+    * window) plus a broadcast of per-group totals; the rank is the
+    * bounded ns18 window shape, NOT a global sort. Fractions are
+    * (name, fraction) with sum ≤ 1; the remainder goes to `rest`.
+    * Output: (idCol, groupCol, rn, split). */
+  def stratifiedSplit(df: DataFrame, idCol: String, groupCol: String,
+      salt: String, fractions: Seq[(String, Double)],
+      rest: String = "test"): DataFrame = {
+    require(fractions.nonEmpty &&
+      fractions.forall { case (_, f) => f >= 0 && f <= 1 } &&
+      fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must be in [0,1] and sum to at most 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), salt, 1000000), col(idCol))
+    val ranked = df.select(col(idCol), col(groupCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val totals = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+    // cumulative floor boundaries: split i covers
+    // (floor(cum_{i-1}·n), floor(cum_i·n)]
+    val cums = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail
+    val split = fractions.zip(cums).reverse
+      .foldLeft(lit(rest)) { case (els, ((name, _), cum)) =>
+        when(col("rn") <= floor(lit(cum) * col("__n")), lit(name))
+          .otherwise(els)
+      }
+    ranked.join(broadcast(totals), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("rn"), split.as("split"))
+  }
 }

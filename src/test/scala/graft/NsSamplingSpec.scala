@@ -254,4 +254,64 @@ class NsSamplingSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(again == got.map(t => (t._1, t._2, t._3)).toSet)
   }
+
+  test("weightedSample: weight bias, TakeOrdered plan, reproducible") {
+    // 50 heavy rows (w=5000) among 450 light (w=5): ES sampling must
+    // overwhelmingly pick heavy rows, deterministically per salt
+    val d = (0L until 500L).map(i =>
+        (i, if (i < 50) 5000L else 5L)).toDF("doc_id", "w")
+    val out = Sampling.weightedSample(d, "doc_id", "w", 50, "s1")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"weightedSample must plan as TakeOrdered, not a global sort:\n$plan")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 50)
+    val heavy = ids.count(_ < 50L)
+    assert(heavy >= 40, s"only $heavy/50 heavy rows sampled")
+    // reproducible under repartition and input reordering
+    val again = Sampling
+      .weightedSample(d.repartition(7).orderBy(col("doc_id").desc),
+        "doc_id", "w", 50, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    // a different salt re-deals the light minority, not the heavy mass
+    val other = Sampling.weightedSample(d, "doc_id", "w", 50, "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != ids && other.count(_ < 50L) >= 40)
+    // k >= survivors with positive weight → everything positive kept
+    val all = Sampling.weightedSample(d, "doc_id", "w", 600, "s1")
+    assert(all.count() == 500)
+  }
+
+  test("stratifiedSplit: per-group counts exact, stable, exhaustive") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.stratifiedSplit(d, "doc_id", "source", "t1",
+      Seq("train" -> 0.8, "val" -> 0.1)).cache()
+    val bySrc = out.groupBy("source", "split").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ns = d.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    ns.foreach { case (src, n) =>
+      val train = bySrc.getOrElse((src, "train"), 0L)
+      val vl = bySrc.getOrElse((src, "val"), 0L)
+      val test = bySrc.getOrElse((src, "test"), 0L)
+      assert(train == math.floor(0.8 * n).toLong,
+        s"$src train $train of $n")
+      assert(train + vl ==
+        math.floor((0.8 + 0.1) * n).toLong, s"$src val $vl")
+      assert(train + vl + test == n, s"$src total")
+    }
+    // every row assigned exactly once
+    assert(out.count() == d.count())
+    assert(out.select("doc_id").distinct().count() == d.count())
+    // pure function of (id, salt): repartition + reorder change nothing
+    val again = Sampling
+      .stratifiedSplit(d.repartition(11).orderBy(col("doc_id").desc),
+        "doc_id", "source", "t1", Seq("train" -> 0.8, "val" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again ==
+      out.select("doc_id", "split").as[(Long, String)].collect().toSet)
+    out.unpersist()
+  }
 }
