@@ -1106,6 +1106,36 @@ object SparkEntry {
       TextOps.linearQualityScore(t(s, d, "documents"),
         "doc_id", "text")),
 
+    // ---- §2.8 [NS] BPE decode ∘ encode losslessness, corpus-wide --
+    // The decoder inverts the checked-in merge table; on canonical
+    // text the composition loses exactly the whitespace the
+    // pre-tokenizer discards, so the oracle is a pure string
+    // prediction over the ORIGINAL documents — every token id must
+    // carry its full surface form for this to hash-match.
+    "ns77_bpe_decode_roundtrip" -> ((s, d) =>
+      graft.ns.Bpe.decodeDocs(
+        graft.ns.Bpe.encodeDocs(t(s, d, "documents"),
+          "doc_id", "text").toDF(),
+        "doc_id", "token_ids")
+        .select(col("doc_id"), col("decoded"),
+          length(col("decoded")).cast("long").as("n_chars_decoded"))),
+
+    // ---- §2.8 [NS] quality-signal ensemble ----
+    // Three independent keep signals stacked as COLUMNS in one
+    // map-side projection (no self-joins): heuristic score, linear
+    // classifier, top-2-gram repetition. Majority vote keeps.
+    "ns78_quality_ensemble" -> ((s, d) =>
+      TextOps.qualityEnsemble(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- §2.8 [NS] cross-snapshot vocabulary drift ----
+    // Old snapshot = p04's doc_id%10!=3 split, new = the full corpus;
+    // top-50 symmetric-KL contributor tokens, nano-quantized once.
+    "ns79_vocab_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.vocabDrift(docs.filter(col("doc_id") % 10 =!= 3),
+        docs, "text", k = 50)
+    }),
+
     // ---- §2.8 [NS] weighted sampling without replacement ----
     // Efraimidis–Spirakis with the RNG replaced by the content hash:
     // inclusion ∝ n_chars, yet fully reproducible. TakeOrdered cut —
@@ -3135,6 +3165,119 @@ object SparkEntry {
         |  (-50000 + coalesce(list_sum(list_transform(ws,
         |    x -> coalesce(x, 0))), 0)) > 0 AS keep
         |FROM w""".stripMargin,
+    // decode∘encode = canonical text minus the whitespace the
+    // pre-tokenizer discards — a pure string prediction; any id that
+    // dropped its surface form breaks the hash.
+    "ns77_bpe_decode_roundtrip" ->
+      """SELECT doc_id,
+        |  replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |    ' ', '') AS decoded,
+        |  CAST(length(replace(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'), ' ', '')) AS BIGINT) AS n_chars_decoded
+        |FROM documents""".stripMargin,
+    // ns09's score CTE + ns73's weight CASE + ns70's 2-gram argmax,
+    // composed; every vote is an integer/exact-division comparison.
+    "ns78_quality_ensemble" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_word_len,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS stopword_ratio
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(n_chars BETWEEN 50 AND 100000 AS INT)
+        |       + CAST(n_words BETWEEN 10 AND 50000 AS INT)
+        |       + CAST(avg_word_len BETWEEN 2.0 AND 12.0 AS INT)
+        |       + CAST(punct_ratio <= 0.2 AS INT)
+        |       + CAST(stopword_ratio >= 0.01 AS INT) AS DOUBLE) / 5
+        |      AS quality_score
+        |  FROM stats),
+        |lg AS (
+        |  SELECT doc_id, -50000 + coalesce(list_sum(
+        |    list_transform(toks, t -> CASE t
+        |    WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |    WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |    WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |    WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |    WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |    WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |    WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |    WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |    WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |    WHEN 'http' THEN -60000 ELSE 0 END)), 0) AS logit
+        |  FROM base),
+        |g2 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(toks)), i ->
+        |    array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 2),
+        |t2 AS (SELECT doc_id, gram, count(*) AS c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g2 GROUP BY doc_id, gram),
+        |rep AS (
+        |  SELECT b.doc_id,
+        |    coalesce(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |      / length(b.norm), 0.0) AS top2_frac
+        |  FROM base b
+        |  LEFT JOIN (SELECT doc_id, gram, c FROM t2 WHERE rn = 1) t2
+        |    USING (doc_id))
+        |SELECT s.doc_id,
+        |  s.quality_score >= 0.6 AS q_ok,
+        |  l.logit > 0 AS logit_ok,
+        |  r.top2_frac <= 0.2 AS rep_ok,
+        |  CAST(CAST(s.quality_score >= 0.6 AS INT)
+        |     + CAST(l.logit > 0 AS INT)
+        |     + CAST(r.top2_frac <= 0.2 AS INT) AS BIGINT) AS votes,
+        |  CAST(s.quality_score >= 0.6 AS INT)
+        |     + CAST(l.logit > 0 AS INT)
+        |     + CAST(r.top2_frac <= 0.2 AS INT) >= 2 AS keep
+        |FROM scored s
+        |JOIN lg l USING (doc_id)
+        |JOIN rep r USING (doc_id)""".stripMargin,
+    // Smoothed symmetric-KL contributions with the identical operand
+    // order; every libm input is a ratio of exact integers.
+    "ns79_vocab_drift" ->
+      """WITH oldtok AS (
+        |  SELECT t AS token FROM (
+        |    SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS t
+        |    FROM documents WHERE doc_id % 10 != 3)
+        |  WHERE length(t) > 0),
+        |newtok AS (
+        |  SELECT t AS token FROM (
+        |    SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |ca AS (SELECT token, count(*) AS n_old FROM oldtok GROUP BY 1),
+        |cb AS (SELECT token, count(*) AS n_new FROM newtok GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.token, cb.token) AS token,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |tot AS (
+        |  SELECT CAST(sum(n_old) AS BIGINT) AS ta,
+        |    CAST(sum(n_new) AS BIGINT) AS tb, count(*) AS v FROM j)
+        |SELECT token, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(round((
+        |    (n_old + 0.5) / (ta + 0.5 * (v + 1.0))
+        |      * ln(((n_old + 0.5) / (ta + 0.5 * (v + 1.0)))
+        |         / ((n_new + 0.5) / (tb + 0.5 * (v + 1.0))))
+        |    + (n_new + 0.5) / (tb + 0.5 * (v + 1.0))
+        |      * ln(((n_new + 0.5) / (tb + 0.5 * (v + 1.0)))
+        |         / ((n_old + 0.5) / (ta + 0.5 * (v + 1.0))))
+        |  ) * 16777216.0) AS BIGINT) AS skl_fx
+        |FROM j CROSS JOIN tot
+        |ORDER BY skl_fx DESC, token LIMIT 50""".stripMargin,
     // Same hash→uniform→ln(u)/w priority, quantized once to nano
     // fixed-point (ns58 proved libm ln bit-stable across engines on
     // this host); operand order matches the Spark expression exactly.

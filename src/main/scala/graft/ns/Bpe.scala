@@ -45,6 +45,10 @@ object Bpe {
   final case class Codec(ranks: Map[(String, String), Int],
       ids: Map[String, Int]) extends Serializable {
     val unkId: Int = 0
+    /** id → symbol, for [[Bpe.decode]]. Lazy: rebuilt per executor
+      * JVM after broadcast, never serialized. */
+    @transient lazy val symbols: Map[Int, String] =
+      ids.map(_.swap)
   }
 
   /** [[Dedup.normText]] in plain JVM code (trim spaces, lowercase,
@@ -153,5 +157,42 @@ object Bpe {
           Encoded(id, encode(if (text == null) "" else text, cod))
         })
       }
+  }
+
+  /** Decode a token-id sequence back to text: every id maps to its
+    * symbol (merge symbols expand to the character pair they joined),
+    * concatenated. The base alphabet covers all printable ASCII, so
+    * on canonical lowercase text decode∘encode loses exactly the
+    * whitespace the pre-tokenizer discards and NOTHING else — the
+    * losslessness contract the ns77 gate checks corpus-wide.
+    * Unknown ids render as an empty string (an <unk> already lost
+    * its surface form at encode time). */
+  def decode(ids: Array[Int], c: Codec): String = {
+    val sb = new java.lang.StringBuilder(ids.length * 2)
+    var i = 0
+    while (i < ids.length) {
+      val s = c.symbols.getOrElse(ids(i), "")
+      if (ids(i) != c.unkId) sb.append(s)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Corpus decode — the inverse of [[encodeDocs]], same broadcast +
+    * per-partition batch shape. Output: (doc_id, decoded). */
+  def decodeDocs(df: DataFrame, idCol: String, idsCol: String,
+      c: Codec = default, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(c)
+    df.select(col(idCol).cast("long"), col(idsCol))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val cod = bc.value
+        it.grouped(batchSize).flatMap(_.map { case (id, ids) =>
+          (id, decode(if (ids == null) Array.empty[Int] else ids, cod))
+        })
+      }
+      .toDF(idCol, "decoded")
   }
 }

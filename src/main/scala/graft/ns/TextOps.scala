@@ -640,24 +640,34 @@ object TextOps {
     * report a NULL gram and fraction 0.0.
     *
     * Output: (idCol, top{n}_gram, top{n}_frac) per requested n. */
+  /** struct(gram, cnt, frac) of the most frequent word n-gram of
+    * `text` — the per-column building block of
+    * [[topGramRepetition]], exposed so compositions (ns78) can stack
+    * it with other signals in ONE projection instead of self-joining
+    * per signal. */
+  def topGramCol(text: Column, n: Int): Column = {
+    val toks = wordTokens(text)
+    val nChars = length(Dedup.normText(text))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val top = topRun(sort_array(grams))
+    val cnt = top.getField("cnt")
+    val gram = top.getField("gram")
+    struct(gram.as("gram"), cnt.as("cnt"),
+      when(cnt === 0L || nChars === 0, 0.0)
+        .otherwise((cnt * length(gram)).cast("double") /
+          nChars.cast("double")).as("frac"))
+  }
+
   def topGramRepetition(df: DataFrame, idCol: String, textCol: String,
       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "need n >= 1")
-    val toks = wordTokens(col(textCol))
-    val nChars = length(Dedup.normText(col(textCol)))
     val cols = ns.flatMap { n =>
-      val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - n + 1),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-      val top = topRun(sort_array(grams))
-      val cnt = top.getField("cnt")
-      val gram = top.getField("gram")
-      Seq(gram.as(s"top${n}_gram"),
-        when(cnt === 0L || nChars === 0, 0.0)
-          .otherwise((cnt * length(gram)).cast("double") /
-            nChars.cast("double"))
-          .as(s"top${n}_frac"))
+      val top = topGramCol(col(textCol), n)
+      Seq(top.getField("gram").as(s"top${n}_gram"),
+        top.getField("frac").as(s"top${n}_frac"))
     }
     df.select(col(idCol) +: cols: _*)
   }
@@ -730,6 +740,18 @@ object TextOps {
     *
     * Output: (idCol, n_hits, logit_micro, keep) where n_hits counts
     * weighted-token occurrences and keep = logit_micro > 0. */
+  /** The classifier logit as a Column (see [[linearQualityScore]]),
+    * exposed for one-projection ensembles. */
+  def linearLogitCol(text: Column,
+      weightsMicro: Seq[(String, Long)] = defaultQualityWeights,
+      biasMicro: Long = -50000L): Column = {
+    require(weightsMicro.nonEmpty, "need at least one weight")
+    val wmap = map(weightsMicro.flatMap {
+      case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    val ws = transform(wordTokens(text), t => element_at(wmap, t))
+    aggregate(ws, lit(biasMicro), (acc, w) => acc + coalesce(w, lit(0L)))
+  }
+
   def linearQualityScore(df: DataFrame, idCol: String, textCol: String,
       weightsMicro: Seq[(String, Long)] = defaultQualityWeights,
       biasMicro: Long = -50000L): DataFrame = {
@@ -744,5 +766,74 @@ object TextOps {
       size(filter(ws, w => w.isNotNull)).cast("long").as("n_hits"),
       logit.as("logit_micro"),
       (logit > 0L).as("keep"))
+  }
+
+  /** Majority-vote quality ensemble: three independent signals —
+    * the Gopher-rule heuristic score ([[qualityScoreCol]]), the
+    * linear classifier logit ([[linearLogitCol]]), and the top-2-gram
+    * repetition fraction ([[topGramCol]]) — each cast to a boolean
+    * vote, kept iff at least `minVotes` agree. Ensembling filters is
+    * how production curation hedges any one signal's blind spots
+    * (each individual filter over-rejects somewhere); stacking them
+    * as COLUMNS in one projection means the whole ensemble is still
+    * a single map-side pass with no joins, no shuffles, no second
+    * scan of the corpus. All three votes are deterministic integer/
+    * exact-division comparisons. Output: (idCol, q_ok, logit_ok,
+    * rep_ok, votes, keep). */
+  def qualityEnsemble(df: DataFrame, idCol: String, textCol: String,
+      minScore: Double = 0.6, maxTop2Frac: Double = 0.2,
+      minVotes: Int = 2): DataFrame = {
+    val qOk = qualityScoreCol(col(textCol)) >= minScore
+    val lOk = linearLogitCol(col(textCol)) > 0L
+    val rOk = topGramCol(col(textCol), 2).getField("frac") <= maxTop2Frac
+    val votes = qOk.cast("long") + lOk.cast("long") + rOk.cast("long")
+    df.select(col(idCol), qOk.as("q_ok"), lOk.as("logit_ok"),
+      rOk.as("rep_ok"), votes.as("votes"),
+      (votes >= minVotes).as("keep"))
+  }
+
+  /** Cross-snapshot vocabulary drift: symmetric-KL contribution per
+    * token between an old and a new corpus snapshot — the
+    * distribution-shift monitor a recurring curation pipeline runs
+    * before promoting a new crawl (did the token mix move, and WHICH
+    * tokens moved it). Laplace-smoothed over the union vocabulary so
+    * tokens absent from one side still score; the per-token
+    * contribution p·ln(p/q) + q·ln(q/p) is quantized ONCE to
+    * 2^fracBits fixed-point (ns58's idiom — every input to the libm
+    * calls is a ratio of exact integers, so both engines see
+    * identical doubles), and the top-k cut is (skl_fx desc, token).
+    *
+    * Two token-count aggregations + one full-outer join on the token
+    * key + a k-row TakeOrdered: the exchanges carry one row per
+    * DISTINCT token (map-side partial aggs), never the corpus.
+    * Output: (token, n_old, n_new, skl_fx). */
+  def vocabDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      k: Int = 50, alpha: Double = 0.5,
+      fracBits: Int = 24): DataFrame = {
+    require(k >= 1 && alpha > 0 && fracBits >= 1 && fracBits <= 30,
+      "bad vocabDrift parameters")
+    val scale = (1L << fracBits).toDouble
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(wordTokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val j = counts(oldDf, "n_old")
+      .join(counts(newDf, "n_new"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val tot = j.agg(coalesce(sum(col("n_old")), lit(0L)),
+      coalesce(sum(col("n_new")), lit(0L)), count(lit(1))).head()
+    val (ta, tb, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    if (ta == 0L || tb == 0L)
+      return j.select(col("token"), col("n_old"), col("n_new"))
+        .limit(0).withColumn("skl_fx", lit(0L))
+    val da = ta + alpha * (v + 1.0)
+    val db = tb + alpha * (v + 1.0)
+    val p = (col("n_old").cast("double") + alpha) / da
+    val q = (col("n_new").cast("double") + alpha) / db
+    val contrib = round((p * log(p / q) + q * log(q / p)) * scale)
+      .cast("long")
+    j.select(col("token"), col("n_old"), col("n_new"),
+        contrib.as("skl_fx"))
+      .orderBy(col("skl_fx").desc, col("token")).limit(k)
   }
 }

@@ -51,6 +51,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("decode API: inverse table, <unk> drops silently, corpus shape") {
+    import spark.implicits._
+    // decode == the hand-rolled inverse used by the round-trip test
+    val ids = Bpe.encode("the quick brown fox!", codec)
+    assert(Bpe.decode(ids, codec) ==
+      Bpe.preTokens(Bpe.norm("the quick brown fox!")).mkString)
+    // unk carries no surface form — decoded as empty, not "<unk>"
+    assert(Bpe.decode(Array(codec.unkId), codec) == "")
+    assert(Bpe.decode(Array.empty[Int], codec) == "")
+    // corpus decode mirrors encodeDocs' batch shape and null contract
+    val enc = Bpe.encodeDocs(
+      Seq((1L, "spark and flink"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", codec).toDF()
+    val dec = Bpe.decodeDocs(enc, "doc_id", "token_ids", codec)
+      .as[(Long, String)].collect().toMap
+    assert(dec(1L) == "sparkandflink" && dec(2L) == "")
+  }
+
   test("non-ASCII symbols become <unk>, never crash") {
     val ids = Bpe.encode("café 世界", codec)
     assert(ids.contains(codec.unkId))

@@ -471,6 +471,57 @@ class NsTextOpsSpec extends SparkSpec {
     assert(rows.head.getLong(2) == 3L && rows.head.getLong(3) == 4L)
   }
 
+  test("qualityEnsemble: one map-side projection; votes match the " +
+      "individual signals") {
+    val d = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val ens = TextOps.qualityEnsemble(d, "doc_id", "text")
+    assert(!ens.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the ensemble must not join or shuffle")
+    val got = ens.collect().map(r => r.getLong(0) ->
+      ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    // reference votes from the three standalone operators
+    val q = TextOps.qualityScore(d, "doc_id", "text")
+      .select("doc_id", "quality_score").as[(Long, Double)]
+      .collect().toMap
+    val l = TextOps.linearQualityScore(d, "doc_id", "text")
+      .select("doc_id", "logit_micro").as[(Long, Long)]
+      .collect().toMap
+    val r2 = TextOps.topGramRepetition(d, "doc_id", "text", Seq(2))
+      .select("doc_id", "top2_frac").as[(Long, Double)]
+      .collect().toMap
+    got.foreach { case (id, (qOk, lOk, rOk, votes, keep)) =>
+      assert(qOk == (q(id) >= 0.6) && lOk == (l(id) > 0L) &&
+        rOk == (r2(id) <= 0.2), s"doc $id signal mismatch")
+      assert(votes ==
+        Seq(qOk, lOk, rOk).count(identity).toLong &&
+        keep == (votes >= 2L), s"doc $id vote arithmetic")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("vocabDrift: zero on identical snapshots, planted shift tops " +
+      "the report, non-negative contributions") {
+    val a = docs(1L -> "alpha beta gamma delta",
+      2L -> "alpha beta epsilon zeta", 3L -> "alpha beta beta eta")
+    // identical corpora → p == q for every token → contribution 0
+    val same = TextOps.vocabDrift(a, a, "text", k = 100)
+    assert(same.count() > 0)
+    assert(same.filter(col("skl_fx") =!= 0L).count() == 0,
+      "identical snapshots must show zero drift")
+    // plant a shift: 'omega' floods the new snapshot
+    val b = a.union(docs(4L -> ("omega " * 20).trim,
+      5L -> ("omega " * 20).trim))
+    val drift = TextOps.vocabDrift(a, b, "text", k = 100).collect()
+    assert(drift.head.getString(0) == "omega",
+      s"planted token must top the report, got ${drift.head}")
+    assert(drift.forall(_.getLong(3) >= 0L),
+      "symmetric KL contributions are non-negative")
+    // empty old snapshot short-circuits to an empty frame
+    assert(TextOps.vocabDrift(a.limit(0), b, "text").count() == 0)
+  }
+
   test("linearQualityScore: exact integer logit, keep threshold") {
     val df = TextOps.linearQualityScore(docs(
       1L -> "the cat and the dog click here", // 40k+30k+40k-120k-50k
