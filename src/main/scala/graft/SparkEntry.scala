@@ -1136,6 +1136,16 @@ object SparkEntry {
         docs, "text", k = 50)
     }),
 
+    // ---- §2.8 [NS] output-shard manifest ----
+    // ~25k-token shards over the id order (two-phase prefix sum, no
+    // global window) + one audit row per shard with an exact-integer
+    // membership checksum — the artifact that makes a training run's
+    // output shards verifiable.
+    "ns80_shard_manifest" -> ((s, d) =>
+      Sampling.shardManifest(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", shardTokens = 25000L)),
+
     // ---- §2.8 [NS] weighted sampling without replacement ----
     // Efraimidis–Spirakis with the RNG replaced by the content hash:
     // inclusion ∝ n_chars, yet fully reproducible. TakeOrdered cut —
@@ -3278,6 +3288,24 @@ object SparkEntry {
         |  ) * 16777216.0) AS BIGINT) AS skl_fx
         |FROM j CROSS JOIN tot
         |ORDER BY skl_fx DESC, token LIMIT 50""".stripMargin,
+    // The two-phase shard cut must equal ONE global running sum in id
+    // order; checksum is an order-independent integer sum of md5
+    // words, so the whole manifest is exact arithmetic.
+    "ns80_shard_manifest" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(coalesce(SUM(CAST(n_chars AS BIGINT)) OVER (
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM documents)
+        |SELECT s // 25000 AS shard_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 8)) AS BIGINT)) AS BIGINT) AS id_checksum
+        |FROM a GROUP BY 1""".stripMargin,
     // Same hash→uniform→ln(u)/w priority, quantized once to nano
     // fixed-point (ns58 proved libm ln bit-stable across engines on
     // this host); operand order matches the Spark expression exactly.

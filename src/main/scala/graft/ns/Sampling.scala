@@ -341,6 +341,37 @@ object Sampling {
         (col("cum_before") + col("__w") <= budget).as("kept"))
   }
 
+  /** Shard-level output manifest: assign documents to ~`shardTokens`-
+    * token output shards (the [[packOffsets]] two-phase prefix sum at
+    * file granularity — shard k owns rows whose cumulative start
+    * falls in [k·S, (k+1)·S), id order, no global sort), then emit
+    * one audit row per shard: doc count, token total, the id range,
+    * and a content checksum (sum of each member id's md5-derived
+    * 32-bit word — order-independent exact integer arithmetic, so
+    * any engine can re-derive and verify shard membership without
+    * reading payloads). This is the reproducibility artifact a
+    * training run stores next to its shards: "which documents, in
+    * which file, verifiably".
+    *
+    * Consecutive shards partition the id order: ranges never overlap
+    * and every shard except the last lands within one document of
+    * its token target (documents are never split — that is ns24's
+    * sequence-level job). Output: (shard_id, n_docs, n_tokens,
+    * min_id, max_id, id_checksum). */
+  def shardManifest(df: DataFrame, idCol: String, weightCol: String,
+      shardTokens: Long): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    val checksum = conv(substring(md5(col(idCol).cast("string")),
+      1, 8), 16, 10).cast("long")
+    packOffsets(df, idCol, weightCol, shardTokens)
+      .groupBy(col("pack_id").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("n_tokens"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(checksum).as("id_checksum"))
+  }
+
   /** Weighted sampling WITHOUT replacement, content-addressed: the
     * Efraimidis–Spirakis (2006) one-pass scheme with the RNG replaced
     * by the repo's md5 hash — u = (first-8-hex(md5(id:salt)) + 0.5) /

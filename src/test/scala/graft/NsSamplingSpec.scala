@@ -283,6 +283,41 @@ class NsSamplingSpec extends SparkSpec {
     assert(all.count() == 500)
   }
 
+  test("shardManifest: shards partition the id order, sizes near " +
+      "target, checksums re-derivable") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val s = 25000L
+    val m = Sampling.shardManifest(d, "doc_id", "n_chars", s)
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(m.nonEmpty)
+    // id ranges are disjoint and ordered; doc counts cover everything
+    m.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4,
+        s"shard ${a._1} range overlaps shard ${b._1}")
+      case _ =>
+    }
+    assert(m.map(_._2).sum == d.count())
+    // every shard except the last is within one straddling document
+    // of its token target
+    val maxDoc = d.agg(max("n_chars")).as[Long].head()
+    m.dropRight(1).foreach { sh =>
+      assert(sh._3 >= s - maxDoc && sh._3 <= s + maxDoc,
+        s"shard ${sh._1} tokens ${sh._3} far from target $s")
+    }
+    // checksum is re-derivable from membership (id range is dense
+    // per shard because input ids are dense)
+    val chk = d.select(col("doc_id"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .as[(Long, Long)].collect().toMap
+    m.foreach { sh =>
+      val expect = (sh._4 to sh._5).map(chk).sum
+      assert(sh._6 == expect, s"shard ${sh._1} checksum")
+    }
+  }
+
   test("stratifiedSplit: per-group counts exact, stable, exhaustive") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val out = Sampling.stratifiedSplit(d, "doc_id", "source", "t1",
