@@ -1146,6 +1146,43 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", shardTokens = 25000L)),
 
+    // ---- §2.8 [NS] session transcript assembly ----
+    // Interaction logs → ordered training examples: ns34's
+    // sessionization + a per-session transcript string in total
+    // (ts, event_id) order. Same single exchange as ns34.
+    "ns81_session_transcripts" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"))
+      graft.ops.Sessionize.sessionTranscripts(ev, Seq("user_id"),
+        "ts_us", gapUs = 1800L * 1000000L, tieBreak = "event_id",
+        typeCol = "event_type")
+        .select(col("user_id"),
+          col("session_id").cast("long").as("session_id"),
+          col("session_start_us"), col("n_events"), col("transcript"))
+    }),
+
+    // ---- §2.8 [NS] winsorization at exact grid quantiles ----
+    // Metric clipping at PERCENTILE_DISC p01/p99 with no global sort:
+    // the value grid is cents, so the histogram cut is exact.
+    "ns82_winsorize" -> ((s, d) =>
+      graft.ns.Sketches.winsorize(
+        t(s, d, "events").select(col("event_id"), col("value")),
+        "event_id", "value", loQ = 0.01, hiQ = 0.99)),
+
+    // ---- §2.8 [NS] corpus content fingerprint ----
+    // Dataset versioning: one audit row per table with an order-
+    // independent exact-integer content checksum (pairs with ns80's
+    // shard manifest).
+    "ns83_corpus_fingerprint" -> ((s, d) =>
+      graft.ns.Snapshot.corpusFingerprint(t(s, d, "documents"),
+        "documents", Seq("doc_id", "text"))
+        .unionAll(graft.ns.Snapshot.corpusFingerprint(
+          t(s, d, "events"), "events", Seq("event_id", "event_type")))
+        .unionAll(graft.ns.Snapshot.corpusFingerprint(
+          t(s, d, "embeddings"), "embeddings",
+          Seq("vec_id", "label")))),
+
     // ---- §2.8 [NS] weighted sampling without replacement ----
     // Efraimidis–Spirakis with the RNG replaced by the content hash:
     // inclusion ∝ n_chars, yet fully reproducible. TakeOrdered cut —
@@ -3288,6 +3325,64 @@ object SparkEntry {
         |  ) * 16777216.0) AS BIGINT) AS skl_fx
         |FROM j CROSS JOIN tot
         |ORDER BY skl_fx DESC, token LIMIT 50""".stripMargin,
+    // ns34's gaps-and-islands CTEs + an ORDER BY string_agg — the
+    // transcript must reproduce the exact total event order.
+    "ns81_session_transcripts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |             event_type FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) - 1
+        |    AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts_us) AS session_start_us,
+        |  COUNT(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts_us, event_id)
+        |    AS transcript
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // PERCENTILE_DISC cuts from the exact cent-grid histogram; the
+    // ceil boundaries use the identical doubles.
+    "ns82_winsorize" ->
+      """WITH b AS (SELECT event_id, value,
+        |    CAST(round(value * 100) AS BIGINT) AS bin FROM events),
+        |h AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+        |cum AS (SELECT bin,
+        |    SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cm
+        |  FROM h),
+        |tot AS (SELECT count(*) AS n FROM b),
+        |lo AS (SELECT min(bin) AS lo FROM cum, tot
+        |       WHERE cm >= ceil(0.01 * n)),
+        |hi AS (SELECT min(bin) AS hi FROM cum, tot
+        |       WHERE cm >= ceil(0.99 * n))
+        |SELECT event_id, value,
+        |  CAST(greatest(least(bin, hi), lo) AS DOUBLE) / 100
+        |    AS value_wins
+        |FROM b, lo, hi""".stripMargin,
+    // Order-independent md5-word sums per table, chr(1)-joined fields.
+    "ns83_corpus_fingerprint" ->
+      """SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || chr(1) || text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS content_checksum
+        |FROM documents
+        |UNION ALL
+        |SELECT 'events', COUNT(*),
+        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |    || chr(1) || event_type), 1, 8)) AS BIGINT)) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'embeddings', COUNT(*),
+        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+        |    || chr(1) || CAST(label AS VARCHAR)), 1, 8)) AS BIGINT))
+        |    AS BIGINT)
+        |FROM embeddings""".stripMargin,
     // The two-phase shard cut must equal ONE global running sum in id
     // order; checksum is an order-independent integer sum of md5
     // words, so the whole manifest is exact arithmetic.

@@ -75,4 +75,43 @@ object Sketches {
       acc.withColumn(s"p${(p * 100).round}", element_at(col("__q"), i + 1))
     }.drop("__q")
   }
+
+  /** Winsorization (outlier clipping) at EXACT discrete quantiles
+    * with no global sort: values live on a fixed decimal grid
+    * (`scale` = 100 → cents), so binning by `round(value·scale)` is
+    * lossless and the loQ/hiQ cuts come from a cumulative histogram
+    * whose row count is the number of DISTINCT grid points — the
+    * ns67 histogram-quantile trick, exact here because the grid is.
+    * Cut rule is PERCENTILE_DISC: the smallest grid value whose
+    * cumulative count reaches ceil(q·n). The corpus pass is one
+    * map-side bin projection + a map-combinable histogram agg;
+    * clipping is a second stateless projection. Feature-prep for
+    * metric columns that long-tail (session values, doc lengths)
+    * where a single extreme row would dominate a mean or a norm.
+    * Output: (idCol, valCol, value_wins). */
+  def winsorize(df: DataFrame, idCol: String, valCol: String,
+      loQ: Double, hiQ: Double, scale: Long = 100L): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    require(scale > 0, "scale must be positive")
+    val binned = df.withColumn("__bin",
+      round(col(valCol) * scale).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = binned.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+    val n = cum.agg(coalesce(sum(col("__c")), lit(0L))).head().getLong(0)
+    if (n == 0L)
+      return df.select(col(idCol), col(valCol))
+        .limit(0).withColumn("value_wins", lit(0.0))
+    val loCut = cum.filter(col("__cum") >= math.ceil(loQ * n).toLong)
+      .agg(min(col("__bin"))).head().getLong(0)
+    val hiCut = cum.filter(col("__cum") >= math.ceil(hiQ * n).toLong)
+      .agg(min(col("__bin"))).head().getLong(0)
+    binned.select(col(idCol), col(valCol),
+      (greatest(least(col("__bin"), lit(hiCut)), lit(loCut))
+        .cast("double") / scale.toDouble).as("value_wins"))
+  }
 }

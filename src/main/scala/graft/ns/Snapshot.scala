@@ -60,4 +60,29 @@ object Snapshot {
     * Output: (status, n). */
   def diffSummary(diff: DataFrame): DataFrame =
     diff.groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Content-addressed corpus fingerprint: one audit row per table
+    * slice — row count plus an ORDER-INDEPENDENT content checksum
+    * (the exact-integer sum of each row's md5-derived 32-bit word
+    * over the named columns, \u0001-joined so adjacent fields can't
+    * alias). Two corpus versions are
+    * byte-identical on those columns iff their fingerprint rows
+    * match, and the checksum is re-derivable by any engine — the
+    * dataset-versioning primitive that pairs with the per-shard
+    * manifest (ns80): manifest says which docs are in which file,
+    * fingerprint says which CORPUS this is. One map-side projection
+    * + one map-combinable agg; nothing but a single row crosses the
+    * wire per table. Output: (table_name, n_rows, content_checksum). */
+  def corpusFingerprint(df: DataFrame, name: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one content column")
+    val h = conv(substring(md5(concat_ws("\u0001",
+      cols.map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
+      .cast("long")
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__h")), lit(0L)).as("content_checksum"))
+      .select(lit(name).as("table_name"), col("n_rows"),
+        col("content_checksum"))
+  }
 }

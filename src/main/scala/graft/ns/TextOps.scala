@@ -594,15 +594,59 @@ object TextOps {
     binned.filter(col("nll_bin").between(loBin, hiBin))
   }
 
-  /** Longest-run fold helper for [[topGramRepetition]]: given a
-    * SORTED array of grams, returns struct(gram, cnt) for the most
-    * frequent element, ties broken toward the lexicographically
-    * smallest (the sort order guarantees the first-seen run wins on
-    * strictly-greater updates). Pure array fold — evaluated inside
-    * the row's codegen, no shuffle, no UDF. */
-  private def topRun(sortedGrams: Column): Column =
+  /** Gopher repetition block the ns20 stats don't cover: for each n
+    * in `ns`, the fraction of the document's characters contained in
+    * its single most-frequent word n-gram (Rae et al. 2021, appendix
+    * A1.1 "fraction of characters in most common n-gram"; their
+    * filter drops docs where the 2/3/4-gram fraction exceeds
+    * 0.20/0.18/0.16).
+    *
+    * Everything is a per-row array computation: tokenize once, build
+    * the n-gram array with `transform(sequence(..))`, sort it, and
+    * fold a run-length counter over the sorted array — the plan is
+    * one shuffle-free projection pair, so at 100 TB each executor
+    * scores its own partition and nothing crosses the wire. Cost is
+    * O(len·log len) per doc, bounded by the corpus's max doc length
+    * exactly like ns20.
+    *
+    * Determinism: the fraction is one IEEE division of two exact
+    * integers (occurrences × gram length over canonical-text length),
+    * so it hash-gates across engines. Ties pick the lexicographically
+    * smallest gram. Docs with fewer than n tokens (or empty text)
+    * report a NULL gram and fraction 0.0.
+    *
+    * Output: (idCol, top{n}_gram, top{n}_frac) per requested n. */
+  /** struct(gram, cnt, frac) of the most frequent word n-gram of
+    * `text`, as ONE aggregate expression: the run-length fold over
+    * the sorted gram array computes the char fraction in its FINISH
+    * lambda, so the whole signal is a single evaluation.
+    *
+    * Evaluation-cost contract: higher-order-function expressions are
+    * INTERPRETED (no codegen common-subexpression elimination), so
+    * referencing this column from several output expressions re-runs
+    * the fold per reference. Materialize it under an alias and
+    * extract fields in a SEPARATE projection — CollapseProject keeps
+    * a multi-referenced non-cheap alias in its own Project, which
+    * pins the fold to one evaluation per row (the
+    * [[topGramRepetition]] / [[qualityEnsemble]] shape). */
+  def topGramCol(text: Column, n: Int): Column = {
+    val toks = wordTokens(text)
+    val nChars = length(Dedup.normText(text))
+    // n-grams via n shifted slices zipped together: the token array
+    // is evaluated O(n) times PER ROW. (The tempting alternative —
+    // transform(sequence(1, m), i => slice(toks, i, n)) — puts
+    // `toks` inside the lambda body, where interpreted evaluation
+    // recomputes the split+regex PER ELEMENT: O(len²) per document.
+    // Measured 2.6× on ns70 at sf0.1.)
+    val m = size(toks) - n + 1
+    val parts = (1 to n).map(k =>
+      slice(toks, lit(k), greatest(m, lit(0))))
+    val grams = when(size(toks) >= n,
+      parts.reduceLeft((acc, p) =>
+        zip_with(acc, p, (a, b) => concat_ws(" ", a, b))))
+      .otherwise(array().cast("array<string>"))
     aggregate(
-      sortedGrams,
+      sort_array(grams),
       struct(lit(null).cast("string").as("bg"), lit(0L).as("bc"),
         lit(null).cast("string").as("cg"), lit(0L).as("cc")),
       (acc, g) => {
@@ -615,61 +659,27 @@ object TextOps {
             .otherwise(acc.getField("bc")).as("bc"),
           g.as("cg"), cc.as("cc"))
       },
-      acc => struct(acc.getField("bg").as("gram"),
-        acc.getField("bc").as("cnt")))
-
-  /** Gopher repetition block the ns20 stats don't cover: for each n
-    * in `ns`, the fraction of the document's characters contained in
-    * its single most-frequent word n-gram (Rae et al. 2021, appendix
-    * A1.1 "fraction of characters in most common n-gram"; their
-    * filter drops docs where the 2/3/4-gram fraction exceeds
-    * 0.20/0.18/0.16).
-    *
-    * Everything is a per-row array computation: tokenize once, build
-    * the n-gram array with `transform(sequence(..))`, sort it, and
-    * fold a run-length counter over the sorted array ([[topRun]]) —
-    * the plan is one WholeStageCodegen projection with NO shuffle, so
-    * at 100 TB each executor scores its own partition and nothing
-    * crosses the wire. Cost is O(len·log len) per doc, bounded by the
-    * corpus's max doc length exactly like ns20.
-    *
-    * Determinism: the fraction is one IEEE division of two exact
-    * integers (occurrences × gram length over canonical-text length),
-    * so it hash-gates across engines. Ties pick the lexicographically
-    * smallest gram. Docs with fewer than n tokens (or empty text)
-    * report a NULL gram and fraction 0.0.
-    *
-    * Output: (idCol, top{n}_gram, top{n}_frac) per requested n. */
-  /** struct(gram, cnt, frac) of the most frequent word n-gram of
-    * `text` — the per-column building block of
-    * [[topGramRepetition]], exposed so compositions (ns78) can stack
-    * it with other signals in ONE projection instead of self-joining
-    * per signal. */
-  def topGramCol(text: Column, n: Int): Column = {
-    val toks = wordTokens(text)
-    val nChars = length(Dedup.normText(text))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - n + 1),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val top = topRun(sort_array(grams))
-    val cnt = top.getField("cnt")
-    val gram = top.getField("gram")
-    struct(gram.as("gram"), cnt.as("cnt"),
-      when(cnt === 0L || nChars === 0, 0.0)
-        .otherwise((cnt * length(gram)).cast("double") /
-          nChars.cast("double")).as("frac"))
+      acc => {
+        val bg = acc.getField("bg")
+        val bc = acc.getField("bc")
+        struct(bg.as("gram"), bc.as("cnt"),
+          when(bc === 0L || nChars === 0, 0.0)
+            .otherwise((bc * length(bg)).cast("double") /
+              nChars.cast("double")).as("frac"))
+      })
   }
 
   def topGramRepetition(df: DataFrame, idCol: String, textCol: String,
       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "need n >= 1")
-    val cols = ns.flatMap { n =>
-      val top = topGramCol(col(textCol), n)
-      Seq(top.getField("gram").as(s"top${n}_gram"),
-        top.getField("frac").as(s"top${n}_frac"))
-    }
-    df.select(col(idCol) +: cols: _*)
+    // two-stage projection: each fold evaluates ONCE under its
+    // alias; the outer select only extracts fields (see topGramCol)
+    val withTops = df.select(col(idCol) +:
+      ns.map(n => topGramCol(col(textCol), n).as(s"__top$n")): _*)
+    withTops.select(col(idCol) +: ns.flatMap { n =>
+      Seq(col(s"__top$n").getField("gram").as(s"top${n}_gram"),
+        col(s"__top$n").getField("frac").as(s"top${n}_frac"))
+    }: _*)
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): a line
@@ -783,13 +793,18 @@ object TextOps {
   def qualityEnsemble(df: DataFrame, idCol: String, textCol: String,
       minScore: Double = 0.6, maxTop2Frac: Double = 0.2,
       minVotes: Int = 2): DataFrame = {
-    val qOk = qualityScoreCol(col(textCol)) >= minScore
-    val lOk = linearLogitCol(col(textCol)) > 0L
-    val rOk = topGramCol(col(textCol), 2).getField("frac") <= maxTop2Frac
-    val votes = qOk.cast("long") + lOk.cast("long") + rOk.cast("long")
-    df.select(col(idCol), qOk.as("q_ok"), lOk.as("logit_ok"),
-      rOk.as("rep_ok"), votes.as("votes"),
-      (votes >= minVotes).as("keep"))
+    // two-stage projection: each signal evaluates ONCE under its
+    // alias (the interpreted folds must not re-run per reference —
+    // see topGramCol); the outer select is cheap boolean arithmetic
+    val sig = df.select(col(idCol),
+      (qualityScoreCol(col(textCol)) >= minScore).as("q_ok"),
+      (linearLogitCol(col(textCol)) > 0L).as("logit_ok"),
+      (topGramCol(col(textCol), 2).getField("frac") <= maxTop2Frac)
+        .as("rep_ok"))
+    val votes = col("q_ok").cast("long") + col("logit_ok").cast("long") +
+      col("rep_ok").cast("long")
+    sig.select(col(idCol), col("q_ok"), col("logit_ok"), col("rep_ok"),
+      votes.as("votes"), (votes >= minVotes).as("keep"))
   }
 
   /** Cross-snapshot vocabulary drift: symmetric-KL contribution per

@@ -50,6 +50,29 @@ object Sessionize {
     * — see Relational.exactSum). Map-side combinable aggregation after
     * the sessionize window; AQE reuses the exchange because the
     * groupBy keys extend the window's partition keys. */
+  /** One row per session with the ORDERED event transcript: types
+    * concatenated in (tsCol, tieBreak) order — the interaction-log →
+    * training-example assembly step (chat threads, clickstreams).
+    * collect_list is bounded by session length (the gap bounds it in
+    * wall time), and array_sort on the (ts, tieBreak, type) struct
+    * makes the order a total one, so the transcript string is
+    * deterministic under any partitioning. Same single-exchange plan
+    * as [[sessionSummary]]. Output: keys + (session_id,
+    * session_start_us, n_events, transcript). */
+  def sessionTranscripts(df: DataFrame, keys: Seq[String],
+      tsCol: String, gapUs: Long, tieBreak: String, typeCol: String,
+      sep: String = ">"): DataFrame =
+    sessionize(df, keys, tsCol, gapUs, tieBreak)
+      .groupBy((keys :+ "session_id").map(col): _*)
+      .agg(
+        min(col(tsCol)).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col(tsCol), col(tieBreak), col(typeCol)))),
+            e => e.getField(typeCol)), sep).as("transcript"))
+
   def sessionSummary(df: DataFrame, keys: Seq[String], tsCol: String,
       gapUs: Long, tieBreak: String, valueCol: String): DataFrame =
     sessionize(df, keys, tsCol, gapUs, tieBreak)
