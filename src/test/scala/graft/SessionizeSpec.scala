@@ -58,4 +58,31 @@ class SessionizeSpec extends SparkSpec {
     assert("(?i)\\bsort\\b".r.findAllMatchIn(plan).size <= 2,
       s"lag + running sum should share one window sort:\n$plan")
   }
+
+  test("sessionTranscripts: total event order, counts align with " +
+      "sessionSummary, partition-stable") {
+    val ev = events.withColumn("event_type",
+      concat(lit("e"), col("event_id")))
+    val t = Sessionize.sessionTranscripts(ev, Seq("user_id"), "ts_us",
+      gapUs = 100L, tieBreak = "event_id", typeCol = "event_type")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(t(1L -> 0L) == ((0L, 3L, "e10>e11>e12")))
+    assert(t(1L -> 1L) == ((500L, 1L, "e13")))
+    assert(t(2L -> 1L) == ((101L, 2L, "e21>e22")))
+    // n_events agrees with sessionSummary on every session
+    val s = Sessionize.sessionSummary(events, Seq("user_id"), "ts_us",
+      100L, "event_id", "value")
+      .select(col("user_id"), col("session_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(t.view.mapValues(_._2).toMap == s)
+    // transcript order survives an adversarial repartition/reorder
+    val again = Sessionize.sessionTranscripts(
+      ev.repartition(7).orderBy(col("event_id").desc), Seq("user_id"),
+      "ts_us", 100L, "event_id", "event_type")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(again == t)
+  }
 }
