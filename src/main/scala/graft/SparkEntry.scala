@@ -1183,6 +1183,26 @@ object SparkEntry {
           t(s, d, "embeddings"), "embeddings",
           Seq("vec_id", "label")))),
 
+    // ---- §2.8 [NS] image resize (2×2 box downsample) ----
+    // The multimodal resize step: decode → exact-integer box filter;
+    // the oracle re-derives every resized pixel from the BMP
+    // generation formula (ns29's fixture, ns63's grid trick).
+    "ns84_image_resize" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_resize")
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val len = r.getInt(1)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath, s"doc_$id.bmp"),
+            Multimodal.writeBmp(len % 31 + 1, (len * 7) % 17 + 1,
+              seed = id))
+        }
+      materializeAndDrop(Multimodal.resizeImages(
+        Multimodal.readBinaryDir(s, dir.getPath, "*.bmp")).toDF(), dir)
+    }),
+
     // ---- §2.8 [NS] weighted sampling without replacement ----
     // Efraimidis–Spirakis with the RNG replaced by the content hash:
     // inclusion ∝ n_chars, yet fully reproducible. TakeOrdered cut —
@@ -3365,6 +3385,35 @@ object SparkEntry {
         |  CAST(greatest(least(bin, hi), lo) AS DOUBLE) / 100
         |    AS value_wins
         |FROM b, lo, hi""".stripMargin,
+    // Every resized pixel re-derived from the generation formula
+    // (gray(v) = v%251 + v%241 + v%239, v = seed + y·w + x, seed =
+    // doc_id), floor-mean over each 2×2 block, summed.
+    "ns84_image_resize" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, length(text) % 31 + 1 AS w,
+        |    (length(text) * 7) % 17 + 1 AS h
+        |  FROM documents WHERE doc_id < 50),
+        |cells AS (
+        |  SELECT doc_id,
+        |    doc_id + (2*y) * w + 2*x AS a,
+        |    doc_id + (2*y) * w + 2*x + 1 AS b,
+        |    doc_id + (2*y + 1) * w + 2*x AS c,
+        |    doc_id + (2*y + 1) * w + 2*x + 1 AS d
+        |  FROM imgs, range(0, 16) tx(x), range(0, 9) ty(y)
+        |  WHERE x < w // 2 AND y < h // 2),
+        |sums AS (
+        |  SELECT doc_id,
+        |    SUM((a % 251 + a % 241 + a % 239
+        |       + b % 251 + b % 241 + b % 239
+        |       + c % 251 + c % 241 + c % 239
+        |       + d % 251 + d % 241 + d % 239) // 4) AS chk
+        |  FROM cells GROUP BY doc_id)
+        |SELECT 'doc_' || i.doc_id || '.bmp' AS file_name,
+        |  CAST(i.w AS INT) AS in_w, CAST(i.h AS INT) AS in_h,
+        |  CAST(i.w // 2 AS INT) AS out_w,
+        |  CAST(i.h // 2 AS INT) AS out_h,
+        |  CAST(coalesce(s.chk, 0) AS BIGINT) AS gray_checksum
+        |FROM imgs i LEFT JOIN sums s USING (doc_id)""".stripMargin,
     // Order-independent md5-word sums per table, chr(1)-joined fields.
     "ns83_corpus_fingerprint" ->
       """SELECT 'documents' AS table_name, COUNT(*) AS n_rows,

@@ -405,6 +405,68 @@ object Multimodal {
     Some((w, h, gray))
   }
 
+  /** 2×2 box-filter downsample of a gray grid — the pixel half of
+    * the multimodal resize step. Output pixel (x,y) is the FLOOR
+    * mean of its 2×2 source block: exact integer arithmetic, so the
+    * result is bit-reproducible (no float filter kernels). Odd
+    * trailing rows/columns are cropped (floor dims), the standard
+    * pyramid-downsample convention. */
+  def boxDownsample2(w: Int, h: Int,
+      gray: Array[Int]): (Int, Int, Array[Int]) = {
+    val ow = w / 2; val oh = h / 2
+    val out = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      val r0 = (2 * y) * w; val r1 = r0 + w
+      while (x < ow) {
+        val c = 2 * x
+        out(y * ow + x) =
+          (gray(r0 + c) + gray(r0 + c + 1) +
+            gray(r1 + c) + gray(r1 + c + 1)) / 4
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  final case class ResizedImage(file_name: String, in_w: Int,
+      in_h: Int, out_w: Int, out_h: Int, gray_checksum: Long)
+
+  /** Corpus image resize: decode each 24bpp BMP payload, 2×2
+    * box-downsample the gray grid ([[boxDownsample2]]), and emit the
+    * dims plus the exact integer sum of the resized pixels — the
+    * scalar the SQL oracle can predict pixel-for-pixel from the
+    * fixture generation formula. Same mapPartitions batch shape as
+    * [[decodeFeatures]]; malformed payloads are dropped, and images
+    * thinner than 2px in either dimension resize to an empty grid
+    * (checksum 0) rather than erroring — a curation pass quarantines
+    * degenerate payloads downstream, it does not crash. At scale the
+    * pass is embarrassingly parallel and CPU-bound in the decoder,
+    * exactly like the dHash pass it feeds (resize-then-hash is the
+    * standard perceptual pipeline). */
+  def resizeImages(df: DataFrame,
+      batchSize: Int = 64): Dataset[ResizedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (name, bytes) =>
+            parseBmpGray(bytes).map { case (w, h, gray) =>
+              val (ow, oh, out) = boxDownsample2(w, h, gray)
+              var s = 0L
+              var i = 0
+              while (i < out.length) { s += out(i); i += 1 }
+              ResizedImage(name, w, h, ow, oh, s)
+            }
+          }
+        }
+      }
+  }
+
   /** Difference hash (dHash, public perceptual-hash folklore) over a
     * gray grid: partition the top-left (9·cw)×(8·ch) region into a
     * 9×8 cell grid (cw = w/9, ch = h/8), take each cell's exact

@@ -306,6 +306,46 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("boxDownsample2: exact floor means, odd-edge crop, resize→hash " +
+      "pipeline composes") {
+    // 4×4 gradient: block means are exact integers here
+    val g = Array(
+      0, 2, 10, 12,
+      4, 6, 14, 16,
+      40, 42, 50, 52,
+      44, 46, 54, 56)
+    val (ow, oh, out) = Multimodal.boxDownsample2(4, 4, g)
+    assert((ow, oh) == ((2, 2)))
+    assert(out.toSeq == Seq(3, 13, 43, 53))
+    // floor-mean: 2×2 of (0,1,1,1) → 0 (not 1)
+    assert(Multimodal.boxDownsample2(2, 2, Array(0, 1, 1, 1))
+      ._3.toSeq == Seq(0))
+    // odd trailing row/col cropped; degenerate 1×N → empty grid
+    assert(Multimodal.boxDownsample2(5, 3, Array.fill(15)(9))._3
+      .toSeq == Seq(9, 9))
+    assert(Multimodal.boxDownsample2(1, 4, Array.fill(4)(7))._3.isEmpty)
+    // full-payload path: writeBmp → parseBmpGray → downsample matches
+    // the formula-derived expectation for every pixel
+    val bytes = Multimodal.writeBmp(8, 6, seed = 5L)
+    val Some((w, h, gray)) = Multimodal.parseBmpGray(bytes)
+    val (ow2, oh2, small) = Multimodal.boxDownsample2(w, h, gray)
+    def px(x: Int, y: Int): Int = {
+      val v = 5L + y.toLong * w + x
+      ((v % 251) + (v % 241) + (v % 239)).toInt
+    }
+    for (y <- 0 until oh2; x <- 0 until ow2) {
+      val expect = (px(2 * x, 2 * y) + px(2 * x + 1, 2 * y) +
+        px(2 * x, 2 * y + 1) + px(2 * x + 1, 2 * y + 1)) / 4
+      assert(small(y * ow2 + x) == expect, s"pixel ($x,$y)")
+    }
+    // resized grid still feeds dhash64 (the perceptual pipeline) on
+    // grids at least 9×8
+    val big = Multimodal.writeBmp(36, 32, seed = 1L)
+    val Some((bw, bh, bg)) = Multimodal.parseBmpGray(big)
+    val (rw, rh, rg) = Multimodal.boxDownsample2(bw, bh, bg)
+    assert(Multimodal.dhash64(rw, rh, rg).isDefined)
+  }
+
   test("dominantFrequency: sawtooth → rate/4, Nyquist tone → rate/2, " +
       "pure grid tone → its own bin; malformed dropped") {
     import spark.implicits._
