@@ -1203,6 +1203,29 @@ object SparkEntry {
         Multimodal.readBinaryDir(s, dir.getPath, "*.bmp")).toDF(), dir)
     }),
 
+    // ---- §2.8 [NS] frame sampling over a binary column ----
+    // The video-ish multimodal step: deterministic byte-slice frames
+    // from an opaque payload. Payload bytes are a printable-ASCII
+    // formula (33 + (id+i) % 94), so the oracle reconstructs every
+    // frame STRING and sha256-matches the engine's hash of the raw
+    // slice — byte-exact gate for binary substring plumbing.
+    "ns85_frame_sample" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_frames")
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val len = r.getInt(1)
+          val sz = len % 977 + 64
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath, s"doc_$id.bin"),
+            Array.tabulate(sz)(i => (33 + ((id + i) % 94)).toByte))
+        }
+      materializeAndDrop(Multimodal.frameSample(
+        Multimodal.readBinaryDir(s, dir.getPath, "*.bin"),
+        nFrames = 4), dir)
+    }),
+
     // ---- §2.8 [NS] weighted sampling without replacement ----
     // Efraimidis–Spirakis with the RNG replaced by the content hash:
     // inclusion ∝ n_chars, yet fully reproducible. TakeOrdered cut —
@@ -3414,6 +3437,30 @@ object SparkEntry {
         |  CAST(i.h // 2 AS INT) AS out_h,
         |  CAST(coalesce(s.chk, 0) AS BIGINT) AS gray_checksum
         |FROM imgs i LEFT JOIN sums s USING (doc_id)""".stripMargin,
+    // Frames reconstructed as ASCII strings from the byte formula,
+    // sha256'd — identical bytes ⇒ identical hex. All frames are
+    // exactly step = sz // 4 bytes (the floor-step slicing drops the
+    // sz % 4 tail by construction).
+    "ns85_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) % 977 + 64 AS sz
+        |  FROM documents WHERE doc_id < 50),
+        |params AS (
+        |  SELECT doc_id, sz, greatest(sz // 4, 1) AS step FROM f),
+        |frames AS (
+        |  SELECT doc_id, step, fi FROM params, range(0, 4) t(fi)),
+        |bytes AS (
+        |  SELECT doc_id, fi,
+        |    string_agg(chr(CAST(33 + (doc_id + i) % 94 AS INTEGER)),
+        |      '' ORDER BY i) AS s
+        |  FROM frames, range(0, 1100) t2(i)
+        |  WHERE i >= fi * step AND i < fi * step + step
+        |  GROUP BY doc_id, fi)
+        |SELECT 'doc_' || doc_id || '.bin' AS file_name,
+        |  CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(length(s) AS BIGINT) AS frame_len,
+        |  sha256(s) AS frame_sha256
+        |FROM bytes""".stripMargin,
     // Order-independent md5-word sums per table, chr(1)-joined fields.
     "ns83_corpus_fingerprint" ->
       """SELECT 'documents' AS table_name, COUNT(*) AS n_rows,

@@ -544,7 +544,9 @@ object Multimodal {
       .withColumn("__step",
         greatest(floor(length(col("content")) / nFrames), lit(1))
           .cast("int"))
+      .withColumn("__frame",
+        expr("substring(content, frame_idx * __step + 1, __step)"))
       .select(col("file_name"), col("frame_idx").cast("long").as("frame_idx"),
-        sha2(expr("substring(content, frame_idx * __step + 1, __step)"),
-          256).as("frame_sha256"))
+        length(col("__frame")).cast("long").as("frame_len"),
+        sha2(col("__frame"), 256).as("frame_sha256"))
 }

@@ -140,14 +140,16 @@ class NsSketchesMultimodalSpec extends SparkSpec {
       ("frameBBBB" * 8).getBytes("UTF-8"))
     val df = Multimodal.readBinaryDir(spark, dir.getPath, "*.bin")
     val frames = Multimodal.frameSample(df, nFrames = 4)
-      .as[(String, Long, String)].collect()
+      .as[(String, Long, Long, String)].collect()
     assert(frames.length == 8) // 2 files × 4 frames
     assert(frames.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq ==
       Seq(0L, 1L, 2L, 3L)))
+    // 72 bytes / 4 frames → every frame exactly 18 bytes
+    assert(frames.forall(_._3 == 18L))
     // deterministic: same content → same frame hashes across files? No —
     // different content → different hashes; same call twice → identical.
     val again = Multimodal.frameSample(df, nFrames = 4)
-      .as[(String, Long, String)].collect()
+      .as[(String, Long, Long, String)].collect()
     assert(frames.sortBy(f => (f._1, f._2)).toSeq ==
       again.sortBy(f => (f._1, f._2)).toSeq)
   }

@@ -32,7 +32,10 @@ ALLOWED_HOST_RE = re.compile(
     r"(localhost|127\.0\.0\.1|apache\.org|github\.com|example\.com|"
     r"rapidapi\.com|duckdb\.org|scala-lang\.org|w3\.org|"
     r"\.example\b|site\.co\.uk|a\.b\.site|co\.uk|news\.com\.au|"
-    r"deep\.sub\.host\.org)")
+    # e.com: single-letter synthetic host in the canonicalizeUrl spec;
+    # case-insensitive because that spec deliberately feeds mixed-case
+    # Example.COM variants (host-lowercasing is the rule under test)
+    r"deep\.sub\.host\.org|e\.com)", re.IGNORECASE)
 
 PATTERNS = {
     "remote-url": re.compile(r"https?://[\w.-]+"),
