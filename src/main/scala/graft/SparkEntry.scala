@@ -1203,6 +1203,37 @@ object SparkEntry {
         Multimodal.readBinaryDir(s, dir.getPath, "*.bmp")).toDF(), dir)
     }),
 
+    // ---- §2.1 JSONL sink + source roundtrip ----
+    // Training corpora ship as JSON Lines; the gate proves the
+    // write→read composition is content-faithful (escaping included)
+    // against the parquet oracle.
+    "j07_jsonl_roundtrip" -> ((s, d) => {
+      val dir = newScratchDir("graft_jsonl")
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.json(s"${dir.getPath}/json")
+      materializeAndDrop(
+        s.read.schema("doc_id LONG, text STRING, lang STRING, " +
+            "source STRING")
+          .json(s"${dir.getPath}/json"), dir)
+    }),
+
+    // ---- §2.8 [NS] canary-string scan ----
+    // Eval-canary sweep over the corpus; markers planted on
+    // doc_id%13 docs so every canary and the no-hit path are
+    // exercised.
+    "ns86_canary_scan" -> ((s, d) =>
+      TextOps.canaryScan(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 13 === 0, concat(lit(" canary:"),
+              when(col("doc_id") % 3 === 0, lit("aa11"))
+                .when(col("doc_id") % 3 === 1, lit("bb22"))
+                .otherwise(lit("cc33"))))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text",
+        Seq("canary:aa11", "canary:bb22", "canary:cc33"))),
+
     // ---- §2.8 [NS] frame sampling over a binary column ----
     // The video-ish multimodal step: deterministic byte-slice frames
     // from an opaque payload. Payload bytes are a printable-ASCII
@@ -2130,6 +2161,23 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate
         |FROM orders WHERE o_orderkey < 2000""".stripMargin,
+    "j07_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    // Same planted markers; hit rows only.
+    "ns86_canary_scan" ->
+      """WITH built AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' canary:' ||
+        |      CASE WHEN doc_id % 3 = 0 THEN 'aa11'
+        |           WHEN doc_id % 3 = 1 THEN 'bb22'
+        |           ELSE 'cc33' END
+        |    ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, c AS canary
+        |FROM built, unnest(['canary:aa11','canary:bb22',
+        |  'canary:cc33']) t2(c)
+        |WHERE contains(t, c)""".stripMargin,
     "j02_variant_single_parse" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,

@@ -807,6 +807,25 @@ object TextOps {
       votes.as("votes"), (votes >= minVotes).as("keep"))
   }
 
+  /** Canary-string scan: report every (document, canary) hit for a
+    * small fixed set of marker strings — the eval-set canary sweep
+    * (à la BIG-bench's canary GUID) a training corpus runs before
+    * release, plus the generic "did our own test fixtures leak into
+    * the corpus" audit. The canary set is tiny by nature, so it
+    * rides into the row expression as an array literal: one map-side
+    * contains() scan per canary per document, no join, no shuffle;
+    * non-matching documents emit nothing (explode of an empty
+    * filter). At a larger marker set, switch to an Aho-Corasick
+    * mapPartitions pass — the contract (substring hit report) stays.
+    * Output: (idCol, canary), hit rows only. */
+  def canaryScan(df: DataFrame, idCol: String, textCol: String,
+      canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "need at least one canary string")
+    df.select(col(idCol),
+      explode(filter(array(canaries.map(lit): _*),
+        c => col(textCol).contains(c))).as("canary"))
+  }
+
   /** Cross-snapshot vocabulary drift: symmetric-KL contribution per
     * token between an old and a new corpus snapshot — the
     * distribution-shift monitor a recurring curation pipeline runs

@@ -522,6 +522,19 @@ class NsTextOpsSpec extends SparkSpec {
     assert(TextOps.vocabDrift(a.limit(0), b, "text").count() == 0)
   }
 
+  test("canaryScan: multi-hit docs fan out, clean docs emit nothing") {
+    val df = TextOps.canaryScan(docs(
+      1L -> "clean document with no markers",
+      2L -> "has GUID-A embedded",
+      3L -> "both GUID-A and GUID-B present",
+      4L -> "GUID-A GUID-A twice reports once"),
+      "doc_id", "text", Seq("GUID-A", "GUID-B"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = df.as[(Long, String)].collect().toSet
+    assert(got == Set(2L -> "GUID-A", 3L -> "GUID-A", 3L -> "GUID-B",
+      4L -> "GUID-A"))
+  }
+
   test("linearQualityScore: exact integer logit, keep threshold") {
     val df = TextOps.linearQualityScore(docs(
       1L -> "the cat and the dog click here", // 40k+30k+40k-120k-50k
