@@ -1234,6 +1234,25 @@ object SparkEntry {
         "doc_id", "text",
         Seq("canary:aa11", "canary:bb22", "canary:cc33"))),
 
+    // ---- §2.8 [NS] phrase blocklist via Aho–Corasick ----
+    // ns86's contract at dictionary scale: one automaton pass
+    // instead of per-pattern contains. Planted tails exercise
+    // nested patterns (blk:alpha ⊂ blk:alphabet ⊃ lphabet),
+    // shared prefixes, repeats, and the no-hit path; the oracle is
+    // pattern-agnostic contains, so AC must agree exactly.
+    "ns87_phrase_blocklist" -> ((s, d) =>
+      graft.ns.MultiPattern.scan(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 4 === 0,
+            lit(" blk:alphabet"))
+            .when(col("doc_id") % 4 === 1, lit(" blk:beta"))
+            .when(col("doc_id") % 4 === 2,
+              lit(" say beta twice beta"))
+            .otherwise(lit(""))).as("text")),
+        "doc_id", "text",
+        Seq("blk:alpha", "blk:alphabet", "lphabet", "blk:beta",
+          "beta"))),
+
     // ---- §2.8 [NS] frame sampling over a binary column ----
     // The video-ish multimodal step: deterministic byte-slice frames
     // from an opaque payload. Payload bytes are a printable-ASCII
@@ -2164,6 +2183,18 @@ object SparkEntry {
     "j07_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "ns87_phrase_blocklist" ->
+      """WITH built AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 4 WHEN 0 THEN ' blk:alphabet'
+        |      WHEN 1 THEN ' blk:beta'
+        |      WHEN 2 THEN ' say beta twice beta'
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, p AS pattern
+        |FROM built, unnest(['blk:alpha','blk:alphabet','lphabet',
+        |  'blk:beta','beta']) t2(p)
+        |WHERE contains(t, p)""".stripMargin,
     // Same planted markers; hit rows only.
     "ns86_canary_scan" ->
       """WITH built AS (
