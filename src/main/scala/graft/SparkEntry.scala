@@ -1234,6 +1234,22 @@ object SparkEntry {
         "doc_id", "text",
         Seq("canary:aa11", "canary:bb22", "canary:cc33"))),
 
+    // ---- §2.8 [NS] BPE tokenizer TRAINING on-corpus ----
+    // Learn the merge table from the fixture corpus (one distributed
+    // pre-token count, then the driver-side merge loop on the
+    // compacted vocab) and gate rank-for-rank against the checked-in
+    // table the INDEPENDENT Python trainer produced — the same
+    // two-implementations proof as ns61, now for training instead of
+    // encoding. k mirrors the Python default; both stop at the
+    // no-pair-twice point (89 merges on this corpus).
+    "ns88_bpe_learn" -> ((s, d) => {
+      import s.implicits._
+      graft.ns.Bpe.learnMerges(t(s, d, "documents"), "text", k = 384)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "left", "right")
+    }),
+
     // ---- §2.8 [NS] phrase blocklist via Aho–Corasick ----
     // ns86's contract at dictionary scale: one automaton pass
     // instead of per-pattern contains. Planted tails exercise
@@ -2183,6 +2199,10 @@ object SparkEntry {
     "j07_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "ns88_bpe_learn" ->
+      """SELECT "rank", "left", "right" FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/bpe_merges_sf001.parquet')
+        |""".stripMargin,
     "ns87_phrase_blocklist" ->
       """WITH built AS (
         |  SELECT doc_id, text ||

@@ -178,6 +178,79 @@ object Bpe {
     sb.toString
   }
 
+  /** BPE merge-table LEARNING (Sennrich et al. 2016, the public
+    * algorithm): iteratively merge the most frequent adjacent symbol
+    * pair until `k` merges are learned.
+    *
+    * Scale shape — the part that matters at 100 TB: the ONLY corpus-
+    * sized work is one distributed pre-token count (explode →
+    * groupBy, map-side combined; the exchange carries one row per
+    * DISTINCT pre-token). Learning then iterates on that compacted
+    * (word → freq) table — thousands of rows, driver-side — which is
+    * exactly how production tokenizer trainers are structured
+    * (corpus → word counts once, then in-memory merge loop).
+    *
+    * Determinism contract (pinned by the independent-oracle gate):
+    * pair counts sum word frequencies over ALL adjacent positions
+    * (overlaps counted: "aaa" has (a,a) twice); the winning pair is
+    * (max count, then lexicographically smallest (left, right));
+    * merges apply left-to-right non-overlapping within each word
+    * (the [[encodeWord]] convention). Output: merges in rank order. */
+  def learnMerges(df: DataFrame, textCol: String,
+      k: Int): Seq[(String, String)] = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(col(textCol)).as[String]
+      .mapPartitions(_.flatMap(t =>
+        preTokens(norm(if (t == null) "" else t))))
+      .toDF("w").groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    // compacted vocab: symbol sequence → corpus frequency
+    var vocab: Map[Vector[String], Long] = counts
+      .groupBy(c => c._1.toVector.map(_.toString))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val merges = Vector.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val pairCounts =
+        scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }._1
+        // singleton pairs carry no compression — stop (the
+        // tools/gen_bpe.py trainer's rule; the ns88 gate pins it)
+        if (pairCounts(best) < 2L) done = true
+        else {
+          merges += best
+          vocab = vocab.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == best._1 &&
+                  syms(j + 1) == best._2) {
+                out += best._1 + best._2; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.result(), f)
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          i += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
   /** Corpus decode — the inverse of [[encodeDocs]], same broadcast +
     * per-partition batch shape. Output: (doc_id, decoded). */
   def decodeDocs(df: DataFrame, idCol: String, idsCol: String,

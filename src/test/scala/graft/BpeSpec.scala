@@ -69,6 +69,26 @@ class BpeSpec extends SparkSpec {
     assert(dec(1L) == "sparkandflink" && dec(2L) == "")
   }
 
+  test("learnMerges: hand-computed merge sequence, overlap counting, " +
+      "stop rules") {
+    import spark.implicits._
+    // "aaab"x2 + "ab": (a,a)=4 (overlaps counted) beats (a,b)=3;
+    // after the merge, (a,b)=3 beats (aa,a)=2; then (aa,ab)=2; then
+    // no pairs remain.
+    val d = Seq("aaab aaab ab").toDF("text")
+    assert(Bpe.learnMerges(d, "text", k = 10) ==
+      Seq("a" -> "a", "a" -> "b", "aa" -> "ab"))
+    // k caps the table
+    assert(Bpe.learnMerges(d, "text", k = 2) ==
+      Seq("a" -> "a", "a" -> "b"))
+    // singleton-pair stop: every pair unique → nothing merged twice
+    assert(Bpe.learnMerges(Seq("xy").toDF("text"), "text", 5).isEmpty)
+    // input order/partitioning wash out (groupBy'd corpus pass)
+    val big = Seq("aaab", "ab", "aaab").toDF("text")
+    assert(Bpe.learnMerges(big.repartition(3), "text", 10) ==
+      Bpe.learnMerges(big, "text", 10))
+  }
+
   test("non-ASCII symbols become <unk>, never crash") {
     val ids = Bpe.encode("café 世界", codec)
     assert(ids.contains(codec.unkId))

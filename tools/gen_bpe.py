@@ -120,6 +120,13 @@ def main():
     with open("src/main/resources/graft/bpe/merges.txt", "w") as f:
         for a, b in merges:
             f.write(f"{a} {b}\n")
+    # ranked-parquet twin of merges.txt: the ns88 learnMerges gate
+    # reads this via the oracle SQL (rank order is the claim)
+    pd.DataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        columns=["rank", "left", "right"]).astype({"rank": "int64"}) \
+        .to_parquet("src/test/resources/graft/bpe_merges_sf001.parquet",
+                    index=False)
     print(f"wrote {len(merges)} merges "
           f"({len(wf)} distinct pre-tokens in corpus)")
 
