@@ -1250,6 +1250,27 @@ object SparkEntry {
         .toDF("rank", "left", "right")
     }),
 
+    // ---- §2.8 [NS] tokenizer fertility / compression report ----
+    // Tokens-per-character by source — the standard tokenizer-quality
+    // metric (fertility): one encode pass + a map-combinable agg.
+    // The ratio divides two exact integers, and the oracle recomputes
+    // token counts from the INDEPENDENT Python encoder's table.
+    "ns89_tokenizer_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+      val enc = graft.ns.Bpe.encodeDocs(docs, "doc_id", "text").toDF()
+        .select(col("doc_id"), size(col("token_ids")).cast("long")
+          .as("n_tokens"))
+      docs.select(col("doc_id"), col("source"),
+          length(Dedup.normText(col("text"))).as("n_chars"))
+        .join(enc, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          (sum(col("n_tokens")).cast("double") /
+            sum(col("n_chars")).cast("double")).as("tokens_per_char"))
+    }),
+
     // ---- §2.8 [NS] phrase blocklist via Aho–Corasick ----
     // ns86's contract at dictionary scale: one automaton pass
     // instead of per-pattern contains. Planted tails exercise
@@ -2199,6 +2220,27 @@ object SparkEntry {
     "j07_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    // Token counts from the independent encoder's table; chars from
+    // the canonical text; one division of exact integer sums.
+    "ns89_tokenizer_fertility" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/bpe_oracle_sf001.parquet')
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(length(regexp_replace(lower(trim(d.text)),
+        |      '\s+', ' ', 'g')) AS BIGINT) AS n_chars,
+        |    coalesce(t.n_tokens, 0) AS n_tokens
+        |  FROM documents d LEFT JOIN tok t USING (doc_id)
+        |  WHERE d.doc_id < 100)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE)
+        |    AS tokens_per_char
+        |FROM base GROUP BY source""".stripMargin,
     "ns88_bpe_learn" ->
       """SELECT "rank", "left", "right" FROM read_parquet(
         |'/root/repo/src/test/resources/graft/bpe_merges_sf001.parquet')
