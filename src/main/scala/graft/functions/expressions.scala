@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static (Java-callable) kernel for [[PyToJson]] codegen: generated
@@ -43,10 +43,110 @@ case class PyToJson(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Static kernel for [[TopGramExpr]]: one tight JVM pass per row —
+  * canonicalize (graft.ns.Bpe.norm, the SAME JVM restatement of
+  * Dedup.normText the BPE gates pin), split, hash-count the n-grams,
+  * argmax with the binary-UTF8 tie-break. Exists because the
+  * HOF-composed version (TextOps.topGramCol) evaluates as an
+  * INTERPRETED expression tree: per-element lambda dispatch plus a
+  * sort make it the hottest map-side op in the registry (measured —
+  * see SCALE.md round 9). The kernel does the identical computation
+  * as straight-line code; NsTextOpsSpec pins kernel ≡ HOF, including
+  * a randomized sweep. */
+object TopGramKernel {
+  private val EMPTY = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(Array[Any](null, 0L, 0.0))
+
+  def topGram(s: UTF8String, n: Int): org.apache.spark.sql.catalyst
+      .InternalRow = {
+    if (s == null) return EMPTY
+    val norm = graft.ns.Bpe.norm(s.toString)
+    val toks = norm.split(" ", -1)
+    if (toks.length < n) return EMPTY
+    val m = toks.length - n + 1
+    val counts = new java.util.HashMap[String, Long](m * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    var best: UTF8String = null
+    var bestCnt = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue()
+      if (c > bestCnt) {
+        bestCnt = c; best = UTF8String.fromString(e.getKey)
+      } else if (c == bestCnt) {
+        val u = UTF8String.fromString(e.getKey)
+        if (u.compareTo(best) < 0) best = u
+      }
+    }
+    val nChars = UTF8String.fromString(norm).numChars()
+    val frac =
+      if (bestCnt == 0L || nChars == 0) 0.0
+      else (bestCnt * best.numChars().toLong).toDouble / nChars.toDouble
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestCnt, frac))
+  }
+}
+
+/** Catalyst-native struct<gram,cnt,frac> most-frequent-n-gram: same
+  * semantics as [[graft.ns.TextOps.topGramCol]] (null/short texts →
+  * (null, 0, 0.0)), evaluated as ONE kernel call per row. Codegen
+  * emits the static call directly so the surrounding stage stays
+  * fused; output is never null, which lets downstream field
+  * extraction skip null branches entirely. */
+case class TopGramExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("gram", StringType, nullable = true),
+    StructField("cnt", LongType, nullable = false),
+    StructField("frac", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TopGramKernel.topGram(
+      child.eval(input).asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        |${childGen.code}
+        |InternalRow ${ev.value} = graft.functions.TopGramKernel.topGram(
+        |  ${childGen.isNull} ? null : ${childGen.value}, $n);
+        |""".stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+  override def prettyName: String = "top_gram"
+  override protected def withNewChildInternal(c: Expression): TopGramExpr =
+    copy(child = c)
+}
+
 /** Column-API entry points for graft's custom expressions. */
 object functions {
   /** Repair python-repr "JSON" (single quotes, True/None, trailing
     * commas, stray CR/LF) into strict JSON; null on unparseable input. */
   def py_to_json(c: Column): Column =
     Shim.column(PyToJson(Shim.expression(c)))
+
+  /** struct(gram, cnt, frac) of the most frequent word n-gram —
+    * kernel-evaluated twin of TextOps.topGramCol. */
+  def top_gram(c: Column, n: Int): Column =
+    Shim.column(TopGramExpr(Shim.expression(c), n))
 }

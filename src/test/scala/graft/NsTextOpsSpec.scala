@@ -522,6 +522,37 @@ class NsTextOpsSpec extends SparkSpec {
     assert(TextOps.vocabDrift(a.limit(0), b, "text").count() == 0)
   }
 
+  test("TopGramExpr kernel ≡ HOF topGramCol: fixture corpus + " +
+      "randomized ASCII sweep, all n") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(1, 2, 3, 4).foreach { n =>
+      val both = d.select(col("doc_id"),
+        graft.functions.functions.top_gram(col("text"), n).as("k"),
+        TextOps.topGramCol(col("text"), n).as("h"))
+      assert(both.filter(
+        !(col("k.gram") <=> col("h.gram")) ||
+        col("k.cnt") =!= col("h.cnt") ||
+        !(col("k.frac") <=> col("h.frac"))).count() == 0,
+        s"kernel diverged from HOF at n=$n")
+    }
+    // randomized: whitespace runs, repeats, punctuation, empties
+    val word = Gen.oneOf("a", "bb", "ab", "a.b", "7", "!", "", " ")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    val prop = Prop.forAll(text, Gen.choose(1, 4)) {
+      (t: String, n: Int) =>
+        val r = spark.sql("select 1").sparkSession.range(1).toDF()
+          .select(
+            graft.functions.functions.top_gram(lit(t), n).as("k"),
+            TextOps.topGramCol(lit(t), n).as("h"))
+          .head()
+        r.getStruct(0) == r.getStruct(1)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("canaryScan: multi-hit docs fan out, clean docs emit nothing") {
     val df = TextOps.canaryScan(docs(
       1L -> "clean document with no markers",
