@@ -8,7 +8,7 @@ import graft.functions.functions.py_to_json
 import graft.ingest.JsonIngest
 import graft.dq.{Checks, Metadata}
 import graft.model.Schemas
-import graft.ns.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextOps}
+import graft.ns.{Dedup, Linkage, Multimodal, Sampling, Similarity, Sketches, TextOps}
 import graft.ops.{IdempotentWriter, Relational}
 import graft.pipeline.Run
 import graft.streaming.EventStream
@@ -1271,6 +1271,26 @@ object SparkEntry {
             sum(col("n_chars")).cast("double")).as("tokens_per_char"))
     }),
 
+    // ---- §2.8 [NS] record linkage (blocked fuzzy join) ----
+    // Entity resolution: hex entity names + planted single-deletion
+    // typo variants (deleted position always PAST the 4-char blocking
+    // prefix, so every planted pair stays blockable); verify =
+    // builtin levenshtein, identical classic definition in DuckDB,
+    // so the whole operator is integer-exact.
+    "ns90_record_linkage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nm = substring(md5(col("doc_id").cast("string")), 1, 10)
+      val k = (col("doc_id") % 6 + lit(5)).cast("int") // delete pos 5..10
+      val base = docs.select(col("doc_id").as("ent_id"),
+        nm.as("name"))
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000L).as("ent_id"),
+          concat(nm.substr(lit(1), k - 1),
+            nm.substr(k + 1, lit(10))).as("name"))
+      Linkage.blockedFuzzyPairs(base.unionAll(variants),
+        "ent_id", "name", substring(col("name"), 1, 4), maxDist = 2)
+    }),
+
     // ---- §2.8 [NS] phrase blocklist via Aho–Corasick ----
     // ns86's contract at dictionary scale: one automaton pass
     // instead of per-pattern contains. Planted tails exercise
@@ -2241,6 +2261,28 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE)
         |    AS tokens_per_char
         |FROM base GROUP BY source""".stripMargin,
+    // Same synthetic entities + typo variants; join within 4-char
+    // blocks; levenshtein values and the <= 2 cut are integer-exact.
+    "ns90_record_linkage" ->
+      """WITH base AS (
+        |  SELECT doc_id AS ent_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS name
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 10),
+        |      1, CAST(doc_id % 6 + 4 AS INT))
+        |    || substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 10),
+        |      CAST(doc_id % 6 + 6 AS INT), 10)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |blocked AS (
+        |  SELECT ent_id, name, substr(name, 1, 4) AS blk FROM base)
+        |SELECT a.ent_id AS id_a, b.ent_id AS id_b,
+        |  a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM blocked a JOIN blocked b
+        |  ON a.blk = b.blk AND a.ent_id < b.ent_id
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
     "ns88_bpe_learn" ->
       """SELECT "rank", "left", "right" FROM read_parquet(
         |'/root/repo/src/test/resources/graft/bpe_merges_sf001.parquet')
