@@ -1884,6 +1884,46 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"), col("split"))
     }),
 
+    // ---- §3 curation pipeline v2: the round-9 operator chain ----
+    // C4 line cleaning → exact dedup on the CLEANED text → linear-
+    // classifier quality gate → per-source quota, end-to-end: the
+    // modern curation recipe as one composition, every stage an
+    // already-gated operator, the whole chain re-gated in SQL.
+    "p05_curation_v2" -> ((s, d) => {
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        col("source"), concat(
+          regexp_replace(col("text"), " table ", ".\n"),
+          when(col("doc_id") % 7 === 0,
+            lit("\nlorem ipsum dolor sit amet placeholder text here."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+          lit("\ntoo short."),
+          lit("\nthis is a good closing sentence for the document."))
+          .as("text"))
+      val clean = TextOps.c4LineFilter(lined, "doc_id", "text")
+        .join(lined.select(col("doc_id"), col("source")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp")).orderBy(col("doc_id"))
+      val surv = clean
+        .withColumn("__fp", Dedup.fingerprint(col("clean_text")))
+        .withColumn("__rnfp", row_number().over(w))
+        .filter(col("__rnfp") === 1).drop("__rnfp", "__fp")
+      val scored = surv.join(
+        TextOps.linearQualityScore(
+          surv.select(col("doc_id"), col("clean_text").as("text")),
+          "doc_id", "text")
+          .select(col("doc_id"), col("logit_micro")), "doc_id")
+        .filter(col("logit_micro") > 0L)
+      Sampling.groupQuota(
+        scored.select(col("doc_id"), col("source"), col("n_kept"),
+          col("logit_micro")),
+        Seq(col("source")), 20,
+        Seq(col("n_kept").desc, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_kept"),
+          col("logit_micro"), col("rn").cast("long").as("rn"))
+    }),
+
     "p03_curation_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("text"))
@@ -4190,6 +4230,68 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split
         |FROM adm""".stripMargin,
+    // ns71's line filter + exact dedup on the cleaned text + ns73's
+    // weight CASE + ns18's quota window, chained.
+    "p05_curation_v2" ->
+      """WITH built AS (
+        |  SELECT d.doc_id, d.source,
+        |    regexp_replace(d.text, ' table ', '.' || chr(10), 'g')
+        |    || CASE WHEN d.doc_id % 7 = 0 THEN chr(10) ||
+        |      'lorem ipsum dolor sit amet placeholder text here.'
+        |      ELSE '' END
+        |    || CASE WHEN d.doc_id % 11 = 0 THEN chr(10) ||
+        |      'function f() { return 1; }' ELSE '' END
+        |    || chr(10) || 'too short.'
+        |    || chr(10) ||
+        |    'this is a good closing sentence for the document.' AS t
+        |  FROM documents d),
+        |ls AS (SELECT doc_id, source,
+        |    list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)) AS lines
+        |  FROM built),
+        |k AS (SELECT doc_id, source,
+        |    list_filter(lines, l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+        |        OR l LIKE '%"')
+        |      AND len(list_filter(string_split(l, ' '),
+        |        w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS keep
+        |  FROM ls),
+        |clean AS (SELECT doc_id, source,
+        |    array_to_string(keep, chr(10)) AS clean_text,
+        |    CAST(len(keep) AS BIGINT) AS n_kept
+        |  FROM k WHERE len(keep) >= 3),
+        |fp AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(clean_text)),
+        |      '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rnfp
+        |  FROM clean),
+        |surv AS (SELECT doc_id, source, clean_text, n_kept
+        |  FROM fp WHERE rnfp = 1),
+        |lg AS (SELECT doc_id, -50000 + coalesce(list_sum(
+        |    list_transform(string_split(regexp_replace(
+        |      lower(trim(clean_text)), '\s+', ' ', 'g'), ' '),
+        |    t -> CASE t
+        |    WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |    WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |    WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |    WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |    WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |    WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |    WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |    WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |    WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |    WHEN 'http' THEN -60000 ELSE 0 END)), 0) AS logit
+        |  FROM surv),
+        |keepq AS (SELECT s.doc_id, s.source, s.n_kept,
+        |    CAST(l.logit AS BIGINT) AS logit_micro
+        |  FROM surv s JOIN lg l USING (doc_id) WHERE l.logit > 0)
+        |SELECT doc_id, source, n_kept, logit_micro, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_kept DESC, doc_id) AS rn
+        |  FROM keepq)
+        |WHERE rn <= 20""".stripMargin,
     "p03_curation_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
