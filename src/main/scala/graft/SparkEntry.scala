@@ -341,6 +341,36 @@ object SparkEntry {
             col("batch").cast("int").as("batch")), dir)
     }),
 
+    // ---- §2.1 small-file compaction ----
+    // The lakehouse hygiene op: a fragmented landing (64 files) is
+    // compacted to a handful and must read back content-identical.
+    // IngestSpec pins the file counts; the gate pins the content.
+    "j08_compaction" -> ((s, d) => {
+      val dir = newScratchDir("graft_compact")
+      t(s, d, "documents").repartition(64)
+        .write.parquet(s"${dir.getPath}/frag")
+      s.read.parquet(s"${dir.getPath}/frag").coalesce(2)
+        .write.parquet(s"${dir.getPath}/compact")
+      materializeAndDrop(
+        s.read.parquet(s"${dir.getPath}/compact")
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars")), dir)
+    }),
+
+    // ---- §3 SQL-function surface (SparkSessionExtensions) ----
+    // The same custom expression nodes, reached through SQL: the
+    // extension registers py_to_json and top_gram in the function
+    // registry, and this gate re-proves ns70's n=2 slice through the
+    // SQL front door plus a constant-folded repair.
+    "q16_sql_function_surface" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id,
+        |  top_gram(text, 2).gram AS top2_gram,
+        |  top_gram(text, 2).frac AS top2_frac,
+        |  py_to_json('{''cnt'': 1, ''ok'': True}') AS repaired
+        |FROM documents_v""".stripMargin)
+    }),
+
     // ---- §2.1 ORC sink + source roundtrip ----
     // Columnar interchange beyond parquet: write a typed slice
     // (ints, strings, doubles, dates) to ORC, read it back, gate
@@ -2280,6 +2310,35 @@ object SparkEntry {
     "j07_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "j08_compaction" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents""".stripMargin,
+    // ns70's n=2 slice through the SQL surface + the known repair of
+    // the python literal (json.dumps spacing).
+    "q16_sql_function_surface" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks,
+        |    length(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g')) AS n_chars
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(toks)), i ->
+        |    array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 2),
+        |t2 AS (SELECT doc_id, gram, count(*) AS c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g2 GROUP BY doc_id, gram)
+        |SELECT b.doc_id,
+        |  t2.gram AS top2_gram,
+        |  coalesce(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |    / b.n_chars, 0.0) AS top2_frac,
+        |  '{"cnt": 1, "ok": true}' AS repaired
+        |FROM base b
+        |LEFT JOIN (SELECT doc_id, gram, c FROM t2 WHERE rn = 1) t2
+        |  USING (doc_id)""".stripMargin,
     // Token counts from the independent encoder's table; chars from
     // the canonical text; one division of exact integer sums.
     "ns89_tokenizer_fertility" ->

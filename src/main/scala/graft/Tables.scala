@@ -46,9 +46,12 @@ object Tables {
     }
   }
 
-  /** Session configs every graft session needs (Verify/Bench/tests). */
+  /** Session configs every graft session needs (Verify/Bench/tests).
+    * The extensions entry makes graft's custom expressions SQL-
+    * callable in every session ([[graft.GraftExtensions]]). */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 }

@@ -100,4 +100,38 @@ class IngestSpec extends SparkSpec {
       .select(JsonIngest.normKey(col("c"))).collect()(0).getString(0)
       == "new_york_city")
   }
+
+  test("compaction (j08 shape): file count drops to the coalesce " +
+      "target, content identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("id", "txt")
+    d.repartition(64).write.parquet(s"$dir/frag")
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/frag") == 64)
+    spark.read.parquet(s"$dir/frag").coalesce(2)
+      .write.parquet(s"$dir/compact")
+    assert(parquetFiles(s"$dir/compact") <= 2)
+    val back = spark.read.parquet(s"$dir/compact")
+      .as[(Long, String)].collect().toSet
+    assert(back == d.as[(Long, String)].collect().toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("SQL function surface: top_gram/py_to_json resolve via " +
+      "GraftExtensions and match the Column API") {
+    import spark.implicits._
+    Seq((1L, "a b a b c")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ext_docs_v")
+    val viaSql = spark.sql(
+      "SELECT top_gram(text, 2).gram AS g, top_gram(text, 2).cnt AS c, " +
+        "py_to_json('{''ok'': True}') AS r FROM ext_docs_v")
+      .as[(String, Long, String)].head()
+    assert(viaSql == (("a b", 2L, """{"ok": true}""")))
+    val viaCol = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+      .select(graft.functions.functions.top_gram(col("text"), 2)
+        .getField("gram")).as[String].head()
+    assert(viaCol == viaSql._1)
+  }
 }
