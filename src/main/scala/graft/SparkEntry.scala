@@ -1192,6 +1192,20 @@ object SparkEntry {
           col("session_start_us"), col("n_events"), col("transcript"))
     }),
 
+    // ---- §2.8 [NS] exact mergeable moment columns ----
+    // ns59's store-once/merge-forever shape for numeric profiling:
+    // integer power sums on the cent grid, derived mean/variance.
+    "ns91_moment_columns" -> ((s, d) =>
+      graft.ns.Sketches.momentColumns(
+        t(s, d, "events").select(col("event_type"), col("value")),
+        Seq(col("event_type")), "value")),
+
+    // ---- §2.8 [NS] exact per-group grid quantiles, no sort ----
+    "ns92_exact_quantiles" -> ((s, d) =>
+      graft.ns.Sketches.exactGridQuantiles(
+        t(s, d, "events").select(col("event_type"), col("value")),
+        Seq(col("event_type")), "value", Seq(0.25, 0.5, 0.75))),
+
     // ---- §2.8 [NS] winsorization at exact grid quantiles ----
     // Metric clipping at PERCENTILE_DISC p01/p99 with no global sort:
     // the value grid is cents, so the histogram cut is exact.
@@ -3672,6 +3686,39 @@ object SparkEntry {
         |  string_agg(event_type, '>' ORDER BY ts_us, event_id)
         |    AS transcript
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // Integer power sums are exact at any order/partitioning; the
+    // derived doubles use sub-2^53 operands in a fixed order.
+    "ns91_moment_columns" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS s1,
+        |  CAST(SUM(v * v) AS BIGINT) AS s2,
+        |  CAST(SUM(v * v * v) AS BIGINT) AS s3,
+        |  CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_cents,
+        |  (CAST(SUM(v * v) AS DOUBLE)
+        |    - CAST(SUM(v) AS DOUBLE) * SUM(v) / COUNT(*)) / COUNT(*)
+        |    AS var_cents
+        |FROM b GROUP BY event_type""".stripMargin,
+    // Same histogram-cut rule as ns82, per group and per quantile.
+    "ns92_exact_quantiles" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, v, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cm,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(MIN(CASE WHEN cm >= ceil(0.25 * n) THEN v END)
+        |    AS DOUBLE) / 100 AS p25,
+        |  CAST(MIN(CASE WHEN cm >= ceil(0.5 * n) THEN v END)
+        |    AS DOUBLE) / 100 AS p50,
+        |  CAST(MIN(CASE WHEN cm >= ceil(0.75 * n) THEN v END)
+        |    AS DOUBLE) / 100 AS p75
+        |FROM cum GROUP BY event_type""".stripMargin,
     // PERCENTILE_DISC cuts from the exact cent-grid histogram; the
     // ceil boundaries use the identical doubles.
     "ns82_winsorize" ->

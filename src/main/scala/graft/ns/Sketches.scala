@@ -89,6 +89,74 @@ object Sketches {
     * metric columns that long-tail (session values, doc lengths)
     * where a single extreme row would dominate a mean or a norm.
     * Output: (idCol, valCol, value_wins). */
+  /** Exact mergeable moment columns: per group, the count and the
+    * raw power sums Σx, Σx², Σx³ over the value's fixed decimal grid
+    * (cents) — all EXACT 64-bit integers, so two sketches merge by
+    * plain addition and the merged result is bit-equal to a full
+    * recompute at any partitioning (the ns59 store-once/merge-forever
+    * shape, for numeric profiling instead of cardinality). Derived
+    * mean/variance are emitted as one deterministic double expression
+    * each (exact-integer operands, fixed operation order). At cent
+    * scale the s3 sum overflows 64 bits only past ~10¹² rows per
+    * group; shard the group key before that (documented bound).
+    * Output: (groupCols, n, s1, s2, s3, mean_cents, var_cents). */
+  def momentColumns(df: DataFrame, groupCols: Seq[Column],
+      valCol: String, scale: Long = 100L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val bin = round(col(valCol) * scale).cast("long")
+    val agg = df.withColumn("__b", bin)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__b")).as("s1"),
+        sum(col("__b") * col("__b")).as("s2"),
+        sum(col("__b") * col("__b") * col("__b")).as("s3"))
+    agg.select(groupCols ++ Seq(col("n"), col("s1"), col("s2"),
+      col("s3"),
+      (col("s1").cast("double") / col("n").cast("double"))
+        .as("mean_cents"),
+      ((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1") / col("n")) / col("n"))
+        .as("var_cents")): _*)
+  }
+
+  /** EXACT per-group discrete quantiles with NO sort: values live on
+    * a fixed decimal grid, so a per-(group, grid-point) histogram +
+    * one cumulative window over the (tiny) histogram yields
+    * PERCENTILE_DISC cuts exactly — the smallest grid value whose
+    * cumulative count reaches ceil(q·n). Contrast ns13: Spark's
+    * approx_percentile trades exactness for generality; on gridded
+    * metrics (money, counts, latencies in ms) exactness is free.
+    * The corpus pass is one map-combinable histogram agg; the window
+    * runs over distinct (group, bin) rows only. Output: (groupCols,
+    * p{q} per requested quantile, as value units). */
+  def exactGridQuantiles(df: DataFrame, groupCols: Seq[Column],
+      valCol: String, probs: Seq[Double],
+      scale: Long = 100L): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      "probs must lie in (0, 1]")
+    require(scale > 0, "scale must be positive")
+    val names = groupCols.map(_.toString)
+    val hist = df
+      .withColumn("__b", round(col(valCol) * scale).cast("long"))
+      .groupBy(groupCols :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val cuts = probs.map { p =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__b")))
+        .cast("double").divide(scale.toDouble)
+        .as(s"p${(p * 100).round}")
+    }
+    cum.groupBy(names.map(col): _*).agg(cuts.head, cuts.tail: _*)
+  }
+
   def winsorize(df: DataFrame, idCol: String, valCol: String,
       loQ: Double, hiQ: Double, scale: Long = 100L): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")

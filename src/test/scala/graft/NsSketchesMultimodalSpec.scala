@@ -39,6 +39,54 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     MessageDigest.getInstance("SHA-256").digest(b)
       .map("%02x".format(_)).mkString
 
+  test("momentColumns: power sums merge by addition; derived stats " +
+      "match direct computation") {
+    import graft.ns.Sketches
+    val d = Seq(("a", 1.00), ("a", 2.00), ("a", 3.00), ("b", 5.50))
+      .toDF("g", "v")
+    val m = Sketches.momentColumns(d, Seq(col("g")), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // a: cents 100,200,300 → s1=600, s2=140000, s3=36000000
+    assert(m("a") == ((3L, 600L, 140000L, 36000000L, 200.0,
+      (140000.0 - 600.0 * 600 / 3) / 3)))
+    assert(m("b") == ((1L, 550L, 302500L, 166375000L, 550.0, 0.0)))
+    // MERGE law: sums of two halves add to the whole, bit-exactly
+    val h1 = Sketches.momentColumns(d.limit(2), Seq(col("g")), "v")
+    val h2 = Sketches.momentColumns(d.exceptAll(d.limit(2)),
+      Seq(col("g")), "v")
+    val merged = h1.select(col("g"), col("n"), col("s1"), col("s2"),
+        col("s3"))
+      .unionAll(h2.select(col("g"), col("n"), col("s1"), col("s2"),
+        col("s3")))
+      .groupBy("g").agg(sum("n").as("n"), sum("s1").as("s1"),
+        sum("s2").as("s2"), sum("s3").as("s3"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(merged == m.view.mapValues(t =>
+      (t._1, t._2, t._3, t._4)).toMap)
+  }
+
+  test("exactGridQuantiles: PERCENTILE_DISC cuts match a brute-force " +
+      "sort; no global exchange beyond the group key") {
+    import graft.ns.Sketches
+    val vals = Seq(0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08,
+      0.09, 0.10)
+    val d = vals.map(("g", _)).toDF("g", "v")
+    val q = Sketches.exactGridQuantiles(d, Seq(col("g")), "v",
+      Seq(0.25, 0.5, 0.75)).head()
+    // disc cut = smallest value at cum >= ceil(q*10): 3rd, 5th, 8th
+    assert(q.getDouble(1) == 0.03 && q.getDouble(2) == 0.05 &&
+      q.getDouble(3) == 0.08)
+    // repartition stability
+    val again = Sketches.exactGridQuantiles(d.repartition(7),
+      Seq(col("g")), "v", Seq(0.25, 0.5, 0.75)).head()
+    assert(again.getDouble(1) == 0.03 && again.getDouble(2) == 0.05 &&
+      again.getDouble(3) == 0.08)
+  }
+
   test("binaryFile source + batched decode produce real payload facts") {
     val dir = Files.createTempDirectory("graft_mm").toFile
     dir.deleteOnExit()
