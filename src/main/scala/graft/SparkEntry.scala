@@ -529,6 +529,20 @@ object SparkEntry {
         t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.4,
         numHashTables = 8, bucketLength = 0.1)),
 
+    // ns07's registered 100-TB twin (the ns02b pattern): the
+    // density-adaptive bucket cap ON, so candidate volume is bounded
+    // per bucket regardless of corpus density. On THIS fixture's
+    // chance-tail threshold the capped recall is partial by
+    // information theory (SCALE.md "Why ns07's cap stays OFF"); the
+    // planted-dup recall ≥ 0.9 law lives in NsSimilaritySpec, and
+    // this registration is the measured sublinear path for corpora
+    // with genuine near-dups. Rows-only like ns07.
+    "ns07b_embedding_near_dup_capped" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.4,
+        numHashTables = 8, bucketLength = 0.1,
+        maxBucketSize = Some(64))),
+
     // ---- §2.8 [NS] text analysis: stats, quality gate, language id ----
     "ns08_text_stats" -> ((s, d) =>
       TextOps.textStats(t(s, d, "documents"), "doc_id", "text")),
@@ -1451,6 +1465,14 @@ object SparkEntry {
       graft.ns.Clusters.semanticDedup(t(s, d, "embeddings"),
         "vec_id", "embedding", minCosine = 0.4, numHashTables = 8,
         bucketLength = 0.1)),
+
+    // ns40's registered 100-TB twin: semantic dedup over the CAPPED
+    // pair generator (see ns07b) — bounded candidates at any corpus
+    // density, the path a tail-threshold workload takes at scale.
+    "ns40b_semantic_dedup_capped" -> ((s, d) =>
+      graft.ns.Clusters.semanticDedup(t(s, d, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.4, numHashTables = 8,
+        bucketLength = 0.1, maxBucketSize = Some(64))),
 
     // Incremental MinHash near-dup: the NEW half of the corpus
     // banded against the stored half, no store self-join. Rows-only
