@@ -140,7 +140,9 @@ object Bench {
       "ns03_minhash_near_dup", "ns05_topk_cosine", "ns07_embedding_near_dup",
       "ns16_ivf_topk_cosine", "s01_streaming_rollup", "s02_sessionize",
       "ns40_semantic_dedup", "ns49_cluster_survivors",
-      "s05_stream_stream_join", "ns54_knn_labels_ann")
+      "s05_stream_stream_join", "ns54_knn_labels_ann",
+      "ns07b_embedding_near_dup_capped", "ns40b_semantic_dedup_capped",
+      "s06_stream_static_join")
     def famRank(n: String): Int =
       if (heavy(n)) 2
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||
