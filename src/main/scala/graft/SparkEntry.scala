@@ -319,6 +319,37 @@ object SparkEntry {
         renames.map { case (o, n) => col(o).as(n) }: _*)
     }),
 
+    // ---- §2.2 O15: keyed MERGE (upsert), partition-pruned COW ----
+    // Target = nation partitioned by n_regionkey; delta = updated
+    // names for region-1 keys < 10 plus one inserted key. The merge
+    // reads and rewrites ONLY the region-1 directory (byte-identical
+    // untouched-partition law in MergeUpsertSpec); the gate checks the
+    // read-back table against the same anti-join+union in SQL.
+    "o15_keyed_merge" -> ((s, d) => {
+      val dir = newScratchDir("graft_o15")
+      val path = s"${dir.getPath}/target"
+      val nation = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      graft.ops.MergeUpsert.init(nation, path, "n_regionkey")
+      val delta = nation
+        .filter(col("n_regionkey") === 1 && col("n_nationkey") < 10)
+        .select(col("n_nationkey"),
+          concat(col("n_name"), lit("_v2")).as("n_name"),
+          col("n_regionkey"))
+        .unionByName(s.range(1).select(
+          lit(990L).as("n_nationkey"), lit("NEWLAND").as("n_name"),
+          lit(1L).as("n_regionkey")))
+      graft.ops.MergeUpsert.merge(delta, path,
+        Seq("n_nationkey"), "n_regionkey")
+      materializeAndDrop(
+        s.read.parquet(path).select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey")), dir)
+    }),
+
     // ---- §2.1 schema evolution across landed batches ----
     // Production tables GROW columns across runs; readers must take
     // the union schema and null-fill history. Fixture: an early batch
@@ -1219,6 +1250,31 @@ object SparkEntry {
       graft.ns.Sketches.exactGridQuantiles(
         t(s, d, "events").select(col("event_type"), col("value")),
         Seq(col("event_type")), "value", Seq(0.25, 0.5, 0.75))),
+
+    // ---- §2.8 [NS] signed random projection (exact, map-side) ----
+    // Achlioptas ±1 dim-reduction over int8-quantized embeddings:
+    // 64 floats -> 16 exact longs before LSH/ANN, one projection,
+    // no exchange (plan law in NsSimilaritySpec).
+    "ns95_signed_projection" -> ((s, d) =>
+      graft.ns.Embeddings.signedProjection(t(s, d, "embeddings"),
+        "vec_id", "embedding", dim = 64, k = 16)),
+
+    // ---- §4.3 [NS] skew-salted two-stage aggregation, gated ----
+    // The hot-key aggregation rewrite registered with the PLAIN
+    // groupBy as its oracle — the ns53 trick: the gate itself proves
+    // the salt spreader semantics-preserving. Plan law (two
+    // exchanges, partial on (key, salt)) in BucketingSkewSpec.
+    "ns94_salted_agg" -> ((s, d) =>
+      graft.ops.Skew.saltedCountSum(t(s, d, "events"),
+        Seq(col("event_type")), col("value"), saltFactor = 8)),
+
+    // ---- §2.8 [NS] count-min sketch columns, exact-oracle ----
+    // Frequency complement to ns59's HLL: sparse (seed, cell, cnt)
+    // rows per source whose md5-derived cells make the WHOLE sketch
+    // hash-gatable; exchange bounded by depth x width per group.
+    "ns93_cms_sketch" -> ((s, d) =>
+      graft.ns.Sketches.cmsSketch(t(s, d, "documents"),
+        Seq(col("source")), "text")),
 
     // ---- §2.8 [NS] winsorization at exact grid quantiles ----
     // Metric clipping at PERCENTILE_DISC p01/p99 with no global sort:
@@ -2322,6 +2378,23 @@ object SparkEntry {
     "o13_literal_injection" ->
       """SELECT o_orderkey, o_totalprice,
         | CAST(202608121100 AS BIGINT) AS run_hr FROM orders""".stripMargin,
+    // MERGE semantics as anti-join + union: delta wins on key match,
+    // target rows survive otherwise, inserts are new keys.
+    "o15_keyed_merge" ->
+      """WITH target AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |         CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation),
+        |delta AS (
+        |  SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+        |  FROM target WHERE n_regionkey = 1 AND n_nationkey < 10
+        |  UNION ALL
+        |  SELECT CAST(990 AS BIGINT), 'NEWLAND', CAST(1 AS BIGINT))
+        |SELECT * FROM delta
+        |UNION ALL
+        |SELECT t.* FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM delta d
+        |  WHERE d.n_nationkey = t.n_nationkey
+        |    AND d.n_regionkey = t.n_regionkey)""".stripMargin,
     // chr(10)-joined pipe table: byte-identical to Notify.renderMessage
     "s12_notification_render" ->
       """SELECT 'Regions loaded:' || chr(10) || 'r_name' || chr(10) ||
@@ -3741,6 +3814,56 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN cm >= ceil(0.75 * n) THEN v END)
         |    AS DOUBLE) / 100 AS p75
         |FROM cum GROUP BY event_type""".stripMargin,
+    // ns35's quantization CTE, then an exact integer projection whose
+    // ±1 signs come from the same md5-nibble parity per (i, j).
+    "ns95_signed_projection" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |      AS DOUBLE) AS q_scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN q_scale = 0
+        |      THEN list_transform(embedding, x -> 0)
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / q_scale)
+        |          AS INTEGER))
+        |    END AS q
+        |  FROM s),
+        |e AS (
+        |  SELECT vec_id, i - 1 AS i, CAST(q[i] AS BIGINT) AS qi
+        |  FROM q, UNNEST(range(1, len(q) + 1)) AS t(i)),
+        |cells AS (
+        |  SELECT e.vec_id, jj.j AS j, e.qi * (CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(e.i AS VARCHAR) || ':' ||
+        |        CAST(jj.j AS VARCHAR) || ':rp'), 1, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END) AS term
+        |  FROM e, UNNEST(range(0, 16)) AS jj(j))
+        |SELECT vec_id, CAST(j AS INTEGER) AS j,
+        |  CAST(SUM(term) AS BIGINT) AS comp
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+    // The salted rewrite must equal the aggregation it replaces.
+    "ns94_salted_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+    // The whole CMS is exact: ns21's word split, the ns17 md5-prefix
+    // hash per (token, seed), integer counts per (source, seed, cell).
+    "ns93_cms_sketch" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |cells AS (
+        |  SELECT source, seed,
+        |    CAST(('0x' || substr(md5(tok || ':cms' || CAST(seed AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 256 AS cell
+        |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS seed))
+        |SELECT source, CAST(seed AS INT) AS seed, cell,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM cells GROUP BY 1, 2, 3""".stripMargin,
     // PERCENTILE_DISC cuts from the exact cent-grid histogram; the
     // ceil boundaries use the identical doubles.
     "ns82_winsorize" ->

@@ -158,4 +158,43 @@ object Embeddings {
       .select(col(groupCol), col("n_vectors"),
         transform(col("pm"), p => p.getField("m")).as("centroid"))
   }
+
+  /** Deterministic ±1 sign for projection cell (i, j): parity of the
+    * first hex nibble of md5("i:j:salt") — the ns17 md5 idiom, so the
+    * oracle derives the SAME matrix in SQL. */
+  def projectionSign(i: Int, j: Int, salt: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j:$salt".getBytes("UTF-8"))
+    if (((hex(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+  }
+
+  /** Signed random projection (Achlioptas ±1) over int8-QUANTIZED
+    * embeddings: out_j = Σ_i sign(i,j)·q_i with q from
+    * [[quantizeInt8]] — all-integer arithmetic, so the projection is
+    * EXACT and hash-gatable (the JL guarantee needs only ±1 signs
+    * with per-cell fair parity; md5 nibble parity provides it
+    * deterministically, no RNG). The dimensionality-reduction step
+    * in front of LSH/ANN: 64 floats → k exact longs per vector,
+    * shrinking every downstream candidate join's shuffle by D/k.
+    *
+    * Scale shape: the sign matrix is D×k literal arrays baked into
+    * the plan (kilobytes); the whole op is one map-side projection —
+    * no join, no exchange (plan law in spec). Scalarized output
+    * (idCol, j, comp) rows, the ns35 posexplode idiom. */
+  def signedProjection(df: DataFrame, idCol: String, embCol: String,
+      dim: Int, k: Int = 16, salt: String = "rp"): DataFrame = {
+    require(dim >= 1 && k >= 1, "need dim >= 1, k >= 1")
+    val q = quantizeInt8(df, idCol, embCol)
+      .select(col(idCol), col("q"))
+    val comps = (0 until k).map { j =>
+      val signs = array((0 until dim).map(i =>
+        lit(projectionSign(i, j, salt).toLong)): _*)
+      aggregate(
+        zip_with(col("q"), signs, (a, s) => a.cast("long") * s),
+        lit(0L), (acc, x) => acc + x)
+    }
+    q.select(col(idCol), posexplode(array(comps: _*)))
+      .select(col(idCol), col("pos").cast("int").as("j"),
+        col("col").as("comp"))
+  }
 }

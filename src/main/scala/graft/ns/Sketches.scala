@@ -157,6 +157,68 @@ object Sketches {
     cum.groupBy(names.map(col): _*).agg(cuts.head, cuts.tail: _*)
   }
 
+  /** Count-min sketch COLUMNS in sparse coordinate form: per group,
+    * one row per (seed, cell) with the exact count of tokens hashing
+    * there — the frequency complement to [[hllSketches]]'s
+    * cardinality. Cell indices come from the repo's standard
+    * DuckDB-replicable hash (md5 hex prefix → long, the ns17 idiom),
+    * so unlike ns59's engine-specific HLL registers the WHOLE sketch
+    * is hash-gatable: counts are exact integer sums over a pure
+    * function of the token.
+    *
+    * The 100-TB shape: the exchange carries one row per DISTINCT
+    * (group, seed, cell) — at depth 4 × width 256 that is ≤ 1024 rows
+    * per group regardless of corpus size, with map-side combine doing
+    * the heavy summing. Sketches merge by ADDING counts per (seed,
+    * cell) — bit-exact, any partitioning (law in spec) — giving the
+    * store-once/merge-forever pattern for heavy-hitter and frequency
+    * queries: estimate(t) = min over seeds of cell count ≥ true
+    * frequency, with the classic (ε=e/w, δ=e^-d) overestimate bound.
+    * Output: (groupCols, seed, cell, cnt). */
+  def cmsSketch(df: DataFrame, groupCols: Seq[Column], textCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    val toks = df.select(groupCols :+
+      explode(TextOps.wordTokens(col(textCol))).as("__tok"): _*)
+      .filter(length(col("__tok")) > 0)
+    val seeds = explode(sequence(lit(0), lit(depth - 1))).as("seed")
+    val names = groupCols.map(_.toString)
+    toks.select((names.map(col) :+ col("__tok") :+ seeds): _*)
+      .withColumn("cell",
+        conv(substring(md5(concat(col("__tok"), lit(":cms"),
+          col("seed").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % width)
+      .groupBy((names.map(col) :+ col("seed") :+ col("cell")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a stored [[cmsSketch]]: for each
+    * probe token, min over seeds of its cell's count (0 if the cell
+    * row is absent — sparse form). Broadcast-joins the (token, seed,
+    * cell) probe rows against the kilobyte sketch; never rescans the
+    * corpus. Output: (groupCols..., token, est). */
+  def cmsEstimate(sketch: DataFrame, groupNames: Seq[String],
+      tokens: Seq[String], depth: Int = 4, width: Int = 256): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probes = tokens.toDF("token")
+      .select(col("token"),
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .withColumn("cell",
+        conv(substring(md5(concat(col("token"), lit(":cms"),
+          col("seed").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % width)
+    // A missing (seed, cell) row means that cell counted ZERO tokens;
+    // the min must see the 0, so probe rows are expanded per group
+    // (bounded: #groups × #tokens × depth) and left-joined.
+    val groups = sketch.select(groupNames.map(col): _*).distinct()
+    val expanded = groups.crossJoin(broadcast(probes))
+    expanded.join(sketch, groupNames ++ Seq("seed", "cell"), "left")
+      .withColumn("__c", coalesce(col("cnt"), lit(0L)))
+      .groupBy((groupNames.map(col) :+ col("token")): _*)
+      .agg(min(col("__c")).as("est"))
+  }
+
   def winsorize(df: DataFrame, idCol: String, valCol: String,
       loQ: Double, hiQ: Double, scale: Long = 100L): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")

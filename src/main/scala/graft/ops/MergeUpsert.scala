@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Keyed MERGE (upsert) into a partitioned parquet table with
+  * partition-pruned copy-on-write.
+  *
+  * The reference's warehouses expose this as `MERGE INTO ... WHEN
+  * MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` (the pattern
+  * behind its DELETE+INSERT rerun, /root/reference/dags/sql/
+  * write_weather_to_bigquery.sql:51-98 — O10 is the whole-partition
+  * special case). Plain parquet has no row-level update, so the
+  * Spark-native form is copy-on-write at partition granularity:
+  *
+  *   1. the delta's distinct partition values are collected
+  *      (bounded: one row per TOUCHED partition, never data rows);
+  *   2. only those partitions of the target are read — the IN filter
+  *      lands on the partition column, so Catalyst prunes the scan to
+  *      the touched directories (PartitionFilters in the plan; at
+  *      100 TB this is the difference between reading the delta's
+  *      neighborhood and reading the table);
+  *   3. target rows whose key collides with a delta key are dropped
+  *      (left_anti on the key — a shuffle of TOUCHED partitions only),
+  *      the delta is unioned in (update ≡ replace, insert ≡ new key);
+  *   4. the merged slice is written back with dynamic partition
+  *      overwrite (O10's machinery) — untouched partitions' files are
+  *      never opened, read, or rewritten (byte-identical law in
+  *      MergeUpsertSpec).
+  *
+  * Contract: the partition value of a key is STABLE — a delta row
+  * carries the same partition value as the target row it replaces
+  * (enforced cheaply by matching on key AND partition column, which
+  * also keeps the anti-join co-partitioned with the overwrite). A key
+  * that genuinely moves partitions needs a DELETE in its old
+  * partition, which row-level-delete formats (Delta/Iceberg) solve
+  * with tombstones; out of scope for plain parquet.
+  */
+object MergeUpsert {
+
+  /** Merge `delta` into the partitioned parquet table at `path`.
+    * `keyCols` identifies a row within its partition; `partitionCol`
+    * is the directory-partition column (part of the match key, see
+    * contract above). Returns the touched partition values.
+    */
+  def merge(delta: DataFrame, path: String, keyCols: Seq[String],
+      partitionCol: String): Seq[Any] = {
+    val spark = delta.sparkSession
+    // Bounded collect: one value per touched partition.
+    val touched = delta.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val target = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(touched: _*))
+      // partition dirs come back as the narrowest parsed type; align
+      // to the delta's schema so the anti-join and union line up.
+      .select(delta.columns.map(c => col(c).cast(
+        delta.schema(c).dataType).as(c)): _*)
+    val matchKeys = keyCols :+ partitionCol
+    val kept = target.join(delta.select(matchKeys.map(col): _*),
+      matchKeys, "left_anti")
+    val merged = delta.unionByName(kept)
+    IdempotentWriter.replacePartitions(
+      merged.repartition(col(partitionCol)), path, Seq(partitionCol))
+    touched
+  }
+
+  /** Initial load: write `df` as the partitioned target. */
+  def init(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.repartition(col(partitionCol)).write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(path)
+}

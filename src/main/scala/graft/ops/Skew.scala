@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation by key salting (SURVEY.md §4.3). AQE's skew-join
@@ -39,5 +39,40 @@ object Skew {
       salted(skewedKey) === replicated(otherKey) &&
         salted("__salt_l") === replicated("__salt_r"), joinType)
       .drop("__salt_l").drop("__salt_r")
+  }
+
+  /** Two-stage skew-salted aggregation: count + exact decimal sum per
+    * key, computed as groupBy(key, salt) partials then a combine on
+    * the key alone. The first exchange spreads each hot key over
+    * `saltFactor` reducers (the stage that dies on power-law keys when
+    * unsalted); the second moves only `keys × saltFactor` partial
+    * rows. Count and decimal sum are associative, so the result is
+    * BIT-EQUAL to the plain groupBy at any salt — ns94's oracle IS
+    * the plain-groupBy SQL, the ns53 semantics-preserving-rewrite
+    * gate. Spark's own map-side partial aggregation already halves
+    * this problem for pure aggs; the explicit salt is the form that
+    * also carries high-cardinality per-key state (collect_set-like
+    * buffers) where map-side combine stops helping, and it works
+    * inside streaming micro-batches where AQE skew handling is
+    * unavailable.
+    *
+    * The salt must spread ROWS of one key, not depend on the key:
+    * xxhash64 of the whole row's value column + a row nonce would be
+    * content-dependent; simplest deterministic spreader is a hash of
+    * the value itself (equal values co-salt, still uniform for
+    * continuous values). Output: (keys, n, total). */
+  def saltedCountSum(df: DataFrame, keys: Seq[Column], valCol: Column,
+      saltFactor: Int, scale: Int = 2): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val names = keys.map(_.toString)
+    val partial = df
+      .withColumn("__salt", pmod(xxhash64(valCol), lit(saltFactor.toLong)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(valCol.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+          .as("__s"))
+    partial.groupBy(names.map(col): _*)
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("total"))
   }
 }

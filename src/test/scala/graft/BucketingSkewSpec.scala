@@ -59,4 +59,27 @@ class BucketingSkewSpec extends SparkSpec {
       .as[(String, Option[String])].collect().toSet
     assert(rows == Set(("a", Some("user_1")), ("b", None)))
   }
+
+  test("saltedCountSum equals plain groupBy and shuffles twice, " +
+      "partial stage keyed on (key, salt)") {
+    // one hot key dominating, plus a cold tail
+    val rows = (1 to 4000).map(i => ("hot", i * 0.01)) ++
+      (1 to 60).map(i => (s"cold_${i % 7}", i * 1.0))
+    val df = rows.toDF("k", "v").repartition(8)
+    val salted = Skew.saltedCountSum(df, Seq(col("k")), col("v"), 8)
+    val plain = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+    val a = salted.as[(String, Long, Double)].collect().toSet
+    val b = plain.as[(String, Long, Double)].collect().toSet
+    assert(a == b, "salted rewrite must be bit-equal to plain groupBy")
+    // plan law: two exchanges; the first partitions on (k, __salt)
+    val plan = salted.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, plan:\n$plan")
+    assert(plan.contains("__salt"),
+      s"first exchange must carry the salt, plan:\n$plan")
+  }
 }

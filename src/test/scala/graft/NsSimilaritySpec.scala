@@ -452,4 +452,43 @@ class NsSimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(again == capped)
   }
+
+  test("signedProjection: matches an independent brute-force impl, " +
+      "maps zero vectors to zero, and plans with no exchange") {
+    import graft.ns.Embeddings
+    val dim = 8
+    val rows = Seq(
+      (1L, Array(1.0f, -2.0f, 3.0f, 0.5f, -0.25f, 4.0f, -1.5f, 2.5f)),
+      (2L, Array.fill(dim)(0.0f)),                  // zero vector
+      (3L, Array(1.0f, -2.0f, 3.0f, 0.5f, -0.25f, 4.0f, -1.5f, 2.5f)),
+      (4L, Array(-3.0f, 1.0f, 0.0f, 2.0f, 5.0f, -0.5f, 0.75f, -4.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 6
+    val got = Embeddings.signedProjection(df, "vec_id", "embedding",
+      dim = dim, k = k)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, j, c) => (id, j) -> c }.toMap
+    // Independent impl: re-quantize and project in plain Scala.
+    def quant(xs: Array[Float]): Array[Long] = {
+      val sc = xs.map(x => math.abs(x.toDouble)).max
+      // HALF_UP away from zero — Spark's and DuckDB's round, which
+      // differs from math.round on negative .5 boundaries
+      if (sc == 0) xs.map(_ => 0L)
+      else xs.map(x => BigDecimal(x.toDouble * 127.0 / sc)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    for ((id, xs) <- rows; j <- 0 until k) {
+      val q = quant(xs)
+      val want = (0 until dim).map(i =>
+        q(i) * Embeddings.projectionSign(i, j, "rp")).sum
+      assert(got((id, j)) == want, s"(id=$id, j=$j)")
+    }
+    // zero vector → all-zero projection; identical inputs agree
+    assert((0 until k).forall(j => got((2L, j)) == 0L))
+    assert((0 until k).forall(j => got((1L, j)) == got((3L, j))))
+    // map-side law: the plan contains no shuffle
+    val plan = Embeddings.signedProjection(df, "vec_id", "embedding",
+      dim = dim, k = k).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no exchange:\n$plan")
+  }
 }

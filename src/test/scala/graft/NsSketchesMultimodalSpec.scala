@@ -238,6 +238,44 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("CMS sketch: merge-by-addition is bit-exact; estimates " +
+      "overestimate and hit exact counts for unique cells") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // Partition-split sketches summed per (source, seed, cell) must
+    // EQUAL the whole-corpus sketch — integer counts, any grouping.
+    val whole = Sketches.cmsSketch(docs, Seq(col("source")), "text")
+      .as[(String, Int, Long, Long)].collect().toSet
+    val h = abs(hash(col("doc_id"))) % 2
+    val partA = Sketches.cmsSketch(docs.filter(h === 0),
+      Seq(col("source")), "text")
+    val partB = Sketches.cmsSketch(docs.filter(h === 1),
+      Seq(col("source")), "text")
+    val summed = partA.unionByName(partB)
+      .groupBy(col("source"), col("seed"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(summed == whole, "CMS merge-by-addition must be bit-exact")
+    // Overestimate law: est(token) >= true frequency, for every
+    // source; and an absent token estimates from real cell collisions
+    // only (never negative, possibly > 0).
+    val sk = Sketches.cmsSketch(docs, Seq(col("source")), "text")
+    val truth = docs.select(col("source"),
+      explode(graft.ns.TextOps.wordTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (s, t, n) => (s, t) -> n }.toMap
+    val probeToks = truth.keys.map(_._2).toSeq.distinct.sorted.take(8) :+
+      "zz_token_never_in_corpus"
+    val ests = Sketches.cmsEstimate(sk, Seq("source"), probeToks)
+      .as[(String, String, Long)].collect()
+    assert(ests.nonEmpty)
+    ests.foreach { case (s, t, est) =>
+      val n = truth.getOrElse((s, t), 0L)
+      assert(est >= n, s"CMS must overestimate: ($s,$t) est=$est true=$n")
+    }
+  }
+
   test("writeWav → parseWav round-trips with exact integer sample facts") {
     val w = Multimodal.parseWav(Multimodal.writeWav(8000, 9)).get
     assert(w.sample_rate == 8000 && w.channels == 1 &&
