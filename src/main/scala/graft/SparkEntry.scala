@@ -466,6 +466,39 @@ object SparkEntry {
         concat(lit("DQ runbook for "), col("table_name")))
     }),
 
+    // ---- §2.6 Q1+ metric anomaly detection, gated ----
+    // The volume-spike/drop check on every hourly metric series:
+    // z-score vs the group's own history over exact cent-grid sums
+    // (ns91's fixed-operand-order derivation makes z hash-stable).
+    "dq03_metric_anomaly" -> ((s, d) =>
+      graft.dq.Checks.metricAnomalies(t(s, d, "events"),
+        "event_type", "ts", "value")),
+
+    // ---- §2.6 Q1+ referential integrity (FK orphans) ----
+    // Silent join loss, measured: child rows with no parent key.
+    "dq04_fk_orphans" -> ((s, d) =>
+      graft.dq.Checks.fkOrphans(t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey", "orders")
+        .unionByName(graft.dq.Checks.fkOrphans(t(s, d, "lineitem"),
+          "l_orderkey", t(s, d, "orders"), "o_orderkey", "lineitem"))),
+
+    // ---- §2.6 Q1+ series completeness (hour gaps) ----
+    // Missing hours per event_type; an empty result IS the check.
+    "dq05_series_gaps" -> ((s, d) =>
+      graft.dq.Checks.seriesGaps(t(s, d, "events"), "event_type", "ts")),
+
+    // ---- §2.6 Q1+ PSI distribution drift between snapshots ----
+    // The pre-retraining "did this feature move" gate: unit-bin
+    // histograms, Laplace smoothing over union bins, per-bin
+    // (q-p)ln(q/p) nano-quantized once (ns79's trick) then summed
+    // exactly.
+    "ns97_psi_drift" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.ns.Sketches.psiDrift(
+        ev.filter(col("event_id") % 10 =!= 3), ev,
+        "event_type", "value")
+    }),
+
     // ---- §2.8 [NS] exact dedup: fingerprint-grouped survivors ----
     "ns01_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
@@ -1251,6 +1284,18 @@ object SparkEntry {
         t(s, d, "events").select(col("event_type"), col("value")),
         Seq(col("event_type")), "value", Seq(0.25, 0.5, 0.75))),
 
+    // ---- §4.3 [NS] Z-order (Morton) layout key, gated ----
+    // The multi-column file-skipping layout: ns96 pins the bit
+    // interleave itself (pure codegen'd shifts, one map-side
+    // projection); the layout write + bounding-box skipping law live
+    // in ZOrderSpec.
+    "ns96_zorder_key" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        graft.ops.ZOrder.zValue(col("o_custkey").cast("long"),
+          col("o_orderkey").cast("long")).as("z"))),
+
     // ---- §2.8 [NS] signed random projection (exact, map-side) ----
     // Achlioptas ±1 dim-reduction over int8-quantized embeddings:
     // 64 floats -> 16 exact longs before LSH/ANN, one projection,
@@ -1865,6 +1910,54 @@ object SparkEntry {
         s.read.parquet(out)
           .select(col("run_hr").cast("long").as("run_hr"),
             col("c_mktsegment"), col("n"), col("total")), base)
+    }),
+
+    // ---- §7.4.6 streaming keyed upsert (CDC apply), driver-gated ----
+    // A "latest row per user" table maintained by startUpsertStream:
+    // target seeded from pre-cut1 history, then two time-split update
+    // files merged as separate micro-batches (maxFilesPerTrigger=1).
+    // Batches arrive in time order, so the final table must equal the
+    // global argmax-by-(ts, event_id) per user — the oracle computes
+    // exactly that over ALL events in one window.
+    "s07_stream_upsert" -> ((s, d) => {
+      val base = newScratchDir("graft_s07")
+      val cut1 = "2024-01-15 00:00:00"
+      val cut2 = "2024-01-30 00:00:00"
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("ts"), col("event_type"), col("value"),
+        pmod(col("user_id"), lit(8L)).as("part"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val seed = ev.filter(col("ts") < lit(cut1))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val path = s"${base.getPath}/target"
+      graft.ops.MergeUpsert.init(seed, path, "part")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      // Two flat, mtime-ordered batch files: the file source processes
+      // oldest-first, so the CDC in-order contract holds by layout.
+      Seq(col("ts") >= lit(cut1) && col("ts") < lit(cut2),
+        col("ts") >= lit(cut2)).zipWithIndex.foreach { case (p, i) =>
+        val tmp = new java.io.File(base, s"tmp$i")
+        ev.filter(p).coalesce(1).write.parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        deleteRecursively(tmp)
+      }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val q = EventStream.startUpsertStream(stream, path,
+        s"${base.getPath}/ckpt", keyCols = Seq("user_id"),
+        versionCols = Seq("ts", "event_id"), partitionCol = "part")
+      q.awaitTermination()
+      materializeAndDrop(
+        s.read.parquet(path).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          col("value"), col("part").cast("long").as("part")), base)
     }),
 
     // ---- §7.4.6 streaming curation pass, driver-gated ----
@@ -2636,6 +2729,98 @@ object SparkEntry {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
         |  'urn:li:tag:Monitored_By_Anomalo'
         |FROM m""".stripMargin,
+    // LEFT JOIN against distinct parent keys; orphans = unmatched.
+    "dq04_fk_orphans" ->
+      """WITH ck AS (SELECT DISTINCT c_custkey FROM customer),
+        |ok AS (SELECT DISTINCT o_orderkey FROM orders)
+        |SELECT 'orders' AS child_table,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(ck.c_custkey) AS BIGINT) AS n_orphans
+        |FROM orders LEFT JOIN ck ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(ok.o_orderkey) AS BIGINT)
+        |FROM lineitem LEFT JOIN ok ON l_orderkey = o_orderkey""".stripMargin,
+    // lead() over distinct (group, hour); a >1h step is a gap.
+    "dq05_series_gaps" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, hr,
+        |    lead(hr) OVER (PARTITION BY event_type ORDER BY hr) AS nxt
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(strftime(hr, '%Y%m%d%H') || '00' AS BIGINT)
+        |    AS gap_after_hr,
+        |  CAST((epoch(nxt) - epoch(hr)) / 3600 - 1 AS BIGINT)
+        |    AS missing_hours
+        |FROM l
+        |WHERE nxt IS NOT NULL AND epoch(nxt) - epoch(hr) > 3600""".stripMargin,
+    // ns91's derivation operand-for-operand: exact cent sums, then
+    // mean/var/z as the same IEEE double expression tree.
+    "dq03_metric_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(strftime(ts, '%Y%m%d%H') || '00' AS BIGINT) AS run_hr,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x_cents
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(x_cents) AS s1, SUM(x_cents * x_cents) AS s2
+        |  FROM h GROUP BY 1),
+        |d AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n
+        |      AS var FROM st),
+        |zc AS (
+        |  SELECT h.event_type, run_hr, x_cents,
+        |    CASE WHEN var <= 0 THEN 0.0
+        |      ELSE (CAST(x_cents AS DOUBLE) - mean) / sqrt(var)
+        |    END AS z
+        |  FROM h JOIN d ON h.event_type = d.event_type)
+        |SELECT event_type, run_hr, x_cents, z,
+        |  abs(z) > 3.0 AS is_anomaly
+        |FROM zc""".stripMargin,
+    // ns79's smoothing and fixed-point quantization over unit value
+    // bins; the long sum per group is then exact.
+    "ns97_psi_drift" ->
+      """WITH ha AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+        |    count(*) AS n_old
+        |  FROM events WHERE event_id % 10 != 3 GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+        |    count(*) AS n_new
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(ha.event_type, hb.event_type) AS event_type,
+        |    coalesce(ha.bin, hb.bin) AS bin,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM ha FULL OUTER JOIN hb
+        |    ON ha.event_type = hb.event_type AND ha.bin = hb.bin),
+        |tot AS (
+        |  SELECT event_type, SUM(n_old) AS ta, SUM(n_new) AS tb,
+        |    COUNT(*) AS v
+        |  FROM j GROUP BY 1),
+        |c AS (
+        |  SELECT j.event_type,
+        |    CAST(round(
+        |      ((CAST(n_new AS DOUBLE) + 0.5) /
+        |         (CAST(tb AS DOUBLE) + 0.5 * (CAST(v AS DOUBLE) + 1.0))
+        |       - (CAST(n_old AS DOUBLE) + 0.5) /
+        |         (CAST(ta AS DOUBLE) + 0.5 * (CAST(v AS DOUBLE) + 1.0)))
+        |      * ln(((CAST(n_new AS DOUBLE) + 0.5) /
+        |         (CAST(tb AS DOUBLE) + 0.5 * (CAST(v AS DOUBLE) + 1.0)))
+        |        / ((CAST(n_old AS DOUBLE) + 0.5) /
+        |         (CAST(ta AS DOUBLE) + 0.5 * (CAST(v AS DOUBLE) + 1.0))))
+        |      * 16777216.0) AS BIGINT) AS cfx
+        |  FROM j JOIN tot ON j.event_type = tot.event_type)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(cfx) AS BIGINT) AS psi_fx
+        |FROM c GROUP BY event_type""".stripMargin,
     // cosine arithmetic mirrors Similarity.dot exactly: element-wise
     // CAST to DOUBLE, multiply, sequential-fold sum — bit-identical to
     // Spark's aggregate(zip_with(...)), so scores hash-match.
@@ -2889,6 +3074,19 @@ object SparkEntry {
         | AND date_trunc('hour', ts) + INTERVAL 1 HOUR
         |     <= m - INTERVAL 30 MINUTE
         |GROUP BY 1, 2""".stripMargin,
+    // Drained streaming upsert ≡ latest-per-key over ALL events: the
+    // within-batch window keeps the batch's max (ts, event_id) per
+    // user and time-ordered batches make the last writer the global
+    // argmax, so one window over the whole table is the exact oracle.
+    "s07_stream_upsert" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    value, user_id % 8 AS part,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us, event_type, value, part
+        |FROM ranked WHERE rn = 1""".stripMargin,
     // Drained stream-stream inner join ≡ the batch range join (ns31's
     // SQL) on the same bounded window — see the s05 registration note.
     "s05_stream_stream_join" ->
@@ -3814,6 +4012,17 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN cm >= ceil(0.75 * n) THEN v END)
         |    AS DOUBLE) / 100 AS p75
         |FROM cum GROUP BY event_type""".stripMargin,
+    // The same 32 shift/mask terms, summed (bit positions disjoint,
+    // so + ≡ OR); generated to match zValue(bits = 16) exactly.
+    "ns96_zorder_key" -> {
+      val terms = (0 until 16).flatMap(b => Seq(
+        s"(((o_custkey >> $b) & 1) << ${2 * b})",
+        s"(((o_orderkey >> $b) & 1) << ${2 * b + 1})"))
+      s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         | CAST(o_custkey AS BIGINT) AS o_custkey,
+         | CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+         |FROM orders""".stripMargin
+    },
     // ns35's quantization CTE, then an exact integer projection whose
     // ±1 signs come from the same md5-nibble parity per (i, j).
     "ns95_signed_projection" ->

@@ -150,4 +150,85 @@ object Checks {
     }
     results
   }
+
+  /** Metric anomaly detection over a per-(group, hour) series: z-score
+    * each hour's metric against its group's own history, flag
+    * |z| > threshold. The volume-drop / volume-spike check a SaaS DQ
+    * suite runs on every table, as one engine pass: hourly totals on
+    * the exact cent grid (long sums — ns91's trick), then per-group
+    * count/Σx/Σx² in a second tiny agg, so mean, variance, and z are
+    * fixed-operand-order doubles over exact integers — deterministic
+    * at any partitioning, hash-gatable (dq03). Constant series
+    * (var ≤ 0, fp-guard included) z-score to 0, not NaN.
+    *
+    * Scale shape: pass 1 reduces rows → one row per (group, hour)
+    * with map-side combine; pass 2 aggregates that histogram-sized
+    * frame; the stats broadcast back. Output: (groupCol, run_hr,
+    * x_cents, z, is_anomaly). */
+  def metricAnomalies(events: DataFrame, groupCol: String,
+      tsCol: String, valCol: String,
+      threshold: Double = 3.0): DataFrame = {
+    val hourly = events
+      .select(col(groupCol),
+        graft.ingest.JsonIngest.runHr(col(tsCol)).as("run_hr"),
+        round(col(valCol) * 100).cast("long").as("__c"))
+      .groupBy(col(groupCol), col("run_hr"))
+      .agg(sum(col("__c")).as("x_cents"))
+    val stats = hourly.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x_cents")).as("s1"),
+        sum(col("x_cents") * col("x_cents")).as("s2"))
+      .select(col(groupCol), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("__mean"),
+        ((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("n")) / col("n"))
+          .as("__var"))
+    val z = when(col("__var") <= 0d, lit(0.0))
+      .otherwise((col("x_cents").cast("double") - col("__mean")) /
+        sqrt(col("__var")))
+    hourly.join(broadcast(stats), Seq(groupCol))
+      .select(col(groupCol), col("run_hr"), col("x_cents"),
+        z.as("z"), (abs(z) > threshold).as("is_anomaly"))
+  }
+
+  /** Referential-integrity check: rows in `child` whose `childKey`
+    * has no match in `parent` (FK orphans — silent join loss waiting
+    * to happen downstream). One row out per child table: total rows,
+    * orphan rows. Parent keys are reduced to DISTINCT before the
+    * join, so the probe side of the hash join carries one row per
+    * key — broadcastable for dimensions, AQE-planned otherwise; a
+    * null child key counts as an orphan (it matches nothing).
+    * Output: (child_table, n_rows, n_orphans). */
+  def fkOrphans(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, childTable: String): DataFrame = {
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    child.join(keys, col(childKey) === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("__pk"))).as("n_orphans"))
+      .select(lit(childTable).as("child_table"), col("n_rows"),
+        col("n_orphans"))
+  }
+
+  /** Completeness check on an hourly series: per group, report every
+    * gap — an observed hour whose NEXT observed hour is more than one
+    * hour later — with the count of missing hours. The exchange
+    * carries one row per DISTINCT (group, hour); the lead() window
+    * runs over that reduced frame, so a year of 100 TB events costs
+    * ~8 760 rows per group after the map-side combine. Output:
+    * (groupCol, gap_after_hr, missing_hours) — empty result means a
+    * dense series, which is itself the assertion. */
+  def seriesGaps(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val hours = events
+      .select(col(groupCol), date_trunc("hour", col(tsCol)).as("__hr"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__hr"))
+    hours.withColumn("__next", lead(col("__hr"), 1).over(w))
+      .filter(col("__next").isNotNull &&
+        unix_timestamp(col("__next")) - unix_timestamp(col("__hr")) > 3600L)
+      .select(col(groupCol),
+        graft.ingest.JsonIngest.runHr(col("__hr")).as("gap_after_hr"),
+        ((unix_timestamp(col("__next")) - unix_timestamp(col("__hr"))) /
+          lit(3600L) - lit(1L)).cast("long").as("missing_hours"))
+  }
 }

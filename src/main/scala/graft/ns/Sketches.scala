@@ -219,6 +219,49 @@ object Sketches {
       .agg(min(col("__c")).as("est"))
   }
 
+  /** Population Stability Index between two snapshots of a numeric
+    * column, per group — the standard "did this feature's
+    * distribution move" gate in front of (re)training: PSI < 0.1
+    * stable, > 0.25 drifted. Values are binned on the integer grid
+    * (unit bins via floor), counts Laplace-smoothed over the union of
+    * observed bins, and each bin's (q−p)·ln(q/p) contribution is
+    * nano-quantized ONCE (ns79's fixed-point trick: libm ln is
+    * bit-stable vs DuckDB, and a single round makes the long sum
+    * partition- and order-independent ⇒ hash-gatable).
+    *
+    * Scale shape: two corpus passes that reduce to one row per
+    * DISTINCT (group, bin) before the full-outer join — exchanges
+    * carry histograms, not rows; totals broadcast-join back on the
+    * group key. Output: (groupCol, n_bins, psi_fx) with psi =
+    * psi_fx / 2^fracBits. */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, groupCol: String,
+      valCol: String, alpha: Double = 0.5,
+      fracBits: Int = 24): DataFrame = {
+    require(alpha > 0 && fracBits >= 1 && fracBits <= 30,
+      "bad psiDrift parameters")
+    val scale = (1L << fracBits).toDouble
+    def hist(df: DataFrame, as: String) = df
+      .select(col(groupCol), floor(col(valCol)).cast("long").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as(as))
+    val j = hist(oldDf, "n_old")
+      .join(hist(newDf, "n_new"), Seq(groupCol, "bin"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val tot = j.groupBy(col(groupCol))
+      .agg(sum(col("n_old")).as("ta"), sum(col("n_new")).as("tb"),
+        count(lit(1)).as("v"))
+    val w = j.join(broadcast(tot), Seq(groupCol))
+    val p = (col("n_old").cast("double") + lit(alpha)) /
+      (col("ta").cast("double") +
+        lit(alpha) * (col("v").cast("double") + lit(1.0)))
+    val q = (col("n_new").cast("double") + lit(alpha)) /
+      (col("tb").cast("double") +
+        lit(alpha) * (col("v").cast("double") + lit(1.0)))
+    val contrib = round((q - p) * log(q / p) * scale).cast("long")
+    w.select(col(groupCol), contrib.as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_bins"), sum(col("__c")).as("psi_fx"))
+  }
+
   def winsorize(df: DataFrame, idCol: String, valCol: String,
       loQ: Double, hiQ: Double, scale: Long = 100L): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")

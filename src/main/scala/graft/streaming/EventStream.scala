@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.ingest.JsonIngest
-import graft.ops.{IdempotentWriter, Relational}
+import graft.ops.{IdempotentWriter, MergeUpsert, Relational}
 
 /** Structured Streaming restatement of the hourly batch pipeline
   * (SURVEY.md §7.4.6): when the reference's cron cadence becomes a
@@ -85,6 +85,45 @@ object EventStream {
         if (!batch.isEmpty)
           IdempotentWriter.replacePartitions(
             batch.repartition(col("run_hr")), path, Seq("run_hr"))
+      }
+      .start()
+
+  /** Streaming keyed UPSERT sink: each micro-batch MERGEs into a
+    * partitioned parquet table via [[MergeUpsert]] — the streaming
+    * CDC-apply pattern (a materialized "latest row per key" view over
+    * an update stream). Within a batch, last-writer-wins is made
+    * deterministic by keeping only the max-`versionCols` row per key
+    * (one bounded window over the micro-batch). Across batches the
+    * contract is the standard CDC commit-order one: the source
+    * delivers a key's updates in non-decreasing version order
+    * (time-split files, a log offset, a CDC commit sequence), so the
+    * last batch to touch a key carries its latest version.
+    *
+    * Per micro-batch cost is [[MergeUpsert]]'s: read/rewrite ONLY the
+    * partitions the batch touches, so a trickle of updates against a
+    * 100 TB table does partition-sized work, not table-sized. Replays
+    * of a batch (at-least-once delivery, checkpoint recovery) are
+    * no-ops by the merge's idempotency law. `outputMode` is Append
+    * only because foreachBatch requires one — the sink defines the
+    * semantics. */
+  def startUpsertStream(updates: DataFrame, path: String,
+      checkpointDir: String, keyCols: Seq[String],
+      versionCols: Seq[String], partitionCol: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy((keyCols :+ partitionCol).map(col): _*)
+            .orderBy(versionCols.map(c => col(c).desc): _*)
+          val latest = batch.withColumn("__rn",
+            row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+          MergeUpsert.merge(latest, path, keyCols, partitionCol)
+          ()
+        }
       }
       .start()
 

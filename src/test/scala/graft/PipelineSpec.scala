@@ -287,4 +287,85 @@ class PipelineSpec extends SparkSpec {
     assert(Checks.CheckStatus.parse("???") == Unknown)
     assert(!Pending.done && Complete.done && Skipped.done && !Unknown.done)
   }
+
+  test("dq03: a planted volume spike is flagged; constant series " +
+      "z-scores to 0, never NaN") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30 steady hours at ~100.00 plus one 100x spike hour
+    val steady = (0 until 24).flatMap(h => Seq(
+      ("clicks", f"2024-01-01 $h%02d:15:00", 60.0),
+      ("clicks", f"2024-01-01 $h%02d:45:00", 40.0)))
+    val spike = Seq(("clicks", "2024-01-02 06:30:00", 10000.0))
+    val const = (0 until 10).map(h =>
+      ("flat", f"2024-01-03 $h%02d:00:00", 5.0))
+    val ev = (steady ++ spike ++ const)
+      .toDF("event_type", "tss", "value")
+      .select(col("event_type"), to_timestamp(col("tss")).as("ts"),
+        col("value"))
+    val got = Checks.metricAnomalies(ev, "event_type", "ts", "value")
+      .as[(String, Long, Long, Double, Boolean)].collect()
+    val anomalies = got.filter(_._5)
+    assert(anomalies.map(r => (r._1, r._2)).toSet ==
+      Set(("clicks", 202401020600L)))
+    val flat = got.filter(_._1 == "flat")
+    assert(flat.nonEmpty && flat.forall(r => r._4 == 0.0 && !r._5))
+    assert(got.forall(r => !r._4.isNaN))
+  }
+
+  test("dq04: planted orphans counted exactly; null keys are orphans") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L))
+      .toDF("fk")
+    val got = Checks.fkOrphans(child, "fk", parent, "pk", "kids")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("kids", 5L, 2L)))
+    // duplicate parent keys must not multiply child rows
+    val dupParent = Seq(1L, 1L, 2L, 3L, 3L).toDF("pk")
+    val again = Checks.fkOrphans(child, "fk", dupParent, "pk", "kids")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(again == Seq(("kids", 5L, 2L)))
+  }
+
+  test("dq05: planted hour gaps reported with exact missing counts, " +
+      "dense series reports none") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hours 00,01,02 then 05 (gap of 2), then 06; 'dense' has no gap
+    val rows = Seq(
+      ("a", "2024-02-01 00:10:00"), ("a", "2024-02-01 01:20:00"),
+      ("a", "2024-02-01 02:59:00"), ("a", "2024-02-01 05:00:00"),
+      ("a", "2024-02-01 06:30:00"),
+      ("dense", "2024-02-01 00:00:00"), ("dense", "2024-02-01 01:00:00"))
+    val ev = rows.toDF("event_type", "tss")
+      .select(col("event_type"), to_timestamp(col("tss")).as("ts"))
+    val got = Checks.seriesGaps(ev, "event_type", "ts")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 202402010200L, 2L)))
+  }
+
+  test("ns97 PSI: ~0 on identical snapshots, positive under a planted " +
+      "shift, non-negative per the (q-p)ln(q/p) identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ns.Sketches
+    val a = (1 to 500).map(i => ("m", 1L + i % 10, i.toLong))
+      .toDF("event_type", "value", "event_id")
+      .select(col("event_type"), col("value").cast("double").as("value"),
+        col("event_id"))
+    // identical snapshots: every bin's p == q, psi exactly 0
+    val same = Sketches.psiDrift(a, a, "event_type", "value")
+      .as[(String, Long, Long)].collect()
+    assert(same.nonEmpty && same.forall(_._3 == 0L))
+    // planted shift: second snapshot's values moved up by 5 units
+    val b = a.withColumn("value", col("value") + lit(5.0))
+    val shifted = Sketches.psiDrift(a, b, "event_type", "value")
+      .as[(String, Long, Long)].collect()
+    assert(shifted.forall(_._3 > 0L), s"PSI must be positive: ${shifted.toSeq}")
+    // partition independence: exact same psi_fx at another layout
+    val shifted2 = Sketches.psiDrift(a.repartition(13), b.repartition(7),
+      "event_type", "value").as[(String, Long, Long)].collect()
+    assert(shifted.toSet == shifted2.toSet)
+  }
 }

@@ -249,6 +249,53 @@ class StreamingSpec extends SparkSpec {
   // Stream ≡ batch for the stream-stream range join (the s05 gate's
   // operator-level twin): the drained watermarked inner join must
   // equal graft.ops.TemporalJoin.rangeJoin over the same fixture.
+  test("startUpsertStream: within-batch disorder resolved by version, " +
+      "cross-batch last-writer wins, replayed batch is a no-op") {
+    import graft.ops.MergeUpsert
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_upsert_spec").toString
+    val path = s"$base/t"
+    // part is a pure function of the key (stable-partition contract)
+    MergeUpsert.init(
+      Seq((1L, 10L, "a", 10L), (2L, 10L, "b", 10L), (3L, 20L, "c", 1L))
+        .toDF("uid", "ver", "payload", "part"), path, "part")
+    // Batch file with WITHIN-batch disorder: uid=1 arrives ver 30
+    // then ver 20 — the sink must keep ver 30. uid=4 is an insert.
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    def writeBatch(n: Int, rows: Seq[(Long, Long, String, Long)]): Unit = {
+      val tmp = new java.io.File(base, s"tmp$n")
+      rows.toDF("uid", "ver", "payload", "part")
+        .coalesce(1).write.parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$n.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + n * 60000L)
+    }
+    writeBatch(0, Seq((1L, 30L, "a3", 10L), (1L, 20L, "a2", 10L),
+      (4L, 5L, "d", 20L)))
+    writeBatch(1, Seq((2L, 40L, "b4", 10L)))
+    def drain(ckpt: String): Unit = {
+      val stream = EventStream.fileSource(spark, srcDir.getPath,
+        spark.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val q = EventStream.startUpsertStream(stream, path, ckpt,
+        keyCols = Seq("uid"), versionCols = Seq("ver"),
+        partitionCol = "part")
+      q.awaitTermination()
+    }
+    drain(s"$base/ckpt")
+    def table(): Set[(Long, Long, String, Long)] =
+      spark.read.parquet(path)
+        .select($"uid", $"ver", $"payload", $"part".cast("long"))
+        .as[(Long, Long, String, Long)].collect().toSet
+    val want = Set((1L, 30L, "a3", 10L), (2L, 40L, "b4", 10L),
+      (3L, 20L, "c", 1L), (4L, 5L, "d", 20L))
+    assert(table() == want)
+    // Replaying the SAME files through a fresh checkpoint re-merges
+    // both batches; the idempotency law keeps the table unchanged.
+    drain(s"$base/ckpt2")
+    assert(table() == want)
+  }
+
   test("clickAttribution drained equals the batch range join") {
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val batchEv = Tables.normalizeTs(raw)
