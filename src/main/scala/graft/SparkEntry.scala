@@ -1313,6 +1313,13 @@ object SparkEntry {
       graft.ops.Skew.saltedCountSum(t(s, d, "events"),
         Seq(col("event_type")), col("value"), saltFactor = 8)),
 
+    // ---- §2.8 [NS] feature hashing (hashing-trick vectorizer) ----
+    // Vocabulary-free bag-of-words onto a fixed 1024-cell grid;
+    // sparse exact rows, the text front end for linear models.
+    "ns98_feature_hashing" -> ((s, d) =>
+      graft.ns.TextOps.featureHash(t(s, d, "documents"),
+        "doc_id", "text")),
+
     // ---- §2.8 [NS] count-min sketch columns, exact-oracle ----
     // Frequency complement to ns59's HLL: sparse (seed, cell, cnt)
     // rows per source whose md5-derived cells make the WHOLE sketch
@@ -4057,6 +4064,18 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+    // ns21's word split, the ns17 md5-prefix cell, exact counts.
+    "ns98_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> length(x) > 0)) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok || ':fh'), 1, 8)) AS BIGINT)
+        |    % 1024 AS cell,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY 1, 2""".stripMargin,
     // The whole CMS is exact: ns21's word split, the ns17 md5-prefix
     // hash per (token, seed), integer counts per (source, seed, cell).
     "ns93_cms_sketch" ->

@@ -874,4 +874,29 @@ object TextOps {
         contrib.as("skl_fx"))
       .orderBy(col("skl_fx").desc, col("token")).limit(k)
   }
+
+  /** Feature hashing (the hashing trick): bag-of-words folded onto a
+    * fixed `dim`-cell grid by the repo's DuckDB-replicable md5 hash —
+    * the vocabulary-free text vectorizer in front of a linear model
+    * or [[graft.ns.Embeddings.signedProjection]]-style reduction. No
+    * vocab table to build, broadcast, or drift (contrast ns73's fixed
+    * weight table): the "vocabulary" is the hash function, so the op
+    * is one map-side explode + one (id, cell) count — sparse rows
+    * out, exact integer counts, collisions deterministic.
+    *
+    * Scale shape: the exchange carries ≤ min(tokens, dim) rows per
+    * document (nnz law in spec); dim bounds the vector, not the
+    * corpus. Output: (idCol, cell, cnt). */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    df.select(col(idCol),
+        explode(wordTokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .withColumn("cell",
+        conv(substring(md5(concat(col("__tok"), lit(":fh"))), 1, 8),
+          16, 10).cast("long") % dim)
+      .groupBy(col(idCol), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

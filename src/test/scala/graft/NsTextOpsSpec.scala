@@ -580,4 +580,30 @@ class NsTextOpsSpec extends SparkSpec {
     assert(out(2L) == ((3L, 70000L, true)))
     assert(out(3L) == ((0L, -50000L, false)))
   }
+
+  test("featureHash: counts preserved under folding, repeated tokens " +
+      "share a cell, nnz bounded, partition-independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, ""),
+      (3L, "Alpha  ALPHA alpha")) // normText folds case/whitespace
+      .toDF("doc_id", "text")
+    val got = TextOps.featureHash(docs, "doc_id", "text", dim = 64)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = got.groupBy(_._1)
+    // total counts preserved: folding moves tokens, never drops them
+    assert(byDoc(1L).map(_._3).sum == 4L)
+    assert(byDoc(3L).map(_._3).sum == 3L)
+    assert(!byDoc.contains(2L)) // empty text -> no rows
+    // identical tokens land in one cell: doc 3 is one cell of count 3
+    assert(byDoc(3L).length == 1 && byDoc(3L).head._3 == 3L)
+    // nnz <= distinct tokens; cells within [0, dim)
+    assert(byDoc(1L).length <= 3)
+    assert(got.forall(r => r._2 >= 0 && r._2 < 64))
+    // partition independence
+    val again = TextOps.featureHash(docs.repartition(7), "doc_id",
+      "text", dim = 64).as[(Long, Long, Long)].collect()
+    assert(again.toSet == got.toSet)
+  }
 }
