@@ -1313,6 +1313,23 @@ object SparkEntry {
       graft.ops.Skew.saltedCountSum(t(s, d, "events"),
         Seq(col("event_type")), col("value"), saltFactor = 8)),
 
+    // ---- §2.8 [NS] label-noise detection (confident-learning) ----
+    // Leave-one-out kNN disagreement over an audited slice: a row
+    // whose 5 nearest neighbors (self excluded by bruteForceTopK)
+    // out-vote its own label is a relabel/review candidate. The exact
+    // kNN core is ns48's; ns54's ANN twin is the large-slice path.
+    "ns99_label_noise" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val audited = emb.filter(col("vec_id") < 100)
+      val pred = Similarity.knnClassify(emb, "vec_id", "embedding",
+        "label", audited, "vec_id", "embedding", k = 5)
+      pred.join(audited.select(col("vec_id").as("query_id"),
+          col("label").as("own_label")), Seq("query_id"))
+        .select(col("query_id"), col("own_label"), col("pred_label"),
+          col("votes"),
+          (col("pred_label") =!= col("own_label")).as("suspect"))
+    }),
+
     // ---- §2.8 [NS] feature hashing (hashing-trick vectorizer) ----
     // Vocabulary-free bag-of-words onto a fixed 1024-cell grid;
     // sparse exact rows, the text front end for linear models.
@@ -4064,6 +4081,42 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+    // ns48's leave-one-out kNN SQL over the audited slice, plus the
+    // own-label join and the disagreement flag.
+    "ns99_label_noise" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, label AS own_label
+        |  FROM embeddings WHERE vec_id < 100),
+        |c AS (
+        |  SELECT vec_id, embedding, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label,
+        |    list_sum(list_transform(range(1, len(c.embedding)+1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM c, q WHERE c.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, label AS pred_label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked WHERE rk <= 5 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT query_id, pred_label, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, pred_label) AS vr
+        |  FROM votes)
+        |SELECT b.query_id, q.own_label, b.pred_label, b.votes,
+        |  b.pred_label != q.own_label AS suspect
+        |FROM best b JOIN q ON b.query_id = q.query_id
+        |WHERE vr = 1""".stripMargin,
     // ns21's word split, the ns17 md5-prefix cell, exact counts.
     "ns98_feature_hashing" ->
       """WITH toks AS (

@@ -453,6 +453,31 @@ class NsSimilaritySpec extends SparkSpec {
     assert(again == capped)
   }
 
+  test("label-noise composition: a planted mislabel in a tight " +
+      "cluster is out-voted; clean labels are not flagged") {
+    import graft.ns.Similarity
+    // two tight clusters around orthogonal axes; vec 5 sits in
+    // cluster A but carries cluster B's label
+    def v(axis: Int, eps: Double, at: Int): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(axis) = 1.0f; a(at) = a(at) + eps.toFloat; a
+    }
+    val rows = (0 until 5).map(i => (i.toLong, v(0, 0.01 * i, 3), 0)) ++
+      Seq((5L, v(0, 0.02, 4), 1)) ++  // mislabeled: geometry A, label B
+      (6 until 11).map(i => (i.toLong, v(1, 0.01 * (i - 6), 5), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val audited = emb
+    val pred = Similarity.knnClassify(emb, "vec_id", "embedding",
+      "label", audited, "vec_id", "embedding", k = 3)
+    val flags = pred.join(audited.select(col("vec_id").as("query_id"),
+        col("label").as("own_label")), Seq("query_id"))
+      .select(col("query_id"),
+        (col("pred_label") =!= col("own_label")).as("suspect"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(5L), "the planted mislabel must be flagged")
+    assert((0 until 5).forall(i => !flags(i.toLong)))
+    assert((6 until 11).forall(i => !flags(i.toLong)))
+  }
+
   test("signedProjection: matches an independent brute-force impl, " +
       "maps zero vectors to zero, and plans with no exchange") {
     import graft.ns.Embeddings
