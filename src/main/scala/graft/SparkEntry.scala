@@ -1984,6 +1984,36 @@ object SparkEntry {
           col("value"), col("part").cast("long").as("part")), base)
     }),
 
+    // ---- §7.4.6 streaming sketch maintenance, driver-gated ----
+    // Documents stream in two micro-batches; per-batch CMS deltas
+    // land as idempotent batch_id partitions and the merged read must
+    // BIT-EQUAL the whole-corpus batch sketch — same oracle as ns93.
+    "s08_stream_sketch" -> ((s, d) => {
+      val base = newScratchDir("graft_s08")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      val docs = t(s, d, "documents")
+      Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0)
+        .zipWithIndex.foreach { case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          docs.filter(p).coalesce(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+        }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val store = s"${base.getPath}/sketch"
+      val q = EventStream.startSketchStream(stream, store,
+        s"${base.getPath}/ckpt", "source", "text")
+      q.awaitTermination()
+      materializeAndDrop(
+        EventStream.readSketchStore(s, store, "source"), base)
+    }),
+
     // ---- §7.4.6 streaming curation pass, driver-gated ----
     // The curation operators are stateless projections, so they run
     // UNCHANGED on a stream: quality + language gates as pure-column
@@ -3098,6 +3128,22 @@ object SparkEntry {
         | AND date_trunc('hour', ts) + INTERVAL 1 HOUR
         |     <= m - INTERVAL 30 MINUTE
         |GROUP BY 1, 2""".stripMargin,
+    // Drained sketch store ≡ the whole-corpus CMS: merge-by-addition
+    // is exact, so this is ns93's oracle VERBATIM.
+    "s08_stream_sketch" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |cells AS (
+        |  SELECT source, seed,
+        |    CAST(('0x' || substr(md5(tok || ':cms' || CAST(seed AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 256 AS cell
+        |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS seed))
+        |SELECT source, CAST(seed AS INT) AS seed, cell,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM cells GROUP BY 1, 2, 3""".stripMargin,
     // Drained streaming upsert ≡ latest-per-key over ALL events: the
     // within-batch window keeps the batch's max (ts, event_id) per
     // user and time-ordered batches make the last writer the global

@@ -127,6 +127,45 @@ object EventStream {
       }
       .start()
 
+  /** Streaming sketch maintenance: each micro-batch's count-min
+    * sketch ([[graft.ns.Sketches.cmsSketch]]) lands as a PER-BATCH
+    * partition of a sketch store; [[readSketchStore]] merges by
+    * exact integer addition (the ns93 law), so the drained store
+    * reads BIT-EQUAL to the batch sketch over all data regardless of
+    * how the stream was batched. Store-per-batch/merge-at-read makes
+    * replays exactly-once for free: a re-delivered batch REPLACES its
+    * own batch_id partition (O10's dynamic overwrite), never
+    * double-adds. No watermark, no state store — the store stays
+    * bounded at batches × groups × depth × width kilobyte-sized
+    * rows, re-compactable any time by rewriting the merged read
+    * (j08's move). */
+  def startSketchStream(docs: DataFrame, path: String,
+      checkpointDir: String, groupCol: String, textCol: String,
+      depth: Int = 4, width: Int = 256,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ns.Sketches.cmsSketch(batch,
+            Seq(col(groupCol)), textCol, depth, width)
+            .withColumn("batch_id", lit(batchId))
+          IdempotentWriter.replacePartitions(
+            delta.coalesce(1), path, Seq("batch_id"))
+        }
+      }
+      .start()
+
+  /** Merge a [[startSketchStream]] store to the current sketch:
+    * exact addition per (group, seed, cell). */
+  def readSketchStore(spark: SparkSession, path: String,
+      groupCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col(groupCol), col("seed"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Row-level exact dedup for at-least-once streaming ingest: the
     * streaming restatement of the reference's batch idempotency guards
     * (S2 skip-if-exists / O10 delete+insert replace whole re-delivered

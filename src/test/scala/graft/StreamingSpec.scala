@@ -296,6 +296,45 @@ class StreamingSpec extends SparkSpec {
     assert(table() == want)
   }
 
+  test("startSketchStream: drained store reads bit-equal to the " +
+      "whole-corpus CMS; replaying a batch never double-adds") {
+    import graft.ns.Sketches
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sketch_stream").toString
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val docs = Seq((1L, "s1", "alpha beta"), (2L, "s1", "beta gamma"),
+      (3L, "s2", "alpha alpha"), (4L, "s2", "delta"))
+      .toDF("doc_id", "source", "text")
+    Seq(0, 1).foreach { i =>
+      val tmp = new java.io.File(base, s"tmp$i")
+      docs.filter(col("doc_id") % 2 === i).coalesce(1)
+        .write.parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val store = s"$base/sketch"
+    def drain(ckpt: String): Unit = {
+      val stream = EventStream.fileSource(spark, srcDir.getPath,
+        spark.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      EventStream.startSketchStream(stream, store, ckpt,
+        "source", "text").awaitTermination()
+    }
+    drain(s"$base/ckpt")
+    def merged(): Set[(String, Int, Long, Long)] =
+      EventStream.readSketchStore(spark, store, "source")
+        .as[(String, Int, Long, Long)].collect().toSet
+    val whole = Sketches.cmsSketch(docs, Seq(col("source")), "text")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(merged() == whole,
+      "drained store must bit-equal the batch sketch")
+    // fresh-checkpoint replay re-delivers both batches; batch_id
+    // partition replacement keeps the store unchanged
+    drain(s"$base/ckpt2")
+    assert(merged() == whole)
+  }
+
   test("clickAttribution drained equals the batch range join") {
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val batchEv = Tables.normalizeTs(raw)
