@@ -1330,6 +1330,27 @@ object SparkEntry {
           (col("pred_label") =!= col("own_label")).as("suspect"))
     }),
 
+    // The large-slice label-noise scale twin: neighbors from ns54's
+    // LSH candidate generation instead of the exact all-pairs scan
+    // (ns99 measures linear-in-corpus by design, the diagnostic;
+    // this path is the one a full-corpus audit takes). Rows-only by
+    // the same declared design as ns54: candidates are LSH-dependent.
+    "ns99b_label_noise_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val audited = emb.filter(col("vec_id") < 100)
+      val pred = Similarity.voteLabels(
+        Similarity.annTopK(emb, "vec_id", "embedding",
+          audited, "vec_id", "embedding",
+          k = 5, minCosine = -1.0, numHashTables = 8,
+          bucketLength = 0.2),
+        emb, "vec_id", "label")
+      pred.join(audited.select(col("vec_id").as("query_id"),
+          col("label").as("own_label")), Seq("query_id"))
+        .select(col("query_id"), col("own_label"), col("pred_label"),
+          col("votes"),
+          (col("pred_label") =!= col("own_label")).as("suspect"))
+    }),
+
     // ---- §2.8 [NS] feature hashing (hashing-trick vectorizer) ----
     // Vocabulary-free bag-of-words onto a fixed 1024-cell grid;
     // sparse exact rows, the text front end for linear models.

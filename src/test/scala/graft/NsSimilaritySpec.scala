@@ -476,6 +476,19 @@ class NsSimilaritySpec extends SparkSpec {
     assert(flags(5L), "the planted mislabel must be flagged")
     assert((0 until 5).forall(i => !flags(i.toLong)))
     assert((6 until 11).forall(i => !flags(i.toLong)))
+    // the ANN scale twin recovers the same verdicts on this fixture
+    val annPred = Similarity.voteLabels(
+      Similarity.annTopK(emb, "vec_id", "embedding", audited,
+        "vec_id", "embedding", k = 3, minCosine = -1.0,
+        numHashTables = 8, bucketLength = 0.2),
+      emb, "vec_id", "label")
+    val annFlags = annPred.join(audited
+        .select(col("vec_id").as("query_id"),
+          col("label").as("own_label")), Seq("query_id"))
+      .select(col("query_id"),
+        (col("pred_label") =!= col("own_label")).as("suspect"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(annFlags(5L) && (0 until 5).forall(i => !annFlags(i.toLong)))
   }
 
   test("signedProjection: matches an independent brute-force impl, " +
