@@ -142,7 +142,8 @@ object Bench {
       "ns40_semantic_dedup", "ns49_cluster_survivors",
       "s05_stream_stream_join", "ns54_knn_labels_ann",
       "ns07b_embedding_near_dup_capped", "ns40b_semantic_dedup_capped",
-      "s06_stream_static_join")
+      "s06_stream_static_join", "s07_stream_upsert", "s08_stream_sketch",
+      "ns99_label_noise", "ns99b_label_noise_ann")
     def famRank(n: String): Int =
       if (heavy(n)) 2
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||

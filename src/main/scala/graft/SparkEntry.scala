@@ -1351,6 +1351,30 @@ object SparkEntry {
           (col("pred_label") =!= col("own_label")).as("suspect"))
     }),
 
+    // ---- §2.8 [NS] bot-session detection (behavior dedup) ----
+    // Sessions sharing an IDENTICAL event-type transcript across ≥2
+    // sessions — scripted/bot traffic surfaces as repeated behavior.
+    // Exact dedup on the transcript key scales like ns01 (groupBy on
+    // a string key, map-side combine); gram-similarity variants are
+    // wrong here by design: the event-type alphabet is tiny, so
+    // trigram buckets degenerate (the ns02b df-cap would have to
+    // drop everything). minEvents=2 because this fixture's sessions
+    // top out at 3 events (production scripts run longer; the length
+    // gate is the knob). ns81's sessionization feeds it.
+    "ns100_bot_sessions" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"))
+      graft.ops.Sessionize.sessionTranscripts(ev, Seq("user_id"),
+        "ts_us", gapUs = 1800L * 1000000L, tieBreak = "event_id",
+        typeCol = "event_type")
+        .filter(col("n_events") >= 2)
+        .groupBy(col("transcript"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count_distinct(col("user_id")).as("n_users"))
+        .filter(col("n_sessions") >= 2)
+    }),
+
     // ---- §2.8 [NS] feature hashing (hashing-trick vectorizer) ----
     // Vocabulary-free bag-of-words onto a fixed 1024-cell grid;
     // sparse exact rows, the text front end for linear models.
@@ -4070,6 +4094,30 @@ object SparkEntry {
         |  string_agg(event_type, '>' ORDER BY ts_us, event_id)
         |    AS transcript
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // ns81's sessionization CTE, then exact transcript dedup.
+    "ns100_bot_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |             event_type FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) - 1
+        |    AS session_id
+        |  FROM marked),
+        |tr AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id)
+        |      AS transcript
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT transcript, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM tr WHERE n_events >= 2
+        |GROUP BY transcript HAVING COUNT(*) >= 2""".stripMargin,
     // Integer power sums are exact at any order/partitioning; the
     // derived doubles use sub-2^53 operands in a fixed order.
     "ns91_moment_columns" ->

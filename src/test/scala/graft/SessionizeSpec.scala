@@ -85,4 +85,32 @@ class SessionizeSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
     assert(again == t)
   }
+
+  test("bot-session composition: identical transcripts across users " +
+      "surface; organic and short sessions do not") {
+    import org.apache.spark.sql.functions._
+    // users 1 and 2 run the same 3-step script twice; user 3 browses
+    // organically; user 4's 2-event session is below the length gate
+    def run(uid: Long, base: Long, types: Seq[String],
+        idBase: Long): Seq[(Long, Long, Long, String)] =
+      types.zipWithIndex.map { case (t, i) =>
+        (uid, base + i * 10L, idBase + i, t) }
+    val script = Seq("view", "click", "purchase")
+    val rows =
+      run(1L, 1000L, script, 100L) ++ run(1L, 9000L, script, 200L) ++
+      run(2L, 1000L, script, 300L) ++
+      run(3L, 1000L, Seq("view", "view", "click", "search"), 400L) ++
+      run(4L, 1000L, Seq("view", "click"), 500L)
+    val ev = rows.toDF("user_id", "ts_us", "event_id", "event_type")
+    val found = Sessionize.sessionTranscripts(ev, Seq("user_id"),
+        "ts_us", gapUs = 1000L, tieBreak = "event_id",
+        typeCol = "event_type")
+      .filter(col("n_events") >= 3)
+      .groupBy(col("transcript"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .filter(col("n_sessions") >= 2)
+      .as[(String, Long, Long)].collect()
+    assert(found.toSeq == Seq(("view>click>purchase", 3L, 2L)))
+  }
 }
