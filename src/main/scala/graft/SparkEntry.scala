@@ -508,6 +508,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
 
+    // Oracle-exact MinHash twin: same banding algorithm as ns03 with
+    // every hash in the md5 idiom — the whole LSH pipeline (which
+    // pairs band-collide + the exact verify) hash-gates against SQL.
+    "ns03b_minhash_exact" -> ((s, d) =>
+      Dedup.minhashNearDupPairsExact(t(s, d, "documents"), "doc_id",
+        "text", n = 3, maxJaccardDist = 0.5)),
+
     // ---- §2.8 [NS] capped inverted-index join: the 100-TB path ----
     // Same operator with the document-frequency cap ENGAGED (df <= 5
     // bites on this fixture: max df is 7). The cap bounds the worst
@@ -2763,6 +2770,50 @@ object SparkEntry {
         | JOIN sizes sa ON p.id_a = sa.doc_id
         | JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5""".stripMargin,
+    // The full LSH pipeline in SQL: 16 md5 min-hashes, 8 two-row
+    // bands (chunk = decimal-concat of the pair, injective), band
+    // collisions as candidates, exact distinct-gram Jaccard verify.
+    "ns03b_minhash_exact" -> {
+      val minCols = (0 until 16).map(j =>
+        s"    min(CAST(('0x' || substr(md5(g || ':mh$j'), 1, 15)) " +
+          s"AS BIGINT)) AS mh$j").mkString(",\n")
+      val branches = (0 until 8).map(b =>
+        s"WHEN $b THEN CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+          s"CAST(mh${2 * b + 1} AS VARCHAR)").mkString(" ")
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+         |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+         |sig AS (
+         |  SELECT doc_id,
+         |$minCols
+         |  FROM grams GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band $branches END AS chunk
+         |  FROM sig, UNNEST(range(8)) AS b(band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.chunk = b.chunk
+         |    AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         |common AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS cm
+         |  FROM cand c
+         |    JOIN grams ga ON ga.doc_id = c.id_a
+         |    JOIN grams gb ON gb.doc_id = c.id_b AND ga.g = gb.g
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b,
+         |  1.0 - CAST(cm AS DOUBLE) / (sa.sz + sb.sz - cm) AS jaccard_dist
+         |FROM common c
+         |  JOIN sizes sa ON c.id_a = sa.doc_id
+         |  JOIN sizes sb ON c.id_b = sb.doc_id
+         |WHERE 1.0 - CAST(cm AS DOUBLE) / (sa.sz + sb.sz - cm) <= 0.5""".stripMargin
+    },
     "ns02b_ngram_jaccard_capped" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -355,6 +355,51 @@ object Dedup {
     * full self-join restricted to cross (batch, store) pairs.
     * Output: (batch_id, store_id, jaccard_dist), dist <=
     * maxJaccardDist. Deterministic for a fixed seed. */
+  /** Oracle-exact MinHash twin of [[minhashNearDupPairs]]: identical
+    * banding semantics (16 min-hashes, 8 bands × 2 rows, band-collision
+    * candidates, exact-Jaccard verify) but every hash is the repo's
+    * DuckDB-replicable md5 idiom — so candidate generation AND the
+    * verify are reproducible in SQL and the whole operator hash-gates
+    * (ns03b), where ns03 is rows-only by its xxhash64. Production
+    * keeps ns03 (one 64-bit hash per gram vs 16 md5s here, and long
+    * arrays in the verify vs gram strings); this twin pins the
+    * ALGORITHM — which pairs band-collide, completeness of the
+    * verification — against an independent engine at fixture scale. */
+  def minhashNearDupPairsExact(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxJaccardDist: Double,
+      numHashTables: Int = 8): DataFrame = {
+    val rowsPerBand = 2
+    val g = shingles(df, idCol, textCol, n)
+    def mhash(j: Int) =
+      conv(substring(md5(concat(col("gram"), lit(s":mh$j"))), 1, 15),
+        16, 10).cast("long")
+    val mins = (0 until numHashTables * rowsPerBand).map(j =>
+      min(mhash(j)).as(s"mh$j"))
+    val sig = g.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val banded = bandedSig(sig, idCol, numHashTables)
+    val cand = banded.select(col(idCol).as("id_a"), col("band"),
+      col("chunk"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"),
+        col("chunk")), Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val docsets = g.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("gram"))).as("ghs"))
+    cand
+      .join(docsets.select(col(idCol).as("id_a"), col("ghs").as("ghs_a")),
+        "id_a")
+      .join(docsets.select(col(idCol).as("id_b"), col("ghs").as("ghs_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ghs_a"), col("ghs_b"))).as("common"),
+        size(col("ghs_a")).as("sz_a"), size(col("ghs_b")).as("sz_b"))
+      .select(col("id_a"), col("id_b"),
+        (lit(1.0) - col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common"))).as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+  }
+
   def minhashNearDupNewVsStore(batch: DataFrame, store: DataFrame,
       idCol: String, textCol: String, n: Int, maxJaccardDist: Double,
       numHashTables: Int = 8, seed: Long = 42L): DataFrame = {

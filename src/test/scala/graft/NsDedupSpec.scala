@@ -168,6 +168,29 @@ class NsDedupSpec extends SparkSpec {
     assert(dists.forall(_ <= 0.5))
   }
 
+  test("md5-exact minhash twin: same recall contract, precision " +
+      "exact, and pair set equals the xxhash path on this fixture") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    val twin = Dedup.minhashNearDupPairsExact(d, "doc_id", "text",
+      n = 3, maxJaccardDist = 0.5)
+    assertNoCartesian(twin)
+    val got = twin.select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+    assert(twin.select(col("jaccard_dist")).as[Double].collect()
+      .forall(_ <= 0.5))
+    // near-identical planted dups collide in every band under ANY
+    // hash family — both paths find the same pairs here
+    val xx = Dedup.minhashNearDupPairs(d, "doc_id", "text", 3,
+      maxJaccardDist = 0.5, numHashTables = 8, seed = 42L)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got == xx)
+  }
+
   test("minhashNewVsStore == full self-join restricted to cross pairs") {
     // the law that makes the incremental path trustworthy: banding
     // the batch against the store finds EXACTLY the pairs the full
