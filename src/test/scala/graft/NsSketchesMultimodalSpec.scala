@@ -276,6 +276,20 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("cmsSketch and featureHash aggregate map-side: partial agg " +
+      "below the exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((name, df) <- Seq(
+        "cmsSketch" -> Sketches.cmsSketch(docs, Seq(col("source")), "text"),
+        "featureHash" -> graft.ns.TextOps.featureHash(docs, "doc_id", "text"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count") || plan.contains("Partial"),
+        s"$name: expected map-side partial aggregation in:\n$plan")
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"$name: expected one hash exchange in:\n$plan")
+    }
+  }
+
   test("writeWav → parseWav round-trips with exact integer sample facts") {
     val w = Multimodal.parseWav(Multimodal.writeWav(8000, 9)).get
     assert(w.sample_rate == 8000 && w.channels == 1 &&
