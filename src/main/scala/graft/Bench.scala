@@ -35,6 +35,18 @@ import org.apache.spark.sql.SparkSession
   *    cold values 6–10× above steady state (ns49 38.7 s vs 5.8 s).
   *    Other queries warm under `capMax` while inside the warm-up
   *    budget and `capMin` past it.
+  *  - Warm-up runs CONCURRENTLY (`warmupThreads`, default 4): at
+  *    159 registered queries a sequential once-through costs ~190 s
+  *    of a 360 s wall by itself, leaving no budget for steady
+  *    rounds. A small pool overlaps the many sub-second queries
+  *    (each codegen compile is driver-side anyway, and `local[32]`
+  *    is idle-heavy under them); warm-up wall drops ~2×. Warm-up
+  *    numbers carry contention noise — which is fine, they are
+  *    placeholders: the timed rounds below re-measure SEQUENTIALLY,
+  *    and any query whose only number is a warm-up number is by
+  *    construction one the retime rounds deemed sub-significant
+  *    (< 1 s). Job groups are thread-local in SparkContext, so each
+  *    eval's watchdog cancels only its own jobs.
   *  - Warm-up order is cheap-core-first (q/o/j/dq families, then the
   *    rest, known-heavy ns/s queries last) so if the budget dies
   *    mid-warm-up the r01-comparable core already has numbers.
@@ -98,10 +110,9 @@ object Bench {
     /** One evaluation under a watchdog. Returns Right(sec) on a clean
       * finish, Left(sec) if the watchdog cancelled it at ~capSec.
       */
-    var evalSeq = 0
+    val evalSeq = new java.util.concurrent.atomic.AtomicInteger(0)
     def runCapped(name: String, capSec: Double): Either[Double, Double] = {
-      evalSeq += 1
-      val group = s"bench-$name-$evalSeq"
+      val group = s"bench-$name-${evalSeq.incrementAndGet()}"
       val fired = new AtomicBoolean(false)
       val watchdog = new Thread(() => {
         try {
@@ -154,38 +165,58 @@ object Bench {
     val times = scala.collection.mutable.Map.empty[String, Double]
     val cappedAt = scala.collection.mutable.Map.empty[String, Double]
     val retimed = scala.collection.mutable.Set.empty[String]
+    val lock = new Object
     def attempt(name: String, capSec: Double, isRetime: Boolean): Unit =
       try {
-        val wasCapped = cappedAt.contains(name)
+        val wasCapped = lock.synchronized(cappedAt.contains(name))
         runCapped(name, capSec) match {
-          case Right(sec) =>
+          case Right(sec) => lock.synchronized {
             if (isRetime) retimed += name
             cappedAt.remove(name)
             // A capped prior time is a lower bound, not a measurement:
             // a clean run REPLACES it even when slower.
             if (wasCapped || (times.getOrElse(name, Double.MaxValue) > sec &&
               times.getOrElse(name, 0.0) >= 0)) times(name) = sec
+          }
           case Left(sec) =>
             System.err.println(f"[bench] $name CAPPED at $sec%.1f s")
-            if (!times.contains(name)) { times(name) = sec; cappedAt(name) = capSec }
+            lock.synchronized {
+              if (!times.contains(name)) {
+                times(name) = sec; cappedAt(name) = capSec
+              }
+            }
         }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          times(name) = -1.0
+          lock.synchronized { times(name) = -1.0 }
       }
     // Warm-up: heavy queries get a capMin warmth slice (their number
     // comes from the guaranteed-first retime); everything else runs
     // under the full cap while inside the warm-up budget, the rushed
-    // floor past it.
+    // floor past it. A small pool overlaps evaluations (see timing
+    // design note above).
     val warmupBudget = deadline * warmupFrac
-    warmupOrder.foreach { n =>
-      attempt(n,
-        if (heavy(n)) capMin
-        else if (elapsed < warmupBudget) capMax
-        else capMin,
-        isRetime = false)
+    val warmupThreads =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_THREADS", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, warmupThreads))
+    // p01..p05 run EXACTLY once (excluded from retime rounds — they
+    // are ~10-job correctness gates), so their single number must be
+    // contention-free: they run sequentially after the pool drains.
+    val (seqOnce, pooled) = warmupOrder.partition(_.startsWith("p0"))
+    pooled.foreach { n =>
+      pool.submit(new Runnable {
+        def run(): Unit = attempt(n,
+          if (heavy(n)) capMin
+          else if (elapsed < warmupBudget) capMax
+          else capMin,
+          isRetime = false)
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(3600, java.util.concurrent.TimeUnit.SECONDS)
+    seqOnce.foreach(n => attempt(n, capMax, isRetime = false))
     val warmupWall = elapsed
     val warmupTimes = times.toMap
     def retimable(name: String): Boolean =

@@ -20,10 +20,20 @@ object IdempotentWriter {
 
   val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
 
+  /** Guards the set-conf → write → restore-conf window: the overwrite
+    * mode is SESSION-wide, so a concurrent caller restoring its own
+    * prior value mid-write would flip an in-flight dynamic overwrite
+    * to static — which deletes every sibling partition of the target.
+    * Callers in one session (concurrent bench warm-up, parallel
+    * foreachBatch sinks) serialize here; the lock spans the write
+    * because DataFrameWriter reads the conf at execution, not plan,
+    * time. */
+  private val confLock = new Object
+
   /** Write `df` partitioned by `partitionCols`, replacing only the
     * partitions present in `df`. */
   def replacePartitions(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String]): Unit = confLock.synchronized {
     val spark = df.sparkSession
     val prev = spark.conf.getOption(OverwriteModeKey)
     spark.conf.set(OverwriteModeKey, "dynamic")
