@@ -154,7 +154,8 @@ object Bench {
       "s05_stream_stream_join", "ns54_knn_labels_ann",
       "ns07b_embedding_near_dup_capped", "ns40b_semantic_dedup_capped",
       "s06_stream_static_join", "s07_stream_upsert", "s08_stream_sketch",
-      "ns99_label_noise", "ns99b_label_noise_ann", "ns03b_minhash_exact")
+      "ns99_label_noise", "ns99b_label_noise_ann", "ns03b_minhash_exact",
+      "ns04b_simhash_exact")
     def famRank(n: String): Int =
       if (heavy(n)) 2
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||

@@ -548,6 +548,15 @@ object SparkEntry {
         bands = Dedup.adaptiveBands(docs.count(), maxHamming = 7))
     }),
 
+    // Oracle-exact SimHash twin: 60-bit md5 signature, 10 bands of 6
+    // bits (complete at maxHamming 7 < 10 by pigeonhole) — signature
+    // construction, banding, AND the Hamming verify hash-gate
+    // against SQL (ns04 stays rows-only by its xxhash64).
+    "ns04b_simhash_exact" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(
+        Dedup.simhash60Md5(t(s, d, "documents"), "doc_id", "text"),
+        "doc_id", maxHamming = 7, bands = 10, bits = 60)),
+
     // ---- §2.8 [NS] exact brute-force cosine top-k neighbors ----
     "ns05_topk_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -2770,6 +2779,41 @@ object SparkEntry {
         | JOIN sizes sa ON p.id_a = sa.doc_id
         | JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5""".stripMargin,
+    // The full SimHash pipeline in SQL: TF-weighted per-bit votes
+    // from md5 token hashes (bits CTE, not 60 columns), packed
+    // 60-bit signature, 10×6-bit band collisions, bit_count(xor)
+    // Hamming verify.
+    "ns04b_simhash_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.bit,
+        |    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, UNNEST(range(60)) AS b(bit)
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+        |      ELSE 0 END) AS simhash
+        |  FROM votes GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, simhash, b.band,
+        |    (simhash >> (b.band * 6)) & 63 AS chunk
+        |  FROM sig, UNNEST(range(10)) AS b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.chunk = b.chunk
+        |    AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+        |FROM cand WHERE hamming <= 7""".stripMargin,
     // The full LSH pipeline in SQL: 16 md5 min-hashes, 8 two-row
     // bands (chunk = decimal-concat of the pair, injective), band
     // collisions as candidates, exact distinct-gram Jaccard verify.

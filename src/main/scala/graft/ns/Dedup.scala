@@ -511,10 +511,31 @@ object Dedup {
     math.max(density, floor)
   }
 
+  /** 60-bit SimHash over md5 token hashes — the oracle-exact twin of
+    * [[simhash]] (same TF-weighted bit votes; 60 bits because the
+    * md5-prefix long idiom yields 15 hex chars, keeping the value
+    * non-negative and the SQL replication clean). Feeds
+    * [[simhashNearDupPairs]] with `bits = 60`. */
+  def simhash60Md5(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(normText(col(textCol)), " ")).as("token"))
+      .withColumn("h",
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val packed = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
   def simhashNearDupPairs(sig: DataFrame, idCol: String,
-      maxHamming: Int, bands: Int = 8): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
+      maxHamming: Int, bands: Int = 8, bits: Int = 64): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val banded = sig.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map { band =>

@@ -248,6 +248,35 @@ class NsDedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall over ${strong.size} strong pairs")
   }
 
+  test("md5-exact simhash twin: banded result EQUALS brute-force " +
+      "hamming pairs (pigeonhole-complete at 7 < 10 bands), recall " +
+      "holds on strong near-dups") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = Dedup.simhash60Md5(d, "doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(sig, "doc_id",
+      maxHamming = 7, bands = 10, bits = 60)
+    assertNoCartesian(pairs)
+    val got = pairs.select(col("id_a"), col("id_b"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    // completeness: with maxHamming < bands every qualifying pair
+    // shares at least one identical band — banded == brute force
+    val brute = sig.as("a").join(sig.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= 7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, s"banded (${got.size}) must equal " +
+      s"brute force (${brute.size})")
+    val strong = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(strong.nonEmpty)
+    val gotIds = got.map(p => (p._1, p._2))
+    val recall = strong.count(gotIds.contains).toDouble / strong.size
+    assert(recall >= 0.9, s"recall $recall over ${strong.size} strong pairs")
+  }
+
   test("segmentDedup: keep-first across docs, ordered reassembly") {
     // 2-word segments: doc 1 = [a b][c d], doc 2 = [c d][e f],
     // doc 3 = [a b] — only doc 1's copies of [a b] and [c d] survive.
