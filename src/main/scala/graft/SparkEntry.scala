@@ -1312,6 +1312,14 @@ object SparkEntry {
         graft.ops.ZOrder.zValue(col("o_custkey").cast("long"),
           col("o_orderkey").cast("long")).as("z"))),
 
+    // ---- §2.8 [NS] exact mergeable Gram matrix (§2.7 UDAF) ----
+    // One-pass Σ x xᵀ triangle over fixed-point embeddings: the
+    // covariance/PCA/whitening sketch, 16 KB per partial, merge by
+    // addition.
+    "ns101_embedding_gram" -> ((s, d) =>
+      graft.ns.Embeddings.gramMatrix(t(s, d, "embeddings"),
+        "embedding", dim = 64)),
+
     // ---- §2.8 [NS] signed random projection (exact, map-side) ----
     // Achlioptas ±1 dim-reduction over int8-quantized embeddings:
     // 64 floats -> 16 exact longs before LSH/ANN, one projection,
@@ -4257,6 +4265,21 @@ object SparkEntry {
          | CAST(${terms.mkString(" + ")} AS BIGINT) AS z
          |FROM orders""".stripMargin
     },
+    // Same Spark-round quantization as the fixed-point family, then
+    // the exact integer triangle sum per (i, j).
+    "ns101_embedding_gram" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT t1.i AS i, t2.j AS j, e[t1.i + 1] * e[t2.j + 1] AS p
+        |  FROM q, UNNEST(range(0, 64)) AS t1(i),
+        |       UNNEST(range(0, 64)) AS t2(j)
+        |  WHERE t2.j >= t1.i)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  CAST(SUM(p) AS BIGINT) AS s_fx
+        |FROM cells GROUP BY 1, 2""".stripMargin,
     // ns35's quantization CTE, then an exact integer projection whose
     // ±1 signs come from the same md5-nibble parity per (i, j).
     "ns95_signed_projection" ->

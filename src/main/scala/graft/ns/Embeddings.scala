@@ -159,6 +159,69 @@ object Embeddings {
         transform(col("pm"), p => p.getField("m")).as("centroid"))
   }
 
+  /** Exact mergeable Gram matrix Σ x xᵀ over fixed-point embeddings —
+    * the one-pass sketch behind covariance/PCA/whitening: store the
+    * triangle once per corpus slice, merge slices by ADDITION
+    * (bit-exact, any partitioning), derive covariance/eigen work
+    * offline from kilobytes. Quantization happens in the DATAFRAME
+    * layer with Spark's own `round` (the ns35/ns38-proven oracle
+    * match); the Aggregator is pure integer multiply-accumulate, so
+    * determinism needs no JVM-vs-SQL rounding argument at all.
+    *
+    * Shape: the partial buffer is the d(d+1)/2 triangle (d=64 →
+    * 2 080 longs ≈ 16 KB), map-side combined — the exchange carries
+    * one triangle per partition, never rows. Overflow bound: with
+    * |x| ≤ 1 and fracBits 12, each product ≤ 2^24, so ~2^38 rows per
+    * merge tree fit 2^63 — shard the corpus key far before that.
+    * Output (via [[gramMatrix]]): scalarized (i, j, s_fx) triangle
+    * rows, i ≤ j. */
+  final class GramAggregator(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Array[Long]] {
+    private val tri = dim * (dim + 1) / 2
+    override def zero: Array[Long] = new Array[Long](tri)
+    override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+      if (v != null && v.length == dim) {
+        val q = v.toArray
+        var p = 0; var a = 0
+        while (a < dim) {
+          val qa = q(a); var b = a
+          while (b < dim) { buf(p) += qa * q(b); p += 1; b += 1 }
+          a += 1
+        }
+      }
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Corpus Gram matrix as scalarized triangle rows (i, j, s_fx),
+    * i ≤ j, over `round(x·2^fracBits)` fixed-point embeddings. */
+  def gramMatrix(df: DataFrame, embCol: String, dim: Int,
+      fracBits: Int = 12): DataFrame = {
+    val scale = (1L << fracBits).toDouble
+    val q = df.select(transform(col(embCol),
+      x => round(x.cast("double") * scale).cast("long")).as("q"))
+    val agg = org.apache.spark.sql.functions.udaf(
+      new GramAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val idx = (0 until dim).flatMap(a => (a until dim).map(b => (a, b)))
+    val idxLit = array(idx.map { case (a, b) =>
+      struct(lit(a).as("i"), lit(b).as("j")) }: _*)
+    q.agg(agg(col("q")).as("gram"))
+      .select(explode(arrays_zip(idxLit.as("ij"), col("gram").as("s")))
+        .as("z"))
+      .select(col("z.ij.i").as("i"), col("z.ij.j").as("j"),
+        col("z.s").as("s_fx"))
+  }
+
   /** Deterministic ±1 sign for projection cell (i, j): parity of the
     * first hex nibble of md5("i:j:salt") — the ns17 md5 idiom, so the
     * oracle derives the SAME matrix in SQL. */

@@ -491,6 +491,40 @@ class NsSimilaritySpec extends SparkSpec {
     assert(annFlags(5L) && (0 until 5).forall(i => !annFlags(i.toLong)))
   }
 
+  test("gramMatrix: equals a brute-force computation, merges by " +
+      "addition bit-exactly, diagonal non-negative") {
+    import graft.ns.Embeddings
+    val dim = 4
+    val rows = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, -1.0f, 0.75f)),
+      (3L, Array(-0.25f, 1.0f, 0.125f, -0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Embeddings.gramMatrix(df, "embedding", dim)
+      .as[(Int, Int, Long)].collect()
+      .map { case (i, j, s) => (i, j) -> s }.toMap
+    // independent impl over the same Spark-round quantization
+    def quant(x: Float): Long =
+      BigDecimal(x.toDouble * 4096.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    for (i <- 0 until dim; j <- i until dim) {
+      val want = rows.map { case (_, v) => quant(v(i)) * quant(v(j)) }.sum
+      assert(got((i, j)) == want, s"cell ($i, $j)")
+    }
+    assert((0 until dim).forall(i => got((i, i)) >= 0L))
+    // mergeability: per-part triangles summed == whole
+    val whole = got
+    val partA = Embeddings.gramMatrix(df.filter($"vec_id" <= 1), "embedding", dim)
+      .as[(Int, Int, Long)].collect().map { case (i, j, s) => (i, j) -> s }.toMap
+    val partB = Embeddings.gramMatrix(df.filter($"vec_id" > 1), "embedding", dim)
+      .as[(Int, Int, Long)].collect().map { case (i, j, s) => (i, j) -> s }.toMap
+    assert(whole.keySet.forall(k => partA(k) + partB(k) == whole(k)))
+    // partition independence
+    val again = Embeddings.gramMatrix(df.repartition(5), "embedding", dim)
+      .as[(Int, Int, Long)].collect().map { case (i, j, s) => (i, j) -> s }.toMap
+    assert(again == whole)
+  }
+
   test("signedProjection: matches an independent brute-force impl, " +
       "maps zero vectors to zero, and plans with no exchange") {
     import graft.ns.Embeddings
