@@ -1320,6 +1320,17 @@ object SparkEntry {
       graft.ns.Embeddings.gramMatrix(t(s, d, "embeddings"),
         "embedding", dim = 64)),
 
+    // ---- §2.8 [NS] PCA projection (fit on summaries, project
+    // map-side) ----
+    // Fit = ns101's exact Gram triangle + exact mean sums (kilobytes)
+    // eigendecomposed by a fixed-order Jacobi on the driver; project
+    // = eigenvectors as literals, one map-side pass. Rows-only by
+    // declared design (no SQL eigensolver); orthonormality /
+    // reconstruction / planted-subspace laws in NsSimilaritySpec.
+    "ns102_pca_project" -> ((s, d) =>
+      graft.ns.Embeddings.pcaProject(t(s, d, "embeddings"),
+        "vec_id", "embedding", dim = 64, k = 8)),
+
     // ---- §2.8 [NS] signed random projection (exact, map-side) ----
     // Achlioptas ±1 dim-reduction over int8-quantized embeddings:
     // 64 floats -> 16 exact longs before LSH/ANN, one projection,

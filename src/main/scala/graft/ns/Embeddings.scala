@@ -222,6 +222,117 @@ object Embeddings {
         col("z.s").as("s_fx"))
   }
 
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric
+    * d×d matrix: fixed sweep order (upper triangle, row-major), fixed
+    * sweep count — no pivot search, no data-dependent branching
+    * beyond the rotation-skip threshold, so the result is a pure
+    * function of the input matrix. Returns (eigenvalues, vectors) as
+    * parallel arrays sorted by eigenvalue DESC with index tie-break;
+    * each vector's sign is fixed by making its largest-|component|
+    * entry positive (eigenvectors are sign-ambiguous otherwise).
+    * O(sweeps·d³) on the DRIVER — the fit side of fit/project, run
+    * on a d×d summary, never on data. */
+  def jacobiEigen(m: Array[Array[Double]],
+      sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 0
+    while (s < sweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x   => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq
+              v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      val big = col.indices.maxBy(k => (math.abs(col(k)), -k))
+      if (col(big) < 0) col.map(-_) else col
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** PCA projection, fit/project split (the IVF pattern): FIT runs on
+    * summaries — the exact [[gramMatrix]] triangle plus exact
+    * fixed-point mean sums, both kilobytes, eigendecomposed
+    * driver-side by [[jacobiEigen]] — and PROJECT is one map-side
+    * pass with the top-k eigenvectors baked in as literals (the
+    * [[signedProjection]] shape, double arithmetic). Deterministic
+    * end-to-end: exact integer inputs → a fixed-order eigensolver →
+    * fixed-fold projections; registered rows-only (no SQL
+    * eigensolver), laws in NsSimilaritySpec. Centered covariance:
+    * C = Σxxᵀ/n − μμᵀ over the quantized grid.
+    * Output: (idCol, j, comp) for j < k. */
+  def pcaProject(df: DataFrame, idCol: String, embCol: String,
+      dim: Int, k: Int, fracBits: Int = 12): DataFrame = {
+    require(k >= 1 && k <= dim, "need 1 <= k <= dim")
+    val scale = (1L << fracBits).toDouble
+    val gram = gramMatrix(df, embCol, dim, fracBits)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val sums = df
+      .select(posexplode(transform(col(embCol),
+        x => round(x.cast("double") * scale).cast("long"))))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    val n = sums.values.headOption.map(_._2.toDouble).getOrElse(0.0)
+    require(n > 0, "pcaProject needs at least one vector")
+    val mu = Array.tabulate(dim)(i => sums(i)._1.toDouble / n / scale)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val s = gram(if (i <= j) (i, j) else (j, i)).toDouble / (scale * scale)
+      s / n - mu(i) * mu(j)
+    }
+    val (_, evecs) = jacobiEigen(cov)
+    val comps = (0 until k).map { j =>
+      val w = array(evecs(j).map(lit): _*)
+      aggregate(
+        zip_with(col(embCol), w, (x, wi) => x.cast("double") * wi),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.select(col(idCol), posexplode(array(comps: _*)))
+      .select(col(idCol), col("pos").cast("int").as("j"),
+        col("col").as("comp"))
+  }
+
   /** Deterministic ±1 sign for projection cell (i, j): parity of the
     * first hex nibble of md5("i:j:salt") — the ns17 md5 idiom, so the
     * oracle derives the SAME matrix in SQL. */

@@ -525,6 +525,57 @@ class NsSimilaritySpec extends SparkSpec {
     assert(again == whole)
   }
 
+  test("jacobiEigen: orthonormal vectors, reconstructs the matrix, " +
+      "eigenvalues descending") {
+    import graft.ns.Embeddings
+    // symmetric matrix with known structure
+    val m = Array(
+      Array(4.0, 1.0, 0.5, 0.0),
+      Array(1.0, 3.0, 0.25, 0.1),
+      Array(0.5, 0.25, 2.0, 0.0),
+      Array(0.0, 0.1, 0.0, 1.0))
+    val (evals, evecs) = Embeddings.jacobiEigen(m)
+    val d = 4
+    assert(evals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    for (a <- 0 until d; b <- 0 until d) {
+      val dot = (0 until d).map(i => evecs(a)(i) * evecs(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"orthonormality ($a, $b): $dot")
+      val rec = (0 until d).map(k => evals(k) * evecs(k)(a) * evecs(k)(b)).sum
+      assert(math.abs(rec - m(a)(b)) < 1e-9, s"reconstruct ($a, $b)")
+    }
+    // trace preserved
+    assert(math.abs(evals.sum - (4.0 + 3.0 + 2.0 + 1.0)) < 1e-9)
+  }
+
+  test("pcaProject: planted 2-D subspace recovered in the top-2 " +
+      "components, projections partition-independent") {
+    import graft.ns.Embeddings
+    val dim = 6
+    // vectors in span{e0, e1} plus tiny noise on e5
+    val rows = (0 until 40).map { r =>
+      val a = (r % 7 - 3).toDouble; val b = (r % 5 - 2).toDouble
+      val v = Array.fill(dim)(0.0f)
+      v(0) = a.toFloat; v(1) = b.toFloat; v(5) = (r % 3).toFloat * 0.01f
+      (r.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = Embeddings.pcaProject(df, "vec_id", "embedding", dim, k = dim)
+      .as[(Long, Int, Double)].collect()
+    // variance by component: top-2 must carry ~all of it
+    val byJ = proj.groupBy(_._2).view.mapValues { xs =>
+      val m = xs.map(_._3).sum / xs.length
+      xs.map(x => (x._3 - m) * (x._3 - m)).sum
+    }.toMap
+    val total = byJ.values.sum
+    assert((byJ(0) + byJ(1)) / total > 0.999,
+      s"top-2 variance share ${(byJ(0) + byJ(1)) / total}")
+    // determinism across partitioning
+    val again = Embeddings.pcaProject(df.repartition(7), "vec_id",
+      "embedding", dim, k = dim).as[(Long, Int, Double)].collect()
+    assert(again.toSet == proj.toSet)
+  }
+
   test("signedProjection: matches an independent brute-force impl, " +
       "maps zero vectors to zero, and plans with no exchange") {
     import graft.ns.Embeddings
