@@ -1410,6 +1410,43 @@ object SparkEntry {
         .filter(col("n_sessions") >= 2)
     }),
 
+    // ---- §2.8 [NS] reduced-dimension near-dup (PCA → LSH) ----
+    // The dim-reduction-feeds-ANN composition registered end-to-end:
+    // ns102's 16-component projection (4× smaller vectors through
+    // every LSH exchange) re-assembled and fed to ns07's banded
+    // cosine pair generator with the density cap ON. Rows-only by
+    // the same declared design as ns07 (LSH candidates + no SQL
+    // eigensolver); planted-dup recall law through the REDUCED path
+    // in NsSimilaritySpec.
+    "ns104_reduced_near_dup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val reduced = graft.ns.Embeddings.pcaProject(emb, "vec_id",
+        "embedding", dim = 64, k = 16)
+      val vecs = reduced.groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("j"), col("comp"))))
+          .as("ps"))
+        .select(col("vec_id"),
+          transform(col("ps"), p => p.getField("comp").cast("float"))
+            .as("emb16"))
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "emb16",
+        minCosine = 0.4, numHashTables = 8, bucketLength = 0.1,
+        maxBucketSize = Some(64))
+    }),
+
+    // ---- §2.8 [NS] CMS point queries (the sketch-store read side) ----
+    // Heavy-hitter frequency estimates from the stored ns93 sketch
+    // for a deterministic probe set (the corpus top-8 vocabulary):
+    // min over seeds of the probed cells, absent cells = 0. Exact
+    // arithmetic end-to-end, so even the ESTIMATES hash-gate.
+    "ns103_cms_estimates" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sketch = graft.ns.Sketches.cmsSketch(docs,
+        Seq(col("source")), "text")
+      val probes = graft.ns.TextOps.vocab(docs, "text", 8)
+        .select(col("word")).collect().map(_.getString(0)).toSeq.sorted
+      graft.ns.Sketches.cmsEstimate(sketch, Seq("source"), probes)
+    }),
+
     // ---- §2.8 [NS] feature hashing (hashing-trick vectorizer) ----
     // Vocabulary-free bag-of-words onto a fixed 1024-cell grid;
     // sparse exact rows, the text front end for linear models.
@@ -4361,6 +4398,45 @@ object SparkEntry {
         |  b.pred_label != q.own_label AS suspect
         |FROM best b JOIN q ON b.query_id = q.query_id
         |WHERE vr = 1""".stripMargin,
+    // ns93's sketch CTE + ns21's top-8 vocab as the probe set; the
+    // estimate is min over seeds of coalesce(cell count, 0).
+    "ns103_cms_estimates" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |sk AS (
+        |  SELECT source, seed,
+        |    CAST(('0x' || substr(md5(tok || ':cms' || CAST(seed AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 256 AS cell,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS seed)
+        |  GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      x -> length(x) > 0)) AS word
+        |    FROM documents) t
+        |  GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 8),
+        |probes AS (
+        |  SELECT word, s.seed,
+        |    CAST(('0x' || substr(md5(word || ':cms' || CAST(s.seed AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 256 AS cell
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS seed) AS s),
+        |exp AS (
+        |  SELECT g.source, p.word, p.seed, p.cell
+        |  FROM (SELECT DISTINCT source FROM documents) g
+        |  CROSS JOIN probes p),
+        |j AS (
+        |  SELECT e.source, e.word, e.seed,
+        |    coalesce(sk.cnt, 0) AS c
+        |  FROM exp e LEFT JOIN sk
+        |    ON e.source = sk.source AND e.seed = sk.seed
+        |    AND e.cell = sk.cell)
+        |SELECT source, word AS token, CAST(MIN(c) AS BIGINT) AS est
+        |FROM j GROUP BY 1, 2""".stripMargin,
     // ns21's word split, the ns17 md5-prefix cell, exact counts.
     "ns98_feature_hashing" ->
       """WITH toks AS (

@@ -525,6 +525,36 @@ class NsSimilaritySpec extends SparkSpec {
     assert(again == whole)
   }
 
+  test("reduced-dimension near-dup: planted dups survive the " +
+      "PCA-16 -> LSH path with high recall") {
+    import graft.ns.Embeddings
+    val d = 32
+    val rnd = new scala.util.Random(11L)
+    def gauss(): Array[Float] = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val base = (0L until 300L).map(i => i -> gauss().toSeq)
+    val dups = (0L until 60L).map { i =>
+      val v = base(i.toInt)._2
+      (1000L + i) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val planted = (0L until 60L).map(i => (i, 1000L + i)).toSet
+    val reduced = Embeddings.pcaProject(emb, "vec_id", "embedding",
+      dim = d, k = 16)
+    val vecs = reduced.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("comp"))))
+        .as("ps"))
+      .select(col("vec_id"),
+        transform(col("ps"), p => p.getField("comp").cast("float"))
+          .as("emb16"))
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "emb16",
+      minCosine = 0.9, numHashTables = 8, bucketLength = 0.2,
+      maxBucketSize = Some(32))
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"reduced-path recall $recall on planted pairs")
+  }
+
   test("jacobiEigen: orthonormal vectors, reconstructs the matrix, " +
       "eigenvalues descending") {
     import graft.ns.Embeddings
