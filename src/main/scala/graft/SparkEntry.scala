@@ -3338,7 +3338,8 @@ object SparkEntry {
         |      AS BIGINT) % 256 AS cell
         |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS seed))
         |SELECT source, CAST(seed AS INT) AS seed, cell,
-        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(256 AS INTEGER) AS width
         |FROM cells GROUP BY 1, 2, 3""".stripMargin,
     // Drained streaming upsert ≡ latest-per-key over ALL events: the
     // within-batch window keeps the batch's max (ts, event_id) per
@@ -4463,7 +4464,8 @@ object SparkEntry {
         |      AS BIGINT) % 256 AS cell
         |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS seed))
         |SELECT source, CAST(seed AS INT) AS seed, cell,
-        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(256 AS INTEGER) AS width
         |FROM cells GROUP BY 1, 2, 3""".stripMargin,
     // PERCENTILE_DISC cuts from the exact cent-grid histogram; the
     // ceil boundaries use the identical doubles.
@@ -4536,22 +4538,30 @@ object SparkEntry {
         |  CAST(length(s) AS BIGINT) AS frame_len,
         |  sha256(s) AS frame_sha256
         |FROM bytes""".stripMargin,
-    // Order-independent md5-word sums per table, chr(1)-joined fields.
+    // Order-independent md5-word sums per table, chr(1)-joined
+    // fields; each field null-coalesced to the chr(0)||'null'
+    // sentinel, mirroring corpusFingerprint (concat_ws skips nulls).
     "ns83_corpus_fingerprint" ->
       """SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-        |    || chr(1) || text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |  CAST(SUM(CAST(('0x' || substr(md5(
+        |    coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')
+        |    || chr(1) || coalesce(text, chr(0) || 'null')
+        |    ), 1, 8)) AS BIGINT)) AS BIGINT)
         |    AS content_checksum
         |FROM documents
         |UNION ALL
         |SELECT 'events', COUNT(*),
-        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
-        |    || chr(1) || event_type), 1, 8)) AS BIGINT)) AS BIGINT)
+        |  CAST(SUM(CAST(('0x' || substr(md5(
+        |    coalesce(CAST(event_id AS VARCHAR), chr(0) || 'null')
+        |    || chr(1) || coalesce(event_type, chr(0) || 'null')
+        |    ), 1, 8)) AS BIGINT)) AS BIGINT)
         |FROM events
         |UNION ALL
         |SELECT 'embeddings', COUNT(*),
-        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
-        |    || chr(1) || CAST(label AS VARCHAR)), 1, 8)) AS BIGINT))
+        |  CAST(SUM(CAST(('0x' || substr(md5(
+        |    coalesce(CAST(vec_id AS VARCHAR), chr(0) || 'null')
+        |    || chr(1) || coalesce(CAST(label AS VARCHAR),
+        |      chr(0) || 'null')), 1, 8)) AS BIGINT))
         |    AS BIGINT)
         |FROM embeddings""".stripMargin,
     // The two-phase shard cut must equal ONE global running sum in id

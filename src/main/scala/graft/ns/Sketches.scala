@@ -174,7 +174,13 @@ object Sketches {
     * store-once/merge-forever pattern for heavy-hitter and frequency
     * queries: estimate(t) = min over seeds of cell count ≥ true
     * frequency, with the classic (ε=e/w, δ=e^-d) overestimate bound.
-    * Output: (groupCols, seed, cell, cnt). */
+    *
+    * The build `width` is stored in every row: a sketch consumed at
+    * probe time with a DIFFERENT width hashes probes into cells the
+    * build wrapped elsewhere, silently under-estimating — so the
+    * sketch carries its own parameter and [[cmsEstimate]] reads it
+    * instead of trusting the caller. Output: (groupCols, seed, cell,
+    * cnt, width). */
   def cmsSketch(df: DataFrame, groupCols: Seq[Column], textCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
@@ -190,17 +196,46 @@ object Sketches {
           .cast("long") % width)
       .groupBy((names.map(col) :+ col("seed") :+ col("cell")): _*)
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("width", lit(width))
   }
 
   /** Point-frequency estimates from a stored [[cmsSketch]]: for each
     * probe token, min over seeds of its cell's count (0 if the cell
     * row is absent — sparse form). Broadcast-joins the (token, seed,
     * cell) probe rows against the kilobyte sketch; never rescans the
-    * corpus. Output: (groupCols..., token, est). */
+    * corpus. Output: (groupCols..., token, est).
+    *
+    * Probe parameters are NOT caller-supplied guesses (a probe width
+    * different from the build width hashes probes into cells the
+    * build wrapped elsewhere, silently UNDER-estimating and voiding
+    * the CMS >= true-frequency guarantee): depth is DERIVED from the
+    * stored sketch (`max(seed) + 1` — every seed row 0..depth-1
+    * exists for any non-empty sketch because cmsSketch explodes the
+    * full seed sequence per token), and width is READ from the
+    * sketch's own `width` column, asserting it is consistent across
+    * rows and that every stored cell lies under it. One bounded agg
+    * over the kilobyte sketch. */
   def cmsEstimate(sketch: DataFrame, groupNames: Seq[String],
-      tokens: Seq[String], depth: Int = 4, width: Int = 256): DataFrame = {
+      tokens: Seq[String]): DataFrame = {
     val spark = sketch.sparkSession
     import spark.implicits._
+    // Bounded collect: one row, over a sketch whose size is capped by
+    // depth × width per group.
+    val dims = sketch.agg(
+      max(col("seed")).cast("long").as("max_seed"),
+      max(col("cell")).cast("long").as("max_cell"),
+      min(col("width")).cast("long").as("min_w"),
+      max(col("width")).cast("long").as("max_w")).collect()(0)
+    require(!dims.isNullAt(0), "cmsEstimate: empty sketch")
+    val depth = dims.getLong(0).toInt + 1
+    require(dims.getLong(2) == dims.getLong(3),
+      s"cmsEstimate: inconsistent widths ${dims.getLong(2)} vs " +
+        s"${dims.getLong(3)} — refusing to mix sketches built with " +
+        "different parameters")
+    val width = dims.getLong(2).toInt
+    require(dims.getLong(1) < width,
+      s"cmsEstimate: sketch has cell ${dims.getLong(1)} >= its " +
+        s"declared width $width — corrupt sketch")
     val probes = tokens.toDF("token")
       .select(col("token"),
         explode(sequence(lit(0), lit(depth - 1))).as("seed"))

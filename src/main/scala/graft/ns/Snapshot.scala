@@ -72,12 +72,22 @@ object Snapshot {
     * manifest (ns80): manifest says which docs are in which file,
     * fingerprint says which CORPUS this is. One map-side projection
     * + one map-combinable agg; nothing but a single row crosses the
-    * wire per table. Output: (table_name, n_rows, content_checksum). */
+    * wire per table. Output: (table_name, n_rows, content_checksum).
+    *
+    * Null handling: each column is coalesced to the explicit
+    * sentinel `\u0000null` BEFORE joining — `concat_ws` silently
+    * skips nulls, which would make (x, NULL) and (NULL, x) hash
+    * identically and break the "byte-identical iff fingerprints
+    * match" claim on nullable columns. The sentinel starts with a
+    * NUL byte no cast-to-string value can produce, so it cannot
+    * collide with a real value. The oracle mirrors it as
+    * `coalesce(CAST(c AS VARCHAR), chr(0) || 'null')`. */
   def corpusFingerprint(df: DataFrame, name: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one content column")
     val h = conv(substring(md5(concat_ws("\u0001",
-      cols.map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
+      cols.map(c => coalesce(col(c).cast("string"),
+        lit("\u0000null"))): _*)), 1, 8), 16, 10)
       .cast("long")
     df.select(h.as("__h"))
       .agg(count(lit(1)).as("n_rows"),

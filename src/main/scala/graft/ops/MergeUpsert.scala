@@ -49,7 +49,15 @@ object MergeUpsert {
     // Bounded collect: one value per touched partition.
     val touched = delta.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    val target = spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
+    // Fail fast on column drift: projecting the target down to
+    // delta.columns would silently drop target-only columns from the
+    // rewritten partitions while untouched partitions keep them,
+    // leaving the table schema-inconsistent across partitions.
+    require(raw.columns.toSet == delta.columns.toSet,
+      s"merge: delta columns ${delta.columns.sorted.mkString(",")} " +
+        s"must equal target columns ${raw.columns.sorted.mkString(",")}")
+    val target = raw
       .filter(col(partitionCol).isin(touched: _*))
       // partition dirs come back as the narrowest parsed type; align
       // to the delta's schema so the anti-join and union line up.

@@ -163,8 +163,13 @@ object EventStream {
   def readSketchStore(spark: SparkSession, path: String,
       groupCol: String): DataFrame =
     spark.read.parquet(path)
-      .groupBy(col(groupCol), col("seed"), col("cell"))
+      // width is part of the merge key: deltas built with different
+      // widths must never sum into one sketch (cmsEstimate asserts a
+      // single width downstream).
+      .groupBy(col(groupCol), col("seed"), col("cell"), col("width"))
       .agg(sum(col("cnt")).as("cnt"))
+      .select(col(groupCol), col("seed"), col("cell"), col("cnt"),
+        col("width"))
 
   /** Row-level exact dedup for at-least-once streaming ingest: the
     * streaming restatement of the reference's batch idempotency guards

@@ -244,16 +244,18 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     // Partition-split sketches summed per (source, seed, cell) must
     // EQUAL the whole-corpus sketch — integer counts, any grouping.
     val whole = Sketches.cmsSketch(docs, Seq(col("source")), "text")
-      .as[(String, Int, Long, Long)].collect().toSet
+      .as[(String, Int, Long, Long, Int)].collect().toSet
     val h = abs(hash(col("doc_id"))) % 2
     val partA = Sketches.cmsSketch(docs.filter(h === 0),
       Seq(col("source")), "text")
     val partB = Sketches.cmsSketch(docs.filter(h === 1),
       Seq(col("source")), "text")
     val summed = partA.unionByName(partB)
-      .groupBy(col("source"), col("seed"), col("cell"))
+      .groupBy(col("source"), col("seed"), col("cell"), col("width"))
       .agg(sum(col("cnt")).as("cnt"))
-      .as[(String, Int, Long, Long)].collect().toSet
+      .select(col("source"), col("seed"), col("cell"), col("cnt"),
+        col("width"))
+      .as[(String, Int, Long, Long, Int)].collect().toSet
     assert(summed == whole, "CMS merge-by-addition must be bit-exact")
     // Overestimate law: est(token) >= true frequency, for every
     // source; and an absent token estimates from real cell collisions

@@ -322,11 +322,11 @@ class StreamingSpec extends SparkSpec {
         "source", "text").awaitTermination()
     }
     drain(s"$base/ckpt")
-    def merged(): Set[(String, Int, Long, Long)] =
+    def merged(): Set[(String, Int, Long, Long, Int)] =
       EventStream.readSketchStore(spark, store, "source")
-        .as[(String, Int, Long, Long)].collect().toSet
+        .as[(String, Int, Long, Long, Int)].collect().toSet
     val whole = Sketches.cmsSketch(docs, Seq(col("source")), "text")
-      .as[(String, Int, Long, Long)].collect().toSet
+      .as[(String, Int, Long, Long, Int)].collect().toSet
     assert(merged() == whole,
       "drained store must bit-equal the batch sketch")
     // fresh-checkpoint replay re-delivers both batches; batch_id
