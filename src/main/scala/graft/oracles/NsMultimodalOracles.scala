@@ -1,0 +1,177 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for image/audio decode and feature queries — split from
+  * SparkEntry.oracleSql so the registry stays reviewable; the
+  * driver contract surface is still [[graft.SparkEntry.oracleSql]],
+  * which concatenates these per-domain maps (keys asserted
+  * disjoint). Pure data: every value is a DuckDB SQL literal
+  * aligned column-for-column with its Spark query. */
+private[graft] object NsMultimodalOracles {
+  val sql: Map[String, String] = Map(
+    // WAV oracle: every decoded field predicted from the generation
+    // formulas. The sawtooth (i*8192 mod 32768) - 16384 cycles through
+    // {-16384,-8192,0,8192}, so peak is 16384 and energy per full
+    // cycle is 16384^2 + 8192^2 + 0 + 8192^2 = 402653184, plus the
+    // partial-cycle prefix.
+    "ns56_wav_decode" ->
+      """SELECT 'doc_' || doc_id || '.wav' AS file_name,
+        |  CAST(44 + 2 * n AS BIGINT) AS byte_len,
+        |  CAST(r AS INTEGER) AS sample_rate,
+        |  1 AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n * 1000) // r AS BIGINT) AS duration_ms,
+        |  CASE WHEN n > 0 THEN 16384 ELSE 0 END AS peak_abs,
+        |  CAST((n // 4) * 402653184
+        |    + CASE n % 4 WHEN 0 THEN 0 WHEN 1 THEN 268435456
+        |      ELSE 335544320 END AS BIGINT) AS energy
+        |FROM (SELECT doc_id, length(text) % 8000 + 8000 AS r,
+        |        (length(text) * 13) % 2000 + 100 AS n
+        |      FROM documents WHERE doc_id < 50)""".stripMargin,
+    "ns14_multimodal_features" ->
+      """SELECT 'doc_' || doc_id || '.txt' AS file_name,
+        | CAST(length(text) AS BIGINT) AS byte_len,
+        | sha256(text) AS sha256,
+        | CAST(length(text) % 640 + 1 AS INT) AS width,
+        | CAST((length(text) * 7) % 480 + 1 AS INT) AS height
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+    // Recomputes the BMP construction arithmetic: the engine parsed
+    // these numbers out of real payload headers; the oracle re-derives
+    // them from the text length the payloads were built from.
+    "ns29_bmp_decode" ->
+      """SELECT 'doc_' || doc_id || '.bmp' AS file_name,
+        | CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS byte_len,
+        | CAST(w AS INT) AS width,
+        | CAST(h AS INT) AS height
+        |FROM (SELECT doc_id, length(text) % 31 + 1 AS w,
+        |        (length(text) * 7) % 17 + 1 AS h
+        |      FROM documents WHERE doc_id < 50)""".stripMargin,
+    // dHash oracle: every hash bit re-derived from the BMP generation
+    // formula (pixel v = seed + y*72 + x, gray = v%251+v%241+v%239),
+    // cell sums over exact 8×8 blocks, bit = left sum > right sum.
+    // The 64-bit pack runs in HUGEINT and converts to signed BIGINT
+    // (bit 63 is the sign bit on the Spark side).
+    "ns63_image_dhash" ->
+      """WITH imgs AS (
+        |  SELECT CAST(i AS BIGINT) AS img_id,
+        |         CAST((i // 2) * 1000 AS BIGINT) AS seed
+        |  FROM range(0, 60) t(i)),
+        |cells AS (
+        |  SELECT img_id, x // 8 AS cx, y // 8 AS cy,
+        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |        + (seed + y*72 + x) % 239) AS s
+        |  FROM imgs, range(0, 64) ty(y), range(0, 72) tx(x)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.img_id, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
+        |  FROM cells l JOIN cells r
+        |    ON l.img_id = r.img_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8 AND l.s > r.s),
+        |hv AS (
+        |  SELECT img_id,
+        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+        |  FROM imgs LEFT JOIN bits USING (img_id) GROUP BY img_id)
+        |SELECT 'img_' || img_id || '.bmp' AS file_name,
+        |  CAST(72 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+        |  CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+        |    THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT) AS dhash
+        |FROM hv""".stripMargin,
+    // Near-dup oracle: brute-force all-pairs Hamming over the same
+    // closed-form hashes — the banded join is complete at
+    // maxHamming 7 < bands 8, so it must match this exactly.
+    "ns64_image_near_dup" ->
+      """WITH imgs AS (
+        |  SELECT CAST(i AS BIGINT) AS img_id,
+        |         CAST((i // 2) * 1000 AS BIGINT) AS seed
+        |  FROM range(0, 60) t(i)),
+        |cells AS (
+        |  SELECT img_id, x // 8 AS cx, y // 8 AS cy,
+        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |        + (seed + y*72 + x) % 239) AS s
+        |  FROM imgs, range(0, 64) ty(y), range(0, 72) tx(x)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.img_id, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
+        |  FROM cells l JOIN cells r
+        |    ON l.img_id = r.img_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8 AND l.s > r.s),
+        |hv AS (
+        |  SELECT img_id,
+        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+        |  FROM imgs LEFT JOIN bits USING (img_id) GROUP BY img_id),
+        |h AS (
+        |  SELECT img_id,
+        |    CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+        |      THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT) AS dh
+        |  FROM hv)
+        |SELECT a.img_id AS id_a, b.img_id AS id_b,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 7""".stripMargin,
+    // Every resized pixel re-derived from the generation formula
+    // (gray(v) = v%251 + v%241 + v%239, v = seed + y·w + x, seed =
+    // doc_id), floor-mean over each 2×2 block, summed.
+    "ns84_image_resize" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, length(text) % 31 + 1 AS w,
+        |    (length(text) * 7) % 17 + 1 AS h
+        |  FROM documents WHERE doc_id < 50),
+        |cells AS (
+        |  SELECT doc_id,
+        |    doc_id + (2*y) * w + 2*x AS a,
+        |    doc_id + (2*y) * w + 2*x + 1 AS b,
+        |    doc_id + (2*y + 1) * w + 2*x AS c,
+        |    doc_id + (2*y + 1) * w + 2*x + 1 AS d
+        |  FROM imgs, range(0, 16) tx(x), range(0, 9) ty(y)
+        |  WHERE x < w // 2 AND y < h // 2),
+        |sums AS (
+        |  SELECT doc_id,
+        |    SUM((a % 251 + a % 241 + a % 239
+        |       + b % 251 + b % 241 + b % 239
+        |       + c % 251 + c % 241 + c % 239
+        |       + d % 251 + d % 241 + d % 239) // 4) AS chk
+        |  FROM cells GROUP BY doc_id)
+        |SELECT 'doc_' || i.doc_id || '.bmp' AS file_name,
+        |  CAST(i.w AS INT) AS in_w, CAST(i.h AS INT) AS in_h,
+        |  CAST(i.w // 2 AS INT) AS out_w,
+        |  CAST(i.h // 2 AS INT) AS out_h,
+        |  CAST(coalesce(s.chk, 0) AS BIGINT) AS gray_checksum
+        |FROM imgs i LEFT JOIN sums s USING (doc_id)""".stripMargin,
+    // Frames reconstructed as ASCII strings from the byte formula,
+    // sha256'd — identical bytes ⇒ identical hex. All frames are
+    // exactly step = sz // 4 bytes (the floor-step slicing drops the
+    // sz % 4 tail by construction).
+    "ns85_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) % 977 + 64 AS sz
+        |  FROM documents WHERE doc_id < 50),
+        |params AS (
+        |  SELECT doc_id, sz, greatest(sz // 4, 1) AS step FROM f),
+        |frames AS (
+        |  SELECT doc_id, step, fi FROM params, range(0, 4) t(fi)),
+        |bytes AS (
+        |  SELECT doc_id, fi,
+        |    string_agg(chr(CAST(33 + (doc_id + i) % 94 AS INTEGER)),
+        |      '' ORDER BY i) AS s
+        |  FROM frames, range(0, 1100) t2(i)
+        |  WHERE i >= fi * step AND i < fi * step + step
+        |  GROUP BY doc_id, fi)
+        |SELECT 'doc_' || doc_id || '.bin' AS file_name,
+        |  CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(length(s) AS BIGINT) AS frame_len,
+        |  sha256(s) AS frame_sha256
+        |FROM bytes""".stripMargin,
+    // Closed-form DSP oracle: period-4 sawtooth → fundamental at
+    // rate/4 = grid bin 16 of 64, |X(N/4)| = √2·|X(N/2)|, so the
+    // argmax is an exact integer prediction (see the ns74
+    // registration note).
+    "ns74_wav_dominant_freq" ->
+      """SELECT 'doc_' || doc_id || '.wav' AS file_name,
+        |  CAST(r AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  16 AS dom_idx,
+        |  CAST(r AS DOUBLE) / 4 AS dominant_hz
+        |FROM (SELECT doc_id, length(text) % 8000 + 8000 AS r,
+        |        ((length(text) * 7) % 30 + 2) * 64 AS n
+        |      FROM documents WHERE doc_id < 50)""".stripMargin,
+  )
+}

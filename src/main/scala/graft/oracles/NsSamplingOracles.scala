@@ -1,0 +1,172 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for sampling, splitting, and mixture queries — split from
+  * SparkEntry.oracleSql so the registry stays reviewable; the
+  * driver contract surface is still [[graft.SparkEntry.oracleSql]],
+  * which concatenates these per-domain maps (keys asserted
+  * disjoint). Pure data: every value is a DuckDB SQL literal
+  * aligned column-for-column with its Spark query. */
+private[graft] object NsSamplingOracles {
+  val sql: Map[String, String] = Map(
+    // Token-budget oracle: ns09's score CTE, then ONE window in the
+    // (score desc, id) total order — the two-phase prefix-sum must
+    // equal exactly this global cumulative sum.
+    "ns69_token_budget_select" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+        |      / len(toks) AS avg_word_len,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |      AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(toks, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      AS DOUBLE) / len(toks) AS stopword_ratio
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CAST(n_chars BETWEEN 50 AND 100000 AS INT)
+        |       + CAST(n_words BETWEEN 10 AND 50000 AS INT)
+        |       + CAST(avg_word_len BETWEEN 2.0 AND 12.0 AS INT)
+        |       + CAST(punct_ratio <= 0.2 AS INT)
+        |       + CAST(stopword_ratio >= 0.01 AS INT) AS DOUBLE) / 5
+        |      AS quality_score
+        |  FROM stats)
+        |SELECT doc_id, quality_score, n_chars AS weight, cum_before,
+        |  cum_before + n_chars <= 60000 AS kept
+        |FROM (
+        |  SELECT *, CAST(coalesce(SUM(n_chars) OVER (
+        |    ORDER BY quality_score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before
+        |  FROM scored)""".stripMargin,
+    // The two-phase shard cut must equal ONE global running sum in id
+    // order; checksum is an order-independent integer sum of md5
+    // words, so the whole manifest is exact arithmetic.
+    "ns80_shard_manifest" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(coalesce(SUM(CAST(n_chars AS BIGINT)) OVER (
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM documents)
+        |SELECT s // 25000 AS shard_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 8)) AS BIGINT)) AS BIGINT) AS id_checksum
+        |FROM a GROUP BY 1""".stripMargin,
+    // Same hash→uniform→ln(u)/w priority, quantized once to nano
+    // fixed-point (ns58 proved libm ln bit-stable across engines on
+    // this host); operand order matches the Spark expression exactly.
+    "ns75_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    CAST(round(ln((CAST(('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':es1'), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0) / n_chars * 1000000000)
+        |      AS BIGINT) AS key_fp
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, weight, key_fp FROM s
+        |ORDER BY key_fp DESC, doc_id LIMIT 100""".stripMargin,
+    // Boundary literals are the EXACT doubles the Scala scanLeft
+    // accumulates (0.8 + 0.1 = 0.9000000000000001 in IEEE), CAST to
+    // DOUBLE so DuckDB's decimal literals don't change the floor.
+    "ns76_stratified_split" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5(
+        |        CAST(doc_id AS VARCHAR) || ':strat1'), 1, 8))
+        |        AS BIGINT) % 1000000, doc_id) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, rn,
+        |  CASE WHEN rn <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+        |       WHEN rn <= floor(CAST(0.9000000000000001 AS DOUBLE)
+        |         * n) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM ranked""".stripMargin,
+    // Upsample oracle: same md5 bucket as ns23, same floor/frac
+    // split on literal weights (identical double arithmetic), epochs
+    // via range(1, reps+1) — empty when reps = 0, matching the
+    // pre-explode filter.
+    "ns51_epoch_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |      WHEN 'src2' THEN 0.4 ELSE 1.2 END AS wt,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep1'), 1, 8)) AS BIGINT) % 10000 AS b
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(wt) AS BIGINT)
+        |      + CASE WHEN b < (wt - floor(wt)) * 10000
+        |          THEN 1 ELSE 0 END AS reps
+        |  FROM w)
+        |SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch
+        |FROM r, UNNEST(range(1, reps + 1)) AS t(e)""".stripMargin,
+    // Rates oracle: sqrt is IEEE-exact on both engines; the Σ √n fold
+    // is ordered by source on both sides (list(... ORDER BY) here,
+    // array_sort'd collect there), so the total is bit-identical.
+    "ns39_temperature_mixture" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT list_reduce(
+        |    list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+        |    (a, b) -> a + b) AS total_w FROM c)
+        |SELECT source, n_docs,
+        |  sqrt(CAST(n_docs AS DOUBLE)) / t.total_w AS rate
+        |FROM c, t""".stripMargin,
+    // Spark conv(hex,16,10) and DuckDB CAST('0x'||hex AS BIGINT) agree
+    // on the first-8-hex-chars bucket (verified value-identical).
+    "ns17_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) % 1000 AS bucket,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) % 1000 < 800 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents""".stripMargin,
+    "ns23_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)) AS BIGINT) % 10000
+        |  < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 10000""".stripMargin,
+    "ns28_pseudo_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':shuf1') AS h,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf1'), 1, 8)) AS BIGINT) % 1000 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY b, h, doc_id) AS BIGINT) AS shuffle_rank
+        |FROM h""".stripMargin,
+    "ns24_pack_offsets" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(coalesce(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_offset,
+        |  CAST(floor(CAST(coalesce(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+        |FROM documents""".stripMargin,
+    "ns18_source_quota" ->
+      """SELECT source, doc_id, n_chars, rn FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 50""".stripMargin,
+  )
+}

@@ -1,0 +1,648 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for text quality, language, and token-statistics queries — split from
+  * SparkEntry.oracleSql so the registry stays reviewable; the
+  * driver contract surface is still [[graft.SparkEntry.oracleSql]],
+  * which concatenates these per-domain maps (keys asserted
+  * disjoint). Pure data: every value is a DuckDB SQL literal
+  * aligned column-for-column with its Spark query. */
+private[graft] object NsTextOracles {
+  val sql: Map[String, String] = Map(
+    "ns08_text_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_word_len,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS stopword_ratio
+        |FROM base""".stripMargin,
+    "ns09_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_word_len,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS stopword_ratio
+        |  FROM base)
+        |SELECT *,
+        |  CAST(CAST(chk_chars AS INT) + CAST(chk_words AS INT)
+        |     + CAST(chk_avg_word_len AS INT) + CAST(chk_punct AS INT)
+        |     + CAST(chk_stopwords AS INT) AS DOUBLE) / 5 AS quality_score
+        |FROM (
+        |  SELECT *,
+        |    n_chars BETWEEN 50 AND 100000 AS chk_chars,
+        |    n_words BETWEEN 10 AND 50000 AS chk_words,
+        |    avg_word_len BETWEEN 2.0 AND 12.0 AS chk_avg_word_len,
+        |    punct_ratio <= 0.2 AS chk_punct,
+        |    stopword_ratio >= 0.01 AS chk_stopwords
+        |  FROM stats)""".stripMargin,
+    "ns10_lang_id" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM hits""".stripMargin,
+    "ns19_pii_redaction" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com call +1-555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((doc_id * 3) % 256 AS VARCHAR)
+        |      || ' card 4111-1111-1111-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST((doc_id * 3) % 100 AS VARCHAR), 2, '0')
+        |      || '-' || lpad(CAST((doc_id * 9) % 10000 AS VARCHAR), 4, '0') AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM base),
+        |s2 AS (SELECT doc_id, n_email,
+        |  len(regexp_extract_all(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  regexp_replace(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_phone,
+        |  len(regexp_extract_all(t2, '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS n_cc,
+        |  regexp_replace(t2, '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CC>', 'g') AS t3
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_phone, n_cc,
+        |  len(regexp_extract_all(t3, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+        |  regexp_replace(t3, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t4
+        |  FROM s3)
+        |SELECT doc_id,
+        |  CAST(n_email AS BIGINT) AS n_email,
+        |  CAST(n_phone AS BIGINT) AS n_phone,
+        |  CAST(n_cc AS BIGINT) AS n_cc,
+        |  CAST(n_ssn AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t4, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(t4, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS redacted_text
+        |FROM s4""".stripMargin,
+    "ns20_repetition_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_replace(text, ' table ', chr(10), 'g') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(t, chr(10)),
+        |      x -> length(x) > 0)) AS line
+        |  FROM base),
+        |grp AS (
+        |  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+        |  FROM lines GROUP BY doc_id, line),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_uniq,
+        |    SUM(c * len) AS tot_chars, SUM((c - 1) * len) AS dup_chars
+        |  FROM grp GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_uniq AS BIGINT) AS n_unique_lines,
+        |  CAST(n_lines - n_uniq AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |    AS dup_line_frac,
+        |  CAST(dup_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)
+        |    AS dup_char_frac
+        |FROM agg""".stripMargin,
+    "ns21_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM toks GROUP BY word
+        |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "ns27_token_accounting" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS total_words,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    "ns26_tfidf_terms" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(toks, x -> length(x) > 0)) AS word
+        |  FROM base),
+        |tf AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM words GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, t.tf,
+        |    CAST(t.tf AS DOUBLE) * n.n / d.dfreq AS score
+        |  FROM tf t JOIN dfreq d ON t.word = d.word, n)
+        |SELECT doc_id, word, tf, score, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+    // Chunking oracle: same start grid (0, 8, 16, …, first multiple
+    // of 8 reaching len−32); DuckDB's 1-based inclusive list slice
+    // clamps at the tail exactly like Spark's slice(arr, start, len).
+    "ns43_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents WHERE trim(text) <> ''),
+        |idx AS (SELECT doc_id, words,
+        |  unnest(range(CAST(ceil(greatest(len(words) - 32, 0) / 8.0)
+        |    AS BIGINT) + 1)) AS i
+        |  FROM w)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(words[(i*8+1):(i*8+32)], ' ') AS chunk_text,
+        |  CAST(len(words[(i*8+1):(i*8+32)]) AS BIGINT) AS n_words
+        |FROM idx""".stripMargin,
+    // Rare-token oracle: normalized tokens (the ns08 CTE), df over
+    // distinct docs, rare = df < 3; the one division is double/int
+    // in both engines (bit-exact IEEE divide).
+    "ns45_rare_token_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS word
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+        |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfreq
+        |          FROM t2 GROUP BY word),
+        |common AS (SELECT word FROM dfreq WHERE dfreq >= 3)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT t2.word) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN c.word IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rare,
+        |  CAST(SUM(CASE WHEN c.word IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS rare_frac
+        |FROM t2 LEFT JOIN common c ON t2.word = c.word
+        |GROUP BY doc_id""".stripMargin,
+    // Self-scored unigram NLL: every token is in-vocab so no OOV arm.
+    // Bit equality holds because the nll is fixed-point-quantized per
+    // DISTINCT token (see the ns58 registry comment); the mean is then
+    // exact long arithmetic divided once.
+    "ns58_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n_token
+        |           FROM t2 GROUP BY token),
+        |tot AS (SELECT CAST(SUM(n_token) AS BIGINT) AS total,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+        |lp AS (
+        |  SELECT token,
+        |    CAST(round(-ln((n_token + 0.5) / (total + 0.5*(v+1)))
+        |      * 16777216.0) AS BIGINT) AS fx
+        |  FROM counts, tot)
+        |SELECT t2.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(fx) AS DOUBLE) / (COUNT(*) * 16777216.0) AS mean_nll
+        |FROM t2 JOIN lp USING (token)
+        |GROUP BY t2.doc_id""".stripMargin,
+    // Per-domain quota oracle: same closed-form URL construction, same
+    // public-suffix decision (two labels, three under a two-level
+    // suffix), ns18's quota window keyed on the derived domain.
+    "ns66_domain_quota" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'www.'
+        |      WHEN 1 THEN 'cdn.media.' ELSE '' END ||
+        |    source ||
+        |    CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+        |      WHEN 1 THEN '.org' ELSE '.com' END ||
+        |    '/p/' || doc_id AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1) AS host
+        |  FROM u),
+        |p AS (SELECT doc_id, n_chars, host,
+        |        string_split(host, '.') AS parts FROM h),
+        |d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN len(parts) >= 3 AND (parts[-2] || '.' || parts[-1])
+        |           IN ('co.uk', 'com.au', 'co.jp')
+        |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+        |         WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
+        |         ELSE host END AS domain
+        |  FROM p)
+        |SELECT domain, doc_id, n_chars, rn FROM (
+        |  SELECT domain, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM d) WHERE rn <= 20""".stripMargin,
+    // Perplexity-band oracle: ns58's NLL CTE verbatim, then the same
+    // histogram-grid quantile cut in pure integer arithmetic —
+    // bin = floor(mean_nll·2048) (2^16 bins over [0,32)), loBin/hiBin
+    // the cells holding positions floor(0.1·n)+1 and ceil(0.9·n).
+    "ns67_perplexity_band" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n_token
+        |           FROM t2 GROUP BY token),
+        |tot AS (SELECT CAST(SUM(n_token) AS BIGINT) AS total,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+        |lp AS (
+        |  SELECT token,
+        |    CAST(round(-ln((n_token + 0.5) / (total + 0.5*(v+1)))
+        |      * 16777216.0) AS BIGINT) AS fx
+        |  FROM counts, tot),
+        |nll AS (
+        |  SELECT t2.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(fx) AS DOUBLE) / (COUNT(*) * 16777216.0) AS mean_nll
+        |  FROM t2 JOIN lp USING (token)
+        |  GROUP BY t2.doc_id),
+        |binned AS (
+        |  SELECT *, least(CAST(floor(mean_nll * 2048.0) AS BIGINT),
+        |                  65535) AS nll_bin
+        |  FROM nll),
+        |cum AS (
+        |  SELECT nll_bin, SUM(c) OVER (ORDER BY nll_bin) AS cum
+        |  FROM (SELECT nll_bin, CAST(count(*) AS BIGINT) AS c
+        |        FROM binned GROUP BY nll_bin)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM binned),
+        |cuts AS (
+        |  SELECT
+        |    (SELECT min(nll_bin) FROM cum, n
+        |      WHERE cum > CAST(floor(0.1 * n) AS BIGINT)) AS lo_bin,
+        |    (SELECT min(nll_bin) FROM cum, n
+        |      WHERE cum >= CAST(ceil(0.9 * n) AS BIGINT)) AS hi_bin)
+        |SELECT doc_id, n_tokens, mean_nll, nll_bin
+        |FROM binned, cuts
+        |WHERE nll_bin BETWEEN lo_bin AND hi_bin""".stripMargin,
+    // URL canonicalization oracle: rebuild the same messy URLs and
+    // apply the same rules — lowercase scheme/host, strip default
+    // port / fragment / tracking params, '/' for the empty path —
+    // then the ns66 registrable-domain decision and the blocklist
+    // anti-join, all in SQL.
+    "ns68_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END)
+        |      ELSE '' END ||
+        |    '/p/' || doc_id ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '?utm_source=feed&q=' || doc_id || '&fbclid=xyz'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    (CASE WHEN (scheme = 'http' AND auth LIKE '%:80')
+        |            OR (scheme = 'https' AND auth LIKE '%:443')
+        |          THEN regexp_replace(auth, ':[0-9]+$', '')
+        |          ELSE auth END) ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN query = '' OR len(kept) = 0 THEN ''
+        |          ELSE '?' || array_to_string(kept, '&') END) AS url_canon
+        |  FROM (SELECT *,
+        |          list_filter(string_split(query, '&'), p ->
+        |            NOT (starts_with(p, 'utm_') OR
+        |                 starts_with(p, 'fbclid=') OR
+        |                 starts_with(p, 'gclid=') OR
+        |                 starts_with(p, 'ref=') OR p = '')) AS kept
+        |        FROM parts)),
+        |dom AS (
+        |  SELECT doc_id, url_canon,
+        |    CASE WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1])
+        |           IN ('co.uk', 'com.au', 'co.jp')
+        |         THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+        |         WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
+        |         ELSE host END AS domain
+        |  FROM (SELECT doc_id, url_canon,
+        |          regexp_extract(url_canon,
+        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1) AS host,
+        |          string_split(regexp_extract(url_canon,
+        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1), '.') AS hp
+        |        FROM canon))
+        |SELECT doc_id, url_canon, domain FROM dom
+        |WHERE domain NOT IN ('src3.com', 'src7.co.uk', 'src15.com')""".stripMargin,
+    // Per-doc argmax restated relationally: unnest each n-gram table,
+    // count, rank (count desc, gram asc). The double is one division
+    // of two exact integers — deterministic across engines (ns20's
+    // proven trick).
+    "ns70_topgram_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks,
+        |    length(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g')) AS n_chars
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(toks)), i ->
+        |    array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 2),
+        |t2 AS (SELECT doc_id, gram, count(*) AS c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g2 GROUP BY doc_id, gram),
+        |g3 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(toks) - 1), i ->
+        |    array_to_string(toks[i:i+2], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 3),
+        |t3 AS (SELECT doc_id, gram, count(*) AS c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g3 GROUP BY doc_id, gram),
+        |g4 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(toks) - 2), i ->
+        |    array_to_string(toks[i:i+3], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 4),
+        |t4 AS (SELECT doc_id, gram, count(*) AS c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g4 GROUP BY doc_id, gram)
+        |SELECT b.doc_id,
+        |  t2.gram AS top2_gram,
+        |  coalesce(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |    / b.n_chars, 0.0) AS top2_frac,
+        |  t3.gram AS top3_gram,
+        |  coalesce(CAST(t3.c * length(t3.gram) AS DOUBLE)
+        |    / b.n_chars, 0.0) AS top3_frac,
+        |  t4.gram AS top4_gram,
+        |  coalesce(CAST(t4.c * length(t4.gram) AS DOUBLE)
+        |    / b.n_chars, 0.0) AS top4_frac
+        |FROM base b
+        |LEFT JOIN (SELECT doc_id, gram, c FROM t2 WHERE rn = 1) t2
+        |  USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, gram, c FROM t3 WHERE rn = 1) t3
+        |  USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, gram, c FROM t4 WHERE rn = 1) t4
+        |  USING (doc_id)""".stripMargin,
+    // Replays the registered fixture construction (sentence breaks +
+    // injected rule-exercising tails), then the identical regex-free
+    // line predicates via list_filter.
+    "ns71_c4_line_filter" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, ' table ', '.' || chr(10), 'g')
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |      'lorem ipsum dolor sit amet placeholder text here.'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+        |      'function f() { return 1; }' ELSE '' END
+        |    || chr(10) || 'too short.'
+        |    || chr(10) ||
+        |    'this is a good closing sentence for the document.' AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id,
+        |    list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)) AS lines
+        |  FROM built),
+        |k AS (SELECT doc_id, len(lines) AS n_lines,
+        |    list_filter(lines, l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+        |        OR l LIKE '%"')
+        |      AND len(list_filter(string_split(l, ' '),
+        |        w -> length(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS keep
+        |  FROM ls)
+        |SELECT doc_id, array_to_string(keep, chr(10)) AS clean_text,
+        |  CAST(len(keep) AS BIGINT) AS n_kept,
+        |  CAST(n_lines - len(keep) AS BIGINT) AS n_dropped
+        |FROM k WHERE len(keep) >= 3""".stripMargin,
+    // ns10's langid CTE + ns18's quota window, composed.
+    "ns72_lang_balanced_quota" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es
+        |  FROM base),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |         WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |         WHEN fr >= es AND fr > 0 THEN 'fr'
+        |         WHEN es > 0 THEN 'es'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM hits)
+        |SELECT doc_id, n_chars, lang_pred, rn FROM (
+        |  SELECT d.doc_id, d.n_chars, l.lang_pred,
+        |    ROW_NUMBER() OVER (PARTITION BY l.lang_pred
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d JOIN lang l USING (doc_id))
+        |WHERE rn <= 40""".stripMargin,
+    // The same fixed micro-weight table inlined as a CASE lambda;
+    // integer sums are order-independent, so logit_micro hash-gates.
+    "ns73_linear_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_transform(toks, t -> CASE t
+        |    WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |    WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |    WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |    WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |    WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |    WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |    WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |    WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |    WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |    WHEN 'http' THEN -60000 ELSE NULL END) AS ws
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ws, x -> x IS NOT NULL)) AS BIGINT)
+        |    AS n_hits,
+        |  CAST(-50000 + coalesce(list_sum(list_transform(ws,
+        |    x -> coalesce(x, 0))), 0) AS BIGINT) AS logit_micro,
+        |  (-50000 + coalesce(list_sum(list_transform(ws,
+        |    x -> coalesce(x, 0))), 0)) > 0 AS keep
+        |FROM w""".stripMargin,
+    // ns09's score CTE + ns73's weight CASE + ns70's 2-gram argmax,
+    // composed; every vote is an integer/exact-division comparison.
+    "ns78_quality_ensemble" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_word_len,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS stopword_ratio
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(n_chars BETWEEN 50 AND 100000 AS INT)
+        |       + CAST(n_words BETWEEN 10 AND 50000 AS INT)
+        |       + CAST(avg_word_len BETWEEN 2.0 AND 12.0 AS INT)
+        |       + CAST(punct_ratio <= 0.2 AS INT)
+        |       + CAST(stopword_ratio >= 0.01 AS INT) AS DOUBLE) / 5
+        |      AS quality_score
+        |  FROM stats),
+        |lg AS (
+        |  SELECT doc_id, -50000 + coalesce(list_sum(
+        |    list_transform(toks, t -> CASE t
+        |    WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |    WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |    WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |    WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |    WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |    WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |    WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |    WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |    WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |    WHEN 'http' THEN -60000 ELSE 0 END)), 0) AS logit
+        |  FROM base),
+        |g2 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(toks)), i ->
+        |    array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 2),
+        |t2 AS (SELECT doc_id, gram, count(*) AS c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g2 GROUP BY doc_id, gram),
+        |rep AS (
+        |  SELECT b.doc_id,
+        |    coalesce(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |      / length(b.norm), 0.0) AS top2_frac
+        |  FROM base b
+        |  LEFT JOIN (SELECT doc_id, gram, c FROM t2 WHERE rn = 1) t2
+        |    USING (doc_id))
+        |SELECT s.doc_id,
+        |  s.quality_score >= 0.6 AS q_ok,
+        |  l.logit > 0 AS logit_ok,
+        |  r.top2_frac <= 0.2 AS rep_ok,
+        |  CAST(CAST(s.quality_score >= 0.6 AS INT)
+        |     + CAST(l.logit > 0 AS INT)
+        |     + CAST(r.top2_frac <= 0.2 AS INT) AS BIGINT) AS votes,
+        |  CAST(s.quality_score >= 0.6 AS INT)
+        |     + CAST(l.logit > 0 AS INT)
+        |     + CAST(r.top2_frac <= 0.2 AS INT) >= 2 AS keep
+        |FROM scored s
+        |JOIN lg l USING (doc_id)
+        |JOIN rep r USING (doc_id)""".stripMargin,
+    // Smoothed symmetric-KL contributions with the identical operand
+    // order; every libm input is a ratio of exact integers.
+    "ns79_vocab_drift" ->
+      """WITH oldtok AS (
+        |  SELECT t AS token FROM (
+        |    SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS t
+        |    FROM documents WHERE doc_id % 10 != 3)
+        |  WHERE length(t) > 0),
+        |newtok AS (
+        |  SELECT t AS token FROM (
+        |    SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |ca AS (SELECT token, count(*) AS n_old FROM oldtok GROUP BY 1),
+        |cb AS (SELECT token, count(*) AS n_new FROM newtok GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.token, cb.token) AS token,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |tot AS (
+        |  SELECT CAST(sum(n_old) AS BIGINT) AS ta,
+        |    CAST(sum(n_new) AS BIGINT) AS tb, count(*) AS v FROM j)
+        |SELECT token, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(round((
+        |    (n_old + 0.5) / (ta + 0.5 * (v + 1.0))
+        |      * ln(((n_old + 0.5) / (ta + 0.5 * (v + 1.0)))
+        |         / ((n_new + 0.5) / (tb + 0.5 * (v + 1.0))))
+        |    + (n_new + 0.5) / (tb + 0.5 * (v + 1.0))
+        |      * ln(((n_new + 0.5) / (tb + 0.5 * (v + 1.0)))
+        |         / ((n_old + 0.5) / (ta + 0.5 * (v + 1.0))))
+        |  ) * 16777216.0) AS BIGINT) AS skl_fx
+        |FROM j CROSS JOIN tot
+        |ORDER BY skl_fx DESC, token LIMIT 50""".stripMargin,
+    // ns21's word split, the ns17 md5-prefix cell, exact counts.
+    "ns98_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> length(x) > 0)) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok || ':fh'), 1, 8)) AS BIGINT)
+        |    % 1024 AS cell,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY 1, 2""".stripMargin,
+    // n-gram table oracle: the ns02 gram CTE without DISTINCT
+    // (occurrence counts, not document frequency); the (n desc, gram
+    // asc) tiebreak makes the top-100 cut deterministic.
+    "ns46_ngram_topk" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i))
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n
+        |FROM grams GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
+  )
+}

@@ -1,0 +1,127 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for ingest, format, and table-maintenance ops (o- and j-prefixed keys, plus ns94 salted agg / ns96 z-order) — split from
+  * SparkEntry.oracleSql so the registry stays reviewable; the
+  * driver contract surface is still [[graft.SparkEntry.oracleSql]],
+  * which concatenates these per-domain maps (keys asserted
+  * disjoint). Pure data: every value is a DuckDB SQL literal
+  * aligned column-for-column with its Spark query. */
+private[graft] object OpsOracles {
+  val sql: Map[String, String] = Map(
+    // CSV quarantine: PERMISSIVE nulls the unparsable FIELD and keeps
+    // the rest, with the raw line in the corrupt column → quarantined
+    // flag; both planted rows reproduced literally.
+    "j04_csv_ingest" ->
+      """SELECT doc_id, source, CAST(length(text) AS INTEGER) AS n_chars,
+        |  FALSE AS quarantined
+        |FROM documents WHERE doc_id < 100
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), 'srcX', 12, TRUE
+        |UNION ALL
+        |SELECT 13, 'srcY', CAST(NULL AS INTEGER), TRUE""".stripMargin,
+    "o01_nested_struct_projection" ->
+      """SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
+        | CAST(year(o_orderdate) AS BIGINT) AS order_year FROM orders""".stripMargin,
+    "o03_json_path_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events",
+    "o04_cast_chain" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_linenumber % 2 AS INT) AS BOOLEAN) AS is_even,
+        | CAST(l_shipdate AS DATE) AS ship_date,
+        | CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str
+        |FROM lineitem""".stripMargin,
+    "o06_timestamp_munging" ->
+      """SELECT event_id,
+        | strptime(strftime(ts, '%Y-%m-%d %H:%M') || ':00', '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+        | date_trunc('hour', ts) AS hour_ts
+        |FROM events""".stripMargin,
+    "o07_run_hr_rollup" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d%H') || '00' AS BIGINT) AS run_hr,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+    "o08_key_normalization" ->
+      """SELECT DISTINCT o_orderpriority,
+        | lower(replace(o_orderpriority, ' ', '_')) AS norm_key
+        |FROM orders""".stripMargin,
+    "o09_json_repair_roundtrip" ->
+      """SELECT doc_id, lang AS lang2, n_chars AS n2, TRUE AS flag,
+        | source AS src2 FROM documents""".stripMargin,
+    "o10_idempotent_partition_overwrite" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d%H') || '00' AS BIGINT) AS run_hr,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "o12_audit_columns" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CAST(202608121100 AS BIGINT) AS run_hr,
+        | TIMESTAMP '2026-08-12 11:00:00' AS created_at_ts
+        |FROM nation""".stripMargin,
+    "o13_literal_injection" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CAST(202608121100 AS BIGINT) AS run_hr FROM orders""".stripMargin,
+    // MERGE semantics as anti-join + union: delta wins on key match,
+    // target rows survive otherwise, inserts are new keys.
+    "o15_keyed_merge" ->
+      """WITH target AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |         CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation),
+        |delta AS (
+        |  SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+        |  FROM target WHERE n_regionkey = 1 AND n_nationkey < 10
+        |  UNION ALL
+        |  SELECT CAST(990 AS BIGINT), 'NEWLAND', CAST(1 AS BIGINT))
+        |SELECT * FROM delta
+        |UNION ALL
+        |SELECT t.* FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM delta d
+        |  WHERE d.n_nationkey = t.n_nationkey
+        |    AND d.n_regionkey = t.n_regionkey)""".stripMargin,
+    "o14_rename_map" ->
+      """SELECT p_partkey AS part_key, p_name AS part_name, p_brand AS brand,
+        | p_type AS part_type, p_size AS part_size,
+        | p_retailprice AS retail_price FROM part""".stripMargin,
+    // Union schema with null-filled history + the partition column.
+    "j05_schema_evolution" ->
+      """SELECT doc_id, source, CAST(NULL AS INTEGER) AS n_chars,
+        |  0 AS batch
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id, source, CAST(length(text) AS INTEGER), 1
+        |FROM documents WHERE doc_id >= 50 AND doc_id < 100""".stripMargin,
+    "j06_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin,
+    "j07_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "j08_compaction" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents""".stripMargin,
+    "j02_variant_single_parse" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+    "j03_variant_native" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+    // The same 32 shift/mask terms, summed (bit positions disjoint,
+    // so + ≡ OR); generated to match zValue(bits = 16) exactly.
+    "ns96_zorder_key" -> {
+      val terms = (0 until 16).flatMap(b => Seq(
+        s"(((o_custkey >> $b) & 1) << ${2 * b})",
+        s"(((o_orderkey >> $b) & 1) << ${2 * b + 1})"))
+      s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         | CAST(o_custkey AS BIGINT) AS o_custkey,
+         | CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+         |FROM orders""".stripMargin
+    },
+    // The salted rewrite must equal the aggregation it replaces.
+    "ns94_salted_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+  )
+}

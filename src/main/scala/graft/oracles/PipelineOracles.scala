@@ -1,0 +1,211 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for end-to-end pipeline restatements (p01-p05) — split from
+  * SparkEntry.oracleSql so the registry stays reviewable; the
+  * driver contract surface is still [[graft.SparkEntry.oracleSql]],
+  * which concatenates these per-domain maps (keys asserted
+  * disjoint). Pure data: every value is a DuckDB SQL literal
+  * aligned column-for-column with its Spark query. */
+private[graft] object PipelineOracles {
+  val sql: Map[String, String] = Map(
+    // Incremental-curation oracle: same snapshot pair, raw-md5 delta
+    // (snapshotDiff semantics), p03's gate SQL over delta and store,
+    // ns25's NOT EXISTS anti-join, ns17's split buckets.
+    "p04_incremental_curation" ->
+      """WITH oldsnap AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3),
+        |newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 != 7),
+        |delta AS (
+        |  SELECT n.doc_id, n.text FROM newsnap n
+        |  LEFT JOIN oldsnap o ON n.doc_id = o.doc_id
+        |  WHERE o.doc_id IS NULL OR md5(o.text) != md5(n.text)),
+        |obase AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM oldsnap),
+        |okeep AS (
+        |  SELECT doc_id, md5(norm) AS fingerprint FROM obase
+        |  WHERE length(text) BETWEEN 50 AND 100000
+        |    AND len(toks) BETWEEN 10 AND 50000
+        |    AND CAST(length(replace(norm, ' ', '')) AS DOUBLE)/len(toks) BETWEEN 2.0 AND 12.0
+        |    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)/length(text) <= 0.2
+        |    AND CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)/len(toks) >= 0.01
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) > 0),
+        |store AS (SELECT DISTINCT fingerprint FROM okeep),
+        |dbase AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM delta),
+        |dkeep AS (
+        |  SELECT doc_id, md5(norm) AS fingerprint FROM dbase
+        |  WHERE length(text) BETWEEN 50 AND 100000
+        |    AND len(toks) BETWEEN 10 AND 50000
+        |    AND CAST(length(replace(norm, ' ', '')) AS DOUBLE)/len(toks) BETWEEN 2.0 AND 12.0
+        |    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)/length(text) <= 0.2
+        |    AND CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)/len(toks) >= 0.01
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+        |      >= len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t)))
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) > 0),
+        |fresh AS (
+        |  SELECT k.fingerprint, k.doc_id FROM dkeep k
+        |  WHERE NOT EXISTS (SELECT 1 FROM store s
+        |                    WHERE s.fingerprint = k.fingerprint)),
+        |adm AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM fresh GROUP BY fingerprint)
+        |SELECT doc_id, dup_count,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p04split'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p04split'), 1, 8)) AS BIGINT) % 1000 < 950 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM adm""".stripMargin,
+    // ns71's line filter + exact dedup on the cleaned text + ns73's
+    // weight CASE + ns18's quota window, chained.
+    "p05_curation_v2" ->
+      """WITH built AS (
+        |  SELECT d.doc_id, d.source,
+        |    regexp_replace(d.text, ' table ', '.' || chr(10), 'g')
+        |    || CASE WHEN d.doc_id % 7 = 0 THEN chr(10) ||
+        |      'lorem ipsum dolor sit amet placeholder text here.'
+        |      ELSE '' END
+        |    || CASE WHEN d.doc_id % 11 = 0 THEN chr(10) ||
+        |      'function f() { return 1; }' ELSE '' END
+        |    || chr(10) || 'too short.'
+        |    || chr(10) ||
+        |    'this is a good closing sentence for the document.' AS t
+        |  FROM documents d),
+        |ls AS (SELECT doc_id, source,
+        |    list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)) AS lines
+        |  FROM built),
+        |k AS (SELECT doc_id, source,
+        |    list_filter(lines, l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+        |        OR l LIKE '%"')
+        |      AND len(list_filter(string_split(l, ' '),
+        |        w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS keep
+        |  FROM ls),
+        |clean AS (SELECT doc_id, source,
+        |    array_to_string(keep, chr(10)) AS clean_text,
+        |    CAST(len(keep) AS BIGINT) AS n_kept
+        |  FROM k WHERE len(keep) >= 3),
+        |fp AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(clean_text)),
+        |      '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rnfp
+        |  FROM clean),
+        |surv AS (SELECT doc_id, source, clean_text, n_kept
+        |  FROM fp WHERE rnfp = 1),
+        |lg AS (SELECT doc_id, -50000 + coalesce(list_sum(
+        |    list_transform(string_split(regexp_replace(
+        |      lower(trim(clean_text)), '\s+', ' ', 'g'), ' '),
+        |    t -> CASE t
+        |    WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |    WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |    WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |    WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |    WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |    WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |    WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |    WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |    WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |    WHEN 'http' THEN -60000 ELSE 0 END)), 0) AS logit
+        |  FROM surv),
+        |keepq AS (SELECT s.doc_id, s.source, s.n_kept,
+        |    CAST(l.logit AS BIGINT) AS logit_micro
+        |  FROM surv s JOIN lg l USING (doc_id) WHERE l.logit > 0)
+        |SELECT doc_id, source, n_kept, logit_micro, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_kept DESC, doc_id) AS rn
+        |  FROM keepq)
+        |WHERE rn <= 20""".stripMargin,
+    "p03_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |base AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM corpus),
+        |stats AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars, len(toks) AS n_words,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS awl,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / len(toks) AS sw,
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es
+        |  FROM base),
+        |keep AS (
+        |  SELECT doc_id FROM stats
+        |  WHERE n_chars BETWEEN 50 AND 100000
+        |    AND n_words BETWEEN 10 AND 50000
+        |    AND awl BETWEEN 2.0 AND 12.0 AND punct <= 0.2 AND sw >= 0.01
+        |    AND en >= de AND en >= fr AND en >= es AND en > 0),
+        |surv AS (
+        |  SELECT min(b.doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM base b JOIN keep k ON b.doc_id = k.doc_id
+        |  GROUP BY md5(b.norm)),
+        |enr AS (
+        |  SELECT s.doc_id, c.source, s.dup_count
+        |  FROM surv s JOIN corpus c ON s.doc_id = c.doc_id),
+        |mixed AS (
+        |  SELECT * FROM enr
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p03mix'), 1, 8)) AS BIGINT) % 10000
+        |    < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |        ELSE 0.25 END) * 10000)
+        |SELECT doc_id, source, dup_count,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p03split'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p03split'), 1, 8)) AS BIGINT) % 1000 < 950 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM mixed""".stripMargin,
+    "p01_weather_pipeline" ->
+      """SELECT lower(replace(n_name, ' ', '_')) AS city_key,
+        | n_name AS city, 'US' AS country,
+        | strptime('2026-08-12 10:' ||
+        |   lpad(CAST(n_nationkey AS VARCHAR), 2, '0') || ':00',
+        |   '%Y-%m-%d %H:%M:%S') AS localtime_ts,
+        | CAST(n_nationkey + 0.5 AS DOUBLE) AS temp_c,
+        | CAST((n_nationkey + 0.5) * 2 AS DOUBLE) AS temp_f,
+        | n_nationkey % 2 = 1 AS is_day,
+        | 'Cond ' || n_regionkey AS condition_text,
+        | CAST(1000 + n_regionkey AS BIGINT) AS condition_code,
+        | CAST(40 + n_nationkey AS BIGINT) AS humidity,
+        | CAST(n_nationkey AS BIGINT) AS cloud,
+        | CAST(202608121000 AS BIGINT) AS run_hr
+        |FROM nation""".stripMargin,
+    "p02_cocktails_pipeline" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS id_drink,
+        | p_name AS drink, p_type AS category, p_brand AS glass,
+        | p_brand AS ingredient1, '2 oz' AS measure1,
+        | 'Alcoholic' AS alcoholic,
+        | CAST(202608121000 AS BIGINT) AS run_hr
+        |FROM part WHERE p_partkey < 20""".stripMargin,
+  )
+}
