@@ -77,7 +77,13 @@ import org.apache.spark.sql.SparkSession
   * relational/operator core (names starting q, o, or j — not the ns
   * LLM-data suite, the p0 pipelines, or the s0 streaming queries) —
   * comparable against round 1's 20-query total after subtracting its
-  * since-fixed o10 file storm.
+  * since-fixed o10 file storm. `tier_totals` splits the total by
+  * registry tier (SparkEntry.queryTier): `production` is the number
+  * that predicts scale behavior; `diagnostic`/`algorithm_gate` are
+  * declared fixture-scale tooling, and at sf >= 1 they run under
+  * `capMin` so they can never dominate the headline. `not_retimed`
+  * names the queries whose number is a warm-up measurement, not a
+  * spaced steady-state one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -145,6 +151,20 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq
+    // Registry tiers (SparkEntry.queryTier): at sf >= 1 the declared
+    // diagnostics/algorithm-gates — superlinear BY DESIGN, with
+    // registered sublinear twins — run under `capMin` in every phase,
+    // so the headline total measures the scale paths and a fixture-
+    // scale gate can never dominate bench wall. Their capped entries
+    // stay visibly flagged in `capped`.
+    val tier = SparkEntry.queryTier
+    val sfScale = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.0)
+    val capDiagnostics = sfScale >= 1.0
+    def tierCap(n: String, cap: Double): Double =
+      if (capDiagnostics && tier.getOrElse(n, "production") != "production")
+        math.min(cap, capMin)
+      else cap
     // Known-heavy at sf0.1 (LSH/ANN candidate joins, streaming gates):
     // warm them up LAST so a budget blow-out costs extensions, not core.
     val heavy = Set("ns02_ngram_jaccard_pairs", "ns02b_ngram_jaccard_capped",
@@ -208,16 +228,16 @@ object Bench {
     val (seqOnce, pooled) = warmupOrder.partition(_.startsWith("p0"))
     pooled.foreach { n =>
       pool.submit(new Runnable {
-        def run(): Unit = attempt(n,
+        def run(): Unit = attempt(n, tierCap(n,
           if (heavy(n)) capMin
           else if (elapsed < warmupBudget) capMax
-          else capMin,
+          else capMin),
           isRetime = false)
       })
     }
     pool.shutdown()
     pool.awaitTermination(3600, java.util.concurrent.TimeUnit.SECONDS)
-    seqOnce.foreach(n => attempt(n, capMax, isRetime = false))
+    seqOnce.foreach(n => attempt(n, tierCap(n, capMax), isRetime = false))
     val warmupWall = elapsed
     val warmupTimes = times.toMap
     def retimable(name: String): Boolean =
@@ -241,7 +261,8 @@ object Bench {
         (if (cappedAt.contains(n)) 0 else 1, -warmupTimes.getOrElse(n, 0.0), n))
       for (name <- order)
         if (elapsed < deadline)
-          attempt(name, if (cappedAt.contains(name)) capMax else retimeCap,
+          attempt(name, tierCap(name,
+            if (cappedAt.contains(name)) capMax else retimeCap),
             isRetime = true)
         else if (significant(name)) preempted = true
       if (!preempted) roundsCompleted = r
@@ -268,15 +289,30 @@ object Bench {
       n.startsWith("q") || n.startsWith("o") || n.startsWith("j") })
     val cappedJson = cappedAt.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-tier totals: the production number is the one that predicts
+    // scale behavior; diagnostics/algorithm-gates are declared
+    // fixture-scale tooling (see SparkEntry.queryTier).
+    val tierTotalsJson = Seq("production", "diagnostic", "algorithm_gate")
+      .map { t =>
+        s"\"$t\":" + sumOr(results.filter { case (n, _) =>
+          tier.getOrElse(n, "production") == t })
+      }.mkString("{", ",", "}")
+    // Names whose reported number is NOT a spaced steady-state retime
+    // (round-9 VERDICT item 1): warm-up-grade measurements, taken
+    // under pool contention. p0 pipelines are excluded — they run
+    // exactly once, sequentially, after the pool drains.
+    val notRetimedJson = names.sorted
+      .filter(n => !retimed.contains(n) && !n.startsWith("p0"))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Freshness stamp (round-7/8 ADVICE): a rerun is verifiably new.
     val runTs = java.time.Instant.now().toString
-    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"tier_totals":$tierTotalsJson,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"not_retimed":$notRetimedJson,"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full line is ~4 KB at 64 queries and can start BEFORE the
     // driver's fixed-size tail window, leaving it a parse-proof
     // fragment (round-6 artifact: parsed=null despite the line being
     // present). A second, short, totals-only line — printed LAST —
     // always fits the window whole.
-    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","core_total":$core,"n_queries":${results.size},"rounds_completed":$roundsCompleted,"capped":$cappedJson,"sf":"$sfDir"}"""
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","core_total":$core,"tier_totals":$tierTotalsJson,"n_queries":${results.size},"rounds_completed":$roundsCompleted,"capped":$cappedJson,"sf":"$sfDir"}"""
     // Durability: three of five rounds lost this line to tail spam
     // (watchdog-cancel stack traces through shutdown) or external
     // kills. So: silence logging, stop Spark FIRST so nothing can

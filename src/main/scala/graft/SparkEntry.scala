@@ -31,6 +31,38 @@ object SparkEntry {
     Relational.pricingSummary(
       t(spark, "/root/testdata/sf0.001", "lineitem"))
 
+  /** Registry tier of each query, for the bench report (VERDICT r9
+    * item 3). Three tiers:
+    *
+    *  - `production`: the scale path — the plan a 100 TB run would
+    *    use. The default; only exceptions are listed.
+    *  - `diagnostic`: exhaustive/exact twins retained to measure
+    *    their bounded production counterparts against (uncapped pair
+    *    generation, brute-force kNN). Superlinear BY DESIGN; nobody
+    *    runs them at scale, so at sf >= 1 the bench caps them under
+    *    `capMin` and the headline number measures the scale paths.
+    *  - `algorithm_gate`: md5-idiom twins whose whole pipeline
+    *    hash-gates against DuckDB to pin an algorithm's correctness
+    *    at fixture scale (ns03b/ns04b); their xxhash64 siblings are
+    *    the registered scale defaults.
+    */
+  def queryTier: Map[String, String] = {
+    val diagnostic = Set(
+      "ns02_ngram_jaccard_pairs",  // uncapped exact Jaccard pairs (scale: ns02b)
+      "ns05_topk_cosine",          // brute-force cosine top-k (scale: ns06/ns16)
+      "ns07_embedding_near_dup",   // uncapped near-dup pairs (scale: ns07b/ns104)
+      "ns40_semantic_dedup",       // uncapped LSH→CC dedup (scale: ns40b)
+      "ns48_knn_labels",           // exact kNN labels (scale: ns54)
+      "ns99_label_noise")          // exact label-noise votes (scale: ns99b)
+    val gates = Set(
+      "ns03b_minhash_exact",       // md5 MinHash twin of ns03
+      "ns04b_simhash_exact")       // md5 SimHash twin of ns04
+    queries.keys.map(n =>
+      n -> (if (diagnostic(n)) "diagnostic"
+            else if (gates(n)) "algorithm_gate"
+            else "production")).toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 aggregation (hash agg, partial+final) ----
