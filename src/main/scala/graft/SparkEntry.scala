@@ -1465,6 +1465,19 @@ object SparkEntry {
         maxBucketSize = Some(64))
     }),
 
+    // ---- §2.8 [NS] HTML → text main-content extraction ----
+    // Curation stage 0 (C4/CCNet/Dolma start from raw HTML): script/
+    // style strip → block split → text-density keep rule, one
+    // codegen'd projection, with structurally-broken pages
+    // quarantined (j04's contract at page granularity). The fixture
+    // is closed-form — every page byte is a formula of (doc_id,
+    // text) — so the oracle predicts the extractor's exact output,
+    // entity decode and strip-order traps included.
+    "ns105_html_extract" -> ((s, d) => {
+      val pages = graft.ns.Html.buildHtmlFixture(t(s, d, "documents"))
+      graft.ns.Html.mainContent(pages, "doc_id", "html")
+    }),
+
     // ---- §2.8 [NS] CMS point queries (the sketch-store read side) ----
     // Heavy-hitter frequency estimates from the stored ns93 sketch
     // for a deterministic probe set (the corpus top-8 vocabulary):
@@ -2340,6 +2353,34 @@ object SparkEntry {
         Seq(col("n_kept").desc, col("doc_id")))
         .select(col("doc_id"), col("source"), col("n_kept"),
           col("logit_micro"), col("rn").cast("long").as("rn"))
+    }),
+
+    // ---- §3 curation v3: raw HTML in, training corpus out ----
+    // ns105's extractor as STAGE 0 of the p05 curation chain: build
+    // the closed-form HTML fixture, extract main content (malformed
+    // pages quarantined out), quality-gate the EXTRACTED text with
+    // the ns73 linear classifier, exact-dedup on it, hash-split.
+    // Every stage is an already-gated operator; the whole chain is
+    // re-derived in SQL from the fixture formula.
+    "p06_html_curation" -> ((s, d) => {
+      val pages = graft.ns.Html.buildHtmlFixture(t(s, d, "documents"))
+      val ex = graft.ns.Html.mainContent(pages, "doc_id", "html")
+        .filter(col("status") === "ok")
+      val withSrc = ex
+        .select(col("doc_id"), col("n_kept"), col("main_text"))
+        .join(pages.select(col("doc_id"), col("source")), "doc_id")
+      val scored = withSrc
+        .withColumn("logit_micro", TextOps.linearLogitCol(col("main_text")))
+        .filter(col("logit_micro") > 0L)
+      val surv = Dedup.exactDedup(scored, "doc_id", "main_text",
+        carry = Seq("source", "n_kept", "logit_micro"))
+      Sampling.hashSplit(
+        surv.select(col("doc_id"), col("source"), col("n_kept"),
+          col("logit_micro"), col("dup_count")),
+        "doc_id", "p06split",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("source"), col("n_kept"),
+          col("logit_micro"), col("dup_count"), col("split"))
     }),
 
     "p03_curation_pipeline" -> ((s, d) => {

@@ -485,6 +485,47 @@ private[graft] object NsTextOracles {
         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
         |  FROM documents d JOIN lang l USING (doc_id))
         |WHERE rn <= 40""".stripMargin,
+    // Closed-form HTML fixture: every page byte is a formula of
+    // (doc_id, text), so the oracle predicts extraction WITHOUT
+    // parsing HTML — kept blocks are exactly the >=30-char 12-word
+    // chunks plus the entity paragraph; pages with doc_id % 17 = 3
+    // are the unterminated-script quarantine subset. If the Spark
+    // extractor mis-orders script stripping, leaks entities, or
+    // mis-splits blocks, the predicted text/counts diverge.
+    "ns105_html_extract" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS k
+        |  FROM words),
+        |ct AS (
+        |  SELECT doc_id, k,
+        |    array_to_string(list_slice(ws, k*12+1, k*12+12), ' ') AS ctext
+        |  FROM chunks),
+        |agg AS (
+        |  SELECT doc_id,
+        |    COUNT(*) FILTER (WHERE length(ctext) > 0) AS nc,
+        |    COUNT(*) FILTER (WHERE length(ctext) >= 30) AS nk,
+        |    string_agg(ctext, chr(10) ORDER BY k)
+        |      FILTER (WHERE length(ctext) >= 30) AS kept
+        |  FROM ct GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 17 = 3 THEN 'malformed' ELSE 'ok' END
+        |    AS status,
+        |  CASE WHEN d.doc_id % 17 = 3 THEN NULL
+        |       ELSE CAST(a.nc + 5 AS BIGINT) END AS n_blocks,
+        |  CASE WHEN d.doc_id % 17 = 3 THEN NULL
+        |       ELSE CAST(a.nk + 1 AS BIGINT) END AS n_kept,
+        |  CASE WHEN d.doc_id % 17 = 3 THEN NULL
+        |       ELSE CASE WHEN a.kept IS NULL THEN ''
+        |            ELSE a.kept || chr(10) END
+        |         || 'Q&A <tags> and entities stay readable after ' ||
+        |         'decoding in doc ' || CAST(d.doc_id AS VARCHAR)
+        |  END AS main_text
+        |FROM documents d JOIN agg a USING (doc_id)""".stripMargin,
     // The same fixed micro-weight table inlined as a CASE lambda;
     // integer sums are order-independent, so logit_micro hash-gates.
     "ns73_linear_quality" ->
