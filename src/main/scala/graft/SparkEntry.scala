@@ -56,7 +56,8 @@ object SparkEntry {
       "ns99_label_noise")          // exact label-noise votes (scale: ns99b)
     val gates = Set(
       "ns03b_minhash_exact",       // md5 MinHash twin of ns03
-      "ns04b_simhash_exact")       // md5 SimHash twin of ns04
+      "ns04b_simhash_exact",       // md5 SimHash twin of ns04
+      "ns06b_ann_topk_exact")      // md5-parity-plane twin of ns06
     queries.keys.map(n =>
       n -> (if (diagnostic(n)) "diagnostic"
             else if (gates(n)) "algorithm_gate"
@@ -603,6 +604,21 @@ object SparkEntry {
     "ns06_ann_topk_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.annTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, minCosine = 0.15)
+    }),
+
+    // ---- §2.8 [NS] ANN top-k, oracle-exact twin (r10) ----
+    // The ns03b/ns04b convention extended to ANN: the SAME pipeline
+    // as ns06 (unitize → bucket → OR-ed equi-join → exact-cosine
+    // verify → top-k) with md5-parity ±1 planes instead of seeded
+    // gaussians, so every intermediate — buckets, candidates,
+    // cosines, ranks — is re-derived by the DuckDB oracle and the
+    // whole ANN algorithm hash-gates. ns06 stays the scale default;
+    // path equivalence is law-tested in NsSimilaritySpec.
+    "ns06b_ann_topk_exact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.annTopKExact(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, minCosine = 0.15)
     }),

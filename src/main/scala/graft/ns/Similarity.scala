@@ -216,9 +216,47 @@ object Similarity {
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, minCosine: Double, numHashTables: Int = 8,
-      bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val planes = randUnitPlanes(vecDim(corpus, vecCol),
-      numHashTables, seed)
+      bucketLength: Double = 0.5, seed: Long = 42L): DataFrame =
+    annTopKCore(corpus, idCol, vecCol, queries, queryIdCol,
+      queryVecCol, k, minCosine,
+      randUnitPlanes(vecDim(corpus, vecCol), numHashTables, seed),
+      bucketLength)
+
+  /** md5-parity ±1 projection planes (the ns95/[[Embeddings
+    * .projectionSign]] idiom, as doubles): every cell is re-derivable
+    * by any engine, so a pipeline built on them can hash-gate
+    * end-to-end. ±1 rows are not unit-normalized — a plane's scale
+    * only rescales its projections, which `bucketLength` absorbs
+    * (projections of a unit vector onto a ±1 row have unit variance,
+    * vs 1/dim for a unit-gaussian row — hence the twin's wider
+    * default bucket). */
+  private def parityPlanes(dim: Int, count: Int,
+      salt: String): Array[Array[Double]] =
+    Array.tabulate(count)(j => Array.tabulate(dim)(i =>
+      Embeddings.projectionSign(i, j, salt).toDouble))
+
+  /** Oracle-exact twin of [[annTopK]] (the ns03b/ns04b convention for
+    * ANN): the IDENTICAL pipeline — unitize, bucket, OR-ed equi-join,
+    * exact-cosine verify, per-query top-k — with the ONE engine-
+    * specific input (seeded gaussian planes) replaced by md5-parity
+    * ±1 planes, so a DuckDB oracle re-derives every intermediate and
+    * the whole algorithm hash-gates. `annTopK` stays the registered
+    * scale default; path equivalence (same core, only the plane
+    * matrix differs) is law-tested in NsSimilaritySpec.
+    * Output: (query_id, idCol, cosine, rank). */
+  def annTopKExact(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, minCosine: Double, numHashTables: Int = 8,
+      bucketLength: Double = 1.0, salt: String = "annb"): DataFrame =
+    annTopKCore(corpus, idCol, vecCol, queries, queryIdCol,
+      queryVecCol, k, minCosine,
+      parityPlanes(vecDim(corpus, vecCol), numHashTables, salt),
+      bucketLength)
+
+  private[graft] def annTopKCore(corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int, minCosine: Double,
+      planes: Array[Array[Double]], bucketLength: Double): DataFrame = {
     val cu = unitized(corpus, idCol, vecCol)
     val qu = unitized(queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as(queryVecCol)), "query_id", queryVecCol)

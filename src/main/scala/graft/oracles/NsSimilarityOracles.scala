@@ -32,6 +32,59 @@ private[graft] object NsSimilarityOracles {
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, "rank" FROM ranked
         |WHERE "rank" <= 5""".stripMargin,
+    // The ENTIRE ANN pipeline re-derived: md5-parity +-1 planes
+    // (ns95's sign formula), the ns05 sequential-fold arithmetic for
+    // norms / projections / cosines, equal-width buckets, the OR-ed
+    // (table, bucket) candidate equi-join, exact-cosine verify, and
+    // per-query top-k. Hash-gates buckets -> candidates -> ranks
+    // end-to-end; ns06's seeded-gaussian path stays the registered
+    // scale default.
+    "ns06b_ann_topk_exact" ->
+      """WITH sgn AS (
+        |  SELECT jj.j AS j,
+        |    list(CASE WHEN CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR)
+        |        || ':' || CAST(jj.j AS VARCHAR) || ':annb'), 1, 1))
+        |        AS INT) % 2 = 0
+        |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+        |      ORDER BY t.i) AS sv
+        |  FROM UNNEST(range(0, 8)) AS jj(j), UNNEST(range(0, 64)) AS t(i)
+        |  GROUP BY jj.j),
+        |u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS uv
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |        i -> CAST(embedding[i] AS DOUBLE)
+        |          * CAST(embedding[i] AS DOUBLE)))) AS n
+        |    FROM embeddings)
+        |  WHERE n > 0),
+        |b AS (
+        |  SELECT u.vec_id, s.j AS tbl,
+        |    CAST(floor(list_sum(list_transform(range(1, 65),
+        |      i -> uv[i] * sv[i])) / 1.0) AS BIGINT) AS bucket
+        |  FROM u, sgn s),
+        |qb AS (
+        |  SELECT vec_id AS query_id, tbl, bucket FROM b
+        |  WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT qb.query_id, b.vec_id
+        |  FROM b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+        |  WHERE b.vec_id != qb.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> cu.uv[i] * qu.uv[i])) AS cosine
+        |  FROM cand c
+        |  JOIN u cu ON cu.vec_id = c.vec_id
+        |  JOIN u qu ON qu.vec_id = c.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS "rank"
+        |  FROM scored WHERE cosine >= 0.15)
+        |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+        |WHERE "rank" <= 5""".stripMargin,
     // Same Spark-round quantization as the fixed-point family, then
     // the exact integer triangle sum per (i, j).
     "ns101_embedding_gram" ->

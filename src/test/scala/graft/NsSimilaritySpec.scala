@@ -25,6 +25,32 @@ class NsSimilaritySpec extends SparkSpec {
     assert(math.abs(c((1L, 3L)) + 1.0) < 1e-12)
   }
 
+  test("ns06b path equivalence: the oracle-exact twin IS annTopK's " +
+      "core with md5-parity planes; recall@5 vs exact >= 0.7") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val twin = Similarity.annTopKExact(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, minCosine = 0.15)
+    // rebuild the twin's plane matrix from the PUBLIC sign formula
+    // and feed it to the production core: identical output proves the
+    // twin diverges from the scale default in the plane matrix ONLY
+    val planes = Array.tabulate(8)(j => Array.tabulate(64)(i =>
+      graft.ns.Embeddings.projectionSign(i, j, "annb").toDouble))
+    val core = Similarity.annTopKCore(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", 5, 0.15, planes, 1.0)
+    assert(twin.collect().toSet == core.collect().toSet,
+      "annTopKExact must equal the shared core under the same planes")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val ts = twin.select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty &&
+      ts.intersect(exact).size >= exact.size * 0.7,
+      s"twin recall ${ts.intersect(exact).size}/${exact.size}")
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val corpus = vecs(
       10L -> Seq(1f, 0f), 11L -> Seq(0.9f, 0.1f),
