@@ -623,6 +623,35 @@ object SparkEntry {
         k = 5, minCosine = 0.15)
     }),
 
+    // ---- §2.8 [NS] incremental IVF maintenance (r10) ----
+    // The ns41/ns55 delta-cost shape for ANN: fit + save the index on
+    // the base corpus (80%), LOAD it, assign the remaining 20% batch
+    // against the stored centroids with NO refit (one map-side
+    // projection), and probe the unioned assignment table. Rows-only
+    // (k-means centroids are engine-specific); the equality law —
+    // stored-index + delta assignment ≡ assigning the combined corpus
+    // against the same centroids — is in NsSimilaritySpec, exact by
+    // construction because fit-time and incremental assignment are
+    // the same deterministic function.
+    "ns106_ivf_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val dir = newScratchDir("graft_ns106")
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(base, "vec_id", "embedding",
+          nlist = 16), s"${dir.getPath}/idx")
+      val (storedAssign, storedCenters) =
+        Similarity.loadIvfIndex(s, s"${dir.getPath}/idx")
+      val all = storedAssign.unionByName(
+        Similarity.assignWithIndex(delta, storedCenters,
+          "vec_id", "embedding"))
+      materializeAndDrop(
+        Similarity.ivfTopKWithIndex(all, storedCenters,
+          "vec_id", "embedding", emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nprobe = 4), dir)
+    }),
+
     // ---- §2.8 [NS] IVF approximate top-k (k-means coarse quantizer) ----
     // The other ANN scale path: cell assignment is a one-time batch
     // job, probing is a literal projection, and the only join is the

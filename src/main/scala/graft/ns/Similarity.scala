@@ -362,9 +362,55 @@ object Similarity {
     val km = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(fitSet)
-    (model.transform(corpusF)
-      .select(col(idCol), col(vecCol), col("cell")),
-      model.clusterCenters.map(_.toArray))
+    // The fit produces CENTROIDS ONLY; the corpus assignment runs
+    // through [[assignWithIndex]] — the same deterministic literal
+    // expression the incremental path uses — so "assign a new batch
+    // against a stored index" and "assign the whole corpus at fit
+    // time" are THE SAME function and incremental maintenance equals
+    // full assignment by construction (law in NsSimilaritySpec),
+    // rather than depending on MLlib transform internals (whose
+    // distance path has an approximate fast branch).
+    val centers = model.clusterCenters.map(_.toArray)
+    (assignWithIndex(corpus, centers, idCol, vecCol), centers)
+  }
+
+  /** Assign vectors to a FITTED index's cells without refitting —
+    * the delta-cost path for IVF maintenance (the ns41/ns55 shape:
+    * a daily batch is assigned against the stored centroids from
+    * [[loadIvfIndex]] and appended to the assignment table; the
+    * quantizer refit stays a scheduled offline job). One map-side
+    * projection: centroids ride as literals, cell = argmin
+    * ‖unit(v) − c‖² computed as argmax (2·u·c − ‖c‖²), ties to the
+    * smallest cell — fully deterministic, no join, no shuffle.
+    * Zero-norm vectors are dropped (they have no direction — same
+    * contract as the fit path). Output: (idCol, vecCol, cell), the
+    * [[buildIvfIndex]] assignment schema. */
+  def assignWithIndex(batch: DataFrame, centers: Array[Array[Double]],
+      idCol: String, vecCol: String): DataFrame = {
+    require(centers.nonEmpty, "need at least one centroid")
+    val nlist = centers.length
+    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val normSqLit = array(centers.map(c =>
+      lit(c.map(x => x * x).sum)): _*)
+    batch
+      .select(col(idCol), col(vecCol),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col(vecCol),
+        transform(toD(col(vecCol)), x => x / col("__n")).as("__u"))
+      .withColumn("__scored",
+        transform(sequence(lit(0), lit(nlist - 1)), i => struct(
+          (lit(2.0) * aggregate(
+            zip_with(col("__u"), element_at(centerLit, i + 1),
+              (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+            - element_at(normSqLit, i + 1)).as("score"),
+          // struct sort is lexicographic: equal scores then compare
+          // the NEGATED cell, so descending sort breaks ties toward
+          // the smallest cell id
+          (-i).as("negcell"))))
+      .select(col(idCol), col(vecCol),
+        (-element_at(sort_array(col("__scored"), asc = false), 1)
+          .getField("negcell")).cast("int").as("cell"))
   }
 
   /** Persist a fitted IVF index under `dir`: cell assignments as

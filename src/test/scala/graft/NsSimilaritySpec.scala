@@ -51,6 +51,29 @@ class NsSimilaritySpec extends SparkSpec {
       s"twin recall ${ts.intersect(exact).size}/${exact.size}")
   }
 
+  test("incremental IVF: stored-index delta assignment equals " +
+      "assigning the combined corpus against the same centroids") {
+    val emb = Tables(spark, sf, "embeddings")
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val (baseAssign, centers) = Similarity.buildIvfIndex(
+      base, "vec_id", "embedding", nlist = 8)
+    val incremental = baseAssign.unionByName(
+      Similarity.assignWithIndex(delta, centers, "vec_id", "embedding"))
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    val full = Similarity.assignWithIndex(emb, centers,
+      "vec_id", "embedding")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(incremental == full,
+      "delta-path assignments must equal whole-corpus assignment " +
+        "against the same centroids")
+    // and the assignment is a map-side projection: no exchange
+    val plan = Similarity.assignWithIndex(delta, centers,
+      "vec_id", "embedding").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignWithIndex must not shuffle:\n$plan")
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val corpus = vecs(
       10L -> Seq(1f, 0f), 11L -> Seq(0.9f, 0.1f),
