@@ -2143,6 +2143,74 @@ object SparkEntry {
             col("c_mktsegment"), col("n"), col("total")), base)
     }),
 
+    // ---- §2.2 targeted deletion / takedown (r10) ----
+    // Right-to-be-forgotten over the partitioned store: an id-list
+    // anti-join rewriting ONLY the affected partitions (region 1
+    // loses its keys < 10; region 3 is deleted WHOLE, so its
+    // directory must disappear — the dynamic-overwrite blind spot
+    // delete() covers explicitly). Gate = the same anti-join in SQL;
+    // byte-identity and replay laws in MergeUpsertSpec.
+    "o16_targeted_delete" -> ((s, d) => {
+      val dir = newScratchDir("graft_o16")
+      val path = s"${dir.getPath}/target"
+      val nation = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      graft.ops.MergeUpsert.init(nation, path, "n_regionkey")
+      val requests = nation
+        .filter(col("n_regionkey") === 1 && col("n_nationkey") < 10)
+        .unionByName(nation.filter(col("n_regionkey") === 3))
+        .select(col("n_nationkey"), col("n_regionkey"))
+      graft.ops.MergeUpsert.delete(requests, path,
+        Seq("n_nationkey"), "n_regionkey")
+      materializeAndDrop(
+        s.read.parquet(path).select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey")), dir)
+    }),
+
+    // ---- §7.4.6 streaming takedown, driver-gated (r10) ----
+    // The o16 delete as a CONTINUOUS pipeline: delete requests arrive
+    // as two micro-batches (customer keys < 40 of nation 1, then ALL
+    // of nation 3's customers), each applied by foreachBatch via
+    // MergeUpsert.delete against the customer store partitioned by
+    // nation. The drained store must equal one global anti-join over
+    // every request — which is the SQL oracle.
+    "s09_stream_takedown" -> ((s, d) => {
+      val base = newScratchDir("graft_s09")
+      val path = s"${base.getPath}/target"
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+      graft.ops.MergeUpsert.init(cust, path, "c_nationkey")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      Seq(col("c_nationkey") === 1 && col("c_custkey") < 40,
+        col("c_nationkey") === 3).zipWithIndex.foreach { case (p, i) =>
+        val tmp = new java.io.File(base, s"tmp$i")
+        cust.filter(p).select(col("c_custkey"), col("c_nationkey"))
+          .coalesce(1).write.parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        deleteRecursively(tmp)
+      }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val q = EventStream.startTakedownStream(stream, path,
+        s"${base.getPath}/ckpt", keyCols = Seq("c_custkey"),
+        partitionCol = "c_nationkey")
+      q.awaitTermination()
+      materializeAndDrop(
+        s.read.parquet(path).select(
+          col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey")), base)
+    }),
+
     // ---- §7.4.6 streaming keyed upsert (CDC apply), driver-gated ----
     // A "latest row per user" table maintained by startUpsertStream:
     // target seeded from pre-cut1 history, then two time-split update

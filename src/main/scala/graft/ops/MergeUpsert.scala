@@ -72,6 +72,64 @@ object MergeUpsert {
     touched
   }
 
+  /** Targeted row deletion (takedown / right-to-be-forgotten): remove
+    * every target row whose (keyCols, partitionCol) matches a row of
+    * `deleteKeys`, rewriting ONLY the partitions that contain a
+    * listed key — the delete-mode twin of [[merge]], and the same
+    * copy-on-write scale story: at 100 TB a takedown batch touches
+    * the listed keys' directories, never the table.
+    *
+    *   1. the distinct partition values of `deleteKeys` are collected
+    *      (bounded: one row per touched partition);
+    *   2. only those partitions are read (partition-pruned scan);
+    *   3. surviving rows = left_anti join on (keyCols, partitionCol)
+    *      — anti-join semantics, gated in SQL by o16;
+    *   4. survivors replace their partitions via dynamic overwrite
+    *      (untouched partitions byte-identical, law in spec); a
+    *      partition whose rows were ALL deleted is removed
+    *      explicitly, because dynamic overwrite only replaces
+    *      partitions present in the written data and would otherwise
+    *      leave the stale directory behind.
+    *
+    * Replay-idempotent: re-deleting the same keys anti-joins to the
+    * same survivors (law in spec). Same stable-partition contract as
+    * [[merge]]: a delete request carries the partition value its key
+    * lives in. Returns the touched partition values. */
+  def delete(deleteKeys: DataFrame, path: String, keyCols: Seq[String],
+      partitionCol: String): Seq[Any] = {
+    val spark = deleteKeys.sparkSession
+    // Bounded collect: one value per touched partition.
+    val touched = deleteKeys.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return Seq.empty
+    val target = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(touched: _*))
+    val matchKeys = keyCols :+ partitionCol
+    // align request types to the target's (partition dirs come back
+    // as the narrowest parsed type)
+    val dk = deleteKeys.select(matchKeys.map(c =>
+      col(c).cast(target.schema(c).dataType).as(c)): _*)
+    val kept = target.join(dk, matchKeys, "left_anti")
+    // fully-emptied partitions, decided BEFORE the rewrite (one agg
+    // over the touched slice — bounded by touched-partition count)
+    val nonEmpty = kept.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    IdempotentWriter.replacePartitions(
+      kept.repartition(col(partitionCol)), path, Seq(partitionCol))
+    val emptied = touched.filterNot(nonEmpty)
+    if (emptied.nonEmpty) {
+      val base = new org.apache.hadoop.fs.Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simple scalar partition values only (the fixture contract);
+      // values needing Hive escaping would need escapePathName here
+      emptied.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(base,
+          s"$partitionCol=$v"), true): Unit
+      }
+    }
+    touched
+  }
+
   /** Initial load: write `df` as the partitioned target. */
   def init(df: DataFrame, path: String, partitionCol: String): Unit =
     df.repartition(col(partitionCol)).write.mode(SaveMode.Overwrite)

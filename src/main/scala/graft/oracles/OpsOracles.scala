@@ -64,6 +64,14 @@ private[graft] object OpsOracles {
         | CAST(202608121100 AS BIGINT) AS run_hr FROM orders""".stripMargin,
     // MERGE semantics as anti-join + union: delta wins on key match,
     // target rows survive otherwise, inserts are new keys.
+    // Anti-join semantics of the takedown: survivors are rows NOT
+    // matching any delete request; region 3 vanishes wholesale.
+    "o16_targeted_delete" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |WHERE NOT (n_regionkey = 1 AND n_nationkey < 10)
+        |  AND n_regionkey <> 3""".stripMargin,
     "o15_keyed_merge" ->
       """WITH target AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

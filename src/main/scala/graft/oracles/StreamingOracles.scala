@@ -50,6 +50,14 @@ private[graft] object StreamingOracles {
     // within-batch window keeps the batch's max (ts, event_id) per
     // user and time-ordered batches make the last writer the global
     // argmax, so one window over the whole table is the exact oracle.
+    // Drained takedown stream = ONE global anti-join over every
+    // request batch; nation 3's customers vanish wholesale.
+    "s09_stream_takedown" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer
+        |WHERE NOT (c_nationkey = 1 AND c_custkey < 40)
+        |  AND c_nationkey <> 3""".stripMargin,
     "s07_stream_upsert" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,

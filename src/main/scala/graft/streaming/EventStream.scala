@@ -127,6 +127,32 @@ object EventStream {
       }
       .start()
 
+  /** Streaming takedown sink: each micro-batch of delete requests
+    * (keyCols..., partitionCol) is applied to the partitioned store
+    * via [[MergeUpsert.delete]] — the right-to-be-forgotten pipeline
+    * as a stream: requests arrive continuously, each batch rewrites
+    * ONLY the partitions containing a listed key, and fully-emptied
+    * partitions are removed. Replays (at-least-once delivery,
+    * checkpoint recovery) are no-ops by the delete's idempotency law
+    * — re-deleting absent keys anti-joins to the same survivors. */
+  def startTakedownStream(requests: DataFrame, path: String,
+      checkpointDir: String, keyCols: Seq[String],
+      partitionCol: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    requests.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          MergeUpsert.delete(
+            batch.dropDuplicates(keyCols :+ partitionCol),
+            path, keyCols, partitionCol)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming sketch maintenance: each micro-batch's count-min
     * sketch ([[graft.ns.Sketches.cmsSketch]]) lands as a PER-BATCH
     * partition of a sketch store; [[readSketchStore]] merges by

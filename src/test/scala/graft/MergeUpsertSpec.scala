@@ -72,6 +72,54 @@ class MergeUpsertSpec extends SparkSpec {
     assert(once == twice)
   }
 
+  private val deleteReq = Seq(
+    (1L, 10L),               // partial delete in part=10
+    (3L, 20L), (4L, 20L))    // ALL of part=20 — directory must go
+    .toDF("id", "part")
+
+  test("delete removes listed keys; a fully-emptied partition's " +
+      "directory disappears") {
+    val path = freshTarget()
+    val touched = MergeUpsert.delete(deleteReq, path, Seq("id"), "part")
+    assert(touched.toSet == Set(10L, 20L))
+    val got = spark.read.parquet(path)
+      .select($"id", $"name", $"part".cast("long").as("part"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, "beta", 10L), (5L, "epsilon", 30L)))
+    assert(!Files.exists(Paths.get(path, "part=20")),
+      "fully-deleted partition directory must be removed")
+  }
+
+  test("delete leaves untouched partitions byte-identical") {
+    val path = freshTarget()
+    val before30 = dataFiles(path, "part=30")
+    assert(before30.nonEmpty)
+    MergeUpsert.delete(deleteReq, path, Seq("id"), "part")
+    val after30 = dataFiles(path, "part=30")
+    assert(after30.keySet == before30.keySet &&
+      before30.forall { case (f, b) => after30(f).sameElements(b) })
+  }
+
+  test("delete is idempotent: replaying the same requests is a no-op") {
+    val path = freshTarget()
+    MergeUpsert.delete(deleteReq, path, Seq("id"), "part")
+    def snap() = spark.read.parquet(path)
+      .select($"id", $"name", $"part".cast("long").as("part"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val once = snap()
+    MergeUpsert.delete(deleteReq, path, Seq("id"), "part")
+    assert(snap() == once)
+  }
+
+  test("merge fails fast on column drift between delta and target") {
+    val path = freshTarget()
+    val bad = Seq((1L, 10L)).toDF("id", "part") // missing `name`
+    val e = intercept[IllegalArgumentException] {
+      MergeUpsert.merge(bad, path, Seq("id"), "part")
+    }
+    assert(e.getMessage.contains("must equal target columns"))
+  }
+
   test("target scan is partition-pruned to the delta's partitions") {
     val path = freshTarget()
     // Reconstruct the pruned read merge() performs and assert the
