@@ -623,6 +623,31 @@ object SparkEntry {
         k = 5, minCosine = 0.15)
     }),
 
+    // ---- §2.8 [NS] Gram/PCA summary store (r10) ----
+    // The ns59/s08 store-once/merge-forever form for the PCA fit
+    // inputs: three thirds of the corpus land their exact summaries
+    // (Gram triangle + quantized mean sums + count) as idempotent
+    // batch partitions; the addition-merged store's gram slice must
+    // BIT-EQUAL the whole-corpus Gram — ns101's oracle verbatim, the
+    // s08-vs-ns93 convention. PCA refits on snapshot N+1 then pay
+    // one delta summary, not a corpus recompute (pcaProjectFromStore
+    // ≡ pcaProject law in NsSimilaritySpec).
+    "ns107_gram_store_merge" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = newScratchDir("graft_ns107")
+      val store = s"${dir.getPath}/summaries"
+      Seq(0L, 1L, 2L).foreach { b =>
+        graft.ns.Embeddings.writeSummaryPartial(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b),
+          store, b, "embedding", dim = 64)
+      }
+      materializeAndDrop(
+        graft.ns.Embeddings.readSummaryStore(s, store)
+          .filter(col("kind") === "gram")
+          .select(col("i").cast("int").as("i"),
+            col("j").cast("int").as("j"), col("v").as("s_fx")), dir)
+    }),
+
     // ---- §2.8 [NS] incremental IVF maintenance (r10) ----
     // The ns41/ns55 delta-cost shape for ANN: fit + save the index on
     // the base corpus (80%), LOAD it, assign the remaining 20% batch

@@ -314,12 +314,28 @@ object Embeddings {
       .groupBy(col("pos")).agg(sum(col("col")).as("s"),
         count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
-    val n = sums.values.headOption.map(_._2.toDouble).getOrElse(0.0)
-    require(n > 0, "pcaProject needs at least one vector")
-    val mu = Array.tabulate(dim)(i => sums(i)._1.toDouble / n / scale)
+    val n = sums.values.headOption.map(_._2).getOrElse(0L)
+    projectWithFit(df, idCol, embCol, dim, k, fracBits, gram,
+      sums.view.mapValues(_._1).toMap, n)
+  }
+
+  /** Shared PROJECT half of [[pcaProject]] / [[pcaProjectFromStore]]:
+    * fit (mean + covariance + Jacobi) from the exact summaries, then
+    * one map-side projection pass with the eigenvectors as literals.
+    * Both entry points reduce to THIS function on identical
+    * summaries, so refit-from-store equals direct refit bit-for-bit
+    * (law in NsSimilaritySpec). */
+  private def projectWithFit(df: DataFrame, idCol: String,
+      embCol: String, dim: Int, k: Int, fracBits: Int,
+      gram: Map[(Int, Int), Long], sums: Map[Int, Long],
+      n: Long): DataFrame = {
+    require(n > 0, "PCA fit needs at least one vector")
+    val scale = (1L << fracBits).toDouble
+    val nd = n.toDouble
+    val mu = Array.tabulate(dim)(i => sums(i).toDouble / nd / scale)
     val cov = Array.tabulate(dim, dim) { (i, j) =>
       val s = gram(if (i <= j) (i, j) else (j, i)).toDouble / (scale * scale)
-      s / n - mu(i) * mu(j)
+      s / nd - mu(i) * mu(j)
     }
     val (_, evecs) = jacobiEigen(cov)
     val comps = (0 until k).map { j =>
@@ -331,6 +347,76 @@ object Embeddings {
     df.select(col(idCol), posexplode(array(comps: _*)))
       .select(col(idCol), col("pos").cast("int").as("j"),
         col("col").as("comp"))
+  }
+
+  /** Mergeable embedding summary of a corpus slice — the store-once/
+    * merge-forever form of the PCA fit inputs (the ns59/s08 pattern
+    * for second moments): the exact fixed-point Gram triangle
+    * (`kind='gram'`, (i, j) → v) plus the per-position quantized mean
+    * sums (`kind='sum'`, (pos, -1) → v) and the slice's row count
+    * (`kind='n'`, (-1, -1) → v). All three are integer sums, so
+    * slices merge by ADDITION per (kind, i, j) — bit-exact under any
+    * batching — and a PCA refit on snapshot N+1 pays one summary
+    * over the DELTA instead of a corpus-sized recompute.
+    * Output: (kind, i, j, v) — ≤ d(d+1)/2 + d + 1 rows. */
+  def embeddingSummary(df: DataFrame, embCol: String, dim: Int,
+      fracBits: Int = 12): DataFrame = {
+    val scale = (1L << fracBits).toDouble
+    val sums = df
+      .select(posexplode(transform(col(embCol),
+        x => round(x.cast("double") * scale).cast("long"))))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"),
+        count(lit(1)).as("n"))
+    gramMatrix(df, embCol, dim, fracBits)
+      .select(lit("gram").as("kind"), col("i"), col("j"),
+        col("s_fx").as("v"))
+      .unionByName(sums.select(lit("sum").as("kind"),
+        col("pos").cast("int").as("i"), lit(-1).as("j"),
+        col("s").as("v")))
+      .unionByName(sums.filter(col("pos") === 0)
+        .select(lit("n").as("kind"), lit(-1).as("i"), lit(-1).as("j"),
+          col("n").as("v")))
+  }
+
+  /** Land one slice's [[embeddingSummary]] as an idempotent
+    * `batch_id` partition of a summary store (the s08 shape): a
+    * re-delivered batch REPLACES its own partition, never
+    * double-adds. */
+  def writeSummaryPartial(df: DataFrame, path: String, batchId: Long,
+      embCol: String, dim: Int, fracBits: Int = 12): Unit =
+    graft.ops.IdempotentWriter.replacePartitions(
+      embeddingSummary(df, embCol, dim, fracBits)
+        .withColumn("batch_id", lit(batchId)).coalesce(1),
+      path, Seq("batch_id"))
+
+  /** Merge a summary store to the current whole-corpus summary:
+    * exact integer addition per (kind, i, j). */
+  def readSummaryStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("kind"), col("i"), col("j"))
+      .agg(sum(col("v")).as("v"))
+
+  /** PCA projection fit from a MERGED summary store instead of a
+    * corpus recompute — the delta-cost refit: snapshot N+1 writes one
+    * partial for its delta ([[writeSummaryPartial]]), and the fit
+    * consumes the addition-merged store. Bit-equal to [[pcaProject]]
+    * over the same corpus because both reduce to the same fit on the
+    * same exact integers (law in NsSimilaritySpec). */
+  def pcaProjectFromStore(df: DataFrame, idCol: String,
+      embCol: String, summary: DataFrame, dim: Int, k: Int,
+      fracBits: Int = 12): DataFrame = {
+    require(k >= 1 && k <= dim, "need 1 <= k <= dim")
+    // Bounded collect: the summary is ≤ d(d+1)/2 + d + 1 rows.
+    val rows = summary.select(col("kind"), col("i"), col("j"),
+      col("v")).collect()
+    val gram = rows.filter(_.getString(0) == "gram")
+      .map(r => ((r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    val sums = rows.filter(_.getString(0) == "sum")
+      .map(r => (r.getInt(1), r.getLong(3))).toMap
+    val n = rows.filter(_.getString(0) == "n")
+      .map(_.getLong(3)).sum
+    projectWithFit(df, idCol, embCol, dim, k, fracBits, gram, sums, n)
   }
 
   /** Deterministic ±1 sign for projection cell (i, j): parity of the

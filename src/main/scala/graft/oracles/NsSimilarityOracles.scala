@@ -85,6 +85,22 @@ private[graft] object NsSimilarityOracles {
         |  FROM scored WHERE cosine >= 0.15)
         |SELECT query_id, vec_id, cosine, "rank" FROM ranked
         |WHERE "rank" <= 5""".stripMargin,
+    // Addition-merged summary store ≡ the whole-corpus Gram: merge
+    // is exact integer addition, so this is ns101's oracle VERBATIM
+    // (the s08-vs-ns93 convention).
+    "ns107_gram_store_merge" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT t1.i AS i, t2.j AS j, e[t1.i + 1] * e[t2.j + 1] AS p
+        |  FROM q, UNNEST(range(0, 64)) AS t1(i),
+        |       UNNEST(range(0, 64)) AS t2(j)
+        |  WHERE t2.j >= t1.i)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  CAST(SUM(p) AS BIGINT) AS s_fx
+        |FROM cells GROUP BY 1, 2""".stripMargin,
     // Same Spark-round quantization as the fixed-point family, then
     // the exact integer triangle sum per (i, j).
     "ns101_embedding_gram" ->

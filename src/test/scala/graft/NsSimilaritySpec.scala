@@ -74,6 +74,39 @@ class NsSimilaritySpec extends SparkSpec {
       s"assignWithIndex must not shuffle:\n$plan")
   }
 
+  test("PCA refit from the addition-merged summary store is " +
+      "bit-equal to the direct corpus fit") {
+    val emb = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ns107_law").toString
+    val store = s"$dir/summaries"
+    Seq(0L, 1L, 2L).foreach { b =>
+      graft.ns.Embeddings.writeSummaryPartial(
+        emb.filter(pmod(col("vec_id"), lit(3)) === b),
+        store, b, "embedding", dim = 64)
+    }
+    val fromStore = graft.ns.Embeddings.pcaProjectFromStore(
+      emb, "vec_id", "embedding",
+      graft.ns.Embeddings.readSummaryStore(spark, store),
+      dim = 64, k = 4)
+      .as[(Long, Int, Double)].collect().toSet
+    val direct = graft.ns.Embeddings.pcaProject(
+      emb, "vec_id", "embedding", dim = 64, k = 4)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(fromStore == direct,
+      "store-merged fit must equal direct fit bit-for-bit")
+    // replay idempotency: re-landing a batch REPLACES its partition
+    graft.ns.Embeddings.writeSummaryPartial(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1L),
+      store, 1L, "embedding", dim = 64)
+    val replayed = graft.ns.Embeddings.pcaProjectFromStore(
+      emb, "vec_id", "embedding",
+      graft.ns.Embeddings.readSummaryStore(spark, store),
+      dim = 64, k = 4)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(replayed == direct, "batch replay must not double-add")
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val corpus = vecs(
       10L -> Seq(1f, 0f), 11L -> Seq(0.9f, 0.1f),
