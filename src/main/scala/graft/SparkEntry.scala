@@ -623,6 +623,25 @@ object SparkEntry {
         k = 5, minCosine = 0.15)
     }),
 
+    // ---- §2.8 [NS] dedup provenance edges (r10) ----
+    // The duplicate → survivor mapping exactDedup discards: one row
+    // per dropped doc with its kept twin, joined back to BOTH sides'
+    // sources (the takedown-propagation / funnel-attribution shape).
+    // The dropped side's source is on the row; the survivor's rides
+    // the same window via struct-min — one fingerprint shuffle, no
+    // corpus-sized join-back.
+    "ns108_dedup_provenance" -> ((s, d) => {
+      // p03's replay corpus: every 10th doc re-ingested under a
+      // shifted id, so each replay maps to its original as an edge
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      graft.ns.Dedup.exactDedupProvenance(corpus, "doc_id", "text",
+        carry = Seq("source"))
+    }),
+
     // ---- §2.8 [NS] Gram/PCA summary store (r10) ----
     // The ns59/s08 store-once/merge-forever form for the PCA fit
     // inputs: three thirds of the corpus land their exact summaries

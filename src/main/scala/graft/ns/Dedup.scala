@@ -51,6 +51,35 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Duplicate → survivor provenance edges from exact dedup: one row
+    * per DROPPED document mapping it to its fingerprint group's
+    * surviving id — the mapping [[exactDedup]] itself discards but
+    * downstream bookkeeping needs: the funnel (ns60) can attribute
+    * every dropped row, and a takedown on a dropped id can propagate
+    * to its kept twin (o16's delete list joined through this table).
+    *
+    * Plan shape: ONE shuffle on the fingerprint (a window min — no
+    * groupBy + corpus-sized join-back); the survivor's `carry`
+    * columns ride in the same window via the struct-min trick
+    * (idCol-first struct ⇒ lexicographic min = min-id row), the
+    * dropped row's own `carry` values come straight off the row.
+    * Output: (dropped_id, kept_id, fingerprint, dropped_<carry>...,
+    * kept_<carry>...). */
+  def exactDedupProvenance(df: DataFrame, idCol: String,
+      textCol: String, carry: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp"))
+    val kept = min(struct(col(idCol) +: carry.map(col): _*)).over(w)
+    df.withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("__kept", kept)
+      .filter(col(idCol) =!= col("__kept")(idCol))
+      .select(col(idCol).as("dropped_id") +:
+        col("__kept")(idCol).as("kept_id") +:
+        col("__fp").as("fingerprint") +:
+        (carry.map(c => col(c).as(s"dropped_$c")) ++
+          carry.map(c => col("__kept")(c).as(s"kept_$c"))): _*)
+  }
+
   /** Generic exact dedup on explicit key columns (`dropDuplicates`):
     * arbitrary-survivor semantics, one shuffle on the keys. */
   def dropExactDups(df: DataFrame, cols: Seq[String]): DataFrame =

@@ -34,6 +34,27 @@ private[graft] object NsDedupOracles {
         |FROM built, unnest(['canary:aa11','canary:bb22',
         |  'canary:cc33']) t2(c)
         |WHERE contains(t, c)""".stripMargin,
+    // The duplicate->survivor mapping: min-id survivor per md5
+    // fingerprint group; both sides' sources attached.
+    "ns108_dedup_provenance" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |base AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus),
+        |grp AS (
+        |  SELECT fp, min(doc_id) AS kept_id FROM base GROUP BY fp),
+        |k AS (
+        |  SELECT g.fp, g.kept_id, b.source AS kept_source
+        |  FROM grp g JOIN base b ON b.doc_id = g.kept_id)
+        |SELECT b.doc_id AS dropped_id, k.kept_id, b.fp AS fingerprint,
+        |  b.source AS dropped_source, k.kept_source
+        |FROM base b JOIN k ON b.fp = k.fp
+        |WHERE b.doc_id <> k.kept_id""".stripMargin,
     "ns01_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS doc_id, count(*) AS dup_count

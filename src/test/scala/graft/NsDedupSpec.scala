@@ -18,6 +18,34 @@ class NsDedupSpec extends SparkSpec {
       s"nested-loop join in plan:\n$plan")
   }
 
+  test("provenance edges complement the survivors exactly: " +
+      "dropped = corpus minus exactDedup, kept ids are survivors, " +
+      "one shuffle") {
+    val df = docs(
+      1L -> "alpha beta", 2L -> "ALPHA  beta", 3L -> "gamma",
+      4L -> "alpha beta ", 5L -> "delta", 6L -> "Gamma")
+      .withColumn("source", concat(lit("s"), col("doc_id") % 2))
+    val edges = Dedup.exactDedupProvenance(df, "doc_id", "text",
+      carry = Seq("source"))
+    val got = edges
+      .select(col("dropped_id"), col("kept_id"), col("dropped_source"),
+        col("kept_source"))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == Set(
+      (2L, 1L, "s0", "s1"), (4L, 1L, "s0", "s1"), (6L, 3L, "s0", "s1")))
+    val survivors = Dedup.exactDedup(df, "doc_id", "text")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val dropped = edges.select(col("dropped_id")).as[Long].collect().toSet
+    assert(dropped == Set(1L, 2L, 3L, 4L, 5L, 6L) -- survivors,
+      "edges must cover exactly the non-survivors")
+    assert(edges.select(col("kept_id")).as[Long].collect()
+      .forall(survivors), "every kept_id must be a survivor")
+    val plan = edges.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r
+      .findAllMatchIn(plan).size == 1,
+      s"provenance must shuffle once, on the fingerprint:\n$plan")
+  }
+
   test("fingerprint is whitespace/case-insensitive, content-sensitive") {
     val df = docs(
       1L -> "The  Quick\tBrown Fox",
