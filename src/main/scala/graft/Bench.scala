@@ -175,7 +175,10 @@ object Bench {
       "ns07b_embedding_near_dup_capped", "ns40b_semantic_dedup_capped",
       "s06_stream_static_join", "s07_stream_upsert", "s08_stream_sketch",
       "ns99_label_noise", "ns99b_label_noise_ann", "ns03b_minhash_exact",
-      "ns04b_simhash_exact")
+      // p06 is absent deliberately: p0* queries run once, sequentially,
+      // outside the pooled warm-up (see seqOnce below)
+      "ns04b_simhash_exact", "ns106_ivf_incremental",
+      "ns37_dedup_clusters", "ns52_cluster_split")
     def famRank(n: String): Int =
       if (heavy(n)) 2
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||

@@ -684,7 +684,11 @@ object SparkEntry {
       val dir = newScratchDir("graft_ns106")
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(base, "vec_id", "embedding",
-          nlist = 16), s"${dir.getPath}/idx")
+          // the documented fit-sample rule (~1000·nlist points): the
+          // quantizer fit is the one step that must not see the full
+          // corpus — at 100 TB this cap is what keeps refit offline-
+          // cheap, so the registered composition exercises it too
+          nlist = 16, fitSampleCap = 16000), s"${dir.getPath}/idx")
       val (storedAssign, storedCenters) =
         Similarity.loadIvfIndex(s, s"${dir.getPath}/idx")
       val all = storedAssign.unionByName(

@@ -138,6 +138,82 @@ case class TopGramExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Static kernel for [[IvfAssignExpr]]: one tight JVM pass per row —
+  * unit-normalize, score every centroid by argmax (2·u·c − ‖c‖²)
+  * (≡ argmin euclidean for fixed ‖u‖), strict-> comparison keeps the
+  * SMALLEST cell on ties. Exists because the HOF-composed assignment
+  * (transform over nlist cells, each an aggregate over d elements)
+  * evaluates as an INTERPRETED expression tree — measured 11 s for
+  * 40k × 16 × 64-d at sf0.1 vs ~0.3 s through this kernel (the
+  * TopGramKernel story, round 10). Fold order matches the HOF
+  * version exactly: (v_i / n) · c_i summed ascending. */
+object IvfAssignKernel {
+  /** Returns the winning cell, or -1 for a zero-norm vector (no
+    * direction — the caller maps it to null and drops the row). */
+  def assign(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      centers: Array[Array[Double]], normSq: Array[Double]): Int = {
+    val v = arr.toDoubleArray()
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    if (!(ss > 0)) return -1
+    val n = math.sqrt(ss)
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var dot = 0.0
+      var j = 0
+      val d = math.min(v.length, ctr.length)
+      while (j < d) { dot += (v(j) / n) * ctr(j); j += 1 }
+      val score = 2.0 * dot - normSq(c)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** Catalyst-native IVF cell assignment: `array<double>` vector in,
+  * nearest-centroid cell out (null for zero-norm vectors). The
+  * centroid matrix rides as a plan reference object (kilobytes);
+  * codegen emits one static kernel call per row so the surrounding
+  * stage stays fused — the batch-assignment half of the IVF index,
+  * shared by fit-time and incremental maintenance. */
+case class IvfAssignExpr(child: Expression,
+    centers: Array[Array[Double]]) extends UnaryExpression {
+  require(centers.nonEmpty, "need at least one centroid")
+  @transient private lazy val normSq: Array[Double] =
+    centers.map(c => c.map(x => x * x).sum)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val cell = IvfAssignKernel.assign(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centers, normSq)
+    if (cell < 0) null else cell
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val centersRef = ctx.addReferenceObj("ivfCenters", centers,
+      "double[][]")
+    val normSqRef = ctx.addReferenceObj("ivfNormSq", normSq,
+      "double[]")
+    val cell = ctx.freshName("ivfCell")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |int $cell = graft.functions.IvfAssignKernel.assign(
+      |  $c, $centersRef, $normSqRef);
+      |if ($cell < 0) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $cell; }
+      |""".stripMargin)
+  }
+  override def prettyName: String = "ivf_assign"
+  override protected def withNewChildInternal(c: Expression): IvfAssignExpr =
+    copy(child = c)
+}
+
 /** Column-API entry points for graft's custom expressions. */
 object functions {
   /** Repair python-repr "JSON" (single quotes, True/None, trailing
@@ -149,4 +225,9 @@ object functions {
     * kernel-evaluated twin of TextOps.topGramCol. */
   def top_gram(c: Column, n: Int): Column =
     Shim.column(TopGramExpr(Shim.expression(c), n))
+
+  /** Nearest-centroid cell of an array<double> vector (null for
+    * zero-norm) — the IVF assignment kernel. */
+  def ivf_assign(c: Column, centers: Array[Array[Double]]): Column =
+    Shim.column(IvfAssignExpr(Shim.expression(c), centers))
 }

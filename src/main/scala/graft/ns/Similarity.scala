@@ -388,29 +388,16 @@ object Similarity {
   def assignWithIndex(batch: DataFrame, centers: Array[Array[Double]],
       idCol: String, vecCol: String): DataFrame = {
     require(centers.nonEmpty, "need at least one centroid")
-    val nlist = centers.length
-    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
-    val normSqLit = array(centers.map(c =>
-      lit(c.map(x => x * x).sum)): _*)
+    // One codegen'd kernel call per row (IvfAssignExpr — the
+    // TopGramExpr pattern): the HOF formulation (transform over
+    // nlist cells of aggregate folds) is interpreted and measured
+    // 11 s for 40k vectors at sf0.1 vs ~0.3 s through the kernel.
+    // Cast, not a per-element transform, widens float→double.
     batch
       .select(col(idCol), col(vecCol),
-        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
-      .filter(col("__n") > 0)
-      .select(col(idCol), col(vecCol),
-        transform(toD(col(vecCol)), x => x / col("__n")).as("__u"))
-      .withColumn("__scored",
-        transform(sequence(lit(0), lit(nlist - 1)), i => struct(
-          (lit(2.0) * aggregate(
-            zip_with(col("__u"), element_at(centerLit, i + 1),
-              (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-            - element_at(normSqLit, i + 1)).as("score"),
-          // struct sort is lexicographic: equal scores then compare
-          // the NEGATED cell, so descending sort breaks ties toward
-          // the smallest cell id
-          (-i).as("negcell"))))
-      .select(col(idCol), col(vecCol),
-        (-element_at(sort_array(col("__scored"), asc = false), 1)
-          .getField("negcell")).cast("int").as("cell"))
+        graft.functions.functions.ivf_assign(
+          col(vecCol).cast("array<double>"), centers).as("cell"))
+      .filter(col("cell").isNotNull)
   }
 
   /** Persist a fitted IVF index under `dir`: cell assignments as

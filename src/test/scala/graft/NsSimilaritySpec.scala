@@ -107,6 +107,39 @@ class NsSimilaritySpec extends SparkSpec {
     assert(replayed == direct, "batch replay must not double-add")
   }
 
+  test("IvfAssignExpr kernel matches an independent driver-side " +
+      "assignment (direct euclidean argmin)") {
+    val emb = Tables(spark, sf, "embeddings").limit(200)
+    val (_, centers) = Similarity.buildIvfIndex(
+      emb, "vec_id", "embedding", nlist = 8)
+    val got = Similarity.assignWithIndex(emb, centers,
+      "vec_id", "embedding")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)]
+      .collect().toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    assert(vecs.nonEmpty && got.nonEmpty)
+    vecs.foreach { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n > 0) {
+        val u = v.map(_ / n)
+        // independent formulation: direct squared euclidean distance
+        val d2 = centers.map(c => u.zip(c)
+          .map { case (a, b) => (a - b) * (a - b) }.sum)
+        val best = d2.zipWithIndex.minBy { case (d, i) => (d, i) }
+        val margin = d2.sorted.take(2).toSeq match {
+          case Seq(a, b) => b - a
+          case _ => 1.0
+        }
+        // near-ties can legitimately differ between the two float
+        // formulations; everywhere else they must agree
+        if (margin > 1e-9)
+          assert(got(id) == best._2,
+            s"vec $id: kernel ${got(id)} vs reference ${best._2}")
+      } else assert(!got.contains(id), s"zero-norm vec $id kept")
+    }
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val corpus = vecs(
       10L -> Seq(1f, 0f), 11L -> Seq(0.9f, 0.1f),
