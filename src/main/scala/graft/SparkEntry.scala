@@ -2529,7 +2529,10 @@ object SparkEntry {
         .filter(col("status") === "ok")
       val withSrc = ex
         .select(col("doc_id"), col("n_kept"), col("main_text"))
-        .join(pages.select(col("doc_id"), col("source")), "doc_id")
+        // source off the RAW table: re-referencing `pages` here would
+        // re-build the whole HTML fixture a second time
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
       val scored = withSrc
         .withColumn("logit_micro", TextOps.linearLogitCol(col("main_text")))
         .filter(col("logit_micro") > 0L)
