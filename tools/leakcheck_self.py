@@ -23,7 +23,8 @@ ALLOWED_ENV = {
     "SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "SPARK_GRAFT_BENCH_ROUNDS",
     "SPARK_GRAFT_BENCH_RETIME_CAP_SEC", "SPARK_GRAFT_BENCH_DEADLINE_SEC",
     "SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "SPARK_GRAFT_BENCH_QUERY_CAP_MIN_SEC",
-    "SPARK_GRAFT_BENCH_WARMUP_FRAC", "SPARK_DRIVER_MEM",
+    "SPARK_GRAFT_BENCH_WARMUP_FRAC", "SPARK_GRAFT_BENCH_WARMUP_THREADS",
+    "SPARK_DRIVER_MEM",
 }
 # hosts that may appear in docs/comments as public references, plus
 # the RFC-2606-style synthetic hosts the registry/specs construct as
