@@ -1170,6 +1170,70 @@ object SparkEntry {
     // bytes back through parseBmpGray and packs the 9×8 dHash — the
     // oracle re-derives every hash bit from the generation formula
     // alone (the ns29/ns56 trick, here over the full pixel grid).
+    // ---- §2.8 [NS] image blur / flatness gate (r10) ----
+    // Variance-of-Laplacian quality scoring over decoded BMP grids:
+    // even-indexed fixtures are the noisy formula images (sharp),
+    // odd-indexed are exact linear gradients (Laplacian ≡ 0 —
+    // blurry/flat). All moments are exact longs and the keep decision
+    // is an integer cross-multiply, so even the FLAG hash-gates; the
+    // oracle re-derives every interior Laplacian from the pixel
+    // formulas (noisy via the 5-point stencil on the ns63 grid CTE,
+    // gradients in closed form).
+    "ns109_image_blur" -> ((s, d) => {
+      val dir = newScratchDir("graft_ns109")
+      (0 until 50).foreach { i =>
+        val bytes =
+          if (i % 2 == 0) Multimodal.writeBmp(72, 64,
+            seed = i.toLong * 77L)
+          else Multimodal.writeBmpGradient(72, 64, offset = i % 100)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, s"img_$i.bmp"), bytes)
+      }
+      materializeAndDrop(
+        Multimodal.blurScores(
+          Multimodal.readBinaryDir(s, dir.getPath, "*.bmp")).toDF()
+          .select(col("file_name"), col("width"), col("height"),
+            col("n_lap"), col("sum_lap"), col("sum_lap2"),
+            col("sharp")), dir)
+    }),
+
+    // ---- §2.8 [NS] audio clipping / silence audit (r10) ----
+    // The two cheap PCM gates a speech corpus runs first: full-scale
+    // sample counts (digital clipping), silence counts and the
+    // leading-silence run, with exact-integer flags. Fixture mixes
+    // plain sawtooths, 4× overdriven (clipped) ones, and
+    // silence-prefixed ones; every count is closed-form residue
+    // arithmetic the oracle re-derives with no sample explosion.
+    "ns110_audio_quality" -> ((s, d) => {
+      val dir = newScratchDir("graft_ns110")
+      def base(j: Int): Int =
+        (((j.toLong * 8192) % 32768) - 16384).toInt
+      (0 until 48).foreach { i =>
+        val n = 400 + i * 7
+        val bytes = (i % 3) match {
+          case 0 => Multimodal.writeWav(8000, n)
+          case 1 => Multimodal.writeWav(8000, n, j => {
+            val g = base(j).toLong * 4
+            (if (g > 32767L) 32767L
+             else if (g < -32768L) -32768L else g).toShort
+          })
+          case _ =>
+            val p = 200 + i * 5
+            Multimodal.writeWav(8000, n,
+              j => if (j < p) 0.toShort else base(j).toShort)
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, s"wav_$i.wav"), bytes)
+      }
+      materializeAndDrop(
+        Multimodal.audioQuality(
+          Multimodal.readBinaryDir(s, dir.getPath, "*.wav")).toDF()
+          .select(col("file_name"), col("n_samples"),
+            col("n_clipped"), col("n_silent"),
+            col("leading_silence"), col("clipped"),
+            col("mostly_silent")), dir)
+    }),
+
     "ns63_image_dhash" -> ((s, d) => {
       val dir = newScratchDir("graft_mm_dhash")
       (0 until 60).foreach { i =>

@@ -122,6 +122,43 @@ object Multimodal {
     b.array()
   }
 
+  /** Linear-gradient 24-bit BMP (same container as [[writeBmp]]):
+    * channels (blue, green, red) = (x + y + offset, x, y), so the
+    * decoded gray value 2x + 2y + offset is LINEAR in position and
+    * its 4-neighbor Laplacian is identically zero — the closed-form
+    * "maximally blurred" fixture for [[blurScores]] (a blur kernel
+    * maps any image toward exactly this low-second-derivative
+    * shape). */
+  def writeBmpGradient(width: Int, height: Int,
+      offset: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && offset >= 0 &&
+      width - 1 + height - 1 + offset <= 255 &&
+      width <= 256 && height <= 256,
+      "gradient channels must stay within one byte")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val fileSize = 54 + rowSize * height
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        b.put((x + y + offset).toByte).put(x.toByte).put(y.toByte)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowSize) { b.put(0.toByte); pad += 1 }
+      y += 1
+    }
+    b.array()
+  }
+
   /** One decoded audio row: payload facts + real RIFF/WAVE header and
     * PCM16 sample-stream facts. `energy` is the exact integer sum of
     * squared samples (order-independent long arithmetic — the
@@ -549,4 +586,103 @@ object Multimodal {
       .select(col("file_name"), col("frame_idx").cast("long").as("frame_idx"),
         length(col("__frame")).cast("long").as("frame_len"),
         sha2(col("__frame"), 256).as("frame_sha256"))
+
+  final case class BlurScore(file_name: String, width: Int,
+      height: Int, n_lap: Long, sum_lap: Long, sum_lap2: Long,
+      sharp: Boolean)
+
+  /** Interior 4-neighbor Laplacian moments of a gray grid:
+    * (n, ΣL, ΣL²) with L(x,y) = 4g(x,y) − g(x−1,y) − g(x+1,y) −
+    * g(x,y−1) − g(x,y+1) over 1 ≤ x ≤ w−2, 1 ≤ y ≤ h−2 — all exact
+    * long arithmetic. None when the image has no interior. */
+  def laplacianMoments(w: Int, h: Int,
+      gray: Array[Int]): Option[(Long, Long, Long)] = {
+    if (w < 3 || h < 3) return None
+    var s = 0L; var s2 = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      val r = y * w
+      while (x < w - 1) {
+        val l = 4L * gray(r + x) - gray(r + x - 1) - gray(r + x + 1) -
+          gray(r - w + x) - gray(r + w + x)
+        s += l; s2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    Some(((w - 2).toLong * (h - 2), s, s2))
+  }
+
+  /** Variance-of-Laplacian blur scoring — the standard image-quality
+    * gate in front of multimodal training sets (blurry/flat images
+    * carry little signal; OpenCV folklore, Pech-Pacheco et al. 2000):
+    * a sharp image has high-variance second derivatives, a blurred or
+    * flat one near-zero. Kept EXACT: the score is the integer pair
+    * (ΣL, ΣL²) over interior pixels, and the keep decision compares
+    * cross-multiplied integers — `sharp` ⇔ population variance ≥
+    * `minVariance` ⇔ n·ΣL² − (ΣL)² ≥ minVariance·n² — so the gate is
+    * engine-reproducible with no float division anywhere. Same batch
+    * decode shape (and malformed-payload drop contract) as
+    * [[dhashImages]]; map-side, no shuffle. */
+  def blurScores(df: DataFrame, minVariance: Long = 100L,
+      batchSize: Int = 64): Dataset[BlurScore] = {
+    require(minVariance >= 0, "minVariance must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (name, bytes) =>
+          for {
+            (w, h, gray) <- parseBmpGray(bytes)
+            (n, s, s2) <- laplacianMoments(w, h, gray)
+          } yield BlurScore(name, w, h, n, s, s2,
+            // var = (n·ΣL² − ΣL²̄)/n² compared in exact integers
+            n * s2 - s * s >= minVariance * n * n)
+        })
+      }
+  }
+
+  final case class AudioQuality(file_name: String, n_samples: Long,
+      n_clipped: Long, n_silent: Long, leading_silence: Long,
+      clipped: Boolean, mostly_silent: Boolean)
+
+  /** Clipping / silence audit over PCM16 payloads — the two cheap
+    * audio-quality gates a speech corpus runs before any model sees a
+    * clip: `n_clipped` counts full-scale samples (32767 / −32768, the
+    * digital-clipping signature), `n_silent` counts |s| ≤ `silenceThr`,
+    * `leading_silence` is the length of the silent prefix, and the
+    * flags are exact integer decisions (`clipped` ⇔ any clipped
+    * sample; `mostly_silent` ⇔ 2·n_silent > n_samples). All counts are
+    * exact longs over the real sample stream ([[parseWavSamples]]'s
+    * chunk walk), so the whole audit hash-gates; malformed payloads
+    * are dropped, not crashed on. Map-side, no shuffle. */
+  def audioQuality(df: DataFrame, silenceThr: Int = 0,
+      batchSize: Int = 64): Dataset[AudioQuality] = {
+    require(silenceThr >= 0, "silenceThr must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (name, bytes) =>
+          parseWavSamples(bytes).map { case (_, samples) =>
+            var clip = 0L; var silent = 0L; var lead = 0L
+            var leading = true
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i)
+              if (s == 32767 || s == -32768) clip += 1
+              val isSilent = math.abs(s) <= silenceThr
+              if (isSilent) silent += 1
+              if (leading && isSilent) lead += 1 else leading = false
+              i += 1
+            }
+            AudioQuality(name, samples.length.toLong, clip, silent,
+              lead, clip > 0, 2L * silent > samples.length)
+          }
+        })
+      }
+  }
 }

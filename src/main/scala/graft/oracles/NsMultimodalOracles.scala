@@ -50,6 +50,73 @@ private[graft] object NsMultimodalOracles {
     // cell sums over exact 8×8 blocks, bit = left sum > right sum.
     // The 64-bit pack runs in HUGEINT and converts to signed BIGINT
     // (bit 63 is the sign bit on the Spark side).
+    // 5-point-stencil Laplacian moments over the ns63 pixel-formula
+    // grid for the noisy (even) images; linear-gradient (odd) images
+    // have Laplacian identically zero, in closed form. The sharp
+    // flag is the same integer cross-multiply as the engine's.
+    "ns109_image_blur" ->
+      """WITH imgs AS (
+        |  SELECT CAST(i AS BIGINT) AS img_id,
+        |         CAST(i * 77 AS BIGINT) AS seed
+        |  FROM range(0, 50) t(i) WHERE i % 2 = 0),
+        |grid AS (
+        |  SELECT img_id, x, y,
+        |    (seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |      + (seed + y*72 + x) % 239 AS g
+        |  FROM imgs, range(0, 64) ty(y), range(0, 72) tx(x)),
+        |lap AS (
+        |  SELECT c.img_id, 4*c.g - lx.g - rx.g - uy.g - dy.g AS l
+        |  FROM grid c
+        |  JOIN grid lx ON lx.img_id = c.img_id AND lx.y = c.y
+        |    AND lx.x = c.x - 1
+        |  JOIN grid rx ON rx.img_id = c.img_id AND rx.y = c.y
+        |    AND rx.x = c.x + 1
+        |  JOIN grid uy ON uy.img_id = c.img_id AND uy.x = c.x
+        |    AND uy.y = c.y - 1
+        |  JOIN grid dy ON dy.img_id = c.img_id AND dy.x = c.x
+        |    AND dy.y = c.y + 1
+        |  WHERE c.x BETWEEN 1 AND 70 AND c.y BETWEEN 1 AND 62),
+        |na AS (
+        |  SELECT img_id, COUNT(*) AS n, SUM(l) AS s, SUM(l*l) AS s2
+        |  FROM lap GROUP BY 1)
+        |SELECT 'img_' || img_id || '.bmp' AS file_name,
+        |  CAST(72 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+        |  CAST(n AS BIGINT) AS n_lap, CAST(s AS BIGINT) AS sum_lap,
+        |  CAST(s2 AS BIGINT) AS sum_lap2,
+        |  n*s2 - s*s >= 100*n*n AS sharp
+        |FROM na
+        |UNION ALL
+        |SELECT 'img_' || i || '.bmp', CAST(72 AS INTEGER),
+        |  CAST(64 AS INTEGER), CAST(70*62 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), false
+        |FROM range(0, 50) t(i) WHERE i % 2 = 1""".stripMargin,
+    // Residue-class arithmetic over the sawtooth: counts of j%4
+    // classes in [0, N) and [p, N) predict clipping/silence exactly,
+    // no per-sample rows anywhere.
+    "ns110_audio_quality" ->
+      """WITH f AS (
+        |  SELECT CAST(i AS BIGINT) AS i,
+        |    CAST(400 + i*7 AS BIGINT) AS n,
+        |    CAST(200 + i*5 AS BIGINT) AS p, i % 3 AS kind
+        |  FROM range(0, 48) t(i)),
+        |q AS (
+        |  SELECT i, n,
+        |    CASE kind WHEN 1 THEN n - (n+1)//4
+        |      ELSE 0 END AS n_clipped,
+        |    CASE kind
+        |      WHEN 2 THEN p + (n+1)//4 - (p+1)//4
+        |      ELSE (n+1)//4 END AS n_silent,
+        |    CASE kind WHEN 2 THEN
+        |      p + CASE WHEN p % 4 = 2 THEN 1 ELSE 0 END
+        |      ELSE 0 END AS leading_silence
+        |  FROM f)
+        |SELECT 'wav_' || i || '.wav' AS file_name,
+        |  n AS n_samples, CAST(n_clipped AS BIGINT) AS n_clipped,
+        |  CAST(n_silent AS BIGINT) AS n_silent,
+        |  CAST(leading_silence AS BIGINT) AS leading_silence,
+        |  n_clipped > 0 AS clipped,
+        |  2*n_silent > n AS mostly_silent
+        |FROM q""".stripMargin,
     "ns63_image_dhash" ->
       """WITH imgs AS (
         |  SELECT CAST(i AS BIGINT) AS img_id,

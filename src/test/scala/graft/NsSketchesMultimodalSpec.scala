@@ -292,6 +292,52 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("blur gate: linear gradients have zero Laplacian and fail; " +
+      "noisy formula images pass; no-interior images drop") {
+    import graft.ns.Multimodal
+    val grad = Multimodal.parseBmpGray(
+      Multimodal.writeBmpGradient(72, 64, offset = 9)).get
+    assert(Multimodal.laplacianMoments(grad._1, grad._2, grad._3)
+      .contains((70L * 62L, 0L, 0L)),
+      "linear gradient must have identically-zero Laplacian")
+    val noisy = Multimodal.parseBmpGray(
+      Multimodal.writeBmp(72, 64, seed = 77L)).get
+    val (n, sl, sl2) = Multimodal
+      .laplacianMoments(noisy._1, noisy._2, noisy._3).get
+    assert(n * sl2 - sl * sl >= 100L * n * n,
+      "noisy formula image must pass the variance gate")
+    // 2-pixel-wide image has no interior: dropped, not crashed
+    assert(Multimodal.laplacianMoments(2, 5, Array.fill(10)(1)).isEmpty)
+  }
+
+  test("audio quality: clipping only on overdrive, leading silence " +
+      "matches the prefix, malformed payloads drop") {
+    import graft.ns.Multimodal
+    def base(j: Int): Int = (((j.toLong * 8192) % 32768) - 16384).toInt
+    val plainB = Multimodal.writeWav(8000, 101)
+    val overB = Multimodal.writeWav(8000, 101, j => {
+      val g = base(j).toLong * 4
+      (if (g > 32767L) 32767L else if (g < -32768L) -32768L
+       else g).toShort
+    })
+    val prefB = Multimodal.writeWav(8000, 101,
+      j => if (j < 30) 0.toShort else base(j).toShort)
+    val rows = Seq(("plain.wav", plainB), ("over.wav", overB),
+      ("pref.wav", prefB), ("bad.wav", Array[Byte](1, 2, 3)))
+      .toDF("file_name", "content")
+    val got = Multimodal.audioQuality(rows).collect()
+      .map(a => a.file_name -> a).toMap
+    assert(got.size == 3 && !got.contains("bad.wav"))
+    assert(!got("plain.wav").clipped &&
+      got("plain.wav").leading_silence == 0)
+    assert(got("over.wav").clipped &&
+      // all but the j%4==2 zeros; 25 of those in [0, 101)
+      got("over.wav").n_clipped == 101L - 25L)
+    // prefix 30 (30 % 4 == 2 → sample 30 is a sawtooth zero too)
+    assert(got("pref.wav").leading_silence == 31L)
+    assert(!got("pref.wav").clipped)
+  }
+
   test("writeWav → parseWav round-trips with exact integer sample facts") {
     val w = Multimodal.parseWav(Multimodal.writeWav(8000, 9)).get
     assert(w.sample_rate == 8000 && w.channels == 1 &&
