@@ -642,6 +642,47 @@ object SparkEntry {
         carry = Seq("source"))
     }),
 
+    // ---- §2.8 [NS] takedown propagation through provenance (r10) ----
+    // The reason ns108's edge table exists: a takedown on a document
+    // must also remove its CONTENT TWINS — the survivor that absorbed
+    // it (the dropped copy's bytes live on under the kept id) and
+    // every duplicate of a requested survivor. Closure via two edge
+    // joins (canonical survivor, then group members) — never a
+    // corpus-sized fingerprint rejoin. Requests: original ids % 25
+    // (mixed singletons and replicated groups). The oracle computes
+    // the same closure independently via fingerprint GROUPS, so a
+    // wrong or incomplete edge table fails the gate.
+    "ns111_takedown_propagation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      val edges = graft.ns.Dedup.exactDedupProvenance(
+        corpus, "doc_id", "text")
+        .select(col("dropped_id"), col("kept_id"))
+      val req = corpus
+        .filter(col("doc_id") < 100000L &&
+          pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id").as("rid"))
+      // canonical survivor of each requested id (itself if kept)
+      val canon = req
+        .join(edges, req("rid") === edges("dropped_id"), "left")
+        .select(coalesce(col("kept_id"), col("rid")).as("kid"))
+        .distinct()
+      // full group: survivor + every dropped member
+      val members = canon
+        .join(edges, canon("kid") === edges("kept_id"), "left")
+      val tomb = members.select(col("kid").as("doc_id"))
+        .unionAll(members.filter(col("dropped_id").isNotNull)
+          .select(col("dropped_id").as("doc_id")))
+        .distinct()
+      tomb.join(req, tomb("doc_id") === req("rid"), "left")
+        .select(col("doc_id"),
+          when(col("rid").isNotNull, lit("requested"))
+            .otherwise(lit("propagated")).as("reason"))
+    }),
+
     // ---- §2.8 [NS] Gram/PCA summary store (r10) ----
     // The ns59/s08 store-once/merge-forever form for the PCA fit
     // inputs: three thirds of the corpus land their exact summaries
@@ -2321,6 +2362,50 @@ object SparkEntry {
         s.read.parquet(path).select(
           col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
           col("c_nationkey").cast("long").as("c_nationkey")), base)
+    }),
+
+    // ---- §7.4.6 streaming HTML extraction, driver-gated (r10) ----
+    // Curation stage 0 on a stream: raw pages arrive as two
+    // micro-batches and ns105's extractor — a stateless codegen'd
+    // projection — runs UNCHANGED on the streaming DataFrame (the s04
+    // pattern: no state store, no watermark; quarantined pages are
+    // filtered out per batch). The drained sink must equal the batch
+    // extraction of all ok pages, which is ns105's oracle restricted
+    // to the ok subset.
+    "s10_stream_html_extract" -> ((s, d) => {
+      val base = newScratchDir("graft_s10")
+      val pages = graft.ns.Html.buildHtmlFixture(t(s, d, "documents"))
+        .select(col("doc_id"), col("html"))
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      Seq(pmod(col("doc_id"), lit(2)) === 0,
+        pmod(col("doc_id"), lit(2)) =!= 0).zipWithIndex.foreach {
+        case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          pages.filter(p).coalesce(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+      }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val out = s"${base.getPath}/gold"
+      val q = graft.ns.Html.mainContent(stream, "doc_id", "html")
+        .filter(col("status") === "ok")
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          col("main_text"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(s.read.parquet(out), base)
     }),
 
     // ---- §7.4.6 streaming keyed upsert (CDC apply), driver-gated ----

@@ -55,6 +55,31 @@ private[graft] object NsDedupOracles {
         |  b.source AS dropped_source, k.kept_source
         |FROM base b JOIN k ON b.fp = k.fp
         |WHERE b.doc_id <> k.kept_id""".stripMargin,
+    // Independent closure: tombstones = every member of a fingerprint
+    // GROUP containing a requested id (the engine computes the same
+    // set through the edge table — a broken edge table fails here).
+    "ns111_takedown_propagation" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |base AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus),
+        |req AS (
+        |  SELECT doc_id FROM base
+        |  WHERE doc_id < 100000 AND doc_id % 25 = 0),
+        |gf AS (
+        |  SELECT DISTINCT b.fp FROM base b
+        |  JOIN req r ON b.doc_id = r.doc_id)
+        |SELECT b.doc_id,
+        |  CASE WHEN r.doc_id IS NOT NULL THEN 'requested'
+        |       ELSE 'propagated' END AS reason
+        |FROM base b
+        |JOIN gf ON b.fp = gf.fp
+        |LEFT JOIN req r ON r.doc_id = b.doc_id""".stripMargin,
     "ns01_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS doc_id, count(*) AS dup_count
