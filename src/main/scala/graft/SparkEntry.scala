@@ -642,6 +642,19 @@ object SparkEntry {
         carry = Seq("source"))
     }),
 
+    // ---- §2.8 [NS] bigram-LM NLL quality signal (r10) ----
+    // ns58 one conditioning level up — the real perplexity-filter
+    // shape (a unigram LM is order-blind; the bigram LM penalizes
+    // shuffled/disfluent text). Trained on 2/3 of the corpus, scoring
+    // ALL docs, so the held-out third exercises both backoff tiers
+    // (seen-w1 context mass, then the global OOV constant) under the
+    // hash gate.
+    "ns112_bigram_nll" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ns.TextOps.bigramNll(docs, "doc_id", "text",
+        train = Some(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)))
+    }),
+
     // ---- §2.8 [NS] takedown propagation through provenance (r10) ----
     // The reason ns108's edge table exists: a takedown on a document
     // must also remove its CONTENT TWINS — the survivor that absorbed

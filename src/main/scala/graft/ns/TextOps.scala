@@ -536,6 +536,86 @@ object TextOps {
           (count(lit(1)).cast("double") * scale)).as("mean_nll"))
   }
 
+  /** Adjacent word pairs of the canonical token stream — the
+    * zip-slice gram idiom (no per-element re-split): pairs (w_i,
+    * w_{i+1}); the zip's null-padded tail pair and empty tokens are
+    * filtered. Output: (idCol, w1, w2). */
+  private def bigramStream(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = df
+    .select(col(idCol), wordTokens(col(textCol)).as("__w"))
+    .select(col(idCol), explode(zip_with(col("__w"),
+      slice(col("__w"), lit(2), size(col("__w"))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+    .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    .filter(col("w2").isNotNull &&
+      length(col("w1")) > 0 && length(col("w2")) > 0)
+
+  /** Bigram-LM NLL — [[unigramNll]] one conditioning level up, the
+    * shape of the real CCNet/KenLM perplexity filter (a unigram LM
+    * cannot see word ORDER; a bigram LM penalizes shuffled or
+    * disfluent text that unigram stats score as fluent): score =
+    * mean −ln P(w2|w1) over a document's adjacent word pairs, with
+    * Laplace smoothing P(w2|w1) = (C(w1,w2)+α)/(C1(w1)+α(V+1)),
+    * C1(w1) = Σ_w2 C(w1,w2), V = distinct second-words in the
+    * training stream. Backoff for pairs the LM never saw: seen-w1
+    * context mass (per-w1 table), then a global OOV constant.
+    *
+    * Determinism is ns58's idiom one level up: every DISTINCT bigram
+    * (and every w1 backoff) gets its −ln quantized to fixed-point
+    * ONCE in the model table, then document scores are exact long
+    * sums and one final division — partition- and order-independent,
+    * so the whole signal hash-gates. `train` defaults to the scored
+    * corpus (self-scoring); pass a subset to exercise backoff /
+    * train-vs-apply splits.
+    *
+    * Plan shape: the model is TWO map-combinable aggs over the train
+    * bigram stream (distinct bigrams, then per-w1 sums) + a 1-row
+    * driver scalar for V; scoring is two equi-joins (pair, then w1
+    * backoff) and one per-doc groupBy of longs. At 100 TB the
+    * exchanges carry distinct bigrams — Zipf-bounded — never the
+    * token stream.
+    * Output: (idCol, n_bigrams, mean_nll); docs with no bigram are
+    * absent. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      train: Option[DataFrame] = None, alpha: Double = 0.5,
+      fracBits: Int = 24): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    require(fracBits >= 1 && fracBits <= 30, s"bad fracBits $fracBits")
+    val scale = (1L << fracBits).toDouble
+    val scoreBig = bigramStream(df, idCol, textCol)
+    val trainBig = train
+      .map(t => bigramStream(t, idCol, textCol))
+      .getOrElse(scoreBig)
+    val counts = trainBig.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val c1 = counts.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val v = trainBig.agg(
+      coalesce(count_distinct(col("w2")), lit(0L))).head().getLong(0)
+    if (v == 0L)
+      return df.select(col(idCol)).limit(0)
+        .withColumn("n_bigrams", lit(0L))
+        .withColumn("mean_nll", lit(0.0))
+    val denomAdd = alpha * (v + 1.0)
+    val lp = counts.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(-log((col("c").cast("double") + alpha) /
+          (col("c1").cast("double") + denomAdd)) * scale)
+          .cast("long").as("__fx"))
+    val bo = c1.select(col("w1"),
+      round(-log(lit(alpha) / (col("c1").cast("double") + denomAdd))
+        * scale).cast("long").as("__bfx"))
+    val oovFx = math.round(-math.log(alpha / denomAdd) * scale)
+    scoreBig
+      .join(lp, Seq("w1", "w2"), "left")
+      .join(bo, Seq("w1"), "left")
+      .select(col(idCol),
+        coalesce(col("__fx"), col("__bfx"), lit(oovFx)).as("__fx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__fx")).cast("double") /
+          (count(lit(1)).cast("double") * scale)).as("mean_nll"))
+  }
+
   /** Perplexity-band document filter — the CCNet/DCLM selection rule
     * on top of [[unigramNll]]: drop the lowest-NLL tail (boilerplate /
     * degenerate repetition the LM finds too easy) and the highest-NLL

@@ -210,6 +210,50 @@ private[graft] object NsTextOracles {
     // Bit equality holds because the nll is fixed-point-quantized per
     // DISTINCT token (see the ns58 registry comment); the mean is then
     // exact long arithmetic divided once.
+    // ns58's fixed-point-ln idiom at bigram granularity: the model
+    // tables quantize each distinct bigram's (and each w1 backoff's)
+    // -ln once, scores are exact long sums. Train = doc_id % 3 != 0;
+    // the held-out third hits both backoff tiers.
+    "ns112_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        |  WHERE length(w[i]) > 0 AND length(w[i+1]) > 0),
+        |tbig AS (SELECT * FROM big WHERE doc_id % 3 <> 0),
+        |cnt AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tbig GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1
+        |       FROM cnt GROUP BY 1),
+        |vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v
+        |       FROM tbig),
+        |lp AS (
+        |  SELECT cnt.w1, cnt.w2,
+        |    CAST(round(-ln((c + 0.5) / (c1 + 0.5*(v+1)))
+        |      * 16777216.0) AS BIGINT) AS fx
+        |  FROM cnt JOIN c1 USING (w1), vv),
+        |bo AS (
+        |  SELECT w1,
+        |    CAST(round(-ln(0.5 / (c1 + 0.5*(v+1)))
+        |      * 16777216.0) AS BIGINT) AS bfx
+        |  FROM c1, vv),
+        |oo AS (
+        |  SELECT CAST(round(-ln(0.5 / (0.5*(v+1)))
+        |    * 16777216.0) AS BIGINT) AS ofx FROM vv)
+        |SELECT b.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(coalesce(lp.fx, bo.bfx, oo.ofx)) AS DOUBLE)
+        |    / (COUNT(*) * 16777216.0) AS mean_nll
+        |FROM big b
+        |LEFT JOIN lp ON lp.w1 = b.w1 AND lp.w2 = b.w2
+        |LEFT JOIN bo ON bo.w1 = b.w1
+        |CROSS JOIN oo
+        |GROUP BY b.doc_id""".stripMargin,
     "ns58_unigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id,

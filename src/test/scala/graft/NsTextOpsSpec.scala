@@ -11,6 +11,32 @@ class NsTextOpsSpec extends SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("bigramNll penalizes destroyed word order that unigramNll " +
+      "cannot see; backoff makes unseen pairs costlier than seen") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    // same token multiset, order destroyed
+    val shuffled = "mat the on rug sat dog the and cat the on sat the"
+    val docs = Seq((1L, fluent), (2L, shuffled)).toDF("doc_id", "text")
+    val uni = TextOps.unigramNll(docs, "doc_id", "text")
+      .select(col("doc_id"), col("mean_nll"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-12,
+      "a unigram LM is order-blind: identical multisets score equal")
+    val train = Seq((10L, fluent), (11L, fluent)).toDF("doc_id", "text")
+    val big = TextOps.bigramNll(docs, "doc_id", "text",
+      train = Some(train))
+      .select(col("doc_id"), col("mean_nll"))
+      .as[(Long, Double)].collect().toMap
+    assert(big(2L) > big(1L) + 0.5,
+      s"bigram LM must penalize the shuffle: ${big(1L)} vs ${big(2L)}")
+    // determinism under repartitioning
+    val re = TextOps.bigramNll(docs.repartition(7), "doc_id", "text",
+      train = Some(train.repartition(5)))
+      .select(col("doc_id"), col("mean_nll"))
+      .as[(Long, Double)].collect().toMap
+    assert(re == big, "score must be partition-independent")
+  }
+
   test("redactPii replaces and counts sequentially, no shuffle") {
     val df = TextOps.redactPii(docs(
       // the dotted quad inside the email domain must count as email,
