@@ -520,6 +520,37 @@ object SparkEntry {
     "dq05_series_gaps" -> ((s, d) =>
       graft.dq.Checks.seriesGaps(t(s, d, "events"), "event_type", "ts")),
 
+    // ---- §2.6 Q1+ cross-snapshot schema drift (r10) ----
+    // The contract check in front of mergeSchema reads (j05) and
+    // MERGE (o15 fails fast; this NAMES the drift): two landed
+    // snapshots of the documents table whose schemas differ by one
+    // removed column, one type change, and one added column — read
+    // back from parquet so the real file schemas are compared.
+    "dq06_schema_drift" -> ((s, d) => {
+      val dir = newScratchDir("graft_dq06")
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          length(col("text")).cast("long").as("n_chars"))
+        .limit(50).write.parquet(s"${dir.getPath}/old")
+      docs.select(col("doc_id"), col("source"),
+          length(col("text")).cast("int").as("n_chars"),
+          lit("en").as("lang"))
+        .limit(50).write.parquet(s"${dir.getPath}/new")
+      materializeAndDrop(
+        graft.dq.Checks.schemaDrift(
+          s.read.parquet(s"${dir.getPath}/old"),
+          s.read.parquet(s"${dir.getPath}/new")), dir)
+    }),
+
+    // ---- §2.6 Q1+ join-key skew profile (r10) ----
+    // The pre-join planning readout behind §4.3's salting/AQE
+    // decisions: top-20 heaviest user_ids with exact counts plus the
+    // table totals any skew ratio derives from — one map-combinable
+    // count + a distributed TakeOrdered, never a global sort.
+    "ns113_key_skew" -> ((s, d) =>
+      graft.dq.Checks.keySkewProfile(t(s, d, "events"), "user_id")),
+
     // ---- §2.6 Q1+ PSI distribution drift between snapshots ----
     // The pre-retraining "did this feature move" gate: unit-bin
     // histograms, Laplace smoothing over union bins, per-bin

@@ -231,4 +231,62 @@ object Checks {
         ((unix_timestamp(col("__next")) - unix_timestamp(col("__hr"))) /
           lit(3600L) - lit(1L)).cast("long").as("missing_hours"))
   }
+
+  /** Cross-snapshot schema drift — the contract check in front of
+    * every mergeSchema read (j05) and MERGE (o15 fails fast on drift;
+    * this names the drift instead): one row per column present in
+    * EITHER snapshot's schema, labeled added / removed /
+    * type_changed / unchanged, with both type names. Catalog-sized
+    * metadata, not data — no job runs; the DataFrame form exists so
+    * the report lands in the same DQ sink as every other check.
+    * Output: (column_name, status, old_type, new_type), nulls where
+    * a side lacks the column. */
+  def schemaDrift(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.fields
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val n = newDf.schema.fields
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      val status = (o.get(c), n.get(c)) match {
+        case (None, Some(_))          => "added"
+        case (Some(_), None)          => "removed"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _                        => "unchanged"
+      }
+      (c, status, o.get(c), n.get(c))
+    }.toDF("column_name", "status", "old_type", "new_type")
+  }
+
+  /** Join-key skew profile — the pre-join planning readout for §4.3's
+    * salting/AQE decisions at 100 TB: the top-`k` heaviest key values
+    * with exact counts, plus the table-wide totals needed to derive
+    * any skew ratio (heavy-hitter share = cnt/total_rows, skew factor
+    * = cnt·n_keys/total_rows) WITHOUT a second scan. One
+    * map-combinable count per distinct key + a TakeOrdered top-k;
+    * the totals broadcast back as literals (2-scalar driver agg).
+    * All exact longs ⇒ hash-gates. Null keys count as a key (they
+    * hot-spot a join like any other value — the classic null-skew
+    * trap). Output: (key, cnt, total_rows, n_keys, rank). */
+  def keySkewProfile(df: DataFrame, keyCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = counts
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("total"),
+        count(lit(1)).as("nk")).head()
+    // TakeOrderedAndProject (distributed per-partition top-k, never a
+    // global sort over all distinct keys); the rank window then runs
+    // over k rows only.
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("key"), col("cnt"),
+        lit(t.getLong(0)).as("total_rows"),
+        lit(t.getLong(1)).as("n_keys"), col("rank"))
+  }
 }

@@ -8,6 +8,16 @@ package graft.oracles
   * aligned column-for-column with its Spark query. */
 private[graft] object DqOracles {
   val sql: Map[String, String] = Map(
+    // Closed-form: the drift is exactly what the fixture constructed
+    // (n_words removed, n_chars bigint->int, lang added).
+    "dq06_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('doc_id',  'unchanged',    'bigint', 'bigint'),
+        |  ('lang',    'added',        CAST(NULL AS VARCHAR), 'string'),
+        |  ('n_chars', 'type_changed', 'bigint', 'int'),
+        |  ('n_words', 'removed',      'bigint', CAST(NULL AS VARCHAR)),
+        |  ('source',  'unchanged',    'string', 'string'))
+        |  t(column_name, status, old_type, new_type)""".stripMargin,
     "dq01_assertion_events" ->
       """WITH m AS (
         |  SELECT COUNT(*) AS n,

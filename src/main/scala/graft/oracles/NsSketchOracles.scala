@@ -66,6 +66,22 @@ private[graft] object NsSketchOracles {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bins,
         |  CAST(SUM(cfx) AS BIGINT) AS psi_fx
         |FROM c GROUP BY event_type""".stripMargin,
+    // Exact heavy-hitter counts + table totals; deterministic
+    // (cnt desc, key) tie-break mirrors the TakeOrdered.
+    "ns113_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |             CAST(COUNT(*) AS BIGINT) AS nk FROM c),
+        |r AS (
+        |  SELECT key, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, key NULLS FIRST)
+        |      AS rk
+        |  FROM c)
+        |SELECT key, cnt, t.total AS total_rows, t.nk AS n_keys,
+        |  CAST(rk AS BIGINT) AS "rank"
+        |FROM r, t WHERE rk <= 20""".stripMargin,
     "ns13_quantiles" ->
       """SELECT event_type,
         | quantile_disc(value, 0.5) AS p50,

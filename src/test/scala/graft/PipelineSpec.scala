@@ -345,6 +345,38 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(("a", 202402010200L, 2L)))
   }
 
+  test("dq06: schema drift labels add/remove/type-change; identical " +
+      "schemas report all-unchanged") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "a", 2L)).toDF("id", "name", "n")
+    val newDf = Seq((1L, 2, true)).toDF("id", "n", "flag")
+    val got = Checks.schemaDrift(oldDf, newDf)
+      .as[(String, String, Option[String], Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      ("id", "unchanged", Some("bigint"), Some("bigint")),
+      ("name", "removed", Some("string"), None),
+      ("n", "type_changed", Some("bigint"), Some("int")),
+      ("flag", "added", None, Some("boolean"))))
+    val same = Checks.schemaDrift(oldDf, oldDf)
+    assert(same.filter(col("status") =!= "unchanged").isEmpty)
+  }
+
+  test("ns113: planted hot key ranks first with exact counts; null " +
+      "keys are profiled like any value") {
+    import spark.implicits._
+    val rows = (1 to 50).map(_ => Option(7L)) ++
+      (1 to 5).map(i => Option(i.toLong)) ++ Seq(None, None, None)
+    val df = rows.toDF("k")
+    val got = Checks.keySkewProfile(df, "k", k = 3)
+      .as[(Option[Long], Long, Long, Long, Long)].collect().toList
+    assert(got.head == (Some(7L), 50L, 58L, 7L, 1L),
+      s"hot key must rank first: ${got.head}")
+    assert(got.map(_._1).contains(None),
+      "null keys must be profiled (the null-skew trap)")
+    assert(got.forall(r => r._3 == 58L && r._4 == 7L))
+  }
+
   test("ns97 PSI: ~0 on identical snapshots, positive under a planted " +
       "shift, non-negative per the (q-p)ln(q/p) identity") {
     import spark.implicits._
