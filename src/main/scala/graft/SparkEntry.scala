@@ -673,6 +673,15 @@ object SparkEntry {
         carry = Seq("source"))
     }),
 
+    // ---- §2.8 [NS] PMI collocation mining (r10) ----
+    // The corpus phrase table: top-50 adjacent pairs by pointwise
+    // mutual information (min count 5 — unsmoothed PMI is hapax-
+    // dominated otherwise); per-distinct-pair fixed-point ln makes
+    // ranking AND values hash-gate.
+    "ns114_pmi_collocations" -> ((s, d) =>
+      graft.ns.TextOps.pmiCollocations(t(s, d, "documents"),
+        "doc_id", "text")),
+
     // ---- §2.8 [NS] bigram-LM NLL quality signal (r10) ----
     // ns58 one conditioning level up — the real perplexity-filter
     // shape (a unigram LM is order-blind; the bigram LM penalizes
@@ -918,6 +927,20 @@ object SparkEntry {
         docs.filter(col("doc_id") < 50),
         docs.filter(col("doc_id") >= 50),
         "doc_id", "text", n = 3)
+    }),
+
+    // ---- §2.8 [NS] per-source contamination matrix (r10) ----
+    // ns22 resolved by training source: which DATASET leaked the
+    // benchmark. Same eval split (docs < 50), trigram containment
+    // ≥ 3/10 per (source, eval doc) as an exact integer
+    // cross-multiply; sparse — sources with no contaminated doc are
+    // absent.
+    "ns115_contamination_matrix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationMatrix(
+        docs.filter(col("doc_id") < 50),
+        docs.filter(col("doc_id") >= 50),
+        "doc_id", "text", "source", n = 3)
     }),
 
     // ---- §2.8 [NS] mod-p sampled shingle fingerprints ----

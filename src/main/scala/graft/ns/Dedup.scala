@@ -280,6 +280,47 @@ object Dedup {
             col("n_grams").cast("double")).as("contamination"))
   }
 
+  /** Per-source contamination MATRIX — [[contaminationScores]]
+    * resolved by training group: for each `groupCol` value, how many
+    * eval documents have ≥ tauNum/tauDen of their distinct n-grams
+    * contained in THAT group's text (the per-dataset attribution a
+    * decontamination report needs: which SOURCE leaked the benchmark,
+    * not just whether something did). The threshold compares
+    * cross-multiplied exact integers — no float fractions anywhere.
+    *
+    * Plan shape: the train side streams (group, gram) through the
+    * same broadcast eval-gram prefilter as contaminationScores
+    * BEFORE its distinct — the exchange carries each group's
+    * eval-intersecting grams only (bounded by |eval grams| × groups,
+    * never corpus grams); the hit join is gram-keyed equi, never
+    * eval × train. Groups with zero contaminated docs are absent
+    * (sparse matrix). Output: (groupCol, n_eval_docs,
+    * n_contaminated). */
+  def contaminationMatrix(evalDocs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, groupCol: String, n: Int,
+      tauNum: Int = 3, tauDen: Int = 10): DataFrame = {
+    require(tauNum >= 1 && tauDen >= tauNum,
+      "need 0 < tauNum/tauDen <= 1")
+    val eg = shingles(evalDocs, idCol, textCol, n)
+    val egN = eg.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val tg = shingleStream(train, groupCol, textCol, n)
+      .select(col(groupCol), col("gram"))
+      .join(broadcast(eg.select(col("gram")).distinct()),
+        Seq("gram"), "leftsemi")
+      .distinct()
+    // bounded driver scalar: the matrix denominator
+    val nEval = evalDocs.select(col(idCol)).distinct().count()
+    eg.join(tg, Seq("gram"))
+      .groupBy(col(groupCol), col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(egN, idCol)
+      .filter(col("n_hit") * tauDen >= col("n_grams") * tauNum)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col(groupCol), lit(nEval).as("n_eval_docs"),
+        col("n_contaminated"))
+  }
+
   /** Per-document MinHash signature: `numHashes` independent min-hash
     * values, h_j(doc) = min over the doc's shingles of
     * xxhash64(j, xxhash64(seed, shingle)) — the string is hashed once,

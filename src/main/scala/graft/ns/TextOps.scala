@@ -616,6 +616,68 @@ object TextOps {
           (count(lit(1)).cast("double") * scale)).as("mean_nll"))
   }
 
+  /** PMI collocation mining — the corpus-level phrase table (Church &
+    * Hanks 1990): the top-`k` word pairs whose co-occurrence most
+    * exceeds chance, PMI = ln((C(w1,w2)/Nb) / ((U(w1)/Nt)·(U(w2)/Nt)))
+    * over adjacent pairs, restricted to pairs seen ≥ `minCount` times
+    * (unsmoothed PMI is dominated by hapax pairs otherwise). The
+    * canonical phrase-vocabulary builder in front of tokenizer
+    * training (ns88) and boilerplate mining.
+    *
+    * Determinism: each DISTINCT surviving pair's PMI is computed once
+    * in the pair table with a fixed operand order (corpus scalars Nb,
+    * Nt ride as driver double literals) and quantized to fixed point
+    * ONCE — the ns58 idiom — so ranking and values hash-gate.
+    *
+    * Plan shape: one map-combinable token count + one bigram count
+    * (exchanges carry distinct words/pairs, Zipf-bounded), a
+    * broadcast-sized 2-scalar driver agg, two equi-joins of the
+    * minCount-filtered pair table against the word table, and a
+    * distributed TakeOrdered — no global sort, no corpus re-scan.
+    * Output: (w1, w2, c, pmi_fx, rank), pmi = pmi_fx / 2^fracBits. */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, k: Int = 50, fracBits: Int = 24): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    require(fracBits >= 1 && fracBits <= 30, s"bad fracBits $fracBits")
+    val scale = (1L << fracBits).toDouble
+    val toks = df
+      .select(explode(wordTokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("u"))
+    val pairs = bigramStream(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val totals = uni.agg(
+      coalesce(sum(col("u")), lit(0L)).as("nt")).head()
+    val nt = totals.getLong(0)
+    if (nt == 0L)
+      return df.sparkSession.emptyDataFrame
+        .withColumn("w1", lit("")).limit(0)
+        .select(col("w1"), lit("").as("w2"), lit(0L).as("c"),
+          lit(0L).as("pmi_fx"), lit(0L).as("rank"))
+    // Nb from the unfiltered pair stream (a second tiny agg over the
+    // already-shuffled pair counts, reused by AQE)
+    val nb = bigramStream(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val ntD = nt.toDouble
+    val nbD = nb.toDouble
+    val scored = pairs
+      .join(uni.select(col("w").as("w1"), col("u").as("u1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("u").as("u2")), "w2")
+      .select(col("w1"), col("w2"), col("c"),
+        round(log((col("c").cast("double") / nbD) /
+          ((col("u1").cast("double") / ntD) *
+            (col("u2").cast("double") / ntD))) * scale)
+          .cast("long").as("pmi_fx"))
+    val top = scored
+      .orderBy(col("pmi_fx").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi_fx").desc, col("w1").asc, col("w2").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Perplexity-band document filter — the CCNet/DCLM selection rule
     * on top of [[unigramNll]]: drop the lowest-NLL tail (boilerplate /
     * degenerate repetition the LM finds too easy) and the highest-NLL

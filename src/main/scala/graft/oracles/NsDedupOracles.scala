@@ -58,6 +58,37 @@ private[graft] object NsDedupOracles {
     // Independent closure: tombstones = every member of a fingerprint
     // GROUP containing a requested id (the engine computes the same
     // set through the edge table — a broken edge table fails here).
+    // ns22's gram CTEs keyed by source; the contamination decision is
+    // the same integer cross-multiply.
+    "ns115_contamination_matrix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |eg AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |  WHERE doc_id < 50),
+        |egn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |        FROM eg GROUP BY 1),
+        |ne AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+        |       FROM documents WHERE doc_id < 50),
+        |tg AS (
+        |  SELECT DISTINCT source,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |  WHERE doc_id >= 50),
+        |hits AS (
+        |  SELECT tg.source, eg.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM eg JOIN tg USING (gram) GROUP BY 1, 2)
+        |SELECT h.source, ne.n AS n_eval_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        |FROM hits h JOIN egn USING (doc_id), ne
+        |WHERE h.n_hit * 10 >= egn.n_grams * 3
+        |GROUP BY 1, 2""".stripMargin,
     "ns111_takedown_propagation" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

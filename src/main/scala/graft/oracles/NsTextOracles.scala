@@ -214,6 +214,43 @@ private[graft] object NsTextOracles {
     // tables quantize each distinct bigram's (and each w1 backoff's)
     // -ln once, scores are exact long sums. Train = doc_id % 3 != 0;
     // the held-out third hits both backoff tiers.
+    // Same stream CTEs; PMI per surviving pair quantized once, the
+    // identical division/multiplication order, (pmi desc, w1, w2)
+    // rank <= 50.
+    "ns114_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t.tok AS w, CAST(COUNT(*) AS BIGINT) AS u
+        |  FROM (SELECT unnest(w) AS tok FROM toks) t
+        |  WHERE length(t.tok) > 0 GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(u) AS BIGINT) AS nt FROM uni),
+        |big AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        |  WHERE length(w[i]) > 0 AND length(w[i+1]) > 0),
+        |cnt AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM big GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM cnt),
+        |scored AS (
+        |  SELECT cnt.w1, cnt.w2, cnt.c,
+        |    CAST(round(ln((c / CAST(nb AS DOUBLE)) /
+        |      ((u1.u / CAST(nt AS DOUBLE))
+        |        * (u2.u / CAST(nt AS DOUBLE))))
+        |      * 16777216.0) AS BIGINT) AS pmi_fx
+        |  FROM cnt
+        |  JOIN uni u1 ON u1.w = cnt.w1
+        |  JOIN uni u2 ON u2.w = cnt.w2, nt, nb
+        |  WHERE cnt.c >= 5)
+        |SELECT w1, w2, c, pmi_fx,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY pmi_fx DESC, w1, w2)
+        |    AS BIGINT) AS "rank"
+        |FROM scored
+        |QUALIFY "rank" <= 50""".stripMargin,
     "ns112_bigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id,
