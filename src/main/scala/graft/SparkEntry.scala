@@ -673,6 +673,19 @@ object SparkEntry {
         carry = Seq("source"))
     }),
 
+    // ---- §2.8 [NS] length-bucketed batching manifest (r10) ----
+    // The padding-minimizing dataloader layout: rank by (word-length
+    // desc, id) via the ns69 two-phase scheme (no global sort), cut
+    // 32-doc batches, account each batch's exact padding cost. The
+    // oracle uses ONE global window — the two-phase rewrite must
+    // equal it exactly.
+    "ns116_length_batches" -> ((s, d) =>
+      graft.ns.Sampling.lengthBatches(
+        t(s, d, "documents").select(col("doc_id"),
+          size(graft.ns.TextOps.wordTokens(col("text")))
+            .cast("long").as("n_words")),
+        "doc_id", "n_words", batchSize = 32)),
+
     // ---- §2.8 [NS] PMI collocation mining (r10) ----
     // The corpus phrase table: top-50 adjacent pairs by pointwise
     // mutual information (min count 5 — unsmoothed PMI is hapax-

@@ -297,6 +297,68 @@ object Sampling {
     * rejected rows too keeps the budget decision auditable (the
     * curation-funnel shape, ns60). Null weights count 0; ids must be
     * non-null and non-negative (require'd at totals time). */
+  /** Length-bucketed batching manifest — the dataloader layout that
+    * minimizes padding waste: rank documents by (length desc, id),
+    * cut fixed-size batches in that order, and account each batch's
+    * exact padding cost (n·max_len − Σlen — the tokens a rectangular
+    * batch tensor pads). Sorting by length is THE standard packing
+    * heuristic (each batch's members have near-equal lengths, so the
+    * max ≈ every member); the id tiebreak keeps the layout
+    * content-addressed and reproducible.
+    *
+    * NO global sort: the global rank is the ns69 two-phase scheme
+    * with unit weights — a window per (length, id-range-bucket)
+    * composite key plus a driver-side prefix COUNT over the bounded
+    * composite-bucket table, broadcast back. (length, id-bucket, id)
+    * ordering equals (length desc, id) globally because id-buckets
+    * partition id ranges. Equivalence with the one-global-window
+    * form is law-tested. Output: (batch_id, n_docs, max_len,
+    * sum_len, padding_waste). */
+  def lengthBatches(df: DataFrame, idCol: String, lenCol: String,
+      batchSize: Int, bucketSize: Long = 1000000L): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    require(bucketSize > 0, "bucketSize must be positive")
+    val spark = df.sparkSession
+    val withB = df
+      .withColumn("__len", col(lenCol).cast("long"))
+      .withColumn("__neg", -col("__len"))
+      .withColumn("__ib", expr(s"$idCol div ${bucketSize}L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__neg"), col("__ib")).orderBy(col(idCol))
+    val local = withB.withColumn("__local",
+      row_number().over(w).cast("long") - 1L)
+    val totals = withB.groupBy(col("__neg"), col("__ib"))
+      .agg(count(lit(1)).as("__tot"), min(col(idCol)).as("__mn"))
+      .collect().map { r =>
+        require(!r.isNullAt(r.fieldIndex("__neg")) &&
+          !r.isNullAt(r.fieldIndex("__mn")),
+          s"lengthBatches requires non-null $lenCol and $idCol")
+        require(r.getLong(r.fieldIndex("__mn")) >= 0,
+          s"lengthBatches needs non-negative $idCol")
+        (r.getLong(r.fieldIndex("__neg")),
+          r.getLong(r.fieldIndex("__ib")),
+          r.getLong(r.fieldIndex("__tot")))
+      }
+    var acc = 0L
+    val prefixRows = totals.sortBy(t => (t._1, t._2)).toSeq.map {
+      case (neg, ib, tot) => val p = acc; acc += tot; (neg, ib, p)
+    }
+    import spark.implicits._
+    val prefix = broadcast(prefixRows.toDF("__neg", "__ib", "__prefix"))
+    local.join(prefix, Seq("__neg", "__ib"))
+      .withColumn("__rank0", col("__prefix") + col("__local"))
+      .withColumn("batch_id",
+        expr(s"__rank0 div ${batchSize}L").cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .select(col("batch_id"), col("n_docs"), col("max_len"),
+        col("sum_len"),
+        (col("n_docs") * col("max_len") - col("sum_len"))
+          .as("padding_waste"))
+  }
+
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
       weightCol: String, budget: Long,
       bucketSize: Long = 1000000L): DataFrame = {

@@ -8,6 +8,24 @@ package graft.oracles
   * aligned column-for-column with its Spark query. */
 private[graft] object NsSamplingOracles {
   val sql: Map[String, String] = Map(
+    // ONE global (len desc, id) window — the two-phase rewrite must
+    // reproduce it exactly; batch stats are exact integer arithmetic.
+    "ns116_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, l,
+        |    ROW_NUMBER() OVER (ORDER BY l DESC, doc_id) - 1 AS rk
+        |  FROM d)
+        |SELECT CAST(rk // 32 AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(l) AS BIGINT) AS max_len,
+        |  CAST(SUM(l) AS BIGINT) AS sum_len,
+        |  CAST(COUNT(*) * MAX(l) - SUM(l) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY 1""".stripMargin,
     // Token-budget oracle: ns09's score CTE, then ONE window in the
     // (score desc, id) total order — the two-phase prefix-sum must
     // equal exactly this global cumulative sum.

@@ -10,6 +10,41 @@ class NsSamplingSpec extends SparkSpec {
   private val fractions =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  test("lengthBatches: two-phase rank equals one global window; " +
+      "max_len non-increasing; repartition-stable") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(graft.ns.TextOps.wordTokens(col("text")))
+          .cast("long").as("n_words"))
+    val got = Sampling.lengthBatches(docs, "doc_id", "n_words",
+      batchSize = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.nonEmpty)
+    // reference: ONE global window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_words").desc, col("doc_id").asc)
+    val ref = docs
+      .withColumn("rk", row_number().over(w).cast("long") - 1L)
+      .withColumn("batch_id", expr("rk div 16L"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_words")).as("max_len"),
+        sum(col("n_words")).as("sum_len"))
+      .select(col("batch_id"), col("n_docs"), col("max_len"),
+        col("sum_len"),
+        (col("n_docs") * col("max_len") - col("sum_len"))
+          .as("padding_waste"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == ref, "two-phase must equal the global window")
+    // length-sorted batches: max_len never increases with batch_id
+    got.map(_._3).sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b, s"max_len must be non-increasing: $a then $b")
+    case _ => () }
+    val re = Sampling.lengthBatches(docs.repartition(7), "doc_id",
+      "n_words", batchSize = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re == got, "layout must be partition-independent")
+  }
+
   test("hashSplit: disjoint-exhaustive labels near declared fractions") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val split = Sampling.hashSplit(d.select(col("doc_id")),
