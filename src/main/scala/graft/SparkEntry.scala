@@ -863,6 +863,26 @@ object SparkEntry {
     "ns10_lang_id" -> ((s, d) =>
       TextOps.langId(t(s, d, "documents"), "doc_id", "text")),
 
+    // ---- §2.8 [NS] canary insertion (write side of ns86) (r10) ----
+    // Plant content-addressed markers in 1/20 of the corpus before
+    // release; selection AND marker text are md5 formulas, so the
+    // oracle re-derives both and a scan of any derivative can prove
+    // training on this corpus version. ns86 closes the loop (scan
+    // finds exactly the planted set — law in NsTextOpsSpec).
+    "ns117_plant_canaries" -> ((s, d) =>
+      TextOps.plantCanaries(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- §2.8 [NS] deterministic email pseudonymization (r10) ----
+    // Tokenization, not redaction: stable md5-derived pseudonyms
+    // preserve cross-document identity joins through the scrub. The
+    // ns19 synthetic-PII tail provides the addresses; the oracle
+    // rebuilds the tail and predicts the rewritten text exactly.
+    "ns118_pseudonymize" -> ((s, d) =>
+      TextOps.pseudonymizeEmails(
+        t(s, d, "documents").select(col("doc_id"),
+          withPiiTail(col("text"), col("doc_id")).as("text")),
+        "doc_id", "text")),
+
     // ---- §2.8 [NS] PII redaction (C4-style scrub pass) ----
     // The fixture text carries no PII, so each doc gets a
     // deterministic synthetic email/phone/IPv4 tail derived from

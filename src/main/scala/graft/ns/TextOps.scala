@@ -964,6 +964,56 @@ object TextOps {
     * filter). At a larger marker set, switch to an Aho-Corasick
     * mapPartitions pass — the contract (substring hit report) stays.
     * Output: (idCol, canary), hit rows only. */
+  /** Content-addressed canary INSERTION — the write side of
+    * [[canaryScan]] (the BIG-bench-GUID discipline run proactively:
+    * plant unique markers in a known, content-addressed subset of
+    * YOUR corpus before release, then any model or derived dataset
+    * that reproduces a marker provably trained on this corpus
+    * version). Selection and marker text are both md5-derived (the
+    * ns17 idiom): no RNG, reproducible across reruns and engines,
+    * and the planted set is recoverable from (salt, rateDen) alone.
+    * One map-side projection. Output: (idCol, text_out, planted,
+    * canary — null when unplanted). */
+  def plantCanaries(df: DataFrame, idCol: String, textCol: String,
+      salt: String = "canary", rateDen: Int = 20): DataFrame = {
+    require(rateDen >= 1, "rateDen must be positive")
+    val sel = Sampling.hashBucket(col(idCol), salt, rateDen) === 0
+    val canary = concat(lit("CANARY-"),
+      substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + salt + ":tok"))), 1, 16))
+    df.select(col(idCol),
+      when(sel, concat(col(textCol), lit(" "), canary))
+        .otherwise(col(textCol)).as("text_out"),
+      sel.as("planted"),
+      when(sel, canary).otherwise(lit(null).cast("string"))
+        .as("canary"))
+  }
+
+  /** Deterministic email pseudonymization — tokenization, not
+    * redaction: every occurrence of an address is replaced by a
+    * STABLE md5-derived pseudonym, so the same address maps to the
+    * same token corpus-wide and cross-document joins / reply threads
+    * survive the scrub (the property ns19's `<EMAIL>` placeholder
+    * destroys, and the reason tokenization exists). Map-side only:
+    * addresses are extracted per document, the replacement fold runs
+    * over that (short) list. Caveat: addresses that are substrings
+    * of other extracted addresses in the SAME document can interact
+    * in the fold — not a shape real addresses take.
+    * Output: (idCol, text_out, n_emails). */
+  def pseudonymizeEmails(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    def pseudo(e: Column): Column = concat(lit("user-"),
+      substring(md5(e), 1, 12), lit("@anon.invalid"))
+    df.select(col(idCol), col(textCol),
+        regexp_extract_all(col(textCol), lit(emailRe), lit(0))
+          .as("__em"))
+      .select(col(idCol),
+        aggregate(col("__em"), col(textCol),
+          (acc, e) => replace(acc, e, pseudo(e))).as("text_out"),
+        size(col("__em")).cast("long").as("n_emails"))
+  }
+
   def canaryScan(df: DataFrame, idCol: String, textCol: String,
       canaries: Seq[String]): DataFrame = {
     require(canaries.nonEmpty, "need at least one canary string")

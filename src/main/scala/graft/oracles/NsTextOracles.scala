@@ -251,6 +251,47 @@ private[graft] object NsTextOracles {
         |    AS BIGINT) AS "rank"
         |FROM scored
         |QUALIFY "rank" <= 50""".stripMargin,
+    // Selection bucket and marker text are the same md5 formulas.
+    "ns117_plant_canaries" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':canary'), 1, 8)) AS BIGINT) % 20 = 0 AS planted,
+        |    'CANARY-' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':canary:tok'), 1, 16) AS c
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN planted THEN text || ' ' || c ELSE text END
+        |    AS text_out,
+        |  planted,
+        |  CASE WHEN planted THEN c END AS canary
+        |FROM b""".stripMargin,
+    // ns19's tail formula; the one injected address maps to its md5
+    // pseudonym, raw text carries no addresses (verified fixture
+    // fact), so the rewritten text is closed-form.
+    "ns118_pseudonymize" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com call +1-555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((doc_id * 3) % 256 AS VARCHAR)
+        |      || ' card 4111-1111-1111-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST((doc_id * 3) % 100 AS VARCHAR), 2, '0')
+        |      || '-' || lpad(CAST((doc_id * 9) % 10000 AS VARCHAR), 4, '0')
+        |      AS t0,
+        |    'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |      AS em
+        |  FROM documents)
+        |SELECT doc_id,
+        |  replace(t0, em, 'user-' || substr(md5(em), 1, 12)
+        |    || '@anon.invalid') AS text_out,
+        |  CAST(1 AS BIGINT) AS n_emails
+        |FROM base""".stripMargin,
     "ns112_bigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -11,6 +11,44 @@ class NsTextOpsSpec extends SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("plantCanaries -> canaryScan closes the loop: the scan finds " +
+      "exactly the planted set") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = TextOps.plantCanaries(docs, "doc_id", "text")
+    val expected = planted.filter(col("planted"))
+      .select(col("doc_id"), col("canary"))
+      .as[(Long, String)].collect().toSet
+    assert(expected.nonEmpty, "fixture must plant at least one canary")
+    assert(expected.map(_._2).size == expected.size,
+      "markers must be unique per doc")
+    val found = TextOps.canaryScan(
+      planted.select(col("doc_id"), col("text_out").as("text")),
+      "doc_id", "text", expected.map(_._2).toSeq.sorted)
+      .as[(Long, String)].collect().toSet
+    assert(found == expected,
+      "scan must recover exactly the planted (doc, marker) set")
+  }
+
+  test("pseudonymizeEmails: stable cross-document pseudonyms, no raw " +
+      "address survives, email-free text unchanged") {
+    val docs = Seq(
+      (1L, "write a@x.com and b@y.org today"),
+      (2L, "reply to a@x.com please"),
+      (3L, "no addresses here")).toDF("doc_id", "text")
+    val out = TextOps.pseudonymizeEmails(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2 == 2L && out(2L)._2 == 1L && out(3L)._2 == 0L)
+    assert(out(3L)._1 == "no addresses here")
+    assert(!out(1L)._1.contains("a@x.com") &&
+      !out(1L)._1.contains("b@y.org") && !out(2L)._1.contains("a@x.com"))
+    // the SAME address must yield the SAME pseudonym in both docs
+    val p1 = out(1L)._1.split(" ").find(_.endsWith("@anon.invalid")).get
+    assert(out(2L)._1.contains(p1),
+      s"cross-document identity must survive: $p1 not in ${out(2L)._1}")
+  }
+
   test("bigramNll penalizes destroyed word order that unigramNll " +
       "cannot see; backoff makes unseen pairs costlier than seen") {
     val fluent = "the cat sat on the mat and the dog sat on the rug"
