@@ -1417,6 +1417,42 @@ object SparkEntry {
         dir)
     }),
 
+    // ---- §2.8 [NS] incremental image near-dup (r10) ----
+    // The ns41 delta-cost shape for images: a 20-image ingest batch
+    // banded against the 40-image stored dHash bank ONLY (no bank
+    // self-join). Even-indexed new images reuse a stored seed (each
+    // matches its two bank twins at hamming 0); odd ones are fresh.
+    // Complete at maxHamming 7 < bands 8, so the oracle's
+    // brute-force new×store all-pairs is reproduced exactly.
+    "ns119_image_near_dup_incremental" -> ((s, d) => {
+      val dir = newScratchDir("graft_ns119")
+      val storeDir = new java.io.File(dir, "store")
+      val newDir = new java.io.File(dir, "new")
+      storeDir.mkdirs(); newDir.mkdirs()
+      (0 until 40).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(storeDir.getPath, s"img_$i.bmp"),
+          Multimodal.writeBmp(72, 64, seed = (i / 2).toLong * 1000L))
+      }
+      (0 until 20).foreach { j =>
+        val seed = if (j % 2 == 0) (j / 2).toLong * 1000L
+                   else 999000L + j * 37L
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(newDir.getPath, s"img_$j.bmp"),
+          Multimodal.writeBmp(72, 64, seed))
+      }
+      def hashes(p: String) = Multimodal.dhashImages(
+        Multimodal.readBinaryDir(s, p, "*.bmp")).toDF()
+        .select(regexp_extract(col("file_name"), "img_(\\d+)\\.bmp", 1)
+          .cast("long").as("img_id"), col("dhash").as("simhash"))
+      materializeAndDrop(
+        Dedup.simhashNearDupNewVsStore(hashes(newDir.getPath),
+          hashes(storeDir.getPath), "img_id",
+          maxHamming = 7, bands = 8)
+          .select(col("new_id"), col("store_id"),
+            col("hamming").cast("long").as("hamming")), dir)
+    }),
+
     // ---- §2.8 [NS] duplicated-span REMOVAL (r9) ----
     // ns47 only diagnoses duplicated spans; this strips every run of
     // >= 3 consecutive corpus-duplicated trigrams and reassembles the

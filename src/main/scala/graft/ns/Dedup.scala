@@ -602,12 +602,15 @@ object Dedup {
     tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol), packed.as("simhash"))
   }
-  def simhashNearDupPairs(sig: DataFrame, idCol: String,
-      maxHamming: Int, bands: Int = 8, bits: Int = 64): DataFrame = {
+  /** (idCol, simhash, band, chunk) band keys of a signature table —
+    * shared by the self-join ([[simhashNearDupPairs]]) and
+    * new-vs-store ([[simhashNearDupNewVsStore]]) forms. */
+  private def simhashBands(sig: DataFrame, idCol: String,
+      bands: Int, bits: Int): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = sig.select(col(idCol), col("simhash"),
+    sig.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map { band =>
         struct(lit(band).as("band"),
           shiftrightunsigned(col("simhash"), band * width)
@@ -615,6 +618,11 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col(idCol), col("simhash"),
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+  }
+
+  def simhashNearDupPairs(sig: DataFrame, idCol: String,
+      maxHamming: Int, bands: Int = 8, bits: Int = 64): DataFrame = {
+    val banded = simhashBands(sig, idCol, bands, bits)
     val a = banded.select(col(idCol).as("id_a"),
       col("simhash").as("sig_a"), col("band"), col("chunk"))
     val b = banded.select(col(idCol).as("id_b"),
@@ -623,6 +631,31 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental Hamming-banded near-dup: a NEW batch of signatures
+    * banded against the STORED signature bank only — the ns41
+    * delta-cost shape for SimHash/dHash families (daily image or
+    * document ingest vs an accumulated bank; the bank never
+    * self-joins, so a batch costs batch × collision work, not
+    * bank²). Same pigeonhole completeness as the self-join form:
+    * maxHamming < bands ⇒ every qualifying cross pair shares at
+    * least one exact band chunk. Output: (new_id, store_id,
+    * hamming). */
+  def simhashNearDupNewVsStore(newSig: DataFrame, storeSig: DataFrame,
+      idCol: String, maxHamming: Int, bands: Int = 8,
+      bits: Int = 64): DataFrame = {
+    val n = simhashBands(newSig, idCol, bands, bits)
+      .select(col(idCol).as("new_id"), col("simhash").as("sig_n"),
+        col("band"), col("chunk"))
+    val s = simhashBands(storeSig, idCol, bands, bits)
+      .select(col(idCol).as("store_id"), col("simhash").as("sig_s"),
+        col("band"), col("chunk"))
+    n.join(s, Seq("band", "chunk"))
+      .select(col("new_id"), col("store_id"),
+        bit_count(col("sig_n").bitwiseXOR(col("sig_s"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -145,6 +145,46 @@ private[graft] object NsMultimodalOracles {
     // Near-dup oracle: brute-force all-pairs Hamming over the same
     // closed-form hashes — the banded join is complete at
     // maxHamming 7 < bands 8, so it must match this exactly.
+    // Brute-force new x store all-pairs over the closed-form hashes
+    // of BOTH image sets — the banded cross join is complete at
+    // maxHamming 7 < bands 8, so it must match this exactly.
+    "ns119_image_near_dup_incremental" ->
+      """WITH imgs AS (
+        |  SELECT 's' AS st, CAST(i AS BIGINT) AS img_id,
+        |         CAST((i // 2) * 1000 AS BIGINT) AS seed
+        |  FROM range(0, 40) t(i)
+        |  UNION ALL
+        |  SELECT 'n', CAST(i AS BIGINT),
+        |         CAST(CASE WHEN i % 2 = 0 THEN (i // 2) * 1000
+        |              ELSE 999000 + i * 37 END AS BIGINT)
+        |  FROM range(0, 20) t(i)),
+        |cells AS (
+        |  SELECT st, img_id, x // 8 AS cx, y // 8 AS cy,
+        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |        + (seed + y*72 + x) % 239) AS s
+        |  FROM imgs, range(0, 64) ty(y), range(0, 72) tx(x)
+        |  GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT l.st, l.img_id, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
+        |  FROM cells l JOIN cells r
+        |    ON l.st = r.st AND l.img_id = r.img_id AND r.cy = l.cy
+        |    AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8 AND l.s > r.s),
+        |hv AS (
+        |  SELECT imgs.st, imgs.img_id,
+        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+        |  FROM imgs LEFT JOIN bits
+        |    ON bits.st = imgs.st AND bits.img_id = imgs.img_id
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT st, img_id,
+        |    CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+        |      THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT) AS dh
+        |  FROM hv)
+        |SELECT n.img_id AS new_id, s.img_id AS store_id,
+        |  CAST(bit_count(xor(n.dh, s.dh)) AS BIGINT) AS hamming
+        |FROM h n JOIN h s ON n.st = 'n' AND s.st = 's'
+        |WHERE bit_count(xor(n.dh, s.dh)) <= 7""".stripMargin,
     "ns64_image_near_dup" ->
       """WITH imgs AS (
         |  SELECT CAST(i AS BIGINT) AS img_id,

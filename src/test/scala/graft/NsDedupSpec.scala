@@ -46,6 +46,33 @@ class NsDedupSpec extends SparkSpec {
       s"provenance must shuffle once, on the fingerprint:\n$plan")
   }
 
+  test("simhashNearDupNewVsStore equals the whole-corpus self-join " +
+      "restricted to cross pairs") {
+    // ids 0..9 = store, 100..109 = new; new 100/102 are planted
+    // twins (same sig / 2-bit flip) of store 0/1
+    val rnd = new scala.util.Random(11L)
+    val store = (0L to 9L).map(i => (i, rnd.nextLong()))
+    val newer = Seq(
+      (100L, store(0)._2), (102L, store(1)._2 ^ 0x11L)) ++
+      (0 until 8).map(j => (104L + j, rnd.nextLong()))
+    val storeDf = store.toDF("img_id", "simhash")
+    val newDf = newer.toDF("img_id", "simhash")
+    val cross = Dedup.simhashNearDupNewVsStore(newDf, storeDf,
+      "img_id", maxHamming = 7, bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val self = Dedup.simhashNearDupPairs(
+      storeDf.unionByName(newDf), "img_id", maxHamming = 7, bands = 8)
+      .as[(Long, Long, Int)].collect()
+      // keep (store, new) pairs only, reorient to (new, store)
+      .filter { case (a, b, _) => a < 100L && b >= 100L }
+      .map { case (a, b, h) => (b, a, h) }.toSet
+    assert(cross == self,
+      "cross form must equal the self-join's cross slice")
+    assert(cross.contains((100L, 0L, 0)) &&
+      cross.exists { case (n, st, h) => n == 102L && st == 1L && h == 2 },
+      s"planted twins must surface: $cross")
+  }
+
   test("fingerprint is whitespace/case-insensitive, content-sensitive") {
     val df = docs(
       1L -> "The  Quick\tBrown Fox",
