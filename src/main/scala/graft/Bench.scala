@@ -170,15 +170,18 @@ object Bench {
     val heavy = Set("ns02_ngram_jaccard_pairs", "ns02b_ngram_jaccard_capped",
       "ns03_minhash_near_dup", "ns05_topk_cosine", "ns07_embedding_near_dup",
       "ns16_ivf_topk_cosine", "s01_streaming_rollup", "s02_sessionize",
-      "ns40_semantic_dedup", "ns49_cluster_survivors",
+      "ns40_semantic_dedup",
       "s05_stream_stream_join", "ns54_knn_labels_ann",
       "ns07b_embedding_near_dup_capped", "ns40b_semantic_dedup_capped",
       "s06_stream_static_join", "s07_stream_upsert", "s08_stream_sketch",
       "ns99_label_noise", "ns99b_label_noise_ann", "ns03b_minhash_exact",
       // p06 is absent deliberately: p0* queries run once, sequentially,
-      // outside the pooled warm-up (see seqOnce below)
-      "ns04b_simhash_exact", "ns106_ivf_incremental",
-      "ns37_dedup_clusters", "ns52_cluster_split")
+      // outside the pooled warm-up (see seqOnce below). The cluster
+      // family ns37/ns49/ns52 is absent since round 11: ns37 is the
+      // FixtureCache producer whose single ~14 s cold build must
+      // COMPLETE in warm-up (capMin would cancel it — the poisoned-
+      // warm-up trap) so the consumers warm against the stored map.
+      "ns04b_simhash_exact", "ns106_ivf_incremental")
     def famRank(n: String): Int =
       if (heavy(n)) 2
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * already-extracted text, cf. p05).
   *
   * Reference behavior analogue: the declared-schema ingest +
-  * malformed-row quarantine family (S6, /root/reference/include/
-  * utils/gcs.py:1-40 loads declared payloads and the CSV path
-  * quarantines rows that do not parse) — here the "schema" is
-  * well-formed markup and the quarantine is structural.
+  * malformed-row quarantine family (S6 — /root/reference/dags/
+  * sandbox_data_pipeline.py:64 loads declared JSON payloads, and
+  * this repo's CSV path j04 quarantines rows that do not parse) —
+  * here the "schema" is well-formed markup and the quarantine is
+  * structural.
   *
   * Spark-first design: the whole extractor is ONE codegen'd
   * projection per page — regexp strips, an array split on block-close

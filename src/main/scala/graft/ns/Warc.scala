@@ -1,0 +1,230 @@
+package graft.ns
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500) container ingest — curation stage
+  * −1. Public web pipelines (C4, CCNet, Dolma) do not start from
+  * loose HTML strings: they read Common Crawl WARC files, each a
+  * concatenation of length-framed records (version line, named
+  * headers, `Content-Length` payload, blank-line separators), where
+  * `response` records wrap an HTTP response whose body is the HTML
+  * that [[Html.mainContent]] then extracts.
+  *
+  * Reference behavior analogue: the declared-schema ingest +
+  * malformed-row quarantine family (S6 — /root/reference/dags/
+  * sandbox_data_pipeline.py:64 loads declared JSON payloads; the
+  * j04 CSV path quarantines rows that do not parse). Here the
+  * "schema" is WARC record framing and the quarantine has two
+  * granularities: a record whose inner HTTP payload is broken is
+  * quarantined ALONE (framing intact — the walk continues), while
+  * broken framing (desync, truncated payload) ends the walk for the
+  * container, because past a framing error every subsequent byte
+  * offset is untrusted.
+  *
+  * Spark-first design: containers are opaque `binary` rows; the
+  * record walk is per-payload imperative byte work (the
+  * [[Multimodal.parseWav]] chunk-walk shape), so it runs as a
+  * batched `mapPartitions` flatMap — SURVEY §2.7's carve-out for
+  * JVM codecs — and everything downstream is ordinary DataFrame
+  * code. One container fans out to its records map-side with no
+  * shuffle; at 100 TB each executor walks its own container split
+  * exactly once, which is how the real crawl readers behave.
+  *
+  * Parser hygiene (the parts naive readers get wrong, each pinned
+  * by a spec law): header names are case-insensitive; unknown
+  * headers are skipped, not fatal; `Content-Length` is trusted only
+  * within the container's bounds (an overstated length yields
+  * `truncated`, never an out-of-bounds read); progress is strictly
+  * monotonic, so a malformed size can neither stall nor reverse the
+  * walk.
+  */
+object Warc {
+
+  /** One parsed record. `status`:
+    *  - `ok`         — record framing parsed; for `response` records
+    *                   the inner HTTP payload parsed too;
+    *  - `bad_http`   — a `response` record whose payload has no
+    *                   header/body split (no CRLFCRLF): quarantined
+    *                   alone, the walk continues;
+    *  - `truncated`  — declared Content-Length runs past the
+    *                   container: walk ends;
+    *  - `desync`     — bytes at the record boundary are not a WARC
+    *                   version line (or a required header is
+    *                   missing/unparseable): walk ends.
+    * `http_status`/`http_content_type`/`body` are null except on
+    * `ok` responses. */
+  final case class WarcRec(container_id: Long, rec_index: Long,
+      warc_type: String, target_uri: String, content_length: Long,
+      status: String, http_status: Option[Long],
+      http_content_type: String, body: String)
+
+  /** Walk one container's records (see object doc for the rules). */
+  def parseWarc(containerId: Long, bytes: Array[Byte]): Seq[WarcRec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
+    var off = 0
+    var idx = 0L
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < bytes.length) i else -1
+    }
+    def str(from: Int, until: Int): String =
+      new String(bytes, from, until - from, "UTF-8")
+    def stop(wtype: String, uri: String, clen: Long, why: String): Seq[WarcRec] = {
+      out += WarcRec(containerId, idx, wtype, uri, clen, why, None, null, null)
+      out.toSeq
+    }
+    while (off < bytes.length) {
+      val ve = lineEnd(off)
+      if (ve < 0 || ve - off < 5 || str(off, off + 5) != "WARC/")
+        return stop(null, null, -1L, "desync")
+      var h = ve + 2
+      var wtype: String = null
+      var uri: String = null
+      var clen = -1L
+      var headersOk = true
+      var headersDone = false
+      while (!headersDone && headersOk) {
+        val he = lineEnd(h)
+        if (he < 0) headersOk = false
+        else if (he == h) { headersDone = true; h += 2 }
+        else {
+          val line = str(h, he)
+          val ci = line.indexOf(':')
+          if (ci > 0) {
+            val v = line.substring(ci + 1).trim
+            line.substring(0, ci).trim.toLowerCase match {
+              case "warc-type" => wtype = v
+              case "warc-target-uri" => uri = v
+              case "content-length" =>
+                clen = try v.toLong
+                  catch { case _: NumberFormatException => -1L }
+              case _ => () // unknown headers are fine
+            }
+          }
+          h = he + 2
+        }
+      }
+      if (!headersOk || wtype == null || clen < 0)
+        return stop(wtype, uri, clen, "desync")
+      // Long bound check BEFORE narrowing: a huge declared length
+      // must not overflow Int and sneak past the range test.
+      if (h.toLong + clen > bytes.length.toLong)
+        return stop(wtype, uri, clen, "truncated")
+      val bodyEnd = h + clen.toInt
+      if (wtype == "response") {
+        val payload = str(h, bodyEnd)
+        val sep = payload.indexOf("\r\n\r\n")
+        if (sep < 0)
+          out += WarcRec(containerId, idx, wtype, uri, clen,
+            "bad_http", None, null, null)
+        else {
+          val head = payload.substring(0, sep)
+          val body = payload.substring(sep + 4)
+          val lines = head.split("\r\n")
+          val statusCode = lines.headOption
+            .filter(_.toUpperCase.startsWith("HTTP/"))
+            .map(_.split(" ", 3))
+            .filter(_.length >= 2)
+            .flatMap(p => try Some(p(1).toLong)
+              catch { case _: NumberFormatException => None })
+          val ctype = lines.drop(1)
+            .find(_.toLowerCase.startsWith("content-type:"))
+            .map(_.substring("content-type:".length).trim)
+            .orNull
+          statusCode match {
+            case Some(code) =>
+              out += WarcRec(containerId, idx, wtype, uri, clen,
+                "ok", Some(code), ctype, body)
+            case None =>
+              out += WarcRec(containerId, idx, wtype, uri, clen,
+                "bad_http", None, null, null)
+          }
+        }
+      } else {
+        out += WarcRec(containerId, idx, wtype, uri, clen,
+          "ok", None, null, null)
+      }
+      idx += 1
+      // Record separator (two CRLFs). Payloads are length-framed, so
+      // a missing separator is tolerated where recovery is safe: at
+      // the container's end, or when the very next bytes are a valid
+      // version line (lenient resync). Anything else is a desync on
+      // the next iteration's version-line check.
+      var next = bodyEnd
+      if (next + 4 <= bytes.length && bytes(next) == '\r' &&
+        bytes(next + 1) == '\n' && bytes(next + 2) == '\r' &&
+        bytes(next + 3) == '\n') next += 4
+      if (next <= off) return stop(null, null, -1L, "desync")
+      off = next
+    }
+    out.toSeq
+  }
+
+  /** Batched record walk over a (container_id, binary) frame — the
+    * [[Multimodal.decodeWavFeatures]] execution shape. */
+  def parseContainers(df: DataFrame, idCol: String = "container_id",
+      binCol: String = "content", batchSize: Int = 16): Dataset[WarcRec] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(_.flatMap {
+        case (cid, bytes) => parseWarc(cid, bytes)
+      }))
+  }
+
+  private val Crlf = "\r\n"
+
+  /** Closed-form WARC fixture over an (id, html) page table: docs
+    * group into containers of `docsPerContainer` by id; each
+    * container opens with a `warcinfo` record, then per doc a
+    * `request` record (exercises type-walking) and a `response`
+    * record wrapping `HTTP/1.1 200 OK` + the page. Docs with
+    * `id % 19 == 7` get a response whose HTTP header block never
+    * ends (no blank line) — the record-level quarantine subset,
+    * predictable by the oracle. Every byte is a formula of
+    * (id, html), so a SQL oracle predicts the full parse output —
+    * record indexes, declared lengths, statuses, bodies.
+    *
+    * Output: (container_id, content binary). Pure DataFrame string
+    * building + one grouped sort-collect per container; fixture
+    * text is ASCII, so SQL `length` (chars) equals the parser's
+    * byte lengths. */
+  def buildWarcFixture(pages: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html", docsPerContainer: Int = 8): DataFrame = {
+    require(docsPerContainer >= 1, "docsPerContainer must be positive")
+    val id = col(idCol)
+    val ids = id.cast("string")
+    val uri = concat(lit("http://crawl.example.com/d/"), ids)
+    val reqPayload = concat(lit("GET /d/"), ids,
+      lit(" HTTP/1.1" + Crlf + "Host: crawl.example.com" + Crlf + Crlf))
+    val respPayload = concat(
+      lit("HTTP/1.1 200 OK" + Crlf + "Content-Type: text/html"),
+      when(pmod(id, lit(19)) === 7, lit(Crlf))
+        .otherwise(lit(Crlf + Crlf)),
+      col(htmlCol))
+    def record(wtype: String, payload: Column): Column =
+      concat(lit("WARC/1.0" + Crlf + "WARC-Type: " + wtype + Crlf +
+          "WARC-Target-URI: "), uri, lit(Crlf + "Content-Length: "),
+        length(payload).cast("string"), lit(Crlf + Crlf),
+        payload, lit(Crlf + Crlf))
+    val infoPayload = "software: graft-warc-fixture" + Crlf
+    val infoRec = "WARC/1.0" + Crlf + "WARC-Type: warcinfo" + Crlf +
+      "Content-Length: " + infoPayload.length + Crlf + Crlf +
+      infoPayload + Crlf + Crlf
+    pages.select(
+        floor(id / docsPerContainer).cast("long").as("container_id"),
+        id.as("__id"),
+        concat(record("request", reqPayload),
+          record("response", respPayload)).as("__rec"))
+      .groupBy(col("container_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__id"), col("__rec")))),
+        s => s.getField("__rec")), "").as("__docs"))
+      .select(col("container_id"),
+        encode(concat(lit(infoRec), col("__docs")), "UTF-8").as("content"))
+  }
+}

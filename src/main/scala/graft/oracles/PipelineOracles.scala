@@ -210,6 +210,78 @@ private[graft] object PipelineOracles {
         |    ELSE 'test'
         |  END AS split
         |FROM enr""".stripMargin,
+    // p06's chain restricted to docs whose WARC response record
+    // parses (id % 19 != 7 — the planted bad-HTTP quarantine): the
+    // whole raw-crawl-to-corpus pipeline re-derived from the page
+    // formula, never parsing WARC or HTML.
+    "p07_warc_curation" ->
+      """WITH words AS (
+        |  SELECT doc_id, source,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS k
+        |  FROM words),
+        |ct AS (
+        |  SELECT doc_id, k,
+        |    array_to_string(list_slice(ws, k*12+1, k*12+12), ' ') AS ctext
+        |  FROM chunks),
+        |agg AS (
+        |  SELECT doc_id,
+        |    COUNT(*) FILTER (WHERE length(ctext) >= 30) AS nk,
+        |    string_agg(ctext, chr(10) ORDER BY k)
+        |      FILTER (WHERE length(ctext) >= 30) AS kept
+        |  FROM ct GROUP BY doc_id),
+        |ext AS (
+        |  SELECT w.doc_id, w.source,
+        |    CAST(a.nk + 1 AS BIGINT) AS n_kept,
+        |    CASE WHEN a.kept IS NULL THEN '' ELSE a.kept || chr(10) END
+        |      || 'Q&A <tags> and entities stay readable after ' ||
+        |      'decoding in doc ' || CAST(w.doc_id AS VARCHAR)
+        |      AS main_text
+        |  FROM words w JOIN agg a USING (doc_id)
+        |  WHERE w.doc_id % 17 <> 3 AND w.doc_id % 19 <> 7),
+        |logit AS (
+        |  SELECT doc_id,
+        |    CAST(-50000 + coalesce(list_sum(list_transform(
+        |      string_split(regexp_replace(lower(trim(main_text)),
+        |        '\s+', ' ', 'g'), ' '),
+        |      t -> CASE t
+        |        WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |        WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |        WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |        WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |        WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |        WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |        WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |        WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |        WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |        WHEN 'http' THEN -60000 ELSE 0 END)), 0) AS BIGINT)
+        |      AS logit_micro
+        |  FROM ext),
+        |pass AS (
+        |  SELECT e.doc_id, e.source, e.n_kept, l.logit_micro,
+        |    e.main_text
+        |  FROM ext e JOIN logit l USING (doc_id)
+        |  WHERE l.logit_micro > 0),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM pass
+        |  GROUP BY md5(regexp_replace(lower(trim(main_text)),
+        |    '\s+', ' ', 'g'))),
+        |enr AS (
+        |  SELECT s.doc_id, p.source, p.n_kept, p.logit_micro,
+        |    s.dup_count
+        |  FROM surv s JOIN pass p ON s.doc_id = p.doc_id)
+        |SELECT doc_id, source, n_kept, logit_micro, dup_count,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p07split'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p07split'), 1, 8)) AS BIGINT) % 1000 < 950 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM enr""".stripMargin,
     "p03_curation_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
