@@ -1617,14 +1617,47 @@ object SparkEntry {
     // bounded group quota): top-40 docs per predicted language by
     // (n_chars desc, doc_id) — the knob that stops one dominant
     // language from swamping a multilingual mixture.
+    // Re-gated on the ns121 profile predictions (round 11): the
+    // quota a 100 TB mixture actually needs balances the REAL
+    // language labels, margin-demoted und bucket included.
     "ns72_lang_balanced_quota" -> ((s, d) =>
       Sampling.groupQuota(
-        t(s, d, "documents").select(col("doc_id"), col("n_chars"),
-          TextOps.langIdCol(col("text")).as("lang_pred")),
+        TextOps.langProfile(t(s, d, "documents"), "doc_id", "text",
+          carry = Seq("n_chars"))
+          .select(col("doc_id"), col("n_chars"), col("lang_pred")),
         Seq(col("lang_pred")), 40,
         Seq(col("n_chars").desc, col("doc_id")))
         .select(col("doc_id"), col("n_chars"), col("lang_pred"),
           col("rn").cast("long").as("rn"))),
+
+    // ---- §2.8 [NS] char-bigram profile language ID (r11) ----
+    // The production replacement for the ns10 marker toy: integer
+    // micro-unit bigram evidence (checked-in table, shared verbatim
+    // with the oracle's CASE arms), argmax + confidence margin with
+    // 'und' demotion, Unicode-script detection. One codegen'd
+    // map-side projection chain — at 100 TB it costs one scan.
+    "ns121_lang_profile" -> ((s, d) =>
+      TextOps.langProfile(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- §2.8 [NS] mojibake/encoding repair (r11) ----
+    // Curation stage 0.5: the UTF-8-as-cp1252 confusion repair
+    // (ftfy's core case) as a codegen'd literal-replace chain, two
+    // passes so double-encoded text heals fully. Fixture: docs get a
+    // planted tail — doc_id%3==0 single-encoded, ==1 double-encoded,
+    // ==2 clean — and the oracle predicts the repaired text in
+    // CLOSED FORM (text + the clean tail), so any mangling of any
+    // rule breaks the hash. n_removed = chars reclaimed (0 = clean).
+    "ns122_mojibake_repair" -> ((s, d) => {
+      val t1 = TextOps.sloppyCp1252(TextOps.mojibakeFixtureTail)
+      val t2 = TextOps.sloppyCp1252(t1)
+      val tail = when(pmod(col("doc_id"), lit(3)) === 0, lit(t1))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(t2))
+        .otherwise(lit(""))
+      TextOps.repairMojibake(
+        t(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"), tail).as("text")),
+        "doc_id", "text")
+    }),
 
     // ---- §2.8 [NS] linear quality classifier (integer weights) ----
     "ns73_linear_quality" -> ((s, d) =>
@@ -2814,6 +2847,10 @@ object SparkEntry {
           lit("\ntoo short."),
           lit("\nthis is a good closing sentence for the document."))
           .as("text"))
+        // stage 0.5 (r11): mojibake repair ahead of the quality
+        // gates — identity on this clean corpus (a tested law), so
+        // the oracle is unchanged; ns122 gates the repair itself
+        .withColumn("text", TextOps.repairMojibakeCol(col("text")))
       val clean = TextOps.c4LineFilter(lined, "doc_id", "text")
         .join(lined.select(col("doc_id"), col("source")), "doc_id")
       val w = org.apache.spark.sql.expressions.Window

@@ -128,9 +128,338 @@ object TextOps {
     * language's closed-class marker set, take the argmax with a fixed
     * preference order (en, de, fr, es), 'und' when nothing hits.
     * Pure heuristic — by design cheap, deterministic, and expressible
-    * in ANSI SQL for the oracle. Output: (idCol, lang_pred). */
+    * in ANSI SQL for the oracle. Output: (idCol, lang_pred).
+    * Kept as the cheap fallback; the production path is the
+    * char-bigram profile classifier [[langProfile]]. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), langIdCol(col(textCol)).as("lang_pred"))
+
+  /** Checked-in char-bigram log-evidence table for the profile
+    * language classifier, in integer micro-units (the ns73 weight
+    * idiom: integer sums are associative, so scores are bit-exact on
+    * any engine or partitioning). One row per bigram over the
+    * space-padded normalized text; the four weights are (en, de, fr,
+    * es). Values are hand-set from public letter-pair frequency
+    * knowledge (Cavnar–Trenkle-style n-gram profiles, shrunk to the
+    * discriminating pairs); shared VERBATIM with the oracle SQL,
+    * which interpolates this table into its CASE arm
+    * ([[graft.oracles.NsTextOracles]]) so the two cannot drift.
+    * Swapping in trained profiles is a data change, not a plan
+    * change (same contract as ns73's weights). */
+  val langProfileGrams: Seq[(String, Seq[Long])] = Seq(
+    // strongly English: th/wh/gh/ng/ck pairs, 'the'/'of' boundaries
+    "th" -> Seq(90000L, 5000L, 0L, 0L),
+    "he" -> Seq(50000L, 15000L, 0L, 0L),
+    "wh" -> Seq(60000L, 0L, 0L, 0L),
+    "gh" -> Seq(40000L, 0L, 0L, 0L),
+    "ck" -> Seq(30000L, 25000L, 0L, 0L),
+    "ng" -> Seq(40000L, 15000L, 0L, 0L),
+    "of" -> Seq(45000L, 5000L, 0L, 0L),
+    "ed" -> Seq(30000L, 5000L, 0L, 0L),
+    "is" -> Seq(25000L, 20000L, 0L, 10000L),
+    "it" -> Seq(25000L, 10000L, 10000L, 5000L),
+    " w" -> Seq(35000L, 25000L, 0L, 0L),
+    "y " -> Seq(35000L, 0L, 0L, 25000L),
+    "w " -> Seq(45000L, 0L, 0L, 0L),
+    "ow" -> Seq(50000L, 0L, 0L, 0L),
+    "sh" -> Seq(45000L, 5000L, 0L, 0L),
+    "ry" -> Seq(40000L, 0L, 0L, 0L),
+    "rt" -> Seq(35000L, 10000L, 5000L, 10000L),
+    "rg" -> Seq(25000L, 5000L, 5000L, 5000L),
+    "ta" -> Seq(25000L, 10000L, 15000L, 20000L),
+    "or" -> Seq(30000L, 10000L, 20000L, 25000L),
+    "ha" -> Seq(35000L, 25000L, 5000L, 10000L),
+    "nd" -> Seq(35000L, 30000L, 5000L, 5000L),
+    "jo" -> Seq(25000L, 0L, 5000L, 10000L),
+    "lu" -> Seq(20000L, 5000L, 10000L, 10000L),
+    "sm" -> Seq(25000L, 0L, 0L, 0L),
+    "in" -> Seq(30000L, 25000L, 15000L, 10000L),
+    "at" -> Seq(30000L, 10000L, 10000L, 15000L),
+    "ro" -> Seq(25000L, 10000L, 15000L, 15000L),
+    // strongly German: ich/sch/ei/tz clusters, -en endings, umlauts
+    "ch" -> Seq(25000L, 60000L, 15000L, 20000L),
+    "ei" -> Seq(10000L, 60000L, 5000L, 10000L),
+    "ie" -> Seq(15000L, 50000L, 20000L, 15000L),
+    "sc" -> Seq(20000L, 40000L, 5000L, 5000L),
+    "tz" -> Seq(0L, 50000L, 0L, 0L),
+    "zu" -> Seq(0L, 45000L, 0L, 0L),
+    "un" -> Seq(15000L, 40000L, 25000L, 25000L),
+    "ge" -> Seq(20000L, 35000L, 10000L, 10000L),
+    "be" -> Seq(15000L, 35000L, 0L, 5000L),
+    "mi" -> Seq(10000L, 30000L, 5000L, 15000L),
+    "ä" -> Seq(0L, 60000L, 0L, 0L),
+    "ö" -> Seq(0L, 60000L, 0L, 0L),
+    "ü" -> Seq(0L, 60000L, 0L, 0L),
+    "ß" -> Seq(0L, 80000L, 0L, 0L),
+    // strongly French: qu/oi/eu/ux pairs, c-cedilla, accents
+    "qu" -> Seq(20000L, 0L, 45000L, 35000L),
+    "oi" -> Seq(5000L, 0L, 60000L, 0L),
+    "eu" -> Seq(0L, 15000L, 55000L, 5000L),
+    "ux" -> Seq(0L, 0L, 60000L, 0L),
+    "ai" -> Seq(10000L, 0L, 45000L, 10000L),
+    "ou" -> Seq(20000L, 0L, 45000L, 10000L),
+    "es" -> Seq(15000L, 10000L, 35000L, 40000L),
+    "le" -> Seq(15000L, 10000L, 40000L, 15000L),
+    "ç" -> Seq(0L, 0L, 70000L, 0L),
+    "è" -> Seq(0L, 0L, 65000L, 0L),
+    "é" -> Seq(0L, 0L, 55000L, 25000L),
+    "à" -> Seq(0L, 0L, 65000L, 0L),
+    // strongly Spanish: ll/rr doubles, -os/-ue endings, ñ, ó/í
+    "ll" -> Seq(15000L, 5000L, 15000L, 55000L),
+    "rr" -> Seq(0L, 0L, 10000L, 50000L),
+    "os" -> Seq(10000L, 5000L, 5000L, 50000L),
+    "ue" -> Seq(25000L, 10000L, 20000L, 40000L),
+    "ad" -> Seq(10000L, 0L, 5000L, 35000L),
+    "ar" -> Seq(10000L, 10000L, 15000L, 35000L),
+    " y" -> Seq(10000L, 0L, 5000L, 40000L),
+    "ñ" -> Seq(0L, 0L, 0L, 80000L),
+    "ó" -> Seq(0L, 0L, 0L, 60000L),
+    "í" -> Seq(0L, 0L, 0L, 60000L),
+    // shared-but-weighted everyday pairs
+    "en" -> Seq(20000L, 35000L, 25000L, 25000L),
+    "er" -> Seq(25000L, 35000L, 20000L, 20000L),
+    "an" -> Seq(25000L, 20000L, 20000L, 20000L),
+    "on" -> Seq(20000L, 5000L, 35000L, 25000L),
+    "nt" -> Seq(20000L, 10000L, 35000L, 20000L),
+    "re" -> Seq(25000L, 15000L, 30000L, 15000L),
+    "de" -> Seq(10000L, 30000L, 35000L, 35000L),
+    "la" -> Seq(5000L, 5000L, 35000L, 35000L),
+    "st" -> Seq(30000L, 30000L, 5000L, 10000L),
+    "to" -> Seq(30000L, 0L, 5000L, 15000L))
+
+  /** Mojibake confusion table: UTF-8 byte sequences mis-decoded as
+    * cp1252 (the classic web-corpus defect — ftfy's core case),
+    * checked in as (mojibake, repaired) CODEPOINT sequences. Longest
+    * patterns first (the E2-prefix triples before the C3/C2 pairs)
+    * so a punctuation triple is never half-eaten by a pair rule.
+    * Bytes 0xA0/0xAD/0x9D have no cp1252 glyph and surface as
+    * U+00A0/U+00AD/U+009D — they appear here as explicit codepoints,
+    * and the oracle SQL is generated from THIS table as chr() concat
+    * chains, so both engines read the exact same sequences
+    * ([[graft.oracles.NsTextOracles]]). */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    // Generated (tools-style, checked in) from the "sloppy"
+    // cp1252 round-trip: UTF-8 bytes of the target char decoded
+    // as cp1252 with unmapped bytes (0x81/8D/8F/90/9D) passed
+    // through as U+00XX. The target set is the common-web base
+    // (curly punctuation, the Latin-1 letters of en/de/fr/es,
+    // nbsp/symbol pairs) CLOSED over its own pattern characters,
+    // so k-times-encoded text repairs one full layer per pass.
+    // Longest patterns first; written as \u escapes because
+    // several chars are invisible (nbsp, soft hyphen, 0x9D).
+    "\u00E2\u20AC\u201C" -> "\u2013", // –
+    "\u00E2\u20AC\u201D" -> "\u2014", // —
+    "\u00E2\u20AC\u02DC" -> "\u2018", // ‘
+    "\u00E2\u20AC\u2122" -> "\u2019", // ’
+    "\u00E2\u20AC\u0161" -> "\u201A", // ‚
+    "\u00E2\u20AC\u0153" -> "\u201C", // “
+    "\u00E2\u20AC\u009D" -> "\u201D", // ”
+    "\u00E2\u20AC\u017E" -> "\u201E", // „
+    "\u00E2\u20AC\u00A0" -> "\u2020", // †
+    "\u00E2\u20AC\u00A2" -> "\u2022", // •
+    "\u00E2\u20AC\u00A6" -> "\u2026", // …
+    "\u00E2\u20AC\u00B9" -> "\u2039", // ‹
+    "\u00E2\u201A\u00AC" -> "\u20AC", // €
+    "\u00E2\u201E\u00A2" -> "\u2122", // ™
+    "\u00C2\u009D" -> "\u009D", // 
+    "\u00C2\u00A0" -> "\u00A0", // U+00A0
+    "\u00C2\u00A1" -> "\u00A1", // ¡
+    "\u00C2\u00A2" -> "\u00A2", // ¢
+    "\u00C2\u00A4" -> "\u00A4", // ¤
+    "\u00C2\u00A6" -> "\u00A6", // ¦
+    "\u00C2\u00A7" -> "\u00A7", // §
+    "\u00C2\u00A8" -> "\u00A8", // ¨
+    "\u00C2\u00A9" -> "\u00A9", // ©
+    "\u00C2\u00AA" -> "\u00AA", // ª
+    "\u00C2\u00AB" -> "\u00AB", // «
+    "\u00C2\u00AC" -> "\u00AC", // ¬
+    "\u00C2\u00AD" -> "\u00AD", // ­
+    "\u00C2\u00AE" -> "\u00AE", // ®
+    "\u00C2\u00AF" -> "\u00AF", // ¯
+    "\u00C2\u00B0" -> "\u00B0", // °
+    "\u00C2\u00B1" -> "\u00B1", // ±
+    "\u00C2\u00B3" -> "\u00B3", // ³
+    "\u00C2\u00B4" -> "\u00B4", // ´
+    "\u00C2\u00B6" -> "\u00B6", // ¶
+    "\u00C2\u00B8" -> "\u00B8", // ¸
+    "\u00C2\u00B9" -> "\u00B9", // ¹
+    "\u00C2\u00BA" -> "\u00BA", // º
+    "\u00C2\u00BB" -> "\u00BB", // »
+    "\u00C2\u00BC" -> "\u00BC", // ¼
+    "\u00C2\u00BE" -> "\u00BE", // ¾
+    "\u00C3\u201A" -> "\u00C2", // Â
+    "\u00C3\u0192" -> "\u00C3", // Ã
+    "\u00C3\u2026" -> "\u00C5", // Å
+    "\u00C3\u2020" -> "\u00C6", // Æ
+    "\u00C3\u2039" -> "\u00CB", // Ë
+    "\u00C3\u0178" -> "\u00DF", // ß
+    "\u00C3\u00A0" -> "\u00E0", // à
+    "\u00C3\u00A1" -> "\u00E1", // á
+    "\u00C3\u00A2" -> "\u00E2", // â
+    "\u00C3\u00A4" -> "\u00E4", // ä
+    "\u00C3\u00A7" -> "\u00E7", // ç
+    "\u00C3\u00A8" -> "\u00E8", // è
+    "\u00C3\u00A9" -> "\u00E9", // é
+    "\u00C3\u00AA" -> "\u00EA", // ê
+    "\u00C3\u00AB" -> "\u00EB", // ë
+    "\u00C3\u00AD" -> "\u00ED", // í
+    "\u00C3\u00AE" -> "\u00EE", // î
+    "\u00C3\u00AF" -> "\u00EF", // ï
+    "\u00C3\u00B1" -> "\u00F1", // ñ
+    "\u00C3\u00B3" -> "\u00F3", // ó
+    "\u00C3\u00B4" -> "\u00F4", // ô
+    "\u00C3\u00B6" -> "\u00F6", // ö
+    "\u00C3\u00B9" -> "\u00F9", // ù
+    "\u00C3\u00BA" -> "\u00FA", // ú
+    "\u00C3\u00BB" -> "\u00FB", // û
+    "\u00C3\u00BC" -> "\u00FC", // ü
+    "\u00C5\u201C" -> "\u0153", // œ
+    "\u00C5\u00A1" -> "\u0161", // š
+    "\u00C5\u00B8" -> "\u0178", // Ÿ
+    "\u00C5\u00BE" -> "\u017E", // ž
+    "\u00C6\u2019" -> "\u0192", // ƒ
+    "\u00CB\u0153" -> "\u02DC", // ˜
+    "\u0020" -> "\u0020") // U+0020
+
+  /** "Sloppy" cp1252 decode of a string's UTF-8 bytes — the fixture
+    * util that MANUFACTURES mojibake (what a lenient web decoder
+    * does to UTF-8 content): each byte through cp1252, the five
+    * unmapped bytes (0x81/8D/8F/90/9D) passed through as U+00XX.
+    * Java's decoder yields U+FFFD for those, hence the explicit
+    * fallback. Applying this k times builds k-times-encoded text;
+    * [[repairMojibakeCol]] with `passes` >= k inverts it exactly for
+    * every char covered by [[mojibakeTable]]. */
+  def sloppyCp1252(s: String): String = {
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
+      val d = new String(Array(b), cs)
+      if (d == "\uFFFD") (b & 0xff).toChar else d.charAt(0)
+    }.mkString
+  }
+
+  /** The planted repair fixture tail (clean form) shared by the
+    * ns122 gate and its oracle generator: accents, curly
+    * punctuation, nbsp-adjacent symbols — one char per rule family.
+    */
+  val mojibakeFixtureTail: String =
+    " café naïve zürich façade – “quoted”… ©2026 señor°"
+
+  /** Mojibake/encoding repair — curation stage 0.5, between raw
+    * extraction and the quality gates (double-encoded text tanks
+    * every downstream signal: token counts, n-gram profiles, dedup
+    * fingerprints). One literal-`replace` chain per pass over
+    * [[mojibakeTable]] — codegen'd string ops, no regex, no UDF,
+    * zero shuffles — applied `passes` times because k-times-encoded
+    * text repairs one layer per pass (the "ÃƒÂ©" cascade: each pass
+    * peels one mis-decode). Clean text is a fixed point, so the
+    * stage is safe to run unconditionally; `passes` = 2 covers the
+    * double-encode, the worst case seen in practice. */
+  def repairMojibakeCol(text: Column, passes: Int = 2): Column = {
+    require(passes >= 1, "passes must be positive")
+    (1 to passes).foldLeft(text) { case (c, _) =>
+      mojibakeTable.foldLeft(c) { case (acc, (bad, good)) =>
+        replace(acc, lit(bad), lit(good)) }
+    }
+  }
+
+  /** DataFrame form of [[repairMojibakeCol]] with the audit column a
+    * scrub pass reports: `n_removed` = chars dropped by the repair
+    * (every rule maps k>=2 chars to 1, so the length delta counts
+    * repaired sequences weighted by their depth — 0 means the doc
+    * was clean). Output: (idCol, repaired_text, n_removed). */
+  def repairMojibake(df: DataFrame, idCol: String, textCol: String,
+      passes: Int = 2): DataFrame = {
+    val fixed = repairMojibakeCol(col(textCol), passes)
+    df.select(col(idCol), fixed.as("repaired_text"),
+      (length(col(textCol)) - length(fixed)).cast("long").as("n_removed"))
+  }
+
+  /** Unicode-script detection patterns (public Unicode block
+    * ranges), applied with `regexp_count` in both engines: the
+    * pattern strings hold literal range endpoints, so Java regex and
+    * RE2-family engines read them identically. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-zÀ-ɏ]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "arabic" -> "[؀-ۿ]",
+    "cjk" -> "[぀-ヿ一-鿿가-힯]")
+
+  /** Dominant script as a Column: argmax of per-script char counts
+    * (ties to the listed order), 'other' when nothing matches. */
+  def scriptCol(text: Column): Column = {
+    val counts = scriptRanges.map { case (name, re) =>
+      name -> regexp_count(text, lit(re)) }
+    val best = greatest(counts.map(_._2): _*)
+    counts.init.foldLeft(when(best <= 0, "other")) {
+      case (acc, (name, c)) => acc.when(c === best, name)
+    }.otherwise(scriptRanges.last._1)
+  }
+
+  /** Char-bigram profile language identification — the production
+    * replacement for the [[langId]] marker toy. Bigrams of the
+    * space-padded normalized text (padding turns word boundaries
+    * into ' x'/'x ' evidence, the strongest short-text signal) are
+    * scored against [[langProfileGrams]]; per-language scores are
+    * integer micro-unit sums, so the whole classifier hash-gates.
+    *
+    * Prediction: argmax score (ties to en > de > fr > es), demoted
+    * to 'und' when the winner is not positive, when its MARGIN over
+    * the runner-up is below `marginMicro` (low confidence), or when
+    * the dominant script is one the latin-profile table cannot see.
+    *
+    * Plan shape: one codegen'd projection chain per doc — normalize,
+    * split to chars, one zip-slice bigram build, one literal-map
+    * lookup pass, four integer folds. Each non-cheap array lives
+    * behind its own projection boundary (interpreted-HOF rule:
+    * lambdas re-evaluate captured expressions per element/reference).
+    * Zero shuffles, zero joins; at 100 TB this costs exactly one
+    * scan, like every other map-side gate.
+    *
+    * Output: (idCol, script, lang_pred, score_micro, margin_micro).
+    */
+  def langProfile(df: DataFrame, idCol: String, textCol: String,
+      marginMicro: Long = 100000L, carry: Seq[String] = Nil): DataFrame = {
+    require(marginMicro >= 0, "marginMicro must be non-negative")
+    val langs = Seq("en", "de", "fr", "es")
+    val cs = carry.map(col)
+    val wmap = map(langProfileGrams.flatMap { case (g, ws) =>
+      Seq(lit(g), array(ws.map(lit): _*)) }: _*)
+    val s1 = df.select(col(idCol) +: cs :+
+      scriptCol(col(textCol)).as("script") :+
+      concat(lit(" "), Dedup.normText(col(textCol)), lit(" ")).as("__p"): _*)
+    val s2 = s1.select(col(idCol) +: cs :+ col("script") :+
+      split(col("__p"), "").as("__c"): _*)
+    // score over chars ∪ bigrams: single-char profile keys (ñ, ß,
+    // accents) match in the char list, pairs in the zip-slice list
+    val s3 = s2.select(col(idCol) +: cs :+ col("script") :+
+      concat(col("__c"),
+        filter(zip_with(col("__c"),
+            slice(col("__c"), lit(2), size(col("__c"))),
+          (a, b) => concat(a, b)), g => g.isNotNull)).as("__g"): _*)
+    val s4 = s3.select(col(idCol) +: cs :+ col("script") :+
+      transform(col("__g"), g => element_at(wmap, g)).as("__w"): _*)
+    val s5 = s4.select((col(idCol) +: cs :+ col("script")) ++
+      langs.indices.map(i =>
+        aggregate(col("__w"), lit(0L),
+          (acc, x) => acc + coalesce(element_at(x, lit(i + 1)), lit(0L)))
+          .as(s"__s$i")): _*)
+    val scores = langs.indices.map(i => col(s"__s$i"))
+    val best = greatest(scores: _*)
+    val pred = langs.indices.init.foldLeft(
+      when(lit(false), "und")) { case (acc, i) =>
+        acc.when(scores(i) === best, langs(i))
+      }.otherwise(langs.last)
+    val second = langs.indices.map { i =>
+      when(pred === langs(i),
+        greatest(scores.indices.filter(_ != i).map(scores): _*))
+    }.reduce((a, b) => coalesce(a, b))
+    val margin = best - second
+    s5.select(col(idCol) +: cs :+ col("script") :+
+      when(col("script") =!= "latin" || best <= 0L ||
+        margin < marginMicro, "und").otherwise(pred).as("lang_pred") :+
+      best.as("score_micro") :+ margin.as("margin_micro"): _*)
+  }
 
   /** PII scrub patterns, applied IN ORDER: each pattern is counted and
     * redacted on the text as left by the previous one, so a dotted

@@ -7,7 +7,118 @@ package graft.oracles
   * disjoint). Pure data: every value is a DuckDB SQL literal
   * aligned column-for-column with its Spark query. */
 private[graft] object NsTextOracles {
+
+  /** The char-bigram language-profile CTE chain, interpolated from
+    * the CHECKED-IN weight table ([[graft.ns.TextOps.langProfileGrams]])
+    * and script ranges so the oracle's CASE arms cannot drift from
+    * the Spark literal map — the computation (DuckDB list folds vs
+    * Spark codegen folds) stays fully independent. Exposes `langp`
+    * with (doc_id, n_chars, script, best, second, pred). */
+  private val langNames = Seq("en", "de", "fr", "es")
+  private def langArm(i: Int): String =
+    graft.ns.TextOps.langProfileGrams.filter(_._2(i) != 0L)
+      .map { case (g, ws) => s"WHEN '$g' THEN ${ws(i)}" }.mkString(" ")
+  private val scriptCase: String = {
+    val rs = graft.ns.TextOps.scriptRanges
+    val counts = rs.indices.map(i => s"sc$i").mkString(", ")
+    val whens = rs.zipWithIndex.map { case ((name, _), i) =>
+      s"WHEN sc$i = greatest($counts) THEN '$name'" }.mkString(" ")
+    s"CASE WHEN greatest($counts) <= 0 THEN 'other' $whens END"
+  }
+  private val langCte: String = {
+    val scoreCols = langNames.indices.map(i =>
+      s"""CAST(coalesce(list_sum(list_transform(gs,
+         |      x -> CASE x ${langArm(i)} ELSE 0 END)), 0) AS BIGINT) AS s$i""".stripMargin)
+      .mkString(",\n    ")
+    val scriptCounts = graft.ns.TextOps.scriptRanges.zipWithIndex
+      .map { case ((_, re), i) =>
+        s"len(regexp_extract_all(text, '$re')) AS sc$i" }
+      .mkString(",\n    ")
+    val g = s"greatest(${langNames.indices.map(i => s"s$i").mkString(", ")})"
+    val predCase = langNames.indices.init.map(i =>
+      s"WHEN s$i = $g THEN '${langNames(i)}'").mkString(" ") +
+      s" ELSE '${langNames.last}'"
+    val secondCase = langNames.indices.init.map { i =>
+      val others = langNames.indices.filter(_ != i)
+        .map(j => s"s$j").mkString(", ")
+      s"WHEN s$i = $g THEN greatest($others)"
+    }.mkString(" ") + s" ELSE greatest(${langNames.indices.init
+      .map(j => s"s$j").mkString(", ")})"
+    s"""pdoc AS (
+       |  SELECT doc_id, n_chars, text,
+       |    concat(' ', regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS pd
+       |  FROM documents),
+       |gramsl AS (
+       |  SELECT doc_id, n_chars, text,
+       |    list_concat(
+       |      list_transform(range(1, length(pd) + 1),
+       |        i -> substr(pd, CAST(i AS INT), 1)),
+       |      list_transform(range(1, length(pd)),
+       |        i -> substr(pd, CAST(i AS INT), 2))) AS gs
+       |  FROM pdoc),
+       |scoresl AS (
+       |  SELECT doc_id, n_chars, text,
+       |    $scoreCols
+       |  FROM gramsl),
+       |scriptsl AS (
+       |  SELECT doc_id,
+       |    $scriptCounts
+       |  FROM pdoc),
+       |langp AS (
+       |  SELECT s.doc_id, s.n_chars,
+       |    $scriptCase AS script,
+       |    $g AS best,
+       |    CASE $secondCase END AS second,
+       |    CASE $predCase END AS pred
+       |  FROM scoresl s JOIN scriptsl USING (doc_id))""".stripMargin
+  }
+  private val langPredExpr: String =
+    "CASE WHEN script <> 'latin' OR best <= 0 OR best - second < 100000" +
+      " THEN 'und' ELSE pred END"
+
+  /** ns122 closed-form pieces, generated from the checked-in fixture
+    * tail: the repaired output is predictable WITHOUT running any
+    * replace chain (repair of a k-encoded tail is the clean tail),
+    * so the oracle only needs the clean tail as a chr()-chain
+    * literal plus the per-class length deltas. */
+  private def chrChain(s: String): String =
+    s.map { c =>
+      if (c >= ' ' && c <= '~' && c != '\'') s"'$c'"
+      else s"chr(${c.toInt})"
+    }.foldRight(List.empty[String]) {
+      // merge adjacent plain-literal chars into one quoted run
+      case (piece, acc) =>
+        (piece, acc) match {
+          case (p, h :: t) if p.startsWith("'") && h.startsWith("'") =>
+            (p.dropRight(1) + h.drop(1)) :: t
+          case _ => piece :: acc
+        }
+    }.mkString(" || ")
+  private val mojiCleanChr =
+    chrChain(graft.ns.TextOps.mojibakeFixtureTail)
+  private val mojiLen1 = {
+    val c = graft.ns.TextOps.mojibakeFixtureTail
+    graft.ns.TextOps.sloppyCp1252(c).length - c.length
+  }
+  private val mojiLen2 = {
+    val c = graft.ns.TextOps.mojibakeFixtureTail
+    graft.ns.TextOps.sloppyCp1252(
+      graft.ns.TextOps.sloppyCp1252(c)).length - c.length
+  }
+
   val sql: Map[String, String] = Map(
+    "ns122_mojibake_repair" ->
+      s"""SELECT doc_id,
+         |  text || CASE WHEN doc_id % 3 IN (0, 1)
+         |    THEN $mojiCleanChr ELSE '' END AS repaired_text,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN $mojiLen1
+         |    WHEN 1 THEN $mojiLen2 ELSE 0 END AS BIGINT) AS n_removed
+         |FROM documents""".stripMargin,
+    "ns121_lang_profile" ->
+      s"""WITH $langCte
+         |SELECT doc_id, script, $langPredExpr AS lang_pred,
+         |  best AS score_micro, best - second AS margin_micro
+         |FROM langp""".stripMargin,
     "ns08_text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,
@@ -579,34 +690,19 @@ private[graft] object NsTextOracles {
         |  CAST(len(keep) AS BIGINT) AS n_kept,
         |  CAST(n_lines - len(keep) AS BIGINT) AS n_dropped
         |FROM k WHERE len(keep) >= 3""".stripMargin,
-    // ns10's langid CTE + ns18's quota window, composed.
+    // The generated lang-profile CTE + ns18's quota window, composed
+    // (re-gated on the ns121 predictions since round 11).
     "ns72_lang_balanced_quota" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)),
-        |      '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents),
-        |hits AS (
-        |  SELECT doc_id,
-        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS en,
-        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
-        |    len(list_filter(toks, t -> list_contains(['le','les','et','est','dans','une','pour'], t))) AS fr,
-        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es
-        |  FROM base),
-        |lang AS (
-        |  SELECT doc_id,
-        |    CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-        |         WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-        |         WHEN fr >= es AND fr > 0 THEN 'fr'
-        |         WHEN es > 0 THEN 'es'
-        |         ELSE 'und' END AS lang_pred
-        |  FROM hits)
-        |SELECT doc_id, n_chars, lang_pred, rn FROM (
-        |  SELECT d.doc_id, d.n_chars, l.lang_pred,
-        |    ROW_NUMBER() OVER (PARTITION BY l.lang_pred
-        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
-        |  FROM documents d JOIN lang l USING (doc_id))
-        |WHERE rn <= 40""".stripMargin,
+      s"""WITH $langCte,
+         |final AS (
+         |  SELECT doc_id, n_chars, $langPredExpr AS lang_pred
+         |  FROM langp)
+         |SELECT doc_id, n_chars, lang_pred, rn FROM (
+         |  SELECT doc_id, n_chars, lang_pred,
+         |    ROW_NUMBER() OVER (PARTITION BY lang_pred
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM final)
+         |WHERE rn <= 40""".stripMargin,
     // Closed-form HTML fixture: every page byte is a formula of
     // (doc_id, text), so the oracle predicts extraction WITHOUT
     // parsing HTML — kept blocks are exactly the >=30-char 12-word

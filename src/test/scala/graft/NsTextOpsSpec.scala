@@ -670,4 +670,119 @@ class NsTextOpsSpec extends SparkSpec {
       "text", dim = 64).as[(Long, Long, Long)].collect()
     assert(again.toSet == got.toSet)
   }
+
+  private val langSamples = Seq(
+    1L -> ("en", "the quick brown fox jumps over the lazy dog and " +
+      "then things which might have worked are the thought of night"),
+    2L -> ("de", "ich bin mit dem zug nach münchen gefahren und der " +
+      "schnelle zug war pünktlich während die schönen mädchen zuschauten"),
+    3L -> ("fr", "le chemin était très beau et nous avons vu quelques " +
+      "oiseaux près de l'eau qui coulait doucement vers les vieux moulins"),
+    4L -> ("es", "el señor compró unos libros muy buenos y los llevó " +
+      "a la escuela para que los niños pequeños pudieran leerlos"))
+
+  test("langProfile: classifies sample sentences with positive margin") {
+    val df = langSamples.map { case (id, (_, t)) => (id, t) }
+      .toDF("doc_id", "text")
+    val got = TextOps.langProfile(df, "doc_id", "text")
+      .select("doc_id", "script", "lang_pred", "margin_micro")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    langSamples.foreach { case (id, (lang, _)) =>
+      val (_, script, pred, margin) = got(id)
+      assert(script == "latin", s"doc $id script")
+      assert(pred == lang, s"doc $id predicted $pred, wanted $lang")
+      assert(margin >= 100000L, s"doc $id margin $margin")
+    }
+  }
+
+  test("langProfile: junk and non-latin scripts demote to und") {
+    val df = Seq(
+      (1L, "12345 67890 ???"),                 // no profile evidence
+      (2L, "привет как дела сегодня вечером"), // cyrillic script
+      (3L, "それはとても良い考えだと思います"),      // cjk script
+      (4L, "ochen korotko"))                   // latin but thin evidence
+      .toDF("doc_id", "text")
+    val got = TextOps.langProfile(df, "doc_id", "text")
+      .select("doc_id", "script", "lang_pred")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == "und")
+    assert(got(2L)._2 == "cyrillic" && got(2L)._3 == "und")
+    assert(got(3L)._2 == "cjk" && got(3L)._3 == "und")
+  }
+
+  test("langProfile: confidence margin is monotone in repetition") {
+    // scores are additive over grams, so repeating a document's text
+    // can only strengthen the winner's margin — the law that makes
+    // the margin a usable confidence: more same-language evidence
+    // never flips a confident prediction toward und
+    val reps = for {
+      (id, (_, t)) <- langSamples
+      k <- Seq(1, 2, 4)
+    } yield (id * 10 + k, id, t * k)
+    val df = reps.map { case (rid, _, t) => (rid, t) }.toDF("doc_id", "text")
+    val got = TextOps.langProfile(df, "doc_id", "text")
+      .select("doc_id", "margin_micro")
+      .as[(Long, Long)].collect().toMap
+    langSamples.foreach { case (id, (_, _)) =>
+      assert(got(id * 10 + 2) >= got(id * 10 + 1), s"doc $id k=2")
+      assert(got(id * 10 + 4) >= got(id * 10 + 2), s"doc $id k=4")
+    }
+  }
+
+  test("mojibake repair: inverts k-times encoding, one layer per pass") {
+    val clean = "café naïve zürich – “quoted”… ©2026 señor° façade"
+    val once = TextOps.sloppyCp1252(clean)
+    val twice = TextOps.sloppyCp1252(once)
+    assert(once != clean && twice != once) // fixture really mangles
+    val df = Seq((0L, clean), (1L, once), (2L, twice))
+      .toDF("doc_id", "text")
+    def repaired(passes: Int): Map[Long, String] =
+      df.select(col("doc_id"),
+        TextOps.repairMojibakeCol(col("text"), passes).as("r"))
+        .as[(Long, String)].collect().toMap
+    val p1 = repaired(1)
+    val p2 = repaired(2)
+    // clean text is a fixed point at any depth
+    assert(p1(0L) == clean && p2(0L) == clean)
+    // single-encode heals in 1 pass; double-encode needs a second
+    // (one pass peels AT LEAST one layer — rule order lets some
+    // sequences cascade further within a pass, which only ever moves
+    // text closer to clean, never to a wrong form)
+    assert(p1(1L) == clean)
+    assert(p1(2L) != twice && p2(2L) == clean)
+    // n_removed audit: positive on mangled docs, zero on clean
+    val n = TextOps.repairMojibake(df, "doc_id", "text")
+      .select(col("doc_id"), col("n_removed"))
+      .as[(Long, Long)].collect().toMap
+    assert(n(0L) == 0L && n(1L) > 0L && n(2L) > n(1L))
+  }
+
+  test("mojibake repair: idempotence — repair∘repair ≡ repair") {
+    val texts = Seq("plain ascii only",
+      TextOps.sloppyCp1252("déjà vu – l'œuvre…"),
+      TextOps.sloppyCp1252(TextOps.sloppyCp1252("Müller—ça va”")),
+      "already clean é ü ñ “fine”")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val oncely = df.select(col("doc_id"),
+      TextOps.repairMojibakeCol(col("text")).as("r"))
+    val twicely = oncely.select(col("doc_id"),
+      TextOps.repairMojibakeCol(col("r")).as("r"))
+    assert(oncely.as[(Long, String)].collect().toMap ==
+      twicely.as[(Long, String)].collect().toMap)
+  }
+
+  test("langProfile vs langId: both call the English corpus English") {
+    val docs = Tables(spark, sf, "documents").limit(200)
+    val both = TextOps.langProfile(docs, "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"))
+      .join(TextOps.langId(docs, "doc_id", "text")
+        .withColumnRenamed("lang_pred", "old_pred"), "doc_id")
+    val rows = both.as[(Long, String, String)].collect()
+    assert(rows.nonEmpty)
+    val agree = rows.count(r => r._2 == "en" && r._3 == "en")
+    assert(agree >= rows.length * 9 / 10,
+      s"profile/marker agreement only $agree/${rows.length}")
+  }
 }
