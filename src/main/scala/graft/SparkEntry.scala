@@ -784,6 +784,48 @@ object SparkEntry {
             .otherwise(lit("propagated")).as("reason"))
     }),
 
+    // ---- §2.8 [NS] takedown over NEAR-dup twins (r11) ----
+    // ns111 sweeps exact-content copies only; a takedown that must
+    // also catch light edits composes the SAME stored cluster map
+    // ns37 publishes (FixtureCache — one equi-join against it, no
+    // re-clustering): tombstones = exact-fingerprint closure ∪ every
+    // member of any near-dup cluster containing a requested id,
+    // reasons ranked requested > exact_dup > near_dup. The exact-only
+    // ns111 stays the registered default (near-dup sweeping is
+    // policy opt-in: it deletes content that is merely similar).
+    "ns126_takedown_near_dup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val req = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id").as("rid"))
+      val edges = Dedup.exactDedupProvenance(docs, "doc_id", "text")
+        .select(col("dropped_id"), col("kept_id"))
+      val canon = req
+        .join(edges, req("rid") === edges("dropped_id"), "left")
+        .select(coalesce(col("kept_id"), col("rid")).as("kid"))
+        .distinct()
+      val members = canon
+        .join(edges, canon("kid") === edges("kept_id"), "left")
+      val exact = members.select(col("kid").as("doc_id"))
+        .unionAll(members.filter(col("dropped_id").isNotNull)
+          .select(col("dropped_id").as("doc_id")))
+        .distinct()
+      val assign = clusterAssign(s, d)
+        .select(col("doc_id"), col("cluster_id"))
+      val reqClusters = assign
+        .join(req, assign("doc_id") === req("rid"))
+        .select(col("cluster_id")).distinct()
+      val near = assign.join(broadcast(reqClusters), Seq("cluster_id"))
+        .select(col("doc_id"))
+      val agg = exact.withColumn("src", lit(1))
+        .unionAll(near.withColumn("src", lit(2)))
+        .groupBy(col("doc_id")).agg(min(col("src")).as("src"))
+      agg.join(req, agg("doc_id") === req("rid"), "left")
+        .select(col("doc_id"),
+          when(col("rid").isNotNull, lit("requested"))
+            .when(col("src") === 1, lit("exact_dup"))
+            .otherwise(lit("near_dup")).as("reason"))
+    }),
+
     // ---- §2.8 [NS] Gram/PCA summary store (r10) ----
     // The ns59/s08 store-once/merge-forever form for the PCA fit
     // inputs: three thirds of the corpus land their exact summaries
@@ -1639,6 +1681,15 @@ object SparkEntry {
     "ns121_lang_profile" -> ((s, d) =>
       TextOps.langProfile(t(s, d, "documents"), "doc_id", "text")),
 
+    // ---- §2.8 [NS] linear quality-classifier TRAINING (r11) ----
+    // The fit side of ns73's apply path: deterministic integer batch
+    // perceptron distilling the Gopher gate into token weights —
+    // one feature-frame checkpoint, then one scan per epoch with a
+    // d-sized integer partial. Gated weight-for-weight against the
+    // INDEPENDENT trainer tools/gen_linear.py (ns88 convention).
+    "ns123_linear_train" -> ((s, d) =>
+      TextOps.trainLinearQuality(t(s, d, "documents"), "doc_id", "text")),
+
     // ---- §2.8 [NS] mojibake/encoding repair (r11) ----
     // Curation stage 0.5: the UTF-8-as-cp1252 confusion repair
     // (ftfy's core case) as a codegen'd literal-replace chain, two
@@ -2114,6 +2165,56 @@ object SparkEntry {
     // (rate/4, grid j=16) wins with zero leakage — the oracle
     // predicts a DSP result from the generation formula (ns56's
     // closed-form trick, one rung up).
+    // ---- §2.8 [NS] audio fingerprint near-dup (r11) ----
+    // Binary-spectrogram signatures (8 frames × 8 Goertzel bands,
+    // absolute-threshold bits) over closed-form multi-sine clips,
+    // fed to the SimHash Hamming-band pair machinery. The fixture
+    // activates bands by an md5 formula (so signatures are diverse,
+    // not modular-class-degenerate) and plants hamming-1 twins at
+    // id % 10 ∈ {0,1}; the oracle recomputes every signature WORD
+    // from the formula and brute-forces Hamming in SQL — decode,
+    // Goertzel, thresholding, packing, and banding all hash-gate.
+    "ns124_audio_near_dup" -> ((s, d) => {
+      val dir = newScratchDir("graft_ns124")
+      def hexActive(k: Long, f: Int, j: Int): Boolean = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$k:$f:$j".getBytes("UTF-8"))
+        "0123456789abcdef".charAt((h(0) & 0xff) >> 4) <= '5'
+      }
+      val frames = 8; val frameLen = 128; val grid = 16
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).collect().foreach { r =>
+          val id = r.getLong(0)
+          val k = if (id % 10 <= 1) id - id % 10 else id
+          val twinFlip = id % 10 == 1
+          val active = Array.tabulate(frames, 7) { (f, jm) =>
+            val base = hexActive(k, f, jm + 1)
+            if (twinFlip && f == 0 && jm == 0) !base else base
+          }
+          val bytes = Multimodal.writeWav(16000, frames * frameLen, { i =>
+            val f = i / frameLen; val t0 = i % frameLen
+            var v = 0.0
+            var j = 1
+            while (j <= 7) {
+              if (active(f)(j - 1))
+                v += 3000.0 * math.sin(2.0 * math.Pi * j * t0 / grid)
+              j += 1
+            }
+            math.round(v).toShort
+          })
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath, s"aud_$id.wav"), bytes)
+        }
+      val sigs = Multimodal.audioFingerprint(
+        Multimodal.readBinaryDir(s, dir.getPath, "*.wav"),
+        gridSize = grid, frames = frames).toDF()
+        .select(regexp_extract(col("file_name"), "aud_(\\d+)\\.wav", 1)
+          .cast("long").as("audio_id"), col("sig").as("simhash"))
+      materializeAndDrop(
+        Dedup.simhashNearDupPairs(sigs, "audio_id", maxHamming = 8)
+          .withColumn("hamming", col("hamming").cast("long")), dir)
+    }),
+
     "ns74_wav_dominant_freq" -> ((s, d) => {
       val dir = newScratchDir("graft_mm_wavdom")
       t(s, d, "documents").filter(col("doc_id") < 50)

@@ -353,6 +353,69 @@ object Multimodal {
       }
   }
 
+  /** One audio fingerprint row: real payload facts + the packed
+    * binary-spectrogram signature. */
+  final case class AudioFingerprint(file_name: String, n_samples: Long,
+      sig: Long)
+
+  /** Audio fingerprint for near-dup detection — the binary
+    * spectrogram (Haitsma–Kalker shape, shrunk to one 64-bit word):
+    * the clip splits into `frames` time frames; per frame each
+    * Goertzel grid band j = 1..gridSize/2 contributes one bit, set
+    * iff the band's power clears a FIXED absolute threshold
+    * ((ampThresh·frameLen/2)² — the power a sinusoid of amplitude
+    * `ampThresh` would score). An absolute threshold rather than a
+    * band-vs-band sign keeps every bit decision orders of magnitude
+    * away from float noise on real signals, which is what lets the
+    * ns124 gate hash the signature exactly (the ns74 exact-bin
+    * trick); perceptually it reads "which bands are active when",
+    * the fingerprint radio-style audio dedup uses.
+    *
+    * Hamming distance between signatures is then the near-dup
+    * metric, and the packed long drops straight into the SimHash
+    * Hamming-band machinery ([[Dedup.simhashNearDupPairs]] /
+    * [[Dedup.simhashNearDupNewVsStore]]) — banded equi-joins, never
+    * all-pairs, the ns119 batch-vs-bank shape included. Map-side
+    * batched decode ([[decodeWavFeatures]]'s shape); malformed or
+    * too-short payloads are dropped, never thrown. */
+  def audioFingerprint(df: DataFrame, gridSize: Int = 16,
+      frames: Int = 8, ampThresh: Double = 500.0,
+      batchSize: Int = 64): Dataset[AudioFingerprint] = {
+    require(gridSize >= 2 && gridSize % 2 == 0,
+      "gridSize must be even and >= 2")
+    require(frames >= 1 && frames * (gridSize / 2) <= 64,
+      "frames * gridSize/2 must fit 64 signature bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = gridSize / 2
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(_.flatMap {
+        case (name, bytes) =>
+          parseWavSamples(bytes).collect {
+            case (_, samples) if samples.length >= frames * gridSize =>
+              val frameLen = samples.length / frames
+              val thr = {
+                val a = ampThresh * frameLen / 2.0; a * a
+              }
+              var sig = 0L
+              var f = 0
+              while (f < frames) {
+                val fr = java.util.Arrays.copyOfRange(
+                  samples, f * frameLen, (f + 1) * frameLen)
+                var j = 1
+                while (j <= bins) {
+                  if (goertzelPower(fr, j.toDouble / gridSize) > thr)
+                    sig |= 1L << (f * bins + (j - 1))
+                  j += 1
+                }
+                f += 1
+              }
+              AudioFingerprint(name, samples.length.toLong, sig)
+          }
+      }))
+  }
+
   /** Batched WAV decode over a binaryFile frame — same per-partition
     * batch shape as [[decodeFeatures]]; malformed payloads are dropped
     * (a curation pass quarantines, it does not crash). */

@@ -1253,6 +1253,96 @@ object TextOps {
       (logit > 0L).as("keep"))
   }
 
+  /** Element-wise Long-vector sum — the d-sized map-combinable
+    * partial the training loop aggregates per epoch (the ns101
+    * GramAggregator shape: the exchange carries one d-vector per
+    * partition, never rows; integer addition is associative, so the
+    * sum is bit-exact under any partitioning). */
+  final class VecSumAggregator(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](dim)
+    override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+      if (v != null && v.length == dim) {
+        var i = 0; while (i < dim) { buf(i) += v(i); i += 1 }
+      }
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Linear quality-classifier TRAINING — the fit side of ns73's
+    * apply path (which has applied fixed checked-in weights since
+    * round 6; nothing produced them until now). A deterministic
+    * batch perceptron distills the Gopher heuristic gate
+    * ([[qualityScoreCol]] == 1.0 as teacher labels) into token
+    * weights over a fixed feature vocabulary:
+    *
+    *   w ← 0;  per epoch:  w ← w + Σ_{y·(w·x) ≤ 0} y·x
+    *
+    * Everything is INTEGER: features are token counts (+ a bias
+    * count of 1), the margin is a dot product of longs, the epoch
+    * gradient is an element-wise long sum. The update depends only
+    * on the SET of misclassified docs — order- and partition-
+    * independent — so an independent trainer over the same corpus
+    * reproduces the weights bit-for-bit (tools/gen_linear.py, the
+    * ns88 two-implementation convention).
+    *
+    * Scale shape: the (y, x) feature frame is projected once and
+    * localCheckpointed (d+1 longs per doc); each epoch is ONE scan
+    * of it with a d-sized [[VecSumAggregator]] partial merged
+    * map-side — at 100 TB an epoch costs a scan, and the driver
+    * holds only the d-vector (the ns102 summary rule). On a cluster
+    * the checkpoint becomes a stored feature table.
+    *
+    * fit∘apply composition: the returned (feature, weight) rows
+    * plug straight into [[linearLogitCol]] (bias = the `__bias` row)
+    * and reproduce the trainer's own margins — a tested law.
+    *
+    * Output: (feature, weight) — vocabulary order, `__bias` last. */
+  def trainLinearQuality(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String] = defaultQualityWeights.map(_._1),
+      epochs: Int = 16): DataFrame = {
+    require(vocab.nonEmpty && vocab.distinct.size == vocab.size,
+      "vocab must be non-empty and duplicate-free")
+    require(epochs >= 1, "epochs must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = vocab.size + 1
+    val s1 = df.select(
+      when(qualityScoreCol(col(textCol)) === 1.0, 1L).otherwise(-1L)
+        .as("y"),
+      wordTokens(col(textCol)).as("__toks"))
+    val feats = s1.select(col("y"),
+      array(vocab.map(wd =>
+        size(filter(col("__toks"), t => t === lit(wd))).cast("long")) :+
+        lit(1L): _*).as("x"))
+      .localCheckpoint(true)
+    val vecsum = org.apache.spark.sql.functions.udaf(
+      new VecSumAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    var w = new Array[Long](dim)
+    for (_ <- 1 to epochs) {
+      val wLit = array(w.toSeq.map(lit): _*)
+      val g = feats
+        .filter(col("y") * aggregate(
+          zip_with(col("x"), wLit, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v) <= 0L)
+        .select(transform(col("x"), xi => xi * col("y")).as("g"))
+        .agg(vecsum(col("g")).as("g"))
+        .head.getSeq[Long](0)
+      w = w.zip(g).map { case (a, b) => a + b }
+    }
+    (vocab :+ "__bias").zip(w.toSeq).toDF("feature", "weight")
+  }
+
   /** Majority-vote quality ensemble: three independent signals —
     * the Gopher-rule heuristic score ([[qualityScoreCol]]), the
     * linear classifier logit ([[linearLogitCol]]), and the top-2-gram

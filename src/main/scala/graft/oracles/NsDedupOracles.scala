@@ -111,6 +111,62 @@ private[graft] object NsDedupOracles {
         |FROM base b
         |JOIN gf ON b.fp = gf.fp
         |LEFT JOIN req r ON r.doc_id = b.doc_id""".stripMargin,
+    // ns126: the ns37 recursive-closure CTEs (independent clustering)
+    // + the ns111 fingerprint closure, unioned with reason ranking —
+    // the gated composition law for the near-dup takedown sweep.
+    "ns126_takedown_near_dup" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams0 AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |rare AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 5),
+        |grams AS (SELECT grams0.doc_id, grams0.g FROM grams0 JOIN rare USING (g)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM pairs p
+        |   JOIN sizes sa ON p.id_a = sa.doc_id
+        |   JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE)/(sa.sz + sb.sz - p.common) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM jp
+        |  UNION SELECT id_b, id_a FROM jp),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+        |cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |assign AS (
+        |  SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |req AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+        |gf AS (SELECT DISTINCT b.fp FROM base b
+        |  JOIN req r ON b.doc_id = r.doc_id),
+        |ex AS (SELECT b.doc_id FROM base b JOIN gf USING (fp)),
+        |rc AS (SELECT DISTINCT a.cluster_id FROM assign a
+        |  JOIN req r ON a.doc_id = r.doc_id),
+        |nr AS (SELECT a.doc_id FROM assign a JOIN rc USING (cluster_id)),
+        |agg AS (
+        |  SELECT doc_id, min(src) AS src FROM (
+        |    SELECT doc_id, 1 AS src FROM ex
+        |    UNION ALL SELECT doc_id, 2 FROM nr)
+        |  GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |  CASE WHEN r.doc_id IS NOT NULL THEN 'requested'
+        |       WHEN a.src = 1 THEN 'exact_dup'
+        |       ELSE 'near_dup' END AS reason
+        |FROM agg a LEFT JOIN req r ON r.doc_id = a.doc_id""".stripMargin,
     "ns01_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS doc_id, count(*) AS dup_count

@@ -271,6 +271,36 @@ private[graft] object NsMultimodalOracles {
     // rate/4 = grid bin 16 of 64, |X(N/4)| = √2·|X(N/2)|, so the
     // argmax is an exact integer prediction (see the ns74
     // registration note).
+    // ns124: every signature word re-derived from the fixture's md5
+    // band-activity formula (twin flip at bit 0 for id % 10 = 1),
+    // then brute-force Hamming over all id pairs — the banded Spark
+    // plan must reproduce exactly the pairs the exhaustive join
+    // finds (pigeonhole completeness at maxHamming 8 / 8 bands).
+    "ns124_audio_near_dup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 10 <= 1 THEN doc_id - doc_id % 10
+        |      ELSE doc_id END AS k
+        |  FROM documents WHERE doc_id < 200),
+        |bits AS (
+        |  SELECT i.id, t.f, u.j,
+        |    (substr(md5(CAST(i.k AS VARCHAR) || ':' ||
+        |       CAST(t.f AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)),
+        |       1, 1) IN ('0','1','2','3','4','5'))
+        |      <> (i.id % 10 = 1 AND t.f = 0 AND u.j = 1) AS active
+        |  FROM ids i,
+        |    (SELECT unnest(range(0, 8)) AS f) t,
+        |    (SELECT unnest(range(1, 8)) AS j) u),
+        |sig AS (
+        |  SELECT id,
+        |    CAST(coalesce(SUM(CASE WHEN active
+        |      THEN CAST(1 AS BIGINT) << (f * 8 + j - 1)
+        |      ELSE 0 END), 0) AS BIGINT) AS s
+        |  FROM bits GROUP BY id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.id < b.id
+        |WHERE bit_count(xor(a.s, b.s)) <= 8""".stripMargin,
     "ns74_wav_dominant_freq" ->
       """SELECT 'doc_' || doc_id || '.wav' AS file_name,
         |  CAST(r AS INTEGER) AS sample_rate,

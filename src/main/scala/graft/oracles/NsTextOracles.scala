@@ -107,6 +107,16 @@ private[graft] object NsTextOracles {
   }
 
   val sql: Map[String, String] = Map(
+    // Trained weights from the INDEPENDENT Python trainer
+    // (tools/gen_linear.py, the ns88 two-implementation convention):
+    // same labels, same integer batch-perceptron loop, written by a
+    // from-scratch implementation; the SQL just reads the checked-in
+    // artifact. Valid at sf0.01 (where the driver gates); rerun the
+    // tool if the driver regenerates documents.
+    "ns123_linear_train" ->
+      """SELECT feature, weight FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/linear_weights_sf001.parquet')
+        |""".stripMargin,
     "ns122_mojibake_repair" ->
       s"""SELECT doc_id,
          |  text || CASE WHEN doc_id % 3 IN (0, 1)

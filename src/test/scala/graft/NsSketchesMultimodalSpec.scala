@@ -524,4 +524,60 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     assert(out("tone3.wav") == ((3, 375.0)))
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
+
+  private def toneClip(activeBits: Set[(Int, Int)], amp: Double = 3000.0,
+      frames: Int = 8, frameLen: Int = 128, grid: Int = 16): Array[Byte] =
+    Multimodal.writeWav(16000, frames * frameLen, { i =>
+      val f = i / frameLen; val t0 = i % frameLen
+      val v = (1 to 7).collect { case j if activeBits((f, j)) =>
+        amp * math.sin(2.0 * math.Pi * j * t0 / grid) }.sum
+      math.round(v).toShort
+    })
+
+  test("audioFingerprint: bits = planted active bands; quiet clips " +
+      "are all-zero; malformed dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_afp")
+    val planted = Set((0, 1), (0, 3), (3, 7), (7, 2))
+    java.nio.file.Files.write(dir.resolve("a.wav"), toneClip(planted))
+    // same bands at amplitude 100 — below the 500 threshold
+    java.nio.file.Files.write(dir.resolve("quiet.wav"),
+      toneClip(planted, amp = 100.0))
+    java.nio.file.Files.write(dir.resolve("bad.wav"),
+      Array[Byte]('R', 'I', 'F', 'F', 1, 2))
+    val out = Multimodal.audioFingerprint(
+      Multimodal.readBinaryDir(spark, dir.toString, "*.wav"))
+      .collect().map(a => a.file_name -> a.sig).toMap
+    assert(out.size == 2, "malformed payload must be dropped")
+    val expect = planted.map { case (f, j) => 1L << (f * 8 + j - 1) }.sum
+    assert(out("a.wav") == expect)
+    assert(out("quiet.wav") == 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("audioFingerprint: planted twin found by pair AND bank forms") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_afp2")
+    val base = Set((0, 1), (1, 2), (2, 3), (4, 5), (6, 6), (7, 7))
+    java.nio.file.Files.write(dir.resolve("aud_1.wav"), toneClip(base))
+    java.nio.file.Files.write(dir.resolve("aud_2.wav"),
+      toneClip(base - ((0, 1)) + ((0, 2)))) // two bits moved: hamming 2
+    java.nio.file.Files.write(dir.resolve("aud_3.wav"),
+      toneClip(Set((0, 4), (3, 1), (5, 2), (7, 3), (2, 6), (4, 7),
+        (1, 5), (6, 1)))) // unrelated pattern
+    val sigs = Multimodal.audioFingerprint(
+      Multimodal.readBinaryDir(spark, dir.toString, "*.wav")).toDF()
+      .select(regexp_extract(col("file_name"), "aud_(\\d+)\\.wav", 1)
+        .cast("long").as("audio_id"), col("sig").as("simhash"))
+    val pairs = graft.ns.Dedup.simhashNearDupPairs(sigs, "audio_id",
+      maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 2)))
+    // batch-vs-bank: clip 2 arriving against a stored bank {1, 3}
+    val bank = graft.ns.Dedup.simhashNearDupNewVsStore(
+      sigs.filter(col("audio_id") === 2L),
+      sigs.filter(col("audio_id") =!= 2L), "audio_id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bank == Set((2L, 1L, 2)))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }

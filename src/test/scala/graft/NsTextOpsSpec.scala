@@ -730,6 +730,57 @@ class NsTextOpsSpec extends SparkSpec {
     }
   }
 
+  test("trainLinearQuality: fit∘apply — fitted weights reproduce the " +
+    "trainer's margins through ns73's apply path") {
+    val docs = Tables(spark, sf, "documents").limit(120)
+    val fitted = TextOps.trainLinearQuality(docs, "doc_id", "text",
+      epochs = 4).as[(String, Long)].collect()
+    val bias = fitted.find(_._1 == "__bias").get._2
+    val pairs = fitted.filter(_._1 != "__bias").toSeq
+    // apply path: linearLogitCol with the fitted table
+    val applied = docs.select(col("doc_id"),
+      TextOps.linearLogitCol(col("text"), pairs, bias).as("logit"))
+      .as[(Long, Long)].collect().toMap
+    // direct path: explicit count dot product, computed driver-side
+    val texts = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val dot = pairs.map { case (wd, w) =>
+        w * toks.count(_ == wd) }.sum + bias
+      assert(applied(id) == dot, s"doc $id")
+    }
+  }
+
+  test("trainLinearQuality: partition-independent and duplicate-vocab-rejected") {
+    val docs = Tables(spark, sf, "documents").limit(120)
+    val a = TextOps.trainLinearQuality(docs, "doc_id", "text", epochs = 3)
+      .as[(String, Long)].collect().toSeq
+    val b = TextOps.trainLinearQuality(docs.repartition(7), "doc_id",
+      "text", epochs = 3).as[(String, Long)].collect().toSeq
+    assert(a == b) // integer gradients: partitioning can't move the fit
+    intercept[IllegalArgumentException] {
+      TextOps.trainLinearQuality(docs, "doc_id", "text",
+        vocab = Seq("the", "the"))
+    }
+  }
+
+  test("trainLinearQuality ≡ independent Python trainer (staleness pin)") {
+    val res = getClass.getResource("/graft/linear_weights_sf001.parquet")
+    assert(res != null, "checked-in trainer artifact missing")
+    val oracle = spark.read.parquet(res.getPath)
+    val docsPath = "/root/testdata/sf0.01/documents.parquet"
+    assume(new java.io.File(docsPath).exists(), s"fixture absent: $docsPath")
+    val mine = TextOps.trainLinearQuality(
+      spark.read.parquet(docsPath), "doc_id", "text")
+    val diff = mine.exceptAll(oracle).count() +
+      oracle.exceptAll(mine).count()
+    assert(diff == 0,
+      "Spark trainer diverged from the checked-in Python trainer — " +
+        "if the driver regenerated documents, rerun " +
+        "tools/gen_linear.py and recommit the artifact")
+  }
+
   test("mojibake repair: inverts k-times encoding, one layer per pass") {
     val clean = "café naïve zürich – “quoted”… ©2026 señor° façade"
     val once = TextOps.sloppyCp1252(clean)
