@@ -214,6 +214,91 @@ case class IvfAssignExpr(child: Expression,
     copy(child = c)
 }
 
+/** Static kernel for [[LangScoreExpr]]: one tight pass over the
+  * padded text accumulating all `nLangs` language-evidence sums at
+  * once — singles keyed by char, bigrams by the packed char pair.
+  * Exists because the HOF formulation (a chars∪bigrams array build +
+  * one interpreted fold PER LANGUAGE over ~2·len elements) measured
+  * 28 s for 50k docs at sf1; the kernel does the same integer sums
+  * in one fused pass (the IvfAssignKernel story). Sum equivalence
+  * with the gram-array form is exact: integer addition over the
+  * same (char, pair) multiset, table misses contribute 0. */
+object LangScoreKernel {
+  def score(u: UTF8String,
+      singles: java.util.HashMap[Character, Array[Long]],
+      pairs: java.util.HashMap[Integer, Array[Long]],
+      nLangs: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = u.toString
+    val out = new Array[Long](nLangs)
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      val w1 = singles.get(Character.valueOf(c))
+      if (w1 != null) {
+        var k = 0; while (k < nLangs) { out(k) += w1(k); k += 1 }
+      }
+      if (i + 1 < len) {
+        val w2 = pairs.get(
+          Integer.valueOf((c.toInt << 16) | s.charAt(i + 1).toInt))
+        if (w2 != null) {
+          var k = 0; while (k < nLangs) { out(k) += w2(k); k += 1 }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Catalyst-native language-evidence scorer: padded text in,
+  * `array<long>` of per-language micro-unit sums out. The weight
+  * table rides as plan reference objects (two small hash maps);
+  * codegen emits one static kernel call per row so the language-ID
+  * projection stays inside WholeStageCodegen. Table grams must be
+  * 1–2 UTF-16 code units (all BMP — asserted at construction). */
+case class LangScoreExpr(child: Expression,
+    grams: Seq[(String, Seq[Long])], nLangs: Int)
+    extends UnaryExpression {
+  require(grams.nonEmpty && grams.forall(_._2.length == nLangs),
+    "every gram needs one weight per language")
+  require(grams.forall(g => g._1.length == 1 || g._1.length == 2),
+    "profile grams must be 1 or 2 UTF-16 code units (BMP)")
+  @transient private lazy val singles = {
+    val m = new java.util.HashMap[Character, Array[Long]]
+    grams.collect { case (g, ws) if g.length == 1 =>
+      m.put(Character.valueOf(g.charAt(0)), ws.toArray) }
+    m
+  }
+  @transient private lazy val pairs = {
+    val m = new java.util.HashMap[Integer, Array[Long]]
+    grams.collect { case (g, ws) if g.length == 2 =>
+      m.put(Integer.valueOf((g.charAt(0).toInt << 16) |
+        g.charAt(1).toInt), ws.toArray) }
+    m
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    LangScoreKernel.score(v.asInstanceOf[UTF8String], singles, pairs,
+      nLangs)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val singlesRef = ctx.addReferenceObj("langSingles", singles,
+      "java.util.HashMap")
+    val pairsRef = ctx.addReferenceObj("langPairs", pairs,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.LangScoreKernel.score(
+      |  $c, $singlesRef, $pairsRef, $nLangs);
+      |""".stripMargin)
+  }
+  override def prettyName: String = "lang_scores"
+  override protected def withNewChildInternal(c: Expression): LangScoreExpr =
+    copy(child = c)
+}
+
 /** Column-API entry points for graft's custom expressions. */
 object functions {
   /** Repair python-repr "JSON" (single quotes, True/None, trailing
@@ -230,4 +315,10 @@ object functions {
     * zero-norm) — the IVF assignment kernel. */
   def ivf_assign(c: Column, centers: Array[Array[Double]]): Column =
     Shim.column(IvfAssignExpr(Shim.expression(c), centers))
+
+  /** Per-language integer evidence sums over padded text — the
+    * language-ID scoring kernel. */
+  def lang_scores(c: Column, grams: Seq[(String, Seq[Long])],
+      nLangs: Int): Column =
+    Shim.column(LangScoreExpr(Shim.expression(c), grams, nLangs))
 }

@@ -409,12 +409,14 @@ object TextOps {
     * the dominant script is one the latin-profile table cannot see.
     *
     * Plan shape: one codegen'd projection chain per doc — normalize,
-    * split to chars, one zip-slice bigram build, one literal-map
-    * lookup pass, four integer folds. Each non-cheap array lives
-    * behind its own projection boundary (interpreted-HOF rule:
-    * lambdas re-evaluate captured expressions per element/reference).
-    * Zero shuffles, zero joins; at 100 TB this costs exactly one
-    * scan, like every other map-side gate.
+    * then ONE fused [[graft.functions.LangScoreExpr]] kernel call
+    * accumulating all four language sums in a single pass over the
+    * padded text (chars + consecutive pairs; exactly the chars ∪
+    * zip-slice-bigram multiset the HOF formulation scores, whose
+    * interpreted folds measured 28 s for 50k docs at sf1 — the
+    * IvfAssignExpr replacement tier). Zero shuffles, zero joins; at
+    * 100 TB this costs exactly one scan, like every other map-side
+    * gate.
     *
     * Output: (idCol, script, lang_pred, score_micro, margin_micro).
     */
@@ -423,27 +425,18 @@ object TextOps {
     require(marginMicro >= 0, "marginMicro must be non-negative")
     val langs = Seq("en", "de", "fr", "es")
     val cs = carry.map(col)
-    val wmap = map(langProfileGrams.flatMap { case (g, ws) =>
-      Seq(lit(g), array(ws.map(lit): _*)) }: _*)
     val s1 = df.select(col(idCol) +: cs :+
       scriptCol(col(textCol)).as("script") :+
       concat(lit(" "), Dedup.normText(col(textCol)), lit(" ")).as("__p"): _*)
-    val s2 = s1.select(col(idCol) +: cs :+ col("script") :+
-      split(col("__p"), "").as("__c"): _*)
-    // score over chars ∪ bigrams: single-char profile keys (ñ, ß,
-    // accents) match in the char list, pairs in the zip-slice list
-    val s3 = s2.select(col(idCol) +: cs :+ col("script") :+
-      concat(col("__c"),
-        filter(zip_with(col("__c"),
-            slice(col("__c"), lit(2), size(col("__c"))),
-          (a, b) => concat(a, b)), g => g.isNotNull)).as("__g"): _*)
-    val s4 = s3.select(col(idCol) +: cs :+ col("script") :+
-      transform(col("__g"), g => element_at(wmap, g)).as("__w"): _*)
+    // one fused kernel call per row: all four language sums over
+    // chars ∪ consecutive pairs (single-char profile keys — ñ, ß,
+    // accents — match as chars, pair keys as the bigrams)
+    val s4 = s1.select(col(idCol) +: cs :+ col("script") :+
+      graft.functions.functions.lang_scores(col("__p"),
+        langProfileGrams, langs.size).as("__s"): _*)
     val s5 = s4.select((col(idCol) +: cs :+ col("script")) ++
       langs.indices.map(i =>
-        aggregate(col("__w"), lit(0L),
-          (acc, x) => acc + coalesce(element_at(x, lit(i + 1)), lit(0L)))
-          .as(s"__s$i")): _*)
+        element_at(col("__s"), i + 1).as(s"__s$i")): _*)
     val scores = langs.indices.map(i => col(s"__s$i"))
     val best = greatest(scores: _*)
     val pred = langs.indices.init.foldLeft(
