@@ -3005,6 +3005,23 @@ object SparkEntry {
           col("logit_micro"), col("dup_count"), col("split"))
     }),
 
+    // ---- §2.8 [NS] gzip WARC ingest (r11) ----
+    // The same containers compressed (real crawl files are .warc.gz):
+    // the parse must see THROUGH the gzip layer and produce the
+    // identical record stream, so ns125's oracle is ns120's verbatim.
+    // Multi-member concatenation and corrupt-stream quarantine are
+    // spec laws (NsWarcSpec).
+    "ns125_warc_gzip" -> ((s, d) => {
+      val gz = FixtureCache.cached(s, d, "warc_containers_gz") {
+        import s.implicits._
+        warcContainers(s, d).as[(Long, Array[Byte])]
+          .map { case (id, b) => (id, graft.ns.Warc.gzipBytes(b)) }
+          .toDF("container_id", "content")
+      }
+      graft.ns.Warc.parseContainers(gz).toDF()
+        .withColumn("http_status", col("http_status").cast("long"))
+    }),
+
     // ---- §3 curation v4: raw CRAWL in, training corpus out ----
     // p06 with stage -1 in front: WARC containers → record walk →
     // ok-response bodies become the page table (doc id recovered

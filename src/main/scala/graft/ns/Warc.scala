@@ -163,8 +163,52 @@ object Warc {
     out.toSeq
   }
 
+  /** Inflate a gzip payload, INCLUDING multi-member concatenations —
+    * real `.warc.gz` files are one gzip member per record per the
+    * ISO 28500 recommendation, which a naive single-member read
+    * truncates to the first record. `GZIPInputStream` handles member
+    * concatenation natively; a corrupt stream yields None (the
+    * container-level quarantine, `bad_gzip`). */
+  def gunzipAll(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  /** Gzip-compress (fixture util — the operator only ever inflates;
+    * the gate never hashes compressed bytes, only the parse). */
+  def gzipBytes(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes)
+    gz.close()
+    out.toByteArray
+  }
+
+  /** [[parseWarc]] with transparent gzip auto-detect (0x1f 0x8b
+    * magic): inflate all members then walk; undecodable gzip yields
+    * one `bad_gzip` record for the container. */
+  def parseWarcAuto(containerId: Long, bytes: Array[Byte]): Seq[WarcRec] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+      (bytes(1) & 0xff) == 0x8b)
+      gunzipAll(bytes) match {
+        case Some(raw) => parseWarc(containerId, raw)
+        case None => Seq(WarcRec(containerId, 0L, null, null, -1L,
+          "bad_gzip", None, null, null))
+      }
+    else parseWarc(containerId, bytes)
+
   /** Batched record walk over a (container_id, binary) frame — the
-    * [[Multimodal.decodeWavFeatures]] execution shape. */
+    * [[Multimodal.decodeWavFeatures]] execution shape. Containers
+    * may be plain or gzip (auto-detected per payload). */
   def parseContainers(df: DataFrame, idCol: String = "container_id",
       binCol: String = "content", batchSize: Int = 16): Dataset[WarcRec] = {
     val spark = df.sparkSession
@@ -172,7 +216,7 @@ object Warc {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.grouped(batchSize).flatMap(_.flatMap {
-        case (cid, bytes) => parseWarc(cid, bytes)
+        case (cid, bytes) => parseWarcAuto(cid, bytes)
       }))
   }
 

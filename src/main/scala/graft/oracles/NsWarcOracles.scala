@@ -11,8 +11,10 @@ package graft.oracles
   * byte lengths).
   */
 object NsWarcOracles {
-  val sql: Map[String, String] = Map(
-    "ns120_warc_parse" ->
+  /** ns120's prediction, shared verbatim by ns125: gzip is a
+    * transparent layer, so the gzip fixture must parse to the
+    * IDENTICAL record stream. */
+  private val warcParseSql: String =
       """WITH words AS (
         |  SELECT doc_id,
         |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
@@ -87,5 +89,9 @@ object NsWarcOracles {
         |    ELSE 'text/html' END,
         |  CASE WHEN doc_id % 19 = 7 THEN CAST(NULL AS VARCHAR)
         |    ELSE html END
-        |FROM recs""".stripMargin)
+        |FROM recs""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "ns120_warc_parse" -> warcParseSql,
+    "ns125_warc_gzip" -> warcParseSql)
 }

@@ -131,6 +131,34 @@ class NsWarcSpec extends SparkSpec {
     assert(out(1).body == "<p>fine</p>")
   }
 
+  test("gzip: multi-member .warc.gz decodes FULLY (not just member 1); " +
+      "plain passthrough identical; corrupt stream quarantined") {
+    val r1 = rec("request", "http://x.example.com/1",
+      "GET /1 HTTP/1.1" + crlf + crlf)
+    val r2 = rec("response", "http://x.example.com/2",
+      httpOk("<p>two</p>"))
+    val plain = (r1 + r2).getBytes("UTF-8")
+    // one gzip member PER RECORD, concatenated — the ISO 28500 form
+    val multi = Warc.gzipBytes(r1.getBytes("UTF-8")) ++
+      Warc.gzipBytes(r2.getBytes("UTF-8"))
+    val whole = Warc.gzipBytes(plain)
+    val p = Warc.parseWarcAuto(1L, plain)
+    val m = Warc.parseWarcAuto(1L, multi)
+    val w = Warc.parseWarcAuto(1L, whole)
+    assert(p.map(_.status) == Seq("ok", "ok"))
+    // gzip is a transparent layer: identical record stream both ways
+    assert(m.map(r => (r.warc_type, r.target_uri, r.status, r.body)) ==
+      p.map(r => (r.warc_type, r.target_uri, r.status, r.body)))
+    assert(w.map(_.status) == Seq("ok", "ok"))
+    // corrupt gzip (magic intact, body mangled) → container quarantine
+    val corrupt = whole.clone()
+    corrupt(10) = (corrupt(10) ^ 0x5a).toByte
+    corrupt(corrupt.length - 3) = 0x7f
+    val c = Warc.parseWarcAuto(9L, corrupt)
+    assert(c.map(_.status).forall(s => s == "bad_gzip" || s == "desync"),
+      s"corrupt gzip must never yield ok records, got ${c.map(_.status)}")
+  }
+
   test("non-HTTP response payload is bad_http, not a crash") {
     val notHttp = "BINARYJUNK" + crlf + crlf + "tail"
     val bytes = rec("response", "http://x.example.com/z", notHttp)
