@@ -60,4 +60,38 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
     }
   }
+
+  test("r11 map-side gates are shuffle-free: lang profile, mojibake " +
+      "repair, WARC walk (plain + gzip)") {
+    // ns121/ns122 are one projection chain per row; ns120/ns125 read
+    // the cached container frame and fan records out map-side — at
+    // 100 TB each costs exactly one scan, and the plan must prove it
+    for (name <- Seq("ns121_lang_profile", "ns122_mojibake_repair",
+      "ns120_warc_parse", "ns125_warc_gzip")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
+
+  test("ns121: the language scorer runs as the fused kernel inside " +
+      "WholeStageCodegen, not an interpreted HOF tree") {
+    val p = plan("ns121_lang_profile")
+    val kernelLine = p.linesIterator.find(_.contains("lang_scores"))
+      .getOrElse(fail(s"kernel expression absent:\n$p"))
+    // "*(n)" prefixes are executedPlan.toString's WholeStageCodegen
+    // stage markers: the scoring projection must sit inside one
+    assert(kernelLine.trim.startsWith("+- *(") ||
+      kernelLine.trim.startsWith("*("),
+      s"kernel projection not codegen-fused:\n$kernelLine")
+    assert(!p.contains("aggregate(") && !p.contains("zip_with"),
+      s"interpreted HOF fold left in the plan:\n$p")
+  }
+
+  test("ns126: the near-dup sweep reads the stored cluster map with a " +
+      "broadcast equi-join — no re-clustering, no cartesian") {
+    val p = plan("ns126_takedown_near_dup")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unbounded join:\n$p")
+  }
 }
