@@ -2714,6 +2714,54 @@ object SparkEntry {
       materializeAndDrop(s.read.parquet(out), base)
     }),
 
+    // ---- §7.4.6 streaming WARC → text, driver-gated (r11) ----
+    // Stage −1 on a stream: raw WARC containers arrive as two
+    // micro-batches; the record walk (a stateless mapPartitions) and
+    // ns105's extractor run UNCHANGED on the streaming frame — no
+    // state store, no watermark (the s04/s10 pattern; quarantined
+    // records and malformed pages filter out per batch). Drained
+    // sink ≡ the batch extraction of every parseable page, which is
+    // s10's oracle further restricted to docs whose WARC record
+    // parses (id % 19 != 7).
+    "s11_stream_warc_extract" -> ((s, d) => {
+      val base = newScratchDir("graft_s11")
+      val containers = warcContainers(s, d)
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      Seq(pmod(col("container_id"), lit(2)) === 0,
+        pmod(col("container_id"), lit(2)) =!= 0).zipWithIndex.foreach {
+        case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          containers.filter(p).coalesce(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+      }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val pages = graft.ns.Warc.parseContainers(stream).toDF()
+        .filter(col("status") === "ok" && col("warc_type") === "response")
+        .select(regexp_extract(col("target_uri"), "/d/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("body").as("html"))
+      val out = s"${base.getPath}/gold"
+      val q = graft.ns.Html.mainContent(pages, "doc_id", "html")
+        .filter(col("status") === "ok")
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          col("main_text"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(s.read.parquet(out), base)
+    }),
+
     // ---- §7.4.6 streaming keyed upsert (CDC apply), driver-gated ----
     // A "latest row per user" table maintained by startUpsertStream:
     // target seeded from pre-cut1 history, then two time-split update

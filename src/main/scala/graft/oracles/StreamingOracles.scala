@@ -84,6 +84,38 @@ private[graft] object StreamingOracles {
         |    AS main_text
         |FROM documents d JOIN agg a USING (doc_id)
         |WHERE d.doc_id % 17 <> 3""".stripMargin,
+    // s10's prediction further restricted to docs whose WARC record
+    // parses (the bad-http plant): raw crawl stream → clean text.
+    "s11_stream_warc_extract" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS k
+        |  FROM words),
+        |ct AS (
+        |  SELECT doc_id, k,
+        |    array_to_string(list_slice(ws, k*12+1, k*12+12), ' ') AS ctext
+        |  FROM chunks),
+        |agg AS (
+        |  SELECT doc_id,
+        |    COUNT(*) FILTER (WHERE length(ctext) > 0) AS nc,
+        |    COUNT(*) FILTER (WHERE length(ctext) >= 30) AS nk,
+        |    string_agg(ctext, chr(10) ORDER BY k)
+        |      FILTER (WHERE length(ctext) >= 30) AS kept
+        |  FROM ct GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(a.nc + 5 AS BIGINT) AS n_blocks,
+        |  CAST(a.nk + 1 AS BIGINT) AS n_kept,
+        |  CASE WHEN a.kept IS NULL THEN ''
+        |       ELSE a.kept || chr(10) END
+        |    || 'Q&A <tags> and entities stay readable after ' ||
+        |    'decoding in doc ' || CAST(d.doc_id AS VARCHAR)
+        |    AS main_text
+        |FROM documents d JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 17 <> 3 AND d.doc_id % 19 <> 7""".stripMargin,
     "s09_stream_takedown" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
         |  CAST(c_nationkey AS BIGINT) AS c_nationkey
