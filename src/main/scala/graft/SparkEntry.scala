@@ -1710,6 +1710,29 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- §2.8 [NS] Unicode NFC normalization (r11) ----
+    // Curation stage 0.6: canonical composition, so NFC/NFD variants
+    // of the SAME text get one dedup fingerprint, one token count,
+    // and one decontamination key. Fixture: doc_id%4 picks one
+    // UAX #15 arm (decomposed Latin, precomposed fixed point,
+    // canonical singletons + out-of-order combining marks, Hangul
+    // jamo). The oracle is DuckDB's OWN nfc_normalize over a
+    // chr()-chain-identical input — a true cross-engine gate, valid
+    // because normalization of assigned code points is
+    // Unicode-STABILIZED (every conformant engine agrees byte for
+    // byte). Evaluated by the codegen'd NfcNormalizeExpr kernel.
+    "ns127_nfc_normalize" -> ((s, d) => {
+      val ts = TextOps.nfcFixtureTails
+      val tail = when(pmod(col("doc_id"), lit(4)) === 0, lit(ts(0)))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit(ts(1)))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit(ts(2)))
+        .otherwise(lit(ts(3)))
+      TextOps.nfcNormalize(
+        t(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"), tail).as("text")),
+        "doc_id", "text")
+    }),
+
     // ---- §2.8 [NS] linear quality classifier (integer weights) ----
     "ns73_linear_quality" -> ((s, d) =>
       TextOps.linearQualityScore(t(s, d, "documents"),

@@ -299,6 +299,48 @@ case class LangScoreExpr(child: Expression,
     copy(child = c)
 }
 
+/** Static kernel for [[NfcNormalizeExpr]]: Unicode NFC (canonical
+  * decomposition + canonical composition, UAX #15) via the JDK's
+  * `java.text.Normalizer`. Normalization of assigned characters is
+  * STABILIZED by the Unicode standard — every conformant
+  * implementation (JDK here, ICU/utf8proc in other engines) returns
+  * byte-identical results — which is what makes a cross-engine
+  * hash gate on the output possible at all. The `isNormalized`
+  * fast path skips the decompose/compose allocation for text that
+  * is already NFC — the overwhelmingly common case in a web corpus,
+  * so at 100 TB the stage costs one quick-check scan per string. */
+object NfcKernel {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Catalyst-native Unicode NFC normalization with full codegen
+  * support (the [[PyToJson]] tier): inside WholeStageCodegen this
+  * emits one static call into [[NfcKernel]] per row, so the
+  * normalization stage stays fused with the rest of the curation
+  * projection — no UDF boundary, no interpreted fallback. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  // Pure function of the input → ConstantFolding collapses literals.
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    NfcKernel.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.NfcKernel.nfc($c);
+      |""".stripMargin)
+  override def prettyName: String = "nfc_normalize"
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr =
+    copy(child = c)
+}
+
 /** Column-API entry points for graft's custom expressions. */
 object functions {
   /** Repair python-repr "JSON" (single quotes, True/None, trailing
@@ -321,4 +363,9 @@ object functions {
   def lang_scores(c: Column, grams: Seq[(String, Seq[Long])],
       nLangs: Int): Column =
     Shim.column(LangScoreExpr(Shim.expression(c), grams, nLangs))
+
+  /** Unicode NFC normalization (UAX #15), codegen'd — identical
+    * output in every conformant engine by Unicode stabilization. */
+  def nfc_normalize(c: Column): Column =
+    Shim.column(NfcNormalizeExpr(Shim.expression(c)))
 }

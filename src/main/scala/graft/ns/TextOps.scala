@@ -374,6 +374,44 @@ object TextOps {
       (length(col(textCol)) - length(fixed)).cast("long").as("n_removed"))
   }
 
+  /** Planted NFC fixture tails, one per doc_id%4 class — each class
+    * exercises one arm of UAX #15 composition (shared by the ns127
+    * gate and its oracle generator, which rebuilds the SAME code
+    * points with chr() chains so both engines normalize identical
+    * inputs):
+    *  0. NFD-decomposed Latin (base + combining marks) — composes;
+    *  1. precomposed Latin — the already-NFC fixed point;
+    *  2. canonical singletons (U+212B ANGSTROM→Å, U+2126 OHM→Ω) plus
+    *     out-of-order marks (acute ccc=230 BEFORE dot-below ccc=220,
+    *     which canonical ordering must swap before composing);
+    *  3. Hangul jamo — algorithmic LVT composition to syllables. */
+  val nfcFixtureTails: Seq[String] = Seq(
+    " cafe\u0301 nai\u0308ve pin\u0303ata u\u0308ber",
+    " caf\u00E9 na\u00EFve pi\u00F1ata \u00FCber",
+    " \u212B\u2126 e\u0301\u0323x",
+    " \u1112\u1161\u11AB\u1100\u1173\u11AF")
+
+  /** Unicode NFC normalization — curation stage 0.6, right after the
+    * mojibake repair (mixed NFC/NFD forms of the SAME text hash to
+    * different dedup fingerprints, count different n-grams, and leak
+    * through exact-match decontamination; one canonical form fixes
+    * all three). Evaluated by the codegen'd
+    * [[graft.functions.NfcNormalizeExpr]] kernel — one static call
+    * per row inside WholeStageCodegen, zero shuffles, linear in
+    * bytes, with an isNormalized fast path so already-canonical text
+    * (the common case) costs a check, not a rebuild. Normalization
+    * of assigned code points is STABILIZED by Unicode, so the output
+    * is engine-independent — the rare text operator whose gate can
+    * be a true cross-engine oracle rather than a planted fixture.
+    * Output: (idCol, nfc_text, n_composed) — n_composed = code
+    * points removed by composition (0 = already canonical). */
+  def nfcNormalize(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val n = graft.functions.functions.nfc_normalize(col(textCol))
+    df.select(col(idCol), n.as("nfc_text"),
+      (length(col(textCol)) - length(n)).cast("long").as("n_composed"))
+  }
+
   /** Unicode-script detection patterns (public Unicode block
     * ranges), applied with `regexp_count` in both engines: the
     * pattern strings hold literal range endpoints, so Java regex and

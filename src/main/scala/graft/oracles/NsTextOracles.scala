@@ -106,6 +106,15 @@ private[graft] object NsTextOracles {
       graft.ns.TextOps.sloppyCp1252(c)).length - c.length
   }
 
+  /** ns127 fixture tail as a doc_id%4 CASE of chr() chains — the
+    * SAME code points the Spark side appends (all BMP, so UTF-16
+    * units == code points and chr() reads them verbatim). */
+  private val nfcTailCase: String = {
+    val ts = graft.ns.TextOps.nfcFixtureTails.map(chrChain)
+    s"CASE doc_id % 4 WHEN 0 THEN ${ts(0)} WHEN 1 THEN ${ts(1)}" +
+      s" WHEN 2 THEN ${ts(2)} ELSE ${ts(3)} END"
+  }
+
   val sql: Map[String, String] = Map(
     // Trained weights from the INDEPENDENT Python trainer
     // (tools/gen_linear.py, the ns88 two-implementation convention):
@@ -124,6 +133,17 @@ private[graft] object NsTextOracles {
          |  CAST(CASE doc_id % 3 WHEN 0 THEN $mojiLen1
          |    WHEN 1 THEN $mojiLen2 ELSE 0 END AS BIGINT) AS n_removed
          |FROM documents""".stripMargin,
+    // DuckDB runs its OWN nfc_normalize (utf8proc) against the
+    // JDK-normalized Spark output: a genuine two-implementation gate,
+    // sound because Unicode normalization is stabilized. The input
+    // tail is rebuilt from the same checked-in code points.
+    "ns127_nfc_normalize" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text || $nfcTailCase AS text FROM documents)
+         |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+         |  CAST(length(text) - length(nfc_normalize(text))
+         |    AS BIGINT) AS n_composed
+         |FROM src""".stripMargin,
     "ns121_lang_profile" ->
       s"""WITH $langCte
          |SELECT doc_id, script, $langPredExpr AS lang_pred,

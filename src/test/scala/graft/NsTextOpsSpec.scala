@@ -824,6 +824,58 @@ class NsTextOpsSpec extends SparkSpec {
       twicely.as[(Long, String)].collect().toMap)
   }
 
+  test("nfc normalize: composes NFD/singletons/jamo, ASCII fixed point") {
+    val nfd = " cafe\u0301 nai\u0308ve pin\u0303ata u\u0308ber"
+    val pre = " caf\u00E9 na\u00EFve pi\u00F1ata \u00FCber"
+    assert(nfd != pre) // decomposed fixture really is decomposed
+    val df = Seq(
+      (0L, "plain" + nfd),
+      (1L, "plain" + pre),
+      (2L, "\u212B\u2126 e\u0301\u0323x"),
+      (3L, "\u1112\u1161\u11AB\u1100\u1173\u11AF"),
+      (4L, "pure ascii stays")).toDF("doc_id", "text")
+    val out = TextOps.nfcNormalize(df, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // NFD composes to the precomposed form; 4 combining marks gone
+    assert(out(0L) == (("plain" + pre, 4L)))
+    // precomposed text is a fixed point
+    assert(out(1L) == (("plain" + pre, 0L)))
+    // canonical singletons (Å, Ω) + mark reorder: acute-then-dot
+    // reorders to dot-then-acute, dot composes, acute survives
+    assert(out(2L) == (("\u00C5\u03A9 \u1EB9\u0301x", 1L)))
+    // Hangul jamo LVT-compose to syllables
+    assert(out(3L) == (("\uD55C\uAE00", 4L)))
+    assert(out(4L) == (("pure ascii stays", 0L)))
+  }
+
+  test("nfc normalize: idempotence, fixture-tail classes, null safety") {
+    // every fixture tail normalizes to the SAME precomposed-or-
+    // syllable form twice over (nfc ∘ nfc ≡ nfc), and the checked-in
+    // class-0/class-1 pair is exactly the (decomposed, composed)
+    // twin the gate relies on
+    val ts = TextOps.nfcFixtureTails
+    assert(java.text.Normalizer.normalize(ts.head,
+      java.text.Normalizer.Form.NFC) == ts(1))
+    val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = TextOps.nfcNormalize(df, "doc_id", "text")
+      .select(col("doc_id"), col("nfc_text").as("text"))
+    val twice = TextOps.nfcNormalize(once, "doc_id", "text")
+    val o = once.as[(Long, String)].collect().toMap
+    val t2 = twice.select(col("doc_id"), col("nfc_text"))
+      .as[(Long, String)].collect().toMap
+    assert(o == t2)
+    assert(twice.select(max(col("n_composed"))).as[Long].head() == 0L)
+    // null text stays null through the kernel
+    val withNull = Seq((0L, "a"), (1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nulls = TextOps.nfcNormalize(withNull, "doc_id", "text")
+      .where(col("nfc_text").isNull).select(col("doc_id"))
+      .as[Long].collect().toSeq
+    assert(nulls == Seq(1L))
+  }
+
   test("langProfile vs langId: both call the English corpus English") {
     val docs = Tables(spark, sf, "documents").limit(200)
     val both = TextOps.langProfile(docs, "doc_id", "text")
