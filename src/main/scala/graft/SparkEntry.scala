@@ -43,6 +43,12 @@ object SparkEntry {
     FixtureCache.cached(s, d, "warc_containers")(
       graft.ns.Warc.buildWarcFixture(htmlPages(s, d)))
 
+  /** Closed-form markdown documents — the raw table ns128 starts
+    * from (the markdown-native sibling of [[htmlPages]]). */
+  private def mdDocs(s: SparkSession, d: String): DataFrame =
+    FixtureCache.cached(s, d, "md_docs")(
+      graft.ns.Markdown.buildMarkdownFixture(t(s, d, "documents")))
+
   /** The shared near-dup cluster assignment (3-gram Jaccard ≥ 0.5,
     * df-capped pairs → connected components), computed once per
     * (session, sf). ns37 publishes it; ns49 (survivors), ns52
@@ -1951,6 +1957,18 @@ object SparkEntry {
     // entity decode and strip-order traps included.
     "ns105_html_extract" -> ((s, d) =>
       graft.ns.Html.mainContent(htmlPages(s, d), "doc_id", "html")),
+
+    // ---- §2.8 [NS] markdown → text extraction (r11) ----
+    // The stage-0 front door for markdown-native corpora: fence
+    // split drops code segments whole (fake header/link planted
+    // inside a fence — the strip-order trap), then an ordered
+    // header/quote/hr/table/list/emphasis rule chain. The fixture is
+    // closed-form, so the oracle predicts the extracted text, link
+    // count, and dropped-span count exactly; id % 13 == 5 docs carry
+    // an unterminated trailing fence whose remainder must vanish
+    // (CommonMark run-to-EOF).
+    "ns128_markdown_extract" -> ((s, d) =>
+      graft.ns.Markdown.markdownToText(mdDocs(s, d), "doc_id", "md")),
 
     // ---- §2.8 [NS] WARC container ingest (curation stage -1) ----
     // Record-walking parse of length-framed WARC containers: every

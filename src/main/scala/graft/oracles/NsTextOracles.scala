@@ -774,6 +774,31 @@ private[graft] object NsTextOracles {
         |         'decoding in doc ' || CAST(d.doc_id AS VARCHAR)
         |  END AS main_text
         |FROM documents d JOIN agg a USING (doc_id)""".stripMargin,
+    // Closed-form markdown fixture: the oracle rebuilds the
+    // extractor's exact output by string formula — header text, the
+    // document prose, dequoted/de-emphasized notes, link/image texts,
+    // table cells — with the fenced blocks (and the id%13==5
+    // unterminated tail) contributing NOTHING. A late fence strip, a
+    // reversed image/link order, or a leaked marker all break the
+    // hash.
+    "ns128_markdown_extract" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'Doc ' || doc_id || ' ' || nt ||
+        |  ' notes with bold' || doc_id || ' and code' || doc_id ||
+        |  ' inline first item ' || doc_id ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN ' second fig ' || doc_id || ' shown'
+        |    ELSE ' second shown' END ||
+        |  ' col val' || doc_id || ' a' || doc_id || ' b' AS md_text,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_links,
+        |  CAST(CASE WHEN doc_id % 13 = 5 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_code_spans
+        |FROM norm""".stripMargin,
     // The same fixed micro-weight table inlined as a CASE lambda;
     // integer sums are order-independent, so logit_micro hash-gates.
     "ns73_linear_quality" ->
