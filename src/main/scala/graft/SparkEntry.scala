@@ -1739,6 +1739,31 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- §2.8 [NS] code-quality heuristics (r11) ----
+    // The Stack-style filter battery for code corpora. Fixture:
+    // doc_id%4 plants one defect class each — prose baseline,
+    // code-ified short lines + comment lines, a 3000-char
+    // minified/data line (fails BOTH max-line and alnum-fraction),
+    // autogen markers. The oracle RECOMPUTES every stat from the
+    // same constructed input with DuckDB's own list/regex ops — an
+    // independent implementation of the whole battery, not a
+    // prediction.
+    "ns129_code_quality" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val tail = when(pmod(col("doc_id"), lit(4)) === 0, col("text"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(regexp_replace(col("text"), lit(" "), lit("\n")),
+            lit("\n# note "), id, lit("\n// todo "), id))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("text"), lit("\n"), repeat(lit("="), 3000)))
+        .otherwise(concat(col("text"),
+          lit("\n// auto-generated do not edit\n-- generated by tool "),
+          id))
+      TextOps.codeQualityStats(
+        t(s, d, "documents").select(col("doc_id"), tail.as("text")),
+        "doc_id", "text")
+    }),
+
     // ---- §2.8 [NS] linear quality classifier (integer weights) ----
     "ns73_linear_quality" -> ((s, d) =>
       TextOps.linearQualityScore(t(s, d, "documents"),

@@ -569,6 +569,63 @@ object TextOps {
         .as("dup_char_frac"))
   }
 
+  /** Autogenerated-file markers (case-insensitive substring match) —
+    * the published The Stack/StarCoder heuristic list shape: build
+    * artifacts waste training tokens and leak license headers. */
+  val autogenMarkers: Seq[String] = Seq(
+    "auto-generated", "autogenerated", "do not edit", "generated by")
+
+  /** Language-agnostic comment-line prefixes (after trim). */
+  val commentMarkers: Seq[String] = Seq("#", "//", "--", ";", "/*", "*")
+
+  /** Code-quality heuristics for code corpora — the public The
+    * Stack-style filter battery: max/avg line length (minified and
+    * data-blob files), alphanumeric character fraction (binary-ish
+    * blobs), comment-line fraction (read side of a docs-vs-code
+    * mixture policy), and autogenerated-marker detection. Pure
+    * map-side projection: one line split per doc, per-line work via
+    * array ops behind a projection boundary (lines are materialized
+    * and trimmed ONCE — the topGramCol interpreted-HOF discipline),
+    * total line chars derived from length(text) and the line count
+    * instead of a second fold. No shuffle; linear in bytes. The
+    * `keep` verdict applies the published thresholds (line <= 1000,
+    * avg <= 100, alnum >= 0.25, no autogen marker). Output: (idCol,
+    * n_lines, max_line_len, avg_line_len, comment_line_frac,
+    * alnum_frac, autogen, keep). */
+  def codeQualityStats(df: DataFrame, idCol: String, textCol: String,
+      maxLineLen: Long = 1000L, maxAvgLineLen: Double = 100.0,
+      minAlnumFrac: Double = 0.25): DataFrame = {
+    val s1 = df.select(col(idCol), col(textCol),
+      split(col(textCol), "\n").as("__lines"))
+    val s2 = s1.select(col(idCol), col(textCol),
+      size(col("__lines")).cast("long").as("__n"),
+      transform(col("__lines"), l => length(l).cast("long"))
+        .as("__lens"),
+      transform(col("__lines"), l => trim(l)).as("__tl"))
+    val s3 = s2.select(col(idCol),
+      col("__n"),
+      array_max(col("__lens")).as("__maxl"),
+      size(filter(col("__tl"), l =>
+        commentMarkers.map(m => l.startsWith(m)).reduce(_ || _)))
+        .cast("long").as("__nc"),
+      length(col(textCol)).cast("long").as("__chars"),
+      regexp_count(col(textCol), lit("[A-Za-z0-9]")).cast("long")
+        .as("__alnum"),
+      autogenMarkers.map(m => lower(col(textCol)).contains(m))
+        .reduce(_ || _).as("autogen"))
+    val avg = (col("__chars") - (col("__n") - 1)) / col("__n")
+    val alnumFrac = col("__alnum") / col("__chars")
+    s3.select(col(idCol),
+      col("__n").as("n_lines"),
+      col("__maxl").as("max_line_len"),
+      avg.as("avg_line_len"),
+      (col("__nc") / col("__n")).as("comment_line_frac"),
+      alnumFrac.as("alnum_frac"),
+      col("autogen"),
+      (col("__maxl") <= maxLineLen && avg <= maxAvgLineLen &&
+        alnumFrac >= minAlnumFrac && !col("autogen")).as("keep"))
+  }
+
   /** Corpus vocabulary: word-token histogram, deterministic top-k by
     * (count desc, word asc). The groupBy partial-aggregates map-side
     * (each executor ships one row per distinct word, not per token)

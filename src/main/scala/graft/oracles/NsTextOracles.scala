@@ -774,6 +774,48 @@ private[graft] object NsTextOracles {
         |         'decoding in doc ' || CAST(d.doc_id AS VARCHAR)
         |  END AS main_text
         |FROM documents d JOIN agg a USING (doc_id)""".stripMargin,
+    // Full independent recomputation: DuckDB rebuilds the planted
+    // input and reruns the entire stat battery with its own
+    // list/regex ops (not a closed-form prediction); the keep
+    // verdict applies the same published thresholds.
+    "ns129_code_quality" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN text
+        |      WHEN 1 THEN replace(text, ' ', chr(10)) || chr(10) ||
+        |        '# note ' || doc_id || chr(10) || '// todo ' || doc_id
+        |      WHEN 2 THEN text || chr(10) || repeat('=', 3000)
+        |      ELSE text || chr(10) || '// auto-generated do not edit'
+        |        || chr(10) || '-- generated by tool ' || doc_id
+        |    END AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines
+        |  FROM src),
+        |st AS (SELECT doc_id, t, len(lines) AS n,
+        |    list_max(list_transform(lines, l -> length(l))) AS maxl,
+        |    len(list_filter(lines, l ->
+        |      starts_with(trim(l), '#') OR starts_with(trim(l), '//')
+        |      OR starts_with(trim(l), '--') OR starts_with(trim(l), ';')
+        |      OR starts_with(trim(l), '/*')
+        |      OR starts_with(trim(l), '*'))) AS nc,
+        |    length(t) AS chars,
+        |    length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+        |    (contains(lower(t), 'auto-generated')
+        |      OR contains(lower(t), 'autogenerated')
+        |      OR contains(lower(t), 'do not edit')
+        |      OR contains(lower(t), 'generated by')) AS autogen
+        |  FROM ls)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_lines,
+        |  CAST(maxl AS BIGINT) AS max_line_len,
+        |  (chars - (n - 1)) / n AS avg_line_len,
+        |  nc / n AS comment_line_frac,
+        |  alnum / chars AS alnum_frac,
+        |  autogen,
+        |  (maxl <= 1000 AND (chars - (n - 1)) / n <= 100.0
+        |    AND alnum / chars >= 0.25 AND NOT autogen) AS keep
+        |FROM st""".stripMargin,
     // Closed-form markdown fixture: the oracle rebuilds the
     // extractor's exact output by string formula — header text, the
     // document prose, dequoted/de-emphasized notes, link/image texts,

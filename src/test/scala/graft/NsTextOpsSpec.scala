@@ -824,6 +824,34 @@ class NsTextOpsSpec extends SparkSpec {
       twicely.as[(Long, String)].collect().toMap)
   }
 
+  test("codeQualityStats: hand-checked classes, thresholds, no shuffle") {
+    val df = TextOps.codeQualityStats(docs(
+      // 3 lines of 2/6/2 chars; 1 comment line; all alnum+newlines
+      1L -> "ab\n# c def\nxy",
+      // one 1001-char line → max-line kill
+      2L -> ("short\n" + "z" * 1001),
+      // punctuation blob → alnum kill
+      3L -> ("ok line\n" + "=" * 100),
+      // marker → autogen kill (substring, case-insensitive)
+      4L -> "fine code\n// Auto-Generated file",
+      5L -> "clean single line of code"),
+      "doc_id", "text")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "codeQualityStats must stay map-side")
+    val out = df.as[(Long, Long, Long, Double, Double, Double,
+      Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8)))
+      .toMap
+    val (n1, max1, avg1, cf1, af1, ag1, k1) = out(1L)
+    assert(n1 == 3L && max1 == 7L)
+    assert(avg1 == (2 + 7 + 2) / 3.0 && cf1 == 1.0 / 3)
+    assert(af1 == 8.0 / 13 && !ag1 && k1)
+    assert(out(2L)._7 == false && out(2L)._2 == 1001L)
+    assert(out(3L)._7 == false && out(3L)._5 < 0.25)
+    assert(out(4L)._6 && !out(4L)._7)
+    assert(out(5L)._7 && out(5L)._1 == 1L)
+  }
+
   test("nfc normalize: composes NFD/singletons/jamo, ASCII fixed point") {
     val nfd = " cafe\u0301 nai\u0308ve pin\u0303ata u\u0308ber"
     val pre = " caf\u00E9 na\u00EFve pi\u00F1ata \u00FCber"
