@@ -1696,6 +1696,16 @@ object SparkEntry {
     "ns123_linear_train" -> ((s, d) =>
       TextOps.trainLinearQuality(t(s, d, "documents"), "doc_id", "text")),
 
+    // ---- §2.8 [NS] isotonic score calibration (r11) ----
+    // PAV calibration of the ns73 logit against the ns09 Gopher
+    // gate: two map-combinable aggregations, a 16-row driver
+    // summary, exact integer pooling. Gated bit-for-bit against the
+    // independent Python twin (tools/gen_isotonic.py, the ns88
+    // two-implementation convention).
+    "ns130_isotonic_calibration" -> ((s, d) =>
+      TextOps.isotonicQualityCalibration(
+        t(s, d, "documents"), "doc_id", "text")),
+
     // ---- §2.8 [NS] mojibake/encoding repair (r11) ----
     // Curation stage 0.5: the UTF-8-as-cp1252 confusion repair
     // (ftfy's core case) as a codegen'd literal-replace chain, two

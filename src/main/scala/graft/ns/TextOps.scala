@@ -1431,6 +1431,88 @@ object TextOps {
     (vocab :+ "__bias").zip(w.toSeq).toDF("feature", "weight")
   }
 
+  /** Pool-adjacent-violators over per-bucket (n_pos, n) label
+    * summaries — EXACT integer isotonic regression (violation test
+    * and pooling are cross-multiplied longs; no float means until
+    * the final micro-unit readout). Input must be sorted by bucket.
+    * Returns one (bucket, pooledPos, pooledN) row per input bucket.
+    * Driver-side by design: the input is a B-row summary (the
+    * ns102 rule — drivers hold summaries, never rows). */
+  def pavPools(buckets: Seq[(Long, Long, Long)])
+      : Seq[(Long, Long, Long)] = {
+    case class Pool(var pos: Long, var n: Long,
+        members: scala.collection.mutable.ArrayBuffer[Long])
+    val pools = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    buckets.foreach { case (bk, n, pos) =>
+      pools += Pool(pos, n,
+        scala.collection.mutable.ArrayBuffer(bk))
+      // merge while the tail pool's mean dips below its predecessor
+      while (pools.length >= 2 && {
+        val a = pools(pools.length - 2); val c = pools.last
+        c.pos * a.n < a.pos * c.n
+      }) {
+        val c = pools.remove(pools.length - 1)
+        val a = pools.last
+        a.pos += c.pos; a.n += c.n; a.members ++= c.members
+      }
+    }
+    pools.flatMap(p => p.members.map(m => (m, p.pos, p.n))).toSeq
+      .sortBy(_._1)
+  }
+
+  /** Isotonic (PAV) calibration of an integer score against a
+    * binary label — the read-out that turns a classifier logit into
+    * a monotone P(label=1) estimate (Zadrozny & Elkan 2002's
+    * isotonic option; chosen over Platt scaling because PAV is
+    * EXACT in integer arithmetic — no sigmoid, no float fitting, so
+    * an independent implementation agrees bit-for-bit).
+    *
+    * Scale shape: two map-combinable aggregations over the scored
+    * frame — a (min, max) pair, then a B-bucket (n, n_pos) summary —
+    * and the driver sees only the B-row table it runs PAV on (the
+    * ns102 summary rule). Bucketing is fixed-width integer floor
+    * over [min, max]; all quantities stay far below 2^52, so the
+    * floor is exact. Output: (bucket, n, n_pos, cal_micro) for
+    * occupied buckets, cal_micro = floor(1e6 · pooledPos/pooledN) —
+    * non-decreasing in bucket by construction (a tested law). */
+  def isotonicCalibrate(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBuckets: Int = 16): DataFrame = {
+    require(nBuckets >= 1, "need at least one bucket")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val (lo, hi) = scored.agg(
+      min(col(scoreCol)).cast("long"), max(col(scoreCol)).cast("long"))
+      .as[(Long, Long)].head()
+    val width = hi - lo + 1L
+    val bucket = floor((col(scoreCol).cast("long") - lo) * nBuckets
+      / width).cast("long").as("bucket")
+    val perBucket = scored
+      .select(bucket, col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val pooled = pavPools(perBucket)
+      .map { case (bk, pos, n) => bk -> ((pos, n)) }.toMap
+    perBucket.map { case (bk, n, pos) =>
+      val (ps, pn) = pooled(bk)
+      (bk, n, pos, 1000000L * ps / pn)
+    }.toDF("bucket", "n", "n_pos", "cal_micro")
+  }
+
+  /** ns130 entry: score the corpus with the checked-in ns73 linear
+    * classifier, label it with the ns09 Gopher gate (the same
+    * teacher ns123 trains against), and calibrate score → P(pass)
+    * isotonically. One projection computes both signals; see
+    * [[isotonicCalibrate]] for the aggregation shape. */
+  def isotonicQualityCalibration(df: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 16): DataFrame = {
+    val scored = df.select(col(idCol),
+      linearLogitCol(col(textCol)).as("score"),
+      when(qualityScoreCol(col(textCol)) === 1.0, 1L).otherwise(0L)
+        .as("label"))
+    isotonicCalibrate(scored, "score", "label", nBuckets)
+  }
+
   /** Majority-vote quality ensemble: three independent signals —
     * the Gopher-rule heuristic score ([[qualityScoreCol]]), the
     * linear classifier logit ([[linearLogitCol]]), and the top-2-gram

@@ -126,6 +126,14 @@ private[graft] object NsTextOracles {
       """SELECT feature, weight FROM read_parquet(
         |'/root/repo/src/test/resources/graft/linear_weights_sf001.parquet')
         |""".stripMargin,
+    // Same convention for the calibration table: the checked-in
+    // artifact is written by the from-scratch Python PAV
+    // (tools/gen_isotonic.py) over the same corpus; integer-exact,
+    // so the tables must be identical row for row.
+    "ns130_isotonic_calibration" ->
+      """SELECT bucket, n, n_pos, cal_micro FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/isotonic_cal_sf001.parquet')
+        |""".stripMargin,
     "ns122_mojibake_repair" ->
       s"""SELECT doc_id,
          |  text || CASE WHEN doc_id % 3 IN (0, 1)

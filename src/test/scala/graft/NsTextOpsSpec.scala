@@ -824,6 +824,59 @@ class NsTextOpsSpec extends SparkSpec {
       twicely.as[(Long, String)].collect().toMap)
   }
 
+  test("pavPools: violation merges exactly; monotone input is identity") {
+    // buckets (bucket, n, n_pos): means 0.5, 0.0 → violation pools
+    // to 2/8 = 0.25 across both; third bucket 0.75 stays its own
+    val pooled = TextOps.pavPools(Seq((0L, 4L, 2L), (1L, 4L, 0L),
+      (2L, 4L, 3L)))
+    assert(pooled == Seq((0L, 2L, 8L), (1L, 2L, 8L), (2L, 3L, 4L)))
+    // already-isotone means: PAV must not touch them
+    val mono = Seq((0L, 5L, 1L), (1L, 5L, 3L), (2L, 5L, 5L))
+    assert(TextOps.pavPools(mono) ==
+      mono.map { case (b, n, p) => (b, p, n) })
+    // cascade: a late low pool can swallow several predecessors
+    val casc = TextOps.pavPools(Seq((0L, 2L, 2L), (1L, 2L, 2L),
+      (2L, 2L, 0L)))
+    assert(casc == Seq((0L, 4L, 6L), (1L, 4L, 6L), (2L, 4L, 6L)))
+  }
+
+  test("isotonicCalibrate: hand-checked buckets, monotone law, totals") {
+    // scores 0..7 with width 8 over 4 buckets → bucket = score/2;
+    // labels force one violation between buckets 0 and 1
+    val scored = Seq(
+      (0L, 1L), (1L, 1L),   // bucket 0: 2/2
+      (2L, 0L), (3L, 0L),   // bucket 1: 0/2  ← violates
+      (4L, 1L), (5L, 0L),   // bucket 2: 1/2
+      (6L, 1L), (7L, 1L))   // bucket 3: 2/2
+      .toDF("score", "label")
+    val out = TextOps.isotonicCalibrate(scored, "score", "label", 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // buckets 0+1 pool to 2/4; bucket 2 stays 1/2; bucket 3 2/2
+    assert(out == Seq((0L, 2L, 2L, 500000L), (1L, 2L, 0L, 500000L),
+      (2L, 2L, 1L, 500000L), (3L, 2L, 2L, 1000000L)))
+    assert(out.map(_._2).sum == 8L)
+  }
+
+  test("isotonic calibration matches the independent Python twin") {
+    val res = getClass.getResource("/graft/isotonic_cal_sf001.parquet")
+    assert(res != null, "checked-in twin artifact missing")
+    val oracle = spark.read.parquet(res.getPath)
+    val docsPath = "/root/testdata/sf0.01/documents.parquet"
+    assume(new java.io.File(docsPath).exists(), s"fixture absent: $docsPath")
+    val mine = TextOps.isotonicQualityCalibration(
+      spark.read.parquet(docsPath), "doc_id", "text")
+    val diff = mine.exceptAll(oracle).count() +
+      oracle.exceptAll(mine).count()
+    assert(diff == 0,
+      "Spark PAV diverged from the checked-in Python twin — if the " +
+        "driver regenerated documents, rerun tools/gen_isotonic.py " +
+        "and recommit the artifact")
+    // the calibrated read-out must be non-decreasing in bucket
+    val cal = mine.orderBy(col("bucket"))
+      .select(col("cal_micro")).as[Long].collect().toSeq
+    assert(cal == cal.sorted, s"calibration must be monotone: $cal")
+  }
+
   test("codeQualityStats: hand-checked classes, thresholds, no shuffle") {
     val df = TextOps.codeQualityStats(docs(
       // 3 lines of 2/6/2 chars; 1 comment line; all alnum+newlines
