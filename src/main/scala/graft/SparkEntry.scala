@@ -3129,6 +3129,34 @@ object SparkEntry {
           col("logit_micro"), col("dup_count"), col("split"))
     }),
 
+    // ---- §3 curation v5: raw MARKDOWN in, training corpus out ----
+    // The third front door: ns128's extractor as stage 0 of the p06
+    // chain (extract → ns73 quality gate on the EXTRACTED text →
+    // exact dedup → hash split), so markdown-native corpora flow
+    // through the identical curation spine as HTML (p06) and WARC
+    // (p07). Every stage is an already-gated operator; the whole
+    // chain is re-derived in SQL from the fixture formula.
+    "p08_markdown_curation" -> ((s, d) => {
+      val ex = graft.ns.Markdown.markdownToText(mdDocs(s, d),
+        "doc_id", "md")
+      val withSrc = ex.select(col("doc_id"), col("n_links"),
+        col("md_text"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+      val scored = withSrc
+        .withColumn("logit_micro", TextOps.linearLogitCol(col("md_text")))
+        .filter(col("logit_micro") > 0L)
+      val surv = Dedup.exactDedup(scored, "doc_id", "md_text",
+        carry = Seq("source", "n_links", "logit_micro"))
+      Sampling.hashSplit(
+        surv.select(col("doc_id"), col("source"), col("n_links"),
+          col("logit_micro"), col("dup_count")),
+        "doc_id", "p08split",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("source"), col("n_links"),
+          col("logit_micro"), col("dup_count"), col("split"))
+    }),
+
     // ---- §2.8 [NS] gzip WARC ingest (r11) ----
     // The same containers compressed (real crawl files are .warc.gz):
     // the parse must see THROUGH the gzip layer and produce the

@@ -210,6 +210,66 @@ private[graft] object PipelineOracles {
         |    ELSE 'test'
         |  END AS split
         |FROM enr""".stripMargin,
+    // p06's chain with ns128's extractor as stage 0: md_text comes
+    // straight from the markdown fixture formula (no parsing), then
+    // the same logit gate / dedup / split CTEs.
+    "p08_markdown_curation" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS nt
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |      AS n_links,
+        |    'Doc ' || doc_id || ' ' || nt ||
+        |    ' notes with bold' || doc_id || ' and code' || doc_id ||
+        |    ' inline first item ' || doc_id ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' second fig ' || doc_id || ' shown'
+        |      ELSE ' second shown' END ||
+        |    ' col val' || doc_id || ' a' || doc_id || ' b' AS md_text
+        |  FROM norm),
+        |logit AS (
+        |  SELECT doc_id,
+        |    CAST(-50000 + coalesce(list_sum(list_transform(
+        |      string_split(regexp_replace(lower(trim(md_text)),
+        |        '\s+', ' ', 'g'), ' '),
+        |      t -> CASE t
+        |        WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |        WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |        WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |        WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |        WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |        WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |        WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |        WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |        WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |        WHEN 'http' THEN -60000 ELSE 0 END)), 0) AS BIGINT)
+        |      AS logit_micro
+        |  FROM ext),
+        |pass AS (
+        |  SELECT e.doc_id, e.source, e.n_links, l.logit_micro,
+        |    e.md_text
+        |  FROM ext e JOIN logit l USING (doc_id)
+        |  WHERE l.logit_micro > 0),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM pass
+        |  GROUP BY md5(regexp_replace(lower(trim(md_text)),
+        |    '\s+', ' ', 'g'))),
+        |enr AS (
+        |  SELECT s.doc_id, p.source, p.n_links, p.logit_micro,
+        |    s.dup_count
+        |  FROM surv s JOIN pass p ON s.doc_id = p.doc_id)
+        |SELECT doc_id, source, n_links, logit_micro, dup_count,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p08split'), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p08split'), 1, 8)) AS BIGINT) % 1000 < 950 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM enr""".stripMargin,
     // p06's chain restricted to docs whose WARC response record
     // parses (id % 19 != 7 — the planted bad-HTTP quarantine): the
     // whole raw-crawl-to-corpus pipeline re-derived from the page
