@@ -49,6 +49,20 @@ object SparkEntry {
     FixtureCache.cached(s, d, "md_docs")(
       graft.ns.Markdown.buildMarkdownFixture(t(s, d, "documents")))
 
+  /** Mixed-format corpus — doc_id%3 picks the payload family (HTML
+    * page / markdown / plain text), drawing each from its already-
+    * gated fixture so ns131's router faces the real artifacts. */
+  private def mixedDocs(s: SparkSession, d: String): DataFrame =
+    FixtureCache.cached(s, d, "mixed_docs")(
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .join(htmlPages(s, d).select(col("doc_id"), col("html")),
+          "doc_id")
+        .join(mdDocs(s, d).select(col("doc_id"), col("md")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, col("html"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, col("md"))
+            .otherwise(col("text")).as("payload")))
+
   /** The shared near-dup cluster assignment (3-gram Jaccard ≥ 0.5,
     * df-capped pairs → connected components), computed once per
     * (session, sf). ns37 publishes it; ns49 (survivors), ns52
@@ -3128,6 +3142,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_kept"),
           col("logit_micro"), col("dup_count"), col("split"))
     }),
+
+    // ---- §2.8 [NS] format router over a mixed corpus (r11) ----
+    // One front door: ordered-rule format detection (first non-space
+    // `<` → html; fence or leading `# ` → markdown; else plain)
+    // dispatches each doc to its already-gated extractor, unioned
+    // back. The oracle unions the three arms' existing closed-form
+    // predictions; malformed HTML keeps its null-text quarantine
+    // through the router.
+    "ns131_format_router" -> ((s, d) =>
+      graft.ns.Router.routeAndExtract(mixedDocs(s, d),
+        "doc_id", "payload")),
 
     // ---- §3 curation v5: raw MARKDOWN in, training corpus out ----
     // The third front door: ns128's extractor as stage 0 of the p06

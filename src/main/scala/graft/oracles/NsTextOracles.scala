@@ -824,6 +824,57 @@ private[graft] object NsTextOracles {
         |  (maxl <= 1000 AND (chars - (n - 1)) / n <= 100.0
         |    AND alnum / chars >= 0.25 AND NOT autogen) AS keep
         |FROM st""".stripMargin,
+    // Union of the three arms' existing closed-form predictions:
+    // the html arm is ns105's formula (quarantine nulls included)
+    // restricted to doc_id%3=0, the markdown arm ns128's formula on
+    // %3=1, the plain arm whitespace normalization on %3=2. A
+    // misrouted document lands in the wrong arm and breaks the hash.
+    "ns131_format_router" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+        |      ' ') AS ws,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS nt
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS k
+        |  FROM words WHERE doc_id % 3 = 0),
+        |ct AS (
+        |  SELECT doc_id, k,
+        |    array_to_string(list_slice(ws, k*12+1, k*12+12), ' ') AS ctext
+        |  FROM chunks),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(ctext, chr(10) ORDER BY k)
+        |      FILTER (WHERE length(ctext) >= 30) AS kept
+        |  FROM ct GROUP BY doc_id),
+        |html_arm AS (
+        |  SELECT w.doc_id, 'html' AS fmt,
+        |    CASE WHEN w.doc_id % 17 = 3 THEN NULL
+        |      ELSE CASE WHEN a.kept IS NULL THEN ''
+        |           ELSE a.kept || chr(10) END
+        |        || 'Q&A <tags> and entities stay readable after ' ||
+        |        'decoding in doc ' || CAST(w.doc_id AS VARCHAR)
+        |    END AS text_out
+        |  FROM words w JOIN agg a USING (doc_id)
+        |  WHERE w.doc_id % 3 = 0),
+        |md_arm AS (
+        |  SELECT doc_id, 'markdown' AS fmt,
+        |    'Doc ' || doc_id || ' ' || nt ||
+        |    ' notes with bold' || doc_id || ' and code' || doc_id ||
+        |    ' inline first item ' || doc_id ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' second fig ' || doc_id || ' shown'
+        |      ELSE ' second shown' END ||
+        |    ' col val' || doc_id || ' a' || doc_id || ' b' AS text_out
+        |  FROM words WHERE doc_id % 3 = 1),
+        |plain_arm AS (
+        |  SELECT doc_id, 'plain' AS fmt, nt AS text_out
+        |  FROM words WHERE doc_id % 3 = 2)
+        |SELECT * FROM html_arm
+        |UNION ALL SELECT * FROM md_arm
+        |UNION ALL SELECT * FROM plain_arm""".stripMargin,
     // Closed-form markdown fixture: the oracle rebuilds the
     // extractor's exact output by string formula — header text, the
     // document prose, dequoted/de-emphasized notes, link/image texts,

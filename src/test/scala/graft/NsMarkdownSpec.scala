@@ -66,6 +66,37 @@ class NsMarkdownSpec extends SparkSpec {
     assert(out(7L) == ((expected(7L, "zeta eta theta iota"), 1L, 1L)))
   }
 
+  test("router: ordered detection rules, one row per doc, quarantine " +
+      "and plain normalization survive the dispatch") {
+    import graft.ns.Router
+    val mixed = Seq(
+      (1L, "<html><body><p>a page</p></body></html>"),
+      (2L, "# Title\n\nsome markdown"),
+      (3L, "fenced\n```\ncode\n```\nonly"),
+      (4L, "  just   plain  text  "),
+      // leading '<' wins over a fence further in (ordered rules)
+      (5L, "<div>page with ``` inside</div>")).toDF("doc_id", "payload")
+    val out = Router.routeAndExtract(mixed, "doc_id", "payload")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      "router must emit exactly one row per doc")
+    assert(out(1L)._1 == "html" && out(2L)._1 == "markdown")
+    assert(out(3L)._1 == "markdown" && out(3L)._2 == "fenced only")
+    assert(out(4L) == (("plain", "just plain text")))
+    assert(out(5L)._1 == "html")
+  }
+
+  test("router: malformed HTML keeps its null-text quarantine") {
+    import graft.ns.Router
+    val mixed = Seq(
+      (1L, "<html><script>never closes</html>")).toDF("doc_id", "payload")
+    val out = Router.routeAndExtract(mixed, "doc_id", "payload")
+      .select(col("fmt"), col("text_out").isNull).as[(String, Boolean)]
+      .collect().toSeq
+    assert(out == Seq(("html", true)))
+  }
+
   test("plan law: extraction is one map-side projection, no shuffle") {
     val docs = Tables(spark, sf, "documents").limit(50)
     val plan = Markdown.markdownToText(

@@ -87,6 +87,25 @@ class PlanShapeSpec extends SparkSpec {
       s"interpreted HOF fold left in the plan:\n$p")
   }
 
+  test("r11 stage-0 additions are shuffle-free: NFC normalize, " +
+      "markdown extract, code-quality battery") {
+    for (name <- Seq("ns127_nfc_normalize", "ns128_markdown_extract",
+      "ns129_code_quality")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
+
+  test("ns127: NFC runs as the codegen'd kernel inside " +
+      "WholeStageCodegen") {
+    val p = plan("ns127_nfc_normalize")
+    val kernelLine = p.linesIterator.find(_.contains("nfc_normalize"))
+      .getOrElse(fail(s"kernel expression absent:\n$p"))
+    assert(kernelLine.trim.startsWith("+- *(") ||
+      kernelLine.trim.startsWith("*("),
+      s"kernel projection not codegen-fused:\n$kernelLine")
+  }
+
   test("ns126: the near-dup sweep reads the stored cluster map with a " +
       "broadcast equi-join — no re-clustering, no cartesian") {
     val p = plan("ns126_takedown_near_dup")
