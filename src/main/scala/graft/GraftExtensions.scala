@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "py_to_json(str)")
         graft.functions.PyToJson(exprs.head)
       }))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NfcNormalizeExpr].getName,
+        "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "nfc_normalize(str)")
+        graft.functions.NfcNormalizeExpr(exprs.head)
+      }))
     e.injectFunction((FunctionIdentifier("top_gram"),
       new ExpressionInfo(classOf[graft.functions.TopGramExpr].getName,
         "top_gram"),

@@ -134,4 +134,20 @@ class IngestSpec extends SparkSpec {
         .getField("gram")).as[String].head()
     assert(viaCol == viaSql._1)
   }
+
+  test("SQL function surface: nfc_normalize resolves via " +
+      "GraftExtensions and matches the Column API") {
+    import spark.implicits._
+    val nfd = "cafe\u0301"
+    Seq((1L, nfd)).toDF("doc_id", "text")
+      .createOrReplaceTempView("ext_nfc_v")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(text) AS t FROM ext_nfc_v")
+      .as[String].head()
+    assert(viaSql == "caf\u00E9")
+    val viaCol = Seq((1L, nfd)).toDF("doc_id", "text")
+      .select(graft.functions.functions.nfc_normalize(col("text")))
+      .as[String].head()
+    assert(viaCol == viaSql)
+  }
 }
