@@ -622,6 +622,39 @@ object SparkEntry {
     "ns01_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
 
+    // ---- §2.8 [NS] normalization-robust exact dedup (r11) ----
+    // WHY stages 0.5/0.6 exist, as one gated query: the corpus is
+    // salted with byte-level variants of identical content — NFD
+    // re-encodings (doc_id%5) and mojibake-mangled copies (doc_id%7)
+    // — that raw fingerprints treat as distinct. Normalizing
+    // (mojibake repair, then NFC) before fingerprinting collapses
+    // every variant onto its original: each planted twin repairs/
+    // composes back to text||tailPre exactly, so the oracle groups
+    // the multiplicity formula by the SAME fingerprint (robust to
+    // natural duplicate texts at any sf). The raw-fingerprint
+    // contrast (zero collapses) is a spec law.
+    "ns132_normalized_dedup" -> ((s, d) => {
+      val tailPre = TextOps.mojibakeFixtureTail
+      val tailNfd = java.text.Normalizer.normalize(tailPre,
+        java.text.Normalizer.Form.NFD)
+      val tailMoji = TextOps.sloppyCp1252(tailPre)
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = base
+        .select(col("doc_id"),
+          concat(col("text"), lit(tailPre)).as("text"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(tailNfd)).as("text")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(tailMoji)).as("text")))
+      Dedup.exactDedup(
+        corpus.select(col("doc_id"),
+          graft.functions.functions.nfc_normalize(
+            TextOps.repairMojibakeCol(col("text"))).as("text")),
+        "doc_id", "text")
+    }),
+
     // ---- §2.8 [NS] exact near-dup: inverted-index n-gram Jaccard ----
     "ns02_ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",

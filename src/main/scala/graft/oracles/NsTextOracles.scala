@@ -141,6 +141,23 @@ private[graft] object NsTextOracles {
          |  CAST(CASE doc_id % 3 WHEN 0 THEN $mojiLen1
          |    WHEN 1 THEN $mojiLen2 ELSE 0 END AS BIGINT) AS n_removed
          |FROM documents""".stripMargin,
+    // Every planted variant (NFD re-encoding, mojibake mangle)
+    // normalizes back to text||tailPre exactly, so the oracle needs
+    // no repair chain or normalizer on the variants: it fingerprints
+    // the ORIGINAL text||tailPre once per doc with the variant
+    // multiplicity, then groups by fingerprint (robust to natural
+    // duplicate texts at any sf).
+    "ns132_normalized_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS mult,
+         |    md5(regexp_replace(lower(trim(text || $mojiCleanChr)),
+         |      '\\s+', ' ', 'g')) AS fingerprint
+         |  FROM documents)
+         |SELECT fingerprint, min(doc_id) AS doc_id,
+         |  CAST(sum(mult) AS BIGINT) AS dup_count
+         |FROM m GROUP BY fingerprint""".stripMargin,
     // DuckDB runs its OWN nfc_normalize (utf8proc) against the
     // JDK-normalized Spark output: a genuine two-implementation gate,
     // sound because Unicode normalization is stabilized. The input

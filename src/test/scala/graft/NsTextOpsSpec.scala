@@ -824,6 +824,32 @@ class NsTextOpsSpec extends SparkSpec {
       twicely.as[(Long, String)].collect().toMap)
   }
 
+  test("normalization-robust dedup: NFD and mojibake twins collapse " +
+      "after repair∘nfc, raw fingerprints see nothing") {
+    import graft.ns.Dedup
+    val tailPre = TextOps.mojibakeFixtureTail
+    val tailNfd = java.text.Normalizer.normalize(tailPre,
+      java.text.Normalizer.Form.NFD)
+    val tailMoji = TextOps.sloppyCp1252(tailPre)
+    assert(tailNfd != tailPre && tailMoji != tailPre)
+    val corpus = Seq(
+      (1L, "body one" + tailPre),
+      (1000001L, "body one" + tailNfd),
+      (2000001L, "body one" + tailMoji),
+      (2L, "body two" + tailPre)).toDF("doc_id", "text")
+    // raw fingerprints: every byte-variant is its own group
+    val raw = Dedup.exactDedup(corpus, "doc_id", "text")
+    assert(raw.count() == 4L)
+    // normalized fingerprints: variants collapse onto the original
+    val normed = corpus.select(col("doc_id"),
+      graft.functions.functions.nfc_normalize(
+        TextOps.repairMojibakeCol(col("text"))).as("text"))
+    val out = Dedup.exactDedup(normed, "doc_id", "text")
+      .select(col("doc_id"), col("dup_count"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("pavPools: violation merges exactly; monotone input is identity") {
     // buckets (bucket, n, n_pos): means 0.5, 0.0 → violation pools
     // to 2/8 = 0.25 across both; third bucket 0.75 stays its own
