@@ -43,6 +43,12 @@ object FixtureCache {
   private val cache =
     new ConcurrentHashMap[(String, String, String), (SparkContext, DataFrame)]
 
+  /** CONTRACT: the `build` thunk must NOT itself call [[cached]] /
+    * [[refresh]] — computeIfAbsent re-entered on the same map throws
+    * "Recursive update" when both fixtures are cold (caught by
+    * RelationalSpec's all-queries sweep, round 11). A fixture that
+    * derives from another fixture resolves its dependency BEFORE
+    * entering the thunk (see SparkEntry.warcContainers). */
   def cached(spark: SparkSession, sfDir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val sc = spark.sparkContext

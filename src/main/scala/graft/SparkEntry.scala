@@ -39,9 +39,15 @@ object SparkEntry {
   /** Closed-form WARC containers wrapping [[htmlPages]] — the raw
     * crawl snapshot ns120/p07 start from, computed once per
     * (session, sf) like the page fixture it derives from. */
-  private def warcContainers(s: SparkSession, d: String): DataFrame =
+  private def warcContainers(s: SparkSession, d: String): DataFrame = {
+    // Resolve the dependency BEFORE entering the cached() thunk:
+    // FixtureCache.cached inside another cached() build re-enters
+    // computeIfAbsent on the same map — a "Recursive update"
+    // IllegalStateException when both fixtures are cold.
+    val pages = htmlPages(s, d)
     FixtureCache.cached(s, d, "warc_containers")(
-      graft.ns.Warc.buildWarcFixture(htmlPages(s, d)))
+      graft.ns.Warc.buildWarcFixture(pages))
+  }
 
   /** Closed-form markdown documents — the raw table ns128 starts
     * from (the markdown-native sibling of [[htmlPages]]). */
@@ -49,19 +55,44 @@ object SparkEntry {
     FixtureCache.cached(s, d, "md_docs")(
       graft.ns.Markdown.buildMarkdownFixture(t(s, d, "documents")))
 
+  /** The messy-URL fixture expression ns68/ns134 share: scheme and
+    * www casing, multi-label TLDs, default ports, tracking params,
+    * fragments — every class the canonicalizer must collapse. */
+  private def fixtureUrl: Column = concat(
+    when(pmod(col("doc_id"), lit(5)) === 0, lit("HTTP://"))
+      .otherwise(lit("https://")),
+    when(pmod(col("doc_id"), lit(4)) === 0, lit("WWW."))
+      .otherwise(lit("")),
+    col("source"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit(".co.uk"))
+      .otherwise(lit(".com")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(":80"))
+        .otherwise(lit(":443"))).otherwise(lit("")),
+    lit("/p/"), col("doc_id").cast("string"),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("?utm_source=feed&q="),
+        col("doc_id").cast("string"), lit("&fbclid=xyz")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(3)) === 1, lit("#frag"))
+      .otherwise(lit("")))
+
   /** Mixed-format corpus — doc_id%3 picks the payload family (HTML
     * page / markdown / plain text), drawing each from its already-
     * gated fixture so ns131's router faces the real artifacts. */
-  private def mixedDocs(s: SparkSession, d: String): DataFrame =
+  private def mixedDocs(s: SparkSession, d: String): DataFrame = {
+    // dependencies resolved outside the thunk (see warcContainers)
+    val pages = htmlPages(s, d)
+    val md = mdDocs(s, d)
     FixtureCache.cached(s, d, "mixed_docs")(
       t(s, d, "documents").select(col("doc_id"), col("text"))
-        .join(htmlPages(s, d).select(col("doc_id"), col("html")),
-          "doc_id")
-        .join(mdDocs(s, d).select(col("doc_id"), col("md")), "doc_id")
+        .join(pages.select(col("doc_id"), col("html")), "doc_id")
+        .join(md.select(col("doc_id"), col("md")), "doc_id")
         .select(col("doc_id"),
           when(pmod(col("doc_id"), lit(3)) === 0, col("html"))
             .when(pmod(col("doc_id"), lit(3)) === 1, col("md"))
             .otherwise(col("text")).as("payload")))
+  }
 
   /** The shared near-dup cluster assignment (3-gram Jaccard ≥ 0.5,
     * df-capped pairs → connected components), computed once per
@@ -1635,24 +1666,7 @@ object SparkEntry {
     // the crawl-curation front gate. Hash-gated: the oracle rebuilds
     // the same URLs and applies the same RFC-3986-safe rules in SQL.
     "ns68_url_blocklist" -> ((s, d) => {
-      val url = concat(
-        when(pmod(col("doc_id"), lit(5)) === 0, lit("HTTP://"))
-          .otherwise(lit("https://")),
-        when(pmod(col("doc_id"), lit(4)) === 0, lit("WWW."))
-          .otherwise(lit("")),
-        col("source"),
-        when(pmod(col("doc_id"), lit(3)) === 0, lit(".co.uk"))
-          .otherwise(lit(".com")),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          when(pmod(col("doc_id"), lit(5)) === 0, lit(":80"))
-            .otherwise(lit(":443"))).otherwise(lit("")),
-        lit("/p/"), col("doc_id").cast("string"),
-        when(pmod(col("doc_id"), lit(2)) === 0,
-          concat(lit("?utm_source=feed&q="),
-            col("doc_id").cast("string"), lit("&fbclid=xyz")))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(3)) === 1, lit("#frag"))
-          .otherwise(lit("")))
+      val url = fixtureUrl
       val canon = t(s, d, "documents")
         .select(col("doc_id"),
           TextOps.canonicalizeUrl(url).as("url_canon"))
@@ -1663,6 +1677,25 @@ object SparkEntry {
           Tuple1("src15.com"))).toDF("domain")
       canon.join(broadcast(block), Seq("domain"), "left_anti")
         .select(col("doc_id"), col("url_canon"), col("domain"))
+    }),
+
+    // ---- §2.8 [NS] crawl-frontier construction (r11) ----
+    // The fetch list a crawl round starts from: the ns68 messy-URL
+    // fixture plus planted byte-variant twins (doc_id%6==2 docs
+    // re-submit their URL with a fragment under a new id) →
+    // canonicalize → dedup on the canonical form (twins collapse
+    // onto their originals) → blocklist anti-join → per-domain
+    // politeness quota (8 slots). The oracle re-derives the whole
+    // funnel in SQL, canonicalization included.
+    "ns134_crawl_frontier" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), fixtureUrl.as("url"))
+      val twins = base.filter(pmod(col("doc_id"), lit(6)) === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("url"), lit("#dup")).as("url"))
+      TextOps.crawlFrontier(base.unionByName(twins), "doc_id", "url",
+        blockDomains = Seq("src3.com", "src7.co.uk", "src15.com"),
+        perDomainQuota = 8)
     }),
 
     // ---- §2.8 [NS] token-budget corpus selection (r9) ----
@@ -2885,6 +2918,58 @@ object SparkEntry {
       materializeAndDrop(s.read.parquet(out), base)
     }),
 
+    // ---- §7.4.6 streaming normalization stage, driver-gated (r11) --
+    // Stages 0.5/0.6 on a stream: documents arrive in two
+    // micro-batches carrying one defect class each (single/double
+    // mojibake, NFD re-encoding, clean); the repair chain + NFC
+    // kernel run UNCHANGED on the streaming frame — stateless, no
+    // watermark (the s10 pattern). Every class normalizes to
+    // text||tailPre, so the drained sink's oracle is one clean
+    // closed-form projection.
+    "s13_stream_normalize" -> ((s, d) => {
+      val base = newScratchDir("graft_s13")
+      val tailPre = TextOps.mojibakeFixtureTail
+      val t1 = TextOps.sloppyCp1252(tailPre)
+      val t2 = TextOps.sloppyCp1252(t1)
+      val tNfd = java.text.Normalizer.normalize(tailPre,
+        java.text.Normalizer.Form.NFD)
+      val salted = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(t1))
+            .when(pmod(col("doc_id"), lit(4)) === 1, lit(t2))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit(tNfd))
+            .otherwise(lit(tailPre))).as("text"))
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      Seq(pmod(col("doc_id"), lit(2)) === 0,
+        pmod(col("doc_id"), lit(2)) =!= 0).zipWithIndex.foreach {
+        case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          salted.filter(p).coalesce(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+      }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val out = s"${base.getPath}/gold"
+      val q = stream.select(col("doc_id"),
+          graft.functions.functions.nfc_normalize(
+            TextOps.repairMojibakeCol(col("text"))).as("norm_text"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(s.read.parquet(out), base)
+    }),
+
     // ---- §7.4.6 streaming keyed upsert (CDC apply), driver-gated ----
     // A "latest row per user" table maintained by startUpsertStream:
     // target seeded from pre-cut1 history, then two time-split update
@@ -3222,9 +3307,11 @@ object SparkEntry {
     // Multi-member concatenation and corrupt-stream quarantine are
     // spec laws (NsWarcSpec).
     "ns125_warc_gzip" -> ((s, d) => {
+      // dependency resolved outside the thunk (see warcContainers)
+      val containers = warcContainers(s, d)
       val gz = FixtureCache.cached(s, d, "warc_containers_gz") {
         import s.implicits._
-        warcContainers(s, d).as[(Long, Array[Byte])]
+        containers.as[(Long, Array[Byte])]
           .map { case (id, b) => (id, graft.ns.Warc.gzipBytes(b)) }
           .toDF("container_id", "content")
       }

@@ -889,6 +889,41 @@ object TextOps {
       when(path === "", "/").otherwise(path), canonQuery))
   }
 
+  /** Crawl-frontier construction — the politeness-aware fetch list
+    * every crawl round starts from, composed from the gated URL
+    * machinery: canonicalize ([[canonicalizeUrl]]) → exact dedup on
+    * the canonical form (tracking params, fragments, default ports,
+    * and case variants of the SAME resource collapse; min-id
+    * survivor + variant multiplicity, the ns01 shape) → blocklisted
+    * registrable domains dropped (broadcast anti-join, the ns68
+    * shape) → at most `perDomainQuota` URLs per registrable domain
+    * (window group limit — per-partition pruning before the shuffle,
+    * the politeness cap that stops one host from monopolizing a
+    * fetch round). Output: (idCol, url_canon, domain, n_variants,
+    * rn) with rn the 1-based within-domain fetch slot. */
+  def crawlFrontier(urls: DataFrame, idCol: String, urlCol: String,
+      blockDomains: Seq[String], perDomainQuota: Int,
+      multiLabelTlds: Seq[String] = Seq("co.uk", "com.au", "co.jp"))
+      : DataFrame = {
+    require(perDomainQuota >= 1, "quota must be positive")
+    val spark = urls.sparkSession
+    val ded = urls
+      .select(col(idCol), canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(min(col(idCol)).as(idCol),
+        count(lit(1)).as("n_variants"))
+      .withColumn("domain",
+        registrableDomain(col("url_canon"), multiLabelTlds))
+    val block = spark.createDataFrame(blockDomains.map(Tuple1(_)))
+      .toDF("domain")
+    val kept = ded.join(broadcast(block), Seq("domain"), "left_anti")
+    graft.ops.Relational
+      .topKPerGroup(kept, perDomainQuota, Seq(col("domain")),
+        Seq(col(idCol)))
+      .select(col(idCol), col("url_canon"), col("domain"),
+        col("n_variants"), col("rn").cast("long").as("rn"))
+  }
+
   /** Unigram-LM mean negative log-likelihood per document — the
     * perplexity-filter proxy (the CCNet/Gopher "LM quality" signal)
     * computable exactly without a model: with additive smoothing

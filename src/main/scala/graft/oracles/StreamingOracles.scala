@@ -86,6 +86,14 @@ private[graft] object StreamingOracles {
         |WHERE d.doc_id % 17 <> 3""".stripMargin,
     // s10's prediction further restricted to docs whose WARC record
     // parses (the bad-http plant): raw crawl stream → clean text.
+    // Every defect class (single/double mojibake, NFD, clean)
+    // normalizes back to text||tailPre, so the drained streaming
+    // sink's oracle is one closed-form projection — the chr() chain
+    // rebuilds the SAME clean tail the Spark side targets.
+    "s13_stream_normalize" ->
+      s"""SELECT doc_id, text || ${NsTextOracles.mojiCleanChr}
+         |  AS norm_text
+         |FROM documents""".stripMargin,
     "s11_stream_warc_extract" ->
       """WITH words AS (
         |  SELECT doc_id,

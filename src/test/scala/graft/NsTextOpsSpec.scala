@@ -824,6 +824,29 @@ class NsTextOpsSpec extends SparkSpec {
       twicely.as[(Long, String)].collect().toMap)
   }
 
+  test("crawlFrontier: variants collapse, blocklist drops, quota caps " +
+      "per domain in id order") {
+    val urls = Seq(
+      (1L, "https://www.shared.example/x?utm_source=f&q=1"),
+      (2L, "HTTPS://WWW.SHARED.example/x?q=1#frag"),  // variant of 1
+      (3L, "https://www.shared.example/y"),
+      (4L, "https://www.shared.example/z"),
+      (5L, "https://www.blocked.example/p"),          // blocklisted
+      (6L, "https://www.other.example/only")).toDF("doc_id", "url")
+    val out = TextOps.crawlFrontier(urls, "doc_id", "url",
+      blockDomains = Seq("blocked.example"), perDomainQuota = 2,
+      multiLabelTlds = Nil)
+      .as[(Long, String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // url 2 canonicalizes onto url 1 (scheme/host case, utm, frag):
+    // survivor id 1 with 2 variants; quota 2 keeps ids 1 and 3 for
+    // shared.example, drops 4; blocked domain gone; other keeps its 1
+    assert(out.keySet == Set(1L, 3L, 6L))
+    assert(out(1L) == (("shared.example", 2L, 1L)))
+    assert(out(3L) == (("shared.example", 1L, 2L)))
+    assert(out(6L) == (("other.example", 1L, 1L)))
+  }
+
   test("normalization-robust dedup: NFD and mojibake twins collapse " +
       "after repair∘nfc, raw fingerprints see nothing") {
     import graft.ns.Dedup
