@@ -1679,6 +1679,42 @@ object SparkEntry {
         .select(col("doc_id"), col("url_canon"), col("domain"))
     }),
 
+    // ---- §2.8 [NS] robots.txt parsing (r11) ----
+    // Crawl politeness stage −2 (RFC 9309): comment strip, group
+    // assignment (consecutive user-agent lines share one), global
+    // Sitemap rows, orphan directives dropped. Fixed 10-line fixture
+    // layout makes every parsed row's source position a constant, so
+    // the oracle is five UNION ALL formula selects.
+    "ns135_robots_parse" -> ((s, d) =>
+      graft.ns.Robots.parseRobots(
+        graft.ns.Robots.buildRobotsFixture(t(s, d, "documents")),
+        "doc_id", "robots")),
+
+    // ---- §2.8 [NS] robots.txt fetch decisions (r11) ----
+    // The RFC 9309 longest-match rule over the parsed groups: probes
+    // per doc are 3 paths × 3 agents (the `*` group, a dedicated
+    // group whose empty Disallow allows all, and an unknown agent
+    // that must FALL BACK to `*`). The oracle predicts every verdict
+    // in closed form.
+    "ns136_robots_decisions" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val probes = t(s, d, "documents").select(col("doc_id"),
+        explode(array(
+          Seq("*", "graftbot", "unknownbot").flatMap(a => Seq(
+            struct(lit(a).as("probe_agent"),
+              concat(lit("/private"), id, lit("/x")).as("path")),
+            struct(lit(a).as("probe_agent"),
+              concat(lit("/private"), id, lit("/ok/y")).as("path")),
+            struct(lit(a).as("probe_agent"),
+              lit("/other").as("path")))): _*)).as("p"))
+        .select(col("doc_id"), col("p.probe_agent"), col("p.path"))
+      graft.ns.Robots.robotsAllowed(
+        graft.ns.Robots.parseRobots(
+          graft.ns.Robots.buildRobotsFixture(t(s, d, "documents")),
+          "doc_id", "robots"),
+        probes, "doc_id")
+    }),
+
     // ---- §2.8 [NS] crawl-frontier construction (r11) ----
     // The fetch list a crawl round starts from: the ns68 messy-URL
     // fixture plus planted byte-variant twins (doc_id%6==2 docs

@@ -1,0 +1,139 @@
+package graft.ns
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing + fetch decisions — the crawl-politeness
+  * semantics every web pipeline's stage −2 must honor (the Robots
+  * Exclusion Protocol, RFC 9309). [[TextOps.crawlFrontier]] builds
+  * WHAT to fetch; this module decides what a polite crawler MAY
+  * fetch.
+  *
+  * Parse model (RFC 9309 shapes, declared precisely so the gate is
+  * exact):
+  *  - comments (`#` to end of line) strip first; blank lines are
+  *    group-internal separators only;
+  *  - a `User-agent:` line opens a group; CONSECUTIVE user-agent
+  *    lines share one group (a group id increments only on a ua
+  *    line whose previous parsed line is not ua);
+  *  - `Allow:` / `Disallow:` / `Crawl-delay:` lines belong to the
+  *    current group; before any group they are orphans and are
+  *    DROPPED (per the RFC, rules outside a group have no effect);
+  *  - `Sitemap:` is a global directive (group 0, empty agent)
+  *    wherever it appears;
+  *  - unknown keys are ignored.
+  *
+  * Decision model ([[robotsAllowed]]): the probe's agent group is
+  * used when that agent has ANY group, else the `*` group; a rule
+  * matches iff its value is a non-empty prefix of the path (an empty
+  * `Disallow:` matches nothing — "allow all"); the LONGEST matching
+  * value wins, Allow winning length ties; no matching rule means
+  * allowed. This is the published longest-match rule (RFC 9309
+  * §2.2.2).
+  *
+  * Plan shape: parsing fans lines out with posexplode and assigns
+  * groups with two windows keyed on the doc — one exchange on the
+  * robots-file id. robots.txt is per-DOMAIN metadata: at 100 TB of
+  * corpus the robots table is millions of tiny files, orders of
+  * magnitude below content volume, so a keyed window here is noise
+  * next to the content scans it protects. Decisions are two keyed
+  * equi-joins plus a bounded per-probe argmax.
+  */
+object Robots {
+
+  /** Parse robots payloads. Output: (idCol, grp, agent, directive,
+    * value, ord) — grp 0 + empty agent for global `sitemap` rows,
+    * 1-based groups otherwise; ord is the source line index. */
+  def parseRobots(df: DataFrame, idCol: String,
+      robotsCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(robotsCol), "\n")).as(Seq("ord", "raw")))
+    val parsed = lines
+      .select(col(idCol), col("ord"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .filter(col("line").contains(":"))
+      .select(col(idCol), col("ord"),
+        lower(trim(substring_index(col("line"), ":", 1))).as("key"),
+        trim(expr("substring(line, instr(line, ':') + 1)")).as("value"))
+      .filter(col("key").isin(
+        "user-agent", "allow", "disallow", "crawl-delay", "sitemap"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ord"))
+    val isUa = col("key") === "user-agent"
+    val grouped = parsed
+      .withColumn("__ua_start",
+        (isUa && coalesce(
+          lag(col("key"), 1).over(w) =!= "user-agent", lit(true)))
+          .cast("long"))
+      .withColumn("__grp",
+        sum(col("__ua_start")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__agent",
+        last(when(isUa, col("value")), ignoreNulls = true).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grouped
+      .filter(!isUa)
+      .select(col(idCol),
+        when(col("key") === "sitemap", lit(0L))
+          .otherwise(col("__grp")).as("grp"),
+        when(col("key") === "sitemap", lit(""))
+          .otherwise(col("__agent")).as("agent"),
+        col("key").as("directive"), col("value"),
+        col("ord").cast("long").as("ord"))
+      // orphan group-directives (no group open yet) have no effect
+      .filter(col("directive") === "sitemap" ||
+        (col("grp") >= 1 && col("agent").isNotNull))
+  }
+
+  /** Closed-form robots fixture, one file per doc (standing in for
+    * one per domain): fixed 10-line layout so every parsed row's
+    * source position is a constant. Exercises: comment-only line 0,
+    * an ORPHAN disallow before any group (id%9==4; must drop), a
+    * global Sitemap before the first group, an inline comment on the
+    * User-agent line, a disallow/allow longest-match pair, a
+    * crawl-delay, and a second group whose empty Disallow means
+    * allow-all. Output: (idCol, robots). */
+  def buildRobotsFixture(docs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast("string")
+    docs.select(col(idCol), concat(
+      lit("# robots for doc "), id, lit("\n"),
+      when(col(idCol) % 9 === 4,
+        concat(lit("Disallow: /orphan"), id, lit("/")))
+        .otherwise(lit("")), lit("\n"),
+      lit("Sitemap: https://d"), id, lit(".example.com/sitemap.xml\n"),
+      lit("User-agent: * # all agents\n"),
+      lit("Disallow: /private"), id, lit("/\n"),
+      lit("Allow: /private"), id, lit("/ok/\n"),
+      lit("Crawl-delay: "), (col(idCol) % 5 + 1).cast("string"),
+      lit("\n\nUser-agent: graftbot\nDisallow:")).as("robots"))
+  }
+
+  /** Fetch decisions for (idCol, probe_agent, path) probes against
+    * [[parseRobots]] output (see object doc for the rule). Output:
+    * (idCol, probe_agent, path, allowed). */
+  def robotsAllowed(rules: DataFrame, probes: DataFrame,
+      idCol: String): DataFrame = {
+    val ad = rules.filter(col("directive").isin("allow", "disallow"))
+      .select(col(idCol), col("agent"), col("directive"), col("value"))
+    val hasAgent = ad.select(col(idCol), col("agent")).distinct()
+      .withColumnRenamed("agent", "probe_agent")
+      .withColumn("__has", lit(true))
+    val eff = probes
+      .join(hasAgent, Seq(idCol, "probe_agent"), "left")
+      .withColumn("agent",
+        when(col("__has"), col("probe_agent")).otherwise(lit("*")))
+      .select(col(idCol), col("probe_agent"), col("path"), col("agent"))
+    val matched = eff
+      .join(ad, Seq(idCol, "agent"))
+      .filter(col("value") =!= "" &&
+        col("path").startsWith(col("value")))
+      .groupBy(col(idCol), col("probe_agent"), col("path"))
+      .agg(max(struct(length(col("value")).as("len"),
+        (col("directive") === "allow").as("is_allow"))).as("best"))
+    eff.join(matched, Seq(idCol, "probe_agent", "path"), "left")
+      .select(col(idCol), col("probe_agent"), col("path"),
+        coalesce(col("best.is_allow"), lit(true)).as("allowed"))
+  }
+}

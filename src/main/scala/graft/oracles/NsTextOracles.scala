@@ -659,6 +659,41 @@ private[graft] object NsTextOracles {
         |        FROM canon))
         |SELECT doc_id, url_canon, domain FROM dom
         |WHERE domain NOT IN ('src3.com', 'src7.co.uk', 'src15.com')""".stripMargin,
+    // Fixed fixture layout → every parsed row is a formula select;
+    // the orphan class (doc_id%9=4) contributes NOTHING (dropped
+    // rules have no effect per RFC 9309).
+    "ns135_robots_parse" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS grp, '' AS agent,
+        |  'sitemap' AS directive,
+        |  'https://d' || doc_id || '.example.com/sitemap.xml' AS value,
+        |  CAST(2 AS BIGINT) AS ord
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1, '*', 'disallow',
+        |  '/private' || doc_id || '/', 4 FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1, '*', 'allow',
+        |  '/private' || doc_id || '/ok/', 5 FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1, '*', 'crawl-delay',
+        |  CAST(doc_id % 5 + 1 AS VARCHAR), 6 FROM documents
+        |UNION ALL
+        |SELECT doc_id, 2, 'graftbot', 'disallow', '', 9
+        |FROM documents""".stripMargin,
+    // Longest-match verdicts in closed form: `*` (and the unknown
+    // agent falling back to it) blocks /private<id>/x, allows the
+    // /ok/ subtree (longer Allow wins) and /other (no match);
+    // graftbot's empty Disallow matches nothing, so it may fetch
+    // everything.
+    "ns136_robots_decisions" ->
+      """SELECT doc_id, probe_agent,
+        |  CASE k WHEN 1 THEN '/private' || doc_id || '/x'
+        |         WHEN 2 THEN '/private' || doc_id || '/ok/y'
+        |         ELSE '/other' END AS path,
+        |  NOT (k = 1 AND probe_agent <> 'graftbot') AS allowed
+        |FROM documents,
+        |  (SELECT unnest(['*', 'graftbot', 'unknownbot']) AS probe_agent),
+        |  (SELECT unnest([1, 2, 3]) AS k)""".stripMargin,
     // The full frontier funnel re-derived: ns68's url/parts/canon
     // CTEs over the base ∪ fragment-twin union, dedup on the
     // canonical form, domain extraction, blocklist, and the

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ns.Robots
+
+class NsRobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(robots: String) =
+    Robots.parseRobots(Seq((1L, robots)).toDF("doc_id", "robots"),
+      "doc_id", "robots")
+      .select(col("grp"), col("agent"), col("directive"), col("value"))
+      .as[(Long, String, String, String)].collect().toSet
+
+  test("consecutive user-agent lines share ONE group; a later ua " +
+      "line opens a new one") {
+    val out = parse(
+      "User-agent: a\nUser-agent: b\nDisallow: /x\n" +
+        "User-agent: c\nDisallow: /y")
+    // group 1's directive is attributed under the LAST ua of the run
+    assert(out == Set((1L, "b", "disallow", "/x"),
+      (2L, "c", "disallow", "/y")))
+  }
+
+  test("orphan rules drop, unknown keys ignored, comments strip, " +
+      "sitemap is global wherever it appears") {
+    val out = parse(
+      "Disallow: /orphan\nNoindex: /x\n# full comment\n" +
+        "User-agent: * # trailing comment\nAllow: /a\n" +
+        "Sitemap: https://s.example/map.xml")
+    assert(out == Set((1L, "*", "allow", "/a"),
+      (0L, "", "sitemap", "https://s.example/map.xml")))
+  }
+
+  test("decisions: longest match wins, Allow wins length ties, " +
+      "empty disallow allows all, unknown agent falls back to *") {
+    val rules = Robots.parseRobots(Seq((1L,
+      "User-agent: *\nDisallow: /p/\nAllow: /p/ok/\n" +
+        "Disallow: /tie/\nAllow: /tie/\n" +
+        "User-agent: bot\nDisallow:")).toDF("doc_id", "robots"),
+      "doc_id", "robots")
+    val probes = Seq(
+      (1L, "*", "/p/x"), (1L, "*", "/p/ok/x"), (1L, "*", "/tie/x"),
+      (1L, "*", "/free"), (1L, "bot", "/p/x"), (1L, "ghost", "/p/x"))
+      .toDF("doc_id", "probe_agent", "path")
+    val out = Robots.robotsAllowed(rules, probes, "doc_id")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(out == Map(
+      ("*", "/p/x") -> false,       // disallow prefix
+      ("*", "/p/ok/x") -> true,     // longer allow wins
+      ("*", "/tie/x") -> true,      // equal length: allow wins
+      ("*", "/free") -> true,       // no match
+      ("bot", "/p/x") -> true,      // empty disallow = allow all
+      ("ghost", "/p/x") -> false))  // falls back to * group
+  }
+}
