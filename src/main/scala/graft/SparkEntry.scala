@@ -1715,6 +1715,17 @@ object SparkEntry {
         probes, "doc_id")
     }),
 
+    // ---- §2.8 [NS] sitemap XML parsing (r11) ----
+    // The discovery side robots' Sitemap: rows point at — urlset
+    // entries (loc/lastmod/priority; the loc decode trap is an
+    // entity-escaped query string) and index files (id%8==6) listing
+    // child sitemaps. Closed-form fixture → the oracle predicts
+    // every row by formula.
+    "ns137_sitemap_parse" -> ((s, d) =>
+      graft.ns.Robots.parseSitemap(
+        graft.ns.Robots.buildSitemapFixture(t(s, d, "documents")),
+        "doc_id", "xml")),
+
     // ---- §2.8 [NS] crawl-frontier construction (r11) ----
     // The fetch list a crawl round starts from: the ns68 messy-URL
     // fixture plus planted byte-variant twins (doc_id%6==2 docs

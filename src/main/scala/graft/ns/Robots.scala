@@ -110,6 +110,65 @@ object Robots {
       lit("\n\nUser-agent: graftbot\nDisallow:")).as("robots"))
   }
 
+  /** Sitemap XML parsing (sitemaps.org protocol) — the discovery
+    * side robots' `Sitemap:` rows point at: `<urlset>` files list
+    * page URLs (loc/lastmod/priority), `<sitemapindex>` files list
+    * child sitemaps. One map-side projection: block extraction with
+    * a non-greedy regexp over the entry tags, field extraction per
+    * block, the five standard XML entities decoded in loc (an
+    * escaped `&amp;` in a query string must surface as `&` — the
+    * ns105 decode contract). Empty fields → null. Output: (idCol,
+    * kind 'urlset'|'index', ord, loc, lastmod, priority). */
+  def parseSitemap(df: DataFrame, idCol: String,
+      xmlCol: String): DataFrame = {
+    val kind = when(col(xmlCol).contains("<sitemapindex"),
+      lit("index")).otherwise(lit("urlset"))
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1))
+    df.select(col(idCol), kind.as("kind"),
+      posexplode(blocks).as(Seq("ord", "b")))
+      .select(col(idCol), col("kind"), col("ord").cast("long").as("ord"),
+        Html.decodeEntities(
+          regexp_extract(col("b"), "(?s)<loc>(.*?)</loc>", 1)).as("loc"),
+        nullif(regexp_extract(col("b"),
+          "(?s)<lastmod>(.*?)</lastmod>", 1), lit("")).as("lastmod"),
+        nullif(regexp_extract(col("b"),
+          "(?s)<priority>(.*?)</priority>", 1), lit("")).as("priority"))
+  }
+
+  /** Closed-form sitemap fixture: docs with id%8==6 are sitemap
+    * INDEX files pointing at two child sitemaps; the rest are
+    * urlsets with 1 + id%3 entries — entry 0 carries an
+    * entity-escaped query string (the decode trap) and a lastmod;
+    * later entries carry a priority instead. Output: (idCol, xml). */
+  def buildSitemapFixture(docs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast("string")
+    val urlEntry0 = concat(
+      lit("<url><loc>https://d"), id, lit(".example.com/p/"), id,
+      lit("-0?a="), id, lit("&amp;b=2</loc><lastmod>2026-0"),
+      (col(idCol) % 9 + 1).cast("string"),
+      lit("-11</lastmod></url>\n"))
+    def laterEntry(k: Int) = when(col(idCol) % 3 >= k,
+      concat(lit("<url><loc>https://d"), id, lit(".example.com/p/"),
+        id, lit(s"-$k</loc><priority>0."),
+        ((col(idCol) + k) % 9 + 1).cast("string"),
+        lit("</priority></url>\n"))).otherwise(lit(""))
+    val urlset = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      urlEntry0, laterEntry(1), laterEntry(2), lit("</urlset>"))
+    val index = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex>\n" +
+        "<sitemap><loc>https://d"), id,
+      lit(".example.com/sitemap-a.xml</loc>" +
+        "<lastmod>2026-01-05</lastmod></sitemap>\n" +
+        "<sitemap><loc>https://d"), id,
+      lit(".example.com/sitemap-b.xml</loc></sitemap>\n</sitemapindex>"))
+    docs.select(col(idCol),
+      when(col(idCol) % 8 === 6, index).otherwise(urlset).as("xml"))
+  }
+
   /** Fetch decisions for (idCol, probe_agent, path) probes against
     * [[parseRobots]] output (see object doc for the rule). Output:
     * (idCol, probe_agent, path, allowed). */

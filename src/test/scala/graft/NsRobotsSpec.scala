@@ -33,6 +33,33 @@ class NsRobotsSpec extends SparkSpec {
       (0L, "", "sitemap", "https://s.example/map.xml")))
   }
 
+  test("sitemap parse: urlset vs index, entity decode in loc, " +
+      "missing fields null, map-side plan") {
+    val xml =
+      "<?xml version=\"1.0\"?>\n<urlset>\n" +
+        "<url><loc>https://s.example/p?a=1&amp;b=2</loc>" +
+        "<lastmod>2026-02-03</lastmod></url>\n" +
+        "<url><loc>https://s.example/q</loc>" +
+        "<priority>0.5</priority></url>\n</urlset>"
+    val df = Robots.parseSitemap(
+      Seq((1L, xml)).toDF("doc_id", "xml"), "doc_id", "xml")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val out = df.as[(Long, String, Long, String, Option[String],
+      Option[String])].collect().sortBy(_._3).toSeq
+    assert(out == Seq(
+      (1L, "urlset", 0L, "https://s.example/p?a=1&b=2",
+        Some("2026-02-03"), None),
+      (1L, "urlset", 1L, "https://s.example/q", None, Some("0.5"))))
+    val ix = Robots.parseSitemap(Seq((2L,
+      "<sitemapindex><sitemap><loc>https://s.example/a.xml</loc>" +
+        "</sitemap></sitemapindex>")).toDF("doc_id", "xml"),
+      "doc_id", "xml")
+      .as[(Long, String, Long, String, Option[String], Option[String])]
+      .collect().toSeq
+    assert(ix == Seq((2L, "index", 0L, "https://s.example/a.xml",
+      None, None)))
+  }
+
   test("decisions: longest match wins, Allow wins length ties, " +
       "empty disallow allows all, unknown agent falls back to *") {
     val rules = Robots.parseRobots(Seq((1L,
