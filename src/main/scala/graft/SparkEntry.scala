@@ -1745,6 +1745,25 @@ object SparkEntry {
         perDomainQuota = 8)
     }),
 
+    // ---- §2.8 [NS] incremental frontier delta (r11) ----
+    // The crawl seen-set filter, batch-vs-store (the ns25/ns41
+    // delta-cost shape for URLs): even-id docs' canonical URLs are
+    // the stored crawled set; the new batch (all docs + fragment
+    // twins of id%6==3) canonicalizes, collapses its own variants,
+    // and anti-joins the store — only never-fetched URLs survive.
+    "ns138_frontier_delta" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), fixtureUrl.as("url"))
+      val twins = base.filter(pmod(col("doc_id"), lit(6)) === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("url"), lit("#dup")).as("url"))
+      val store = base.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(TextOps.canonicalizeUrl(col("url")).as("url_canon"))
+        .distinct()
+      TextOps.frontierDelta(base.unionByName(twins), store,
+        "doc_id", "url")
+    }),
+
     // ---- §2.8 [NS] token-budget corpus selection (r9) ----
     // Greedy quality-first selection under a hard token budget (the
     // final step of every curation recipe): rank by (Gopher score

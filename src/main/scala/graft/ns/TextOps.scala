@@ -924,6 +924,28 @@ object TextOps {
         col("n_variants"), col("rn").cast("long").as("rn"))
   }
 
+  /** Incremental frontier delta — the batch-vs-store form of
+    * [[crawlFrontier]] (the ns25/ns41/ns119 delta-cost shape for
+    * URLs): canonicalize the newly-discovered batch, collapse its
+    * internal variants, then anti-join against the STORED seen-set
+    * of canonical URLs so a crawl round only pays for what it has
+    * never fetched. The exchange carries one row per distinct new
+    * canonical URL; the seen-set side is the big one at scale — a
+    * Bloom prefilter (the ns55 shape) slots in front of the
+    * anti-join when the store outgrows comfortable shuffles. Output:
+    * (idCol, url_canon, n_variants). */
+  def frontierDelta(batch: DataFrame, store: DataFrame,
+      idCol: String, urlCol: String): DataFrame = {
+    val ded = batch
+      .select(col(idCol), canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(min(col(idCol)).as(idCol),
+        count(lit(1)).as("n_variants"))
+    ded.join(store.select(col("url_canon")).distinct(),
+      Seq("url_canon"), "left_anti")
+      .select(col(idCol), col("url_canon"), col("n_variants"))
+  }
+
   /** Unigram-LM mean negative log-likelihood per document — the
     * perplexity-filter proxy (the CCNet/Gopher "LM quality" signal)
     * computable exactly without a model: with additive smoothing

@@ -721,6 +721,65 @@ private[graft] object NsTextOracles {
         |FROM documents,
         |  (SELECT unnest(['*', 'graftbot', 'unknownbot']) AS probe_agent),
         |  (SELECT unnest([1, 2, 3]) AS k)""".stripMargin,
+    // Batch-vs-store re-derived: one canon CTE over base ∪ twins;
+    // the stored seen-set is its even-base-id slice, the delta the
+    // deduped batch anti-joined against it.
+    "ns138_frontier_delta" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END)
+        |      ELSE '' END ||
+        |    '/p/' || doc_id ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '?utm_source=feed&q=' || doc_id || '&fbclid=xyz'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, url FROM u0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, url || '#dup' FROM u0
+        |  WHERE doc_id % 6 = 3),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    (CASE WHEN (scheme = 'http' AND auth LIKE '%:80')
+        |            OR (scheme = 'https' AND auth LIKE '%:443')
+        |          THEN regexp_replace(auth, ':[0-9]+$', '')
+        |          ELSE auth END) ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN query = '' OR len(kept) = 0 THEN ''
+        |          ELSE '?' || array_to_string(kept, '&') END) AS url_canon
+        |  FROM (SELECT *,
+        |          list_filter(string_split(query, '&'), p ->
+        |            NOT (starts_with(p, 'utm_') OR
+        |                 starts_with(p, 'fbclid=') OR
+        |                 starts_with(p, 'gclid=') OR
+        |                 starts_with(p, 'ref=') OR p = '')) AS kept
+        |        FROM parts)),
+        |ded AS (
+        |  SELECT url_canon, min(doc_id) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_variants
+        |  FROM canon GROUP BY url_canon)
+        |SELECT doc_id, url_canon, n_variants FROM ded
+        |WHERE url_canon NOT IN (
+        |  SELECT url_canon FROM canon
+        |  WHERE doc_id % 2 = 0 AND doc_id < 3000000)""".stripMargin,
     // The full frontier funnel re-derived: ns68's url/parts/canon
     // CTEs over the base ∪ fragment-twin union, dedup on the
     // canonical form, domain extraction, blocklist, and the

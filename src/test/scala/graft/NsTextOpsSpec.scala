@@ -847,6 +847,27 @@ class NsTextOpsSpec extends SparkSpec {
     assert(out(6L) == (("other.example", 1L, 1L)))
   }
 
+  test("frontierDelta: seen URLs drop (variants included), unseen " +
+      "survive with batch multiplicity; empty store is identity") {
+    val batch = Seq(
+      (1L, "https://a.example/seen?utm_source=x"), // variant of stored
+      (2L, "https://a.example/new"),
+      (3L, "https://a.example/new#frag"),          // variant of 2
+      (4L, "https://b.example/fresh")).toDF("doc_id", "url")
+    val store = Seq(Tuple1("https://a.example/seen"))
+      .toDF("url_canon")
+    val out = TextOps.frontierDelta(batch, store, "doc_id", "url")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      2L -> (("https://a.example/new", 2L)),
+      4L -> (("https://b.example/fresh", 1L))))
+    // empty store: the delta is just the deduped batch
+    val empty = Seq.empty[Tuple1[String]].toDF("url_canon")
+    assert(TextOps.frontierDelta(batch, empty, "doc_id", "url")
+      .count() == 3L)
+  }
+
   test("normalization-robust dedup: NFD and mojibake twins collapse " +
       "after repair∘nfc, raw fingerprints see nothing") {
     import graft.ns.Dedup
