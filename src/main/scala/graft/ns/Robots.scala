@@ -102,7 +102,7 @@ object Robots {
       when(col(idCol) % 9 === 4,
         concat(lit("Disallow: /orphan"), id, lit("/")))
         .otherwise(lit("")), lit("\n"),
-      lit("Sitemap: https://d"), id, lit(".example.com/sitemap.xml\n"),
+      lit("Sitemap: https://maps.example.com/d/"), id, lit(".xml\n"),
       lit("User-agent: * # all agents\n"),
       lit("Disallow: /private"), id, lit("/\n"),
       lit("Allow: /private"), id, lit("/ok/\n"),
@@ -145,12 +145,12 @@ object Robots {
       idCol: String = "doc_id"): DataFrame = {
     val id = col(idCol).cast("string")
     val urlEntry0 = concat(
-      lit("<url><loc>https://d"), id, lit(".example.com/p/"), id,
+      lit("<url><loc>https://maps.example.com/p/"), id,
       lit("-0?a="), id, lit("&amp;b=2</loc><lastmod>2026-0"),
       (col(idCol) % 9 + 1).cast("string"),
       lit("-11</lastmod></url>\n"))
     def laterEntry(k: Int) = when(col(idCol) % 3 >= k,
-      concat(lit("<url><loc>https://d"), id, lit(".example.com/p/"),
+      concat(lit("<url><loc>https://maps.example.com/p/"),
         id, lit(s"-$k</loc><priority>0."),
         ((col(idCol) + k) % 9 + 1).cast("string"),
         lit("</priority></url>\n"))).otherwise(lit(""))
@@ -160,11 +160,11 @@ object Robots {
       urlEntry0, laterEntry(1), laterEntry(2), lit("</urlset>"))
     val index = concat(
       lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex>\n" +
-        "<sitemap><loc>https://d"), id,
-      lit(".example.com/sitemap-a.xml</loc>" +
+        "<sitemap><loc>https://maps.example.com/d/"), id,
+      lit("/sitemap-a.xml</loc>" +
         "<lastmod>2026-01-05</lastmod></sitemap>\n" +
-        "<sitemap><loc>https://d"), id,
-      lit(".example.com/sitemap-b.xml</loc></sitemap>\n</sitemapindex>"))
+        "<sitemap><loc>https://maps.example.com/d/"), id,
+      lit("/sitemap-b.xml</loc></sitemap>\n</sitemapindex>"))
     docs.select(col(idCol),
       when(col(idCol) % 8 === 6, index).otherwise(urlset).as("xml"))
   }

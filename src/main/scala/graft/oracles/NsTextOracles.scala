@@ -664,26 +664,25 @@ private[graft] object NsTextOracles {
     // priorities, index docs' two child-sitemap rows.
     "ns137_sitemap_parse" ->
       """SELECT doc_id, 'urlset' AS kind, CAST(0 AS BIGINT) AS ord,
-        |  'https://d' || doc_id || '.example.com/p/' || doc_id ||
+        |  'https://maps.example.com/p/' || doc_id ||
         |    '-0?a=' || doc_id || '&b=2' AS loc,
         |  '2026-0' || (doc_id % 9 + 1) || '-11' AS lastmod,
         |  CAST(NULL AS VARCHAR) AS priority
         |FROM documents WHERE doc_id % 8 <> 6
         |UNION ALL
         |SELECT doc_id, 'urlset', CAST(k AS BIGINT),
-        |  'https://d' || doc_id || '.example.com/p/' || doc_id ||
-        |    '-' || k,
+        |  'https://maps.example.com/p/' || doc_id || '-' || k,
         |  CAST(NULL AS VARCHAR), '0.' || ((doc_id + k) % 9 + 1)
         |FROM documents, (SELECT unnest([1, 2]) AS k)
         |WHERE doc_id % 8 <> 6 AND doc_id % 3 >= k
         |UNION ALL
         |SELECT doc_id, 'index', CAST(0 AS BIGINT),
-        |  'https://d' || doc_id || '.example.com/sitemap-a.xml',
+        |  'https://maps.example.com/d/' || doc_id || '/sitemap-a.xml',
         |  '2026-01-05', CAST(NULL AS VARCHAR)
         |FROM documents WHERE doc_id % 8 = 6
         |UNION ALL
         |SELECT doc_id, 'index', CAST(1 AS BIGINT),
-        |  'https://d' || doc_id || '.example.com/sitemap-b.xml',
+        |  'https://maps.example.com/d/' || doc_id || '/sitemap-b.xml',
         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |FROM documents WHERE doc_id % 8 = 6""".stripMargin,
     // Fixed fixture layout → every parsed row is a formula select;
@@ -692,7 +691,7 @@ private[graft] object NsTextOracles {
     "ns135_robots_parse" ->
       """SELECT doc_id, CAST(0 AS BIGINT) AS grp, '' AS agent,
         |  'sitemap' AS directive,
-        |  'https://d' || doc_id || '.example.com/sitemap.xml' AS value,
+        |  'https://maps.example.com/d/' || doc_id || '.xml' AS value,
         |  CAST(2 AS BIGINT) AS ord
         |FROM documents
         |UNION ALL

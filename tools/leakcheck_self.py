@@ -31,6 +31,7 @@ ALLOWED_ENV = {
 # fixtures (dq.example, the registrableDomain test URLs)
 ALLOWED_HOST_RE = re.compile(
     r"(localhost|127\.0\.0\.1|apache\.org|github\.com|example\.com|"
+    r"sitemaps\.org|"  # public schema namespace URI (sitemaps.org protocol)
     r"rapidapi\.com|duckdb\.org|scala-lang\.org|w3\.org|"
     r"\.example\b|site\.co\.uk|a\.b\.site|co\.uk|news\.com\.au|"
     # e.com: single-letter synthetic host in the canonicalizeUrl spec;
