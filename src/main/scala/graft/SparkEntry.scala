@@ -1745,6 +1745,39 @@ object SparkEntry {
         perDomainQuota = 8)
     }),
 
+    // ---- §2.8 [NS] corpus datasheet (r11) ----
+    // The "dataset card" numbers (Datasheets for Datasets shape) as
+    // ONE long-format query — per-source volume (docs/tokens/words/
+    // chars), language mix, Gopher-gate pass count, and distinct-
+    // content groups — every arm an already-gated aggregate, union'd
+    // as (metric, dim, value). What a release pipeline publishes
+    // next to the shards.
+    "ns139_corpus_datasheet" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val acct = TextOps.tokenAccounting(docs, Seq(col("source")), "text")
+      val volume = Seq("docs" -> "n_docs", "tokens" -> "total_tokens",
+        "words" -> "total_words", "chars" -> "total_chars")
+        .map { case (m, c) => acct.select(lit(m).as("metric"),
+          col("source").as("dim"), col(c).cast("long").as("value")) }
+        .reduce(_ unionByName _)
+      val langs = TextOps.langProfile(docs, "doc_id", "text")
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("lang_docs").as("metric"),
+          col("lang_pred").as("dim"), col("value"))
+      val gopher = docs
+        .select(when(TextOps.qualityScoreCol(col("text")) === 1.0, 1L)
+          .otherwise(0L).as("p"))
+        .agg(sum(col("p")).as("value"))
+        .select(lit("gopher_pass").as("metric"),
+          lit("corpus").as("dim"), col("value"))
+      val dups = Dedup.exactDedup(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("dup_groups").as("metric"),
+          lit("corpus").as("dim"), col("value"))
+      volume.unionByName(langs).unionByName(gopher).unionByName(dups)
+    }),
+
     // ---- §2.8 [NS] incremental frontier delta (r11) ----
     // The crawl seen-set filter, batch-vs-store (the ns25/ns41
     // delta-cost shape for URLs): even-id docs' canonical URLs are

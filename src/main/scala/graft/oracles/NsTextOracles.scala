@@ -720,6 +720,53 @@ private[graft] object NsTextOracles {
         |FROM documents,
         |  (SELECT unnest(['*', 'graftbot', 'unknownbot']) AS probe_agent),
         |  (SELECT unnest([1, 2, 3]) AS k)""".stripMargin,
+    // Every arm is an existing oracle's aggregate re-shaped into
+    // (metric, dim, value): ns27's volume sums, the generated
+    // lang-profile CTE, ns09's five checks, ns01's fingerprint
+    // groups.
+    "ns139_corpus_datasheet" ->
+      s"""WITH $langCte,
+         |ds AS (
+         |  SELECT doc_id, text, source, length(text) AS n_chars,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         |    string_split(regexp_replace(lower(trim(text)),
+         |      '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents)
+         |SELECT 'docs' AS metric, source AS dim,
+         |  CAST(count(*) AS BIGINT) AS value FROM ds GROUP BY source
+         |UNION ALL
+         |SELECT 'tokens', source, CAST(SUM(len(regexp_extract_all(
+         |  text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+         |FROM ds GROUP BY source
+         |UNION ALL
+         |SELECT 'words', source, CAST(SUM(len(toks)) AS BIGINT)
+         |FROM ds GROUP BY source
+         |UNION ALL
+         |SELECT 'chars', source, CAST(SUM(n_chars) AS BIGINT)
+         |FROM ds GROUP BY source
+         |UNION ALL
+         |SELECT 'lang_docs', lang_pred, CAST(count(*) AS BIGINT)
+         |FROM (SELECT $langPredExpr AS lang_pred FROM langp)
+         |GROUP BY lang_pred
+         |UNION ALL
+         |SELECT 'gopher_pass', 'corpus', CAST(count(*) AS BIGINT)
+         |FROM (
+         |  SELECT n_chars, len(toks) AS n_words,
+         |    CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+         |      / len(toks) AS awl,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         |      AS DOUBLE) / n_chars AS punct,
+         |    CAST(len(list_filter(toks, t -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'],
+         |      t))) AS DOUBLE) / len(toks) AS sw
+         |  FROM ds)
+         |WHERE n_chars BETWEEN 50 AND 100000
+         |  AND n_words BETWEEN 10 AND 50000
+         |  AND awl BETWEEN 2.0 AND 12.0 AND punct <= 0.2
+         |  AND sw >= 0.01
+         |UNION ALL
+         |SELECT 'dup_groups', 'corpus',
+         |  CAST(count(DISTINCT md5(norm)) AS BIGINT) FROM ds""".stripMargin,
     // Batch-vs-store re-derived: one canon CTE over base ∪ twins;
     // the stored seen-set is its even-base-id slice, the delta the
     // deduped batch anti-joined against it.
