@@ -1745,6 +1745,28 @@ object SparkEntry {
         perDomainQuota = 8)
     }),
 
+    // ---- §2.8 [NS] fill-in-the-middle transform (r11) ----
+    // The code-model training rearrangement (PSM format): two
+    // content-addressed cuts + a 60% content-addressed apply rate,
+    // all md5-derived (the hashSplit idiom — no RNG), one map-side
+    // projection. The oracle re-derives cuts and the reassembled
+    // string with the same md5 arithmetic and substr calls.
+    "ns140_fim_transform" -> ((s, d) =>
+      TextOps.fimTransform(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- §2.8 [NS] chat render + loss-mask offsets (r11) ----
+    // The SFT dataloader's span math: events as conversation turns
+    // (user_id = conversation, roles alternate in (ts, event_id)
+    // total order), rendered per-turn with [start, end) offsets into
+    // the conversation's template concatenation and `loss` marking
+    // assistant turns. One running-sum window per conversation.
+    "ns141_chat_loss_mask" -> ((s, d) =>
+      graft.ops.Sessionize.chatTurnOffsets(
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        "user_id", "ts", "event_id", "event_type")),
+
     // ---- §2.8 [NS] corpus datasheet (r11) ----
     // The "dataset card" numbers (Datasheets for Datasets shape) as
     // ONE long-format query — per-source volume (docs/tokens/words/

@@ -924,6 +924,44 @@ object TextOps {
         col("n_variants"), col("rn").cast("long").as("rn"))
   }
 
+  /** Fill-in-the-middle (FIM) transform — the document-level
+    * rearrangement code models train on (Bavarian et al. 2022, PSM
+    * format): split the text at two cut points, emit
+    * `pre‖prefix‖suf‖suffix‖mid‖middle` so the model learns to
+    * infill. Everything content-addressed (the hashSplit idiom —
+    * md5-derived buckets, no RNG): the two cuts and the
+    * apply-or-passthrough decision (`rateBuckets`/1000 of docs) are
+    * pure functions of the id, so the transformed corpus is
+    * reproducible across engines, reruns, and partitionings — and
+    * the whole transform is one codegen'd map-side projection.
+    * Output: (idCol, fim_applied, prefix_len, middle_len, text_out)
+    * with zero lengths on passthrough rows. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      rateBuckets: Int = 600,
+      pre: String = "<|fim_pre|>", suf: String = "<|fim_suf|>",
+      mid: String = "<|fim_mid|>"): DataFrame = {
+    require(rateBuckets >= 0 && rateBuckets <= 1000,
+      "rateBuckets is out of 1000")
+    val n = length(col(textCol))
+    val b1 = Sampling.hashBucket(col(idCol), "fim1", 1000)
+    val b2 = Sampling.hashBucket(col(idCol), "fim2", 1000)
+    val applied =
+      Sampling.hashBucket(col(idCol), "fimr", 1000) < rateBuckets
+    // floor of small positive integer products — exact in doubles
+    val plen = floor(least(b1, b2) * (n - 1) / 1000).cast("int")
+    val tot = floor(greatest(b1, b2) * (n - 1) / 1000).cast("int")
+    val t = col(textCol)
+    val fim = concat(lit(pre), t.substr(lit(1), plen),
+      lit(suf), t.substr(tot + 1, n - tot),
+      lit(mid), t.substr(plen + 1, tot - plen))
+    df.select(col(idCol),
+      applied.as("fim_applied"),
+      when(applied, plen).otherwise(0).cast("long").as("prefix_len"),
+      when(applied, tot - plen).otherwise(0).cast("long")
+        .as("middle_len"),
+      when(applied, fim).otherwise(t).as("text_out"))
+  }
+
   /** Incremental frontier delta — the batch-vs-store form of
     * [[crawlFrontier]] (the ns25/ns41/ns119 delta-cost shape for
     * URLs): canonicalize the newly-discovered batch, collapse its

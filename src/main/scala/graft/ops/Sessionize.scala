@@ -73,6 +73,37 @@ object Sessionize {
               struct(col(tsCol), col(tieBreak), col(typeCol)))),
             e => e.getField(typeCol)), sep).as("transcript"))
 
+  /** Chat-template rendering with LOSS-MASK offsets — the SFT
+    * dataloader's missing piece: turns render into one deterministic
+    * template (`<|role|>text<|end|>`) and each turn reports the
+    * [start_char, end_char) span it occupies in the conversation's
+    * rendered concatenation, with `loss` marking assistant turns —
+    * exactly the spans a trainer masks the loss to. Roles alternate
+    * user-first in (tsCol, tieBreak) total order; offsets are one
+    * running-sum window per conversation (prefix sums, no
+    * re-rendering and no driver-side string assembly — the rendered
+    * conversation never materializes whole unless a consumer
+    * array_joins it). Output: (convCol, turn_rn, role, turn_text,
+    * start_char, end_char, loss). */
+  def chatTurnOffsets(df: DataFrame, convCol: String, tsCol: String,
+      tieBreak: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(convCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    val rn = row_number().over(w)
+    val role = when(pmod(rn, lit(2)) === 1, lit("user"))
+      .otherwise(lit("assistant"))
+    val turn = concat(lit("<|"), role, lit("|>"), col(typeCol),
+      lit(":"), col(tieBreak).cast("string"), lit("<|end|>"))
+    val endChar = sum(length(turn)).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.select(col(convCol), rn.cast("long").as("turn_rn"),
+      role.as("role"), turn.as("turn_text"),
+      (endChar - length(turn)).cast("long").as("start_char"),
+      endChar.cast("long").as("end_char"),
+      (pmod(rn, lit(2)) === 0).as("loss"))
+  }
+
   def sessionSummary(df: DataFrame, keys: Seq[String], tsCol: String,
       gapUs: Long, tieBreak: String, valueCol: String): DataFrame =
     sessionize(df, keys, tsCol, gapUs, tieBreak)

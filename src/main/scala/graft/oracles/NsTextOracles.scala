@@ -720,6 +720,59 @@ private[graft] object NsTextOracles {
         |FROM documents,
         |  (SELECT unnest(['*', 'graftbot', 'unknownbot']) AS probe_agent),
         |  (SELECT unnest([1, 2, 3]) AS k)""".stripMargin,
+    // Same md5-bucket arithmetic as the hashSplit oracles; cuts and
+    // the PSM reassembly re-derived with integer // and substr.
+    "ns140_fim_transform" ->
+      """WITH h AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':fim1'), 1, 8)) AS BIGINT) % 1000 AS b1,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':fim2'), 1, 8)) AS BIGINT) % 1000 AS b2,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':fimr'), 1, 8)) AS BIGINT) % 1000 AS br
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n, br < 600 AS applied,
+        |    (least(b1, b2) * (n - 1)) // 1000 AS plen,
+        |    (greatest(b1, b2) * (n - 1)) // 1000 AS tot
+        |  FROM h)
+        |SELECT doc_id, applied AS fim_applied,
+        |  CAST(CASE WHEN applied THEN plen ELSE 0 END AS BIGINT)
+        |    AS prefix_len,
+        |  CAST(CASE WHEN applied THEN tot - plen ELSE 0 END AS BIGINT)
+        |    AS middle_len,
+        |  CASE WHEN applied THEN
+        |    '<|fim_pre|>' || substr(text, 1, plen) ||
+        |    '<|fim_suf|>' || substr(text, tot + 1, n - tot) ||
+        |    '<|fim_mid|>' || substr(text, plen + 1, tot - plen)
+        |  ELSE text END AS text_out
+        |FROM c""".stripMargin,
+    // One ROW_NUMBER + one running-sum window restated; the span
+    // arithmetic (end - len = start) and the alternating-role
+    // template must match character for character.
+    "ns141_chat_loss_mask" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn,
+        |    CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END
+        |      AS role,
+        |    '<|' ||
+        |    CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END ||
+        |    '|>' || event_type || ':' || event_id || '<|end|>'
+        |      AS turn_text
+        |  FROM t)
+        |SELECT user_id, CAST(rn AS BIGINT) AS turn_rn, role, turn_text,
+        |  CAST(SUM(length(turn_text)) OVER (PARTITION BY user_id
+        |    ORDER BY rn) - length(turn_text) AS BIGINT) AS start_char,
+        |  CAST(SUM(length(turn_text)) OVER (PARTITION BY user_id
+        |    ORDER BY rn) AS BIGINT) AS end_char,
+        |  role = 'assistant' AS loss
+        |FROM r""".stripMargin,
     // Every arm is an existing oracle's aggregate re-shaped into
     // (metric, dim, value): ns27's volume sums, the generated
     // lang-profile CTE, ns09's five checks, ns01's fingerprint

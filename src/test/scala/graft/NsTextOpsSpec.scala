@@ -847,6 +847,67 @@ class NsTextOpsSpec extends SparkSpec {
     assert(out(6L) == (("other.example", 1L, 1L)))
   }
 
+  test("fimTransform: PSM reassembly inverts to the original text, " +
+      "rate is content-addressed, plan is shuffle-free") {
+    val df = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(300)
+    val out = TextOps.fimTransform(df, "doc_id", "text")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val joined = out.join(df, "doc_id")
+      .select(col("doc_id"), col("fim_applied"), col("prefix_len"),
+        col("middle_len"), col("text_out"), col("text"))
+      .as[(Long, Boolean, Long, Long, String, String)].collect()
+    assert(joined.exists(_._2) && joined.exists(!_._2),
+      "the 60% rate must split the fixture both ways")
+    joined.foreach { case (id, applied, plen, mlen, outT, t) =>
+      if (!applied) {
+        assert(outT == t && plen == 0L && mlen == 0L)
+      } else {
+        // parse the PSM envelope and reassemble the original
+        val body = outT.stripPrefix("<|fim_pre|>")
+        val Array(pre, rest) = body.split(
+          java.util.regex.Pattern.quote("<|fim_suf|>"), 2)
+        val Array(sufP, midP) = rest.split(
+          java.util.regex.Pattern.quote("<|fim_mid|>"), 2)
+        assert(pre.length == plen && midP.length == mlen, s"doc $id")
+        assert(pre + midP + sufP == t, s"doc $id reassembly")
+      }
+    }
+    // determinism under repartitioning
+    val re = TextOps.fimTransform(df.repartition(7), "doc_id", "text")
+      .as[(Long, Boolean, Long, Long, String)].collect().toSet
+    assert(re == out.as[(Long, Boolean, Long, Long, String)]
+      .collect().toSet)
+  }
+
+  test("chatTurnOffsets: contiguous spans, alternating roles, loss " +
+      "on assistant turns, hand-checked template") {
+    import graft.ops.Sessionize
+    val ev = Seq(
+      (7L, 1000L, 1L, "ask"), (7L, 2000L, 2L, "answer"),
+      (7L, 3000L, 3L, "ask2"), (9L, 500L, 4L, "hi"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sessionize.chatTurnOffsets(ev, "user_id", "ts",
+      "event_id", "event_type")
+      .as[(Long, Long, String, String, Long, Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._7)) == Seq(
+      (7L, 1L, "user", false), (7L, 2L, "assistant", true),
+      (7L, 3L, "user", false), (9L, 1L, "user", false)))
+    assert(out.head._4 == "<|user|>ask:1<|end|>")
+    assert(out(1)._4 == "<|assistant|>answer:2<|end|>")
+    // spans tile the rendered conversation exactly
+    out.groupBy(_._1).values.foreach { turns =>
+      val s = turns.sortBy(_._2)
+      assert(s.head._5 == 0L)
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 == b._5, "span gap")
+        case _ =>
+      }
+      s.foreach(t => assert(t._6 - t._5 == t._4.length.toLong))
+    }
+  }
+
   test("frontierDelta: seen URLs drop (variants included), unseen " +
       "survive with batch multiplicity; empty store is identity") {
     val batch = Seq(
