@@ -1767,6 +1767,49 @@ object SparkEntry {
             col("event_type")),
         "user_id", "ts", "event_id", "event_type")),
 
+    // ---- §2.8 [NS] DPO preference-pair construction (r11) ----
+    // Scored generations → (chosen, rejected) training pairs: events
+    // as candidates (user_id = prompt group, value = reward), ONE
+    // window per prompt computing rank + chosen via first_value over
+    // the same sort (no self-join), strict-margin filter, ≤ 3 pairs
+    // per prompt. The oracle replays the identical window in SQL.
+    "ns142_preference_pairs" -> ((s, d) =>
+      graft.ns.Posttrain.preferencePairs(
+        t(s, d, "events"), "user_id", "event_id", "value",
+        maxPairs = 3, minMargin = 0.0)),
+
+    // ---- §2.8 [NS] k-anonymity release audit (r11) ----
+    // Record-level privacy gate for the event table shipped next to
+    // a corpus release: fine QI (type, day, value-decade) classes of
+    // < 4 rows escalate to a coarse level (type, value-band-of-50)
+    // counted over ESCALATED rows only; still-small classes are
+    // suppressed. Class sizes via two map-combinable groupBy-COUNTs
+    // joined back (AQE broadcasts them) — the rows never shuffle.
+    "ns143_k_anonymity" -> ((s, d) =>
+      graft.ns.Privacy.kAnonymityLevels(
+        t(s, d, "events"), "event_id",
+        qi0 = Seq(
+          "event_type" -> col("event_type"),
+          "qi_day" -> date_trunc("day", col("ts")),
+          "band10" -> floor(col("value") / 10)),
+        qi1 = Seq(
+          "qi1_type" -> col("event_type"),
+          "band50" -> floor(col("value") / 50)),
+        k = 4)),
+
+    // ---- §2.8 [NS] curriculum phase assignment (r11) ----
+    // Easy-to-hard training schedule: the ns73 integer logit orders
+    // the corpus, and EXACT global rank (the ns116 two-phase
+    // prefix-sum — no global sort; the driver summary is |distinct
+    // logits| × |id buckets| longs) cuts it into 4 equal phases.
+    // The oracle is ONE global window — the two-phase rewrite must
+    // reproduce it row-for-row.
+    "ns144_curriculum_phases" -> ((s, d) =>
+      graft.ns.Posttrain.curriculumPhases(
+        t(s, d, "documents").select(col("doc_id"),
+          TextOps.linearLogitCol(col("text")).as("logit_micro")),
+        "doc_id", "logit_micro", phases = 4)),
+
     // ---- §2.8 [NS] corpus datasheet (r11) ----
     // The "dataset card" numbers (Datasheets for Datasets shape) as
     // ONE long-format query — per-source volume (docs/tokens/words/

@@ -1,0 +1,129 @@
+package graft.ns
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-training data construction and training-order scheduling
+  * (SURVEY.md §2.8 [NS] — no reference citation by definition: the
+  * reference pipeline stops at curated corpora; these are the
+  * operators the NEXT stage of a production LLM pipeline runs on
+  * them).
+  *
+  * Two families:
+  *
+  *  - [[preferencePairs]]: turn scored generations into the
+  *    (chosen, rejected) pair table DPO/RLHF reward modeling trains
+  *    on. The pairing policy must be deterministic — a rerun that
+  *    pairs differently silently changes the training distribution —
+  *    so ties break on the candidate id, never on scan order.
+  *  - [[curriculumPhases]]: assign every document an equal-size
+  *    training phase from a quality ordering (curriculum learning's
+  *    easy-to-hard schedule). Equal-size means EXACT global rank,
+  *    which at scale must not be a global sort: this reuses the
+  *    registry's two-phase prefix-sum idiom (ns69/ns80/ns116) —
+  *    per-(score, id-bucket) local ranks plus a driver-side prefix
+  *    over the bounded (score, bucket) summary.
+  */
+object Posttrain {
+
+  /** DPO-style preference-pair construction from scored candidates:
+    * within each prompt group, the top-scoring candidate (ties → the
+    * smallest id — a total order, so the chosen one is unique and
+    * rerun-stable) is `chosen`, and each of the next `maxPairs`
+    * candidates whose reward trails by MORE than `minMargin` becomes
+    * one (chosen, rejected) row. Strict inequality means a tied
+    * candidate never forms a pair — a tie is not a preference.
+    *
+    * Plan shape: ONE window over the prompt key computes the rank,
+    * the chosen id, and the chosen reward together (`first_value`
+    * over the same sort — no self-join back onto the group), then a
+    * map-side filter emits at most `maxPairs` rows per prompt. One
+    * exchange total, output bounded by prompts × maxPairs; at 100 TB
+    * of generations the shuffle carries each candidate row once.
+    *
+    * Output: (prompt_id, chosen_id, rejected_id, chosen_reward,
+    * rejected_reward, pair_rank) — pair_rank 1-based in reward order.
+    */
+  def preferencePairs(df: DataFrame, promptCol: String, candIdCol: String,
+      rewardCol: String, maxPairs: Int = 3,
+      minMargin: Double = 0.0): DataFrame = {
+    require(maxPairs >= 1, "maxPairs must be positive")
+    require(minMargin >= 0.0, "minMargin must be non-negative")
+    val w = Window.partitionBy(col(promptCol))
+      .orderBy(col(rewardCol).desc, col(candIdCol))
+    df.select(
+        col(promptCol).as("prompt_id"),
+        col(candIdCol).as("rejected_id"),
+        col(rewardCol).as("rejected_reward"),
+        row_number().over(w).cast("long").as("__rn"),
+        first(col(candIdCol)).over(w).as("chosen_id"),
+        first(col(rewardCol)).over(w).as("chosen_reward"))
+      .filter(col("__rn").between(2L, maxPairs + 1L) &&
+        col("chosen_reward") - col("rejected_reward") > minMargin)
+      .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+        col("chosen_reward"), col("rejected_reward"),
+        (col("__rn") - 1L).as("pair_rank"))
+  }
+
+  /** Equal-size curriculum phases from an integer quality score:
+    * rank every row in the (score DESC, id ASC) total order and cut
+    * the order into `phases` contiguous blocks —
+    * phase = floor(rank0 · P / N) — so phase 0 holds the
+    * highest-quality ceil(N/P)-ish slice and phase P−1 the tail.
+    * The easy-to-hard schedule a curriculum dataloader consumes
+    * (Bengio et al. 2009), with "easy" = the corpus's own quality
+    * signal.
+    *
+    * Exact global rank WITHOUT a global sort (the ns116 two-phase
+    * shape): rows get a local row_number within their
+    * (score, id div bucketSize) cell — a bounded keyed window — and
+    * the per-cell totals, a summary of |distinct scores| × |id
+    * buckets| longs (scoreCol's contract is a LOW-CARDINALITY
+    * integer signal: quantized micro-unit logits, lengths, band
+    * ids), are prefix-summed on the driver in (−score, bucket) order
+    * and broadcast back. rank0 · P stays far below 2^63 for any
+    * plausible P.
+    *
+    * Output: (idCol, scoreCol, rank, phase) — rank 1-based global,
+    * phase in [0, phases). */
+  def curriculumPhases(df: DataFrame, idCol: String, scoreCol: String,
+      phases: Int, bucketSize: Long = 1000000L): DataFrame = {
+    require(phases >= 1, "phases must be positive")
+    require(bucketSize > 0, "bucketSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withB = df
+      .select(col(idCol), col(scoreCol).cast("long").as("__s"))
+      .withColumn("__neg", -col("__s"))
+      .withColumn("__ib", expr(s"$idCol div ${bucketSize}L"))
+    val w = Window.partitionBy(col("__neg"), col("__ib"))
+      .orderBy(col(idCol))
+    val local = withB.withColumn("__local",
+      row_number().over(w).cast("long") - 1L)
+    val totals = withB.groupBy(col("__neg"), col("__ib"))
+      .agg(count(lit(1)).as("__tot"), min(col(idCol)).as("__mn"))
+      .collect().map { r =>
+        require(!r.isNullAt(r.fieldIndex("__neg")) &&
+          !r.isNullAt(r.fieldIndex("__mn")),
+          s"curriculumPhases requires non-null $scoreCol and $idCol")
+        require(r.getLong(r.fieldIndex("__mn")) >= 0,
+          s"curriculumPhases needs non-negative $idCol")
+        (r.getLong(r.fieldIndex("__neg")),
+          r.getLong(r.fieldIndex("__ib")),
+          r.getLong(r.fieldIndex("__tot")))
+      }
+    var acc = 0L
+    val prefixRows = totals.sortBy(t => (t._1, t._2)).toSeq.map {
+      case (neg, ib, tot) => val p = acc; acc += tot; (neg, ib, p)
+    }
+    val n = acc
+    val prefix = broadcast(prefixRows.toDF("__neg", "__ib", "__prefix"))
+    local.join(prefix, Seq("__neg", "__ib"))
+      .withColumn("__rank0", col("__prefix") + col("__local"))
+      .select(col(idCol), col("__s").as(scoreCol),
+        (col("__rank0") + 1L).as("rank"),
+        expr(s"(__rank0 * ${phases}L) div ${n}L").cast("long")
+          .as("phase"))
+  }
+}

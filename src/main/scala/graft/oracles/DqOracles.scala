@@ -117,5 +117,35 @@ private[graft] object DqOracles {
         |SELECT event_type, run_hr, x_cents, z,
         |  abs(z) > 3.0 AS is_anomaly
         |FROM zc""".stripMargin,
+    // Level-1 classes are counted over ESCALATED rows only (rows
+    // released at level 0 publish finer QI values, so they cannot
+    // hide a generalized row); class sizes via grouped counts, the
+    // same shape the Spark plan broadcasts back.
+    "ns143_k_anonymity" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    date_trunc('day', ts) AS qi_day,
+        |    CAST(floor(value / 10) AS BIGINT) AS band10,
+        |    event_type AS qi1_type,
+        |    CAST(floor(value / 50) AS BIGINT) AS band50
+        |  FROM events),
+        |c0 AS (
+        |  SELECT event_type, qi_day, band10,
+        |    CAST(COUNT(*) AS BIGINT) AS n0
+        |  FROM base GROUP BY 1, 2, 3),
+        |b0 AS (
+        |  SELECT base.*, c0.n0 FROM base
+        |  JOIN c0 USING (event_type, qi_day, band10)),
+        |c1 AS (
+        |  SELECT qi1_type, band50, CAST(COUNT(*) AS BIGINT) AS n1
+        |  FROM b0 WHERE n0 < 4 GROUP BY 1, 2)
+        |SELECT event_id, event_type, qi_day, band10, qi1_type, band50,
+        |  n0,
+        |  CASE WHEN n0 < 4 THEN n1 ELSE NULL END AS n1,
+        |  CAST(CASE WHEN n0 >= 4 THEN 0
+        |            WHEN n1 >= 4 THEN 1 ELSE -1 END AS BIGINT) AS level,
+        |  (CASE WHEN n0 >= 4 THEN 0
+        |        WHEN n1 >= 4 THEN 1 ELSE -1 END) >= 0 AS kept
+        |FROM b0 LEFT JOIN c1 USING (qi1_type, band50)""".stripMargin,
   )
 }

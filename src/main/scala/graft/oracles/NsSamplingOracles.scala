@@ -186,5 +186,58 @@ private[graft] object NsSamplingOracles {
         |    ROW_NUMBER() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) WHERE rn <= 50""".stripMargin,
+    // ONE window per prompt; first_value rides the same (reward
+    // desc, id) sort as the rank; strict margin — ties never pair.
+    "ns142_preference_pairs" ->
+      """WITH r AS (
+        |  SELECT user_id AS prompt_id, event_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rn,
+        |    FIRST_VALUE(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS chosen_id,
+        |    FIRST_VALUE(value) OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS chosen_reward
+        |  FROM events)
+        |SELECT prompt_id, chosen_id, event_id AS rejected_id,
+        |  chosen_reward, value AS rejected_reward,
+        |  rn - 1 AS pair_rank
+        |FROM r
+        |WHERE rn BETWEEN 2 AND 4 AND chosen_reward - value > 0.0""".stripMargin,
+    // ns73's logit CTE + ONE global (logit desc, id) window — the
+    // two-phase prefix-sum rewrite must reproduce it row-for-row;
+    // the phase cut is exact integer arithmetic.
+    "ns144_curriculum_phases" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_transform(toks, t -> CASE t
+        |    WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |    WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |    WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |    WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |    WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |    WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |    WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |    WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |    WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |    WHEN 'http' THEN -60000 ELSE NULL END) AS ws
+        |  FROM base),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(-50000 + coalesce(list_sum(list_transform(ws,
+        |      x -> coalesce(x, 0))), 0) AS BIGINT) AS logit_micro
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, logit_micro,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY logit_micro DESC, doc_id)
+        |      AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM s)
+        |SELECT doc_id, logit_micro, rank,
+        |  CAST(((rank - 1) * 4) // n AS BIGINT) AS phase
+        |FROM r""".stripMargin,
   )
 }

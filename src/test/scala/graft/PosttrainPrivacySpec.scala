@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ns.{Posttrain, Privacy}
+
+/** Laws for the post-training pair/schedule operators and the
+  * k-anonymity release audit (ns142/ns143/ns144). */
+class PosttrainPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (prompt, candidate, reward): prompt 1 has a reward tie at the
+  // top (cands 10/11 both 5.0 — the chosen must be the smaller id
+  // and the tied one must NOT pair), prompt 2 has 5 candidates
+  // (maxPairs must cap), prompt 3 is a singleton (no pairs).
+  private def cands = Seq(
+    (1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 3.0), (1L, 13L, 1.0),
+    (2L, 20L, 9.0), (2L, 21L, 8.0), (2L, 22L, 7.0), (2L, 23L, 6.0),
+    (2L, 24L, 5.0),
+    (3L, 30L, 2.0)
+  ).toDF("prompt", "cand", "reward")
+
+  test("preferencePairs: chosen is the (reward desc, id) head; strict margin; capped") {
+    val out = Posttrain.preferencePairs(cands, "prompt", "cand", "reward",
+      maxPairs = 2, minMargin = 0.0)
+      .orderBy("prompt_id", "pair_rank").collect()
+    val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    // prompt 1: chosen = 10 (tie broken by id); cand 11 ties at 5.0
+    // so it is rank 2 but margin 0 is NOT > 0 — excluded; cand 12 is
+    // rank 3 = pair_rank 2 and pairs.
+    assert(rows.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 10L, 12L, 5.0, 3.0, 2L)))
+    // prompt 2: exactly maxPairs pairs, best rejected first
+    assert(rows.filter(_._1 == 2L).toSeq ===
+      Seq((2L, 20L, 21L, 9.0, 8.0, 1L), (2L, 20L, 22L, 9.0, 7.0, 2L)))
+    // prompt 3: singleton emits nothing
+    assert(!rows.exists(_._1 == 3L))
+    // global law: every pair strictly prefers chosen
+    assert(rows.forall(r => r._4 > r._5))
+  }
+
+  test("preferencePairs: minMargin excludes close pairs") {
+    val out = Posttrain.preferencePairs(cands, "prompt", "cand", "reward",
+      maxPairs = 4, minMargin = 1.5)
+      .select("prompt_id", "rejected_id").as[(Long, Long)].collect().toSet
+    // prompt 2: 9.0 vs 8.0 (margin 1.0) excluded; 7.0 onward kept
+    assert(out === Set((1L, 12L), (1L, 13L), (2L, 22L), (2L, 23L),
+      (2L, 24L)))
+  }
+
+  test("curriculumPhases equals the global-sort oracle") {
+    // scores with heavy duplication across id buckets (bucketSize 4
+    // forces multi-bucket cells)
+    val rows = (0L until 40L).map(i => (i, (i % 5) * 1000L))
+    val df = rows.toDF("id", "score")
+    val out = Posttrain.curriculumPhases(df, "id", "score",
+      phases = 4, bucketSize = 4L)
+      .select("id", "rank", "phase").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val expectRank = rows.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val n = rows.size
+    out.foreach { case (id, rank, phase) =>
+      assert(rank === expectRank(id), s"rank of $id")
+      assert(phase === (rank - 1) * 4 / n, s"phase of $id")
+    }
+    // equal-size law: phase sizes differ by at most 1
+    val sizes = out.groupBy(_._3).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  // QI fixture: fine class = (t, day, b10), coarse = (t, b50).
+  // Type "a" day-1 decade-0 has 4 rows (level 0 at k=4); type "b"
+  // rows are spread one per day (all escalate) but share a coarse
+  // class of 5 (level 1); type "c" is a 2-row rarity that stays
+  // below k even coarsened (suppressed).
+  private def events = (
+    (1L to 4L).map(i => (i, "a", s"2024-01-01 0$i:00:00", 5.0)) ++
+    (1L to 5L).map(i => (10L + i, "b", s"2024-01-0$i 01:00:00", 7.0)) ++
+    Seq((21L, "c", "2024-01-01 01:00:00", 9.0),
+        (22L, "c", "2024-01-02 01:00:00", 9.0))
+  ).toDF("event_id", "event_type", "ts_s", "value")
+    .withColumn("ts", col("ts_s").cast("timestamp"))
+
+  private def audit = Privacy.kAnonymityLevels(
+    events, "event_id",
+    qi0 = Seq(
+      "event_type" -> col("event_type"),
+      "qi_day" -> date_trunc("day", col("ts")),
+      "band10" -> floor(col("value") / 10)),
+    qi1 = Seq(
+      "qi1_type" -> col("event_type"),
+      "band50" -> floor(col("value") / 50)),
+    k = 4)
+
+  test("kAnonymityLevels: ladder levels land as planted") {
+    val byType = audit.select("event_type", "level", "kept")
+      .as[(String, Long, Boolean)].collect().groupBy(_._1)
+    assert(byType("a").forall(r => r._2 == 0L && r._3))
+    assert(byType("b").forall(r => r._2 == 1L && r._3))
+    assert(byType("c").forall(r => r._2 == -1L && !r._3))
+  }
+
+  test("kAnonymityLevels: released classes are k-anonymous, n1 only on escalation") {
+    val rows = audit.collect()
+    val k = 4L
+    // level-0 releases: fine class has >= k members
+    rows.filter(_.getAs[Long]("level") == 0L)
+      .foreach(r => assert(r.getAs[Long]("n0") >= k))
+    // level-1 releases: coarse class among ESCALATED rows has >= k
+    rows.filter(_.getAs[Long]("level") == 1L)
+      .foreach(r => assert(r.getAs[Long]("n0") < k &&
+        r.getAs[Long]("n1") >= k))
+    // suppressed: below k at both granularities
+    rows.filter(_.getAs[Long]("level") == -1L)
+      .foreach(r => assert(r.getAs[Long]("n0") < k &&
+        r.getAs[Long]("n1") < k))
+    // n1 is null exactly when the row never escalated
+    rows.foreach(r => assert(r.isNullAt(r.fieldIndex("n1")) ===
+      (r.getAs[Long]("n0") >= k)))
+  }
+
+  test("kAnonymityLevels: level-1 counts exclude level-0 releases") {
+    // Make the "a" coarse class overlap "b"'s: if level-1 counted
+    // ALL rows, a 3-row "d" class coarsening onto "a"'s band would
+    // reach 4+3 >= k and leak; counting escalated-only keeps it at 3.
+    val withD = events.unionByName(Seq(
+      (31L, "d", "2024-01-01 01:00:00", 5.0),
+      (32L, "d", "2024-01-02 01:00:00", 5.0),
+      (33L, "d", "2024-01-03 01:00:00", 5.0))
+      .toDF("event_id", "event_type", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")))
+    // coarse key here is (type, band50) so "d" cannot borrow "a"'s
+    // rows anyway; drop type from the coarse key to force overlap
+    val out = Privacy.kAnonymityLevels(
+      withD, "event_id",
+      qi0 = Seq(
+        "event_type" -> col("event_type"),
+        "qi_day" -> date_trunc("day", col("ts")),
+        "band10" -> floor(col("value") / 10)),
+      qi1 = Seq("band50" -> floor(col("value") / 50)),
+      k = 4)
+    val d = out.filter(col("event_type") === "d")
+      .select("level").as[Long].collect()
+    // "a" (4 rows, band50 = 0) released at level 0; the 3 "d" rows
+    // coarsen onto band50 = 0 but only escalated rows count: 3 < 4.
+    // (b=7.0 and c=9.0 share band50 = 0 too: 5 b-rows + 2 c-rows +
+    // 3 d-rows = 10 escalated rows in band 0 — so drop b and c to
+    // keep the band pure... instead assert via n1 directly.)
+    val dn1 = out.filter(col("event_type") === "d")
+      .select("n1").as[Long].collect()
+    // escalated rows in band50=0: 5 (b) + 2 (c) + 3 (d) = 10 — but
+    // NOT the 4 released "a" rows; n1 must be exactly 10, not 14.
+    assert(dn1.toSet === Set(10L))
+    assert(d.toSet === Set(1L))
+  }
+}
