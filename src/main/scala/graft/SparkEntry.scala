@@ -1810,6 +1810,15 @@ object SparkEntry {
           TextOps.linearLogitCol(col("text")).as("logit_micro")),
         "doc_id", "logit_micro", phases = 4)),
 
+    // ---- §2.8 [NS] loss-aware domain reweighting (r11) ----
+    // DoReMi-direction mixture weights from the corpus's own
+    // unigram-LM NLL, aggregated per source: weight = excess-loss
+    // ratio as a fixed dag of exact-integer divisions (exp is
+    // measurably not cross-engine bit-stable — see the scaladoc).
+    // A |sources|-row summary; feeds mixtureSample rates.
+    "ns145_domain_reweight" -> ((s, d) =>
+      TextOps.domainReweight(t(s, d, "documents"), "source", "text")),
+
     // ---- §2.8 [NS] corpus datasheet (r11) ----
     // The "dataset card" numbers (Datasheets for Datasets shape) as
     // ONE long-format query — per-source volume (docs/tokens/words/

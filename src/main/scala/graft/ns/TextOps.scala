@@ -1128,6 +1128,74 @@ object TextOps {
           (count(lit(1)).cast("double") * scale)).as("mean_nll"))
   }
 
+  /** Loss-aware domain mixture reweighting — the DoReMi direction
+    * (Xie et al. 2023: upweight the domains the model finds hard)
+    * with the proxy-model loss replaced by the corpus's own
+    * unigram-LM NLL ([[unigramNll]]'s exact fixed-point machinery,
+    * aggregated per domain instead of per document). Each domain's
+    * weight is its excess-loss ratio
+    * mean_nll_domain / mean_nll_corpus — > 1 for harder-than-average
+    * domains — normalizable downstream into [[Sampling.mixtureSample]]
+    * rates.
+    *
+    * Why a RATIONAL tilt and not DoReMi's exponential one: exp() is
+    * measurably NOT bit-stable between this host's JVM and DuckDB
+    * (360/4073 probed values differ by 1 ulp — unlike ln, which
+    * ns58/ns75/ns79 proved identical), so an exp weight cannot sit
+    * behind a cross-engine hash gate. The ratio needs only the
+    * proven pieces: integer fixed-point NLL sums, then a FIXED dag
+    * of three IEEE divisions — bit-deterministic in any engine.
+    * (An η-tempered tilt excess^η stays gateable for integer η.)
+    *
+    * Scale shape: token explode → one vocab count (map-combinable),
+    * fx join, one per-domain aggregate (a |domains|-row result), and
+    * the corpus totals come from summing THAT summary — no second
+    * corpus scan, broadcast back as one row. Output: (groupCol,
+    * n_tokens, sum_fx, mean_nll, excess, weight_micro). */
+  def domainReweight(df: DataFrame, groupCol: String,
+      textCol: String, alpha: Double = 0.5,
+      fracBits: Int = 24): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    require(fracBits >= 1 && fracBits <= 30, s"bad fracBits $fracBits")
+    val scale = (1L << fracBits).toDouble
+    val tok = df
+      .select(col(groupCol),
+        explode(wordTokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_token"))
+    val totals = counts
+      .agg(coalesce(sum(col("n_token")).cast("long"), lit(0L)).as("total"),
+        count(lit(1)).as("v"))
+      .head()
+    if (totals.getLong(0) == 0L)
+      return df.select(col(groupCol)).limit(0)
+        .withColumn("n_tokens", lit(0L))
+        .withColumn("sum_fx", lit(0L))
+        .withColumn("mean_nll", lit(0.0))
+        .withColumn("excess", lit(0.0))
+        .withColumn("weight_micro", lit(0L))
+    val denom = totals.getLong(0) + alpha * (totals.getLong(1) + 1.0)
+    val lp = counts.select(col("token"),
+      round(-log((col("n_token").cast("double") + alpha) / denom) * scale)
+        .cast("long").as("__fx"))
+    // vocab is the corpus's own, so the join is total (no OOV arm)
+    val dom = tok.join(lp, Seq("token"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__fx")).as("sum_fx"))
+    val tot = dom.agg(sum(col("n_tokens")).as("__n_all"),
+      sum(col("sum_fx")).as("__fx_all"))
+    val excess = (col("sum_fx").cast("double") /
+        col("n_tokens").cast("double")) /
+      (col("__fx_all").cast("double") / col("__n_all").cast("double"))
+    dom.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"), col("sum_fx"),
+        (col("sum_fx").cast("double") /
+          (col("n_tokens").cast("double") * scale)).as("mean_nll"),
+        excess.as("excess"),
+        round(excess * 1e6).cast("long").as("weight_micro"))
+  }
+
   /** PMI collocation mining — the corpus-level phrase table (Church &
     * Hanks 1990): the top-`k` word pairs whose co-occurrence most
     * exceeds chance, PMI = ln((C(w1,w2)/Nb) / ((U(w1)/Nt)·(U(w2)/Nt)))

@@ -519,6 +519,41 @@ private[graft] object NsTextOracles {
         |  CAST(SUM(fx) AS DOUBLE) / (COUNT(*) * 16777216.0) AS mean_nll
         |FROM t2 JOIN lp USING (token)
         |GROUP BY t2.doc_id""".stripMargin,
+    // ns58's fixed-point NLL CTE aggregated per source; the weight
+    // is a FIXED dag of integer-fed IEEE divisions (no exp — not
+    // cross-engine bit-stable), so the gate is exact.
+    "ns145_domain_reweight" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT source, token FROM toks WHERE length(token) > 0),
+        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n_token
+        |           FROM t2 GROUP BY token),
+        |tot AS (SELECT CAST(SUM(n_token) AS BIGINT) AS total,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+        |lp AS (
+        |  SELECT token,
+        |    CAST(round(-ln((n_token + 0.5) / (total + 0.5*(v+1)))
+        |      * 16777216.0) AS BIGINT) AS fx
+        |  FROM counts, tot),
+        |dom AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(fx) AS BIGINT) AS sum_fx
+        |  FROM t2 JOIN lp USING (token) GROUP BY source),
+        |alltot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_all,
+        |    CAST(SUM(sum_fx) AS BIGINT) AS fx_all FROM dom)
+        |SELECT source, n_tokens, sum_fx,
+        |  CAST(sum_fx AS DOUBLE)
+        |    / (CAST(n_tokens AS DOUBLE) * 16777216.0) AS mean_nll,
+        |  (CAST(sum_fx AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |    / (CAST(fx_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS excess,
+        |  CAST(round((CAST(sum_fx AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |    / (CAST(fx_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS weight_micro
+        |FROM dom, alltot""".stripMargin,
     // Per-domain quota oracle: same closed-form URL construction, same
     // public-suffix decision (two labels, three under a two-level
     // suffix), ns18's quota window keyed on the derived domain.

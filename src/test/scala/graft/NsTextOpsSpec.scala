@@ -1100,4 +1100,25 @@ class NsTextOpsSpec extends SparkSpec {
     assert(agree >= rows.length * 9 / 10,
       s"profile/marker agreement only $agree/${rows.length}")
   }
+
+  test("domainReweight: hard domains upweighted, token-weighted excess is 1") {
+    // "common" repeats one token (cheap under its own LM); "rare"
+    // is all-distinct tokens (max NLL per token)
+    val docs = (
+      (0L until 8L).map(i => (i, "common", "alpha alpha alpha alpha")) ++
+      (0L until 8L).map(i => (100L + i, "rare",
+        s"zq${i}a zq${i}b zq${i}c zq${i}d"))
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.domainReweight(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getLong(5))))
+      .toMap
+    val (nc, _, exC, wC) = out("common")
+    val (nr, _, exR, wR) = out("rare")
+    assert(nc == 32L && nr == 32L)
+    assert(exR > 1.0 && exC < 1.0 && wR > 1000000L && wC < 1000000L)
+    // token-weighted mean excess is exactly 1 by construction
+    val meanEx = (nc * exC + nr * exR) / (nc + nr).toDouble
+    assert(math.abs(meanEx - 1.0) < 1e-9, s"mean excess $meanEx")
+  }
 }
