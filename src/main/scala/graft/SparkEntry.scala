@@ -143,7 +143,8 @@ object SparkEntry {
     val gates = Set(
       "ns03b_minhash_exact",       // md5 MinHash twin of ns03
       "ns04b_simhash_exact",       // md5 SimHash twin of ns04
-      "ns06b_ann_topk_exact")      // md5-parity-plane twin of ns06
+      "ns06b_ann_topk_exact",      // md5-parity-plane twin of ns06
+      "ns146b_pq_encode_exact")    // md5-parity-codebook twin of ns146
     queries.keys.map(n =>
       n -> (if (diagnostic(n)) "diagnostic"
             else if (gates(n)) "algorithm_gate"
@@ -1818,6 +1819,54 @@ object SparkEntry {
     // A |sources|-row summary; feeds mixtureSample rates.
     "ns145_domain_reweight" -> ((s, d) =>
       TextOps.domainReweight(t(s, d, "documents"), "source", "text")),
+
+    // ---- §2.8 [NS] product quantization: corpus encode (r11) ----
+    // The embedding-compression scale path (PQ, Jégou et al. 2011):
+    // 64 floats → 8×4-bit codes per vector, one map-side codegen'd
+    // kernel call per row, no shuffle. The PRODUCER of the fitted
+    // codebooks (pqFit refresh=true — reports the true fit cost, the
+    // FixtureCache producer convention); ns147 consumes the cached
+    // fit. Rows-only (Lloyd centroids are not SQL-derivable);
+    // ns146b pins the encode algorithm under a hash gate, and the
+    // fit itself is bit-reproducible (determinism law in
+    // NsSimilaritySpec — content-addressed sample, ordered Lloyd).
+    "ns146_pq_encode" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqCodesScalar(emb,
+        Similarity.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 16,
+          indexKey = Some(s"$d/embeddings"), refresh = true),
+        "vec_id", "embedding")
+    }),
+
+    // The ns06b convention for PQ: the SAME encode kernel with the
+    // ONE engine-specific input (Lloyd-fitted codebooks) replaced by
+    // md5-parity ±1 codebooks, so a DuckDB oracle re-derives every
+    // sub-centroid from the public sign formula and the per-subspace
+    // argmin — fold order, 2·dot−‖c‖² scoring, smallest-code ties —
+    // hash-gates end to end.
+    "ns146b_pq_encode_exact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqCodesScalar(emb,
+        Similarity.parityCodebooks(dim = 64, m = 8, ksub = 16),
+        "vec_id", "embedding")
+    }),
+
+    // ---- §2.8 [NS] PQ ADC top-k with exact rerank (r11) ----
+    // The two-stage ADC search over the code table: per-query lookup
+    // tables (one kernel call per query, broadcast), an m-add-per-
+    // pair candidate scan, then EXACT cosine rerank of the top-50 so
+    // reported scores carry no quantization error. Consumes ns146's
+    // cached codebooks (indexKey — the ivfTopK offline-index
+    // convention). Rows-only; recall-vs-exact and rerank-exactness
+    // laws in NsSimilaritySpec.
+    "ns147_pq_adc_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopKAdc(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        Similarity.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 16,
+          indexKey = Some(s"$d/embeddings")),
+        k = 5, rerank = 50)
+    }),
 
     // ---- §2.8 [NS] corpus datasheet (r11) ----
     // The "dataset card" numbers (Datasheets for Datasets shape) as

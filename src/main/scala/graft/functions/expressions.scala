@@ -341,6 +341,212 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Static kernels for the product-quantization expressions: one
+  * tight JVM pass per row, shared by interpreted eval and generated
+  * code (the [[IvfAssignKernel]] story). PQ splits a d-dim unit
+  * vector into `m` contiguous subvectors and snaps each to one of
+  * `ksub` per-subspace centroids, so a vector stores as m small
+  * codes (m·log2(ksub) bits) instead of d floats — the memory/
+  * bandwidth path that keeps a 100 TB embedding corpus scannable
+  * (Jégou, Douze, Schmid, "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011). Scoring fold order is pinned:
+  * per subspace, (v_i / n)·c_i summed over ascending i, score =
+  * 2·dot − ‖c‖², strict-> comparison keeps the SMALLEST code on
+  * ties — the exact [[IvfAssignKernel]] convention, which is what
+  * lets the md5-parity-codebook twin hash-gate in DuckDB. */
+object PqKernels {
+  /** m codes for one vector (null for zero-norm: no direction). */
+  def encode(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      cb: Array[Array[Array[Double]]], normSq: Array[Array[Double]]):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val v = arr.toDoubleArray()
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    if (!(ss > 0)) return null
+    val n = math.sqrt(ss)
+    val m = cb.length
+    val out = new Array[Int](m)
+    var s = 0
+    var base = 0
+    while (s < m) {
+      val codes = cb(s)
+      val ns = normSq(s)
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < codes.length) {
+        val c = codes(j)
+        var dot = 0.0
+        var t = 0
+        val d = math.min(c.length, math.max(0, v.length - base))
+        while (t < d) { dot += (v(base + t) / n) * c(t); t += 1 }
+        val score = 2.0 * dot - ns(j)
+        if (score > bestScore) { bestScore = score; best = j }
+        j += 1
+      }
+      out(s) = best
+      base += codes(0).length
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-QUERY ADC lookup table: m·ksub dot products of the unit
+    * query's subvectors against every sub-centroid, laid out
+    * [s·ksub + j]. Computed ONCE per query row; each (query, code
+    * row) pair then costs m array reads in [[adc]] — that asymmetry
+    * (ksub·d mults per query, m adds per candidate) is the whole
+    * point of ADC. Null for zero-norm queries. */
+  def table(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      cb: Array[Array[Array[Double]]]):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val v = arr.toDoubleArray()
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    if (!(ss > 0)) return null
+    val n = math.sqrt(ss)
+    val m = cb.length
+    val ksub = cb(0).length
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    var base = 0
+    while (s < m) {
+      val codes = cb(s)
+      var j = 0
+      while (j < ksub) {
+        val c = codes(j)
+        var dot = 0.0
+        var t = 0
+        val d = math.min(c.length, math.max(0, v.length - base))
+        while (t < d) { dot += (v(base + t) / n) * c(t); t += 1 }
+        out(s * ksub + j) = dot
+        j += 1
+      }
+      base += codes(0).length
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance score of one code row against one query
+    * table: Σ_s table[s·ksub + code_s] ≈ cosine(query, reconstructed
+    * vector). ksub is recovered from the shapes (table has m·ksub
+    * entries, codes has m), so the expression needs no config. */
+  def adc(table: org.apache.spark.sql.catalyst.util.ArrayData,
+      codes: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val ksub = table.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += table.getDouble(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+}
+
+/** Catalyst-native PQ encoder: `array<double>` vector in, m-element
+  * `array<int>` of per-subspace codes out (null for zero-norm). The
+  * codebook tensor rides as a plan reference object (m·ksub·dsub
+  * doubles — kilobytes); codegen emits one static [[PqKernels]] call
+  * per row so the encode projection stays inside WholeStageCodegen —
+  * the batch half of the PQ index, shared by fit-time corpus encoding
+  * and incremental (encode-new-batch-against-stored-codebooks)
+  * maintenance, which are therefore the same function. */
+case class PqEncodeExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need at least one subspace with at least one code")
+  require(codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+    "all sub-centroids must share one subspace width")
+  @transient private lazy val normSq: Array[Array[Double]] =
+    codebooks.map(_.map(c => c.map(x => x * x).sum))
+  override def dataType: DataType = org.apache.spark.sql.types
+    .ArrayType(org.apache.spark.sql.types.IntegerType,
+      containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encode(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codebooks, normSq)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks,
+      "double[][][]")
+    val nsRef = ctx.addReferenceObj("pqNormSq", normSq, "double[][]")
+    val codes = ctx.freshName("pqCodes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.GenericArrayData $codes =
+      |  graft.functions.PqKernels.encode($c, $cbRef, $nsRef);
+      |if ($codes == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $codes; }
+      |""".stripMargin)
+  }
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** Catalyst-native ADC table builder: `array<double>` query vector
+  * in, m·ksub `array<double>` lookup table out (null for zero-norm).
+  * One call per QUERY row — the expensive half of the ADC asymmetry. */
+case class PqTableExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need at least one subspace with at least one code")
+  require(codebooks.forall(_.length == codebooks(0).length),
+    "all subspaces must share one ksub")
+  override def dataType: DataType = org.apache.spark.sql.types
+    .ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.table(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codebooks)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks,
+      "double[][][]")
+    val tab = ctx.freshName("pqTab")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.GenericArrayData $tab =
+      |  graft.functions.PqKernels.table($c, $cbRef);
+      |if ($tab == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $tab; }
+      |""".stripMargin)
+  }
+  override def prettyName: String = "pq_table"
+  override protected def withNewChildInternal(c: Expression): PqTableExpr =
+    copy(child = c)
+}
+
+/** Asymmetric-distance score: (query table, code row) in, approximate
+  * cosine out — m array lookups per pair, fully codegen'd, so the
+  * candidate scan stays fused and each pair costs m adds instead of
+  * the d multiplies a raw-vector scan pays. */
+case class PqAdcScoreExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any, c: Any): Any =
+    PqKernels.adc(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => s"""
+      |${ev.value} = graft.functions.PqKernels.adc($t, $c);
+      |""".stripMargin)
+  override def prettyName: String = "pq_adc"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for graft's custom expressions. */
 object functions {
   /** Repair python-repr "JSON" (single quotes, True/None, trailing
@@ -368,4 +574,20 @@ object functions {
     * output in every conformant engine by Unicode stabilization. */
   def nfc_normalize(c: Column): Column =
     Shim.column(NfcNormalizeExpr(Shim.expression(c)))
+
+  /** Per-subspace PQ codes of an array<double> vector (null for
+    * zero-norm) — the product-quantization encode kernel. */
+  def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Shim.column(PqEncodeExpr(Shim.expression(c), codebooks))
+
+  /** m·ksub ADC lookup table for one query vector (null for
+    * zero-norm) — the per-query half of asymmetric distance. */
+  def pq_table(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Shim.column(PqTableExpr(Shim.expression(c), codebooks))
+
+  /** Asymmetric-distance score of a code row against a query table —
+    * m lookups per pair. */
+  def pq_adc(table: Column, codes: Column): Column =
+    Shim.column(PqAdcScoreExpr(Shim.expression(table),
+      Shim.expression(codes)))
 }

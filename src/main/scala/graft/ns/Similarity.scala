@@ -635,4 +635,243 @@ object Similarity {
         dot(col("__ua"), col("__ub")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, TPAMI 2011)
+  // ---------------------------------------------------------------
+
+  /** Fitted PQ codebooks keyed by (applicationId, caller key, m,
+    * ksub) — plain driver arrays (m·ksub·dsub doubles, kilobytes),
+    * nothing persisted, so a simple concurrent map suffices (compare
+    * `ivfIndexCache`, whose entries pin executor blocks). */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, Int, Int), Array[Array[Array[Double]]]]
+
+  /** Closed-form md5-parity PQ codebooks (±1 entries via
+    * [[Embeddings.projectionSign]] on the GLOBAL dimension index) —
+    * the oracle-exact twin input, the [[annTopKExact]] parity-plane
+    * convention: a DuckDB oracle re-derives every entry from the
+    * public sign formula, so encoding against these codebooks
+    * hash-gates end to end. */
+  def parityCodebooks(dim: Int, m: Int, ksub: Int,
+      salt: String = "pqb"): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    Array.tabulate(m)(s => Array.tabulate(ksub)(j =>
+      Array.tabulate(dsub)(i =>
+        Embeddings.projectionSign(s * dsub + i, j, salt).toDouble)))
+  }
+
+  /** Fit PQ codebooks: per-subspace k-means (Lloyd) over a
+    * deterministic content-addressed sample of the UNIT-normalized
+    * corpus. Returns the m×ksub×(d/m) codebook tensor — driver-size
+    * metadata, the [[buildIvfIndex]] centroid contract.
+    *
+    * The quantizer fit is the one step that must not see the full
+    * corpus at 100 TB: the fit consumes a `fitSampleCap`-bounded
+    * sample (ksub centroids per subspace need ~1000·ksub points, not
+    * billions), selected as the top-`fitSampleCap` rows by
+    * `xxhash64(id)` — a content-addressed top-k, deterministic under
+    * any partitioning, no RNG — and collected once (a bounded
+    * few-MB array, the ns102 driver-fit convention). Everything
+    * downstream (corpus encode, ADC scan) is distributed.
+    *
+    * The Lloyd loop itself is deterministic end to end: seeds are
+    * the first ksub DISTINCT subvectors in sample order, assignment
+    * uses the exact [[graft.functions.PqKernels]] scoring fold
+    * (2·dot − ‖c‖², strict >, smallest code on ties), means
+    * accumulate in sample order, and empty cells keep their previous
+    * center — so refitting the same corpus bit-reproduces the
+    * codebooks (law in NsSimilaritySpec), unlike an MLlib fit whose
+    * reduction order floats with partitioning.
+    *
+    * `indexKey`: the [[ivfTopK]] offline-index convention — a stable
+    * corpus key caches the fitted codebooks per (application, key,
+    * m, ksub); `refresh = true` refits and replaces (the
+    * FixtureCache producer/consumer split: the producer query
+    * reports the true fit cost, consumers pay the lookup). */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, fitSampleCap: Int = 16384,
+      maxIter: Int = 25, indexKey: Option[String] = None,
+      refresh: Boolean = false): Array[Array[Array[Double]]] = {
+    require(ksub >= 1 && fitSampleCap >= ksub,
+      "fitSampleCap must be >= ksub")
+    def fit(): Array[Array[Array[Double]]] = {
+      val dim = vecDim(corpus, vecCol)
+      require(dim % m == 0, s"dim $dim not divisible by m $m")
+      val dsub = dim / m
+      // top-K by content hash over the RAW columns, unit-normalize
+      // only the K survivors driver-side: unitizing before the limit
+      // would run the interpreted per-element transform over the
+      // whole corpus just to pick 16k rows (measured ~4 s of pure
+      // overhead at 400k × 64-d)
+      val sample = corpus
+        .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(fitSampleCap)
+        .select(col("__v")).collect()
+        .iterator.map(_.getSeq[Double](0).toArray)
+        .flatMap { v =>
+          var ss = 0.0
+          var i = 0
+          while (i < v.length) { ss += v(i) * v(i); i += 1 }
+          if (ss > 0) { val n = math.sqrt(ss); Some(v.map(_ / n)) }
+          else None
+        }.toArray
+      require(sample.nonEmpty, "empty corpus (all zero-norm?)")
+      Array.tabulate(m) { s =>
+        val base = s * dsub
+        val pts = sample.map(u => java.util.Arrays.copyOfRange(
+          u, base, base + dsub))
+        // seeds: first ksub distinct subvectors in sample order
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+        val it = pts.iterator
+        while (seen.size < ksub && it.hasNext) seen += it.next().toSeq
+        var centers = seen.toArray.map(_.toArray)
+        var assign = Array.fill(pts.length)(-1)
+        var changed = true
+        var iter = 0
+        while (changed && iter < maxIter) {
+          changed = false
+          val normSq = centers.map(c => c.map(x => x * x).sum)
+          var p = 0
+          while (p < pts.length) {
+            val v = pts(p)
+            var best = -1
+            var bestScore = Double.NegativeInfinity
+            var j = 0
+            while (j < centers.length) {
+              val c = centers(j)
+              var dot = 0.0
+              var t = 0
+              while (t < dsub) { dot += v(t) * c(t); t += 1 }
+              val score = 2.0 * dot - normSq(j)
+              if (score > bestScore) { bestScore = score; best = j }
+              j += 1
+            }
+            if (assign(p) != best) { assign(p) = best; changed = true }
+            p += 1
+          }
+          if (changed) {
+            val sums = Array.fill(centers.length)(new Array[Double](dsub))
+            val counts = new Array[Long](centers.length)
+            p = 0
+            while (p < pts.length) {
+              val j = assign(p)
+              val v = pts(p)
+              var t = 0
+              while (t < dsub) { sums(j)(t) += v(t); t += 1 }
+              counts(j) += 1
+              p += 1
+            }
+            centers = Array.tabulate(centers.length)(j =>
+              if (counts(j) == 0) centers(j)
+              else sums(j).map(_ / counts(j)))
+          }
+          iter += 1
+        }
+        centers
+      }
+    }
+    indexKey match {
+      case Some(key) =>
+        val ck = (corpus.sparkSession.sparkContext.applicationId,
+          key, m, ksub)
+        if (refresh) {
+          val cb = fit()
+          pqCodebookCache.put(ck, cb)
+          cb
+        } else pqCodebookCache.computeIfAbsent(ck, _ => fit())
+      case None => fit()
+    }
+  }
+
+  /** Encode a corpus (or an incremental batch — same function, the
+    * [[assignWithIndex]] contract) against fitted codebooks: one
+    * map-side codegen'd kernel call per row, no join, no shuffle.
+    * Zero-norm vectors are dropped. Output: (idCol, codes), codes an
+    * m-element array<int> — m·log2(ksub) bits of payload per vector
+    * in place of d floats, which is what makes the 100 TB code table
+    * scannable. */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.functions.pq_encode(
+          col(vecCol).cast("array<double>"), codebooks).as("codes"))
+      .filter(col("codes").isNotNull)
+
+  /** [[pqEncode]] scalarized to (idCol, subspace, code) rows — the
+    * ns35 posexplode idiom, the hash-gate-friendly long format. */
+  def pqCodesScalar(df: DataFrame,
+      codebooks: Array[Array[Array[Double]]], idCol: String,
+      vecCol: String): DataFrame =
+    pqEncode(df, codebooks, idCol, vecCol)
+      .select(col(idCol), posexplode(col("codes")))
+      .select(col(idCol), col("pos").cast("long").as("subspace"),
+        col("col").cast("long").as("code"))
+
+  /** Approximate top-k cosine neighbors over PQ codes with exact
+    * rerank — the two-stage ADC search (IVFADC's scan half): each
+    * query precomputes its m·ksub lookup table ONCE (one kernel call
+    * per query row, behind its own projection), the code table is
+    * scanned at m table-lookups per (query, candidate) pair — the
+    * per-pair cost a raw-vector scan pays d multiplies for — the
+    * top-`rerank` ADC candidates per query are then re-scored with
+    * EXACT cosines against the raw vectors and the top-k kept, so
+    * reported scores carry no quantization error (only recall does,
+    * and rerank>>k buys it back; recall law in NsSimilaritySpec).
+    *
+    * Plan shape: the query tables are a BROADCAST (|Q| rows); the
+    * only exchanges are the two per-query top-k windows and the
+    * candidate joins back to the raw vectors — candidates are
+    * id-only (the lshBuckets convention), at most `rerank` rows per
+    * query. For corpora where even the m-add scan is too much, feed
+    * `encoded` a cell-pruned slice (filter by [[assignWithIndex]]
+    * cells — IVF-PQ) before calling; the fixture-scale registry
+    * entry scans the full code table. Output: (query_id, idCol,
+    * cosine, rank). */
+  def pqTopKAdc(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int,
+      rerank: Int = 50): DataFrame = {
+    require(k >= 1 && rerank >= k, "need rerank >= k >= 1")
+    val enc = pqEncode(corpus, codebooks, idCol, vecCol)
+    val qt = queries
+      .select(col(queryIdCol).as("query_id"),
+        graft.functions.functions.pq_table(
+          col(queryVecCol).cast("array<double>"), codebooks).as("__tab"))
+      .filter(col("__tab").isNotNull)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+    val cand = enc.crossJoin(broadcast(qt))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        graft.functions.functions.pq_adc(col("__tab"), col("codes"))
+          .as("__adc"))
+      .withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= rerank)
+      .select(col("query_id"), col(idCol))
+    val qu = unitized(queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qv")), "query_id", "__qv")
+      .select(col("query_id"), col("__u").as("__qu"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    // attach raw vectors by BROADCASTING the ≤ rerank·|Q| candidate
+    // ids and unit-normalize only the survivors: unitizing the whole
+    // corpus before the join would pay the interpreted per-element
+    // transform N times to rerank a few hundred rows
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), idCol)
+      .select(col("query_id"), col(idCol), col(vecCol),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("query_id"), col(idCol),
+        transform(toD(col(vecCol)), x => x / col("__n")).as("__u"))
+      .join(qu, "query_id")
+      .select(col("query_id"), col(idCol),
+        dot(col("__u"), col("__qu")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

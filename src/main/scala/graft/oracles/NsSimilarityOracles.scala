@@ -85,6 +85,49 @@ private[graft] object NsSimilarityOracles {
         |  FROM scored WHERE cosine >= 0.15)
         |SELECT query_id, vec_id, cosine, "rank" FROM ranked
         |WHERE "rank" <= 5""".stripMargin,
+    // PQ encode against md5-parity ±1 codebooks: the oracle
+    // re-derives every sub-centroid entry from the public sign
+    // formula (global dim index s·8+i, code j, salt 'pqb' — the
+    // ns06b idiom), unit-normalizes exactly as the kernel does
+    // (x/n per element), scores each code by 2·dot − ‖c‖² with
+    // list_sum's sequential fold mirroring the kernel's ascending
+    // loop (±1 entries make ‖c‖² exactly 8.0), and keeps the
+    // smallest code among score ties — the strict-> convention.
+    "ns146b_pq_encode_exact" ->
+      """WITH cb AS (
+        |  SELECT s.s AS s, j.j AS j,
+        |    list(CASE WHEN CAST(('0x' || substr(md5(
+        |        CAST(s.s * 8 + t.i AS VARCHAR) || ':'
+        |        || CAST(j.j AS VARCHAR) || ':pqb'), 1, 1))
+        |        AS INT) % 2 = 0
+        |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+        |      ORDER BY t.i) AS cv
+        |  FROM UNNEST(range(0, 8)) AS s(s), UNNEST(range(0, 16)) AS j(j),
+        |       UNNEST(range(0, 8)) AS t(i)
+        |  GROUP BY s.s, j.j),
+        |u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS uv
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |        i -> CAST(embedding[i] AS DOUBLE)
+        |          * CAST(embedding[i] AS DOUBLE)))) AS n
+        |    FROM embeddings)
+        |  WHERE n > 0),
+        |scored AS (
+        |  SELECT u.vec_id, cb.s, cb.j,
+        |    2 * list_sum(list_transform(range(1, 9),
+        |      i -> uv[CAST(cb.s * 8 AS INT) + i] * cv[i])) - 8.0 AS score
+        |  FROM u, cb),
+        |ranked AS (
+        |  SELECT vec_id, s, j,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |      ORDER BY score DESC, j) AS rnk
+        |  FROM scored)
+        |SELECT vec_id, CAST(s AS BIGINT) AS subspace,
+        |  CAST(j AS BIGINT) AS code
+        |FROM ranked WHERE rnk = 1""".stripMargin,
     // Addition-merged summary store ≡ the whole-corpus Gram: merge
     // is exact integer addition, so this is ns101's oracle VERBATIM
     // (the s08-vs-ns93 convention).

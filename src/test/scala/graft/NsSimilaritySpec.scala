@@ -381,6 +381,104 @@ class NsSimilaritySpec extends SparkSpec {
     assert(math.abs(n3 - 1.0) < 1e-12)
   }
 
+  test("pq parity twin: kernel codes achieve the minimal independent " +
+      "squared distance per subspace") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cb = Similarity.parityCodebooks(64, 8, 16)
+    val got = Similarity.pqCodesScalar(emb, cb, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, s, c) => (id, s) -> c.toInt }.toMap
+    val raw = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    assert(raw.nonEmpty && got.nonEmpty)
+    var checked = 0
+    raw.foreach { case (id, e) =>
+      val v = e.map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) {
+        for (s <- 0 until 8) {
+          // independent formulation: plain squared distance over the
+          // unit subvector (the kernel scores 2·dot − ‖c‖² instead)
+          def d2(j: Int): Double = (0 until 8).map { i =>
+            val diff = v(s * 8 + i) / n - cb(s)(j)(i); diff * diff
+          }.sum
+          val best = (0 until 16).map(d2).min
+          val chosen = got((id, s.toLong))
+          assert(d2(chosen) <= best + 1e-9,
+            s"vec $id subspace $s: code $chosen not a distance argmin")
+          checked += 1
+        }
+      }
+    }
+    assert(checked >= 800, s"only $checked subspace codes checked")
+  }
+
+  test("pqFit: bit-reproducible, right shapes, codes in range, " +
+      "zero-norm rows dropped") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cb1 = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val cb2 = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    assert(cb1.length == 8 && cb1.forall(_.length == 16) &&
+      cb1.forall(_.forall(_.length == 8)))
+    // refit must reproduce the codebooks EXACTLY (content-addressed
+    // sample + ordered Lloyd — no MLlib reduction-order drift)
+    (cb1.flatten.flatten, cb2.flatten.flatten).zipped.foreach((a, b) =>
+      assert(a == b, "refit drifted"))
+    val codes = Similarity.pqEncode(emb, cb1, "vec_id", "embedding")
+      .select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) < 16)
+    // zero-norm: no direction, dropped like the IVF assign path
+    val withZero = vecs(1L -> Seq(1f, 2f, 3f, 4f),
+      2L -> Seq(0f, 0f, 0f, 0f))
+    val enc = Similarity.pqEncode(withZero,
+      Similarity.parityCodebooks(4, 2, 2), "vec_id", "embedding")
+      .select(col("vec_id")).as[Long].collect()
+    assert(enc.toSeq == Seq(1L))
+  }
+
+  test("pqTopKAdc: recall@5 vs exact >= 0.6, reported cosines are " +
+      "EXACT (rerank), deterministic") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val cb = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val pq = Similarity.pqTopKAdc(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, k = 5, rerank = 50)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    val pqPairs = pq.map(r => (r._1, r._2)).toSet
+    assert(exactPairs.nonEmpty &&
+      pqPairs.intersect(exactPairs).size >= exactPairs.size * 0.6,
+      s"recall ${pqPairs.intersect(exactPairs).size}/${exactPairs.size}")
+    // rerank exactness: where PQ and exact agree on a pair, the
+    // reported cosine is the exact one (no quantization error)
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (qid, id, c) =>
+      exactCos.get((qid, id)).foreach(e =>
+        assert(math.abs(c - e) < 1e-9, s"($qid,$id): $c vs $e"))
+    }
+    val pq2 = Similarity.pqTopKAdc(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, k = 5, rerank = 50)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+    assert(pq.toSet == pq2.toSet, "ADC search must be deterministic")
+  }
+
+  test("pqEncode is a pure projection: no exchange in the plan") {
+    val plan = Similarity.pqEncode(Tables(spark, sf, "embeddings"),
+      Similarity.parityCodebooks(64, 8, 16), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+  }
+
   test("l2Normalize is a pure projection: no exchange in the plan") {
     val plan = graft.ns.Embeddings.l2Normalize(
       Tables(spark, sf, "embeddings"), "vec_id", "embedding")
