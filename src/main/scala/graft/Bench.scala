@@ -181,7 +181,11 @@ object Bench {
       // FixtureCache producer whose single ~14 s cold build must
       // COMPLETE in warm-up (capMin would cancel it — the poisoned-
       // warm-up trap) so the consumers warm against the stored map.
-      "ns04b_simhash_exact", "ns106_ivf_incremental")
+      "ns04b_simhash_exact", "ns106_ivf_incremental",
+      // r11 session 4: PQ family (fit+encode producer, ADC consumer)
+      // and the capped containment pair join — cold paths 4-6 s at
+      // sf0.1, all measured under the capMin slice (QueryProbe)
+      "ns146_pq_encode", "ns147_pq_adc_topk", "ns150_containment_pairs")
     def famRank(n: String): Int =
       if (heavy(n)) 2
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||

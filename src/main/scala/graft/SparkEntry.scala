@@ -1868,6 +1868,51 @@ object SparkEntry {
         k = 5, rerank = 50)
     }),
 
+    // ---- §2.8 [NS] sliding-window document chunking (r11) ----
+    // The retrieval-index prep step: overlapping 64-word chunks at
+    // 48-word stride with word offsets, cut over the canonical
+    // token stream. One map-side projection (tokenize once, explode
+    // chunk indices, slice per row) — no join, no shuffle.
+    "ns148_doc_chunks" -> ((s, d) =>
+      TextOps.docChunks(t(s, d, "documents"), "doc_id", "text",
+        window = 64, stride = 48)),
+
+    // ---- §2.8 [NS] precision/recall threshold sweep (r11) ----
+    // The operating-point curve for the ns73 linear classifier
+    // against a surface-statistics weak label (word count and mean
+    // word length in the Gopher bands) — what a pipeline runs before
+    // committing to a quality-gate cutoff. Two-phase: per-distinct-
+    // logit aggregate, then the cumulative window over that bounded
+    // summary; every ratio one IEEE division of exact longs.
+    "ns149_pr_curve" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.linearLogitCol(col("text")).as("logit_micro"),
+          TextOps.wordTokens(col("text")).as("__w"))
+        .select(col("logit_micro"), size(col("__w")).as("__nw"),
+          (aggregate(transform(col("__w"),
+              w => length(w).cast("long")), lit(0L), (a, b) => a + b)
+            .cast("double") / size(col("__w")).cast("double"))
+            .as("__mwl"))
+        .select(col("logit_micro"),
+          (col("__nw") >= 30 && col("__nw") <= 10000 &&
+            col("__mwl") >= 3.0 && col("__mwl") <= 10.0).as("label"))
+      TextOps.prCurve(scored, "logit_micro", "label")
+    }),
+
+    // ---- §2.8 [NS] n-gram containment pairs (r11) ----
+    // The asymmetric near-dup detector: containment |A∩B|/|A|
+    // catches a short doc quoted whole inside a long one (Jaccard ≈
+    // |A|/|B| misses it). Same shared-shingle equi-join machinery as
+    // ns02; both directions emitted from one pair-join evaluation.
+    // Registered with the ns02b per-gram bucket cap — the scale
+    // form (Σ bucket² bounded); the uncapped diagnostic shape is
+    // ns02's, one containment-vs-jaccard law in NsDedupSpec.
+    "ns150_containment_pairs" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(t(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.6,
+        maxDocFreq = Some(5))),
+
     // ---- §2.8 [NS] corpus datasheet (r11) ----
     // The "dataset card" numbers (Datasheets for Datasets shape) as
     // ONE long-format query — per-source volume (docs/tokens/words/

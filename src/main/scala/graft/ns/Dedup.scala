@@ -233,6 +233,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed n-gram CONTAINMENT pairs — the asymmetric complement
+    * of [[ngramJaccardPairs]] (Broder 1997 defines both):
+    * C(A→B) = |A∩B| / |A| over distinct word n-gram sets. Catches
+    * SUBSET duplication that symmetric Jaccard structurally misses —
+    * a short doc quoted whole inside a long digest has containment
+    * 1.0 but Jaccard ≈ |A|/|B|, far below any near-dup threshold —
+    * which is exactly the syndication/quotation/boilerplate-wrapper
+    * shape a web corpus is full of.
+    *
+    * Same scale machinery as Jaccard: candidates from the shared-
+    * shingle equi-join (never an all-pairs product), intersection
+    * counted ONCE per unordered pair, sizes joined back, then each
+    * surviving pair emits its two directions. `maxDocFreq` caps the
+    * per-gram bucket like ns02b. Output:
+    * (contained_id, container_id, common, sz_contained, containment)
+    * — one row per DIRECTED pair with containment ≥ `threshold`. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val g0 = shingles(df, idCol, textCol, n)
+    val g = maxDocFreq match {
+      case Some(cap) =>
+        val rare = g0.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= cap)
+          .select(col("gram"))
+        g0.join(rare, "gram")
+      case None => g0
+    }
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = g.select(col(idCol).as("id_a"), col("gram")).as("ca")
+    val b = g.select(col(idCol).as("id_b"), col("gram")).as("cb")
+    val common = a.join(b,
+      col("ca.gram") === col("cb.gram") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+    // both directions from ONE evaluation of the pair join (a
+    // two-branch union would re-run the join per branch): map-side
+    // explode of the two directed structs
+    common
+      .select(explode(array(
+        struct(col("id_a").as("contained_id"),
+          col("id_b").as("container_id"), col("common"),
+          col("sz_a").as("sz_contained")),
+        struct(col("id_b").as("contained_id"),
+          col("id_a").as("container_id"), col("common"),
+          col("sz_b").as("sz_contained")))).as("p"))
+      .select(col("p.contained_id"), col("p.container_id"),
+        col("p.common"), col("p.sz_contained"),
+        (col("p.common").cast("double") /
+          col("p.sz_contained").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Benchmark decontamination (the GPT-3 appendix-C / C4-analysis
     * overlap check): for each eval document, the fraction of its
     * distinct word n-grams that occur ANYWHERE in the training

@@ -1843,4 +1843,85 @@ object TextOps {
       .groupBy(col(idCol), col("cell"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Sliding-window document chunking — the retrieval-index /
+    * long-context prep step: each document becomes overlapping
+    * `window`-word chunks at `stride`-word steps (stride < window ⇒
+    * adjacent chunks share window−stride words, so no boundary
+    * sentence is ever split across ALL chunks containing it). Chunks
+    * are cut over the canonical whitespace-normalized token stream
+    * ([[wordTokens]] — the convention every gram operator here
+    * shares), and each row carries its word offset so a consumer can
+    * map retrieval hits back into the source document.
+    *
+    * Scale shape: one map-side projection — tokenize once behind a
+    * projection boundary (the shingleStream idiom), explode a
+    * per-doc chunk-index sequence, and `slice` per output row; no
+    * join, no shuffle, no per-element re-tokenization (the
+    * interpreted-HOF trap). Chunk count per doc is
+    * 1 + ceil(max(n−window, 0) / stride) — the last chunk always
+    * reaches the final word. Empty docs produce no chunks.
+    * Output: (idCol, chunk_id, start_word, n_words, chunk_text). */
+  def docChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val words = df
+      .select(col(idCol), wordTokens(col(textCol)).as("__words"))
+      .select(col(idCol),
+        filter(col("__words"), w => length(w) > 0).as("__words"))
+      .filter(size(col("__words")) > 0)
+    val extra = floor((greatest(size(col("__words")) - lit(window),
+      lit(0)).cast("double") + (stride - 1)) / stride).cast("int")
+    words
+      .select(col(idCol), col("__words"),
+        explode(sequence(lit(0), extra)).as("__c"))
+      .select(col(idCol),
+        col("__c").cast("long").as("chunk_id"),
+        (col("__c").cast("long") * stride).as("start_word"),
+        slice(col("__words"), col("__c") * stride + 1, lit(window))
+          .as("__cw"))
+      .select(col(idCol), col("chunk_id"), col("start_word"),
+        size(col("__cw")).cast("long").as("n_words"),
+        array_join(col("__cw"), " ").as("chunk_text"))
+  }
+
+  /** Precision/recall operating curve of a score column against a
+    * boolean label — the threshold sweep a filtering pipeline runs
+    * BEFORE committing to a quality-gate cutoff (each output row is
+    * the operating point "predict positive at score ≥ this row's
+    * score"). Complements [[isotonicCalibrate]]: calibration fixes
+    * the probabilities, the curve picks the cutoff.
+    *
+    * Scale shape: one aggregate per DISTINCT score (map-combinable
+    * corpus pass), then the cumulative window runs over the
+    * |distinct scores|-row summary — the ns144 bounded-summary
+    * convention, no corpus-sized global window — and the positive
+    * total comes from summing that same summary. Deterministic:
+    * integer counts; precision/recall are each ONE IEEE division of
+    * two exact longs.
+    * Output: (scoreCol, n_pred, tp, precision, recall), descending
+    * operating thresholds. */
+  def prCurve(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val per = df.groupBy(col(scoreCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(labelCol).cast("long")).as("__pos"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val tot = per.agg(coalesce(sum(col("__pos")), lit(0L)).as("__p_all"))
+    per
+      .withColumn("n_pred", sum(col("__n")).over(wc))
+      .withColumn("tp", sum(col("__pos")).over(wc))
+      .crossJoin(broadcast(tot))
+      .select(col(scoreCol), col("n_pred"), col("tp"),
+        (col("tp").cast("double") / col("n_pred").cast("double"))
+          .as("precision"),
+        when(col("__p_all") > 0,
+          col("tp").cast("double") / col("__p_all").cast("double"))
+          .otherwise(lit(0.0)).as("recall"))
+  }
 }

@@ -554,6 +554,87 @@ private[graft] object NsTextOracles {
         |    / (CAST(fx_all AS DOUBLE) / CAST(n_all AS DOUBLE))
         |    * 1000000.0) AS BIGINT) AS weight_micro
         |FROM dom, alltot""".stripMargin,
+    // Sliding-window chunking over the canonical token stream:
+    // chunk count 1 + ceil(max(n−64, 0)/48) via the same
+    // floor((x+47)/48) double arithmetic, list_slice clamps the tail
+    // exactly like Spark's slice.
+    "ns148_doc_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' '), x -> length(x) > 0) AS words
+        |  FROM documents),
+        |n AS (SELECT doc_id, words, len(words) AS nw FROM w
+        |      WHERE len(words) > 0),
+        |c AS (
+        |  SELECT doc_id, words, nw,
+        |    unnest(range(0,
+        |      CAST(floor((CAST(greatest(nw - 64, 0) AS DOUBLE) + 47)
+        |        / 48) AS BIGINT) + 1)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_word,
+        |  CAST(len(list_slice(words, CAST(chunk_id * 48 + 1 AS INT),
+        |    CAST(chunk_id * 48 + 64 AS INT))) AS BIGINT) AS n_words,
+        |  array_to_string(list_slice(words,
+        |    CAST(chunk_id * 48 + 1 AS INT),
+        |    CAST(chunk_id * 48 + 64 AS INT)), ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    // ns73's logit CASE table, a surface-statistics weak label, then
+    // the cumulative sweep over distinct logits: every count exact,
+    // each ratio one IEEE division of two exact integers.
+    "ns149_pr_curve" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(-50000 + coalesce(list_sum(list_transform(toks,
+        |      t -> CASE t
+        |        WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |        WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |        WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |        WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |        WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |        WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |        WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |        WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |        WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |        WHEN 'http' THEN -60000 ELSE 0 END)), 0) AS BIGINT)
+        |      AS logit_micro,
+        |    len(toks) AS nw,
+        |    CAST(list_sum(list_transform(toks,
+        |      x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS mwl
+        |  FROM docs),
+        |lab AS (
+        |  SELECT logit_micro,
+        |    (nw >= 30 AND nw <= 10000 AND mwl >= 3.0 AND mwl <= 10.0)
+        |      AS label
+        |  FROM scored),
+        |per AS (
+        |  SELECT logit_micro, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos
+        |  FROM lab GROUP BY 1),
+        |tot AS (SELECT CAST(coalesce(SUM(pos), 0) AS BIGINT) AS p_all
+        |        FROM per),
+        |cum AS (
+        |  SELECT logit_micro,
+        |    SUM(n) OVER (ORDER BY logit_micro DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS n_pred,
+        |    SUM(pos) OVER (ORDER BY logit_micro DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+        |  FROM per)
+        |SELECT logit_micro, CAST(n_pred AS BIGINT) AS n_pred,
+        |  CAST(tp AS BIGINT) AS tp,
+        |  CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) AS precision,
+        |  CASE WHEN t.p_all > 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(t.p_all AS DOUBLE)
+        |    ELSE 0.0 END AS recall
+        |FROM cum, tot t""".stripMargin,
     // Per-domain quota oracle: same closed-form URL construction, same
     // public-suffix decision (two labels, three under a two-level
     // suffix), ns18's quota window keyed on the derived domain.

@@ -124,6 +124,35 @@ class NsDedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("ngramContainmentPairs: a subset doc scores containment 1.0 " +
+      "where jaccard misses it, directions correct") {
+    // doc 1 is the first third of doc 2: every doc-1 gram is in
+    // doc 2 → C(1→2) = 1.0, but jaccard = |A|/|B| = 3/13 ≈ 0.23.
+    val short = "a b c d e"
+    val long = short + " f g h i j k l m n o"
+    val d = docs(1L -> short, 2L -> long, 3L -> "p q r s t")
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .count() == 0, "jaccard must miss the subset pair")
+    val out = Dedup.ngramContainmentPairs(d, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L)),
+      s"only doc 1 is contained in doc 2: ${out.toSeq}")
+    val r = out.head
+    assert(r._3 == 3L && r._4 == 3L && r._5 == 1.0,
+      s"3 shared grams over |A|=3: $r")
+  }
+
+  test("ngramContainmentPairs: both directions emitted, each " +
+      "containment = common/|contained|") {
+    // docs 1 and 2 overlap partially: common=2 grams,
+    // |A|=3, |B|=3 → both directions 2/3 at threshold 0.5
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d x")
+    val out = Dedup.ngramContainmentPairs(d, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 2L, 3L, 2.0 / 3),
+      (2L, 1L, 2L, 3L, 2.0 / 3)), s"got $out")
+  }
+
   // NOTE the tempting "capped ⊆ uncapped" law is FALSE for thresholded
   // output: dropping a stop-shingle shrinks the union, so a pair's
   // jaccard over the surviving shingles can RISE above the threshold.

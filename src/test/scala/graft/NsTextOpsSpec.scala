@@ -1101,6 +1101,62 @@ class NsTextOpsSpec extends SparkSpec {
       s"profile/marker agreement only $agree/${rows.length}")
   }
 
+  test("docChunks: coverage, overlap, offsets, chunk-count formula") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.docChunks(df, "doc_id", "text",
+        window = 10, stride = 7)
+      .as[(Long, Long, Long, Long, String)].collect()
+    // empty doc drops; short doc gets exactly one whole-doc chunk
+    assert(!out.exists(_._1 == 3L))
+    val shortChunks = out.filter(_._1 == 2L)
+    assert(shortChunks.toSeq == Seq((2L, 0L, 0L, 3L, "a b c")))
+    val chunks = out.filter(_._1 == 1L).sortBy(_._2)
+    // 1 + ceil((100-10)/7) = 1 + 13 = 14 chunks
+    assert(chunks.length == 14, s"got ${chunks.length}")
+    chunks.zipWithIndex.foreach { case ((_, cid, start, n, txt), i) =>
+      assert(cid == i && start == 7L * i)
+      val words = txt.split(" ")
+      assert(n == words.length && n <= 10)
+      // offset correctness: first word of the chunk is w{start+1}
+      assert(words.head == s"w${start + 1}", s"chunk $cid: ${words.head}")
+    }
+    // the LAST chunk reaches the final word
+    assert(chunks.last._5.split(" ").last == "w100")
+    // adjacent chunks overlap by window - stride = 3 words
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      val ov = a._5.split(" ").toSet.intersect(b._5.split(" ").toSet)
+      assert(b._3 - a._3 == 7 &&
+        (a._3 + a._4 - b._3 == 3 || a._4 < 10),
+        s"overlap broken between ${a._2} and ${b._2} ($ov)")
+    }
+  }
+
+  test("prCurve: cumulative counts, monotone recall, endpoints") {
+    // scores 4,3,2,1 with labels pos,pos,neg,pos
+    val df = Seq((4L, true), (3L, true), (2L, false), (1L, true))
+      .toDF("score", "label")
+    val out = TextOps.prCurve(df, "score", "label")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .sortBy(-_._1)
+    assert(out.map(_._1).toSeq == Seq(4L, 3L, 2L, 1L))
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L), "n_pred cumsum")
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 2L, 3L), "tp cumsum")
+    assert(out.map(_._4).toSeq ==
+      Seq(1.0, 1.0, 2.0 / 3, 3.0 / 4), "precision")
+    assert(out.map(_._5).toSeq ==
+      Seq(1.0 / 3, 2.0 / 3, 2.0 / 3, 1.0), "recall")
+    // recall is monotone along descending thresholds; the loosest
+    // operating point always has recall exactly 1
+    assert(out.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    // all-negative corpus: recall pinned to 0.0, no NaN
+    val neg = TextOps.prCurve(
+      Seq((5L, false), (6L, false)).toDF("score", "label"),
+      "score", "label").as[(Long, Long, Long, Double, Double)]
+      .collect()
+    assert(neg.forall(r => r._5 == 0.0 && !r._4.isNaN))
+  }
+
   test("domainReweight: hard domains upweighted, token-weighted excess is 1") {
     // "common" repeats one token (cheap under its own LM); "rare"
     // is all-distinct tokens (max NLL per token)
