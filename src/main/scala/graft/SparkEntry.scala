@@ -1913,6 +1913,44 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.6,
         maxDocFreq = Some(5))),
 
+    // ---- §2.8 [NS] homoglyph scrub (r11) ----
+    // Dedup-evasion defense: docs with doc_id%7==0 get a planted
+    // Cyrillic-lookalike substitution (the spam-cloaking attack);
+    // the scrub must restore the Latin text — the oracle re-derives
+    // both the attack and the repair from the same public table, so
+    // any drifted mapping breaks the hash.
+    "ns151_homoglyph_scrub" -> ((s, d) => {
+      val attacked = when(pmod(col("doc_id"), lit(7)) === 0,
+        translate(col("text"), "aceopxy", "асеорху"))
+        .otherwise(col("text"))
+      TextOps.homoglyphScrub(
+        t(s, d, "documents").select(col("doc_id"),
+          attacked.as("text")),
+        "doc_id", "text")
+    }),
+
+    // ---- §2.8 [NS] inter-annotator agreement (r11) ----
+    // Cohen's kappa per rater pair over a derived annotation table:
+    // three synthetic raters relabel the ns73 keep decision with
+    // md5-derived flip noise at 16/48/96 per 256 — so the pair
+    // kappas must come out strictly ordered by noise, and every
+    // count/ratio is exact (integer chance sums, fixed division
+    // dag).
+    "ns152_annotator_kappa" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"),
+        (TextOps.linearLogitCol(col("text")) > 0).as("__keep"))
+      val rated = base.select(col("doc_id"), col("__keep"),
+        explode(array(lit("r1"), lit("r2"), lit("r3"))).as("rater"))
+      val noise = conv(substring(md5(concat(col("doc_id"),
+        lit(":"), col("rater"))), 1, 2), 16, 10).cast("long")
+      val thr = when(col("rater") === "r1", 16L)
+        .when(col("rater") === "r2", 48L).otherwise(96L)
+      graft.ns.Posttrain.annotatorAgreement(
+        rated.select(col("doc_id"), col("rater"),
+          (col("__keep") =!= (noise < thr)).as("label")),
+        "doc_id", "rater", "label")
+    }),
+
     // ---- §2.8 [NS] corpus datasheet (r11) ----
     // The "dataset card" numbers (Datasheets for Datasets shape) as
     // ONE long-format query — per-source volume (docs/tokens/words/

@@ -126,4 +126,61 @@ object Posttrain {
         expr(s"(__rank0 * ${phases}L) div ${n}L").cast("long")
           .as("phase"))
   }
+
+  /** Inter-annotator agreement — Cohen's kappa per rater pair
+    * (Cohen 1960): the labeling-QA number a post-training data
+    * pipeline computes before trusting human (or judge-model)
+    * labels. For each unordered rater pair, over the items BOTH
+    * rated: observed agreement po = agree/n, chance agreement
+    * pe = Σ_k P_A(k)·P_B(k) from the pair's own marginals, and
+    * kappa = (po − pe)/(1 − pe); kappa is 0 when pe = 1 (both
+    * marginals degenerate — agreement is indistinguishable from
+    * chance, and the standard estimator is 0/0).
+    *
+    * Determinism: n, agree, and chance = Σ_k cA_k·cB_k are exact
+    * integers; po, pe are each one IEEE division (pe's denominator
+    * the exact product n·n), and kappa one fixed subtract/divide
+    * dag — bit-stable in any engine, no tolerance needed.
+    *
+    * Scale shape: the item-keyed self-join emits r(r−1)/2 rows per
+    * item (r = raters per item, a small constant), then everything
+    * reduces to per-(pair) and per-(pair, label) aggregates —
+    * map-combinable, output bounded by rater-pairs × labels. No
+    * all-pairs product over items, no window.
+    * Output: (rater_a, rater_b, n_items, agree, po, pe, kappa). */
+  def annotatorAgreement(df: DataFrame, itemCol: String,
+      raterCol: String, labelCol: String): DataFrame = {
+    val a = df.select(col(itemCol).as("__it"),
+      col(raterCol).as("rater_a"), col(labelCol).as("__la"))
+    val b = df.select(col(itemCol).as("__it"),
+      col(raterCol).as("rater_b"), col(labelCol).as("__lb"))
+    val pairs = a.join(b, Seq("__it"))
+      .filter(col("rater_a") < col("rater_b"))
+    val base = pairs.groupBy(col("rater_a"), col("rater_b"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__la") === col("__lb"), 1L).otherwise(0L))
+          .as("agree"))
+    val cA = pairs.groupBy(col("rater_a"), col("rater_b"),
+        col("__la").as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cB = pairs.groupBy(col("rater_a"), col("rater_b"),
+        col("__lb").as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    val chance = cA.join(cB, Seq("rater_a", "rater_b", "__k"))
+      .groupBy(col("rater_a"), col("rater_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("__chance"))
+    base.join(chance, Seq("rater_a", "rater_b"))
+      .select(col("rater_a"), col("rater_b"), col("n_items"),
+        col("agree"),
+        (col("agree").cast("double") / col("n_items").cast("double"))
+          .as("po"),
+        (col("__chance").cast("double") /
+          (col("n_items").cast("double") * col("n_items").cast("double")))
+          .as("pe"))
+      .select(col("rater_a"), col("rater_b"), col("n_items"),
+        col("agree"), col("po"), col("pe"),
+        when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
 }

@@ -1844,6 +1844,49 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Confusable-to-Latin homoglyph table: Cyrillic and Greek code
+    * points that render (near-)identically to Basic Latin letters —
+    * the classic dedup-evasion / spam-cloaking substitution set
+    * (Unicode TR #39's confusables, restricted to the
+    * single-codepoint 1:1 cases `translate` can map). Paired
+    * (confusable, latin), both BMP. */
+  val homoglyphPairs: Seq[(Char, Char)] = Seq(
+    // Cyrillic lowercase lookalikes
+    'а' -> 'a', 'е' -> 'e', 'о' -> 'o', 'р' -> 'p', 'с' -> 'c',
+    'х' -> 'x', 'у' -> 'y', 'і' -> 'i', 'ѕ' -> 's', 'ј' -> 'j',
+    // Cyrillic uppercase
+    'А' -> 'A', 'В' -> 'B', 'Е' -> 'E', 'К' -> 'K', 'М' -> 'M',
+    'Н' -> 'H', 'О' -> 'O', 'Р' -> 'P', 'С' -> 'C', 'Т' -> 'T',
+    'Х' -> 'X', 'І' -> 'I', 'Ѕ' -> 'S', 'Ј' -> 'J',
+    // Greek uppercase + the two strong lowercase confusables
+    'Α' -> 'A', 'Β' -> 'B', 'Ε' -> 'E', 'Ζ' -> 'Z', 'Η' -> 'H',
+    'Ι' -> 'I', 'Κ' -> 'K', 'Μ' -> 'M', 'Ν' -> 'N', 'Ο' -> 'O',
+    'Ρ' -> 'P', 'Τ' -> 'T', 'Υ' -> 'Y', 'Χ' -> 'X',
+    'ο' -> 'o', 'ν' -> 'v')
+
+  /** Map confusable Cyrillic/Greek homoglyphs to their Latin
+    * lookalikes — one codegen'd `translate` (a per-codepoint table
+    * lookup, no regex). The dedup-evasion defense: a spam corpus
+    * that swaps Latin 'o' for Cyrillic 'о' defeats fingerprint
+    * dedup, n-gram decontamination, AND the word-keyed quality
+    * classifier at once; scrubbing restores one canonical key for
+    * all three (composition law in NsTextOpsSpec). Idempotent by
+    * construction: the target alphabet is disjoint from the source
+    * alphabet. */
+  def homoglyphNormalize(c: Column): Column =
+    translate(c, homoglyphPairs.map(_._1).mkString,
+      homoglyphPairs.map(_._2).mkString)
+
+  /** [[homoglyphNormalize]] over a corpus with a changed flag —
+    * curation stage 0.7 (after mojibake repair and NFC, before
+    * fingerprinting). Output: (idCol, clean_text, changed). */
+  def homoglyphScrub(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol),
+        homoglyphNormalize(col(textCol)).as("clean_text"))
+      .select(col(idCol), col("clean_text"),
+        (col(textCol) =!= col("clean_text")).as("changed"))
+
   /** Sliding-window document chunking — the retrieval-index /
     * long-context prep step: each document becomes overlapping
     * `window`-word chunks at `stride`-word steps (stride < window ⇒

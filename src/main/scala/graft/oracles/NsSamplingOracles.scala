@@ -203,6 +203,71 @@ private[graft] object NsSamplingOracles {
         |  rn - 1 AS pair_rank
         |FROM r
         |WHERE rn BETWEEN 2 AND 4 AND chosen_reward - value > 0.0""".stripMargin,
+    // Cohen's kappa re-derived independently: ns73's keep decision,
+    // the same md5 flip noise, then po/pe/kappa from the pair's own
+    // contingency — integer chance sums, each ratio one IEEE
+    // division, the same fixed dag as the Spark side.
+    "ns152_annotator_kappa" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |keepv AS (
+        |  SELECT doc_id,
+        |    (-50000 + coalesce(list_sum(list_transform(toks,
+        |      t -> CASE t
+        |        WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |        WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |        WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |        WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |        WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |        WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |        WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |        WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |        WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |        WHEN 'http' THEN -60000 ELSE 0 END)), 0)) > 0 AS keep
+        |  FROM docs),
+        |lab AS (
+        |  SELECT doc_id, r.rater,
+        |    (keep != (CAST(('0x' || substr(md5(
+        |        CAST(doc_id AS VARCHAR) || ':' || r.rater), 1, 2))
+        |      AS INT) < CASE r.rater WHEN 'r1' THEN 16
+        |        WHEN 'r2' THEN 48 ELSE 96 END)) AS label
+        |  FROM keepv, UNNEST(['r1', 'r2', 'r3']) AS r(rater)),
+        |p AS (
+        |  SELECT a.doc_id, a.rater AS rater_a, b.rater AS rater_b,
+        |    a.label AS la, b.label AS lb
+        |  FROM lab a JOIN lab b
+        |    ON a.doc_id = b.doc_id AND a.rater < b.rater),
+        |base AS (
+        |  SELECT rater_a, rater_b, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM p GROUP BY 1, 2),
+        |ca AS (SELECT rater_a, rater_b, la AS k,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM p GROUP BY 1, 2, 3),
+        |cb AS (SELECT rater_a, rater_b, lb AS k,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM p GROUP BY 1, 2, 3),
+        |ch AS (
+        |  SELECT ca.rater_a, ca.rater_b,
+        |    CAST(SUM(ca.c * cb.c) AS BIGINT) AS chance
+        |  FROM ca JOIN cb ON ca.rater_a = cb.rater_a
+        |    AND ca.rater_b = cb.rater_b AND ca.k = cb.k
+        |  GROUP BY 1, 2),
+        |rates AS (
+        |  SELECT b.rater_a, b.rater_b, b.n_items, b.agree,
+        |    CAST(b.agree AS DOUBLE) / CAST(b.n_items AS DOUBLE) AS po,
+        |    CAST(ch.chance AS DOUBLE) / (CAST(b.n_items AS DOUBLE)
+        |      * CAST(b.n_items AS DOUBLE)) AS pe
+        |  FROM base b JOIN ch
+        |    ON b.rater_a = ch.rater_a AND b.rater_b = ch.rater_b)
+        |SELECT rater_a, rater_b, n_items, agree, po, pe,
+        |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe)
+        |    ELSE 0.0 END AS kappa
+        |FROM rates""".stripMargin,
     // ns73's logit CTE + ONE global (logit desc, id) window — the
     // two-phase prefix-sum rewrite must reproduce it row-for-row;
     // the phase cut is exact integer arithmetic.

@@ -579,6 +579,26 @@ private[graft] object NsTextOracles {
         |    CAST(chunk_id * 48 + 1 AS INT),
         |    CAST(chunk_id * 48 + 64 AS INT)), ' ') AS chunk_text
         |FROM c""".stripMargin,
+    // The attack (latin→Cyrillic on doc_id%7==0) and the repair
+    // (full confusable table → Latin) both re-derived in SQL from
+    // the same public mapping; translate is per-codepoint in both
+    // engines.
+    "ns151_homoglyph_scrub" ->
+      """WITH att AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN translate(text, 'aceopxy', 'асеорху')
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  translate(text,
+        |    'аеорсхуіѕјАВЕКМНОРСТХІЅЈΑΒΕΖΗΙΚΜΝΟΡΤΥΧον',
+        |    'aeopcxyisjABEKMHOPCTXISJABEZHIKMNOPTYXov') AS clean_text,
+        |  translate(text,
+        |    'аеорсхуіѕјАВЕКМНОРСТХІЅЈΑΒΕΖΗΙΚΜΝΟΡΤΥΧον',
+        |    'aeopcxyisjABEKMHOPCTXISJABEZHIKMNOPTYXov') != text
+        |    AS changed
+        |FROM att""".stripMargin,
     // ns73's logit CASE table, a surface-statistics weak label, then
     // the cumulative sweep over distinct logits: every count exact,
     // each ratio one IEEE division of two exact integers.

@@ -1101,6 +1101,41 @@ class NsTextOpsSpec extends SparkSpec {
       s"profile/marker agreement only $agree/${rows.length}")
   }
 
+  test("homoglyphNormalize: idempotent, attack-recovery, restores " +
+      "dedup and classifier keys") {
+    // the attack: Latin → Cyrillic lookalikes on a real sentence
+    val clean = "click here to subscribe for free prizes"
+    val attacked = clean
+      .replace('c', 'с').replace('e', 'е').replace('o', 'о')
+      .replace('p', 'р').replace('x', 'х').replace('y', 'у')
+    assert(attacked != clean)
+    val df = Seq((1L, clean), (2L, attacked)).toDF("doc_id", "text")
+    val scrub = TextOps.homoglyphScrub(df, "doc_id", "text")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // recovery: normalized attack equals the clean text
+    assert(scrub(2L)._1 == clean && scrub(2L)._2)
+    assert(scrub(1L)._1 == clean && !scrub(1L)._2)
+    // idempotence: the target alphabet is disjoint from the source
+    val twice = TextOps.homoglyphScrub(
+      Seq((1L, scrub(2L)._1)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Boolean)].head()
+    assert(twice._2 == scrub(2L)._1 && !twice._3)
+    // composition: scrubbing restores ONE dedup fingerprint and the
+    // word-keyed classifier logit the attack had broken
+    val scrubbed = TextOps.homoglyphScrub(df, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    assert(graft.ns.Dedup.exactDedup(scrubbed, "doc_id", "text")
+      .count() == 1, "scrub must merge the attacked twin")
+    assert(graft.ns.Dedup.exactDedup(df, "doc_id", "text")
+      .count() == 2, "the attack really evades raw dedup")
+    val logits = scrubbed
+      .select(col("doc_id"), TextOps.linearLogitCol(col("text"))
+        .as("l")).as[(Long, Long)].collect().toMap
+    assert(logits(1L) == logits(2L) && logits(1L) < 0,
+      s"spam logit must survive the scrub: $logits")
+  }
+
   test("docChunks: coverage, overlap, offsets, chunk-count formula") {
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")

@@ -94,6 +94,70 @@ class PosttrainPrivacySpec extends SparkSpec {
       "band50" -> floor(col("value") / 50)),
     k = 4)
 
+  test("annotatorAgreement: hand-computed kappa, perfect and " +
+      "degenerate endpoints") {
+    import spark.implicits._
+    // items 1-4: A and B agree on 3 of 4; marginals A: 3T/1F,
+    // B: 2T/2F → pe = (3·2 + 1·2)/16 = 0.5, po = 0.75, kappa = 0.5
+    val df = Seq(
+      (1L, "A", true), (1L, "B", true),
+      (2L, "A", true), (2L, "B", true),
+      (3L, "A", true), (3L, "B", false),
+      (4L, "A", false), (4L, "B", false)).toDF("item", "rater", "label")
+    val out = Posttrain.annotatorAgreement(df, "item", "rater", "label")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect()
+    assert(out.length == 1)
+    val (ra, rb, n, agree, po, pe, kappa) = out.head
+    assert(ra == "A" && rb == "B" && n == 4L && agree == 3L)
+    assert(po == 0.75 && pe == 0.5 && kappa == 0.5, out.head.toString)
+    // perfect agreement with mixed marginals → kappa 1
+    val perfect = Seq((1L, "A", true), (1L, "B", true),
+      (2L, "A", false), (2L, "B", false)).toDF("item", "rater", "label")
+    val pk = Posttrain.annotatorAgreement(perfect, "item", "rater",
+      "label").select(col("kappa")).as[Double].head()
+    assert(pk == 1.0)
+    // degenerate marginals (both raters always true): pe = 1 → the
+    // 0/0 estimator is pinned to 0, not NaN
+    val degen = Seq((1L, "A", true), (1L, "B", true),
+      (2L, "A", true), (2L, "B", true)).toDF("item", "rater", "label")
+    val dk = Posttrain.annotatorAgreement(degen, "item", "rater",
+      "label").select(col("kappa")).as[Double].head()
+    assert(dk == 0.0 && !dk.isNaN)
+    // an item rated by only one rater contributes to no pair
+    val partial = Seq((1L, "A", true), (1L, "B", true),
+      (2L, "A", true)).toDF("item", "rater", "label")
+    val pn = Posttrain.annotatorAgreement(partial, "item", "rater",
+      "label").select(col("n_items")).as[Long].head()
+    assert(pn == 1L)
+  }
+
+  test("annotatorAgreement: noisier raters score lower kappa on the " +
+      "registry's synthetic panel") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val base = docs.select(col("doc_id"),
+      (graft.ns.TextOps.linearLogitCol(col("text")) > 0).as("__keep"))
+    val rated = base.select(col("doc_id"), col("__keep"),
+      explode(array(lit("r1"), lit("r2"), lit("r3"))).as("rater"))
+    val noise = conv(substring(md5(concat(col("doc_id"), lit(":"),
+      col("rater"))), 1, 2), 16, 10).cast("long")
+    val thr = when(col("rater") === "r1", 16L)
+      .when(col("rater") === "r2", 48L).otherwise(96L)
+    val k = Posttrain.annotatorAgreement(
+      rated.select(col("doc_id"), col("rater"),
+        (col("__keep") =!= (noise < thr)).as("label")),
+      "doc_id", "rater", "label")
+      .select(col("rater_a"), col("rater_b"), col("kappa"))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // r3 is the noisiest: every pair containing it scores below the
+    // cleanest pair (r1, r2)
+    assert(k(("r1", "r2")) > k(("r1", "r3")) &&
+      k(("r1", "r2")) > k(("r2", "r3")), k.toString)
+    assert(k.values.forall(v => v > 0.0 && v < 1.0), k.toString)
+  }
+
   test("kAnonymityLevels: ladder levels land as planted") {
     val byType = audit.select("event_type", "level", "kept")
       .as[(String, Long, Boolean)].collect().groupBy(_._1)
