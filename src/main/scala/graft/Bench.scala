@@ -185,7 +185,8 @@ object Bench {
       // r11 session 4: PQ family (fit+encode producer, ADC consumer)
       // and the capped containment pair join — cold paths 4-6 s at
       // sf0.1, all measured under the capMin slice (QueryProbe)
-      "ns146_pq_encode", "ns147_pq_adc_topk", "ns150_containment_pairs")
+      "ns146_pq_encode", "ns147_pq_adc_topk", "ns150_containment_pairs",
+      "ns153_ivfpq_topk")
     def famRank(n: String): Int =
       if (heavy(n)) 2
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||

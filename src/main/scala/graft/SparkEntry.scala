@@ -1868,6 +1868,22 @@ object SparkEntry {
         k = 5, rerank = 50)
     }),
 
+    // ---- §2.8 [NS] IVF-PQ search (r11) ----
+    // FAISS's IVFADC composed from the two registered halves: the
+    // ns16 coarse index (SAME cached fit) prunes to nprobe cells,
+    // PQ codes score the survivors at m lookups per pair, exact
+    // rerank on the ADC top-50. Rows-only; recall and
+    // nprobe-monotonicity laws in NsSimilaritySpec.
+    "ns153_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        Similarity.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 16,
+          indexKey = Some(s"$d/embeddings")),
+        k = 5, nlist = 16, nprobe = 6, rerank = 50,
+        indexKey = Some(s"$d/embeddings"))
+    }),
+
     // ---- §2.8 [NS] sliding-window document chunking (r11) ----
     // The retrieval-index prep step: overlapping 64-word chunks at
     // 48-word stride with word offsets, cut over the canonical

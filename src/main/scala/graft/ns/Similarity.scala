@@ -307,7 +307,19 @@ object Similarity {
       seed: Long = 42L, indexKey: Option[String] = None,
       fitSampleCap: Int = 100000): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    val (assigned, centers) = indexKey match {
+    val (assigned, centers) = coarseIndex(corpus, idCol, vecCol,
+      nlist, seed, fitSampleCap, indexKey)
+    ivfTopKWithIndex(assigned, centers, idCol, vecCol,
+      queries, queryIdCol, queryVecCol, k, nprobe)
+  }
+
+  /** Fit-or-cache the coarse (IVF) index — the [[ivfTopK]] cache
+    * contract, shared with [[ivfPqTopK]] so both search paths reuse
+    * ONE fitted quantizer per (application, key, nlist, seed). */
+  private def coarseIndex(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, seed: Long, fitSampleCap: Int,
+      indexKey: Option[String]): (DataFrame, Array[Array[Double]]) =
+    indexKey match {
       case Some(key) =>
         val cacheKey = (corpus.sparkSession.sparkContext.applicationId,
           key, nlist, seed)
@@ -325,9 +337,6 @@ object Similarity {
       case None =>
         buildIvfIndex(corpus, idCol, vecCol, nlist, seed, fitSampleCap)
     }
-    ivfTopKWithIndex(assigned, centers, idCol, vecCol,
-      queries, queryIdCol, queryVecCol, k, nprobe)
-  }
 
   /** Fit an IVF index without querying it: returns (cell assignments
     * `(idCol, vecCol, cell)`, centroids). This is the OFFLINE half of
@@ -439,19 +448,20 @@ object Similarity {
   /** The ONLINE half of [[ivfTopK]]: probe a prefit index (from
     * [[buildIvfIndex]] or [[loadIvfIndex]]) with `queries`.
     * Output: (query_id, idCol, cosine, rank). */
-  def ivfTopKWithIndex(assigned: DataFrame,
-      centers: Array[Array[Double]], idCol: String, vecCol: String,
-      queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, nprobe: Int): DataFrame = {
+  /** Per-query probe cells: the `nprobe` coarse cells nearest each
+    * query, (query_id, __qvec, cell) — one row per probe. Centroids
+    * as literals: probe selection never touches a join. Probe
+    * ranking MUST use the quantizer's own metric — k-means assigns
+    * by euclidean distance, and centroid norms differ, so a raw
+    * dot-product ranking disagrees with the assignment and silently
+    * costs recall (measured on the fixture at nlist=16, nprobe=4:
+    * dot 0.47 vs euclidean 0.64 recall@5).
+    * argmin ‖u−c‖² = argmax (2·u·c − ‖c‖²) for fixed ‖u‖. */
+  private def probeCells(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, centers: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
     val nlist = centers.length
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    // centroids as literals: probe selection never touches a join.
-    // Probe ranking MUST use the quantizer's own metric — k-means
-    // assigns by euclidean distance, and centroid norms differ, so a
-    // raw dot-product ranking disagrees with the assignment and
-    // silently costs recall (measured on the fixture at nlist=16,
-    // nprobe=4: dot 0.47 vs euclidean 0.64 recall@5).
-    // argmin ‖u−c‖² = argmax (2·u·c − ‖c‖²) for fixed ‖u‖.
     val centerLit = array(centers.map(c =>
       array(c.map(lit): _*)): _*)
     val normSqLit = array(centers.map(c =>
@@ -459,7 +469,7 @@ object Similarity {
     // the query's unit vector is materialized ONCE as __qunit — the
     // old inline unit(__qvec) inside the per-cell zip_with re-ran the
     // norm fold per (cell × element): O(nlist·d²) per query
-    val q = queries
+    queries
       .select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"),
         sqrt(dot(col(queryVecCol), col(queryVecCol))).as("__qn"))
@@ -479,6 +489,14 @@ object Similarity {
         slice(sort_array(col("__scored"), asc = false), 1, nprobe))
       .select(col("query_id"), col("__qvec"),
         explode(col("__ranked.cell")).as("cell"))
+  }
+
+  def ivfTopKWithIndex(assigned: DataFrame,
+      centers: Array[Array[Double]], idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = probeCells(queries, queryIdCol, queryVecCol, centers,
+      nprobe)
     val scored = assigned.join(q, "cell")
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
@@ -852,15 +870,24 @@ object Similarity {
       .withColumn("__r", row_number().over(wAdc))
       .filter(col("__r") <= rerank)
       .select(col("query_id"), col(idCol))
+    exactRerank(corpus, idCol, vecCol, queries, queryIdCol,
+      queryVecCol, cand, k)
+  }
+
+  /** Exact-cosine rerank of an id-only (query_id, idCol) candidate
+    * list: attach raw vectors by BROADCASTING the ≤ rerank·|Q|
+    * candidate ids and unit-normalize only the survivors —
+    * unitizing the whole corpus before the join would pay the
+    * interpreted per-element transform N times to rerank a few
+    * hundred rows. Output: (query_id, idCol, cosine, rank ≤ k). */
+  private def exactRerank(corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, cand: DataFrame, k: Int): DataFrame = {
     val qu = unitized(queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qv")), "query_id", "__qv")
       .select(col("query_id"), col("__u").as("__qu"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
-    // attach raw vectors by BROADCASTING the ≤ rerank·|Q| candidate
-    // ids and unit-normalize only the survivors: unitizing the whole
-    // corpus before the join would pay the interpreted per-element
-    // transform N times to rerank a few hundred rows
     corpus.select(col(idCol), col(vecCol))
       .join(broadcast(cand), idCol)
       .select(col("query_id"), col(idCol), col(vecCol),
@@ -873,5 +900,53 @@ object Similarity {
         dot(col("__u"), col("__qu")).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ search — FAISS's IVFADC composition, built from the two
+    * registered halves: the coarse quantizer prunes each query to
+    * its `nprobe` cells (an equi-join on `cell`, the [[ivfTopK]]
+    * story), the surviving candidates are scored from PQ CODES at m
+    * table-lookups per pair (the [[pqTopKAdc]] story), and the
+    * ADC top-`rerank` are exact-cosine reranked. Per-query work is
+    * ~ nprobe/nlist of the code-table scan — and the scan itself
+    * reads m-byte codes, not d-float vectors — which is the
+    * composition that keeps 100 TB of embeddings searchable.
+    *
+    * The coarse index is the SAME cached fit [[ivfTopK]] uses (one
+    * quantizer per corpus key); the codebooks come from [[pqFit]].
+    * Output: (query_id, idCol, cosine, rank). */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, rerank: Int = 50,
+      seed: Long = 42L, indexKey: Option[String] = None,
+      fitSampleCap: Int = 100000): DataFrame = {
+    require(k >= 1 && rerank >= k, "need rerank >= k >= 1")
+    val (assigned, centers) = coarseIndex(corpus, idCol, vecCol,
+      nlist, seed, fitSampleCap, indexKey)
+    // cell + codes in ONE projection over the assignment frame (two
+    // kernel calls per row, no join between the two index halves)
+    val enc = assigned.select(col(idCol), col("cell"),
+        graft.functions.functions.pq_encode(
+          col(vecCol).cast("array<double>"), codebooks).as("codes"))
+      .filter(col("codes").isNotNull)
+    val qp = probeCells(queries, queryIdCol, queryVecCol, centers,
+      nprobe)
+      .select(col("query_id"), col("cell"),
+        graft.functions.functions.pq_table(
+          col("__qvec").cast("array<double>"), codebooks).as("__tab"))
+      .filter(col("__tab").isNotNull)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+    val cand = enc.join(broadcast(qp), "cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        graft.functions.functions.pq_adc(col("__tab"), col("codes"))
+          .as("__adc"))
+      .withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= rerank)
+      .select(col("query_id"), col(idCol))
+    exactRerank(corpus, idCol, vecCol, queries, queryIdCol,
+      queryVecCol, cand, k)
   }
 }

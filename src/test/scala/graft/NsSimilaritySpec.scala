@@ -472,6 +472,47 @@ class NsSimilaritySpec extends SparkSpec {
     assert(pq.toSet == pq2.toSet, "ADC search must be deterministic")
   }
 
+  test("ivfPqTopK: recall@5 >= 0.5 at nprobe=6, full probe with big " +
+      "rerank recovers the subset relation vs pure ADC, exact cosines") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val cb = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, k = 5, nlist = 16, nprobe = 6,
+      rerank = 50)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    val got = ivfpq.map(r => (r._1, r._2)).toSet
+    assert(exactPairs.nonEmpty &&
+      got.intersect(exactPairs).size >= exactPairs.size * 0.5,
+      s"recall ${got.intersect(exactPairs).size}/${exactPairs.size}")
+    // reported cosines are exact (rerank), matching brute force
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    ivfpq.foreach { case (qid, id, c) =>
+      exactCos.get((qid, id)).foreach(e =>
+        assert(math.abs(c - e) < 1e-9, s"($qid,$id): $c vs $e"))
+    }
+    // probing EVERY cell with rerank >> k makes IVF-PQ degrade to
+    // pure ADC search: same candidates survive, same top-k
+    val full = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, k = 5, nlist = 16, nprobe = 16,
+      rerank = 50)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val adc = Similarity.pqTopKAdc(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, k = 5, rerank = 50)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(full == adc,
+      "nprobe = nlist must equal the unpruned ADC search")
+  }
+
   test("pqEncode is a pure projection: no exchange in the plan") {
     val plan = Similarity.pqEncode(Tables(spark, sf, "embeddings"),
       Similarity.parityCodebooks(64, 8, 16), "vec_id", "embedding")
