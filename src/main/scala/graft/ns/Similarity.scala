@@ -445,9 +445,6 @@ object Similarity {
     (assigned, centers)
   }
 
-  /** The ONLINE half of [[ivfTopK]]: probe a prefit index (from
-    * [[buildIvfIndex]] or [[loadIvfIndex]]) with `queries`.
-    * Output: (query_id, idCol, cosine, rank). */
   /** Per-query probe cells: the `nprobe` coarse cells nearest each
     * query, (query_id, __qvec, cell) — one row per probe. Centroids
     * as literals: probe selection never touches a join. Probe
@@ -491,6 +488,9 @@ object Similarity {
         explode(col("__ranked.cell")).as("cell"))
   }
 
+  /** The ONLINE half of [[ivfTopK]]: probe a prefit index (from
+    * [[buildIvfIndex]] or [[loadIvfIndex]]) with `queries`.
+    * Output: (query_id, idCol, cosine, rank). */
   def ivfTopKWithIndex(assigned: DataFrame,
       centers: Array[Array[Double]], idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
@@ -803,6 +803,37 @@ object Similarity {
         } else pqCodebookCache.computeIfAbsent(ck, _ => fit())
       case None => fit()
     }
+  }
+
+  /** Persist fitted PQ codebooks under `dir` as JSON lines
+    * (subspace, code, centroid) — the [[saveIvfIndex]] convention:
+    * written through a Spark writer so `dir` can be any filesystem
+    * the session reaches, and doubles round-trip exactly
+    * (shortest-representation JSON). The code table itself is a
+    * corpus-sized frame the caller writes like any other dataset —
+    * re-encoding a new batch against loaded codebooks is the same
+    * [[pqEncode]] call as fit-time encoding. */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]], dir: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1) // m·ksub rows — one tiny file
+      .write.mode("overwrite").json(s"$dir/pq_codebooks")
+  }
+
+  /** Load codebooks written by [[savePqCodebooks]] — bit-identical
+    * to the saved tensor (round-trip law in NsSimilaritySpec). */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.json(s"$dir/pq_codebooks")
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, s"no codebooks found under $dir/pq_codebooks")
+    rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map(_._2
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
   }
 
   /** Encode a corpus (or an incremental batch — same function, the

@@ -513,6 +513,31 @@ class NsSimilaritySpec extends SparkSpec {
       "nprobe = nlist must equal the unpruned ADC search")
   }
 
+  test("pq codebooks round-trip save/load bit-exactly; incremental " +
+      "encode against loaded codebooks equals fit-time encode") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cb = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_rt").toString
+    Similarity.savePqCodebooks(spark, cb, dir)
+    val back = Similarity.loadPqCodebooks(spark, dir)
+    val flatBack: Seq[Double] = back.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    val flatCb: Seq[Double] = cb.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    assert(back.length == cb.length && flatBack == flatCb,
+      "codebooks must round-trip bit-exactly")
+    // the incremental contract: encoding a delta batch against the
+    // LOADED codebooks is the same function as fit-time encoding
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val a = Similarity.pqCodesScalar(delta, back, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val b = Similarity.pqCodesScalar(emb, cb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(a.nonEmpty && a.forall { case (k, v) => b(k) == v })
+  }
+
   test("pqEncode is a pure projection: no exchange in the plan") {
     val plan = Similarity.pqEncode(Tables(spark, sf, "embeddings"),
       Similarity.parityCodebooks(64, 8, 16), "vec_id", "embedding")
