@@ -1945,6 +1945,49 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- §2.8 [NS] special-token scrub (r11) ----
+    // Delimiter-injection defense: docs %9==0 get a planted
+    // chat-template tail, %9==1 a NESTED token crafted to re-form
+    // after one removal (needs the second pass). The oracle predicts
+    // the scrubbed text in CLOSED FORM (the ns122 convention) — it
+    // never runs the replace chain, so a wrong rule order or a
+    // missed pass breaks the hash.
+    "ns154_special_token_scrub" -> ((s, d) => {
+      val tail = when(pmod(col("doc_id"), lit(9)) === 0,
+          lit(" <|im_start|>user<|im_end|><|endoftext|>ok"))
+        .when(pmod(col("doc_id"), lit(9)) === 1,
+          lit(" <|endof<|im_start|>text|>"))
+        .otherwise(lit(""))
+      TextOps.specialTokenScrub(
+        t(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"), tail).as("text")),
+        "doc_id", "text")
+    }),
+
+    // ---- §2.8 [NS] hard-negative mining (r11) ----
+    // Contrastive-training data: nearest neighbor = positive, later
+    // neighbors trailing by > margin = negatives (near-ties are
+    // excluded — unlabeled positives, not negatives). Fixture-scale
+    // neighbors from the exact generator so the whole output
+    // hash-gates; at scale feed ns06/ns16/ns153 neighbors into the
+    // same miner (generator-agnostic law in NsSimilaritySpec).
+    "ns155_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 10),
+        "vec_id", margin = 0.05)
+    }),
+
+    // ---- §2.8 [NS] n-gram diversity datasheet (r11) ----
+    // The repetitiveness axis: per-source distinct-n/total-n for
+    // n=1,2,3 — template spam collapses 3-gram diversity even when
+    // per-doc gates pass. Three map-side gram passes, one
+    // map-combinable aggregate each.
+    "ns156_ngram_diversity" -> ((s, d) =>
+      TextOps.ngramDiversity(t(s, d, "documents"), "source", "text")),
+
     // ---- §2.8 [NS] inter-annotator agreement (r11) ----
     // Cohen's kappa per rater pair over a derived annotation table:
     // three synthetic raters relabel the ns73 keep decision with

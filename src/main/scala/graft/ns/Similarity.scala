@@ -933,6 +933,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: from
+    * a neighbor list, each query's nearest neighbor is its POSITIVE
+    * and every later neighbor whose cosine trails the positive by
+    * MORE than `margin` becomes one (positive, negative) row — the
+    * margin excludes near-ties, which are as likely unlabeled
+    * positives as negatives (the false-negative trap in contrastive
+    * mining). Generator-agnostic, the [[voteLabels]] contract:
+    * `neighbors` is (query_id, idCol, cosine, rank) from
+    * [[bruteForceTopK]] / [[annTopK]] / [[ivfTopK]] / [[ivfPqTopK]],
+    * so the same mining runs over exact or any approximate neighbor
+    * generator. One window over the |Q|·k neighbor rows — no corpus
+    * access at all.
+    * Output: (query_id, positive_id, negative_id, pos_cosine,
+    * neg_cosine, neg_rank). */
+  def hardNegatives(neighbors: DataFrame, idCol: String,
+      margin: Double): DataFrame = {
+    require(margin >= 0, s"margin must be >= 0, got $margin")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank").asc)
+    neighbors
+      .withColumn("positive_id", first(col(idCol)).over(w))
+      .withColumn("pos_cosine", first(col("cosine")).over(w))
+      .filter(col("rank") > 1 &&
+        col("cosine") <= col("pos_cosine") - margin)
+      .select(col("query_id"), col("positive_id"),
+        col(idCol).as("negative_id"), col("pos_cosine"),
+        col("cosine").as("neg_cosine"),
+        (col("rank") - 1).cast("long").as("neg_rank"))
+  }
+
   /** IVF-PQ search — FAISS's IVFADC composition, built from the two
     * registered halves: the coarse quantizer prunes each query to
     * its `nprobe` cells (an equi-join on `cell`, the [[ivfTopK]]

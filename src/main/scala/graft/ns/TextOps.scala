@@ -1844,6 +1844,67 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Control/special tokens that must never appear in raw training
+    * text: chat-template and tokenizer sentinels that, left in a web
+    * corpus, let a crawled page inject turn boundaries or
+    * end-of-text markers into training examples (the
+    * delimiter-injection defense). Literal strings — scrubbed by
+    * exact replace, no regex. */
+  val specialTokens: Seq[String] = Seq(
+    "<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|system|>",
+    "<|user|>", "<|assistant|>", "<|pad|>", "</s>", "<s>",
+    "[INST]", "[/INST]")
+
+  /** Strip [[specialTokens]] from text — the [[repairMojibakeCol]]
+    * chain shape: one ordered literal-replace pass per `passes`, so
+    * a token NESTED inside another (crafted so that removing the
+    * inner one re-forms the outer: `<|endof<|im_start|>text|>`)
+    * heals one layer per pass; two passes cover every single
+    * nesting (law in NsTextOpsSpec). Fully codegen'd. */
+  def specialTokenScrubCol(text: Column, passes: Int = 2): Column = {
+    require(passes >= 1, "passes must be positive")
+    (1 to passes).foldLeft(text) { case (c, _) =>
+      specialTokens.foldLeft(c) { case (acc, tok) =>
+        replace(acc, lit(tok), lit("")) }
+    }
+  }
+
+  /** DataFrame form of [[specialTokenScrubCol]] with the audit
+    * column: n_stripped = chars removed (0 = clean doc).
+    * Output: (idCol, clean_text, n_stripped). */
+  def specialTokenScrub(df: DataFrame, idCol: String, textCol: String,
+      passes: Int = 2): DataFrame = {
+    val cleaned = specialTokenScrubCol(col(textCol), passes)
+    df.select(col(idCol), cleaned.as("clean_text"),
+      (length(col(textCol)) - length(cleaned)).cast("long")
+        .as("n_stripped"))
+  }
+
+  /** Per-group n-gram diversity — the repetitiveness axis of a
+    * corpus datasheet (distinct-n over total-n, the self-repetition
+    * complement of Self-BLEU): a source whose 3-gram diversity
+    * collapses is template spam or near-dup flooding even when
+    * per-document quality gates pass. One gram pass per n
+    * ([[Dedup.shingleStream]] — map-side), one map-combinable
+    * aggregate each; diversity = one IEEE division of exact longs.
+    * Output: (groupCol, n, total_grams, distinct_grams, diversity). */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "need n >= 1")
+    ns.map { n =>
+      Dedup.shingleStream(df.select(col(groupCol), col(textCol)),
+          groupCol, textCol, n)
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("gram")).as("distinct_grams"))
+        .withColumn("n", lit(n.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col(groupCol), col("n"), col("total_grams"),
+        col("distinct_grams"),
+        (col("distinct_grams").cast("double") /
+          col("total_grams").cast("double")).as("diversity"))
+  }
+
   /** Confusable-to-Latin homoglyph table: Cyrillic and Greek code
     * points that render (near-)identically to Basic Latin letters —
     * the classic dedup-evasion / spam-cloaking substitution set

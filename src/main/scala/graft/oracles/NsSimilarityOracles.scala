@@ -85,6 +85,39 @@ private[graft] object NsSimilarityOracles {
         |  FROM scored WHERE cosine >= 0.15)
         |SELECT query_id, vec_id, cosine, "rank" FROM ranked
         |WHERE "rank" <= 5""".stripMargin,
+    // ns05's exact-cosine machinery at k=10, then the positive/
+    // negative split re-derived with a plain rank-1 join; the
+    // margin arithmetic (pos − 0.05 as DOUBLE) mirrors the Spark
+    // side exactly.
+    "ns155_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rnk
+        |  FROM scored),
+        |top AS (SELECT * FROM ranked WHERE rnk <= 10),
+        |pos AS (SELECT query_id, vec_id AS positive_id,
+        |          cosine AS pos_cosine
+        |        FROM top WHERE rnk = 1)
+        |SELECT t.query_id, p.positive_id, t.vec_id AS negative_id,
+        |  p.pos_cosine, t.cosine AS neg_cosine,
+        |  CAST(t.rnk - 1 AS BIGINT) AS neg_rank
+        |FROM top t JOIN pos p USING (query_id)
+        |WHERE t.rnk > 1
+        |  AND t.cosine <= p.pos_cosine - CAST(0.05 AS DOUBLE)""".stripMargin,
     // PQ encode against md5-parity ±1 codebooks: the oracle
     // re-derives every sub-centroid entry from the public sign
     // formula (global dim index s·8+i, code j, salt 'pqb' — the

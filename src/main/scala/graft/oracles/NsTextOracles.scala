@@ -579,6 +579,58 @@ private[graft] object NsTextOracles {
         |    CAST(chunk_id * 48 + 1 AS INT),
         |    CAST(chunk_id * 48 + 64 AS INT)), ' ') AS chunk_text
         |FROM c""".stripMargin,
+    // Closed-form prediction of the scrub output (the ns122
+    // convention): class 0's tail collapses to ' userok' in one
+    // pass, class 1's nested token re-forms after one removal and
+    // needs the second pass, leaving ' '. The oracle never runs the
+    // replace chain.
+    "ns154_special_token_scrub" ->
+      """WITH att AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN text || ' <|im_start|>user<|im_end|><|endoftext|>ok'
+        |      WHEN doc_id % 9 = 1
+        |      THEN text || ' <|endof<|im_start|>text|>'
+        |      ELSE text END AS attacked,
+        |    CASE WHEN doc_id % 9 = 0 THEN text || ' userok'
+        |      WHEN doc_id % 9 = 1 THEN text || ' '
+        |      ELSE text END AS clean
+        |  FROM documents)
+        |SELECT doc_id, clean AS clean_text,
+        |  CAST(length(attacked) - length(clean) AS BIGINT) AS n_stripped
+        |FROM att""".stripMargin,
+    // One gram stream per n (the ns02 construction), multiplicity
+    // kept (no DISTINCT in the stream), exact distinct counts, one
+    // integer division per row.
+    "ns156_ngram_diversity" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |g1 AS (SELECT source, unnest(w) AS gram FROM docs),
+        |a1 AS (SELECT source, CAST(1 AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS total_grams,
+        |         CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams
+        |       FROM g1 GROUP BY source),
+        |g2 AS (SELECT source, w[i] || ' ' || w[i+1] AS gram
+        |       FROM docs, UNNEST(range(1, greatest(len(w), 1))) AS t(i)),
+        |a2 AS (SELECT source, CAST(2 AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS total_grams,
+        |         CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams
+        |       FROM g2 GROUP BY source),
+        |g3 AS (SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |       FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |a3 AS (SELECT source, CAST(3 AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS total_grams,
+        |         CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams
+        |       FROM g3 GROUP BY source),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3)
+        |SELECT source, n, total_grams, distinct_grams,
+        |  CAST(distinct_grams AS DOUBLE) / CAST(total_grams AS DOUBLE)
+        |    AS diversity
+        |FROM u""".stripMargin,
     // The attack (latin→Cyrillic on doc_id%7==0) and the repair
     // (full confusable table → Latin) both re-derived in SQL from
     // the same public mapping; translate is per-codepoint in both

@@ -513,6 +513,33 @@ class NsSimilaritySpec extends SparkSpec {
       "nprobe = nlist must equal the unpruned ADC search")
   }
 
+  test("hardNegatives: positive is rank 1, margin excludes " +
+      "near-ties, generator-agnostic over ANN neighbors") {
+    val neighbors = Seq(
+      // query 7: positive 1 at 0.9; 2 at 0.88 is inside the margin
+      // (unlabeled-positive guard), 3 at 0.6 and 4 at 0.2 mine
+      (7L, 1L, 0.9, 1L), (7L, 2L, 0.88, 2L),
+      (7L, 3L, 0.6, 3L), (7L, 4L, 0.2, 4L),
+      // query 8: everything ties the positive — nothing mines
+      (8L, 5L, 0.7, 1L), (8L, 6L, 0.7, 2L))
+      .toDF("query_id", "vec_id", "cosine", "rank")
+    val out = Similarity.hardNegatives(neighbors, "vec_id",
+      margin = 0.05)
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
+    assert(out == Set((7L, 1L, 3L, 0.9, 0.6, 2L),
+      (7L, 1L, 4L, 0.9, 0.2, 3L)), out.toString)
+    // the same miner runs unchanged over an approximate generator
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.hardNegatives(
+      Similarity.annTopK(emb, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10, minCosine = 0.0),
+      "vec_id", margin = 0.05)
+    assert(ann.columns.toSeq == Seq("query_id", "positive_id",
+      "negative_id", "pos_cosine", "neg_cosine", "neg_rank"))
+    assert(ann.count() > 0)
+  }
+
   test("pq codebooks round-trip save/load bit-exactly; incremental " +
       "encode against loaded codebooks equals fit-time encode") {
     val emb = Tables(spark, sf, "embeddings")

@@ -1101,6 +1101,61 @@ class NsTextOpsSpec extends SparkSpec {
       s"profile/marker agreement only $agree/${rows.length}")
   }
 
+  test("specialTokenScrub: every token stripped, nested injection " +
+      "healed by the second pass, idempotent, clean docs untouched") {
+    val injected = TextOps.specialTokens.mkString("safe ", " mid ", " end")
+    val nested = "x <|endof<|im_start|>text|> y"
+    val df = Seq((1L, injected), (2L, nested), (3L, "plain text"))
+      .toDF("doc_id", "text")
+    val out = TextOps.specialTokenScrub(df, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // no special token survives any output
+    out.values.foreach { case (txt, _) =>
+      TextOps.specialTokens.foreach(tok =>
+        assert(!txt.contains(tok), s"'$tok' survived in '$txt'")) }
+    assert(out(2L)._1 == "x  y", s"nested heal: '${out(2L)._1}'")
+    assert(out(3L)._1 == "plain text" && out(3L)._2 == 0L)
+    assert(out(1L)._2 ==
+      TextOps.specialTokens.map(_.length).sum.toLong)
+    // idempotence: scrubbing the scrubbed corpus is a no-op
+    val again = TextOps.specialTokenScrub(
+      Seq((1L, out(1L)._1), (2L, out(2L)._1)).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, String, Long)].collect()
+    assert(again.forall(_._3 == 0L))
+    // ONE pass is provably not enough on the nested form — the
+    // second pass is load-bearing, not belt-and-braces
+    val once = TextOps.specialTokenScrub(
+      Seq((1L, nested)).toDF("doc_id", "text"), "doc_id", "text",
+      passes = 1).as[(Long, String, Long)].head()
+    assert(once._2.contains("<|endoftext|>"), once._2)
+  }
+
+  test("ngramDiversity: repetition collapses diversity, all-unique " +
+      "text scores 1.0, short docs skip large n") {
+    val df = Seq(
+      ("spam", "buy now buy now buy now buy now"),
+      ("spam", "buy now buy now"),
+      ("fresh", "one two three four five six seven eight"),
+      ("tiny", "ab")).toDF("source", "text")
+    val out = TextOps.ngramDiversity(df, "source", "text")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // fresh: every gram unique at every n
+    Seq(1L, 2L, 3L).foreach { n =>
+      val (tot, dist, div) = out(("fresh", n))
+      assert(tot == dist && div == 1.0, s"fresh n=$n: $tot/$dist") }
+    // spam: 12 unigrams, 2 distinct
+    assert(out(("spam", 1L)) == ((12L, 2L, 2.0 / 12)))
+    // spam 3-grams: 6 + 2 occurrences, only the 2 alternating
+    // patterns "buy now buy" / "now buy now" are distinct
+    val (t3, d3, div3) = out(("spam", 3L))
+    assert(t3 == 8L && d3 == 2L && div3 == 2.0 / 8, s"$t3 $d3 $div3")
+    // a 1-word source has no 2-grams or 3-grams at all
+    assert(out.contains(("tiny", 1L)) && !out.contains(("tiny", 2L)) &&
+      !out.contains(("tiny", 3L)))
+  }
+
   test("homoglyphNormalize: idempotent, attack-recovery, restores " +
       "dedup and classifier keys") {
     // the attack: Latin → Cyrillic lookalikes on a real sentence
