@@ -1844,6 +1844,61 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Zipf rank–frequency fit over the head of the vocabulary — the
+    * corpus-health exponent (Zipf 1949: natural text has
+    * freq ∝ rank^(−s) with s ≈ 1; template spam, dedup failures,
+    * and synthetic floods bend the head visibly before any
+    * per-document gate fires). Least-squares slope of ln(freq) on
+    * ln(rank) over the top `topRanks` tokens.
+    *
+    * Determinism (the ns58 idiom): each ln is quantized ONCE to
+    * 2^fracBits fixed-point (libm ln is bit-stable between this
+    * JVM and DuckDB — measured, ns58/ns75/ns79), every regression
+    * sum is an exact integer, and the closed-form slope is one IEEE
+    * division of two exact longs. Magnitude audit at fracBits=20,
+    * topRanks=100: x ≤ ln(100)·2^20 < 5e6, y ≤ ln(2^63)·2^20 <
+    * 4.6e7, Σxy ≤ 100·2.3e14 — every sum far inside long range.
+    *
+    * Scale shape: one map-combinable vocab count, a top-`topRanks`
+    * head (WindowGroupLimit keeps k rows per partition before the
+    * single exchange), and a 1-row aggregate. Output one row:
+    * (n_ranks, sum_x, sum_y, sum_xy, sum_xx, slope, zipf_exponent
+    * = −slope). */
+  def zipfFit(df: DataFrame, textCol: String, topRanks: Int = 100,
+      fracBits: Int = 20): DataFrame = {
+    require(topRanks >= 2, "need at least 2 ranks to fit a slope")
+    require(fracBits >= 1 && fracBits <= 24, s"bad fracBits $fracBits")
+    val scale = (1L << fracBits).toDouble
+    val counts = df
+      .select(explode(wordTokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    val head = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topRanks)
+      .select(
+        round(log(col("rank").cast("double")) * scale).cast("long")
+          .as("__x"),
+        round(log(col("cnt").cast("double")) * scale).cast("long")
+          .as("__y"))
+    val num = col("n_ranks") * col("sum_xy") -
+      col("sum_x") * col("sum_y")
+    val den = col("n_ranks") * col("sum_xx") -
+      col("sum_x") * col("sum_x")
+    head.agg(count(lit(1)).as("n_ranks"),
+        coalesce(sum(col("__x")), lit(0L)).as("sum_x"),
+        coalesce(sum(col("__y")), lit(0L)).as("sum_y"),
+        coalesce(sum(col("__x") * col("__y")), lit(0L)).as("sum_xy"),
+        coalesce(sum(col("__x") * col("__x")), lit(0L)).as("sum_xx"))
+      .select(col("n_ranks"), col("sum_x"), col("sum_y"),
+        col("sum_xy"), col("sum_xx"),
+        when(den > 0, num.cast("double") / den.cast("double"))
+          .otherwise(lit(0.0)).as("slope"))
+      .withColumn("zipf_exponent", -col("slope"))
+  }
+
   /** Control/special tokens that must never appear in raw training
     * text: chat-template and tokenizer sentinels that, left in a web
     * corpus, let a crawled page inject turn boundaries or

@@ -579,6 +579,44 @@ private[graft] object NsTextOracles {
         |    CAST(chunk_id * 48 + 1 AS INT),
         |    CAST(chunk_id * 48 + 64 AS INT)), ' ') AS chunk_text
         |FROM c""".stripMargin,
+    // Fixed-point ln regression over the top-100 vocabulary head:
+    // each ln quantized once (libm-stable), exact integer sums, the
+    // closed-form slope one IEEE division of two exact BIGINTs.
+    "ns157_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE length(token) > 0 GROUP BY token),
+        |head AS (
+        |  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1048576.0)
+        |      AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1048576.0)
+        |      AS BIGINT) AS y
+        |  FROM (
+        |    SELECT cnt, ROW_NUMBER() OVER
+        |      (ORDER BY cnt DESC, token) AS rnk
+        |    FROM counts)
+        |  WHERE rnk <= 100),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |    CAST(coalesce(SUM(x), 0) AS BIGINT) AS sum_x,
+        |    CAST(coalesce(SUM(y), 0) AS BIGINT) AS sum_y,
+        |    CAST(coalesce(SUM(x * y), 0) AS BIGINT) AS sum_xy,
+        |    CAST(coalesce(SUM(x * x), 0) AS BIGINT) AS sum_xx
+        |  FROM head)
+        |SELECT n_ranks, sum_x, sum_y, sum_xy, sum_xx,
+        |  CASE WHEN n_ranks * sum_xx - sum_x * sum_x > 0
+        |    THEN CAST(n_ranks * sum_xy - sum_x * sum_y AS DOUBLE)
+        |      / CAST(n_ranks * sum_xx - sum_x * sum_x AS DOUBLE)
+        |    ELSE 0.0 END AS slope,
+        |  -(CASE WHEN n_ranks * sum_xx - sum_x * sum_x > 0
+        |    THEN CAST(n_ranks * sum_xy - sum_x * sum_y AS DOUBLE)
+        |      / CAST(n_ranks * sum_xx - sum_x * sum_x AS DOUBLE)
+        |    ELSE 0.0 END) AS zipf_exponent
+        |FROM s""".stripMargin,
     // Closed-form prediction of the scrub output (the ns122
     // convention): class 0's tail collapses to ' userok' in one
     // pass, class 1's nested token re-forms after one removal and

@@ -90,6 +90,23 @@ private[graft] object StreamingOracles {
     // normalizes back to text||tailPre, so the drained streaming
     // sink's oracle is one closed-form projection — the chr() chain
     // rebuilds the SAME clean tail the Spark side targets.
+    // ns154's closed-form prediction verbatim — the drained stream
+    // sink must equal the batch scrub on the same planted corpus.
+    "s14_stream_token_scrub" ->
+      """WITH att AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN text || ' <|im_start|>user<|im_end|><|endoftext|>ok'
+        |      WHEN doc_id % 9 = 1
+        |      THEN text || ' <|endof<|im_start|>text|>'
+        |      ELSE text END AS attacked,
+        |    CASE WHEN doc_id % 9 = 0 THEN text || ' userok'
+        |      WHEN doc_id % 9 = 1 THEN text || ' '
+        |      ELSE text END AS clean
+        |  FROM documents)
+        |SELECT doc_id, clean AS clean_text,
+        |  CAST(length(attacked) - length(clean) AS BIGINT) AS n_stripped
+        |FROM att""".stripMargin,
     "s13_stream_normalize" ->
       s"""SELECT doc_id, text || ${NsTextOracles.mojiCleanChr}
          |  AS norm_text
