@@ -26,15 +26,17 @@ import org.apache.spark.sql.SparkSession
   *    visibly distinguished from a clean time.
   *  - Warm-up exists to buy JIT/codegen/shuffle-file warmth, not to
   *    produce numbers — so it is budgeted at `warmupFrac` (40%) of the
-  *    soft deadline. Known-heavy queries warm under `capMin` ALWAYS
-  *    (a 10 s slice compiles their codegen and seeds their shuffle
-  *    files; their real number comes from the guaranteed-first
-  *    retime below). Round 8 shipped the opposite policy — heavy
-  *    warmed last under the full 60 s cap — and warm-up ate 266 s of
-  *    a 366 s wall: `rounds_completed: 0` and the artifact reported
-  *    cold values 6–10× above steady state (ns49 38.7 s vs 5.8 s).
-  *    Other queries warm under `capMax` while inside the warm-up
-  *    budget and `capMin` past it.
+  *    soft deadline, and the budget is a HARD STOP: a pooled task that
+  *    starts past it runs nothing and queues for the timed rounds as a
+  *    never-warmed query. (Rounds 10–11 merely downgraded the cap past
+  *    the budget, so a contended host still warmed all 228 queries —
+  *    337.7 s of a 360 s deadline — and shipped `rounds_completed: 0`
+  *    twice.) Known-heavy queries warm under `capMin` ALWAYS (a 10 s
+  *    slice compiles their codegen and seeds their shuffle files;
+  *    their real number comes from the guaranteed-first retime below).
+  *    Round 8 shipped the opposite policy — heavy warmed last under
+  *    the full 60 s cap — and warm-up ate 266 s of a 366 s wall:
+  *    `rounds_completed: 0` with cold values 6–10× above steady state.
   *  - Warm-up runs CONCURRENTLY (`warmupThreads`, default 4): at
   *    159 registered queries a sequential once-through costs ~190 s
   *    of a 360 s wall by itself, leaving no budget for steady
@@ -47,22 +49,33 @@ import org.apache.spark.sql.SparkSession
   *    construction one the retime rounds deemed sub-significant
   *    (< 1 s). Job groups are thread-local in SparkContext, so each
   *    eval's watchdog cancels only its own jobs.
-  *  - Warm-up order is cheap-core-first (q/o/j/dq families, then the
-  *    rest, known-heavy ns/s queries last) so if the budget dies
-  *    mid-warm-up the r01-comparable core already has numbers.
+  *  - Warm-up order is heavy-FIRST (the queries whose steady number
+  *    depends on warmth get their slice before the hard stop can
+  *    fire), then the ns/s extensions, with the cheap q/o/j/dq core
+  *    last: whatever the hard stop skips cold-retimes in the rounds,
+  *    and the core's cold cost is 1–2 s per query vs 10–30 s for a
+  *    skipped heavy one.
   *  - Then up to TWO timed rounds run ROUND-ROBIN over the re-timable
   *    subset, reporting the per-query minimum. Round-robin matters on
   *    this host: CPU-steal windows of ~30 s inflate back-to-back
   *    repeats together but cannot hit the same query in all
-  *    spaced-out rounds. Each round visits capped queries FIRST and
-  *    then the rest in descending warm-up time, so the queries whose
-  *    recorded numbers are phony (capped) or coldest get their spaced
-  *    retime while wall budget remains. Re-timable = warm-up
-  *    succeeded under `retimeCap` (a 30 s query does not need
-  *    steady-state precision, it needs to not eat the budget again),
-  *    or was capped (its number is a lower bound — the retry runs
-  *    under the full `capMax`); p01/p02 are ~10-job correctness gates
-  *    and run exactly once.
+  *    spaced-out rounds. The rounds phase has a FLOOR of half the
+  *    deadline to itself: if warm-up + the sequential p0 section ate
+  *    the nominal deadline, roundsEnd extends (bounded at 1.25× of
+  *    the deadline) so `rounds_completed >= 1` survives a 2–3× host
+  *    slowdown. Each round visits production-tier queries before the
+  *    declared diagnostics/algorithm-gates; within a tier, capped and
+  *    never-warmed queries FIRST and then the rest in descending
+  *    warm-up time, so the queries whose recorded numbers are phony
+  *    (capped), absent (skipped), or coldest get their spaced retime
+  *    while wall budget remains. Re-timable = warm-up succeeded under
+  *    `retimeCap` (a 30 s query does not need steady-state precision,
+  *    it needs to not eat the budget again), was capped (lower bound —
+  *    the retry runs under the full `capMax`), or was skipped by the
+  *    warm-up hard stop (first visit doubles as warm-up, bounded at
+  *    `retimeCap`); p0 pipelines are ~10-job correctness gates and run
+  *    exactly once. A final coverage sweep gives any still-unvisited
+  *    query one `capMin` attempt so the artifact is complete.
   *  - Output says what actually happened: `rounds_completed`,
   *    `retimed` (count), `capped` (names), `warmup_wall_sec`. A
   *    consumer can tell steady-state minima from cold or capped
@@ -187,10 +200,19 @@ object Bench {
       // sf0.1, all measured under the capMin slice (QueryProbe)
       "ns146_pq_encode", "ns147_pq_adc_topk", "ns150_containment_pairs",
       "ns153_ivfpq_topk")
+    // Warm-up order is heavy-FIRST (r12): heavy queries are the ones
+    // whose steady number depends on the warmth slice, and under the
+    // hard stop whatever warm-up does not reach cold-retimes in the
+    // rounds — so the skip tail should be the cheap core (cold cost
+    // ~1–2 s each), not the heavy extensions (cold cost 10–30 s each,
+    // which under contention would eat the whole rounds floor).
+    // Before the hard stop + coverage sweep existed the order was
+    // inverted so a budget death still left core numbers; now every
+    // query is guaranteed a number downstream.
     def famRank(n: String): Int =
-      if (heavy(n)) 2
+      if (heavy(n)) 0
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||
-        n.startsWith("dq")) 0
+        n.startsWith("dq")) 2
       else 1
     val warmupOrder = names.sortBy(n => (famRank(n), n))
 
@@ -225,25 +247,34 @@ object Bench {
       }
     // Warm-up: heavy queries get a capMin warmth slice (their number
     // comes from the guaranteed-first retime); everything else runs
-    // under the full cap while inside the warm-up budget, the rushed
-    // floor past it. A small pool overlaps evaluations (see timing
-    // design note above).
+    // under the full cap while inside the warm-up budget. A small pool
+    // overlaps evaluations (see timing design note above).
+    //
+    // The budget is a HARD STOP (round-11 verdict #1, two degraded
+    // artifacts running): a pooled task that STARTS past the budget
+    // does not run at all — it is recorded as skipped and enters the
+    // retime rounds as a never-warmed query, ordered with the capped
+    // ones. Round 11 only downgraded the cap past the budget, so on a
+    // contended host all 228 queries still warmed (337.7 s of a 360 s
+    // deadline) and the timed rounds got the scraps:
+    // rounds_completed: 0 two rounds in a row.
     val warmupBudget = deadline * warmupFrac
     val warmupThreads =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_THREADS", "4").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_THREADS", "6").toInt
+    val skippedWarmup =
+      scala.collection.mutable.Set.empty[String] // guarded by `lock`
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, warmupThreads))
-    // p01..p05 run EXACTLY once (excluded from retime rounds — they
+    // p01..p09 run EXACTLY once (excluded from retime rounds — they
     // are ~10-job correctness gates), so their single number must be
     // contention-free: they run sequentially after the pool drains.
     val (seqOnce, pooled) = warmupOrder.partition(_.startsWith("p0"))
     pooled.foreach { n =>
       pool.submit(new Runnable {
-        def run(): Unit = attempt(n, tierCap(n,
-          if (heavy(n)) capMin
-          else if (elapsed < warmupBudget) capMax
-          else capMin),
-          isRetime = false)
+        def run(): Unit =
+          if (elapsed >= warmupBudget) lock.synchronized { skippedWarmup += n }
+          else attempt(n, tierCap(n, if (heavy(n)) capMin else capMax),
+            isRetime = false)
       })
     }
     pool.shutdown()
@@ -252,37 +283,69 @@ object Bench {
     val warmupWall = elapsed
     val warmupTimes = times.toMap
     def retimable(name: String): Boolean =
-      (cappedAt.contains(name) ||
-        (times(name) >= 0 && times(name) <= retimeCap)) &&
+      (skippedWarmup.contains(name) || cappedAt.contains(name) ||
+        times.get(name).exists(t => t >= 0 && t <= retimeCap)) &&
         !name.startsWith("p0")
+    // Timed-rounds floor (round-11 verdict #1b): the rounds phase gets
+    // at least half the deadline of its own, even when a contended
+    // host let warm-up + the sequential p0 section eat the nominal
+    // deadline — extending total wall at most 1.25× of the deadline
+    // (the driver's external kill sits well above that; round 11's
+    // sbt wall was 377 s of a 360 s deadline without a kill). On a
+    // calm host roundsEnd == deadline and nothing changes.
+    val roundsEnd = math.min(deadline * 1.25,
+      math.max(deadline, warmupWall + deadline * 0.5))
     // A round counts as COMPLETE when every SIGNIFICANT query — capped,
-    // or warm-up ≥ 1 s (cold-start inflation on a sub-second query is
-    // bounded by that second) — got its spaced retime. The sub-second
-    // tail is opportunistic polish ordered last, so a slower host
-    // truncates cosmetic precision, not the heavy head, and
-    // rounds_completed still reports the fact that matters.
+    // skipped in warm-up, or warm-up ≥ 1 s (cold-start inflation on a
+    // sub-second query is bounded by that second) — got its spaced
+    // retime. Only PRODUCTION-tier queries gate completeness: the
+    // declared diagnostics/algorithm-gates (superlinear twins, md5
+    // fixture gates) retime opportunistically, ordered last, so a slow
+    // host truncates fixture-scale tooling precision, never the scale
+    // paths, and rounds_completed still reports the fact that matters.
+    def production(n: String): Boolean =
+      tier.getOrElse(n, "production") == "production"
     def significant(n: String): Boolean =
-      cappedAt.contains(n) || warmupTimes.getOrElse(n, 0.0) >= 1.0
+      production(n) && (cappedAt.contains(n) || skippedWarmup.contains(n) ||
+        warmupTimes.getOrElse(n, 0.0) >= 1.0)
     var roundsCompleted = 0
     for (r <- 1 to rounds) {
       var preempted = false
-      // Capped first (their numbers are phony), then coldest-first, so
-      // a budget blow-out truncates the cheap tail, not the heavy head.
+      // Production before tooling tiers; within a tier: capped and
+      // never-warmed first (their numbers are phony or absent), then
+      // coldest-first, so a budget blow-out truncates the cheap tail,
+      // not the heavy head.
       val order = names.filter(retimable).sortBy(n =>
-        (if (cappedAt.contains(n)) 0 else 1, -warmupTimes.getOrElse(n, 0.0), n))
+        (if (production(n)) 0 else 1,
+          if (cappedAt.contains(n) || skippedWarmup.contains(n)) 0 else 1,
+          -warmupTimes.getOrElse(n, 0.0), n))
       for (name <- order)
-        if (elapsed < deadline)
+        if (elapsed < roundsEnd)
           attempt(name, tierCap(name,
-            if (cappedAt.contains(name)) capMax else retimeCap),
+            if (cappedAt.contains(name)) capMax
+            // A never-warmed query's first visit doubles as its
+            // warm-up: bound it at retimeCap so one pathological cold
+            // path cannot eat the rounds floor.
+            else retimeCap),
             isRetime = true)
         else if (significant(name)) preempted = true
       if (!preempted) roundsCompleted = r
+    }
+    // Coverage sweep: any query that was skipped in warm-up AND never
+    // reached by the rounds still needs a number in the artifact (a
+    // missing entry would read as an engine failure). One capMin
+    // attempt each, flagged capped when cut short — an honest lower
+    // bound, visibly distinguished from a steady minimum.
+    names.filterNot(times.contains).foreach { n =>
+      attempt(n, tierCap(n, capMin), isRetime = false)
     }
     // Phase decomposition to stderr: which queries' FIRST runs carry
     // the cold-start cost (codegen compile, index builds, shuffle-file
     // creation) that the steady-state minima no longer show.
     System.err.println(f"[bench] warmup_wall=$warmupWall%.1f " +
       f"rounds_wall=${elapsed - warmupWall}%.1f retimed=${retimed.size} " +
+      s"warmup_skipped=${skippedWarmup.size} " +
+      f"rounds_end=$roundsEnd%.1f " +
       s"capped=${cappedAt.keys.toSeq.sorted.mkString(",")}")
     warmupTimes.toSeq.sortBy(-_._2).take(12).foreach { case (n, s) =>
       System.err.println(f"[bench] warmup $n%-36s $s%8.2f s " +
@@ -317,7 +380,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Freshness stamp (round-7/8 ADVICE): a rerun is verifiably new.
     val runTs = java.time.Instant.now().toString
-    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"tier_totals":$tierTotalsJson,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"not_retimed":$notRetimedJson,"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"tier_totals":$tierTotalsJson,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"warmup_skipped":${skippedWarmup.size},"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"not_retimed":$notRetimedJson,"capped":$cappedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full line is ~4 KB at 64 queries and can start BEFORE the
     // driver's fixed-size tail window, leaving it a parse-proof
     // fragment (round-6 artifact: parsed=null despite the line being

@@ -1691,23 +1691,28 @@ object SparkEntry {
         graft.ns.Robots.buildRobotsFixture(t(s, d, "documents")),
         "doc_id", "robots")),
 
-    // ---- §2.8 [NS] robots.txt fetch decisions (r11) ----
+    // ---- §2.8 [NS] robots.txt fetch decisions (r11, r12) ----
     // The RFC 9309 longest-match rule over the parsed groups: probes
-    // per doc are 3 paths × 3 agents (the `*` group, a dedicated
-    // group whose empty Disallow allows all, and an unknown agent
-    // that must FALL BACK to `*`). The oracle predicts every verdict
-    // in closed form.
+    // per doc are 4 paths × 4 agents (the `*` group, a dedicated
+    // group whose empty Disallow allows all, an unknown agent that
+    // must FALL BACK to `*`, and mixed-case `AlphaBot`, which must
+    // match the shared lowercase alphabot/betabot group — so its own
+    // group decides /private as ALLOWED while /shared blocks). The
+    // oracle predicts every verdict in closed form.
     "ns136_robots_decisions" -> ((s, d) => {
       val id = col("doc_id").cast("string")
       val probes = t(s, d, "documents").select(col("doc_id"),
         explode(array(
-          Seq("*", "graftbot", "unknownbot").flatMap(a => Seq(
+          Seq("*", "graftbot", "unknownbot", "AlphaBot").flatMap(a => Seq(
             struct(lit(a).as("probe_agent"),
               concat(lit("/private"), id, lit("/x")).as("path")),
             struct(lit(a).as("probe_agent"),
               concat(lit("/private"), id, lit("/ok/y")).as("path")),
             struct(lit(a).as("probe_agent"),
-              lit("/other").as("path")))): _*)).as("p"))
+              lit("/other").as("path")),
+            struct(lit(a).as("probe_agent"),
+              concat(lit("/shared"), id, lit("/q")).as("path")))): _*))
+          .as("p"))
         .select(col("doc_id"), col("p.probe_agent"), col("p.path"))
       graft.ns.Robots.robotsAllowed(
         graft.ns.Robots.parseRobots(

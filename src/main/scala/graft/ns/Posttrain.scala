@@ -88,7 +88,8 @@ object Posttrain {
     * Output: (idCol, scoreCol, rank, phase) — rank 1-based global,
     * phase in [0, phases). */
   def curriculumPhases(df: DataFrame, idCol: String, scoreCol: String,
-      phases: Int, bucketSize: Long = 1000000L): DataFrame = {
+      phases: Int, bucketSize: Long = 1000000L,
+      maxSummaryCells: Long = 4000000L): DataFrame = {
     require(phases >= 1, "phases must be positive")
     require(bucketSize > 0, "bucketSize must be positive")
     val spark = df.sparkSession
@@ -101,8 +102,22 @@ object Posttrain {
       .orderBy(col(idCol))
     val local = withB.withColumn("__local",
       row_number().over(w).cast("long") - 1L)
-    val totals = withB.groupBy(col("__neg"), col("__ib"))
+    // The low-cardinality-score contract, ENFORCED (round-11 verdict
+    // item 3): the driver summary is |distinct scores| × |id buckets|
+    // rows, and a high-cardinality score (e.g. an unquantized double
+    // cast to micro-units per row) would silently grow it to corpus
+    // size — a driver OOM at 100 TB. Count the aggregated frame (one
+    // cluster-side job over the same exchange the collect reuses) and
+    // fail as a contract error BEFORE collecting; callers pre-quantize
+    // the score instead.
+    val totalsDf = withB.groupBy(col("__neg"), col("__ib"))
       .agg(count(lit(1)).as("__tot"), min(col(idCol)).as("__mn"))
+    val cells = totalsDf.count()
+    require(cells <= maxSummaryCells,
+      s"curriculumPhases summary would hold $cells (score, bucket) " +
+        s"cells > maxSummaryCells=$maxSummaryCells — quantize " +
+        s"$scoreCol to fewer distinct values or raise bucketSize")
+    val totals = totalsDf
       .collect().map { r =>
         require(!r.isNullAt(r.fieldIndex("__neg")) &&
           !r.isNullAt(r.fieldIndex("__mn")),

@@ -69,31 +69,40 @@ object Robots {
       .withColumn("__grp",
         sum(col("__ua_start")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__agent",
-        last(when(isUa, col("value")), ignoreNulls = true).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    grouped
-      .filter(!isUa)
-      .select(col(idCol),
-        when(col("key") === "sitemap", lit(0L))
-          .otherwise(col("__grp")).as("grp"),
-        when(col("key") === "sitemap", lit(""))
-          .otherwise(col("__agent")).as("agent"),
+      // RFC 9309 group sharing: a group opened by K consecutive
+      // User-agent lines applies its rules to ALL K agents, so each
+      // rule row fans out over the run's agent SET (round-11 ADVICE:
+      // keeping only the last agent silently decided the earlier
+      // agents by the `*` group — an over-crawl). Product tokens are
+      // case-insensitive (RFC 9309 §2.2.1) — lowercase at parse.
+      .withColumn("__agents",
+        collect_set(when(isUa, lower(col("value"))))
+          .over(Window.partitionBy(col(idCol), col("__grp"))))
+    val ruleRows = grouped.filter(!isUa)
+    val sitemapRows = ruleRows.filter(col("key") === "sitemap")
+      .select(col(idCol), lit(0L).as("grp"), lit("").as("agent"),
         col("key").as("directive"), col("value"),
         col("ord").cast("long").as("ord"))
-      // orphan group-directives (no group open yet) have no effect
-      .filter(col("directive") === "sitemap" ||
-        (col("grp") >= 1 && col("agent").isNotNull))
+    // explode of an empty agent set drops orphan rules (no group open
+    // yet) — per the RFC they have no effect.
+    val groupRows = ruleRows.filter(col("key") =!= "sitemap")
+      .select(col(idCol), col("__grp").as("grp"),
+        explode(col("__agents")).as("agent"),
+        col("key").as("directive"), col("value"),
+        col("ord").cast("long").as("ord"))
+    sitemapRows.unionByName(groupRows)
   }
 
   /** Closed-form robots fixture, one file per doc (standing in for
-    * one per domain): fixed 10-line layout so every parsed row's
+    * one per domain): fixed 13-line layout so every parsed row's
     * source position is a constant. Exercises: comment-only line 0,
     * an ORPHAN disallow before any group (id%9==4; must drop), a
     * global Sitemap before the first group, an inline comment on the
     * User-agent line, a disallow/allow longest-match pair, a
-    * crawl-delay, and a second group whose empty Disallow means
-    * allow-all. Output: (idCol, robots). */
+    * crawl-delay, a second group whose empty Disallow means
+    * allow-all, and a third group SHARED by two consecutive
+    * User-agent lines (one of them mixed-case) whose single rule must
+    * fan out to both agents. Output: (idCol, robots). */
   def buildRobotsFixture(docs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val id = col(idCol).cast("string")
@@ -107,7 +116,9 @@ object Robots {
       lit("Disallow: /private"), id, lit("/\n"),
       lit("Allow: /private"), id, lit("/ok/\n"),
       lit("Crawl-delay: "), (col(idCol) % 5 + 1).cast("string"),
-      lit("\n\nUser-agent: graftbot\nDisallow:")).as("robots"))
+      lit("\n\nUser-agent: graftbot\nDisallow:\n"),
+      lit("User-agent: AlphaBot\nUser-agent: betabot\n"),
+      lit("Disallow: /shared"), id, lit("/")).as("robots"))
   }
 
   /** Sitemap XML parsing (sitemaps.org protocol) — the discovery
@@ -176,13 +187,17 @@ object Robots {
       idCol: String): DataFrame = {
     val ad = rules.filter(col("directive").isin("allow", "disallow"))
       .select(col(idCol), col("agent"), col("directive"), col("value"))
+    // Product-token matching is case-insensitive (RFC 9309 §2.2.1):
+    // stored agents are lowercased at parse; probes lowercase here
+    // for the joins while the output keeps the caller's casing.
     val hasAgent = ad.select(col(idCol), col("agent")).distinct()
-      .withColumnRenamed("agent", "probe_agent")
+      .withColumnRenamed("agent", "__pa")
       .withColumn("__has", lit(true))
     val eff = probes
-      .join(hasAgent, Seq(idCol, "probe_agent"), "left")
+      .withColumn("__pa", lower(col("probe_agent")))
+      .join(hasAgent, Seq(idCol, "__pa"), "left")
       .withColumn("agent",
-        when(col("__has"), col("probe_agent")).otherwise(lit("*")))
+        when(col("__has"), col("__pa")).otherwise(lit("*")))
       .select(col(idCol), col("probe_agent"), col("path"), col("agent"))
     val matched = eff
       .join(ad, Seq(idCol, "agent"))

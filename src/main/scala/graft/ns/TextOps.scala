@@ -945,8 +945,11 @@ object TextOps {
     val n = length(col(textCol))
     val b1 = Sampling.hashBucket(col(idCol), "fim1", 1000)
     val b2 = Sampling.hashBucket(col(idCol), "fim2", 1000)
+    // Empty docs pass through (round-11 ADVICE: with n=0 the cut
+    // arithmetic yields plen=-1 and a sentinel-only text_out,
+    // violating the non-negative-lengths contract).
     val applied =
-      Sampling.hashBucket(col(idCol), "fimr", 1000) < rateBuckets
+      Sampling.hashBucket(col(idCol), "fimr", 1000) < rateBuckets && n > 0
     // floor of small positive integer products — exact in doubles
     val plen = floor(least(b1, b2) * (n - 1) / 1000).cast("int")
     val tot = floor(greatest(b1, b2) * (n - 1) / 1000).cast("int")

@@ -250,15 +250,21 @@ object Warc {
       when(pmod(id, lit(19)) === 7, lit(Crlf))
         .otherwise(lit(Crlf + Crlf)),
       col(htmlCol))
+    // Content-Length is an OCTET count (ISO 28500): declare the
+    // UTF-8 byte length, not the UTF-16 char count, so a non-ASCII
+    // page cannot desync every subsequent record in the container
+    // (round-11 ADVICE). On the ASCII fixtures the two coincide,
+    // which is what keeps the SQL oracle's `length()` predictions
+    // valid.
     def record(wtype: String, payload: Column): Column =
       concat(lit("WARC/1.0" + Crlf + "WARC-Type: " + wtype + Crlf +
           "WARC-Target-URI: "), uri, lit(Crlf + "Content-Length: "),
-        length(payload).cast("string"), lit(Crlf + Crlf),
+        length(encode(payload, "UTF-8")).cast("string"), lit(Crlf + Crlf),
         payload, lit(Crlf + Crlf))
     val infoPayload = "software: graft-warc-fixture" + Crlf
     val infoRec = "WARC/1.0" + Crlf + "WARC-Type: warcinfo" + Crlf +
-      "Content-Length: " + infoPayload.length + Crlf + Crlf +
-      infoPayload + Crlf + Crlf
+      "Content-Length: " + infoPayload.getBytes("UTF-8").length +
+      Crlf + Crlf + infoPayload + Crlf + Crlf
     pages.select(
         floor(id / docsPerContainer).cast("long").as("container_id"),
         id.as("__id"),

@@ -931,21 +931,32 @@ private[graft] object NsTextOracles {
         |  CAST(doc_id % 5 + 1 AS VARCHAR), 6 FROM documents
         |UNION ALL
         |SELECT doc_id, 2, 'graftbot', 'disallow', '', 9
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 3, 'alphabot', 'disallow',
+        |  '/shared' || doc_id || '/', 12 FROM documents
+        |UNION ALL
+        |SELECT doc_id, 3, 'betabot', 'disallow',
+        |  '/shared' || doc_id || '/', 12 FROM documents""".stripMargin,
     // Longest-match verdicts in closed form: `*` (and the unknown
     // agent falling back to it) blocks /private<id>/x, allows the
     // /ok/ subtree (longer Allow wins) and /other (no match);
     // graftbot's empty Disallow matches nothing, so it may fetch
-    // everything.
+    // everything. AlphaBot probes case-insensitively into the SHARED
+    // alphabot/betabot group: its own group decides (so /private is
+    // ALLOWED — no `*` fallback) and /shared is blocked for it alone.
     "ns136_robots_decisions" ->
       """SELECT doc_id, probe_agent,
         |  CASE k WHEN 1 THEN '/private' || doc_id || '/x'
         |         WHEN 2 THEN '/private' || doc_id || '/ok/y'
-        |         ELSE '/other' END AS path,
-        |  NOT (k = 1 AND probe_agent <> 'graftbot') AS allowed
+        |         WHEN 3 THEN '/other'
+        |         ELSE '/shared' || doc_id || '/q' END AS path,
+        |  NOT ((k = 1 AND probe_agent IN ('*', 'unknownbot'))
+        |    OR (k = 4 AND probe_agent = 'AlphaBot')) AS allowed
         |FROM documents,
-        |  (SELECT unnest(['*', 'graftbot', 'unknownbot']) AS probe_agent),
-        |  (SELECT unnest([1, 2, 3]) AS k)""".stripMargin,
+        |  (SELECT unnest(['*', 'graftbot', 'unknownbot', 'AlphaBot'])
+        |     AS probe_agent),
+        |  (SELECT unnest([1, 2, 3, 4]) AS k)""".stripMargin,
     // Same md5-bucket arithmetic as the hashSplit oracles; cuts and
     // the PSM reassembly re-derived with integer // and substr.
     "ns140_fim_transform" ->
@@ -959,7 +970,7 @@ private[graft] object NsTextOracles {
         |      || ':fimr'), 1, 8)) AS BIGINT) % 1000 AS br
         |  FROM documents),
         |c AS (
-        |  SELECT doc_id, text, n, br < 600 AS applied,
+        |  SELECT doc_id, text, n, br < 600 AND n > 0 AS applied,
         |    (least(b1, b2) * (n - 1)) // 1000 AS plen,
         |    (greatest(b1, b2) * (n - 1)) // 1000 AS tot
         |  FROM h)

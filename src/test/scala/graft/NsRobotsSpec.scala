@@ -18,9 +18,34 @@ class NsRobotsSpec extends SparkSpec {
     val out = parse(
       "User-agent: a\nUser-agent: b\nDisallow: /x\n" +
         "User-agent: c\nDisallow: /y")
-    // group 1's directive is attributed under the LAST ua of the run
-    assert(out == Set((1L, "b", "disallow", "/x"),
+    // RFC 9309 group sharing: the shared group's rule fans out to
+    // EVERY agent of the run (round-11 ADVICE: attributing it only
+    // to the last agent let agent `a` over-crawl via the * group)
+    assert(out == Set((1L, "a", "disallow", "/x"),
+      (1L, "b", "disallow", "/x"),
       (2L, "c", "disallow", "/y")))
+  }
+
+  test("decision for a NON-LAST agent of a multi-ua group uses its " +
+      "own group, not *; agent match is case-insensitive") {
+    val rules = Robots.parseRobots(Seq((1L,
+      "User-agent: *\nDisallow: /p/\n" +
+        "User-agent: a\nUser-agent: GoodBot\nDisallow: /s/"))
+      .toDF("doc_id", "robots"), "doc_id", "robots")
+    val probes = Seq(
+      (1L, "a", "/p/x"),        // own group has no /p rule: allowed
+      (1L, "a", "/s/x"),        // own group blocks /s
+      (1L, "goodbot", "/s/x"),  // lowercase probe vs mixed-case ua
+      (1L, "GOODBOT", "/p/x"),  // uppercase probe, own group decides
+      (1L, "ghost", "/p/x"))    // no group: * blocks
+      .toDF("doc_id", "probe_agent", "path")
+    val out = Robots.robotsAllowed(rules, probes, "doc_id")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(out == Map(
+      ("a", "/p/x") -> true, ("a", "/s/x") -> false,
+      ("goodbot", "/s/x") -> false, ("GOODBOT", "/p/x") -> true,
+      ("ghost", "/p/x") -> false))
   }
 
   test("orphan rules drop, unknown keys ignored, comments strip, " +

@@ -880,6 +880,19 @@ class NsTextOpsSpec extends SparkSpec {
       .collect().toSet)
   }
 
+  test("fimTransform: empty docs pass through — never negative " +
+      "lengths or sentinel-only output (round-11 ADVICE)") {
+    // ids chosen so some land in the applied buckets at rate 1000
+    val df = (0L to 19L).map(i => (i, "")).toDF("doc_id", "text")
+    val out = TextOps.fimTransform(df, "doc_id", "text",
+      rateBuckets = 1000)
+      .as[(Long, Boolean, Long, Long, String)].collect()
+    out.foreach { case (id, applied, plen, mlen, t) =>
+      assert(!applied && plen == 0L && mlen == 0L && t == "",
+        s"doc $id must pass through")
+    }
+  }
+
   test("chatTurnOffsets: contiguous spans, alternating roles, loss " +
       "on assistant turns, hand-checked template") {
     import graft.ops.Sessionize

@@ -55,6 +55,30 @@ class NsWarcSpec extends SparkSpec {
       .forall(r => r.body == null && r.http_status.isEmpty))
   }
 
+  test("fixture declares OCTET lengths: non-ASCII pages round-trip " +
+      "without desync (round-11 ADVICE)") {
+    val docs = Seq((0L, "héllo wörld — ünïcode § page", "src0"),
+      (1L, "日本語のテキストと emoji éè", "src0"),
+      (2L, "plain ascii tail after multibyte neighbors", "src0"))
+      .toDF("doc_id", "text", "source")
+    val pages = Html.buildHtmlFixture(docs)
+    val recs = Warc.parseContainers(Warc.buildWarcFixture(pages))
+      .collect().sortBy(_.rec_index)
+    // a char-count Content-Length would understate doc 0's payload
+    // and desync every record after it; octet lengths keep the whole
+    // container green
+    assert(recs.forall(r => r.status == "ok"), recs.map(r =>
+      (r.rec_index, r.status)).mkString(","))
+    val htmlById = pages.select(col("doc_id"), col("html"))
+      .as[(Long, String)].collect().toMap
+    val resp = recs.filter(_.warc_type == "response")
+    assert(resp.length == 3)
+    resp.foreach { r =>
+      val id = r.target_uri.split("/d/").last.toLong
+      assert(r.body == htmlById(id), s"body mismatch for doc $id")
+    }
+  }
+
   test("desync: garbage at a record boundary ends the walk") {
     val bytes = ("not a warc at all" + crlf).getBytes("UTF-8")
     val out = Warc.parseWarc(9L, bytes)

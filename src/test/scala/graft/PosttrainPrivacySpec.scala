@@ -70,6 +70,23 @@ class PosttrainPrivacySpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("curriculumPhases: high-cardinality scores fail the summary " +
+      "bound as a contract error, not a silent driver collect") {
+    // every row a distinct score => cells = rows > maxSummaryCells
+    val df = (0L until 64L).map(i => (i, i * 7L)).toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Posttrain.curriculumPhases(df, "id", "score", phases = 4,
+        bucketSize = 4L, maxSummaryCells = 16L).collect()
+    }
+    assert(e.getMessage.contains("maxSummaryCells"))
+    // and the same data passes once quantized below the bound
+    // (scores collapse to one level => cells = 16 id buckets)
+    val q = df.withColumn("score", expr("(score div 1000) * 1000"))
+    val ok = Posttrain.curriculumPhases(q, "id", "score", phases = 4,
+      bucketSize = 4L, maxSummaryCells = 16L)
+    assert(ok.count() === 64L)
+  }
+
   // QI fixture: fine class = (t, day, b10), coarse = (t, b50).
   // Type "a" day-1 decade-0 has 4 rows (level 0 at k=4); type "b"
   // rows are spread one per day (all escalate) but share a coarse
