@@ -1553,6 +1553,38 @@ object SparkEntry {
         dir)
     }),
 
+    // ---- §2.8 [NS] PNG decode + mixed-format dHash (r12) ----
+    // Real PNG pixel decode (javax.imageio, JDK-only; PNG is
+    // lossless so decoded channels are exact) through the SAME dHash
+    // operator, over a MIXED corpus: even files are BMPs, odd files
+    // PNGs, both containers carrying the identical closed-form pixel
+    // formula — so the oracle is ns63's cell arithmetic with only the
+    // extension differing, format auto-detect is oracle-gated (a
+    // misrouted payload breaks the hash), and BMP/PNG twins of one
+    // grid must collide at Hamming 0 (the cross-format law in
+    // NsSketchesMultimodalSpec).
+    "ns158_png_dhash" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_png")
+      (0 until 60).foreach { i =>
+        val seed = (i / 2).toLong * 1000L
+        if (i % 2 == 0)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath, s"img_$i.bmp"),
+            Multimodal.writeBmp(72, 64, seed))
+        else
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath, s"img_$i.png"),
+            Multimodal.writePng(72, 64, seed))
+      }
+      materializeAndDrop(
+        Multimodal.dhashImages(
+          Multimodal.readBinaryDir(s, dir.getPath, "img_*"))
+          .toDF()
+          .select(col("file_name"), col("width"), col("height"),
+            col("dhash")),
+        dir)
+    }),
+
     // Hamming-banded image near-dup over the same dHashes — EXACTLY
     // the SimHash band-join machinery (ns04) on a different signature
     // source, and unlike ns04 this one is hash-GATED: maxHamming 7 <

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * The DECODE step is real for the dependency-free formats — BMP and
   * PNM (PBM/PGM/PPM) dimensions are parsed from the payload header in
-  * pure JVM code ([[parseDims]]) — and falls back to a clearly-marked
-  * deterministic fake ([[stubDims]]) for formats that need a codec
-  * this container does not have (JPEG/MP4/...). Everything AROUND the
+  * pure JVM code ([[parseDims]]), and PNG decodes fully (header dims
+  * AND lossless pixels via `javax.imageio`, r12) — and falls back to
+  * a clearly-marked deterministic fake ([[stubDims]]) for formats
+  * that need a codec this container does not have (JPEG/MP4/...).
+  * Everything AROUND the
   * decode is real and tested — the binaryFile source schema, the
   * metadata projection, the batched `mapPartitions` execution shape
   * (the Scala analogue of a vectorized/batched decode UDF: payload
@@ -44,9 +46,12 @@ object Multimodal {
     *    18/20) and BITMAPINFOHEADER+ (DIB size >= 40, i32 dims at
     *    18/22; negative height = top-down rows, dims are |height|).
     *    Little-endian throughout, per the public format spec.
+    *  - PNG (8-byte magic): IHDR is mandated first, so width/height
+    *    are the big-endian u32s at offsets 16/20.
     *  - PNM `P1`..`P6`: ASCII header `magic [#comment]* width height`,
     *    tokens separated by whitespace, `#` comments run to newline.
-    * Returns None for anything else (malformed or codec-requiring). */
+    * Returns None for anything else (malformed or codec-requiring —
+    * lossy formats like JPEG stay on the [[stubDims]] fallback). */
   def parseDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
@@ -61,6 +66,15 @@ object Multimodal {
         val (w, h) = (le32(18), le32(22))
         if (w > 0 && h != 0) Some((w, math.abs(h))) else None
       } else None
+    } else if (hasPngMagic(bytes) && bytes.length >= 24) {
+      // PNG IHDR: big-endian u32 width/height at offsets 16/20
+      def be32(off: Int): Long =
+        ((u8(off).toLong << 24) | (u8(off + 1) << 16) |
+          (u8(off + 2) << 8) | u8(off + 3)) & 0xffffffffL
+      val (w, h) = (be32(16), be32(20))
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some((w.toInt, h.toInt))
+      else None
     } else if (bytes.length >= 2 && bytes(0) == 'P' &&
       bytes(1) >= '1' && bytes(1) <= '6') {
       // Tokenize just far enough for two decimal fields.
@@ -505,6 +519,84 @@ object Multimodal {
     Some((w, h, gray))
   }
 
+  private val PngMagic =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def hasPngMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(bytes, 8), PngMagic)
+
+  /** Minimal RGB PNG encoder via `javax.imageio` (JDK-only — PNG is
+    * the one common web-image format decodable without an external
+    * codec): pixel at IMAGE position (x, y) carries
+    * (r, g, b) = (v%251, v%241, v%239) for v = seed + y·w + x — the
+    * SAME channel formula as [[writeBmp]], expressed in top-down
+    * image order where BMP's is bottom-up file order. Because each
+    * decoder reads its own container's natural order, the two decoded
+    * gray grids are IDENTICAL arrays, so a fixture grid hashed
+    * through either container must produce the same dHash — the
+    * cross-format law NsSketchesMultimodalSpec pins. */
+  def writePng(width: Int, height: Int, seed: Long = 0L): Array[Byte] = {
+    require(width > 0 && height > 0, "PNG dims must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed + y.toLong * width + x
+        img.setRGB(x, y,
+          (((v % 251).toInt << 16) | ((v % 241).toInt << 8) |
+            (v % 239).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** PNG pixel decode to the [[parseBmpGray]] gray-sum convention
+    * (r+g+b per pixel, 0..765), rows in top-down image order. PNG is
+    * LOSSLESS, so decoded channel values are exact — which is what
+    * makes a PNG-fed dHash/resize/blur gate hash-stable; lossy
+    * codecs (JPEG) stay behind the documented [[stubDims]] fallback.
+    * Returns None (quarantine, not crash) on a missing magic, a
+    * truncated/corrupt stream, or anything ImageIO cannot decode. */
+  def parsePngGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (!hasPngMagic(bytes)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        gray(y * w + x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** Format auto-detect over the magic bytes: BMP → [[parseBmpGray]],
+    * PNG → [[parsePngGray]], anything else None — the single decode
+    * entry the gray-grid operators (dHash, resize, blur) call, so a
+    * mixed-format corpus needs no per-format branches upstream. */
+  def parseImageGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      parseBmpGray(bytes)
+    else if (hasPngMagic(bytes)) parsePngGray(bytes)
+    else None
+
   /** 2×2 box-filter downsample of a gray grid — the pixel half of
     * the multimodal resize step. Output pixel (x,y) is the FLOOR
     * mean of its 2×2 source block: exact integer arithmetic, so the
@@ -555,7 +647,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.flatMap { case (name, bytes) =>
-            parseBmpGray(bytes).map { case (w, h, gray) =>
+            parseImageGray(bytes).map { case (w, h, gray) =>
               val (ow, oh, out) = boxDownsample2(w, h, gray)
               var s = 0L
               var i = 0
@@ -625,7 +717,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.flatMap { case (name, bytes) =>
           for {
-            (w, h, gray) <- parseBmpGray(bytes)
+            (w, h, gray) <- parseImageGray(bytes)
             bits <- dhash64(w, h, gray)
           } yield ImageHash(name, w, h, bits)
         })
@@ -698,7 +790,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.flatMap { case (name, bytes) =>
           for {
-            (w, h, gray) <- parseBmpGray(bytes)
+            (w, h, gray) <- parseImageGray(bytes)
             (n, s, s2) <- laplacianMoments(w, h, gray)
           } yield BlurScore(name, w, h, n, s, s2,
             // var = (n·ΣL² − ΣL²̄)/n² compared in exact integers

@@ -142,6 +142,37 @@ private[graft] object NsMultimodalOracles {
         |  CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
         |    THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT) AS dhash
         |FROM hv""".stripMargin,
+    // ns63's cell arithmetic verbatim — both containers carry the
+    // identical pixel formula in their own natural row order, so
+    // only the file extension differs; a misdetected format (PNG
+    // bytes through the BMP path or vice versa) produces no row or a
+    // wrong hash and breaks the gate.
+    "ns158_png_dhash" ->
+      """WITH imgs AS (
+        |  SELECT CAST(i AS BIGINT) AS img_id,
+        |         CAST((i // 2) * 1000 AS BIGINT) AS seed,
+        |         CASE WHEN i % 2 = 0 THEN '.bmp' ELSE '.png' END AS ext
+        |  FROM range(0, 60) t(i)),
+        |cells AS (
+        |  SELECT img_id, x // 8 AS cx, y // 8 AS cy,
+        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |        + (seed + y*72 + x) % 239) AS s
+        |  FROM imgs, range(0, 64) ty(y), range(0, 72) tx(x)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.img_id, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
+        |  FROM cells l JOIN cells r
+        |    ON l.img_id = r.img_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8 AND l.s > r.s),
+        |hv AS (
+        |  SELECT img_id,
+        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+        |  FROM imgs LEFT JOIN bits USING (img_id) GROUP BY img_id)
+        |SELECT 'img_' || hv.img_id || imgs.ext AS file_name,
+        |  CAST(72 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+        |  CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+        |    THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT) AS dhash
+        |FROM hv JOIN imgs USING (img_id)""".stripMargin,
     // Near-dup oracle: brute-force all-pairs Hamming over the same
     // closed-form hashes — the banded join is complete at
     // maxHamming 7 < bands 8, so it must match this exactly.

@@ -412,6 +412,48 @@ class NsSketchesMultimodalSpec extends SparkSpec {
       "P5 3 3 255 aaaaaaaaa".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("parsePngGray: lossless round-trip of the closed-form pixel " +
+      "grid; corrupt and magic-less payloads quarantine") {
+    val w = 13; val h = 5; val seed = 77L
+    val png = Multimodal.writePng(w, h, seed)
+    val (pw, ph, gray) = Multimodal.parsePngGray(png).get
+    assert(pw == w && ph == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = seed + y.toLong * w + x
+      assert(gray(y * w + x) ==
+        (v % 251 + v % 241 + v % 239).toInt, s"pixel ($x,$y)")
+    }
+    // PNG header dims decode without touching the pixel codec
+    assert(Multimodal.parseDims(png).contains((w, h)))
+    // truncated stream: magic present, body gone — None, no crash
+    assert(Multimodal.parsePngGray(png.take(20)).isEmpty)
+    // BMP bytes through the PNG path → None (magic gate)
+    assert(Multimodal.parsePngGray(Multimodal.writeBmp(4, 4)).isEmpty)
+  }
+
+  test("parseImageGray auto-detects: BMP and PNG twins of one pixel " +
+      "grid decode to identical arrays, so dHashes collide; junk and " +
+      "lossy-codec magics fall through (stub retained)") {
+    val (w, h, seed) = (72, 64, 4242L)
+    val viaBmp = Multimodal.parseImageGray(
+      Multimodal.writeBmp(w, h, seed)).get
+    val viaPng = Multimodal.parseImageGray(
+      Multimodal.writePng(w, h, seed)).get
+    assert(viaBmp._1 == w && viaPng._1 == w)
+    assert(java.util.Arrays.equals(viaBmp._3, viaPng._3),
+      "both containers must decode the formula grid to the same array")
+    assert(Multimodal.dhash64(w, h, viaBmp._3) ==
+      Multimodal.dhash64(w, h, viaPng._3))
+    // a JPEG magic (lossy — no codec here) is NOT gray-decodable and
+    // keeps the documented stub fallback for dims
+    val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      Array.fill[Byte](64)(7)
+    assert(Multimodal.parseImageGray(fakeJpeg).isEmpty)
+    assert(Multimodal.parseDims(fakeJpeg).isEmpty)
+    assert(Multimodal.defaultDecode(Seq(fakeJpeg)) ==
+      Seq(Multimodal.stubDims(fakeJpeg)))
+  }
+
   test("dhash64: deterministic, identical inputs agree, single-cell " +
     "edits stay near") {
     val w = 72; val h = 64
