@@ -2237,6 +2237,59 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- §2.8 [NS] NFKC + case-fold normalization (r12) ----
+    // The stronger dedup/match tier above ns127 (the NFKC_Casefold
+    // direction): compatibility forms collapse AND case drops.
+    // Fixture: doc_id%4 plants one arm each — full-width ASCII,
+    // ligature/Roman-numeral/superscript compatibility chars (the
+    // expand-THEN-fold order trap: Ⅸ→IX→ix), NFD-decomposed
+    // uppercase Latin, half-width katakana. DuckDB has no NFKC, so
+    // the oracle PREDICTS both sides in closed form from the same
+    // checked-in code points (the ns122/ns154 convention); the
+    // base text is ASCII, where fold ≡ lower() in both engines.
+    "ns159_nfkc_casefold" -> ((s, d) => {
+      val ts = TextOps.nfkcCfFixtureTails
+      val tail = when(pmod(col("doc_id"), lit(4)) === 0, lit(ts(0)._1))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit(ts(1)._1))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit(ts(2)._1))
+        .otherwise(lit(ts(3)._1))
+      TextOps.nfkcCasefold(
+        t(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"), tail).as("text")),
+        "doc_id", "text")
+    }),
+
+    // ---- §2.8 [NS] casefold-robust dedup (r12) ----
+    // WHY the NFKC_Casefold tier exists, as one gated query (the
+    // ns132 pattern one level up): the corpus salted with an
+    // UPPERCASED twin of each doc_id%5 doc and a FULL-WIDTH
+    // translated twin of each doc_id%7 doc — variants NFC cannot
+    // collapse (both are already canonical). Fingerprinting after
+    // nfkc_casefold collapses every variant onto its original; the
+    // oracle fingerprints the original's lower() once per doc with
+    // the variant multiplicity (closed form, no normalizer in SQL).
+    "ns160_casefold_dedup" -> ((s, d) => {
+      val ascii = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9'))
+        .mkString
+      val fullw = ascii.map(c => (c + 0xFEE0).toChar) + "　"
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val upperTwins = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          upper(col("text")).as("text"))
+      val fullwTwins = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          translate(col("text"), ascii + " ", fullw).as("text"))
+      val salted = base.unionByName(upperTwins).unionByName(fullwTwins)
+      val folded = graft.functions.functions.nfkc_casefold(col("text"))
+      salted
+        .select(col("doc_id"),
+          md5(regexp_replace(trim(folded), lit("\\s+"), lit(" ")))
+            .as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("dup_count"))
+    }),
+
     // ---- §2.8 [NS] code-quality heuristics (r11) ----
     // The Stack-style filter battery for code corpora. Fixture:
     // doc_id%4 plants one defect class each — prose baseline,

@@ -341,6 +341,65 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Static kernel for [[NfkcCasefoldExpr]]: the NFKC + case-fold
+  * normalization tier (the Unicode NFKC_Casefold direction) — the
+  * standard dedup/match normalization for web text, one level
+  * stronger than NFC: compatibility forms collapse (full-width
+  * ASCII, ligatures ﬁ→fi, superscripts ²→2, half-width katakana,
+  * Roman-numeral compatibility chars) AND case distinctions drop.
+  * Composition: NFKC, then Unicode Default Case Conversion
+  * lowercasing (JDK `toLowerCase(Locale.ROOT)` — deliberately NOT
+  * full case folding: ß stays ß rather than becoming ss; the choice
+  * is pinned by the ns159 gate), then NFKC again because
+  * lowercasing can denormalize (İ → i + combining dot). NFKC is
+  * Unicode-stabilized like NFC; the lowercase step follows the
+  * published UnicodeData/SpecialCasing tables, so conformant
+  * engines agree. Fast path: pure-ASCII text with no uppercase —
+  * the common case after upstream cleaning — returns the input
+  * buffer untouched. */
+object NfkcCfKernel {
+  def nfkcCf(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var asciiLower = true
+    while (asciiLower && i < n) {
+      val b = s.getByte(i)
+      if (b < 0 || (b >= 'A' && b <= 'Z')) asciiLower = false
+      i += 1
+    }
+    if (asciiLower) return s
+    val str = s.toString
+    val form = java.text.Normalizer.Form.NFKC
+    val nfkc =
+      if (java.text.Normalizer.isNormalized(str, form)) str
+      else java.text.Normalizer.normalize(str, form)
+    val low = nfkc.toLowerCase(java.util.Locale.ROOT)
+    val out =
+      if (java.text.Normalizer.isNormalized(low, form)) low
+      else java.text.Normalizer.normalize(low, form)
+    if (out == str) s else UTF8String.fromString(out)
+  }
+}
+
+/** Catalyst-native NFKC + case-fold normalization with full codegen
+  * support (the [[NfcNormalizeExpr]] tier): one static call into
+  * [[NfkcCfKernel]] per row inside WholeStageCodegen. */
+case class NfkcCasefoldExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    NfkcCfKernel.nfkcCf(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.NfkcCfKernel.nfkcCf($c);
+      |""".stripMargin)
+  override def prettyName: String = "nfkc_casefold"
+  override protected def withNewChildInternal(c: Expression): NfkcCasefoldExpr =
+    copy(child = c)
+}
+
 /** Static kernels for the product-quantization expressions: one
   * tight JVM pass per row, shared by interpreted eval and generated
   * code (the [[IvfAssignKernel]] story). PQ splits a d-dim unit
@@ -574,6 +633,11 @@ object functions {
     * output in every conformant engine by Unicode stabilization. */
   def nfc_normalize(c: Column): Column =
     Shim.column(NfcNormalizeExpr(Shim.expression(c)))
+
+  /** NFKC + lowercase + NFKC (the NFKC_Casefold direction), codegen'd
+    * — the strong dedup/match normalization tier. */
+  def nfkc_casefold(c: Column): Column =
+    Shim.column(NfkcCasefoldExpr(Shim.expression(c)))
 
   /** Per-subspace PQ codes of an array<double> vector (null for
     * zero-norm) — the product-quantization encode kernel. */

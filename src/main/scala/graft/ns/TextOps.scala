@@ -391,6 +391,45 @@ object TextOps {
     " \u212B\u2126 e\u0301\u0323x",
     " \u1112\u1161\u11AB\u1100\u1173\u11AF")
 
+  /** Planted NFKC_Casefold fixture tails, one (input, expected) pair
+    * per doc_id%4 class — each class exercises one compatibility/case
+    * arm (shared by the ns159 gate and its oracle generator, which
+    * rebuilds BOTH sides with chr() chains — DuckDB has no NFKC, so
+    * the expected side is a closed-form prediction, the ns122/ns154
+    * convention):
+    *  0. full-width ASCII + ideographic space — compatibility forms
+    *     collapse to plain ASCII, then case folds;
+    *  1. ligatures (ﬁﬂ), Roman-numeral compatibility char (Ⅸ),
+    *     superscripts — expand/decompose THEN fold (Ⅸ→IX→ix: the
+    *     order-sensitivity trap a fold-then-NFKC impl gets wrong);
+    *  2. NFD-decomposed uppercase Latin — composes AND folds (the
+    *     NFC tier alone leaves the case distinction);
+    *  3. half-width katakana with voiced-sound marks — composes to
+    *     full-width (case-stable: no Latin to fold). */
+  val nfkcCfFixtureTails: Seq[(String, String)] = Seq(
+    (" \uFF28\uFF45\uFF2C\uFF2C\uFF4F\u3000" +
+      "\uFF57\uFF4F\uFF52\uFF4C\uFF44\uFF11\uFF12\uFF13",
+      " hello world123"),
+    (" \uFB01\uFB02 \u2168 x\u00B2y\u00B3", " fifl ix x2y3"),
+    (" CAFE\u0301 NAI\u0308VE", " caf\u00E9 na\u00EFve"),
+    (" \uFF76\uFF9E\uFF9D\uFF80\uFF9E\uFF91" +
+      " \uFF83\uFF9E\uFF70\uFF80",
+      " \u30AC\u30F3\u30C0\u30E0 \u30C7\u30FC\u30BF"))
+
+  /** NFKC + case-fold normalization — the stronger dedup/match tier
+    * above [[nfcNormalize]] (full-width forms, ligatures,
+    * superscripts, half-width katakana collapse; case drops). One
+    * codegen'd [[graft.functions.NfkcCasefoldExpr]] kernel call per
+    * row, zero shuffles, ASCII-lowercase fast path. Output:
+    * (idCol, folded_text, n_delta) — n_delta = signed char-count
+    * change (compatibility expansion can LENGTHEN text: Ⅸ→ix). */
+  def nfkcCasefold(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val f = graft.functions.functions.nfkc_casefold(col(textCol))
+    df.select(col(idCol), f.as("folded_text"),
+      (length(col(textCol)) - length(f)).cast("long").as("n_delta"))
+  }
+
   /** Unicode NFC normalization — curation stage 0.6, right after the
     * mojibake repair (mixed NFC/NFD forms of the SAME text hash to
     * different dedup fingerprints, count different n-grams, and leak

@@ -115,7 +115,47 @@ private[graft] object NsTextOracles {
       s" WHEN 2 THEN ${ts(2)} ELSE ${ts(3)} END"
   }
 
+  /** ns159 fixture tails as doc_id%4 CASEs of chr() chains — both
+    * the INPUT side (what Spark appends) and the EXPECTED side (the
+    * closed-form NFKC_Casefold prediction; DuckDB has no NFKC, so
+    * this is the ns122/ns154 predict-don't-recompute convention). */
+  private val nfkcInCase: String = {
+    val ts = graft.ns.TextOps.nfkcCfFixtureTails.map(t => chrChain(t._1))
+    s"CASE doc_id % 4 WHEN 0 THEN ${ts(0)} WHEN 1 THEN ${ts(1)}" +
+      s" WHEN 2 THEN ${ts(2)} ELSE ${ts(3)} END"
+  }
+  private val nfkcExpCase: String = {
+    val ts = graft.ns.TextOps.nfkcCfFixtureTails.map(t => chrChain(t._2))
+    s"CASE doc_id % 4 WHEN 0 THEN ${ts(0)} WHEN 1 THEN ${ts(1)}" +
+      s" WHEN 2 THEN ${ts(2)} ELSE ${ts(3)} END"
+  }
+
   val sql: Map[String, String] = Map(
+    // The base text is ASCII (fold ≡ lower() in both engines) and
+    // the tail prediction is closed-form; all planted code points
+    // are BMP, so DuckDB's code-point length == Spark's UTF-16
+    // length and the signed n_delta matches exactly.
+    "ns159_nfkc_casefold" ->
+      s"""SELECT doc_id,
+         |  lower(text) || $nfkcExpCase AS folded_text,
+         |  CAST(length(text || $nfkcInCase)
+         |    - length(lower(text) || $nfkcExpCase) AS BIGINT) AS n_delta
+         |FROM documents""".stripMargin,
+    // Every salted variant (uppercase twin, full-width twin) folds
+    // back to the original's lower(text) exactly, so the oracle
+    // fingerprints lower(text) once per doc with the variant
+    // multiplicity — no normalizer in SQL (the ns132 shape).
+    "ns160_casefold_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS mult,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      AS fingerprint
+        |  FROM documents)
+        |SELECT fingerprint, min(doc_id) AS doc_id,
+        |  CAST(sum(mult) AS BIGINT) AS dup_count
+        |FROM m GROUP BY fingerprint""".stripMargin,
     // Trained weights from the INDEPENDENT Python trainer
     // (tools/gen_linear.py, the ns88 two-implementation convention):
     // same labels, same integer batch-perceptron loop, written by a

@@ -1101,6 +1101,54 @@ class NsTextOpsSpec extends SparkSpec {
     assert(nulls == Seq(1L))
   }
 
+  test("nfkc casefold: every fixture class folds to its checked-in " +
+      "prediction; idempotent; stronger than nfc; ascii fast path") {
+    val ts = TextOps.nfkcCfFixtureTails
+    val df = ts.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("doc_id", "text")
+    val out = TextOps.nfkcCasefold(df, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    ts.zipWithIndex.foreach { case ((in, exp), i) =>
+      assert(out(i.toLong) == exp, s"class $i: " +
+        out(i.toLong).map(c => f"\\u${c.toInt}%04X").mkString)
+    }
+    // idempotence: folding the folded output is a fixed point
+    val once = TextOps.nfkcCasefold(df, "doc_id", "text")
+      .select(col("doc_id"), col("folded_text").as("text"))
+    val twice = TextOps.nfkcCasefold(once, "doc_id", "text")
+      .select(col("doc_id"), col("folded_text"))
+      .as[(Long, String)].collect().toMap
+    assert(twice == out)
+    // subsumes nfc: nfkcCf ∘ nfc ≡ nfkcCf on the NFC fixture classes
+    val nfcDf = TextOps.nfcFixtureTails.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val direct = TextOps.nfkcCasefold(nfcDf, "doc_id", "text")
+      .select(col("doc_id"), col("folded_text"))
+      .as[(Long, String)].collect().toMap
+    val viaNfc = TextOps.nfkcCasefold(
+      TextOps.nfcNormalize(nfcDf, "doc_id", "text")
+        .select(col("doc_id"), col("nfc_text").as("text")),
+      "doc_id", "text")
+      .select(col("doc_id"), col("folded_text"))
+      .as[(Long, String)].collect().toMap
+    assert(direct == viaNfc)
+    // pinned choice: Default Case Conversion, NOT full case folding
+    // (ß stays ß — the gate depends on this being stable)
+    val eszett = TextOps.nfkcCasefold(
+      Seq((0L, "GRÜßE")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select(col("folded_text")).as[String].head()
+    assert(eszett == "grüße")
+    // ascii-lowercase fast path returns input verbatim; null safe
+    val plain = TextOps.nfkcCasefold(
+      Seq((0L, "already folded 123"), (1L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(plain(0L) == "already folded 123" && plain(1L) == null)
+  }
+
   test("langProfile vs langId: both call the English corpus English") {
     val docs = Tables(spark, sf, "documents").limit(200)
     val both = TextOps.langProfile(docs, "doc_id", "text")
