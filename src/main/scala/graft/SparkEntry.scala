@@ -2736,6 +2736,35 @@ object SparkEntry {
         Seq("blk:alpha", "blk:alphabet", "lphabet", "blk:beta",
           "beta"))),
 
+    // ---- §2.8 [NS] blocklist gate funnel (r12) ----
+    // The attribution row a curation run publishes for its badword
+    // gate (ns87's automaton as a doc-level drop, now composed into
+    // p05): per source, total docs, blocked docs, distinct-phrase
+    // hits, and survivors. Planted tails: doc_id%13 carries one
+    // blocklisted phrase, doc_id%26 a second — so blocked counts and
+    // hit counts diverge and both must come out exact. One automaton
+    // pass + one map-combinable aggregate; the hit set is rare, so
+    // the attribution join broadcasts.
+    "ns161_blocklist_funnel" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"),
+        col("source"), concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            lit(" blk:spam prize claim")).otherwise(lit("")),
+          when(col("doc_id") % 26 === 0,
+            lit(" blk:scam wire the fee")).otherwise(lit("")))
+          .as("text"))
+      val hits = graft.ns.MultiPattern.blockedIds(
+        base, "doc_id", "text",
+        Seq("blk:spam", "blk:scam", "blk:never-present"))
+      base.join(broadcast(hits), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("n_patterns")).as("n_blocked"),
+          sum(coalesce(col("n_patterns"), lit(0L)))
+            .as("n_phrase_hits"),
+          (count(lit(1)) - count(col("n_patterns"))).as("n_kept"))
+    }),
+
     // ---- §2.8 [NS] frame sampling over a binary column ----
     // The video-ish multimodal step: deterministic byte-slice frames
     // from an opaque payload. Payload bytes are a printable-ASCII
@@ -3698,10 +3727,11 @@ object SparkEntry {
     }),
 
     // ---- §3 curation pipeline v2: the round-9 operator chain ----
-    // C4 line cleaning → exact dedup on the CLEANED text → linear-
-    // classifier quality gate → per-source quota, end-to-end: the
-    // modern curation recipe as one composition, every stage an
-    // already-gated operator, the whole chain re-gated in SQL.
+    // Blocklist gate (r12) → C4 line cleaning → exact dedup on the
+    // CLEANED text → linear-classifier quality gate → per-source
+    // quota, end-to-end: the modern curation recipe as one
+    // composition, every stage an already-gated operator, the whole
+    // chain re-gated in SQL.
     "p05_curation_v2" -> ((s, d) => {
       val lined = t(s, d, "documents").select(col("doc_id"),
         col("source"), concat(
@@ -3711,6 +3741,11 @@ object SparkEntry {
             .otherwise(lit("")),
           when(col("doc_id") % 11 === 0,
             lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+          // r12: planted blocklisted phrase — the whole doc must drop
+          // at the gate, before any later stage sees it
+          when(col("doc_id") % 13 === 0,
+            lit("\nclick here blk:spam to claim your prize now."))
+            .otherwise(lit("")),
           lit("\ntoo short."),
           lit("\nthis is a good closing sentence for the document."))
           .as("text"))
@@ -3718,8 +3753,17 @@ object SparkEntry {
         // gates — identity on this clean corpus (a tested law), so
         // the oracle is unchanged; ns122 gates the repair itself
         .withColumn("text", TextOps.repairMojibakeCol(col("text")))
-      val clean = TextOps.c4LineFilter(lined, "doc_id", "text")
-        .join(lined.select(col("doc_id"), col("source")), "doc_id")
+      // stage 0.7 (r12): Aho–Corasick blocklist gate (C4/Dolma run
+      // one) — hit ids are rare, so the drop is a broadcast
+      // left_anti and corpus rows never shuffle; ns87 gates the
+      // automaton, ns161 gates the funnel attribution
+      val gated = lined.join(
+        broadcast(graft.ns.MultiPattern.blockedIds(
+          lined, "doc_id", "text", Seq("blk:spam", "blk:scam"))
+          .select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      val clean = TextOps.c4LineFilter(gated, "doc_id", "text")
+        .join(gated.select(col("doc_id"), col("source")), "doc_id")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__fp")).orderBy(col("doc_id"))
       val surv = clean

@@ -114,4 +114,19 @@ object MultiPattern {
       }
       .toDF(idCol, "pattern")
   }
+
+  /** Doc-level blocklist gate support: the ids hitting at least
+    * `minHits` DISTINCT blocklisted phrases, with the count — the
+    * C4/Dolma badword-gate shape ([[scan]] + one map-combinable
+    * aggregate). The result is hit-sized (≪ corpus), so a curation
+    * chain drops blocked docs with a broadcast left_anti join and
+    * corpus rows never shuffle. Output: (idCol, n_patterns). */
+  def blockedIds(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, "minHits must be positive")
+    scan(df, idCol, textCol, patterns)
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("pattern")).as("n_patterns"))
+      .filter(col("n_patterns") >= minHits)
+  }
 }

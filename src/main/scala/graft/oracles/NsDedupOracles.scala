@@ -20,6 +20,33 @@ private[graft] object NsDedupOracles {
         |FROM built, unnest(['blk:alpha','blk:alphabet','lphabet',
         |  'blk:beta','beta']) t2(p)
         |WHERE contains(t, p)""".stripMargin,
+    // Funnel over the planted blocklist tails — pattern-agnostic
+    // contains per phrase (the ns87 convention), aggregated per
+    // source; the never-present phrase must contribute nothing.
+    "ns161_blocklist_funnel" ->
+      """WITH built AS (
+        |  SELECT doc_id, source, text
+        |    || CASE WHEN doc_id % 13 = 0
+        |      THEN ' blk:spam prize claim' ELSE '' END
+        |    || CASE WHEN doc_id % 26 = 0
+        |      THEN ' blk:scam wire the fee' ELSE '' END AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN contains(t, 'blk:spam') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, 'blk:scam') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, 'blk:never-present')
+        |       THEN 1 ELSE 0 END) AS np
+        |  FROM built)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocked,
+        |  CAST(sum(np) AS BIGINT) AS n_phrase_hits,
+        |  CAST(count(*) - sum(CASE WHEN np > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM built JOIN hits USING (doc_id)
+        |GROUP BY source""".stripMargin,
     // Same planted markers; hit rows only.
     "ns86_canary_scan" ->
       """WITH built AS (

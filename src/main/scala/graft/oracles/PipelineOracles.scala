@@ -76,8 +76,9 @@ private[graft] object PipelineOracles {
         |    ELSE 'test'
         |  END AS split
         |FROM adm""".stripMargin,
-    // ns71's line filter + exact dedup on the cleaned text + ns73's
-    // weight CASE + ns18's quota window, chained.
+    // Blocklist gate (pattern-agnostic contains, the ns87
+    // convention) + ns71's line filter + exact dedup on the cleaned
+    // text + ns73's weight CASE + ns18's quota window, chained.
     "p05_curation_v2" ->
       """WITH built AS (
         |  SELECT d.doc_id, d.source,
@@ -87,14 +88,20 @@ private[graft] object PipelineOracles {
         |      ELSE '' END
         |    || CASE WHEN d.doc_id % 11 = 0 THEN chr(10) ||
         |      'function f() { return 1; }' ELSE '' END
+        |    || CASE WHEN d.doc_id % 13 = 0 THEN chr(10) ||
+        |      'click here blk:spam to claim your prize now.'
+        |      ELSE '' END
         |    || chr(10) || 'too short.'
         |    || chr(10) ||
         |    'this is a good closing sentence for the document.' AS t
         |  FROM documents d),
+        |bgate AS (SELECT * FROM built
+        |  WHERE NOT contains(t, 'blk:spam')
+        |    AND NOT contains(t, 'blk:scam')),
         |ls AS (SELECT doc_id, source,
         |    list_transform(string_split(t, chr(10)),
         |      l -> trim(l)) AS lines
-        |  FROM built),
+        |  FROM bgate),
         |k AS (SELECT doc_id, source,
         |    list_filter(lines, l ->
         |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
