@@ -1783,6 +1783,60 @@ object SparkEntry {
         perDomainQuota = 8)
     }),
 
+    // ---- §3 polite-crawl round, end-to-end (r12, p09) ----
+    // The separately-gated crawl stages composed into one round:
+    // discovered URLs (ns68's messy fixture ∪ fragment twins) →
+    // per-domain robots decisions (ns136's machinery; .co.uk domains
+    // disallow /p/ for graftbot but Allow /p/1 — the longest-match
+    // rule decides per PATH, and the probe agent is mixed-case
+    // `GraftBot` so RFC 9309 case-insensitive matching is in the
+    // gated path) → crawl frontier (ns134: canonical dedup with
+    // variant multiplicity, domain blocklist, politeness quota) →
+    // seen-set delta (ns138's anti-join on the canonical form; the
+    // store is the even-id crawled slice). rn is the politeness slot
+    // assigned BEFORE the seen filter (a crawl round reserves slots,
+    // then skips already-fetched URLs). The oracle re-derives the
+    // whole funnel in independent SQL.
+    "p09_polite_crawl" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), fixtureUrl.as("url"))
+      val twins = base.filter(pmod(col("doc_id"), lit(6)) === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("url"), lit("#dup")).as("url"))
+      val batch = base.unionByName(twins)
+        .withColumn("url_canon", TextOps.canonicalizeUrl(col("url")))
+        .withColumn("domain",
+          TextOps.registrableDomain(col("url_canon"),
+            Seq("co.uk", "com.au", "co.jp")))
+        .withColumn("path",
+          regexp_extract(col("url_canon"), "^[a-z][a-z0-9+.\\-]*://[^/]+(/[^?#]*)", 1))
+      val robots = batch.select(col("domain")).distinct()
+        .withColumn("robots",
+          when(col("domain").endsWith(".co.uk"),
+            lit("User-agent: graftbot\nDisallow: /p/\nAllow: /p/1\n\n" +
+              "User-agent: *\nDisallow:"))
+            .otherwise(lit("User-agent: *\nDisallow:")))
+      val decisions = graft.ns.Robots.robotsAllowed(
+        graft.ns.Robots.parseRobots(robots, "domain", "robots"),
+        batch.select(col("domain"), lit("GraftBot").as("probe_agent"),
+          col("path")).distinct(),
+        "domain")
+      val allowed = batch.join(
+        decisions.filter(col("allowed"))
+          .select(col("domain"), col("path")),
+        Seq("domain", "path"))
+      val frontier = TextOps.crawlFrontier(
+        allowed.select(col("doc_id"), col("url")), "doc_id", "url",
+        blockDomains = Seq("src3.com", "src7.co.uk", "src15.com"),
+        perDomainQuota = 8)
+      val store = base.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(TextOps.canonicalizeUrl(col("url")).as("url_canon"))
+        .distinct()
+      frontier.join(store, Seq("url_canon"), "left_anti")
+        .select(col("doc_id"), col("url_canon"), col("domain"),
+          col("n_variants"), col("rn"))
+    }),
+
     // ---- §2.8 [NS] fill-in-the-middle transform (r11) ----
     // The code-model training rearrangement (PSM format): two
     // content-addressed cuts + a 60% content-addressed apply rate,

@@ -145,6 +145,97 @@ private[graft] object PipelineOracles {
         |    ORDER BY n_kept DESC, doc_id) AS rn
         |  FROM keepq)
         |WHERE rn <= 20""".stripMargin,
+    // The polite-crawl funnel re-derived end to end: ns134's
+    // url/parts/canon CTEs, then the RFC 9309 longest-match verdict
+    // in closed form (.co.uk domains disallow /p/ for graftbot with
+    // an Allow /p/1 carve-out, so the path's leading digit decides),
+    // dedup with variant multiplicity, the domain blocklist, the
+    // politeness window, and the seen-set anti-join last (slots are
+    // reserved before the seen filter, matching the engine).
+    "p09_polite_crawl" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END)
+        |      ELSE '' END ||
+        |    '/p/' || doc_id ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '?utm_source=feed&q=' || doc_id || '&fbclid=xyz'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, url FROM u0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, url || '#dup' FROM u0
+        |  WHERE doc_id % 6 = 2),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    (CASE WHEN (scheme = 'http' AND auth LIKE '%:80')
+        |            OR (scheme = 'https' AND auth LIKE '%:443')
+        |          THEN regexp_replace(auth, ':[0-9]+$', '')
+        |          ELSE auth END) ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN query = '' OR len(kept) = 0 THEN ''
+        |          ELSE '?' || array_to_string(kept, '&') END) AS url_canon
+        |  FROM (SELECT *,
+        |          list_filter(string_split(query, '&'), p ->
+        |            NOT (starts_with(p, 'utm_') OR
+        |                 starts_with(p, 'fbclid=') OR
+        |                 starts_with(p, 'gclid=') OR
+        |                 starts_with(p, 'ref=') OR p = '')) AS kept
+        |        FROM parts)),
+        |allowed AS (
+        |  SELECT doc_id, url_canon FROM canon
+        |  WHERE NOT (regexp_extract(url_canon,
+        |        '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1) LIKE '%.co.uk')
+        |     OR starts_with(regexp_extract(url_canon,
+        |        '^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)', 1), '/p/1')),
+        |ded AS (
+        |  SELECT url_canon, min(doc_id) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_variants
+        |  FROM allowed GROUP BY url_canon),
+        |dom AS (
+        |  SELECT doc_id, url_canon, n_variants,
+        |    CASE WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1])
+        |           IN ('co.uk', 'com.au', 'co.jp')
+        |         THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+        |         WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
+        |         ELSE host END AS domain
+        |  FROM (SELECT doc_id, url_canon, n_variants,
+        |          regexp_extract(url_canon,
+        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1) AS host,
+        |          string_split(regexp_extract(url_canon,
+        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1), '.') AS hp
+        |        FROM ded)),
+        |keep AS (
+        |  SELECT * FROM dom
+        |  WHERE domain NOT IN ('src3.com', 'src7.co.uk', 'src15.com')),
+        |quota AS (
+        |  SELECT doc_id, url_canon, domain, n_variants,
+        |    CAST(rn AS BIGINT) AS rn
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+        |          ORDER BY doc_id) AS rn FROM keep)
+        |  WHERE rn <= 8)
+        |SELECT doc_id, url_canon, domain, n_variants, rn FROM quota
+        |WHERE url_canon NOT IN (
+        |  SELECT url_canon FROM canon
+        |  WHERE doc_id % 2 = 0 AND doc_id < 3000000)""".stripMargin,
     // ns105's fixture CTEs -> ns73's weight CASE on the EXTRACTED
     // text -> p03's md5-fingerprint dedup -> the hashSplit idiom:
     // the whole HTML-in curation chain re-derived from the page
