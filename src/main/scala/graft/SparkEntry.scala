@@ -55,6 +55,20 @@ object SparkEntry {
     FixtureCache.cached(s, d, "md_docs")(
       graft.ns.Markdown.buildMarkdownFixture(t(s, d, "documents")))
 
+  /** Link-graph fixture for the domain-authority queries (ns162/
+    * ns163): each doc links its source domain to a doc_id%16-derived
+    * domain, and doc_id%17 docs also link to a SINK domain with no
+    * out-links (the dangling-mass class). Duplicates/self-loops are
+    * the scorer's job to handle. */
+  private def authorityEdges(docs: DataFrame): DataFrame = {
+    val src = concat(col("source"), lit(".com"))
+    docs.select(src.as("src"),
+      concat(lit("src"), pmod(col("doc_id"), lit(16)).cast("string"),
+        lit(".com")).as("dst"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(src.as("src"), lit("sink.example").as("dst")))
+  }
+
   /** The messy-URL fixture expression ns68/ns134 share: scheme and
     * www casing, multi-label TLDs, default ports, tracking params,
     * fragments — every class the canonicalizer must collapse. */
@@ -1835,6 +1849,44 @@ object SparkEntry {
       frontier.join(store, Seq("url_canon"), "left_anti")
         .select(col("doc_id"), col("url_canon"), col("domain"),
           col("n_variants"), col("rn"))
+    }),
+
+    // ---- §2.8 [NS] domain-authority link-graph scoring (r12) ----
+    // Bounded-iteration PageRank over a (src_domain, dst_domain)
+    // edge table in EXACT integer arithmetic (fixed division dag, no
+    // floats), for frontier prioritization. Fixture: each doc's
+    // source domain links to a doc_id%16-derived domain, and
+    // doc_id%17 docs link to a pure SINK domain with no out-links —
+    // the dangling-mass arm. The oracle UNROLLS all five iterations
+    // as CTE stages with DuckDB's own integer ops, so every
+    // intermediate rank must match bit for bit.
+    "ns162_domain_authority" -> ((s, d) =>
+      graft.ns.Clusters.domainAuthority(
+        authorityEdges(t(s, d, "documents")), "src", "dst")),
+
+    // ---- §2.8 [NS] authority-ordered frontier (r12) ----
+    // The composition the authority score exists for: ns134's
+    // politeness frontier carrying each row's domain authority as
+    // the fetch-priority ordering key (a crawler drains slots
+    // highest-authority-domain first). The authority table is
+    // domain-sized, so the attach join broadcasts; frontier domains
+    // outside the link graph (.co.uk variants here) carry 0.
+    "ns163_authority_frontier" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), fixtureUrl.as("url"))
+      val twins = base.filter(pmod(col("doc_id"), lit(6)) === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("url"), lit("#dup")).as("url"))
+      val frontier = TextOps.crawlFrontier(
+        base.unionByName(twins), "doc_id", "url",
+        blockDomains = Seq("src3.com", "src7.co.uk", "src15.com"),
+        perDomainQuota = 8)
+      val auth = graft.ns.Clusters.domainAuthority(
+        authorityEdges(t(s, d, "documents")), "src", "dst")
+      frontier.join(broadcast(auth), Seq("domain"), "left")
+        .select(col("doc_id"), col("url_canon"), col("domain"),
+          col("n_variants"), col("rn"),
+          coalesce(col("auth_micro"), lit(0L)).as("auth_micro"))
     }),
 
     // ---- §2.8 [NS] fill-in-the-middle transform (r11) ----

@@ -149,4 +149,84 @@ object Clusters {
         minCosine, numHashTables, bucketLength, seed,
         maxBucketSize = maxBucketSize),
       "id_a", "id_b", maxIter)
+
+  /** Domain-authority scoring over a (src_domain, dst_domain) link
+    * graph — bounded-iteration PageRank (Brin & Page 1998) in EXACT
+    * integer arithmetic, for frontier prioritization: a crawler
+    * fetches high-authority domains first, and the score composes
+    * with [[TextOps.crawlFrontier]]'s quota as the ordering key.
+    *
+    * Determinism (the hash-gate requirement): ranks are integer
+    * micro-units of `scale`, every division is an explicit floor in
+    * a FIXED dag — contrib(u) = rank(u) div outdeg(u), dangling
+    * share = (Σ dangling ranks) div N, and
+    * rank'(v) = ((den−num)·base) div den
+    *          + (num·(inSum(v) + dShare)) div den
+    * with base = scale div N — so long sums are order-independent
+    * and an iteratively-UNROLLED SQL oracle reproduces every score
+    * bit for bit. No float ever appears; `iterations` is a fixed
+    * bound, not a convergence loop (the unrolled oracle must match
+    * round counts exactly).
+    *
+    * Scale shape: edges symmetrize nothing and dedupe once; each
+    * round is one (rank ⋈ outdeg) broadcast-or-shuffle join on the
+    * DOMAIN-sized node frame, one edge join, one map-combinable sum
+    * — all orders of magnitude below content volume (domains, not
+    * pages). The dangling total is a one-long driver summary per
+    * round (the ns102 driver-summary rule); lineage is
+    * localCheckpoint'd per round like [[connectedComponents]].
+    * Dangling mass (nodes with no out-links) redistributes uniformly
+    * — the standard correction, and the dangling-node law in
+    * ClustersSpec pins it.
+    *
+    * Output: (domain, auth_micro) — one row per distinct node,
+    * auth_micro the integer rank in `scale` units. */
+  def domainAuthority(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int = 5,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      "damping must be a fraction")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("domain"))
+      .union(e.select(col("dst").as("domain")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty link graph")
+    val base = scale / n
+    val outdeg = e.groupBy(col("src").as("domain"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var rank = nodes.withColumn("auth_micro", lit(base))
+    var i = 0
+    while (i < iterations) {
+      val withDeg = rank.join(outdeg, Seq("domain"), "left")
+      // one-long driver summary: total rank sitting on sink domains
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("auth_micro")), lit(0L)))
+        .head().getLong(0)
+      val dShare = dangling / n
+      val inSum = withDeg.filter(col("outdeg").isNotNull)
+        .select(col("domain").as("src"),
+          expr("auth_micro div outdeg").as("__c"))
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("domain"))
+        .agg(sum(col("__c")).as("__in"))
+      rank = nodes.join(inSum, Seq("domain"), "left")
+        .select(col("domain"),
+          (lit((dampDen - dampNum) * base / dampDen) +
+            expr(s"($dampNum * (coalesce(__in, 0L) + ${dShare}L))" +
+              s" div ${dampDen}L")).as("auth_micro"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    rank
+  }
 }

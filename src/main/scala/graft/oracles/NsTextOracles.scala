@@ -130,7 +130,137 @@ private[graft] object NsTextOracles {
       s" WHEN 2 THEN ${ts(2)} ELSE ${ts(3)} END"
   }
 
+  /** ns162/ns163 link-graph fixture + the UNROLLED integer PageRank
+    * recurrence as CTE stages — DuckDB's own `//` floors reproduce
+    * the engine's fixed division dag, one (dangling, contrib, rank)
+    * stage triple per iteration, so every intermediate rank must
+    * match bit for bit. */
+  private val authorityCtes: String = {
+    val scale = "1000000000000"
+    val head = s"""e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT source || '.com' AS src,
+      |      'src' || (doc_id % 16) || '.com' AS dst FROM documents
+      |    UNION ALL
+      |    SELECT source || '.com', 'sink.example' FROM documents
+      |    WHERE doc_id % 17 = 0)
+      |  WHERE src <> dst),
+      |nodes AS (SELECT DISTINCT domain FROM (
+      |  SELECT src AS domain FROM e
+      |  UNION ALL SELECT dst FROM e)),
+      |meta AS (SELECT count(*) AS n FROM nodes),
+      |outdeg AS (SELECT src AS domain, count(*) AS outdeg
+      |  FROM e GROUP BY src),
+      |r0 AS (SELECT domain, (SELECT $scale // n FROM meta) AS r
+      |  FROM nodes)""".stripMargin
+    val iters = (1 to 5).map { k =>
+      s"""d$k AS (SELECT coalesce(sum(r), 0) AS dang
+         |  FROM r${k - 1} LEFT JOIN outdeg USING (domain)
+         |  WHERE outdeg IS NULL),
+         |c$k AS (SELECT e.dst AS domain, sum(rr.r // o.outdeg) AS ins
+         |  FROM r${k - 1} rr JOIN outdeg o USING (domain)
+         |  JOIN e ON e.src = rr.domain
+         |  GROUP BY e.dst),
+         |r$k AS (SELECT nd.domain,
+         |  (SELECT 15 * ($scale // n) // 100 FROM meta)
+         |  + 85 * (coalesce(c.ins, 0)
+         |    + ((SELECT dang FROM d$k) // (SELECT n FROM meta)))
+         |    // 100 AS r
+         |  FROM nodes nd LEFT JOIN c$k c USING (domain))""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  /** ns134's full funnel SQL, shared verbatim by the ns163
+    * authority-ordered composition. */
+  private val crawlFrontierSql: String =
+    """WITH u0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END)
+        |      ELSE '' END ||
+        |    '/p/' || doc_id ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '?utm_source=feed&q=' || doc_id || '&fbclid=xyz'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, url FROM u0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, url || '#dup' FROM u0
+        |  WHERE doc_id % 6 = 2),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    (CASE WHEN (scheme = 'http' AND auth LIKE '%:80')
+        |            OR (scheme = 'https' AND auth LIKE '%:443')
+        |          THEN regexp_replace(auth, ':[0-9]+$', '')
+        |          ELSE auth END) ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN query = '' OR len(kept) = 0 THEN ''
+        |          ELSE '?' || array_to_string(kept, '&') END) AS url_canon
+        |  FROM (SELECT *,
+        |          list_filter(string_split(query, '&'), p ->
+        |            NOT (starts_with(p, 'utm_') OR
+        |                 starts_with(p, 'fbclid=') OR
+        |                 starts_with(p, 'gclid=') OR
+        |                 starts_with(p, 'ref=') OR p = '')) AS kept
+        |        FROM parts)),
+        |ded AS (
+        |  SELECT url_canon, min(doc_id) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_variants
+        |  FROM canon GROUP BY url_canon),
+        |dom AS (
+        |  SELECT doc_id, url_canon, n_variants,
+        |    CASE WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1])
+        |           IN ('co.uk', 'com.au', 'co.jp')
+        |         THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+        |         WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
+        |         ELSE host END AS domain
+        |  FROM (SELECT doc_id, url_canon, n_variants,
+        |          regexp_extract(url_canon,
+        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1) AS host,
+        |          string_split(regexp_extract(url_canon,
+        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1), '.') AS hp
+        |        FROM ded)),
+        |keep AS (
+        |  SELECT * FROM dom
+        |  WHERE domain NOT IN ('src3.com', 'src7.co.uk', 'src15.com'))
+        |SELECT doc_id, url_canon, domain, n_variants,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+        |        ORDER BY doc_id) AS rn FROM keep)
+        |WHERE rn <= 8""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "ns162_domain_authority" ->
+      s"""WITH $authorityCtes
+         |SELECT domain, CAST(r AS BIGINT) AS auth_micro
+         |FROM r5""".stripMargin,
+    // ns134's funnel verbatim as a CTE, the unrolled authority
+    // recurrence alongside, one broadcast-shaped left join to attach
+    // the fetch-priority score (0 for domains outside the link graph).
+    "ns163_authority_frontier" ->
+      s"""WITH f AS ($crawlFrontierSql),
+         |$authorityCtes
+         |SELECT f.doc_id, f.url_canon, f.domain, f.n_variants, f.rn,
+         |  CAST(coalesce(r5.r, 0) AS BIGINT) AS auth_micro
+         |FROM f LEFT JOIN r5 ON r5.domain = f.domain""".stripMargin,
     // The base text is ASCII (fold ≡ lower() in both engines) and
     // the tail prediction is closed-form; all planted code points
     // are BMP, so DuckDB's code-point length == Spark's UTF-16
@@ -1160,79 +1290,7 @@ private[graft] object NsTextOracles {
     // CTEs over the base ∪ fragment-twin union, dedup on the
     // canonical form, domain extraction, blocklist, and the
     // politeness window — independent SQL end to end.
-    "ns134_crawl_frontier" ->
-      """WITH u0 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'https://' END ||
-        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
-        |    source ||
-        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
-        |    CASE WHEN doc_id % 7 = 0 THEN
-        |      (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END)
-        |      ELSE '' END ||
-        |    '/p/' || doc_id ||
-        |    CASE WHEN doc_id % 2 = 0
-        |      THEN '?utm_source=feed&q=' || doc_id || '&fbclid=xyz'
-        |      ELSE '' END ||
-        |    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
-        |  FROM documents),
-        |u AS (
-        |  SELECT doc_id, url FROM u0
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, url || '#dup' FROM u0
-        |  WHERE doc_id % 6 = 2),
-        |parts AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(url,
-        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(url,
-        |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
-        |    regexp_extract(url,
-        |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS query
-        |  FROM u),
-        |canon AS (
-        |  SELECT doc_id,
-        |    scheme || '://' ||
-        |    (CASE WHEN (scheme = 'http' AND auth LIKE '%:80')
-        |            OR (scheme = 'https' AND auth LIKE '%:443')
-        |          THEN regexp_replace(auth, ':[0-9]+$', '')
-        |          ELSE auth END) ||
-        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
-        |    (CASE WHEN query = '' OR len(kept) = 0 THEN ''
-        |          ELSE '?' || array_to_string(kept, '&') END) AS url_canon
-        |  FROM (SELECT *,
-        |          list_filter(string_split(query, '&'), p ->
-        |            NOT (starts_with(p, 'utm_') OR
-        |                 starts_with(p, 'fbclid=') OR
-        |                 starts_with(p, 'gclid=') OR
-        |                 starts_with(p, 'ref=') OR p = '')) AS kept
-        |        FROM parts)),
-        |ded AS (
-        |  SELECT url_canon, min(doc_id) AS doc_id,
-        |    CAST(count(*) AS BIGINT) AS n_variants
-        |  FROM canon GROUP BY url_canon),
-        |dom AS (
-        |  SELECT doc_id, url_canon, n_variants,
-        |    CASE WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1])
-        |           IN ('co.uk', 'com.au', 'co.jp')
-        |         THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
-        |         WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
-        |         ELSE host END AS domain
-        |  FROM (SELECT doc_id, url_canon, n_variants,
-        |          regexp_extract(url_canon,
-        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1) AS host,
-        |          string_split(regexp_extract(url_canon,
-        |            '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1), '.') AS hp
-        |        FROM ded)),
-        |keep AS (
-        |  SELECT * FROM dom
-        |  WHERE domain NOT IN ('src3.com', 'src7.co.uk', 'src15.com'))
-        |SELECT doc_id, url_canon, domain, n_variants,
-        |  CAST(rn AS BIGINT) AS rn
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
-        |        ORDER BY doc_id) AS rn FROM keep)
-        |WHERE rn <= 8""".stripMargin,
+    "ns134_crawl_frontier" -> crawlFrontierSql,
     // Per-doc argmax restated relationally: unnest each n-gram table,
     // count, rank (count desc, gram asc). The double is one division
     // of two exact integers — deterministic across engines (ns20's

@@ -150,4 +150,64 @@ class ClustersSpec extends SparkSpec {
       .filter(col("n") =!= 1).count()
     assert(perCluster == 0)
   }
+
+  /** Independent plain-Scala restatement of the integer PageRank
+    * recurrence (Maps and loops, no Spark) — the two-implementation
+    * law for [[Clusters.domainAuthority]]. */
+  private def authorityTwin(edges: Seq[(String, String)], iters: Int,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outdeg = e.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val base = scale / n
+    var rank = nodes.map(_ -> base).toMap
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.filterNot(outdeg.contains).map(rank).sum
+      val dShare = dangling / n
+      val in = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      e.foreach { case (s, t) => in(t) += rank(s) / outdeg(s) }
+      rank = nodes.map(v =>
+        v -> (15L * base / 100L + 85L * (in(v) + dShare) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("domainAuthority equals the independent plain-Scala twin on " +
+      "a graph with cycles, a hub, and a dangling sink") {
+    val edges = Seq(
+      "a.com" -> "b.com", "b.com" -> "a.com",        // 2-cycle
+      "a.com" -> "hub.com", "b.com" -> "hub.com",    // hub inflow
+      "c.com" -> "hub.com", "hub.com" -> "sink.org", // sink is dangling
+      "c.com" -> "a.com",
+      "a.com" -> "a.com",                            // self-loop drops
+      "c.com" -> "hub.com")                          // duplicate drops
+    val out = Clusters.domainAuthority(
+      edges.toDF("src", "dst"), "src", "dst", iterations = 5)
+      .as[(String, Long)].collect().toMap
+    val twin = authorityTwin(edges, 5)
+    assert(out == twin)
+    // the dangling sink accumulated mass (hub feeds it everything)
+    assert(out("sink.org") > out("c.com"))
+    // mass approximately conserved: floors only ever LOSE micro-units
+    val n = twin.size
+    assert(out.values.sum <= 1000000000000L)
+    assert(out.values.sum > 1000000000000L - 200L * n)
+  }
+
+  test("domainAuthority: deterministic under repartitioning and " +
+      "edge-order shuffles") {
+    val edges = (0L until 200L).map(i =>
+      (s"d${i % 17}.com", s"d${(i * 7 + 3) % 23}.com"))
+    val a = Clusters.domainAuthority(
+      edges.toDF("src", "dst"), "src", "dst")
+      .as[(String, Long)].collect().toMap
+    val b = Clusters.domainAuthority(
+      scala.util.Random.shuffle(edges).toDF("src", "dst")
+        .repartition(7), "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+    assert(a == authorityTwin(edges, 5))
+  }
 }
