@@ -1824,7 +1824,12 @@ object SparkEntry {
             Seq("co.uk", "com.au", "co.jp")))
         .withColumn("path",
           regexp_extract(col("url_canon"), "^[a-z][a-z0-9+.\\-]*://[^/]+(/[^?#]*)", 1))
-      val robots = batch.select(col("domain")).distinct()
+      // the robots universe is METADATA-sized (distinct domain×path):
+      // checkpoint it once so the parse/probe/decision subtrees do
+      // not re-evaluate the corpus-derived batch three times over
+      val dp = batch.select(col("domain"), col("path")).distinct()
+        .localCheckpoint(true)
+      val robots = dp.select(col("domain")).distinct()
         .withColumn("robots",
           when(col("domain").endsWith(".co.uk"),
             lit("User-agent: graftbot\nDisallow: /p/\nAllow: /p/1\n\n" +
@@ -1832,12 +1837,12 @@ object SparkEntry {
             .otherwise(lit("User-agent: *\nDisallow:")))
       val decisions = graft.ns.Robots.robotsAllowed(
         graft.ns.Robots.parseRobots(robots, "domain", "robots"),
-        batch.select(col("domain"), lit("GraftBot").as("probe_agent"),
-          col("path")).distinct(),
+        dp.select(col("domain"), lit("GraftBot").as("probe_agent"),
+          col("path")),
         "domain")
       val allowed = batch.join(
-        decisions.filter(col("allowed"))
-          .select(col("domain"), col("path")),
+        broadcast(decisions.filter(col("allowed"))
+          .select(col("domain"), col("path"))),
         Seq("domain", "path"))
       val frontier = TextOps.crawlFrontier(
         allowed.select(col("doc_id"), col("url")), "doc_id", "url",
@@ -1849,6 +1854,38 @@ object SparkEntry {
       frontier.join(store, Seq("url_canon"), "left_anti")
         .select(col("doc_id"), col("url_canon"), col("domain"),
           col("n_variants"), col("rn"))
+    }),
+
+    // ---- §2.8 [NS] GRPO group-relative advantage (r12) ----
+    // Scored generations → standardized per-prompt advantages + the
+    // best-of-n rank, the post-training reward normalization that
+    // replaced learned value baselines. events: user_id = prompt
+    // group, value = reward. Exact cent sums → fixed IEEE dag →
+    // hash-gateable (the dq03 z-score precedent); degenerate groups
+    // get advantage 0.
+    "ns165_group_advantage" -> ((s, d) =>
+      graft.ns.Posttrain.groupAdvantage(
+        t(s, d, "events"), "user_id", "event_id", "value")),
+
+    // ---- §2.8 [NS] BM25 lexical retrieval (r12) ----
+    // The Okapi ranking function over the corpus — retrieval-based
+    // decontamination, lexical hard-negative baselines, dataset
+    // search. Queries: the first 4 canonical words of every
+    // doc_id%59==3 doc (content-addressed, tiny, broadcast). idf
+    // nano-quantized once per term (ns58), per-(term, doc) score a
+    // fixed IEEE dag floored to a nano long before the exact per-
+    // query sum. The oracle recomputes the WHOLE ranking in DuckDB —
+    // tokenization, df, idf, saturation, top-k — independently.
+    "ns164_bm25_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = docs.filter(pmod(col("doc_id"), lit(59)) === 3)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(TextOps.wordTokens(col("text")), 1, 4), " ")
+            .as("q_text"))
+      graft.ns.Retrieval.bm25TopK(docs, "doc_id", "text",
+        q, "q_id", "q_text", k = 5)
+        .select(col("q_id"), col("doc_id"), col("score_nano"),
+          col("rn").cast("long").as("rn"))
     }),
 
     // ---- §2.8 [NS] domain-authority link-graph scoring (r12) ----
@@ -3604,6 +3641,62 @@ object SparkEntry {
           cleaned.as("clean_text"),
           (length(col("text")) - length(cleaned)).cast("long")
             .as("n_stripped"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(s.read.parquet(out), base)
+    }),
+
+    // ---- §7.4.6 [NS] streaming crawl-frontier delta (r12) ----
+    // ns138 on a stream: micro-batches of discovered URLs
+    // canonicalize statelessly, a stream-static LEFT ANTI join drops
+    // the stored seen-set (recomputed per batch, state-free), and a
+    // stateful dropDuplicates on the canonical form dedups within
+    // AND ACROSS batches — state carries one row per distinct new
+    // canonical URL, bounded by the frontier (not the crawl), the
+    // acceptable stateful-dedup envelope for a fetch-list stream.
+    // Batch 0 carries the even ids plus fragment twins of odd
+    // id%6==3 docs, batch 1 the odd ids — so a twin arrives one
+    // batch BEFORE its base form and only the cross-batch state can
+    // collapse them. The oracle is ns138's funnel reduced to the
+    // distinct unseen canonical set.
+    "s15_stream_frontier" -> ((s, d) => {
+      val base = newScratchDir("graft_s15")
+      val urls = t(s, d, "documents")
+        .select(col("doc_id"), fixtureUrl.as("url"))
+      val twins = urls.filter(pmod(col("doc_id"), lit(6)) === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("url"), lit("#dup")).as("url"))
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      Seq(urls.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .unionByName(twins),
+        urls.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .zipWithIndex.foreach { case (b, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          b.coalesce(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+        }
+      val store = urls.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(TextOps.canonicalizeUrl(col("url")).as("url_canon"))
+        .distinct()
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val out = s"${base.getPath}/gold"
+      val q = stream
+        .select(TextOps.canonicalizeUrl(col("url")).as("url_canon"))
+        .join(store, Seq("url_canon"), "left_anti")
+        .dropDuplicates("url_canon")
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", s"${base.getPath}/ckpt")

@@ -142,6 +142,49 @@ object Posttrain {
           .as("phase"))
   }
 
+  /** Group-relative advantage over scored generations — the GRPO
+    * normalization (group-relative policy optimization: advantage of
+    * a candidate = its reward standardized against its own prompt
+    * group's mean and std, no learned value baseline) plus best-of-n
+    * selection in the same pass. The dq03 determinism recipe: rewards
+    * quantize to cent longs once, per-group (n, Σ, Σ²) are exact
+    * integer sums, mean/var/z are a fixed-operand-order IEEE dag
+    * (sqrt is correctly rounded, hence bit-stable), and degenerate
+    * groups (var ≤ 0, incl. n = 1) get advantage 0 — the standard
+    * GRPO guard, not NaN.
+    *
+    * Plan shape: ONE exchange on the prompt key — the group stats
+    * come from window aggregates sharing the candidate sort, so no
+    * join-back; best_rank rides the same window. Output:
+    * (prompt_id, cand_id, reward_cents, n_group, advantage,
+    * best_rank) — best_rank 1 = the best-of-n winner. */
+  def groupAdvantage(df: DataFrame, promptCol: String,
+      candIdCol: String, rewardCol: String): DataFrame = {
+    val wAll = Window.partitionBy(col("prompt_id"))
+    val wOrd = Window.partitionBy(col("prompt_id"))
+      .orderBy(col("__c").desc, col("cand_id"))
+    val base = df.select(col(promptCol).as("prompt_id"),
+      col(candIdCol).as("cand_id"),
+      round(col(rewardCol) * 100).cast("long").as("__c"))
+    val stats = base
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s1", sum(col("__c")).over(wAll))
+      .withColumn("__s2", sum(col("__c") * col("__c")).over(wAll))
+      .withColumn("__var",
+        (col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1") / col("__n")) /
+          col("__n"))
+      .withColumn("__mean",
+        col("__s1").cast("double") / col("__n").cast("double"))
+    stats.select(col("prompt_id"), col("cand_id"),
+      col("__c").as("reward_cents"),
+      col("__n").as("n_group"),
+      when(col("__var") <= 0d, lit(0.0))
+        .otherwise((col("__c").cast("double") - col("__mean")) /
+          sqrt(col("__var"))).as("advantage"),
+      row_number().over(wOrd).cast("long").as("best_rank"))
+  }
+
   /** Inter-annotator agreement — Cohen's kappa per rater pair
     * (Cohen 1960): the labeling-QA number a post-training data
     * pipeline computes before trusting human (or judge-model)

@@ -1,0 +1,111 @@
+package graft.ns
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus (SURVEY.md §2.8 [NS]) — the
+  * index-and-score side of a RAG / data-curation loop: BM25
+  * (Robertson & Zaragoza 2009, the Okapi form), the ranking function
+  * behind Lucene/Elasticsearch and the lexical half of every hybrid
+  * retriever. A training-data pipeline runs it for benchmark
+  * decontamination by retrieval (find near matches the n-gram gates
+  * miss), for hard-negative mining against a lexical baseline, and
+  * for dataset search.
+  *
+  * Determinism (the hash-gate requirement, the dq03/ns58 recipe):
+  * the per-term idf = ln((N − df + ½)/(df + ½) + 1) is fixed-point
+  * nano-quantized ONCE per distinct vocabulary term (libm ln is
+  * bit-stable across this repo's engines — the proven ns58 idiom);
+  * the per-(term, doc) saturation factor is a FIXED dag of IEEE
+  * double ops — one division for avgdl, one per score term — with
+  * constants that parse to identical doubles in both engines; and
+  * each term's contribution floors to a nano-unit long BEFORE the
+  * per-query sum, so the summed score is exact integer arithmetic
+  * (order/partition-independent) and the (score desc, id) rank is
+  * engine-independent.
+  *
+  * Plan shape (what survives 100 TB): term frequencies are one
+  * map-combinable groupBy(doc, term); the document-frequency table
+  * collapses to one row per vocabulary term (Zipf-bounded, the
+  * ns26 broadcast argument); the QUERY side is tiny by construction
+  * and broadcasts twice — once as a distinct-term semi-join that
+  * prunes the corpus posting rows to query terms BEFORE any scoring
+  * (the inverted-index probe: only matching postings flow), once to
+  * fan pruned postings out per query id. The only corpus-sized
+  * exchange is the tf groupBy; the final per-query top-k is a
+  * window group limit over candidate rows only.
+  */
+object Retrieval {
+
+  /** BM25 top-k: for each query row, the `k` highest-scoring
+    * documents. `docs` (idCol, textCol) is the corpus; `queries`
+    * (qIdCol, qTextCol) is small (hundreds–thousands — it
+    * broadcasts). Repeated query terms score once per distinct term
+    * (the standard bag-of-TERMS simplification; repeating a term in
+    * a query is rare and pathological). Documents share the corpus
+    * tokenization ([[TextOps.wordTokens]]).
+    *
+    * `knownStats` short-circuits the corpus-size aggregate like
+    * [[TextOps.tfidfTopTerms]]'s knownN: pass (N docs, T tokens)
+    * from catalog stats to skip the extra corpus pass.
+    *
+    * Output: (qIdCol, idCol, score_nano, rn) — rn 1-based per query
+    * in (score_nano desc, idCol) order. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      knownStats: Option[(Long, Long)] = None): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = docs.select(col(idCol),
+      explode(TextOps.wordTokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"))
+    val stats = knownStats match {
+      case Some((n, t)) => docs.sparkSession.range(1)
+        .select(lit(n).as("__n"), lit(t).as("__t"))
+      case None => toks.agg(
+        countDistinct(col(idCol)).as("__n"),
+        count(lit(1)).as("__t"))
+    }
+    val qTerms = queries.select(col(qIdCol),
+      explode(TextOps.wordTokens(col(qTextCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    // vocabulary side: df per term, pruned to QUERY terms before the
+    // idf quantization and before any posting flows
+    val dfreq = tf.join(broadcast(qTerms.select(col("term")).distinct()),
+        Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("dfreq"))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select(col("term"), col("dfreq"), col("__n"), col("__t"),
+        // fixed-point ONCE per distinct term (ns58): floor(ln(x)·1e9)
+        floor(log((col("__n").cast("double") - col("dfreq") + 0.5) /
+          (col("dfreq").cast("double") + 0.5) + 1.0) * 1e9)
+          .cast("long").as("idf_nano"))
+    val postings = tf
+      .join(broadcast(idf), Seq("term"))
+      .join(docLen, Seq(idCol))
+    // FIXED dag of IEEE ops — identical tree in the SQL oracle —
+    // then floored to a nano long PER (term, doc) so the per-query
+    // sum is exact integer arithmetic, order- and partition-
+    // independent (a double sum in shuffle order would not be)
+    val tfD = col("tf").cast("double")
+    val dlNorm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") /
+      (col("__t").cast("double") / col("__n").cast("double")))
+    val termScore = col("idf_nano").cast("double") *
+      (tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * dlNorm)
+    val scored = postings
+      .join(broadcast(qTerms), Seq("term"))
+      .select(col(qIdCol), col(idCol),
+        floor(termScore).cast("long").as("__s"))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__s")).as("score_nano"))
+    graft.ops.Relational.topKPerGroup(
+      scored, k, Seq(col(qIdCol)),
+      Seq(col("score_nano").desc, col(idCol).asc))
+  }
+}

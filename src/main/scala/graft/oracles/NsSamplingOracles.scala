@@ -203,6 +203,34 @@ private[graft] object NsSamplingOracles {
         |  rn - 1 AS pair_rank
         |FROM r
         |WHERE rn BETWEEN 2 AND 4 AND chosen_reward - value > 0.0""".stripMargin,
+    // GRPO advantages re-derived with the identical fixed dag:
+    // cent-quantized rewards, exact window sums, one mean division,
+    // the dq03 variance form, IEEE sqrt; var <= 0 guards to 0.
+    "ns165_group_advantage" ->
+      """WITH b AS (
+        |  SELECT user_id AS prompt_id, event_id AS cand_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT prompt_id, cand_id, c,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n,
+        |    sum(c) OVER (PARTITION BY prompt_id) AS s1,
+        |    sum(c * c) OVER (PARTITION BY prompt_id) AS s2,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY c DESC, cand_id) AS BIGINT) AS best_rank
+        |  FROM b),
+        |v AS (
+        |  SELECT *,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n
+        |      AS var,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+        |  FROM w)
+        |SELECT prompt_id, cand_id, c AS reward_cents,
+        |  CAST(n AS BIGINT) AS n_group,
+        |  CASE WHEN var <= 0.0 THEN 0.0
+        |    ELSE (CAST(c AS DOUBLE) - mean) / sqrt(var) END AS advantage,
+        |  best_rank
+        |FROM v""".stripMargin,
     // Cohen's kappa re-derived independently: ns73's keep decision,
     // the same md5 flip noise, then po/pe/kappa from the pair's own
     // contingency — integer chance sums, each ratio one IEEE

@@ -248,6 +248,48 @@ private[graft] object NsTextOracles {
         |WHERE rn <= 8""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // Full independent BM25: DuckDB's own tokenization/df/idf/
+    // saturation/top-k. The idf is floor(ln·1e9) per distinct term
+    // (libm ln bit-stability, the ns58 precedent), the per-(term,
+    // doc) factor the identical IEEE dag with the same double
+    // literals, floored to a nano long before the per-query sum.
+    "ns164_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(
+        |    lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS t
+        |  FROM tok),
+        |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(toks[1:4]) AS term
+        |  FROM base WHERE doc_id % 59 = 3),
+        |dfq AS (SELECT term, count(*) AS dfreq FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |idf AS (SELECT term,
+        |    CAST(floor(ln((CAST(n AS DOUBLE) - dfreq + 0.5)
+        |      / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0) * 1e9) AS BIGINT)
+        |      AS idf_nano
+        |  FROM dfq, st),
+        |sc AS (SELECT qt.q_id, tf.doc_id,
+        |    CAST(floor(CAST(idf_nano AS DOUBLE)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |        * (CAST(dl AS DOUBLE)
+        |          / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))))))
+        |      AS BIGINT) AS s
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+        |  JOIN qt USING (term), st),
+        |agg AS (SELECT q_id, doc_id,
+        |    CAST(sum(s) AS BIGINT) AS score_nano
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT q_id, doc_id, score_nano, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY score_nano DESC, doc_id) AS rn FROM agg)
+        |WHERE rn <= 5""".stripMargin,
     "ns162_domain_authority" ->
       s"""WITH $authorityCtes
          |SELECT domain, CAST(r AS BIGINT) AS auth_micro
@@ -1227,6 +1269,61 @@ private[graft] object NsTextOracles {
          |UNION ALL
          |SELECT 'dup_groups', 'corpus',
          |  CAST(count(DISTINCT md5(norm)) AS BIGINT) FROM ds""".stripMargin,
+    // s15: ns138's funnel reduced to the DISTINCT unseen canonical
+    // set — the drained streaming sink (stream-static anti join +
+    // cross-batch stateful dedup) must equal it exactly.
+    "s15_stream_frontier" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END)
+        |      ELSE '' END ||
+        |    '/p/' || doc_id ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '?utm_source=feed&q=' || doc_id || '&fbclid=xyz'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, url FROM u0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, url || '#dup' FROM u0
+        |  WHERE doc_id % 6 = 3),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    (CASE WHEN (scheme = 'http' AND auth LIKE '%:80')
+        |            OR (scheme = 'https' AND auth LIKE '%:443')
+        |          THEN regexp_replace(auth, ':[0-9]+$', '')
+        |          ELSE auth END) ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN query = '' OR len(kept) = 0 THEN ''
+        |          ELSE '?' || array_to_string(kept, '&') END) AS url_canon
+        |  FROM (SELECT *,
+        |          list_filter(string_split(query, '&'), p ->
+        |            NOT (starts_with(p, 'utm_') OR
+        |                 starts_with(p, 'fbclid=') OR
+        |                 starts_with(p, 'gclid=') OR
+        |                 starts_with(p, 'ref=') OR p = '')) AS kept
+        |        FROM parts))
+        |SELECT DISTINCT url_canon FROM canon
+        |WHERE url_canon NOT IN (
+        |  SELECT url_canon FROM canon
+        |  WHERE doc_id % 2 = 0 AND doc_id < 3000000)""".stripMargin,
     // Batch-vs-store re-derived: one canon CTE over base ∪ twins;
     // the stored seen-set is its even-base-id slice, the delta the
     // deduped batch anti-joined against it.
