@@ -1874,8 +1874,12 @@ object SparkEntry {
     // doc_id%59==3 doc (content-addressed, tiny, broadcast). idf
     // nano-quantized once per term (ns58), per-(term, doc) score a
     // fixed IEEE dag floored to a nano long before the exact per-
-    // query sum. The oracle recomputes the WHOLE ranking in DuckDB —
-    // tokenization, df, idf, saturation, top-k — independently.
+    // query sum. Registered with the impact-ordered posting cap
+    // ACTIVE (200 < the stopword df at sf0.01, so the gate exercises
+    // the prune window) — uncapped, work is Σ_q df(t) which grows
+    // 100× at 10× corpus AND 10× queries (measured 13× wall). The
+    // oracle recomputes the WHOLE ranking in DuckDB — tokenization,
+    // df, idf, the same cap window, saturation, top-k.
     "ns164_bm25_topk" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val q = docs.filter(pmod(col("doc_id"), lit(59)) === 3)
@@ -1883,7 +1887,8 @@ object SparkEntry {
           array_join(slice(TextOps.wordTokens(col("text")), 1, 4), " ")
             .as("q_text"))
       graft.ns.Retrieval.bm25TopK(docs, "doc_id", "text",
-        q, "q_id", "q_text", k = 5)
+        q, "q_id", "q_text", k = 5,
+        maxPostingsPerTerm = Some(200))
         .select(col("q_id"), col("doc_id"), col("score_nano"),
           col("rn").cast("long").as("rn"))
     }),

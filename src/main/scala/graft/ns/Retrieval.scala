@@ -49,13 +49,29 @@ object Retrieval {
     * [[TextOps.tfidfTopTerms]]'s knownN: pass (N docs, T tokens)
     * from catalog stats to skip the extra corpus pass.
     *
+    * `maxPostingsPerTerm` is the SCALE knob (the WAND/impact-ordered
+    * pruning direction): candidate work is Σ_q Σ_{t∈q} df(t), and a
+    * stopword's posting list grows with the corpus while its idf —
+    * hence its score contribution — shrinks toward zero, so at 10×
+    * data AND 10× queries the uncapped join does 100× work for
+    * near-zero ranking change (measured 13× wall at 10× on this
+    * host). The cap keeps each term's `m` highest-impact postings by
+    * the deterministic (tf desc, dl asc, id) order — a window group
+    * limit that prunes partition-locally before the exchange — and
+    * the ORACLE replicates the same window, so the capped ranking
+    * hash-gates exactly; it is an approximation of uncapped BM25
+    * only in the sense every production impact-pruned engine is.
+    *
     * Output: (qIdCol, idCol, score_nano, rn) — rn 1-based per query
     * in (score_nano desc, idCol) order. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      knownStats: Option[(Long, Long)] = None): DataFrame = {
+      knownStats: Option[(Long, Long)] = None,
+      maxPostingsPerTerm: Option[Int] = None): DataFrame = {
     require(k >= 1, "k must be positive")
+    require(maxPostingsPerTerm.forall(_ >= 1),
+      "maxPostingsPerTerm must be positive when given")
     val toks = docs.select(col(idCol),
       explode(TextOps.wordTokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
@@ -86,9 +102,16 @@ object Retrieval {
         floor(log((col("__n").cast("double") - col("dfreq") + 0.5) /
           (col("dfreq").cast("double") + 0.5) + 1.0) * 1e9)
           .cast("long").as("idf_nano"))
-    val postings = tf
+    val postingsAll = tf
       .join(broadcast(idf), Seq("term"))
       .join(docLen, Seq(idCol))
+    val postings = maxPostingsPerTerm match {
+      case Some(m) => graft.ops.Relational.topKPerGroup(
+        postingsAll, m, Seq(col("term")),
+        Seq(col("tf").desc, col("dl").asc, col(idCol).asc))
+        .drop("rn")
+      case None => postingsAll
+    }
     // FIXED dag of IEEE ops — identical tree in the SQL oracle —
     // then floored to a nano long PER (term, doc) so the per-query
     // sum is exact integer arithmetic, order- and partition-

@@ -274,15 +274,19 @@ private[graft] object NsTextOracles {
         |      / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0) * 1e9) AS BIGINT)
         |      AS idf_nano
         |  FROM dfq, st),
-        |sc AS (SELECT qt.q_id, tf.doc_id,
+        |pp AS (SELECT term, doc_id, tf, dl, idf_nano,
+        |    ROW_NUMBER() OVER (PARTITION BY term
+        |      ORDER BY tf DESC, dl ASC, doc_id) AS prn
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)),
+        |sc AS (SELECT qt.q_id, pp.doc_id,
         |    CAST(floor(CAST(idf_nano AS DOUBLE)
         |      * (CAST(tf AS DOUBLE) * 2.2)
         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
         |        * (CAST(dl AS DOUBLE)
         |          / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))))))
         |      AS BIGINT) AS s
-        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
-        |  JOIN qt USING (term), st),
+        |  FROM pp JOIN qt USING (term), st
+        |  WHERE prn <= 200),
         |agg AS (SELECT q_id, doc_id,
         |    CAST(sum(s) AS BIGINT) AS score_nano
         |  FROM sc GROUP BY 1, 2)
