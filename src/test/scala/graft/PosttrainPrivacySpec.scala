@@ -111,6 +111,28 @@ class PosttrainPrivacySpec extends SparkSpec {
       "band50" -> floor(col("value") / 50)),
     k = 4)
 
+  test("groupAdvantage: hand-computed standardization, best-of-n " +
+      "rank, degenerate-group guard") {
+    // prompt 1: rewards 1.00, 2.00, 3.00 -> cents 100/200/300
+    // mean 200, var = ((100-200)^2+0+ (300-200)^2)/3 = 20000/3
+    // prompt 2: constant rewards -> var 0 -> advantage 0, not NaN
+    val df = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 12L, 3.0),
+      (2L, 20L, 5.0), (2L, 21L, 5.0)).toDF("p", "c", "r")
+    val out = Posttrain.groupAdvantage(df, "p", "c", "r")
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+      .map(x => x._2 -> x).toMap
+    val std = math.sqrt(20000.0 / 3.0)
+    assert(out(10L)._5 == (100.0 - 200.0) / std)
+    assert(out(11L)._5 == 0.0)
+    assert(out(12L)._5 == (300.0 - 200.0) / std)
+    // best-of-n: highest reward ranks 1; ties break on candidate id
+    assert(out(12L)._6 == 1L && out(11L)._6 == 2L && out(10L)._6 == 3L)
+    assert(out(20L)._5 == 0.0 && out(21L)._5 == 0.0)
+    assert(out(20L)._6 == 1L && out(21L)._6 == 2L)
+    assert(out.values.forall(_._4 > 0))
+  }
+
   test("annotatorAgreement: hand-computed kappa, perfect and " +
       "degenerate endpoints") {
     import spark.implicits._

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ns.Retrieval
+
+/** Laws for BM25 retrieval ([[graft.ns.Retrieval]]). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick fox"),
+    (2L, "a slow green turtle walks under the log"),
+    (3L, "zebra zebra zebra stripes"),
+    (4L, "the the the the the filler filler filler document here"),
+    (5L, "quick quick quick brown brown dog")).toDF("doc_id", "text")
+
+  test("unique query term retrieves exactly the docs containing it; " +
+      "rarer terms outrank stopword-heavy matches") {
+    val q = Seq((100L, "zebra")).toDF("q_id", "q_text")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      q, "q_id", "q_text", k = 5)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.map(_._2).toSet == Set(3L), "only doc 3 contains zebra")
+    // a two-term query: the doc matching the RARE term beats a doc
+    // matching only the ubiquitous one
+    val q2 = Seq((101L, "zebra the")).toDF("q_id", "q_text")
+    val ranked = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      q2, "q_id", "q_text", k = 6)
+      .orderBy(col("rn")).as[(Long, Long, Long, Int)].collect()
+    assert(ranked.head._2 == 3L, "zebra doc must rank first")
+  }
+
+  test("posting cap: inactive cap (m >= max df) reproduces the " +
+      "uncapped ranking bit for bit; active cap keeps highest-impact " +
+      "postings") {
+    val q = Seq((1L, "the quick dog")).toDF("q_id", "q_text")
+    val un = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      q, "q_id", "q_text", k = 6)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val wide = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      q, "q_id", "q_text", k = 6, maxPostingsPerTerm = Some(100))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(un == wide)
+    // cap 1: each term keeps only its single highest-tf posting, so
+    // candidates shrink to the union of per-term argmax docs
+    val tight = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      q, "q_id", "q_text", k = 6, maxPostingsPerTerm = Some(1))
+      .as[(Long, Long, Long, Int)].collect()
+    // 'the' argmax = doc 4 (tf 5); 'quick' argmax = doc 5 (tf 3);
+    // 'dog' argmax = doc 5 (tf 1, shortest dl tiebreak... doc 5 and
+    // doc 0 both tf 1 — dl: doc 5 has 6 words, doc 0 has 9 -> doc 5)
+    assert(tight.map(_._2).toSet == Set(4L, 5L))
+  }
+
+  test("deterministic under repartitioning; knownStats reproduces " +
+      "the computed-stats output") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(300)
+    val q = docs.filter(col("doc_id") % 59 === 3)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.ns.TextOps.wordTokens(col("text")),
+          1, 4), " ").as("q_text"))
+    val a = Retrieval.bm25TopK(docs, "doc_id", "text",
+      q, "q_id", "q_text", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val b = Retrieval.bm25TopK(docs.repartition(7), "doc_id", "text",
+      q, "q_id", "q_text", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(a == b)
+    // knownStats short-circuit: same (N, T) => bit-identical scores
+    val toks = docs.select(
+      explode(graft.ns.TextOps.wordTokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val n = docs.count()
+    val t = toks.count()
+    val c = Retrieval.bm25TopK(docs, "doc_id", "text",
+      q, "q_id", "q_text", k = 5, knownStats = Some((n, t)))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(a == c)
+  }
+}
