@@ -1856,6 +1856,56 @@ object SparkEntry {
           col("n_variants"), col("rn"))
     }),
 
+    // ---- §2.8 [NS] exact-integer int8 MIPS top-k (r12) ----
+    // The one similarity search whose whole ranking hash-gates: int8
+    // codes from the ns35-gated quantization on BOTH sides, scores
+    // exact long sums of int products, ties on id. Queries: the ~31
+    // vectors with vec_id%13==2 below 400 — pinned |Q| so the scan
+    // stays linear in the corpus at any sf. The oracle reruns
+    // quantization, every dot product, and the rank in DuckDB
+    // (integer products are exact in its double list ops).
+    "ns166_int8_mips" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(13)) === 2 &&
+          col("vec_id") < 400)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.ns.Similarity.int8MipsTopK(emb, "vec_id", "embedding",
+        q, "q_id", "q_emb", k = 5)
+        .select(col("q_id"), col("vec_id"), col("score"),
+          col("rn").cast("long").as("rn"))
+    }),
+
+    // ---- §2.8 [NS] crawl-delay fetch schedule (r12) ----
+    // The last unused robots directive put to work: per-domain
+    // Crawl-delay (parsed by the ns135 machinery from a closed-form
+    // per-domain robots file) turns the frontier's politeness slots
+    // into actual fetch offsets — slot rn fires at (rn−1)·delay
+    // seconds into the round, the schedule a polite fetcher actually
+    // executes. Delay table is domain-sized and broadcasts.
+    "ns167_fetch_schedule" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), fixtureUrl.as("url"))
+      val twins = base.filter(pmod(col("doc_id"), lit(6)) === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("url"), lit("#dup")).as("url"))
+      val frontier = TextOps.crawlFrontier(
+        base.unionByName(twins), "doc_id", "url",
+        blockDomains = Seq("src3.com", "src7.co.uk", "src15.com"),
+        perDomainQuota = 8)
+      val robots = frontier.select(col("domain")).distinct()
+        .withColumn("robots",
+          concat(lit("User-agent: *\nCrawl-delay: "),
+            (length(col("domain")) % 5 + 1).cast("string"),
+            lit("\nDisallow:")))
+      val delays = graft.ns.Robots.parseRobots(robots, "domain", "robots")
+        .filter(col("directive") === "crawl-delay")
+        .select(col("domain"), col("value").cast("long").as("delay_s"))
+      frontier.join(broadcast(delays), Seq("domain"))
+        .select(col("doc_id"), col("url_canon"), col("domain"),
+          col("rn"), col("delay_s"),
+          ((col("rn") - 1L) * col("delay_s")).as("fetch_offset_s"))
+    }),
+
     // ---- §2.8 [NS] GRPO group-relative advantage (r12) ----
     // Scored generations → standardized per-prompt advantages + the
     // best-of-n rank, the post-training reward normalization that

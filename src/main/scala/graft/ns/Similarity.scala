@@ -1010,4 +1010,40 @@ object Similarity {
     exactRerank(corpus, idCol, vecCol, queries, queryIdCol,
       queryVecCol, cand, k)
   }
+
+  /** Exact-integer MIPS top-k over int8-quantized embeddings — the
+    * one similarity search in the registry whose WHOLE ranking
+    * hash-gates (the float-cosine paths are rows-only by their
+    * sequential-fold arithmetic): both sides quantize through the
+    * ns35-gated [[Embeddings.quantizeInt8]] transform, scores are
+    * exact long sums of int products (|q_i·d_i| ≤ 127² = 16 129, 64
+    * dims ⇒ ≤ 2^20 — no rounding anywhere), and ties break on id.
+    * Maximum-inner-product over per-vector-scaled int8 codes is the
+    * cheap-retrieval face of the quantized store (what a scalar-
+    * quantized vector index serves between the PQ scan and the
+    * exact rerank).
+    *
+    * Contract: the QUERY side must be small (it broadcasts; the
+    * registered query pins ~32 ids) — the scan is |Q|·N·d work,
+    * linear in the corpus for fixed |Q|. The zip-fold here is an
+    * interpreted HOF (the known per-element trap): fine at |Q|·N ≈
+    * 10⁶–10⁷ rows; a corpus-scale MIPS serve goes through the
+    * codegen'd PQ/IVF kernels instead, with this operator as their
+    * exactness baseline. Output: (qIdCol, idCol, score, rn). */
+  def int8MipsTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val dq = Embeddings.quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol), col("q").as("__dq"))
+    val qq = Embeddings.quantizeInt8(queries, qIdCol, qVecCol)
+      .select(col(qIdCol), col("q").as("__qq"))
+    val scored = dq.crossJoin(broadcast(qq))
+      .select(col(qIdCol), col(idCol),
+        aggregate(zip_with(col("__qq"), col("__dq"),
+          (a, b) => (a.cast("long") * b.cast("long"))),
+          lit(0L), (acc, x) => acc + x).as("score"))
+    graft.ops.Relational.topKPerGroup(scored, k, Seq(col(qIdCol)),
+      Seq(col("score").desc, col(idCol).asc))
+  }
 }

@@ -334,6 +334,37 @@ private[graft] object NsSimilarityOracles {
     // Quantization oracle: float→double promotion is exact and both
     // engines round doubles half-away-from-zero, so the int arrays
     // and the order-independent max error hash-match bit-exactly.
+    // Exact-integer MIPS re-run end to end: the ns35 quantization
+    // CTEs on both sides, every dot product as integer list math
+    // (|products| ≤ 127² and 64-dim sums stay far below 2^53, so
+    // DuckDB's list arithmetic is exact), then the (score desc, id)
+    // rank.
+    "ns166_int8_mips" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |      AS DOUBLE) AS q_scale
+        |  FROM embeddings),
+        |qt AS (
+        |  SELECT vec_id, embedding, q_scale,
+        |    CASE WHEN q_scale = 0
+        |      THEN list_transform(embedding, x -> 0)
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / q_scale)
+        |          AS INTEGER))
+        |    END AS q
+        |  FROM s),
+        |qs AS (SELECT vec_id AS q_id, q AS qv FROM qt
+        |  WHERE vec_id % 13 = 2 AND vec_id < 400),
+        |sc AS (SELECT qs.q_id, d.vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+        |      i -> CAST(qs.qv[i] AS BIGINT) * d.q[i])) AS BIGINT)
+        |      AS score
+        |  FROM qt d, qs)
+        |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, vec_id) AS rn FROM sc)
+        |WHERE rn <= 5""".stripMargin,
     "ns35_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

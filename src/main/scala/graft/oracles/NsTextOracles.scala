@@ -1392,6 +1392,15 @@ private[graft] object NsTextOracles {
     // canonical form, domain extraction, blocklist, and the
     // politeness window — independent SQL end to end.
     "ns134_crawl_frontier" -> crawlFrontierSql,
+    // The frontier funnel verbatim plus the closed-form prediction
+    // of the parsed per-domain Crawl-delay and the slot arithmetic.
+    "ns167_fetch_schedule" ->
+      s"""WITH f AS ($crawlFrontierSql)
+         |SELECT doc_id, url_canon, domain, rn,
+         |  CAST(length(domain) % 5 + 1 AS BIGINT) AS delay_s,
+         |  CAST((rn - 1) * (length(domain) % 5 + 1) AS BIGINT)
+         |    AS fetch_offset_s
+         |FROM f""".stripMargin,
     // Per-doc argmax restated relationally: unnest each n-gram table,
     // count, rank (count desc, gram asc). The double is one division
     // of two exact integers — deterministic across engines (ns20's
