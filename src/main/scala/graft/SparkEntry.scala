@@ -1906,6 +1906,24 @@ object SparkEntry {
           ((col("rn") - 1L) * col("delay_s")).as("fetch_offset_s"))
     }),
 
+    // ---- §2.8 [NS] incremental BM25 index maintenance (r12) ----
+    // The store-once/merge-forever form of ns164's index (the
+    // ns93/s08 convention for retrieval): the even-id docs stand in
+    // for the STORED stats table, the odd-id batch computes its own
+    // stats in one batch-sized pass, and the merge is exact integer
+    // addition — so the merged table must hash-equal the oracle's
+    // single-pass recomputation over the whole corpus.
+    "ns168_bm25_index_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ns.Retrieval.mergeTermStats(
+        graft.ns.Retrieval.termStats(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text"),
+        graft.ns.Retrieval.termStats(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text"))
+    }),
+
     // ---- §2.8 [NS] GRPO group-relative advantage (r12) ----
     // Scored generations → standardized per-prompt advantages + the
     // best-of-n rank, the post-training reward normalization that

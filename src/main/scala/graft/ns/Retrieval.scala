@@ -131,4 +131,32 @@ object Retrieval {
       scored, k, Seq(col(qIdCol)),
       Seq(col("score_nano").desc, col(idCol).asc))
   }
+
+  /** Per-term index statistics — the MERGEABLE state a BM25 index
+    * maintains (the ns93/s08 store-once/merge-forever convention):
+    * document frequency and total term frequency are exact integer
+    * sums, so a new ingest batch's stats ADD onto the stored table
+    * (one batch-sized pass, never a corpus rescan), and the posting
+    * rows themselves are append-only. With (N, T) carried the same
+    * way, scoring against the merged stats is bit-identical to a
+    * full rebuild — the RetrievalSpec merge law. Output:
+    * (term, dfreq, tf_total). */
+  def termStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(TextOps.wordTokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("dfreq"), sum(col("__tf")).as("tf_total"))
+
+  /** Merge term-stat tables by addition (disjoint doc sets — the
+    * caller's contract, same as every incremental-store operator:
+    * dedup happens UPSTREAM via ns25/ns55). */
+  def mergeTermStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("term"))
+      .agg(sum(col("dfreq")).as("dfreq"),
+        sum(col("tf_total")).as("tf_total"))
 }

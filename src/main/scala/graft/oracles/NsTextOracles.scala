@@ -248,6 +248,19 @@ private[graft] object NsTextOracles {
         |WHERE rn <= 8""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // One single-pass recomputation over the WHOLE corpus — the
+    // merged (store + batch) stats must equal it exactly.
+    "ns168_bm25_index_delta" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    w -> len(w) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS dfreq,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total
+        |FROM tf GROUP BY term""".stripMargin,
     // Full independent BM25: DuckDB's own tokenization/df/idf/
     // saturation/top-k. The idf is floor(ln·1e9) per distinct term
     // (libm ln bit-stability, the ns58 precedent), the per-(term,

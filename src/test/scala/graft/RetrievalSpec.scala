@@ -54,6 +54,24 @@ class RetrievalSpec extends SparkSpec {
     assert(tight.map(_._2).toSet == Set(4L, 5L))
   }
 
+  test("termStats merge by addition equals the full rebuild, at any " +
+      "split of the corpus") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val full = Retrieval.termStats(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    Seq(2L, 3L, 7L).foreach { m =>
+      val merged = (1L until m).foldLeft(
+        Retrieval.termStats(docs.filter(col("doc_id") % m === 0),
+          "doc_id", "text")) { (acc, r) =>
+        Retrieval.mergeTermStats(acc,
+          Retrieval.termStats(docs.filter(col("doc_id") % m === r),
+            "doc_id", "text"))
+      }.as[(String, Long, Long)].collect().toSet
+      assert(merged == full, s"split mod $m")
+    }
+  }
+
   test("deterministic under repartitioning; knownStats reproduces " +
       "the computed-stats output") {
     val docs = Tables(spark, sf, "documents")
