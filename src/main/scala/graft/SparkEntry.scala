@@ -1767,6 +1767,29 @@ object SparkEntry {
         probes, "doc_id")
     }),
 
+    // ---- §2.8 [NS] robots wildcard patterns (r12) ----
+    // RFC 9309 §2.2.3 special characters through the same decision
+    // machinery: `*` matches any sequence, trailing `$` anchors at
+    // the path end, longest VALUE still wins (so the Allow
+    // /tmp/keep$ carve-out beats Disallow /tmp*). Six probes per doc
+    // pin each arm: suffix match, anchor rejection, star prefix,
+    // carve-out, exact-anchor hit and near-miss. Verdicts predicted
+    // in closed form (the ns136 convention).
+    "ns171_robots_wildcards" -> ((s, d) => {
+      val robots = t(s, d, "documents").select(col("doc_id"),
+        lit("User-agent: *\nDisallow: /*.json$\nDisallow: /tmp*\n" +
+          "Allow: /tmp/keep$\nDisallow: /exact$").as("robots"))
+      val probes = t(s, d, "documents").select(col("doc_id"),
+        explode(array(Seq("/data/a.json", "/data/a.jsonx", "/tmp/x",
+          "/tmp/keep", "/exact", "/exactly").map(p =>
+          struct(lit("wildbot").as("probe_agent"),
+            lit(p).as("path"))): _*)).as("p"))
+        .select(col("doc_id"), col("p.probe_agent"), col("p.path"))
+      graft.ns.Robots.robotsAllowed(
+        graft.ns.Robots.parseRobots(robots, "doc_id", "robots"),
+        probes, "doc_id")
+    }),
+
     // ---- §2.8 [NS] sitemap XML parsing (r11) ----
     // The discovery side robots' Sitemap: rows point at — urlset
     // entries (loc/lastmod/priority; the loc decode trap is an
@@ -1904,6 +1927,69 @@ object SparkEntry {
         .select(col("doc_id"), col("url_canon"), col("domain"),
           col("rn"), col("delay_s"),
           ((col("rn") - 1L) * col("delay_s")).as("fetch_offset_s"))
+    }),
+
+    // ---- §2.1 [NS] chat-JSONL conversation ingest (r12) ----
+    // The SFT/DPO corpus front door: OpenAI-messages JSON lines with
+    // a declared schema, one codegen'd from_json+posexplode per
+    // line, malformed lines quarantined AS DATA (the j04 contract at
+    // conversation granularity; doc_id%17 lines are truncated
+    // mid-object). Content is the canonical first-3-words stripped
+    // to [a-z0-9 ] so the fixture string needs no JSON escaping and
+    // the oracle predicts every parsed row in closed form — it never
+    // parses JSON.
+    "ns169_chat_jsonl" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val content = regexp_replace(
+        array_join(slice(TextOps.wordTokens(col("text")), 1, 3), " "),
+        "[^a-z0-9 ]", "")
+      val goodLine = concat(
+        lit("{\"conversation_id\": "), id,
+        lit(", \"messages\": [{\"role\": \"user\", \"content\": \""),
+        content,
+        lit("\"}, {\"role\": \"assistant\", \"content\": \"ok "), id,
+        lit("\"}]}"))
+      val badLine = concat(
+        lit("{\"conversation_id\": "), id, lit(", \"messages\": [{"))
+      val lines = t(s, d, "documents").select(
+        when(pmod(col("doc_id"), lit(17)) === 0, badLine)
+          .otherwise(goodLine).as("line"))
+      graft.ingest.ChatIngest.parseChatLines(lines, "line")
+    }),
+
+    // ---- §2.8 [NS] license-header scan (r12) ----
+    // The Stack-style license triage for code corpora: markers are
+    // only trusted in the HEADER (first 64 chars — a license string
+    // quoted mid-file is not a grant), detected by the ns87
+    // automaton over the header substring, aggregated to the
+    // per-source license mix a release datasheet publishes. Planted:
+    // doc_id%6 picks mit/apache/gpl header prefixes, %6==3 appends a
+    // marker in the TAIL (must only count when the doc is short
+    // enough that the tail IS the header — the oracle's
+    // contains-over-substring reproduces that boundary exactly).
+    "ns170_license_scan" -> ((s, d) => {
+      val markers = Seq("mit license", "apache license",
+        "general public license")
+      val header = when(pmod(col("doc_id"), lit(6)) === 0,
+          lit("// licensed under the mit license\n"))
+        .when(pmod(col("doc_id"), lit(6)) === 1,
+          lit("# apache license 2.0\n"))
+        .when(pmod(col("doc_id"), lit(6)) === 2,
+          lit("/* gnu general public license v3 */\n"))
+        .otherwise(lit(""))
+      val docs2 = t(s, d, "documents").select(col("doc_id"),
+        col("source"),
+        concat(header, col("text"),
+          when(pmod(col("doc_id"), lit(6)) === 3, lit(" mit license"))
+            .otherwise(lit(""))).as("text"))
+      val hits = graft.ns.MultiPattern.scan(
+        docs2.select(col("doc_id"),
+          substring(col("text"), 1, 64).as("head")),
+        "doc_id", "head", markers)
+      docs2.join(hits, Seq("doc_id"), "left")
+        .groupBy(col("source"),
+          coalesce(col("pattern"), lit("none")).as("license"))
+        .agg(count(lit(1)).as("n_docs"))
     }),
 
     // ---- §2.8 [NS] incremental BM25 index maintenance (r12) ----
@@ -3714,6 +3800,59 @@ object SparkEntry {
           cleaned.as("clean_text"),
           (length(col("text")) - length(cleaned)).cast("long")
             .as("n_stripped"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(s.read.parquet(out), base)
+    }),
+
+    // ---- §7.4.6 [NS] streaming chat-JSONL ingest (r12) ----
+    // ns169's conversation front door on a stream (the s13 stateless
+    // pattern): two micro-batches of JSON lines through the SAME
+    // from_json+posexplode projection, quarantine rows surfacing
+    // unchanged; the drained sink gates against ns169's closed-form
+    // oracle verbatim.
+    "s16_stream_chat_ingest" -> ((s, d) => {
+      val base = newScratchDir("graft_s16")
+      val id = col("doc_id").cast("string")
+      val content = regexp_replace(
+        array_join(slice(TextOps.wordTokens(col("text")), 1, 3), " "),
+        "[^a-z0-9 ]", "")
+      val goodLine = concat(
+        lit("{\"conversation_id\": "), id,
+        lit(", \"messages\": [{\"role\": \"user\", \"content\": \""),
+        content,
+        lit("\"}, {\"role\": \"assistant\", \"content\": \"ok "), id,
+        lit("\"}]}"))
+      val badLine = concat(
+        lit("{\"conversation_id\": "), id, lit(", \"messages\": [{"))
+      val lines = t(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(17)) === 0, badLine)
+          .otherwise(goodLine).as("line"))
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      Seq(pmod(col("doc_id"), lit(2)) === 0,
+        pmod(col("doc_id"), lit(2)) =!= 0).zipWithIndex.foreach {
+        case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          lines.filter(p).select(col("line")).coalesce(1)
+            .write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+      }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val out = s"${base.getPath}/gold"
+      val q = graft.ingest.ChatIngest.parseChatLines(stream, "line")
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", s"${base.getPath}/ckpt")

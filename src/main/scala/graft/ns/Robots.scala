@@ -199,10 +199,27 @@ object Robots {
       .withColumn("agent",
         when(col("__has"), col("__pa")).otherwise(lit("*")))
       .select(col(idCol), col("probe_agent"), col("path"), col("agent"))
+    // RFC 9309 §2.2.3 special characters (r12): `*` matches any
+    // character sequence, a trailing `$` anchors the pattern at the
+    // path's end. Wildcard-free values keep the plain prefix fast
+    // path (bit-identical to the pre-wildcard behavior); values
+    // carrying a wildcard translate to an anchored regex — every
+    // regex metachar escaped, then `\*` → `.*` and a trailing `\$`
+    // restored to the anchor. Precedence stays "longest VALUE wins"
+    // (wildcards count as one octet each, the published rule).
+    val hasWild = col("value").contains("*") ||
+      col("value").endsWith("$")
+    val escaped = regexp_replace(col("value"),
+      "([\\\\.^$|?*+\\[\\]{}()])", "\\\\$1")
+    val rx = concat(lit("^"),
+      regexp_replace(regexp_replace(escaped, "\\\\\\*", ".*"),
+        "\\\\\\$$", "\\$"))
     val matched = eff
       .join(ad, Seq(idCol, "agent"))
+      .withColumn("__rx", rx)
       .filter(col("value") =!= "" &&
-        col("path").startsWith(col("value")))
+        when(hasWild, expr("path rlike __rx"))
+          .otherwise(col("path").startsWith(col("value"))))
       .groupBy(col(idCol), col("probe_agent"), col("path"))
       .agg(max(struct(length(col("value")).as("len"),
         (col("directive") === "allow").as("is_allow"))).as("best"))

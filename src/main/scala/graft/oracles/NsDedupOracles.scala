@@ -47,6 +47,32 @@ private[graft] object NsDedupOracles {
         |    AS BIGINT) AS n_kept
         |FROM built JOIN hits USING (doc_id)
         |GROUP BY source""".stripMargin,
+    // Header-bounded license mix: pattern-agnostic contains over the
+    // SAME 64-char substring, left-joined so no-hit docs count under
+    // 'none'; the %6==3 tail plant only counts when the doc is short
+    // enough that the tail falls inside the header.
+    "ns170_license_scan" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '// licensed under the mit license' || chr(10)
+        |      WHEN 1 THEN '# apache license 2.0' || chr(10)
+        |      WHEN 2 THEN '/* gnu general public license v3 */' || chr(10)
+        |      ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 6 = 3 THEN ' mit license'
+        |       ELSE '' END AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, source, substr(t, 1, 64) AS head FROM b),
+        |hits AS (
+        |  SELECT doc_id, m AS license
+        |  FROM h, unnest(['mit license', 'apache license',
+        |    'general public license']) u(m)
+        |  WHERE contains(head, m))
+        |SELECT h.source, coalesce(hits.license, 'none') AS license,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM h LEFT JOIN hits ON h.doc_id = hits.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // Same planted markers; hit rows only.
     "ns86_canary_scan" ->
       """WITH built AS (

@@ -247,7 +247,36 @@ private[graft] object NsTextOracles {
         |        ORDER BY doc_id) AS rn FROM keep)
         |WHERE rn <= 8""".stripMargin
 
+  /** ns169/s16 shared closed-form chat-JSONL prediction. */
+  private val chatJsonlSql: String =
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(array_to_string(
+        |      string_split(regexp_replace(lower(trim(text)),
+        |        '\s+', ' ', 'g'), ' ')[1:3], ' '),
+        |      '[^a-z0-9 ]', '', 'g') AS content
+        |  FROM documents)
+        |SELECT doc_id AS conversation_id, CAST(0 AS BIGINT) AS turn_idx,
+        |  'user' AS role, content, CAST(NULL AS VARCHAR) AS raw_line,
+        |  false AS quarantined
+        |FROM c WHERE doc_id % 17 <> 0
+        |UNION ALL
+        |SELECT doc_id, 1, 'assistant', 'ok ' || doc_id, NULL, false
+        |FROM c WHERE doc_id % 17 <> 0
+        |UNION ALL
+        |SELECT NULL, NULL, NULL, NULL,
+        |  '{"conversation_id": ' || doc_id || ', "messages": [{', true
+        |FROM documents WHERE doc_id % 17 = 0""".stripMargin
+
   val sql: Map[String, String] = Map(
+    // Closed-form prediction of every parsed chat row — the oracle
+    // never parses JSON: good docs emit exactly the (user, assistant)
+    // turn pair from the same word-slice formula the fixture encodes,
+    // truncated docs emit exactly one quarantine row with the raw
+    // line rebuilt. s16 is the streaming restatement over the same
+    // fixture lines — the drained sink must equal the same rows.
+    "s16_stream_chat_ingest" -> chatJsonlSql,
+    "ns169_chat_jsonl" -> chatJsonlSql,
     // One single-pass recomputation over the WHOLE corpus — the
     // merged (store + batch) stats must equal it exactly.
     "ns168_bm25_index_delta" ->
@@ -1174,6 +1203,13 @@ private[graft] object NsTextOracles {
     // everything. AlphaBot probes case-insensitively into the SHARED
     // alphabot/betabot group: its own group decides (so /private is
     // ALLOWED — no `*` fallback) and /shared is blocked for it alone.
+    "ns171_robots_wildcards" ->
+      """SELECT doc_id, 'wildbot' AS probe_agent,
+        |  p AS path,
+        |  p IN ('/data/a.jsonx', '/tmp/keep', '/exactly') AS allowed
+        |FROM documents,
+        |  (SELECT unnest(['/data/a.json', '/data/a.jsonx', '/tmp/x',
+        |    '/tmp/keep', '/exact', '/exactly']) AS p)""".stripMargin,
     "ns136_robots_decisions" ->
       """SELECT doc_id, probe_agent,
         |  CASE k WHEN 1 THEN '/private' || doc_id || '/x'

@@ -85,6 +85,30 @@ class NsRobotsSpec extends SparkSpec {
       None, None)))
   }
 
+  test("wildcard rules (RFC 9309 §2.2.3): * spans, trailing $ " +
+      "anchors, dots stay literal, longest value wins") {
+    val rules = Robots.parseRobots(Seq((1L,
+      "User-agent: *\nDisallow: /*.json$\nDisallow: /tmp*\n" +
+        "Allow: /tmp/keep$\nDisallow: /exact$"))
+      .toDF("doc_id", "robots"), "doc_id", "robots")
+    val probes = Seq(
+      (1L, "w", "/data/a.json"),   // *.json$ hits
+      (1L, "w", "/data/a.jsonx"),  // $ anchor rejects
+      (1L, "w", "/data/aXjson"),   // '.' is literal, not regex-any
+      (1L, "w", "/tmp/x"),         // star prefix
+      (1L, "w", "/tmp/keep"),      // longer Allow carve-out wins
+      (1L, "w", "/exact"),         // exact anchor hits
+      (1L, "w", "/exactly"))       // and rejects the extension
+      .toDF("doc_id", "probe_agent", "path")
+    val out = Robots.robotsAllowed(rules, probes, "doc_id")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._3 -> r._4).toMap
+    assert(out == Map(
+      "/data/a.json" -> false, "/data/a.jsonx" -> true,
+      "/data/aXjson" -> true, "/tmp/x" -> false,
+      "/tmp/keep" -> true, "/exact" -> false, "/exactly" -> true))
+  }
+
   test("decisions: longest match wins, Allow wins length ties, " +
       "empty disallow allows all, unknown agent falls back to *") {
     val rules = Robots.parseRobots(Seq((1L,

@@ -113,4 +113,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"unbounded join:\n$p")
   }
+
+  test("r12 map-side additions are shuffle-free: NFKC casefold and " +
+      "chat-JSONL ingest; the fold runs as the codegen'd kernel") {
+    for (name <- Seq("ns159_nfkc_casefold", "ns169_chat_jsonl")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+    val p = plan("ns159_nfkc_casefold")
+    val kernelLine = p.linesIterator.find(_.contains("nfkc_casefold"))
+      .getOrElse(fail(s"kernel expression absent:\n$p"))
+    assert(kernelLine.trim.startsWith("+- *(") ||
+      kernelLine.trim.startsWith("*("),
+      s"kernel projection not codegen-fused:\n$kernelLine")
+  }
+
+  test("ns164: BM25 broadcasts the query/vocabulary sides and never " +
+      "plans a cartesian; the posting cap plans as a window group " +
+      "limit") {
+    val p = plan("ns164_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    // the 1-row corpus-stats attach is a deliberate broadcast cross
+    // join (BroadcastNestedLoopJoin); only a true cartesian is banned
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"posting cap not partition-pruned:\n$p")
+  }
+
+  test("ns166: the MIPS scan broadcasts the pinned query side (the " +
+      "declared bounded-|Q| cross join)") {
+    val p = plan("ns166_int8_mips")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
 }
