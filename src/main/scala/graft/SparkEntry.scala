@@ -4160,19 +4160,24 @@ object SparkEntry {
           lit("\ntoo short."),
           lit("\nthis is a good closing sentence for the document."))
           .as("text"))
-        // stage 0.5 (r11): mojibake repair ahead of the quality
-        // gates — identity on this clean corpus (a tested law), so
-        // the oracle is unchanged; ns122 gates the repair itself
-        .withColumn("text", TextOps.repairMojibakeCol(col("text")))
-      // stage 0.7 (r12): Aho–Corasick blocklist gate (C4/Dolma run
-      // one) — hit ids are rare, so the drop is a broadcast
-      // left_anti and corpus rows never shuffle; ns87 gates the
-      // automaton, ns161 gates the funnel attribution
+      // stage 0.4 (r12): Aho–Corasick blocklist gate (C4/Dolma run
+      // one) — applied on the RAW text BEFORE the repair chain so
+      // the automaton's scan side evaluates only the cheap fixture
+      // concat, not the 73-rule replace chain twice (measured: the
+      // post-repair placement doubled p05's steady time). Hit ids
+      // are rare, so the drop is a broadcast left_anti and corpus
+      // rows never shuffle; ns87 gates the automaton, ns161 the
+      // funnel attribution; the oracle's contains clause is on the
+      // same raw text.
       val gated = lined.join(
         broadcast(graft.ns.MultiPattern.blockedIds(
           lined, "doc_id", "text", Seq("blk:spam", "blk:scam"))
           .select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
+        // stage 0.5 (r11): mojibake repair ahead of the quality
+        // gates — identity on this clean corpus (a tested law), so
+        // the oracle is unchanged; ns122 gates the repair itself
+        .withColumn("text", TextOps.repairMojibakeCol(col("text")))
       val clean = TextOps.c4LineFilter(gated, "doc_id", "text")
         .join(gated.select(col("doc_id"), col("source")), "doc_id")
       val w = org.apache.spark.sql.expressions.Window
