@@ -3972,6 +3972,39 @@ object SparkEntry {
     // Documents stream in two micro-batches; per-batch CMS deltas
     // land as idempotent batch_id partitions and the merged read must
     // BIT-EQUAL the whole-corpus batch sketch — same oracle as ns93.
+    // ---- §7.4.6 [NS] streaming BM25-index maintenance (r12) ----
+    // ns168's mergeable retrieval index in streaming form (the s08
+    // sketch-store convention): each micro-batch lands its own term
+    // stats as an idempotent batch_id partition (replays overwrite,
+    // never double-add), and the current index is the read-side
+    // merge by exact addition — which must equal ns168's
+    // whole-corpus single-pass oracle VERBATIM.
+    "s17_stream_bm25_index" -> ((s, d) => {
+      val base = newScratchDir("graft_s17")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      val docs = t(s, d, "documents")
+      Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0)
+        .zipWithIndex.foreach { case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          docs.filter(p).coalesce(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+        }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val store = s"${base.getPath}/terms"
+      val q = EventStream.startTermStatsStream(stream, store,
+        s"${base.getPath}/ckpt", "doc_id", "text")
+      q.awaitTermination()
+      materializeAndDrop(
+        EventStream.readTermStatsStore(s, store), base)
+    }),
+
     "s08_stream_sketch" -> ((s, d) => {
       val base = newScratchDir("graft_s08")
       val srcDir = new java.io.File(base, "src")

@@ -268,6 +268,19 @@ private[graft] object NsTextOracles {
         |  '{"conversation_id": ' || doc_id || ', "messages": [{', true
         |FROM documents WHERE doc_id % 17 = 0""".stripMargin
 
+  /** ns168/s17 shared single-pass whole-corpus term stats. */
+  private val bm25IndexSql: String =
+    """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    w -> len(w) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS dfreq,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total
+        |FROM tf GROUP BY term""".stripMargin
+
   val sql: Map[String, String] = Map(
     // Closed-form prediction of every parsed chat row — the oracle
     // never parses JSON: good docs emit exactly the (user, assistant)
@@ -279,17 +292,8 @@ private[graft] object NsTextOracles {
     "ns169_chat_jsonl" -> chatJsonlSql,
     // One single-pass recomputation over the WHOLE corpus — the
     // merged (store + batch) stats must equal it exactly.
-    "ns168_bm25_index_delta" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
-        |    w -> len(w) > 0)) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf
-        |  FROM tok GROUP BY 1, 2)
-        |SELECT term, CAST(count(*) AS BIGINT) AS dfreq,
-        |  CAST(sum(tf) AS BIGINT) AS tf_total
-        |FROM tf GROUP BY term""".stripMargin,
+    "ns168_bm25_index_delta" -> bm25IndexSql,
+    "s17_stream_bm25_index" -> bm25IndexSql,
     // Full independent BM25: DuckDB's own tokenization/df/idf/
     // saturation/top-k. The idf is floor(ln·1e9) per distinct term
     // (libm ln bit-stability, the ns58 precedent), the per-(term,

@@ -184,6 +184,40 @@ object EventStream {
       }
       .start()
 
+  /** Streaming BM25-index maintenance — [[startSketchStream]]'s
+    * store-once/merge-forever shape for the retrieval index (r12):
+    * each micro-batch of documents computes its OWN term stats
+    * (batch-sized work, [[graft.ns.Retrieval.termStats]]) and lands
+    * them as an idempotent batch_id partition; replays overwrite
+    * their own partition and never double-add. The current index is
+    * the read-side merge by exact integer addition
+    * ([[readTermStatsStore]]); postings themselves are append-only
+    * by the same batch_id convention. */
+  def startTermStatsStream(docs: DataFrame, path: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ns.Retrieval.termStats(batch, idCol, textCol)
+            .withColumn("batch_id", lit(batchId))
+          IdempotentWriter.replacePartitions(
+            delta.coalesce(1), path, Seq("batch_id"))
+        }
+      }
+      .start()
+
+  /** Merge a [[startTermStatsStream]] store to the current index
+    * stats: exact integer addition per term. */
+  def readTermStatsStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("term"))
+      .agg(sum(col("dfreq")).as("dfreq"),
+        sum(col("tf_total")).as("tf_total"))
+
   /** Merge a [[startSketchStream]] store to the current sketch:
     * exact addition per (group, seed, cell). */
   def readSketchStore(spark: SparkSession, path: String,
