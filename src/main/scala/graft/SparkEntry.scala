@@ -1957,6 +1957,27 @@ object SparkEntry {
       graft.ingest.ChatIngest.parseChatLines(lines, "line")
     }),
 
+    // ---- §2.8 [NS] per-source adaptive quality floor (r12) ----
+    // FineWeb-style per-domain thresholds: one global cutoff
+    // over-prunes clean sources and under-prunes spammy ones, so the
+    // gate keeps each source's own top 30% by the ns73 logit. The
+    // cutoff is the EXACT per-source p70 from the ns92 grid-quantile
+    // machinery (integer logits ⇒ the histogram is exact at scale 1,
+    // no sort); the cut table is |sources|-sized and broadcasts, so
+    // corpus rows never shuffle for the filter.
+    "ns172_quality_floor" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        col("source"),
+        TextOps.linearLogitCol(col("text")).as("logit_micro"))
+      val cuts = graft.ns.Sketches.exactGridQuantiles(scored,
+        Seq(col("source")), "logit_micro", Seq(0.7), scale = 1L)
+        .select(col("source"), col("p70").cast("long").as("floor_micro"))
+      scored.join(broadcast(cuts), Seq("source"))
+        .filter(col("logit_micro") >= col("floor_micro"))
+        .select(col("doc_id"), col("source"), col("logit_micro"),
+          col("floor_micro"))
+    }),
+
     // ---- §2.8 [NS] license-header scan (r12) ----
     // The Stack-style license triage for code corpora: markers are
     // only trusted in the HEADER (first 64 chars — a license string

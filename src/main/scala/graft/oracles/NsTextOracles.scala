@@ -268,6 +268,45 @@ private[graft] object NsTextOracles {
         |  '{"conversation_id": ' || doc_id || ', "messages": [{', true
         |FROM documents WHERE doc_id % 17 = 0""".stripMargin
 
+  /** ns172: the ns73 logit per (doc, source), the per-source exact
+    * PERCENTILE_DISC p70 over the integer-logit histogram (the ns92
+    * rule), and the keep filter — all re-derived independently. */
+  private val qualityFloorSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    string_split(regexp_replace(lower(trim(text)),
+      |      '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |lg AS (
+      |  SELECT doc_id, source,
+      |    CAST(-50000 + coalesce(list_sum(list_transform(toks,
+      |      t -> CASE t
+      |    WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+      |    WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+      |    WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+      |    WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+      |    WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+      |    WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+      |    WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+      |    WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+      |    WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+      |    WHEN 'http' THEN -60000 ELSE 0 END)), 0) AS BIGINT)
+      |      AS logit_micro
+      |  FROM base),
+      |h AS (SELECT source, logit_micro AS b, count(*) AS c
+      |  FROM lg GROUP BY 1, 2),
+      |cum AS (SELECT source, b,
+      |    sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM h),
+      |cut AS (SELECT source,
+      |    CAST(min(CASE WHEN cum >= ceil(0.7 * n) THEN b END)
+      |      AS BIGINT) AS floor_micro
+      |  FROM cum GROUP BY source)
+      |SELECT lg.doc_id, lg.source, lg.logit_micro, cut.floor_micro
+      |FROM lg JOIN cut USING (source)
+      |WHERE lg.logit_micro >= cut.floor_micro""".stripMargin
+
   /** ns168/s17 shared single-pass whole-corpus term stats. */
   private val bm25IndexSql: String =
     """WITH tok AS (
@@ -294,6 +333,7 @@ private[graft] object NsTextOracles {
     // merged (store + batch) stats must equal it exactly.
     "ns168_bm25_index_delta" -> bm25IndexSql,
     "s17_stream_bm25_index" -> bm25IndexSql,
+    "ns172_quality_floor" -> qualityFloorSql,
     // Full independent BM25: DuckDB's own tokenization/df/idf/
     // saturation/top-k. The idf is floor(ln·1e9) per distinct term
     // (libm ln bit-stability, the ns58 precedent), the per-(term,
