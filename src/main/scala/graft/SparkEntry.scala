@@ -1138,6 +1138,38 @@ object SparkEntry {
         "doc_id", "text", n = 3)
     }),
 
+    // ---- §2.8 [NS] multi-detector contamination report (r12) ----
+    // The decontamination artifact a release pipeline actually
+    // publishes: one row per (eval doc, detector) that fired — the
+    // exact n-gram containment gate (ns22's machinery, flag at ≥ 1/2
+    // of distinct trigrams contained, cross-multiplied integers) and
+    // the BM25 retrieval gate (ns164's machinery: the eval doc's
+    // 8-word prefix as a query against the TRAIN corpus only, top-1
+    // score over an absolute nano threshold — catches near matches
+    // the gram gate misses and vice versa). Both legs hash-gate, so
+    // the union does too; `signal` carries each detector's own
+    // integer evidence.
+    "ns173_contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val evalD = docs.filter(col("doc_id") < 50)
+      val train = docs.filter(col("doc_id") >= 50)
+      val ng = Dedup.contaminationScores(evalD, train,
+        "doc_id", "text", n = 3)
+        .filter(col("n_grams") > 0 &&
+          col("n_hit") * 2 >= col("n_grams"))
+        .select(col("doc_id").as("eval_id"),
+          lit("ngram").as("method"), col("n_hit").as("signal"))
+      val q = evalD.select(col("doc_id").as("q_id"),
+        array_join(slice(TextOps.wordTokens(col("text")), 1, 8), " ")
+          .as("q_text"))
+      val bm = graft.ns.Retrieval.bm25TopK(train, "doc_id", "text",
+        q, "q_id", "q_text", k = 1, maxPostingsPerTerm = Some(200))
+        .filter(col("score_nano") >= 2800000000L)
+        .select(col("q_id").as("eval_id"),
+          lit("bm25").as("method"), col("score_nano").as("signal"))
+      ng.unionByName(bm)
+    }),
+
     // ---- §2.8 [NS] per-source contamination matrix (r10) ----
     // ns22 resolved by training source: which DATASET leaked the
     // benchmark. Same eval split (docs < 50), trigram containment

@@ -410,6 +410,72 @@ private[graft] object NsDedupOracles {
         |SELECT fingerprint, min(doc_id) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS dup_count
         |FROM fresh GROUP BY 1""".stripMargin,
+    // Both detector legs re-derived independently and union'd: the
+    // trigram containment flag from ns22's CTEs, the BM25 top-1 from
+    // ns164's recipe restricted to the train corpus (df/dl/stats over
+    // doc_id >= 50 only, 8-token eval-prefix queries, posting cap,
+    // k = 1, absolute nano threshold).
+    "ns173_contamination_report" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |traing AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id >= 50),
+        |nghits AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS n_hit
+        |  FROM grams e LEFT JOIN traing tr ON e.g = tr.g
+        |  WHERE e.doc_id < 50
+        |  GROUP BY e.doc_id),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(w, x -> len(x) > 0)) AS term
+        |  FROM docs WHERE doc_id >= 50),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS t
+        |  FROM tok),
+        |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(
+        |    list_filter(w[1:8], x -> len(x) > 0)) AS term
+        |  FROM docs WHERE doc_id < 50),
+        |dfq AS (SELECT term, count(*) AS dfreq FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |idf AS (SELECT term,
+        |    CAST(floor(ln((CAST(n AS DOUBLE) - dfreq + 0.5)
+        |      / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0) * 1e9) AS BIGINT)
+        |      AS idf_nano
+        |  FROM dfq, st),
+        |pp AS (SELECT term, doc_id, tf, dl, idf_nano,
+        |    ROW_NUMBER() OVER (PARTITION BY term
+        |      ORDER BY tf DESC, dl ASC, doc_id) AS prn
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)),
+        |sc AS (SELECT qt.q_id, pp.doc_id,
+        |    CAST(floor(CAST(idf_nano AS DOUBLE)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |        * (CAST(dl AS DOUBLE)
+        |          / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))))))
+        |      AS BIGINT) AS s
+        |  FROM pp JOIN qt USING (term), st
+        |  WHERE prn <= 200),
+        |agg AS (SELECT q_id, doc_id,
+        |    CAST(sum(s) AS BIGINT) AS score_nano
+        |  FROM sc GROUP BY 1, 2),
+        |top1 AS (SELECT q_id, score_nano
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |          ORDER BY score_nano DESC, doc_id) AS rn FROM agg)
+        |  WHERE rn = 1)
+        |SELECT doc_id AS eval_id, 'ngram' AS method,
+        |  CAST(n_hit AS BIGINT) AS signal
+        |FROM nghits WHERE n_grams > 0 AND n_hit * 2 >= n_grams
+        |UNION ALL
+        |SELECT q_id, 'bm25', score_nano FROM top1
+        |WHERE score_nano >= 2800000000""".stripMargin,
     "ns22_contamination" ->
       """WITH docs AS (
         |  SELECT doc_id,
