@@ -2063,6 +2063,48 @@ object SparkEntry {
           "doc_id", "text"))
     }),
 
+    // ---- §2.8 [NS] deterministic interleave schedule (r12) ----
+    // The multi-source dataloader order without RNG: smooth weighted
+    // round-robin keys (slot midpoints on a fixed integer axis) so
+    // sorting by (key, source, id) reads every source at its own
+    // size proportion — every prefix proportional within ±1 (the
+    // NsSamplingSpec law). One window exchange, exact integer floors.
+    "ns175_interleave_schedule" -> ((s, d) =>
+      Sampling.interleaveSchedule(
+        t(s, d, "documents"), "doc_id", "source")),
+
+    // ---- §2.8 [NS] DPO episode assembly (r12) ----
+    // The training-ready post-training artifact: ns142's preference
+    // pairs carrying BOTH sides' ns165 group-relative advantages and
+    // the group size — what a DPO/RLHF dataloader actually reads.
+    // Two (prompt, cand) equi-joins against the candidate-sized
+    // advantage table, reusing the prompt-key exchange both inputs
+    // already share; every number comes from an already-gated dag,
+    // so the composition hash-gates.
+    "ns174_dpo_episodes" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val pairs = graft.ns.Posttrain.preferencePairs(
+        ev, "user_id", "event_id", "value", maxPairs = 3,
+        minMargin = 0.0)
+      val adv = graft.ns.Posttrain.groupAdvantage(
+        ev, "user_id", "event_id", "value")
+        .select(col("prompt_id"), col("cand_id"),
+          col("advantage"), col("n_group"))
+      pairs
+        .join(adv.select(col("prompt_id"),
+          col("cand_id").as("chosen_id"),
+          col("advantage").as("chosen_advantage"),
+          col("n_group")), Seq("prompt_id", "chosen_id"))
+        .join(adv.select(col("prompt_id"),
+          col("cand_id").as("rejected_id"),
+          col("advantage").as("rejected_advantage")),
+          Seq("prompt_id", "rejected_id"))
+        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+          col("chosen_reward"), col("rejected_reward"),
+          col("pair_rank"), col("chosen_advantage"),
+          col("rejected_advantage"), col("n_group"))
+    }),
+
     // ---- §2.8 [NS] GRPO group-relative advantage (r12) ----
     // Scored generations → standardized per-prompt advantages + the
     // best-of-n rank, the post-training reward normalization that

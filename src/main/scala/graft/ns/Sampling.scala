@@ -502,4 +502,35 @@ object Sampling {
     ranked.join(broadcast(totals), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("rn"), split.as("split"))
   }
+
+  /** Deterministic multi-source interleave schedule — the dataloader
+    * ordering that reads every source at its own proportion with no
+    * RNG (smooth weighted round-robin): row r of a source with n_s
+    * rows gets key floor((2r−1)·prec / n_s), i.e. the midpoint of
+    * its 1/n_s-wide slot on a [0, 2·prec) axis, so sorting by
+    * (interleave_key, groupCol, idCol) interleaves sources at their
+    * size ratio — every prefix holds each source within ~±1 of its
+    * proportional share (the law in NsSamplingSpec). Exact integer
+    * floors, engine-reproducible; `prec` 10⁶ keeps 2r·prec below
+    * 2⁶³ for any plausible per-source row count while key ties
+    * (sub-1e-6 slot differences) break on (group, id).
+    *
+    * Plan shape: ONE exchange on the source key — rank and source
+    * size are two window functions over the same partition; no
+    * global sort is performed here (the key IS the order; a consumer
+    * range-partitions by it to write shards). Output: (idCol,
+    * groupCol, rank_in_source, n_source, interleave_key). */
+  def interleaveSchedule(df: DataFrame, idCol: String,
+      groupCol: String, prec: Long = 1000000L): DataFrame = {
+    require(prec > 0, "prec must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(wAll))
+      .withColumn("interleave_key",
+        expr(s"((2 * rank_in_source - 1) * ${prec}L) div n_source"))
+  }
 }

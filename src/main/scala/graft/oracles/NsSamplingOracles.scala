@@ -203,6 +203,62 @@ private[graft] object NsSamplingOracles {
         |  rn - 1 AS pair_rank
         |FROM r
         |WHERE rn BETWEEN 2 AND 4 AND chosen_reward - value > 0.0""".stripMargin,
+    // The same two windows + the same integer floor arithmetic.
+    "ns175_interleave_schedule" ->
+      """SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY doc_id) AS BIGINT) AS rank_in_source,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+        |    AS n_source,
+        |  CAST(((2 * (ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY doc_id)) - 1) * 1000000)
+        |    // (count(*) OVER (PARTITION BY source)) AS BIGINT)
+        |    AS interleave_key
+        |FROM documents""".stripMargin,
+    // ns142's pair window ⋈ ns165's advantage dag, composed in SQL —
+    // both sides' advantages attached by (prompt, candidate).
+    "ns174_dpo_episodes" ->
+      """WITH b AS (
+        |  SELECT user_id AS prompt_id, event_id AS cand_id, value,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT prompt_id, cand_id, value, c,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n,
+        |    sum(c) OVER (PARTITION BY prompt_id) AS s1,
+        |    sum(c * c) OVER (PARTITION BY prompt_id) AS s2,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY value DESC, cand_id) AS BIGINT) AS rn,
+        |    FIRST_VALUE(cand_id) OVER (PARTITION BY prompt_id
+        |      ORDER BY value DESC, cand_id) AS chosen_id,
+        |    FIRST_VALUE(value) OVER (PARTITION BY prompt_id
+        |      ORDER BY value DESC, cand_id) AS chosen_reward
+        |  FROM b),
+        |adv AS (
+        |  SELECT prompt_id, cand_id,
+        |    CASE WHEN (CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * s1 / n) / n <= 0.0 THEN 0.0
+        |      ELSE (CAST(c AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * s1 / n) / n) END AS advantage,
+        |    CAST(n AS BIGINT) AS n_group
+        |  FROM w),
+        |pairs AS (
+        |  SELECT prompt_id, chosen_id, cand_id AS rejected_id,
+        |    chosen_reward, value AS rejected_reward,
+        |    rn - 1 AS pair_rank
+        |  FROM w
+        |  WHERE rn BETWEEN 2 AND 4 AND chosen_reward - value > 0.0)
+        |SELECT p.prompt_id, p.chosen_id, p.rejected_id,
+        |  p.chosen_reward, p.rejected_reward, p.pair_rank,
+        |  ca.advantage AS chosen_advantage,
+        |  ra.advantage AS rejected_advantage, ca.n_group
+        |FROM pairs p
+        |JOIN adv ca ON ca.prompt_id = p.prompt_id
+        |  AND ca.cand_id = p.chosen_id
+        |JOIN adv ra ON ra.prompt_id = p.prompt_id
+        |  AND ra.cand_id = p.rejected_id""".stripMargin,
     // GRPO advantages re-derived with the identical fixed dag:
     // cent-quantized rewards, exact window sums, one mean division,
     // the dq03 variance form, IEEE sqrt; var <= 0 guards to 0.

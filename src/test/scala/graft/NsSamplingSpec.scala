@@ -384,4 +384,35 @@ class NsSamplingSpec extends SparkSpec {
       out.select("doc_id", "split").as[(Long, String)].collect().toSet)
     out.unpersist()
   }
+
+  test("interleaveSchedule: every prefix of the key order holds each " +
+      "source within ~1 of its proportional share; deterministic") {
+    // skewed sizes: 60 / 30 / 10
+    val rows = (0L until 60L).map(i => (i, "big")) ++
+      (100L until 130L).map(i => (i, "mid")) ++
+      (200L until 210L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val out = Sampling.interleaveSchedule(df, "doc_id", "source")
+      .select(col("doc_id"), col("source"), col("interleave_key"))
+      .as[(Long, String, Long)].collect()
+      .sortBy(r => (r._3, r._2, r._1))
+    val n = rows.size.toDouble
+    val sizes = rows.groupBy(_._2).map { case (s, xs) => s -> xs.size }
+    out.indices.foreach { k =>
+      val prefix = out.take(k + 1)
+      sizes.foreach { case (s, ns) =>
+        val got = prefix.count(_._2 == s)
+        val want = (k + 1) * ns / n
+        assert(math.abs(got - want) <= 1.5,
+          s"prefix ${k + 1}: source $s has $got, expected ~$want")
+      }
+    }
+    // determinism under repartitioning
+    val re = Sampling.interleaveSchedule(df.repartition(7),
+      "doc_id", "source")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val base = Sampling.interleaveSchedule(df, "doc_id", "source")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(re == base)
+  }
 }
