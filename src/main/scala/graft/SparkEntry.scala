@@ -2063,6 +2063,59 @@ object SparkEntry {
           "doc_id", "text"))
     }),
 
+    // ---- §2.8 [NS] duplicate-degree histogram (r12) ----
+    // The corpus-health datasheet row dedup reports feed: how many
+    // content groups exist at each duplication degree (1 = unique,
+    // 2 = one copy, ...). Corpus salted with the ns108 replay slice
+    // (doc_id%10 re-landed under new ids) so degree 2 is populated.
+    // Two map-combinable aggregations — fingerprint counts, then a
+    // histogram over the group-sized frame.
+    "ns176_dup_degree_histogram" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(t(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      corpus
+        .select(Dedup.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("__deg"))
+        .groupBy(col("__deg").as("degree"))
+        .agg(count(lit(1)).as("n_groups"))
+    }),
+
+    // ---- §2.8 [NS] recrawl priority schedule (r12) ----
+    // WHEN to refetch: sitemap lastmod (the ns137 parse — urlset
+    // entries carrying dates) × the ns162 domain authority —
+    // priority = age_days · auth_micro, exact longs against a FIXED
+    // reference date (a scheduler runs with an explicit as-of, the
+    // o12 injectable-clock rule; never wall clock). Entries without
+    // a lastmod are excluded (they follow the discovery path
+    // instead). The authority table broadcasts; sitemap volume is
+    // domain-sized metadata.
+    "ns177_recrawl_priority" -> ((s, d) => {
+      val sm = graft.ns.Robots.parseSitemap(
+        graft.ns.Robots.buildSitemapFixture(t(s, d, "documents")),
+        "doc_id", "xml")
+        .filter(col("kind") === "urlset" && col("lastmod").isNotNull)
+      val auth = graft.ns.Clusters.domainAuthority(
+        authorityEdges(t(s, d, "documents")), "src", "dst")
+      val aged = sm
+        // future-dated lastmods clamp to age 0 (they are not due)
+        .withColumn("age_days",
+          greatest(datediff(lit("2026-06-30"), to_date(col("lastmod")))
+            .cast("long"), lit(0L)))
+        // fixture locs live on maps.example.com; tie each entry to
+        // its doc's source domain for the authority lookup
+        .join(t(s, d, "documents").select(col("doc_id"),
+          concat(col("source"), lit(".com")).as("domain")), Seq("doc_id"))
+      aged.join(broadcast(auth), Seq("domain"), "left")
+        .select(col("doc_id"), col("ord"), col("loc"), col("domain"),
+          col("age_days"),
+          coalesce(col("auth_micro"), lit(0L)).as("auth_micro"),
+          (col("age_days") * coalesce(col("auth_micro"), lit(0L)))
+            .as("priority"))
+    }),
+
     // ---- §2.8 [NS] deterministic interleave schedule (r12) ----
     // The multi-source dataloader order without RNG: smooth weighted
     // round-robin keys (slot midpoints on a fixed integer axis) so

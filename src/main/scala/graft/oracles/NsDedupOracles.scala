@@ -410,6 +410,21 @@ private[graft] object NsDedupOracles {
         |SELECT fingerprint, min(doc_id) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS dup_count
         |FROM fresh GROUP BY 1""".stripMargin,
+    // Replay-salted fingerprint groups, then the degree histogram —
+    // two plain aggregations.
+    "ns176_dup_degree_histogram" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |g AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g')) AS fp, count(*) AS deg
+        |  FROM corpus GROUP BY fp)
+        |SELECT CAST(deg AS BIGINT) AS degree,
+        |  CAST(count(*) AS BIGINT) AS n_groups
+        |FROM g GROUP BY deg""".stripMargin,
     // Both detector legs re-derived independently and union'd: the
     // trigram containment flag from ns22's CTEs, the BM25 top-1 from
     // ns164's recipe restricted to the train corpus (df/dl/stats over

@@ -321,6 +321,26 @@ private[graft] object NsTextOracles {
         |FROM tf GROUP BY term""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // The ns137 urlset-entry-0 lastmod formula + the unrolled
+    // authority recurrence + the clamped age×authority arithmetic.
+    "ns177_recrawl_priority" ->
+      s"""WITH $authorityCtes,
+         |sm AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS ord,
+         |    'https://maps.example.com/p/' || doc_id || '-0?a='
+         |      || doc_id || '&b=2' AS loc,
+         |    CAST(('2026-0' || (doc_id % 9 + 1) || '-11') AS DATE)
+         |      AS lm
+         |  FROM documents WHERE doc_id % 8 <> 6)
+         |SELECT sm.doc_id, sm.ord, sm.loc,
+         |  d.source || '.com' AS domain,
+         |  CAST(greatest(date_diff('day', lm, DATE '2026-06-30'), 0)
+         |    AS BIGINT) AS age_days,
+         |  CAST(coalesce(r5.r, 0) AS BIGINT) AS auth_micro,
+         |  CAST(greatest(date_diff('day', lm, DATE '2026-06-30'), 0)
+         |    * coalesce(r5.r, 0) AS BIGINT) AS priority
+         |FROM sm JOIN documents d ON d.doc_id = sm.doc_id
+         |LEFT JOIN r5 ON r5.domain = d.source || '.com'""".stripMargin,
     // Closed-form prediction of every parsed chat row — the oracle
     // never parses JSON: good docs emit exactly the (user, assistant)
     // turn pair from the same word-slice formula the fixture encodes,
