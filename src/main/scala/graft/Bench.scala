@@ -199,7 +199,10 @@ object Bench {
       // and the capped containment pair join — cold paths 4-6 s at
       // sf0.1, all measured under the capMin slice (QueryProbe)
       "ns146_pq_encode", "ns147_pq_adc_topk", "ns150_containment_pairs",
-      "ns153_ivfpq_topk")
+      "ns153_ivfpq_topk",
+      // r12: the cross-corpus containment join (ns150's machinery
+      // over eval ∪ planted quotes) — cold ~12 s at sf0.1
+      "ns178_contamination_attribution")
     // Warm-up order is heavy-FIRST (r12): heavy queries are the ones
     // whose steady number depends on the warmth slice, and under the
     // hard stop whatever warm-up does not reach cold-retimes in the

@@ -2416,6 +2416,27 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.6,
         maxDocFreq = Some(5))),
 
+    // ---- §2.8 [NS] contamination attribution pairs (r12) ----
+    // WHICH train document leaked the eval doc (ns173 says whether,
+    // ns115 says which source; this says which DOCUMENT): the ns150
+    // containment machinery over eval ∪ train, kept where an eval
+    // doc (< 50) is contained in a train doc (≥ 50). Planted: every
+    // eval doc_id%3==1 is quoted WHOLE inside a train doc (id+5000,
+    // commentary wrapper), the subset-duplication shape Jaccard
+    // misses; natural cross pairs are included too.
+    "ns178_contamination_attribution" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val quotes = docs.filter(col("doc_id") < 50 &&
+          pmod(col("doc_id"), lit(3)) === 1)
+        .select((col("doc_id") + 5000L).as("doc_id"),
+          concat(lit("commentary begins here. "), col("text"),
+            lit(" attribution footer "), col("doc_id").cast("string"))
+            .as("text"))
+      Dedup.ngramContainmentPairs(docs.unionByName(quotes),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = Some(8))
+        .filter(col("contained_id") < 50 && col("container_id") >= 50)
+    }),
+
     // ---- §2.8 [NS] homoglyph scrub (r11) ----
     // Dedup-evasion defense: docs with doc_id%7==0 get a planted
     // Cyrillic-lookalike substitution (the spam-cloaking attack);

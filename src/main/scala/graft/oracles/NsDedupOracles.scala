@@ -346,6 +346,50 @@ private[graft] object NsDedupOracles {
     // ns02b's capped gram machinery, intersection counted once per
     // unordered pair, then BOTH directed containments emitted —
     // C(A→B) = common/|A| — and filtered at 0.6.
+    // ns150's CTEs over eval ∪ planted whole-quote train docs, kept
+    // where the eval side is contained in the train side.
+    "ns178_contamination_attribution" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000,
+        |    'commentary begins here. ' || text
+        |      || ' attribution footer ' || doc_id
+        |  FROM documents WHERE doc_id < 50 AND doc_id % 3 = 1),
+        |docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM corpus),
+        |grams0 AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+        |rare AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 8),
+        |grams AS (SELECT grams0.doc_id, grams0.g
+        |  FROM grams0 JOIN rare USING (g)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |joined AS (
+        |  SELECT p.id_a, p.id_b, p.common, sa.sz AS sz_a, sb.sz AS sz_b
+        |  FROM pairs p
+        |   JOIN sizes sa ON p.id_a = sa.doc_id
+        |   JOIN sizes sb ON p.id_b = sb.doc_id),
+        |directed AS (
+        |  SELECT id_a AS contained_id, id_b AS container_id, common,
+        |    sz_a AS sz_contained FROM joined
+        |  UNION ALL
+        |  SELECT id_b AS contained_id, id_a AS container_id, common,
+        |    sz_b AS sz_contained FROM joined)
+        |SELECT contained_id, container_id, common, sz_contained,
+        |  CAST(common AS DOUBLE) / CAST(sz_contained AS DOUBLE)
+        |    AS containment
+        |FROM directed
+        |WHERE CAST(common AS DOUBLE) / CAST(sz_contained AS DOUBLE)
+        |    >= 0.5
+        |  AND contained_id < 50 AND container_id >= 50""".stripMargin,
     "ns150_containment_pairs" ->
       """WITH docs AS (
         |  SELECT doc_id,
