@@ -24,16 +24,18 @@ import org.apache.spark.sql.functions._
   * (order/partition-independent) and the (score desc, id) rank is
   * engine-independent.
   *
-  * Plan shape (what survives 100 TB): term frequencies are one
-  * map-combinable groupBy(doc, term); the document-frequency table
-  * collapses to one row per vocabulary term (Zipf-bounded, the
-  * ns26 broadcast argument); the QUERY side is tiny by construction
-  * and broadcasts twice — once as a distinct-term semi-join that
-  * prunes the corpus posting rows to query terms BEFORE any scoring
-  * (the inverted-index probe: only matching postings flow), once to
-  * fan pruned postings out per query id. The only corpus-sized
-  * exchange is the tf groupBy; the final per-query top-k is a
-  * window group limit over candidate rows only.
+  * Plan shape (what survives 100 TB): the QUERY side is tiny by
+  * construction and broadcasts twice — once as a distinct-term
+  * semi-join that prunes the raw TOKEN stream to query terms BEFORE
+  * the tf groupBy (the inverted-index probe: the per-(doc, term)
+  * exchange carries query-term postings only, never the corpus
+  * vocabulary), once to fan pruned postings out per query id. The
+  * document-frequency table collapses to one row per surviving term
+  * (Zipf-bounded, the ns26 broadcast argument). The only corpus-
+  * sized exchange left is the docLen groupBy — irreducible, BM25's
+  * length normalization needs every doc's FULL token count; the
+  * final per-query top-k is a window group limit over candidate
+  * rows only.
   */
 object Retrieval {
 
@@ -46,8 +48,14 @@ object Retrieval {
     * tokenization ([[TextOps.wordTokens]]).
     *
     * `knownStats` short-circuits the corpus-size aggregate like
-    * [[TextOps.tfidfTopTerms]]'s knownN: pass (N docs, T tokens)
-    * from catalog stats to skip the extra corpus pass.
+    * [[TextOps.tfidfTopTerms]]'s knownN. CONTRACT: the pair is
+    * (N = TOKEN-BEARING docs — docs with ≥1 word token after the
+    * corpus tokenization, NOT the catalog row count — and T = total
+    * word tokens). For a corpus containing empty/whitespace-only
+    * docs the two doc counts differ, and idf/avgdl would silently
+    * shift if a caller passed the raw row count; pass the stored
+    * index's own (N, T) (what [[termStats]] maintenance carries) and
+    * the short-circuit is bit-identical to the computed branch.
     *
     * `maxPostingsPerTerm` is the SCALE knob (the WAND/impact-ordered
     * pruning direction): candidate work is Σ_q Σ_{t∈q} df(t), and a
@@ -75,7 +83,22 @@ object Retrieval {
     val toks = docs.select(col(idCol),
       explode(TextOps.wordTokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = toks.groupBy(col(idCol), col("term"))
+    val qTerms = queries.select(col(qIdCol),
+      explode(TextOps.wordTokens(col(qTextCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    // THE prune: semi-join the token stream against the broadcast
+    // distinct query-term set BEFORE the tf groupBy, so the one
+    // corpus-sized exchange this operator pays carries query-term
+    // postings only, not the whole corpus vocabulary. Semantics-
+    // preserving: per-(doc, term) counts for surviving terms are
+    // unchanged, and non-query terms could never reach a score
+    // anyway. docLen and the (N, T) stats stay corpus-wide below,
+    // as BM25's length normalization requires.
+    val toksQ = toks.join(
+      broadcast(qTerms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val tf = toksQ.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val docLen = toks.groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"))
@@ -86,14 +109,9 @@ object Retrieval {
         countDistinct(col(idCol)).as("__n"),
         count(lit(1)).as("__t"))
     }
-    val qTerms = queries.select(col(qIdCol),
-      explode(TextOps.wordTokens(col(qTextCol))).as("term"))
-      .filter(length(col("term")) > 0)
-      .distinct()
-    // vocabulary side: df per term, pruned to QUERY terms before the
-    // idf quantization and before any posting flows
-    val dfreq = tf.join(broadcast(qTerms.select(col("term")).distinct()),
-        Seq("term"))
+    // vocabulary side: df per term over the already-pruned postings
+    // (identical counts — the prune is term-keyed)
+    val dfreq = tf
       .groupBy(col("term"))
       .agg(count(lit(1)).as("dfreq"))
     val idf = dfreq.crossJoin(broadcast(stats))

@@ -54,6 +54,29 @@ class RetrievalSpec extends SparkSpec {
     assert(tight.map(_._2).toSet == Set(4L, 5L))
   }
 
+  test("plan law: the (doc, term) tf exchange carries only query-term " +
+      "postings — the broadcast semi-join prunes BELOW the partial " +
+      "aggregate") {
+    val q = Seq((1L, "zebra quick")).toDF("q_id", "q_text")
+    val p = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      q, "q_id", "q_text", k = 3)
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toIndexedSeq
+    // the tf partial aggregate: keyed on BOTH doc id and term
+    val tfAgg = lines.indexWhere(l => l.contains("HashAggregate") &&
+      l.contains("partial_count") && l.contains("doc_id") &&
+      l.contains("term"))
+    assert(tfAgg >= 0, s"no (doc, term) partial aggregate:\n$p")
+    // the query-term prune: a broadcast LEFT SEMI join, printed
+    // deeper in the tree (after) the aggregate it feeds — i.e. the
+    // prune happens before the exchange, not after
+    val semi = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semi >= 0, s"no broadcast semi-join prune:\n$p")
+    assert(semi > tfAgg,
+      s"semi-join prune is not below the tf partial aggregate:\n$p")
+  }
+
   test("termStats merge by addition equals the full rebuild, at any " +
       "split of the corpus") {
     val docs = Tables(spark, sf, "documents")
@@ -87,11 +110,15 @@ class RetrievalSpec extends SparkSpec {
       q, "q_id", "q_text", k = 5)
       .as[(Long, Long, Long, Int)].collect().toSet
     assert(a == b)
-    // knownStats short-circuit: same (N, T) => bit-identical scores
-    val toks = docs.select(
+    // knownStats short-circuit: same (N, T) => bit-identical scores.
+    // The documented contract: N is TOKEN-BEARING docs (docs with >=1
+    // word token), T total word tokens — exactly what the computed
+    // branch derives, so the two paths agree for ANY corpus,
+    // empty/whitespace-only docs included.
+    val toks = docs.select(col("doc_id"),
       explode(graft.ns.TextOps.wordTokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
-    val n = docs.count()
+    val n = toks.select(col("doc_id")).distinct().count()
     val t = toks.count()
     val c = Retrieval.bm25TopK(docs, "doc_id", "text",
       q, "q_id", "q_text", k = 5, knownStats = Some((n, t)))
