@@ -606,6 +606,57 @@ case class PqAdcScoreExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for [[Int8DotExpr]]: the exact integer dot product
+  * of two int8-code vectors (stored as `array<int>` holding values
+  * in [-127, 127]) as one tight JVM loop — the scoring inner loop of
+  * the scalar-quantized MIPS scan. Exists because the HOF
+  * formulation (`aggregate(zip_with(q, d, a·b), 0, +)`) evaluates as
+  * an INTERPRETED expression tree with per-element lambda dispatch —
+  * the measured 8–11× cost class that earned TopGramKernel and
+  * IvfAssignKernel their kernels; the |Q|·N scoring scan is exactly
+  * the shape that must stay fused. Sum is exact in long arithmetic
+  * (|a_i·b_i| ≤ 127² = 16 129; any real dim fits), iteration runs
+  * over min(len) ascending — for equal-length codes (the quantizer's
+  * invariant) that is element-for-element the zip-fold's sum, which
+  * is what the kernel≡HOF law in NsSimilaritySpec pins. */
+object Int8DotKernel {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Catalyst-native exact int8-code dot product: two `array<int>`
+  * code vectors in, long sum of element products out. Codegen emits
+  * one static [[Int8DotKernel]] call per pair so the |Q|·N MIPS
+  * scoring scan stays inside WholeStageCodegen — no interpreted
+  * per-element lambda dispatch in the hot path. */
+case class Int8DotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Int8DotKernel.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |${ev.value} = graft.functions.Int8DotKernel.dot($a, $b);
+      |""".stripMargin)
+  override def prettyName: String = "int8_dot"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Int8DotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for graft's custom expressions. */
 object functions {
   /** Repair python-repr "JSON" (single quotes, True/None, trailing
@@ -654,4 +705,9 @@ object functions {
   def pq_adc(table: Column, codes: Column): Column =
     Shim.column(PqAdcScoreExpr(Shim.expression(table),
       Shim.expression(codes)))
+
+  /** Exact long dot product of two int8-code `array<int>` vectors —
+    * the fused MIPS scoring kernel. */
+  def int8_dot(a: Column, b: Column): Column =
+    Shim.column(Int8DotExpr(Shim.expression(a), Shim.expression(b)))
 }

@@ -1023,13 +1023,24 @@ object Similarity {
     * quantized vector index serves between the PQ scan and the
     * exact rerank).
     *
+    * Exactness scope: the ranking is exact IN CODE SPACE — the true
+    * argmax of q·d over the stored int8 codes, which is what this
+    * operator is a baseline FOR (the PQ/IVF kernels approximate the
+    * same code-space score). It is NOT the MIPS order of the
+    * dequantized float vectors when corpus norms vary: each vector
+    * carries its own q_scale, and the raw code dot product ignores
+    * both scales (multiplying them back in would leave double
+    * arithmetic and the hash gate behind). Callers wanting
+    * dequantized-space order should rerank the top candidates
+    * through [[exactRerank]].
+    *
     * Contract: the QUERY side must be small (it broadcasts; the
     * registered query pins ~32 ids) — the scan is |Q|·N·d work,
-    * linear in the corpus for fixed |Q|. The zip-fold here is an
-    * interpreted HOF (the known per-element trap): fine at |Q|·N ≈
-    * 10⁶–10⁷ rows; a corpus-scale MIPS serve goes through the
-    * codegen'd PQ/IVF kernels instead, with this operator as their
-    * exactness baseline. Output: (qIdCol, idCol, score, rn). */
+    * linear in the corpus for fixed |Q|. Scoring runs through the
+    * codegen'd [[graft.functions.Int8DotKernel]] (one static call
+    * per pair, the IvfAssignExpr tier), so the |Q|·N scan stays
+    * inside WholeStageCodegen; NsSimilaritySpec pins kernel ≡
+    * zip-fold. Output: (qIdCol, idCol, score, rn). */
   def int8MipsTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int): DataFrame = {
@@ -1040,9 +1051,8 @@ object Similarity {
       .select(col(qIdCol), col("q").as("__qq"))
     val scored = dq.crossJoin(broadcast(qq))
       .select(col(qIdCol), col(idCol),
-        aggregate(zip_with(col("__qq"), col("__dq"),
-          (a, b) => (a.cast("long") * b.cast("long"))),
-          lit(0L), (acc, x) => acc + x).as("score"))
+        graft.functions.functions.int8_dot(col("__qq"), col("__dq"))
+          .as("score"))
     graft.ops.Relational.topKPerGroup(scored, k, Seq(col(qIdCol)),
       Seq(col("score").desc, col(idCol).asc))
   }

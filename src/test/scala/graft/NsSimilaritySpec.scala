@@ -601,6 +601,38 @@ class NsSimilaritySpec extends SparkSpec {
     assert(overlap >= 0.9, s"quantized top-k overlap $overlap")
   }
 
+  test("Int8DotExpr kernel ≡ interpreted zip-fold, and int8MipsTopK " +
+      "ranking is unchanged by the kernel promotion") {
+    // the TopGramKernel/IvfAssignExpr promotion law: the codegen'd
+    // static kernel must compute the IDENTICAL long sum as the HOF
+    // formulation it replaced, over real corpus vectors
+    val emb = Tables(spark, sf, "embeddings").limit(300)
+    val dq = graft.ns.Embeddings.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("q"))
+    val q = dq.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val both = dq.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.functions.int8_dot(col("qq"), col("q"))
+          .as("kernel"),
+        aggregate(zip_with(col("qq"), col("q"),
+          (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hof"))
+    val bad = both.filter(col("kernel") =!= col("hof")).count()
+    assert(bad == 0L, s"$bad pairs disagree between kernel and HOF")
+    // and the full operator still produces a deterministic ranking
+    // over a repartitioned corpus (the kernel changed no semantics)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val a = Similarity.int8MipsTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_emb", k = 4)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val b = Similarity.int8MipsTopK(emb.repartition(7), "vec_id",
+      "embedding", queries, "q_id", "q_emb", k = 4)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("labelCentroids: exact means on representable values") {
     // values with ≤ 24 fractional bits are fixed-point-exact, so the
     // centroid is the EXACT arithmetic mean — no fp tolerance needed.
