@@ -241,4 +241,67 @@ object Posttrain {
           (col("po") - col("pe")) / (lit(1.0) - col("pe")))
           .otherwise(lit(0.0)).as("kappa"))
   }
+
+  /** Token-aligned SFT assembly — the step that turns a curated chat
+    * corpus into what a dataloader actually reads: every turn renders
+    * into the deterministic template `<|role|>content<|end|>` (the
+    * [[graft.ops.Sessionize.chatTurnOffsets]] convention, here in
+    * TOKEN space instead of char space), encodes to BPE ids with the
+    * checked-in [[Bpe]] codec, and emits one row per TOKEN carrying
+    * its global position in the conversation's token stream and the
+    * per-token LOSS flag (true exactly on assistant-turn tokens — the
+    * mask an SFT trainer multiplies into the cross-entropy).
+    *
+    * Why per-turn encoding concatenates losslessly: BPE pre-tokens
+    * are letter runs, digit runs, or single marks, and whitespace
+    * never tokenizes — since every rendered turn ends in `>` (a
+    * single mark), no pre-token can span a turn boundary, so
+    * concat(encode(turn_i)) ≡ encode(concat(turns)) exactly
+    * (PosttrainPrivacySpec pins this law on real fixture text). That
+    * equivalence is what lets token offsets be one prefix-sum window
+    * per conversation instead of a conversation-level re-encode: the
+    * rendered conversation never materializes.
+    *
+    * Plan shape: encode is map-side (broadcast codec, per-partition
+    * batches — the [[Bpe.encodeDocs]] shape, keyed by (conversation,
+    * turn)); the only exchange is the conversation-keyed window for
+    * the token-offset prefix sums, partitioned by conversation id —
+    * turn counts are template-bounded, so the window's state is tiny
+    * and the shuffle is one row per TURN (arrays unexploded), never
+    * one per token. posexplode fans out AFTER the window.
+    *
+    * Output: (convCol, turnCol, tok_pos, token_id, loss) — tok_pos
+    * 0-based and contiguous per conversation; the per-turn spans
+    * [start, start + n_turn_tokens) tile [0, n_conv_tokens) exactly
+    * in turn order. */
+  def sftTokenMask(turns: DataFrame, convCol: String, turnCol: String,
+      roleCol: String, contentCol: String,
+      c: Bpe.Codec = Bpe.default, batchSize: Int = 64): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(c)
+    val rendered = turns.select(
+        col(convCol).cast("long"), col(turnCol).cast("long"),
+        concat(lit("<|"), col(roleCol), lit("|>"),
+          coalesce(col(contentCol), lit("")), lit("<|end|>")),
+        col(roleCol) === "assistant")
+      .as[(Long, Long, String, Boolean)]
+    val enc = rendered.mapPartitions { it =>
+      val cod = bc.value
+      it.grouped(batchSize).flatMap(_.map { case (cid, t, text, loss) =>
+        (cid, t, Bpe.encode(text, cod), loss)
+      })
+    }.toDF(convCol, turnCol, "__ids", "loss")
+    val w = Window.partitionBy(col(convCol)).orderBy(col(turnCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    enc
+      .withColumn("__start",
+        coalesce(sum(size(col("__ids"))).over(w), lit(0))
+          .cast("long"))
+      .select(col(convCol), col(turnCol), col("__start"), col("loss"),
+        posexplode(col("__ids")).as(Seq("__pos", "token_id")))
+      .select(col(convCol), col(turnCol),
+        (col("__start") + col("__pos")).cast("long").as("tok_pos"),
+        col("token_id").cast("long").as("token_id"), col("loss"))
+  }
 }

@@ -258,4 +258,48 @@ class PosttrainPrivacySpec extends SparkSpec {
     assert(dn1.toSet === Set(10L))
     assert(d.toSet === Set(1L))
   }
+
+  test("sftTokenMask: per-turn spans tile the conversation token " +
+      "stream, and per-turn encoding equals whole-conversation " +
+      "encoding on real fixture text") {
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    // two-turn conversations in the chat-fixture shape: user content
+    // from the doc text, assistant reply keyed by id
+    val turns = docs.select(col("doc_id").as("conv"),
+        lit(0L).as("turn_idx"), lit("user").as("role"),
+        col("text").as("content"))
+      .unionByName(docs.select(col("doc_id").as("conv"),
+        lit(1L).as("turn_idx"), lit("assistant").as("role"),
+        concat(lit("ok "), col("doc_id").cast("string")).as("content")))
+    val out = Posttrain.sftTokenMask(turns, "conv", "turn_idx",
+      "role", "content")
+    val rows = out.select(col("conv"), col("turn_idx"), col("tok_pos"),
+        col("token_id"), col("loss"))
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val byConv = rows.groupBy(_._1)
+    val texts = docs.as[(Long, String)].collect().toMap
+    byConv.foreach { case (conv, rs) =>
+      // spans tile: tok_pos is exactly 0..n-1, turn 0's positions all
+      // precede turn 1's, and loss is true exactly on turn-1 tokens
+      val positions = rs.map(_._3).sorted
+      assert(positions.sameElements(0L until rs.length),
+        s"conv $conv: positions do not tile the stream")
+      val maxT0 = rs.filter(_._2 == 0L).map(_._3).max
+      val minT1 = rs.filter(_._2 == 1L).map(_._3).min
+      assert(maxT0 < minT1, s"conv $conv: turn spans interleave")
+      assert(rs.forall(r => r._5 == (r._2 == 1L)),
+        s"conv $conv: loss flag drifts from the assistant turn")
+      // per-turn ≡ whole-conversation: the id stream in tok_pos order
+      // equals one encode of the concatenated rendered conversation
+      val whole = graft.ns.Bpe.encode(
+        s"<|user|>${texts(conv)}<|end|>" +
+          s"<|assistant|>ok $conv<|end|>", graft.ns.Bpe.default)
+      val streamed = rs.sortBy(_._3).map(_._4.toInt)
+      assert(streamed.sameElements(whole),
+        s"conv $conv: per-turn concat diverges from whole-render encode")
+    }
+  }
 }

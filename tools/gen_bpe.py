@@ -149,6 +149,38 @@ def main():
     print(f"tokens/doc min={n_tok.min()} mean={n_tok.mean():.1f} "
           f"max={n_tok.max()}; vocab={len(ids)}")
 
+    # 3. SFT oracle: the chat fixture's conversations (doc_id < 100,
+    # %17 != 0 — truncated lines quarantine and carry no turns),
+    # re-rendered and re-encoded by THIS independent implementation.
+    # Turn template mirrors graft.ns.Posttrain.sftTokenMask:
+    # <|role|>content<|end|>; content is the chat fixture's canonical
+    # first-3-words stripped to [a-z0-9 ] (SparkEntry.chatJsonlLines).
+    # pos is WITHIN-turn — the oracle SQL replays the cross-turn
+    # offset prefix sum, mirroring the engine's window.
+    sft_rows = []
+    for r in docs[docs.doc_id < 100].itertuples():
+        if r.doc_id % 17 == 0:
+            continue
+        toks = norm(r.text).split(" ")
+        content = re.sub(r"[^a-z0-9 ]", "", " ".join(toks[:3]))
+        turns = [("user", content), ("assistant", f"ok {r.doc_id}")]
+        for turn_idx, (role, text) in enumerate(turns):
+            pos = 0
+            for w in pre_tokens(norm(f"<|{role}|>{text}<|end|>")):
+                for tid in encode_word(w, ranks, ids):
+                    sft_rows.append((r.doc_id, turn_idx, role, pos, tid))
+                    pos += 1
+    sft = pd.DataFrame(
+        sft_rows,
+        columns=["conversation_id", "turn_idx", "role", "pos",
+                 "token_id"]).astype(
+        {"conversation_id": "int64", "turn_idx": "int64",
+         "pos": "int64", "token_id": "int64"})
+    sft_out = "src/test/resources/graft/sft_oracle_sf001.parquet"
+    sft.to_parquet(sft_out, index=False)
+    print(f"wrote {len(sft)} sft oracle rows -> {sft_out} "
+          f"({sft.conversation_id.nunique()} conversations)")
+
 
 if __name__ == "__main__":
     main()
