@@ -338,9 +338,24 @@ object Bench {
     // reached by the rounds still needs a number in the artifact (a
     // missing entry would read as an engine failure). One capMin
     // attempt each, flagged capped when cut short — an honest lower
-    // bound, visibly distinguished from a steady minimum.
+    // bound, visibly distinguished from a steady minimum. The sweep
+    // itself is BOUNDED (round-12 advice): on a host contended enough
+    // to leave many queries unvisited, an unguarded sweep could add
+    // #skipped × capMin past the documented 1.25× deadline wall and
+    // re-risk the external driver kill the rounds floor was built to
+    // avoid. Hard end: roundsEnd + 15% of the deadline; per-query
+    // caps shrink to the remaining margin, and once past the end the
+    // rest record a 0-second CAPPED entry — explicitly "skipped, out
+    // of budget" in the artifact, never a silent hole.
+    val sweepEnd = roundsEnd + deadline * 0.15
     names.filterNot(times.contains).foreach { n =>
-      attempt(n, tierCap(n, capMin), isRetime = false)
+      if (elapsed < sweepEnd)
+        attempt(n, math.min(tierCap(n, capMin),
+          math.max(2.0, sweepEnd - elapsed)), isRetime = false)
+      else lock.synchronized {
+        System.err.println(s"[bench] $n SWEEP-SKIPPED (out of budget)")
+        times(n) = 0.0; cappedAt(n) = 0.0
+      }
     }
     // Phase decomposition to stderr: which queries' FIRST runs carry
     // the cold-start cost (codegen compile, index builds, shuffle-file

@@ -108,6 +108,34 @@ object SparkEntry {
             .otherwise(col("text")).as("payload")))
   }
 
+  /** Closed-form chat-JSONL line fixture ns169/s16 share — in
+    * production these lines ARE a stored file (the SFT corpus
+    * upload); synthesizing them inside the timed query measured line
+    * construction, not the parser under test (round-12 verdict #3 —
+    * the [[htmlPages]] story at the conversation front door).
+    * doc_id%17 lines are truncated mid-object (the quarantine
+    * class); content is the canonical first-3-words stripped to
+    * [a-z0-9 ] so the string needs no JSON escaping and the oracle
+    * predicts every parsed row in closed form. */
+  private def chatJsonlLines(s: SparkSession, d: String): DataFrame =
+    FixtureCache.cached(s, d, "chat_jsonl_lines") {
+      val id = col("doc_id").cast("string")
+      val content = regexp_replace(
+        array_join(slice(TextOps.wordTokens(col("text")), 1, 3), " "),
+        "[^a-z0-9 ]", "")
+      val goodLine = concat(
+        lit("{\"conversation_id\": "), id,
+        lit(", \"messages\": [{\"role\": \"user\", \"content\": \""),
+        content,
+        lit("\"}, {\"role\": \"assistant\", \"content\": \"ok "), id,
+        lit("\"}]}"))
+      val badLine = concat(
+        lit("{\"conversation_id\": "), id, lit(", \"messages\": [{"))
+      t(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(17)) === 0, badLine)
+          .otherwise(goodLine).as("line"))
+    }
+
   /** The shared near-dup cluster assignment (3-gram Jaccard ≥ 0.5,
     * df-capped pairs → connected components), computed once per
     * (session, sf). ns37 publishes it; ns49 (survivors), ns52
@@ -1952,9 +1980,14 @@ object SparkEntry {
           concat(lit("User-agent: *\nCrawl-delay: "),
             (length(col("domain")) % 5 + 1).cast("string"),
             lit("\nDisallow:")))
+      // distinct: RFC group sharing fans crawl-delay out once per
+      // agent of a multi-agent group (the parseRobots consumer
+      // contract) — without it a shared group would duplicate
+      // frontier rows through the join
       val delays = graft.ns.Robots.parseRobots(robots, "domain", "robots")
         .filter(col("directive") === "crawl-delay")
         .select(col("domain"), col("value").cast("long").as("delay_s"))
+        .distinct()
       frontier.join(broadcast(delays), Seq("domain"))
         .select(col("doc_id"), col("url_canon"), col("domain"),
           col("rn"), col("delay_s"),
@@ -1966,28 +1999,13 @@ object SparkEntry {
     // a declared schema, one codegen'd from_json+posexplode per
     // line, malformed lines quarantined AS DATA (the j04 contract at
     // conversation granularity; doc_id%17 lines are truncated
-    // mid-object). Content is the canonical first-3-words stripped
-    // to [a-z0-9 ] so the fixture string needs no JSON escaping and
-    // the oracle predicts every parsed row in closed form — it never
-    // parses JSON.
-    "ns169_chat_jsonl" -> ((s, d) => {
-      val id = col("doc_id").cast("string")
-      val content = regexp_replace(
-        array_join(slice(TextOps.wordTokens(col("text")), 1, 3), " "),
-        "[^a-z0-9 ]", "")
-      val goodLine = concat(
-        lit("{\"conversation_id\": "), id,
-        lit(", \"messages\": [{\"role\": \"user\", \"content\": \""),
-        content,
-        lit("\"}, {\"role\": \"assistant\", \"content\": \"ok "), id,
-        lit("\"}]}"))
-      val badLine = concat(
-        lit("{\"conversation_id\": "), id, lit(", \"messages\": [{"))
-      val lines = t(s, d, "documents").select(
-        when(pmod(col("doc_id"), lit(17)) === 0, badLine)
-          .otherwise(goodLine).as("line"))
-      graft.ingest.ChatIngest.parseChatLines(lines, "line")
-    }),
+    // mid-object). Lines come from the cached [[chatJsonlLines]]
+    // fixture (round-12 verdict #3: synthesizing them here timed
+    // line construction, not the parser), so the measured path is
+    // the from_json+posexplode projection alone.
+    "ns169_chat_jsonl" -> ((s, d) =>
+      graft.ingest.ChatIngest.parseChatLines(
+        chatJsonlLines(s, d).select(col("line")), "line")),
 
     // ---- §2.8 [NS] per-source adaptive quality floor (r12) ----
     // FineWeb-style per-domain thresholds: one global cutoff
@@ -2421,20 +2439,61 @@ object SparkEntry {
     // ns115 says which source; this says which DOCUMENT): the ns150
     // containment machinery over eval ∪ train, kept where an eval
     // doc (< 50) is contained in a train doc (≥ 50). Planted: every
-    // eval doc_id%3==1 is quoted WHOLE inside a train doc (id+5000,
-    // commentary wrapper), the subset-duplication shape Jaccard
+    // eval doc_id%3==1 is quoted WHOLE inside a train doc
+    // (id+3000000 — the frontier twins' far-out-of-range offset, so
+    // planted quote ids can never collide with real corpus doc_ids
+    // at any sf; commentary wrapper), the subset-duplication shape Jaccard
     // misses; natural cross pairs are included too.
     "ns178_contamination_attribution" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val quotes = docs.filter(col("doc_id") < 50 &&
           pmod(col("doc_id"), lit(3)) === 1)
-        .select((col("doc_id") + 5000L).as("doc_id"),
+        .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(lit("commentary begins here. "), col("text"),
             lit(" attribution footer "), col("doc_id").cast("string"))
             .as("text"))
       Dedup.ngramContainmentPairs(docs.unionByName(quotes),
         "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = Some(8))
         .filter(col("contained_id") < 50 && col("container_id") >= 50)
+    }),
+
+    // ---- §2.8 [NS] token-aligned SFT loss mask (r13) ----
+    // The training-ready artifact the whole curation chain feeds:
+    // chat conversations (the ns169 front door) render through the
+    // ns141 template, encode to REAL BPE ids (the ns61 codec), and
+    // emit one row per token with its global stream position and the
+    // assistant-token loss flag. The oracle re-derives ids AND mask
+    // from the INDEPENDENT Python encoder's checked-in table
+    // (tools/gen_bpe.py, the ns61 two-implementation convention) and
+    // replays the offset prefix-sum in SQL. Restricted to the
+    // conv_id < 100 slice the checked-in oracle covers.
+    "ns179_sft_token_mask" -> ((s, d) => {
+      val turns = graft.ingest.ChatIngest.parseChatLines(
+        chatJsonlLines(s, d).select(col("line")), "line")
+        .filter(!col("quarantined") && col("conversation_id") < 100)
+      graft.ns.Posttrain.sftTokenMask(turns,
+        "conversation_id", "turn_idx", "role", "content")
+    }),
+
+    // ---- §2.8 [NS] SFT sequence packing on true token lengths (r13)
+    // ns62's packing lifted to the CONVERSATION grain: per-conv token
+    // totals (and the loss-token count a trainer budgets by) from the
+    // ns179 stream, packed by the two-phase prefix-sum machinery —
+    // the final batch-assembly step between "curated corpus" and
+    // "what the dataloader reads". Same independent-encoder oracle.
+    "ns180_sft_pack" -> ((s, d) => {
+      val toks = graft.ns.Posttrain.sftTokenMask(
+        graft.ingest.ChatIngest.parseChatLines(
+          chatJsonlLines(s, d).select(col("line")), "line")
+          .filter(!col("quarantined") && col("conversation_id") < 100),
+        "conversation_id", "turn_idx", "role", "content")
+      val lens = toks.groupBy(col("conversation_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("loss"), 1L).otherwise(0L)).as("n_loss_tokens"))
+      Sampling.packOffsets(lens, "conversation_id", "n_tokens",
+          chunkSize = 256, bucketSize = 100L)
+        .join(lens.select(col("conversation_id"), col("n_loss_tokens")),
+          Seq("conversation_id"))
     }),
 
     // ---- §2.8 [NS] homoglyph scrub (r11) ----
@@ -3988,21 +4047,9 @@ object SparkEntry {
     // oracle verbatim.
     "s16_stream_chat_ingest" -> ((s, d) => {
       val base = newScratchDir("graft_s16")
-      val id = col("doc_id").cast("string")
-      val content = regexp_replace(
-        array_join(slice(TextOps.wordTokens(col("text")), 1, 3), " "),
-        "[^a-z0-9 ]", "")
-      val goodLine = concat(
-        lit("{\"conversation_id\": "), id,
-        lit(", \"messages\": [{\"role\": \"user\", \"content\": \""),
-        content,
-        lit("\"}, {\"role\": \"assistant\", \"content\": \"ok "), id,
-        lit("\"}]}"))
-      val badLine = concat(
-        lit("{\"conversation_id\": "), id, lit(", \"messages\": [{"))
-      val lines = t(s, d, "documents").select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(17)) === 0, badLine)
-          .otherwise(goodLine).as("line"))
+      // the cached fixture lines (see ns169) — the timed stream pays
+      // parquet landing + the parse projection, not line synthesis
+      val lines = chatJsonlLines(s, d)
       val srcDir = new java.io.File(base, "src")
       srcDir.mkdirs()
       Seq(pmod(col("doc_id"), lit(2)) === 0,

@@ -44,7 +44,15 @@ object Robots {
 
   /** Parse robots payloads. Output: (idCol, grp, agent, directive,
     * value, ord) — grp 0 + empty agent for global `sitemap` rows,
-    * 1-based groups otherwise; ord is the source line index. */
+    * 1-based groups otherwise; ord is the source line index.
+    *
+    * Consumer contract (round-12 advice): RFC 9309 group sharing
+    * fans EVERY directive — crawl-delay included — out once per
+    * agent of a multi-User-agent group. A consumer that joins
+    * crawl-delay rows by (id, domain) without first narrowing to one
+    * agent (or selecting distinct values) would duplicate its join
+    * rows on such files; the ns167 schedule consumer therefore
+    * selects DISTINCT (domain, delay) before joining the frontier. */
   def parseRobots(df: DataFrame, idCol: String,
       robotsCol: String): DataFrame = {
     val lines = df.select(col(idCol),

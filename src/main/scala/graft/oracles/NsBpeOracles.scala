@@ -56,6 +56,49 @@ private[graft] object NsBpeOracles {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS DOUBLE) / 512) AS BIGINT) AS pack_id
         |FROM lens""".stripMargin,
+    // Token-aligned SFT mask: ids AND mask from the independent
+    // Python encoder's table (gen_bpe.py re-renders each turn from
+    // documents.parquet and encodes with its own BPE); the SQL
+    // replays the engine's cross-turn offset prefix sum — within-turn
+    // pos plus the total token count of all preceding turns — and
+    // derives the loss flag from the stored role.
+    "ns179_sft_token_mask" ->
+      """WITH t AS (SELECT * FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/sft_oracle_sf001.parquet')),
+        |cnt AS (SELECT conversation_id, turn_idx, count(*) AS c
+        |  FROM t GROUP BY 1, 2),
+        |off AS (SELECT conversation_id, turn_idx,
+        |    CAST(coalesce(SUM(c) OVER (PARTITION BY conversation_id
+        |      ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS o
+        |  FROM cnt)
+        |SELECT t.conversation_id, t.turn_idx,
+        |  CAST(t.pos + off.o AS BIGINT) AS tok_pos, t.token_id,
+        |  t.role = 'assistant' AS loss
+        |FROM t JOIN off USING (conversation_id, turn_idx)""".stripMargin,
+    // Conversation-grain packing: per-conv token totals and
+    // assistant-token counts from the same independent table, then
+    // ns62's window arithmetic at chunk 256.
+    "ns180_sft_pack" ->
+      """WITH lens AS (
+        |  SELECT conversation_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_loss_tokens
+        |  FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/sft_oracle_sf001.parquet')
+        |  GROUP BY 1)
+        |SELECT conversation_id, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY conversation_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_offset,
+        |  CAST(floor(CAST(coalesce(SUM(n_tokens) OVER (
+        |    ORDER BY conversation_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS DOUBLE) / 256) AS BIGINT) AS pack_id,
+        |  n_loss_tokens
+        |FROM lens""".stripMargin,
     // decode∘encode = canonical text minus the whitespace the
     // pre-tokenizer discards — a pure string prediction; any id that
     // dropped its surface form breaks the hash.

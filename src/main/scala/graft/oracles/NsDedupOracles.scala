@@ -352,7 +352,7 @@ private[graft] object NsDedupOracles {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 5000,
+        |  SELECT doc_id + 3000000,
         |    'commentary begins here. ' || text
         |      || ' attribution footer ' || doc_id
         |  FROM documents WHERE doc_id < 50 AND doc_id % 3 = 1),
