@@ -2496,6 +2496,53 @@ object SparkEntry {
           Seq("conversation_id"))
     }),
 
+    // ---- §2.8 [NS] hybrid retrieval: RRF fusion (r13) ----
+    // The production retriever shape: the BM25 lexical leg (ns164's
+    // machinery) and the exact int8-MIPS dense leg (ns166's) over
+    // the SAME query set (doc_id%59==3 — vec_id ≡ doc_id in the
+    // fixture star schema), fused by reciprocal-rank (k=60). Each
+    // contribution is floor(1e9/(60+rank)) — one IEEE division
+    // floored to a long — so the fused score is an exact integer sum
+    // and the whole ranking hash-gates; the oracle re-derives BOTH
+    // legs independently (the full BM25 and quantization dags) and
+    // replays the fusion arithmetic.
+    "ns181_hybrid_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val qText = docs.filter(pmod(col("doc_id"), lit(59)) === 3)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(TextOps.wordTokens(col("text")), 1, 4), " ")
+            .as("q_text"))
+      val lex = graft.ns.Retrieval.bm25TopK(docs, "doc_id", "text",
+          qText, "q_id", "q_text", k = 10,
+          maxPostingsPerTerm = Some(200))
+        .select(col("q_id"), col("doc_id"), col("rn"))
+      val qEmb = emb.filter(pmod(col("vec_id"), lit(59)) === 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dense = graft.ns.Similarity.int8MipsTopK(emb, "vec_id",
+          "embedding", qEmb, "q_id", "q_emb", k = 10)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rn"))
+      graft.ns.Retrieval.rrfFuse(Seq(lex, dense), "q_id", "doc_id",
+        "rn", k = 60, topK = 10)
+        .select(col("q_id"), col("doc_id"), col("rrf_nano"),
+          col("n_legs"), col("rn").cast("long").as("rn"))
+    }),
+
+    // ---- §2.8 [NS] DSIR importance resampling (r13) ----
+    // The DCLM/DSIR selection shape: importance weights toward a
+    // reference-domain target (sources src1/src3 stand in for the
+    // trusted domain) over ns98's hashed feature grid, nano
+    // fixed-point log ratios (ns58 idiom), content-addressed Gumbel
+    // perturbation, exact-integer-quantile keep cut (ns92/ns172
+    // machinery) — every stage the oracle re-derives in SQL.
+    "ns182_dsir_resample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ns.Sampling.dsirResample(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        docs.filter(col("source").isin("src1", "src3"))
+          .select(col("doc_id"), col("text")), "doc_id", "text")
+    }),
+
     // ---- §2.8 [NS] homoglyph scrub (r11) ----
     // Dedup-evasion defense: docs with doc_id%7==0 get a planted
     // Cyrillic-lookalike substitution (the spam-cloaking attack);

@@ -177,4 +177,36 @@ object Retrieval {
       .groupBy(col("term"))
       .agg(sum(col("dfreq")).as("dfreq"),
         sum(col("tf_total")).as("tf_total"))
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * — the standard hybrid-retrieval combiner: every production
+    * retriever fuses a lexical leg (BM25) with a dense leg (ANN)
+    * because each catches matches the other misses, and RRF needs no
+    * score calibration between legs — only their RANKS. Each leg
+    * contributes floor(1e9 / (k + rank)) nano-units per (query, doc)
+    * and the fused score is the exact integer sum (the determinism
+    * recipe: ONE IEEE division per contribution — the identical dag
+    * in DuckDB — floored to a long BEFORE the sum, so the total is
+    * order/partition-independent and the (score desc, id) rank
+    * hash-gates). k = 60 is the published default.
+    *
+    * Plan shape: each leg is already a per-query top-k (tiny — |Q|
+    * × leg-k rows), so the union + groupBy + window all run on
+    * candidate-sized frames; the corpus-scale work happened inside
+    * the legs. Output: (qCol, idCol, rrf_nano, n_legs, rn). */
+  def rrfFuse(legs: Seq[DataFrame], qCol: String, idCol: String,
+      rnCol: String, k: Int = 60, topK: Int = 10): DataFrame = {
+    require(legs.nonEmpty, "need at least one leg")
+    require(k >= 0 && topK >= 1, "need k >= 0 and topK >= 1")
+    val scored = legs.map(df => df.select(col(qCol), col(idCol),
+        floor(lit(1e9) /
+          (lit(k.toDouble) + col(rnCol).cast("double")))
+          .cast("long").as("__rrf")))
+      .reduce(_ unionByName _)
+      .groupBy(col(qCol), col(idCol))
+      .agg(sum(col("__rrf")).as("rrf_nano"),
+        count(lit(1)).as("n_legs"))
+    graft.ops.Relational.topKPerGroup(scored, topK,
+      Seq(col(qCol)), Seq(col("rrf_nano").desc, col(idCol).asc))
+  }
 }

@@ -533,4 +533,93 @@ object Sampling {
       .withColumn("interleave_key",
         expr(s"((2 * rank_in_source - 1) * ${prec}L) div n_source"))
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * DCLM/DoReMi-era selection shape): estimate per-document
+    * importance weights w(x) = p_target(x)/p_base(x) over HASHED
+    * n-gram features (the [[TextOps.featureHash]] grid — ns98's
+    * gated machinery; the paper hashes unigrams+bigrams, this
+    * restatement hashes the unigram bag, a documented
+    * simplification), then Gumbel-top-fraction sample so selection
+    * follows the weights instead of a hard argmax.
+    *
+    * Determinism (every step the hash-gate recipe): per-CELL log
+    * probabilities are add-one-smoothed ratios of exact longs,
+    * quantized ONCE to nano units (floor(ln·1e9) — the ns58 libm-ln
+    * idiom), so the per-doc log weight Σ cnt·(lt − lb) is exact
+    * integer arithmetic; the Gumbel key is content-addressed (md5 →
+    * exact uniform (h+0.5)/2³² → −ln(−ln u), each ln bit-stable on
+    * identical double inputs, floored once to nano units) — no RNG,
+    * rerun/partition/engine independent; and the keep cut is the
+    * exact integer quantile of the key COARSENED to 2²⁴-nano
+    * (~0.017 ln-unit) buckets — the ns92/ns172 grid machinery, no
+    * global sort. Coarsening is what keeps the cut scale-honest:
+    * raw nano keys are near-unique (a histogram over them would be
+    * corpus-sized through one partition), while the bucketed
+    * histogram is bounded by the KEY RANGE / 2²⁴ (a few hundred
+    * thousand rows at any corpus size), and a boundary-bucket
+    * all-or-nothing keep is well inside DSIR's own sampling
+    * variance. Bucketing divides by a power of two, so the floor
+    * is exact in both engines.
+    *
+    * Scale shape: features are one map-side explode + (id, cell)
+    * count (ns98's bound: ≤ min(tokens, dim) rows per doc); the
+    * cell table is ≤ dim rows and BROADCASTS; target-side counts
+    * cost one pass over the (small) target corpus; the threshold is
+    * a histogram over ≤ |distinct keys| cells. Docs whose canonical
+    * text has no tokens carry no features and are dropped (no
+    * evidence either way — the encodeDocs-vs-packing contrast).
+    *
+    * Output: (idCol, logw_nano, gumbel_nano, key_nano, selected). */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetIdCol: String, targetTextCol: String,
+      dim: Int = 1024, keepFrac: Double = 0.3,
+      salt: String = "dsir"): DataFrame = {
+    require(keepFrac > 0 && keepFrac < 1, "keepFrac must be in (0, 1)")
+    val baseFeat = TextOps.featureHash(docs, idCol, textCol, dim)
+    val targetFeat = TextOps.featureHash(target, targetIdCol,
+      targetTextCol, dim)
+    val baseCells = baseFeat.groupBy(col("cell"))
+      .agg(sum(col("cnt")).as("__b"))
+    val targetCells = targetFeat.groupBy(col("cell"))
+      .agg(sum(col("cnt")).as("__t"))
+    val totals = baseCells.agg(sum(col("__b")).as("__bt"))
+      .crossJoin(targetCells.agg(sum(col("__t")).as("__tt")))
+    // per-cell nano log probs, each quantized ONCE; absent target
+    // cells smooth to count 0 (add-one keeps the ratio finite)
+    val cellLr = baseCells
+      .join(targetCells, Seq("cell"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("cell"),
+        (floor(log((coalesce(col("__t"), lit(0L)).cast("double") + 1.0) /
+            (col("__tt").cast("double") + dim.toDouble)) * 1e9)
+          .cast("long") -
+          floor(log((col("__b").cast("double") + 1.0) /
+            (col("__bt").cast("double") + dim.toDouble)) * 1e9)
+          .cast("long")).as("__lr"))
+    val logw = baseFeat.join(broadcast(cellLr), Seq("cell"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("__lr")).as("logw_nano"))
+    // content-addressed Gumbel perturbation on the SAME nano scale
+    val h32 = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val u = (h32.cast("double") + 0.5) / 4294967296.0
+    val keyed = logw.select(col(idCol), col("logw_nano"),
+        floor(-log(-log(u)) * 1e9).cast("long").as("gumbel_nano"))
+      .withColumn("key_nano", col("logw_nano") + col("gumbel_nano"))
+    // exact integer quantile of the BUCKETED key — keep the top
+    // keepFrac; 2^24 divides exactly (power of two), so the bucket
+    // floor is bit-identical cross-engine even for negative keys
+    val bucketed = keyed.withColumn("__kb",
+      floor(col("key_nano").cast("double") / 16777216.0).cast("long"))
+    val cutP = 1.0 - keepFrac
+    val cut = graft.ns.Sketches.exactGridQuantiles(
+        bucketed.withColumn("__g", lit("all")), Seq(col("__g")),
+        "__kb", Seq(cutP), scale = 1L)
+      .select(col(s"p${(cutP * 100).round}").cast("long").as("__cut"))
+    bucketed.crossJoin(broadcast(cut))
+      .select(col(idCol), col("logw_nano"), col("gumbel_nano"),
+        col("key_nano"), (col("__kb") >= col("__cut")).as("selected"))
+  }
 }

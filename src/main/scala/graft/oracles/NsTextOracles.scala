@@ -400,6 +400,94 @@ private[graft] object NsTextOracles {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
         |        ORDER BY score_nano DESC, doc_id) AS rn FROM agg)
         |WHERE rn <= 5""".stripMargin,
+    // Hybrid RRF: the ns164 BM25 dag (rn <= 10) and the ns166
+    // quantization+MIPS dag (rn <= 10, query set %59==3) re-derived
+    // independently, then the fusion: each leg contributes
+    // floor(1e9/(60+rn)) — the identical single IEEE division — and
+    // the fused rank is over the exact integer sums.
+    "ns181_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(
+        |    lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS t
+        |  FROM tok),
+        |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(toks[1:4]) AS term
+        |  FROM base WHERE doc_id % 59 = 3),
+        |dfq AS (SELECT term, count(*) AS dfreq FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |idf AS (SELECT term,
+        |    CAST(floor(ln((CAST(n AS DOUBLE) - dfreq + 0.5)
+        |      / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0) * 1e9) AS BIGINT)
+        |      AS idf_nano
+        |  FROM dfq, st),
+        |pp AS (SELECT term, doc_id, tf, dl, idf_nano,
+        |    ROW_NUMBER() OVER (PARTITION BY term
+        |      ORDER BY tf DESC, dl ASC, doc_id) AS prn
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)),
+        |sc AS (SELECT qt.q_id, pp.doc_id,
+        |    CAST(floor(CAST(idf_nano AS DOUBLE)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |        * (CAST(dl AS DOUBLE)
+        |          / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))))))
+        |      AS BIGINT) AS s
+        |  FROM pp JOIN qt USING (term), st
+        |  WHERE prn <= 200),
+        |agg AS (SELECT q_id, doc_id,
+        |    CAST(sum(s) AS BIGINT) AS score_nano
+        |  FROM sc GROUP BY 1, 2),
+        |lex AS (SELECT q_id, doc_id, rn
+        |  FROM (SELECT q_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY score_nano DESC, doc_id) AS rn FROM agg)
+        |  WHERE rn <= 10),
+        |es AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |      AS DOUBLE) AS q_scale
+        |  FROM embeddings),
+        |eq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN q_scale = 0
+        |      THEN list_transform(embedding, x -> 0)
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / q_scale)
+        |          AS INTEGER))
+        |    END AS q
+        |  FROM es),
+        |qs AS (SELECT vec_id AS q_id, q AS qv FROM eq
+        |  WHERE vec_id % 59 = 3),
+        |dsc AS (SELECT qs.q_id, d.vec_id AS doc_id,
+        |    CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+        |      i -> CAST(qs.qv[i] AS BIGINT) * d.q[i])) AS BIGINT)
+        |      AS score
+        |  FROM eq d, qs),
+        |dense AS (SELECT q_id, doc_id, rn
+        |  FROM (SELECT q_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, doc_id) AS rn FROM dsc)
+        |  WHERE rn <= 10),
+        |u AS (
+        |  SELECT q_id, doc_id,
+        |    CAST(floor(1e9 / (60 + rn)) AS BIGINT) AS c FROM lex
+        |  UNION ALL
+        |  SELECT q_id, doc_id,
+        |    CAST(floor(1e9 / (60 + rn)) AS BIGINT) AS c FROM dense),
+        |f AS (SELECT q_id, doc_id,
+        |    CAST(sum(c) AS BIGINT) AS rrf_nano,
+        |    CAST(count(*) AS BIGINT) AS n_legs
+        |  FROM u GROUP BY 1, 2)
+        |SELECT q_id, doc_id, rrf_nano, n_legs,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY rrf_nano DESC, doc_id) AS rn FROM f)
+        |WHERE rn <= 10""".stripMargin,
     "ns162_domain_authority" ->
       s"""WITH $authorityCtes
          |SELECT domain, CAST(r AS BIGINT) AS auth_micro
@@ -1905,6 +1993,55 @@ private[graft] object NsTextOracles {
         |FROM j CROSS JOIN tot
         |ORDER BY skl_fx DESC, token LIMIT 50""".stripMargin,
     // ns21's word split, the ns17 md5-prefix cell, exact counts.
+    // DSIR resampling: ns98's feature-grid CTE, per-cell smoothed
+    // nano log ratios (each ln floored ONCE — the ns58 idiom), the
+    // exact integer per-doc fold, the md5-derived Gumbel key on the
+    // same nano scale, and the PERCENTILE_DISC(0.7) keep cut.
+    "ns182_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok || ':fh'), 1, 8)) AS BIGINT)
+        |      % 1024 AS cell,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2),
+        |tfeat AS (
+        |  SELECT f.cell, CAST(sum(f.cnt) AS BIGINT) AS t
+        |  FROM feat f JOIN documents d USING (doc_id)
+        |  WHERE d.source IN ('src1', 'src3') GROUP BY 1),
+        |bcells AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS b
+        |  FROM feat GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(b) FROM bcells) AS bt,
+        |  (SELECT sum(t) FROM tfeat) AS tt),
+        |lr AS (SELECT bc.cell,
+        |    CAST(floor(ln((coalesce(tf.t, 0) + 1.0) / (tt + 1024.0))
+        |      * 1e9) AS BIGINT)
+        |    - CAST(floor(ln((bc.b + 1.0) / (bt + 1024.0)) * 1e9)
+        |      AS BIGINT) AS lr
+        |  FROM bcells bc LEFT JOIN tfeat tf USING (cell), tot),
+        |lw AS (SELECT f.doc_id,
+        |    CAST(sum(f.cnt * lr.lr) AS BIGINT) AS logw_nano
+        |  FROM feat f JOIN lr USING (cell) GROUP BY 1),
+        |k AS (SELECT doc_id, logw_nano,
+        |    CAST(floor(-ln(-ln(
+        |      (CAST(('0x' || substr(md5(doc_id || ':dsir'), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0)) * 1e9) AS BIGINT)
+        |      AS gumbel_nano
+        |  FROM lw),
+        |kb AS (SELECT doc_id, logw_nano, gumbel_nano,
+        |    logw_nano + gumbel_nano AS key_nano,
+        |    CAST(floor(CAST(logw_nano + gumbel_nano AS DOUBLE)
+        |      / 16777216.0) AS BIGINT) AS bucket
+        |  FROM k),
+        |c AS (SELECT PERCENTILE_DISC(0.7) WITHIN GROUP
+        |    (ORDER BY bucket) AS cut FROM kb)
+        |SELECT doc_id, logw_nano, gumbel_nano, key_nano,
+        |  bucket >= cut AS selected
+        |FROM kb, c""".stripMargin,
     "ns98_feature_hashing" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

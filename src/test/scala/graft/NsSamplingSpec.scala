@@ -415,4 +415,39 @@ class NsSamplingSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Long)].collect().toSet
     assert(re == base)
   }
+
+  test("dsirResample: planted distribution shift — target-vocab docs " +
+      "upweighted above every background doc; selection tracks " +
+      "keepFrac; deterministic under repartitioning") {
+    // 100 background docs over one vocabulary, 100 "domain" docs over
+    // a disjoint one; the target sees only domain docs, so every
+    // domain doc's importance log-weight must strictly dominate every
+    // background doc's (the DSIR planted-shift shape).
+    val docs = (0L until 100L).map(i =>
+        (i, s"alpha beta gamma delta epsilon run$i common filler"))
+      .++((100L until 200L).map(i =>
+        (i, s"quantum flux entangle qubit decohere run$i common filler")))
+      .toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") >= 150)
+    val out = Sampling.dsirResample(docs, "doc_id", "text",
+      target, "doc_id", "text", keepFrac = 0.3)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.length == 200)
+    val (domain, bg) = out.partition(_._1 >= 100L)
+    assert(domain.map(_._2).min > bg.map(_._2).max,
+      "every domain doc must outweigh every background doc")
+    // the Gumbel perturbation is bounded (~[-2, 22] ln-units here vs
+    // a >> that logw gap), so the kept set is dominated by domain
+    // docs and its size tracks keepFrac within the boundary bucket
+    val kept = out.filter(_._5)
+    assert(kept.nonEmpty && kept.length <= 100,
+      s"kept ${kept.length} of 200 at keepFrac 0.3")
+    assert(kept.count(_._1 >= 100L) > kept.length * 3 / 4,
+      "kept set not dominated by target-like docs")
+    // determinism: content-addressed end to end
+    val re = Sampling.dsirResample(docs.repartition(7), "doc_id",
+      "text", target.repartition(3), "doc_id", "text", keepFrac = 0.3)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(re == out.toSet)
+  }
 }

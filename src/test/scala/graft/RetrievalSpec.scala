@@ -95,6 +95,39 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: exact contribution arithmetic, leg-order and " +
+      "generator invariance, two-leg consensus outranks one-leg hits") {
+    val legA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q", "id", "rn")
+    val legB = Seq((1L, 10L, 1), (1L, 13L, 2)).toDF("q", "id", "rn")
+    val out = Retrieval.rrfFuse(Seq(legA, legB), "q", "id", "rn")
+      .select(col("q"), col("id"), col("rrf_nano"), col("n_legs"),
+        col("rn"))
+      .as[(Long, Long, Long, Long, Int)].collect().sortBy(_._5)
+    // doc 10 appears rank 1 in BOTH legs: 2·floor(1e9/61) exactly
+    assert(out.head._2 == 10L)
+    assert(out.head._3 == 2L * (1e9 / 61).toLong && out.head._4 == 2L)
+    // a rank-2 single-leg doc scores exactly floor(1e9/62)
+    val d13 = out.find(_._2 == 13L).get
+    assert(d13._3 == (1e9 / 62).toLong && d13._4 == 1L)
+    // leg order is irrelevant — fusion is a sum
+    val swapped = Retrieval.rrfFuse(Seq(legB, legA), "q", "id", "rn")
+      .select(col("q"), col("id"), col("rrf_nano"), col("n_legs"),
+        col("rn"))
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(swapped == out.toSet)
+    // generator invariance (the ns155 convention): fusion consumes
+    // only (q, id, rn) — ANY retriever producing the same ranks
+    // (here: the same lists re-derived through a different plan)
+    // fuses identically
+    val legA2 = legA.repartition(5).orderBy(col("rn").desc)
+    val again = Retrieval.rrfFuse(Seq(legA2, legB), "q", "id", "rn")
+      .select(col("q"), col("id"), col("rrf_nano"), col("n_legs"),
+        col("rn"))
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("deterministic under repartitioning; knownStats reproduces " +
       "the computed-stats output") {
     val docs = Tables(spark, sf, "documents")
