@@ -493,9 +493,19 @@ object Dedup {
     * arrays in the verify vs gram strings); this twin pins the
     * ALGORITHM — which pairs band-collide, completeness of the
     * verification — against an independent engine at fixture scale. */
-  def minhashNearDupPairsExact(df: DataFrame, idCol: String,
-      textCol: String, n: Int, maxJaccardDist: Double,
-      numHashTables: Int = 8): DataFrame = {
+  /** The [[minhashNearDupPairsExact]] banding stage as a standalone,
+    * STORABLE projection — the signature-bank row a near-dup index
+    * persists: one (idCol, band, chunk) row per document per band,
+    * every hash the repo's DuckDB-replicable md5 idiom, the chunk
+    * rendered as the canonical "h0:h1" string (two longs, ':'
+    * unambiguous) so the bank parquet-roundtrips and hash-gates.
+    * Two docs band-collide iff they share a (band, chunk) row —
+    * the LSH candidate surface. Used by the batch pair join here
+    * and by the streaming bank maintenance
+    * ([[graft.streaming.EventStream.startMinhashBankStream]]).
+    * Output: (idCol, band, chunk). */
+  def minhashBandRowsExact(df: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashTables: Int = 8): DataFrame = {
     val rowsPerBand = 2
     val g = shingles(df, idCol, textCol, n)
     def mhash(j: Int) =
@@ -504,7 +514,18 @@ object Dedup {
     val mins = (0 until numHashTables * rowsPerBand).map(j =>
       min(mhash(j)).as(s"mh$j"))
     val sig = g.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-    val banded = bandedSig(sig, idCol, numHashTables)
+    bandedSig(sig, idCol, numHashTables)
+      .select(col(idCol), col("band").cast("long").as("band"),
+        concat(col("chunk.h0").cast("string"), lit(":"),
+          col("chunk.h1").cast("string")).as("chunk"))
+  }
+
+  def minhashNearDupPairsExact(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxJaccardDist: Double,
+      numHashTables: Int = 8): DataFrame = {
+    val g = shingles(df, idCol, textCol, n)
+    val banded = minhashBandRowsExact(df, idCol, textCol, n,
+      numHashTables)
     val cand = banded.select(col(idCol).as("id_a"), col("band"),
       col("chunk"))
       .join(banded.select(col(idCol).as("id_b"), col("band"),

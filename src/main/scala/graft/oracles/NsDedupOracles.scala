@@ -281,6 +281,33 @@ private[graft] object NsDedupOracles {
     // The full LSH pipeline in SQL: 16 md5 min-hashes, 8 two-row
     // bands (chunk = decimal-concat of the pair, injective), band
     // collisions as candidates, exact distinct-gram Jaccard verify.
+    // The drained streaming signature bank must equal the ns03b
+    // banding CTEs run ONCE over the whole corpus — a signature
+    // depends only on its document, so the store is batching-
+    // invariant; chunk is the canonical "h0:h1" decimal string the
+    // bank persists.
+    "s18_stream_minhash_bank" -> {
+      val minCols = (0 until 16).map(j =>
+        s"    min(CAST(('0x' || substr(md5(g || ':mh$j'), 1, 15)) " +
+          s"AS BIGINT)) AS mh$j").mkString(",\n")
+      val branches = (0 until 8).map(b =>
+        s"WHEN $b THEN CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+          s"CAST(mh${2 * b + 1} AS VARCHAR)").mkString(" ")
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+         |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+         |sig AS (
+         |  SELECT doc_id,
+         |$minCols
+         |  FROM grams GROUP BY 1)
+         |SELECT doc_id, CAST(b.band AS BIGINT) AS band,
+         |  CASE b.band $branches END AS chunk
+         |FROM sig, UNNEST(range(8)) AS b(band)""".stripMargin
+    },
     "ns03b_minhash_exact" -> {
       val minCols = (0 until 16).map(j =>
         s"    min(CAST(('0x' || substr(md5(g || ':mh$j'), 1, 15)) " +

@@ -218,6 +218,72 @@ object EventStream {
       .agg(sum(col("dfreq")).as("dfreq"),
         sum(col("tf_total")).as("tf_total"))
 
+  /** Streaming MinHash signature-bank maintenance — the near-dup
+    * index's store-once shape (r13): each micro-batch of documents
+    * computes its OWN banded signatures (batch-sized work, the
+    * [[graft.ns.Dedup.minhashBandRowsExact]] md5 idiom), matches
+    * them against the bank AS STORED BEFORE THIS BATCH (band-chunk
+    * equi-join — batch×matching-buckets cost, the ns41 delta shape;
+    * candidate pairs land under `matchPath`, new-doc id first), and
+    * then lands the batch's rows as an idempotent batch_id partition
+    * of `bankPath`. Replays overwrite their own partition (never
+    * duplicate a signature) and re-derive the same matches: the
+    * match join reads only bank partitions with batch_id STRICTLY
+    * BELOW the current one, so a re-delivered batch sees exactly
+    * the prefix it saw the first time — never later batches, never
+    * itself. Band
+    * rows are append-only facts (a doc's signature never changes),
+    * so the read side is a plain scan, no merge needed
+    * ([[readMinhashBank]]). Matches are CANDIDATES (the LSH
+    * collision surface); exact-Jaccard verification happens in the
+    * batch layer ([[graft.ns.Dedup.minhashNearDupNewVsStore]]),
+    * which needs document text the bank deliberately does not
+    * carry. */
+  def startMinhashBankStream(docs: DataFrame, bankPath: String,
+      matchPath: String, checkpointDir: String, idCol: String,
+      textCol: String, n: Int = 3, numHashTables: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val rows = graft.ns.Dedup.minhashBandRowsExact(batch,
+            idCol, textCol, n, numHashTables)
+          // match against STRICTLY EARLIER batches only: a replayed
+          // batch re-sees exactly the bank prefix it saw originally
+          // (never itself, never later batches), so matches replay
+          // bit-identically
+          if (new java.io.File(bankPath).exists()) {
+            val bank = spark.read.parquet(bankPath)
+              .filter(col("batch_id") < batchId)
+            val cands = rows
+              .select(col(idCol).as("new_id"), col("band"),
+                col("chunk"))
+              .join(bank.select(col(idCol).as("stored_id"),
+                col("band"), col("chunk")), Seq("band", "chunk"))
+              .select(col("new_id"), col("stored_id"))
+              .distinct()
+              .withColumn("batch_id", lit(batchId))
+            IdempotentWriter.replacePartitions(
+              cands.coalesce(1), matchPath, Seq("batch_id"))
+          }
+          IdempotentWriter.replacePartitions(
+            rows.withColumn("batch_id", lit(batchId)).coalesce(1),
+            bankPath, Seq("batch_id"))
+        }
+      }
+      .start()
+
+  /** Read a [[startMinhashBankStream]] bank: the current signature
+    * rows (append-only facts — no merge to do). */
+  def readMinhashBank(spark: SparkSession, path: String,
+      idCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(idCol), col("band"), col("chunk"))
+
   /** Merge a [[startSketchStream]] store to the current sketch:
     * exact addition per (group, seed, cell). */
   def readSketchStore(spark: SparkSession, path: String,
