@@ -1659,6 +1659,40 @@ object SparkEntry {
         dir)
     }),
 
+    // ---- §2.8 [NS] image metadata tier incl. JPEG (r13) ----
+    // The formats the pixel gates cannot cover: format-by-magic,
+    // decode verification, and dims for a mixed BMP/PNG/JPEG corpus
+    // with planted corrupt JPEGs (valid SOI magic, garbage body —
+    // must quarantine, not crash). Dims live in stream headers and
+    // are exact through any conformant decoder, so the metadata
+    // hash-gates even for the lossy format whose PIXELS deliberately
+    // never will (the documented stub boundary). Extensionless file
+    // names force detection to the magic bytes.
+    "ns183_image_metadata" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_meta")
+      (0 until 64).foreach { i =>
+        val w = 16 + (i % 8); val h = 12 + (i % 5)
+        val seed = i.toLong * 31L
+        val bytes = (i % 4) match {
+          case 0 => Multimodal.writeJpeg(w, h, seed)
+          case 1 => Multimodal.writePng(w, h, seed)
+          case 2 => Multimodal.writeBmp(w, h, seed)
+          case _ => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+            0xE0.toByte) ++ Array.tabulate(32)(j => (i * 7 + j).toByte)
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, f"img_$i%03d.bin"), bytes)
+      }
+      materializeAndDrop(
+        Multimodal.imageMetadata(
+          Multimodal.readBinaryDir(s, dir.getPath, "img_*"))
+          .toDF()
+          .select(regexp_extract(col("file_name"), "img_(\\d+)\\.bin", 1)
+            .cast("long").as("img_id"),
+            col("format"), col("decode_ok"), col("width"), col("height")),
+        dir)
+    }),
+
     // Hamming-banded image near-dup over the same dHashes — EXACTLY
     // the SimHash band-join machinery (ns04) on a different signature
     // source, and unlike ns04 this one is hash-GATED: maxHamming 7 <
@@ -4292,6 +4326,43 @@ object SparkEntry {
       q.awaitTermination()
       materializeAndDrop(
         EventStream.readSketchStore(s, store, "source"), base)
+    }),
+
+    // ---- §7.4.6 [NS] streaming MinHash signature bank (r13) ----
+    // The near-dup index maintained on a stream (the s08/s17
+    // store-once convention, r12 verdict gap #4): each micro-batch
+    // computes its own banded md5 signatures (the ns03b exact
+    // idiom), matches them against strictly earlier bank partitions
+    // (the ns41 batch×bucket delta cost — matches land in a second
+    // store), and lands its rows as an idempotent batch_id
+    // partition. The drained bank must equal the ns03b banding
+    // CTEs run once over the whole corpus — batching-invariant by
+    // construction since a signature depends only on its document.
+    "s18_stream_minhash_bank" -> ((s, d) => {
+      val base = newScratchDir("graft_s18")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0)
+        .zipWithIndex.foreach { case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          docs.filter(p).coalesce(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+        }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val q = EventStream.startMinhashBankStream(stream,
+        s"${base.getPath}/bank", s"${base.getPath}/matches",
+        s"${base.getPath}/ckpt", "doc_id", "text", n = 3)
+      q.awaitTermination()
+      materializeAndDrop(
+        EventStream.readMinhashBank(s, s"${base.getPath}/bank",
+          "doc_id"), base)
     }),
 
     // ---- §7.4.6 streaming curation pass, driver-gated ----

@@ -590,12 +590,99 @@ object Multimodal {
   /** Format auto-detect over the magic bytes: BMP → [[parseBmpGray]],
     * PNG → [[parsePngGray]], anything else None — the single decode
     * entry the gray-grid operators (dHash, resize, blur) call, so a
-    * mixed-format corpus needs no per-format branches upstream. */
+    * mixed-format corpus needs no per-format branches upstream.
+    * JPEG deliberately stays OUT of this pixel path: lossy decode is
+    * not bit-reproducible across decoder implementations, so a JPEG
+    * payload can never feed a pixel-exact hash gate — it goes
+    * through the METADATA tier ([[imageMetadata]]) instead. */
   def parseImageGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
       parseBmpGray(bytes)
     else if (hasPngMagic(bytes)) parsePngGray(bytes)
     else None
+
+  /** JPEG SOI magic: FF D8 FF. */
+  def hasJpegMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte
+
+  /** Noisy-formula JPEG ([[writeBmp]]'s pixel formula in a lossy
+    * container) — fixture-side only: dims are exact through any
+    * conformant decoder, pixel values are NOT (lossy), which is
+    * precisely the boundary [[imageMetadata]] exists to respect. */
+  def writeJpeg(width: Int, height: Int, seed: Long = 0L): Array[Byte] = {
+    require(width > 0 && height > 0, "JPEG dims must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed + y.toLong * width + x
+        img.setRGB(x, y,
+          (((v % 251).toInt << 16) | ((v % 241).toInt << 8) |
+            (v % 239).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  final case class ImageMeta(file_name: String, format: String,
+      decode_ok: Boolean, width: Option[Long], height: Option[Long])
+
+  /** Image METADATA tier — what a multimodal corpus needs first for
+    * the formats the pixel gates cannot cover (r12 verdict gap #5):
+    * format by magic bytes (bmp/png/jpeg/unknown), decode
+    * verification, and dimensions; corrupt or undecodable payloads
+    * QUARANTINE (decode_ok false, null dims) instead of crashing the
+    * pass — the j04 malformed-row contract at the byte layer.
+    *
+    * The tier boundary, stated precisely: DIMENSIONS of a decoded
+    * image are exact in any conformant decoder (they live in the
+    * stream headers), so they hash-gate; JPEG PIXELS are lossy-
+    * decoder-dependent and are deliberately NOT surfaced — the
+    * pixel operators (dHash/resize/blur) accept only the lossless
+    * formats via [[parseImageGray]], and JPEG pixel work stays
+    * behind the documented [[stubDims]]-era stub until a
+    * bit-reproducible decode path exists.
+    *
+    * Same mapPartitions batch shape as [[decodeFeatures]]:
+    * embarrassingly parallel, decoder-bound, no shuffle. */
+  def imageMetadata(df: DataFrame,
+      batchSize: Int = 64): Dataset[ImageMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (name, bytes) =>
+          val fmt =
+            if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+              "bmp"
+            else if (hasPngMagic(bytes)) "png"
+            else if (hasJpegMagic(bytes)) "jpeg"
+            else "unknown"
+          val dims: Option[(Int, Int)] = fmt match {
+            case "bmp" => parseBmpGray(bytes).map(g => (g._1, g._2))
+            case "png" | "jpeg" =>
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+                catch { case _: Throwable => null }
+              if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+                None
+              else Some((img.getWidth, img.getHeight))
+            case _ => None
+          }
+          ImageMeta(name, fmt, dims.isDefined,
+            dims.map(_._1.toLong), dims.map(_._2.toLong))
+        })
+      }
+  }
 
   /** 2×2 box-filter downsample of a gray grid — the pixel half of
     * the multimodal resize step. Output pixel (x,y) is the FLOOR

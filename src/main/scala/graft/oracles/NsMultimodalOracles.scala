@@ -8,6 +8,21 @@ package graft.oracles
   * aligned column-for-column with its Spark query. */
 private[graft] object NsMultimodalOracles {
   val sql: Map[String, String] = Map(
+    // Metadata tier: every field is closed-form from the fixture
+    // index — dims live in stream headers (exact through ANY
+    // conformant decoder, JPEG included), corrupt class i%4==3
+    // carries a valid JPEG SOI magic with a garbage body so it
+    // detects as jpeg but must quarantine with null dims.
+    "ns183_image_metadata" ->
+      """SELECT i AS img_id,
+        |  CASE i % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |  i % 4 <> 3 AS decode_ok,
+        |  CASE WHEN i % 4 = 3 THEN NULL
+        |    ELSE CAST(16 + i % 8 AS BIGINT) END AS width,
+        |  CASE WHEN i % 4 = 3 THEN NULL
+        |    ELSE CAST(12 + i % 5 AS BIGINT) END AS height
+        |FROM range(64) t(i)""".stripMargin,
     // WAV oracle: every decoded field predicted from the generation
     // formulas. The sawtooth (i*8192 mod 32768) - 16384 cycles through
     // {-16384,-8192,0,8192}, so peak is 16384 and energy per full

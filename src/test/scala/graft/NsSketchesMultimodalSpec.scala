@@ -622,4 +622,41 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     assert(bank == Set((2L, 1L, 2)))
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
+
+  test("imageMetadata: exact dims for all three formats, corrupt and " +
+      "unknown payloads quarantine, and JPEG stays out of the pixel " +
+      "path (the tier boundary)") {
+    val dir = Files.createTempDirectory("graft_img_meta")
+    Files.write(Paths.get(dir.toString, "a.bin"),
+      Multimodal.writeJpeg(20, 14, seed = 5L))
+    Files.write(Paths.get(dir.toString, "b.bin"),
+      Multimodal.writePng(18, 13, seed = 6L))
+    Files.write(Paths.get(dir.toString, "c.bin"),
+      Multimodal.writeBmp(22, 15, seed = 7L))
+    // valid JPEG SOI magic, garbage body — detects as jpeg, must
+    // quarantine (decode_ok false), never crash
+    Files.write(Paths.get(dir.toString, "d.bin"),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte) ++
+        Array.tabulate(16)(_.toByte))
+    Files.write(Paths.get(dir.toString, "e.bin"),
+      "not an image at all".getBytes("UTF-8"))
+    val out = Multimodal.imageMetadata(
+        Multimodal.readBinaryDir(spark, dir.toString, "*.bin"))
+      .collect().map(m => m.file_name -> m).toMap
+    assert(out("a.bin") == Multimodal.ImageMeta("a.bin", "jpeg", true,
+      Some(20L), Some(14L)))
+    assert(out("b.bin") == Multimodal.ImageMeta("b.bin", "png", true,
+      Some(18L), Some(13L)))
+    assert(out("c.bin") == Multimodal.ImageMeta("c.bin", "bmp", true,
+      Some(22L), Some(15L)))
+    assert(out("d.bin") == Multimodal.ImageMeta("d.bin", "jpeg", false,
+      None, None))
+    assert(out("e.bin") == Multimodal.ImageMeta("e.bin", "unknown",
+      false, None, None))
+    // pixel-path boundary: a JPEG payload never enters the gray-grid
+    // operators — lossy pixels are not bit-reproducible cross-decoder
+    assert(Multimodal.parseImageGray(
+      Multimodal.writeJpeg(20, 14, seed = 5L)).isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
