@@ -136,6 +136,30 @@ object SparkEntry {
           .otherwise(goodLine).as("line"))
     }
 
+  /** The hybrid (BM25 ⊕ int8-MIPS) RRF ranking ns181/ns185 share:
+    * both legs over the doc_id%59==3 query set (vec_id ≡ doc_id in
+    * the fixture star schema), fused at k=60. Output: (q_id, doc_id,
+    * rrf_nano, n_legs, rn). */
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+    val qText = docs.filter(pmod(col("doc_id"), lit(59)) === 3)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(TextOps.wordTokens(col("text")), 1, 4), " ")
+          .as("q_text"))
+    val lex = graft.ns.Retrieval.bm25TopK(docs, "doc_id", "text",
+        qText, "q_id", "q_text", k = 10,
+        maxPostingsPerTerm = Some(200))
+      .select(col("q_id"), col("doc_id"), col("rn"))
+    val qEmb = emb.filter(pmod(col("vec_id"), lit(59)) === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dense = graft.ns.Similarity.int8MipsTopK(emb, "vec_id",
+        "embedding", qEmb, "q_id", "q_emb", k = 10)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rn"))
+    graft.ns.Retrieval.rrfFuse(Seq(lex, dense), "q_id", "doc_id",
+      "rn", k = 60, topK = 10)
+  }
+
   /** The shared near-dup cluster assignment (3-gram Jaccard ≥ 0.5,
     * df-capped pairs → connected components), computed once per
     * (session, sf). ns37 publishes it; ns49 (survivors), ns52
@@ -2530,6 +2554,104 @@ object SparkEntry {
           Seq("conversation_id"))
     }),
 
+    // ---- §2.8 [NS] agent-trace tool-call validation (r13) ----
+    // The agentic-corpus QA step: assistant turns carrying tool
+    // calls must parse as structured JSON before an episode enters
+    // training. Three planted classes per conversation id: strict
+    // JSON (%3==0), python-repr dict with single quotes + True
+    // (%3==1 — the o09 repair class, fixed by the codegen'd
+    // PyToJson), and a truncated call (%3==2 — unrepairable, must
+    // quarantine as invalid, never crash). The gate checks the
+    // extracted tool NAME and validity — the repair's semantic
+    // payload — in closed form per class.
+    "ns188_toolcall_validation" -> ((s, d) => {
+      val conv = col("conversation_id")
+      val calls = graft.ingest.ChatIngest.parseChatLines(
+        chatJsonlLines(s, d).select(col("line")), "line")
+        .filter(!col("quarantined") && col("role") === "assistant")
+        .select(conv,
+          when(pmod(conv, lit(3)) === 0,
+            concat(lit("{\"name\": \"search\", \"args\": {\"q\": \""),
+              col("content"), lit("\"}}")))
+          .when(pmod(conv, lit(3)) === 1,
+            concat(lit("{'name': 'calc', 'args': {'x': True, 'id': "),
+              conv.cast("string"), lit("}}")))
+          .otherwise(lit("{'name': 'calc',")).as("raw_call"))
+      calls.select(conv,
+          graft.functions.functions.py_to_json(col("raw_call"))
+            .as("repaired"))
+        .select(conv,
+          get_json_object(col("repaired"), "$.name").as("tool_name"),
+          col("repaired").isNotNull.as("valid"))
+    }),
+
+    // ---- §2.8 [NS] tokenizer coverage / unk-rate datasheet (r13) --
+    // The release-time tokenizer-health row: per-source token
+    // volume, <unk> counts, and the fixed-point unk rate over the
+    // REAL encoder (ns61's codec). Planted: doc_id%9==0 docs carry a
+    // non-ASCII tail (" é μ") whose two code points fall outside the
+    // printable-ASCII base alphabet and encode to exactly two <unk>
+    // ids each — the oracle adjusts the independent Python table's
+    // per-doc counts by that closed form, so a drifted unk policy
+    // (dropping instead of emitting, wrong id) breaks the hash.
+    "ns187_tokenizer_coverage" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              lit(" é μ")).otherwise(lit(""))).as("text"))
+      graft.ns.Bpe.encodeDocs(docs, "doc_id", "text").toDF()
+        .select(col("doc_id"), explode(col("token_ids")).as("tid"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_unk"))
+        .withColumn("unk_micro",
+          expr("(n_unk * 1000000L) div n_tokens"))
+    }),
+
+    // ---- §2.8 [NS] conversation-level exact dedup (r13) ----
+    // The dedup-before-SFT step: parsed conversations (ns169's front
+    // door) plus RE-UPLOADED twins (same turns, new conversation ids
+    // +3000000 — the far-out-of-range offset convention) collapse by
+    // the md5 of their template-rendered ordered turn sequence; each
+    // group keeps the min id with multiplicity 2. The oracle
+    // re-derives every fingerprint from the fixture's closed-form
+    // turn content — it never parses JSON.
+    "ns186_conversation_dedup" -> ((s, d) => {
+      val turns = graft.ingest.ChatIngest.parseChatLines(
+        chatJsonlLines(s, d).select(col("line")), "line")
+        .filter(!col("quarantined"))
+      val twins = turns.select(
+        (col("conversation_id") + 3000000L).as("conversation_id"),
+        col("turn_idx"), col("role"), col("content"))
+      Dedup.conversationDedup(
+        turns.select(col("conversation_id"), col("turn_idx"),
+          col("role"), col("content")).unionByName(twins),
+        "conversation_id", "turn_idx", "role", "content")
+    }),
+
+    // ---- §2.8 [NS] packed-sequence attention segments (r13) ----
+    // The second half of ns180's packing contract: conversations
+    // span chunk boundaries, so the trainer needs per-pack
+    // (conversation, in-pack offset, length) segments to build the
+    // block-diagonal attention mask. Pure integer interval
+    // arithmetic over the same offsets; the oracle replays it from
+    // the independent encoder's lens.
+    "ns184_sft_pack_segments" -> ((s, d) => {
+      val toks = graft.ns.Posttrain.sftTokenMask(
+        graft.ingest.ChatIngest.parseChatLines(
+          chatJsonlLines(s, d).select(col("line")), "line")
+          .filter(!col("quarantined") && col("conversation_id") < 100),
+        "conversation_id", "turn_idx", "role", "content")
+      val lens = toks.groupBy(col("conversation_id"))
+        .agg(count(lit(1)).as("n_tokens"))
+      Sampling.packSegments(
+        Sampling.packOffsets(lens, "conversation_id", "n_tokens",
+          chunkSize = 256, bucketSize = 100L),
+        "conversation_id", "n_tokens", chunkSize = 256)
+    }),
+
     // ---- §2.8 [NS] hybrid retrieval: RRF fusion (r13) ----
     // The production retriever shape: the BM25 lexical leg (ns164's
     // machinery) and the exact int8-MIPS dense leg (ns166's) over
@@ -2540,27 +2662,22 @@ object SparkEntry {
     // and the whole ranking hash-gates; the oracle re-derives BOTH
     // legs independently (the full BM25 and quantization dags) and
     // replays the fusion arithmetic.
-    "ns181_hybrid_rrf" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val emb = t(s, d, "embeddings")
-      val qText = docs.filter(pmod(col("doc_id"), lit(59)) === 3)
-        .select(col("doc_id").as("q_id"),
-          array_join(slice(TextOps.wordTokens(col("text")), 1, 4), " ")
-            .as("q_text"))
-      val lex = graft.ns.Retrieval.bm25TopK(docs, "doc_id", "text",
-          qText, "q_id", "q_text", k = 10,
-          maxPostingsPerTerm = Some(200))
-        .select(col("q_id"), col("doc_id"), col("rn"))
-      val qEmb = emb.filter(pmod(col("vec_id"), lit(59)) === 3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val dense = graft.ns.Similarity.int8MipsTopK(emb, "vec_id",
-          "embedding", qEmb, "q_id", "q_emb", k = 10)
-        .select(col("q_id"), col("vec_id").as("doc_id"), col("rn"))
-      graft.ns.Retrieval.rrfFuse(Seq(lex, dense), "q_id", "doc_id",
-        "rn", k = 60, topK = 10)
+    "ns181_hybrid_rrf" -> ((s, d) =>
+      hybridRrf(s, d)
         .select(col("q_id"), col("doc_id"), col("rrf_nano"),
-          col("n_legs"), col("rn").cast("long").as("rn"))
-    }),
+          col("n_legs"), col("rn").cast("long").as("rn"))),
+
+    // ---- §2.8 [NS] RAG context assembly (r13) ----
+    // Ranked candidates → what goes in the prompt: walk ns181's
+    // fused ranking in order, keep while the running BPE-proxy token
+    // total fits the 384-token budget (the kept set is a PREFIX —
+    // prompt order is rank order, a later small doc never leapfrogs
+    // an earlier big one). Candidate-sized join + one ≤10-row window
+    // per query; the oracle re-derives the whole chain.
+    "ns185_context_assembly" -> ((s, d) =>
+      graft.ns.Retrieval.contextAssembly(hybridRrf(s, d),
+        "q_id", "doc_id", "rn", t(s, d, "documents"),
+        "doc_id", "text", tokenBudget = 384)),
 
     // ---- §2.8 [NS] DSIR importance resampling (r13) ----
     // The DCLM/DSIR selection shape: importance weights toward a
@@ -4363,6 +4480,42 @@ object SparkEntry {
       materializeAndDrop(
         EventStream.readMinhashBank(s, s"${base.getPath}/bank",
           "doc_id"), base)
+    }),
+
+    // ---- §7.4.6 [NS] streaming SFT token-mask assembly (r13) ----
+    // ns179 on the ingest stream: chat-JSONL lines (the cached s16
+    // fixture, conv < 100 — the checked-in Python oracle's slice)
+    // parse, render, and encode to per-token loss-mask rows per
+    // micro-batch, landing as idempotent batch_id partitions. Safe
+    // per batch because a line carries its whole conversation; the
+    // drained store must equal ns179's oracle verbatim.
+    "s19_stream_sft_tokens" -> ((s, d) => {
+      val base = newScratchDir("graft_s19")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      val lines = chatJsonlLines(s, d).filter(col("doc_id") < 100)
+      Seq(pmod(col("doc_id"), lit(2)) === 0,
+        pmod(col("doc_id"), lit(2)) =!= 0).zipWithIndex.foreach {
+        case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          lines.filter(p).select(col("line")).coalesce(1)
+            .write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+      }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val store = s"${base.getPath}/tokens"
+      EventStream.startSftTokenStream(stream, store,
+        s"${base.getPath}/ckpt").awaitTermination()
+      materializeAndDrop(
+        s.read.parquet(store)
+          .select(col("conversation_id"), col("turn_idx"),
+            col("tok_pos"), col("token_id"), col("loss")), base)
     }),
 
     // ---- §7.4.6 streaming curation pass, driver-gated ----

@@ -583,6 +583,36 @@ object Dedup {
       .filter(col("jaccard_dist") <= maxJaccardDist)
   }
 
+  /** Conversation-level exact dedup — the dedup-before-SFT step a
+    * chat corpus needs that document dedup cannot provide: two
+    * conversations are duplicates iff their ORDERED turn sequences
+    * (role AND content, rendered through the ns141/ns179 template)
+    * match exactly, regardless of conversation id — the re-crawled /
+    * re-uploaded chat export case. Fingerprint = md5 of the
+    * template-rendered turns concatenated in turn order (array_sort
+    * over (turn, text) structs makes the order total and
+    * partition-independent; the `<|end|>` delimiter prevents
+    * cross-turn splice collisions). One conversation-keyed
+    * aggregation + one group-sized aggregation — the exactDedup
+    * shape one level up. Output: (fingerprint, convCol = min
+    * surviving id, dup_count). */
+  def conversationDedup(turns: DataFrame, convCol: String,
+      turnCol: String, roleCol: String,
+      contentCol: String): DataFrame = {
+    val rendered = concat(lit("<|"), col(roleCol), lit("|>"),
+      coalesce(col(contentCol), lit("")), lit("<|end|>"))
+    turns
+      .select(col(convCol), col(turnCol).cast("long").as("__turn"),
+        rendered.as("__t"))
+      .groupBy(col(convCol))
+      .agg(md5(array_join(transform(array_sort(collect_list(
+        struct(col("__turn"), col("__t")))),
+        e => e.getField("__t")), "")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(convCol)).as(convCol),
+        count(lit(1)).as("dup_count"))
+  }
+
   /** 64-bit SimHash of the canonical token stream: each token votes
     * ±1 on every bit of its 64-bit hash; the sign of the vote sum
     * becomes the fingerprint bit. One explode + one 64-way map-side-

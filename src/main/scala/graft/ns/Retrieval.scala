@@ -209,4 +209,40 @@ object Retrieval {
     graft.ops.Relational.topKPerGroup(scored, topK,
       Seq(col(qCol)), Seq(col("rrf_nano").desc, col(idCol).asc))
   }
+
+  /** RAG context assembly under a token budget — the step between
+    * "ranked candidates" and "what goes in the prompt": walk each
+    * query's ranking in order, keep documents while the RUNNING
+    * token total still fits `tokenBudget`, stop at the first
+    * overflow (prompt order is rank order, so the kept set is a
+    * PREFIX — a later small doc must not leapfrog an earlier big
+    * one). Token counts use the BPE-ish subword proxy
+    * ([[TextOps.bpeTokenCount]] — letter runs, digit runs, single
+    * marks), the repo's SQL-replicable stand-in for a real
+    * tokenizer's count; exact-id counting at candidate scale goes
+    * through [[graft.ns.Bpe.encodeDocs]] when a caller needs it.
+    *
+    * Plan shape: candidates are |Q| × k rows, so the doc-text join
+    * is candidate-sized (the ranked side broadcasts), and the
+    * running sum is one window per query over ≤ k rows. Output:
+    * (qCol, idCol, rn, n_tokens, cum_tokens, kept). */
+  def contextAssembly(ranked: DataFrame, qCol: String, idCol: String,
+      rnCol: String, docs: DataFrame, docIdCol: String,
+      textCol: String, tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val withTok = broadcast(ranked
+        .select(col(qCol), col(idCol), col(rnCol).cast("long").as("rn")))
+      .join(docs.select(col(docIdCol).as(idCol),
+        TextOps.bpeTokenCount(col(textCol)).cast("long")
+          .as("n_tokens")), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qCol)).orderBy(col("rn"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    withTok
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col(qCol), col(idCol), col("rn"), col("n_tokens"),
+        col("cum_tokens"),
+        (col("cum_tokens") <= tokenBudget).as("kept"))
+  }
 }

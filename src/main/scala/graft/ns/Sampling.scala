@@ -534,6 +534,44 @@ object Sampling {
         expr(s"((2 * rank_in_source - 1) * ${prec}L) div n_source"))
   }
 
+  /** Attention-segment table for packed sequences — the second half
+    * of the packing contract: [[packOffsets]] lets a document SPAN
+    * chunk boundaries (offsets are a pure prefix sum), so a trainer
+    * consuming packed sequences needs, per pack, the list of
+    * (document, in-pack offset, length) segments to reset attention
+    * at document boundaries (the block-diagonal attention mask every
+    * packed-SFT trainer builds). This derives that table from the
+    * offsets alone — exact integer interval arithmetic, no second
+    * pass over content: a doc occupying [start, start+n) intersects
+    * packs floor(start/chunk) .. floor((start+n−1)/chunk), one
+    * explode(sequence) over that (usually 1-element) range.
+    *
+    * Laws (NsSamplingSpec): per doc, segment lengths sum to its
+    * length; per pack, segments tile [0, chunk) exactly (the final
+    * pack tiles a prefix); zero-length docs emit no segments.
+    *
+    * Input: [[packOffsets]] output (idCol, lenCol, start_offset,
+    * pack_id ignored). Output: (pack_id, idCol, seg_start, seg_len). */
+  def packSegments(packed: DataFrame, idCol: String, lenCol: String,
+      chunkSize: Long): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    packed.filter(col(lenCol) > 0)
+      .select(col(idCol), col(lenCol).cast("long").as("__n"),
+        col("start_offset"))
+      .withColumn("__p0", expr(s"start_offset div ${chunkSize}L"))
+      .withColumn("__p1",
+        expr(s"(start_offset + __n - 1) div ${chunkSize}L"))
+      .select(col(idCol), col("__n"), col("start_offset"),
+        explode(sequence(col("__p0"), col("__p1"))).as("pack_id"))
+      .select(col("pack_id"), col(idCol),
+        (greatest(col("start_offset"), col("pack_id") * chunkSize) -
+          col("pack_id") * chunkSize).as("seg_start"),
+        (least(col("start_offset") + col("__n"),
+          (col("pack_id") + 1) * chunkSize) -
+          greatest(col("start_offset"), col("pack_id") * chunkSize))
+          .as("seg_len"))
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling" — the
     * DCLM/DoReMi-era selection shape): estimate per-document

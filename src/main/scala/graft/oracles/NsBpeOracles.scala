@@ -7,6 +7,25 @@ package graft.oracles
   * disjoint). Pure data: every value is a DuckDB SQL literal
   * aligned column-for-column with its Spark query. */
 private[graft] object NsBpeOracles {
+  /** ns179/s19 shared SQL: ids AND mask from the independent Python
+    * encoder's table; the offset prefix sum replayed per
+    * conversation, loss derived from the stored role. */
+  private val sftTokenSql: String =
+    """WITH t AS (SELECT * FROM read_parquet(
+      |'/root/repo/src/test/resources/graft/sft_oracle_sf001.parquet')),
+      |cnt AS (SELECT conversation_id, turn_idx, count(*) AS c
+      |  FROM t GROUP BY 1, 2),
+      |off AS (SELECT conversation_id, turn_idx,
+      |    CAST(coalesce(SUM(c) OVER (PARTITION BY conversation_id
+      |      ORDER BY turn_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS o
+      |  FROM cnt)
+      |SELECT t.conversation_id, t.turn_idx,
+      |  CAST(t.pos + off.o AS BIGINT) AS tok_pos, t.token_id,
+      |  t.role = 'assistant' AS loss
+      |FROM t JOIN off USING (conversation_id, turn_idx)""".stripMargin
+
   val sql: Map[String, String] = Map(
     // Token counts from the independent encoder's table; chars from
     // the canonical text; one division of exact integer sums.
@@ -62,21 +81,10 @@ private[graft] object NsBpeOracles {
     // replays the engine's cross-turn offset prefix sum — within-turn
     // pos plus the total token count of all preceding turns — and
     // derives the loss flag from the stored role.
-    "ns179_sft_token_mask" ->
-      """WITH t AS (SELECT * FROM read_parquet(
-        |'/root/repo/src/test/resources/graft/sft_oracle_sf001.parquet')),
-        |cnt AS (SELECT conversation_id, turn_idx, count(*) AS c
-        |  FROM t GROUP BY 1, 2),
-        |off AS (SELECT conversation_id, turn_idx,
-        |    CAST(coalesce(SUM(c) OVER (PARTITION BY conversation_id
-        |      ORDER BY turn_idx
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS o
-        |  FROM cnt)
-        |SELECT t.conversation_id, t.turn_idx,
-        |  CAST(t.pos + off.o AS BIGINT) AS tok_pos, t.token_id,
-        |  t.role = 'assistant' AS loss
-        |FROM t JOIN off USING (conversation_id, turn_idx)""".stripMargin,
+    // s19 is the streaming restatement over the same fixture lines —
+    // the drained token store must equal the same rows.
+    "s19_stream_sft_tokens" -> sftTokenSql,
+    "ns179_sft_token_mask" -> sftTokenSql,
     // Conversation-grain packing: per-conv token totals and
     // assistant-token counts from the same independent table, then
     // ns62's window arithmetic at chunk 256.
@@ -99,6 +107,59 @@ private[graft] object NsBpeOracles {
         |    AS DOUBLE) / 256) AS BIGINT) AS pack_id,
         |  n_loss_tokens
         |FROM lens""".stripMargin,
+    // Tokenizer coverage: the independent table's per-doc counts,
+    // adjusted by the planted non-ASCII tail's closed form (+2
+    // tokens, +2 unks for doc_id%9==0 — the base corpus is printable
+    // ASCII, so it contributes zero unks), aggregated per source
+    // with the exact integer unk rate.
+    "ns187_tokenizer_coverage" ->
+      """WITH base AS (
+        |  SELECT doc_id, source FROM documents WHERE doc_id < 100),
+        |tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN token_id = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS u
+        |  FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/bpe_oracle_sf001.parquet')
+        |  GROUP BY 1),
+        |perdoc AS (SELECT b.doc_id, b.source,
+        |    coalesce(tok.n, 0)
+        |      + CASE WHEN b.doc_id % 9 = 0 THEN 2 ELSE 0 END
+        |      AS n_tokens,
+        |    coalesce(tok.u, 0)
+        |      + CASE WHEN b.doc_id % 9 = 0 THEN 2 ELSE 0 END AS n_unk
+        |  FROM base b LEFT JOIN tok USING (doc_id))
+        |SELECT source,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_unk) AS BIGINT) AS n_unk,
+        |  CAST((SUM(n_unk) * 1000000) // SUM(n_tokens) AS BIGINT)
+        |    AS unk_micro
+        |FROM perdoc GROUP BY source""".stripMargin,
+    // Pack segments: the ns180 offset window plus exact interval
+    // intersection with the chunk grid, replayed from the same
+    // independent lens — a conversation spanning packs emits one
+    // row per pack it touches.
+    "ns184_sft_pack_segments" ->
+      """WITH lens AS (
+        |  SELECT conversation_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/sft_oracle_sf001.parquet')
+        |  GROUP BY 1),
+        |off AS (SELECT conversation_id, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY conversation_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS s
+        |  FROM lens),
+        |seg AS (SELECT conversation_id, n_tokens, s,
+        |    CAST(floor(s / 256.0) AS BIGINT) AS p0,
+        |    CAST(floor((s + n_tokens - 1) / 256.0) AS BIGINT) AS p1
+        |  FROM off WHERE n_tokens > 0)
+        |SELECT CAST(t.p AS BIGINT) AS pack_id, conversation_id,
+        |  CAST(greatest(s, t.p * 256) - t.p * 256 AS BIGINT)
+        |    AS seg_start,
+        |  CAST(least(s + n_tokens, (t.p + 1) * 256)
+        |    - greatest(s, t.p * 256) AS BIGINT) AS seg_len
+        |FROM seg, UNNEST(range(p0, p1 + 1)) AS t(p)""".stripMargin,
     // decode∘encode = canonical text minus the whitespace the
     // pre-tokenizer discards — a pure string prediction; any id that
     // dropped its surface form breaks the hash.

@@ -135,6 +135,93 @@ private[graft] object NsTextOracles {
     * the engine's fixed division dag, one (dangling, contrib, rank)
     * stage triple per iteration, so every intermediate rank must
     * match bit for bit. */
+  /** The ns181/ns185 shared hybrid-retrieval CTE chain: the ns164
+    * BM25 dag and the ns166 quantization+MIPS dag, each cut to
+    * rn <= 10 over the doc_id%59==3 query set, fused by
+    * floor(1e9/(60+rn)) exact integer sums into `fused`
+    * (q_id, doc_id, rrf_nano, n_legs, rn). */
+  private val hybridRrfCtes: String =
+    """base AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(
+      |    lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |    w -> len(w) > 0) AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |st AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS t
+      |  FROM tok),
+      |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(toks[1:4]) AS term
+      |  FROM base WHERE doc_id % 59 = 3),
+      |dfq AS (SELECT term, count(*) AS dfreq FROM tf
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+      |idf AS (SELECT term,
+      |    CAST(floor(ln((CAST(n AS DOUBLE) - dfreq + 0.5)
+      |      / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0) * 1e9) AS BIGINT)
+      |      AS idf_nano
+      |  FROM dfq, st),
+      |pp AS (SELECT term, doc_id, tf, dl, idf_nano,
+      |    ROW_NUMBER() OVER (PARTITION BY term
+      |      ORDER BY tf DESC, dl ASC, doc_id) AS prn
+      |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)),
+      |sc AS (SELECT qt.q_id, pp.doc_id,
+      |    CAST(floor(CAST(idf_nano AS DOUBLE)
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |        * (CAST(dl AS DOUBLE)
+      |          / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))))))
+      |      AS BIGINT) AS s
+      |  FROM pp JOIN qt USING (term), st
+      |  WHERE prn <= 200),
+      |agg AS (SELECT q_id, doc_id,
+      |    CAST(sum(s) AS BIGINT) AS score_nano
+      |  FROM sc GROUP BY 1, 2),
+      |lex AS (SELECT q_id, doc_id, rn
+      |  FROM (SELECT q_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY score_nano DESC, doc_id) AS rn FROM agg)
+      |  WHERE rn <= 10),
+      |es AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+      |      AS DOUBLE) AS q_scale
+      |  FROM embeddings),
+      |eq AS (
+      |  SELECT vec_id,
+      |    CASE WHEN q_scale = 0
+      |      THEN list_transform(embedding, x -> 0)
+      |      ELSE list_transform(embedding,
+      |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / q_scale)
+      |          AS INTEGER))
+      |    END AS q
+      |  FROM es),
+      |qs AS (SELECT vec_id AS q_id, q AS qv FROM eq
+      |  WHERE vec_id % 59 = 3),
+      |dsc AS (SELECT qs.q_id, d.vec_id AS doc_id,
+      |    CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+      |      i -> CAST(qs.qv[i] AS BIGINT) * d.q[i])) AS BIGINT)
+      |      AS score
+      |  FROM eq d, qs),
+      |dense AS (SELECT q_id, doc_id, rn
+      |  FROM (SELECT q_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY score DESC, doc_id) AS rn FROM dsc)
+      |  WHERE rn <= 10),
+      |u AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(floor(1e9 / (60 + rn)) AS BIGINT) AS c FROM lex
+      |  UNION ALL
+      |  SELECT q_id, doc_id,
+      |    CAST(floor(1e9 / (60 + rn)) AS BIGINT) AS c FROM dense),
+      |f AS (SELECT q_id, doc_id,
+      |    CAST(sum(c) AS BIGINT) AS rrf_nano,
+      |    CAST(count(*) AS BIGINT) AS n_legs
+      |  FROM u GROUP BY 1, 2),
+      |fused AS (SELECT q_id, doc_id, rrf_nano, n_legs,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY rrf_nano DESC, doc_id) AS rn FROM f)""".stripMargin
+
   private val authorityCtes: String = {
     val scale = "1000000000000"
     val head = s"""e AS (
@@ -347,6 +434,32 @@ private[graft] object NsTextOracles {
     // truncated docs emit exactly one quarantine row with the raw
     // line rebuilt. s16 is the streaming restatement over the same
     // fixture lines — the drained sink must equal the same rows.
+    // Tool-call validation: one row per good conversation, the tool
+    // name and validity predicted per planted class — repairable
+    // classes surface their name, the truncated class must be
+    // invalid with a null name.
+    "ns188_toolcall_validation" ->
+      """SELECT doc_id AS conversation_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'search' WHEN 1 THEN 'calc'
+        |    ELSE NULL END AS tool_name,
+        |  doc_id % 3 <> 2 AS valid
+        |FROM documents WHERE doc_id % 17 <> 0""".stripMargin,
+    // Conversation dedup: every fingerprint re-derived from the
+    // fixture's closed-form rendered turn sequence (no JSON parse);
+    // each group is exactly {id, id+3000000} → survivor id, count 2.
+    "ns186_conversation_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(array_to_string(
+        |      string_split(regexp_replace(lower(trim(text)),
+        |        '\s+', ' ', 'g'), ' ')[1:3], ' '),
+        |      '[^a-z0-9 ]', '', 'g') AS content
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT md5('<|user|>' || content || '<|end|>'
+        |    || '<|assistant|>ok ' || doc_id || '<|end|>')
+        |    AS fingerprint,
+        |  doc_id AS conversation_id, CAST(2 AS BIGINT) AS dup_count
+        |FROM c""".stripMargin,
     "s16_stream_chat_ingest" -> chatJsonlSql,
     "ns169_chat_jsonl" -> chatJsonlSql,
     // One single-pass recomputation over the WHOLE corpus — the
@@ -406,88 +519,31 @@ private[graft] object NsTextOracles {
     // floor(1e9/(60+rn)) — the identical single IEEE division — and
     // the fused rank is over the exact integer sums.
     "ns181_hybrid_rrf" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(
-        |    lower(trim(text)), '\s+', ' ', 'g'), ' '),
-        |    w -> len(w) > 0) AS toks
-        |  FROM documents),
-        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
-        |tf AS (SELECT doc_id, term, count(*) AS tf
-        |  FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-        |st AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS t
-        |  FROM tok),
-        |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(toks[1:4]) AS term
-        |  FROM base WHERE doc_id % 59 = 3),
-        |dfq AS (SELECT term, count(*) AS dfreq FROM tf
-        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
-        |idf AS (SELECT term,
-        |    CAST(floor(ln((CAST(n AS DOUBLE) - dfreq + 0.5)
-        |      / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0) * 1e9) AS BIGINT)
-        |      AS idf_nano
-        |  FROM dfq, st),
-        |pp AS (SELECT term, doc_id, tf, dl, idf_nano,
-        |    ROW_NUMBER() OVER (PARTITION BY term
-        |      ORDER BY tf DESC, dl ASC, doc_id) AS prn
-        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)),
-        |sc AS (SELECT qt.q_id, pp.doc_id,
-        |    CAST(floor(CAST(idf_nano AS DOUBLE)
-        |      * (CAST(tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-        |        * (CAST(dl AS DOUBLE)
-        |          / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))))))
-        |      AS BIGINT) AS s
-        |  FROM pp JOIN qt USING (term), st
-        |  WHERE prn <= 200),
-        |agg AS (SELECT q_id, doc_id,
-        |    CAST(sum(s) AS BIGINT) AS score_nano
-        |  FROM sc GROUP BY 1, 2),
-        |lex AS (SELECT q_id, doc_id, rn
-        |  FROM (SELECT q_id, doc_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q_id
-        |        ORDER BY score_nano DESC, doc_id) AS rn FROM agg)
-        |  WHERE rn <= 10),
-        |es AS (
-        |  SELECT vec_id, embedding,
-        |    CAST(list_max(list_transform(embedding, x -> abs(x)))
-        |      AS DOUBLE) AS q_scale
-        |  FROM embeddings),
-        |eq AS (
-        |  SELECT vec_id,
-        |    CASE WHEN q_scale = 0
-        |      THEN list_transform(embedding, x -> 0)
-        |      ELSE list_transform(embedding,
-        |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / q_scale)
-        |          AS INTEGER))
-        |    END AS q
-        |  FROM es),
-        |qs AS (SELECT vec_id AS q_id, q AS qv FROM eq
-        |  WHERE vec_id % 59 = 3),
-        |dsc AS (SELECT qs.q_id, d.vec_id AS doc_id,
-        |    CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
-        |      i -> CAST(qs.qv[i] AS BIGINT) * d.q[i])) AS BIGINT)
-        |      AS score
-        |  FROM eq d, qs),
-        |dense AS (SELECT q_id, doc_id, rn
-        |  FROM (SELECT q_id, doc_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q_id
-        |        ORDER BY score DESC, doc_id) AS rn FROM dsc)
-        |  WHERE rn <= 10),
-        |u AS (
-        |  SELECT q_id, doc_id,
-        |    CAST(floor(1e9 / (60 + rn)) AS BIGINT) AS c FROM lex
-        |  UNION ALL
-        |  SELECT q_id, doc_id,
-        |    CAST(floor(1e9 / (60 + rn)) AS BIGINT) AS c FROM dense),
-        |f AS (SELECT q_id, doc_id,
-        |    CAST(sum(c) AS BIGINT) AS rrf_nano,
-        |    CAST(count(*) AS BIGINT) AS n_legs
-        |  FROM u GROUP BY 1, 2)
+      s"""WITH $hybridRrfCtes
         |SELECT q_id, doc_id, rrf_nano, n_legs,
         |  CAST(rn AS BIGINT) AS rn
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-        |        ORDER BY rrf_nano DESC, doc_id) AS rn FROM f)
+        |FROM fused
         |WHERE rn <= 10""".stripMargin,
+    // Context assembly: the same fused chain, joined back to the doc
+    // text for the BPE-proxy token count, one running-sum window per
+    // query in rank order, prefix-kept under the 384 budget.
+    "ns185_context_assembly" ->
+      s"""WITH $hybridRrfCtes,
+        |tokc AS (SELECT fused.q_id, fused.doc_id,
+        |    CAST(fused.rn AS BIGINT) AS rn,
+        |    CAST(len(regexp_extract_all(d.text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM fused JOIN documents d ON d.doc_id = fused.doc_id
+        |  WHERE fused.rn <= 10)
+        |SELECT q_id, doc_id, rn, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY q_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY q_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    <= 384 AS kept
+        |FROM tokc""".stripMargin,
     "ns162_domain_authority" ->
       s"""WITH $authorityCtes
          |SELECT domain, CAST(r AS BIGINT) AS auth_micro

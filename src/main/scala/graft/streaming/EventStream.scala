@@ -284,6 +284,40 @@ object EventStream {
     spark.read.parquet(path)
       .select(col(idCol), col("band"), col("chunk"))
 
+  /** Streaming SFT token-mask assembly — ns179's training-ready
+    * artifact maintained on the ingest stream (r13): each
+    * micro-batch of chat-JSONL lines parses
+    * ([[graft.ingest.ChatIngest.parseChatLines]], quarantined lines
+    * dropped from the token stream — they carry no turns), renders +
+    * encodes to per-token rows with loss masks
+    * ([[graft.ns.Posttrain.sftTokenMask]] — safe per batch because a
+    * JSONL line carries its WHOLE conversation, so the
+    * per-conversation offset window never sees a partial
+    * conversation), and lands as an idempotent batch_id partition.
+    * Token rows are append-only facts (a conversation's encoding
+    * depends only on itself), so the drained store is
+    * batching-invariant and reads as a plain scan. */
+  def startSftTokenStream(lines: DataFrame, path: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    lines.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val turns = graft.ingest.ChatIngest
+            .parseChatLines(batch, "line")
+            .filter(!col("quarantined"))
+          val toks = graft.ns.Posttrain.sftTokenMask(turns,
+            "conversation_id", "turn_idx", "role", "content")
+          IdempotentWriter.replacePartitions(
+            toks.withColumn("batch_id", lit(batchId)).coalesce(1),
+            path, Seq("batch_id"))
+        }
+      }
+      .start()
+
   /** Merge a [[startSketchStream]] store to the current sketch:
     * exact addition per (group, seed, cell). */
   def readSketchStore(spark: SparkSession, path: String,

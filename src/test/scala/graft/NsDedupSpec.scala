@@ -533,4 +533,27 @@ class NsDedupSpec extends SparkSpec {
       assert(bloom == exact, s"fpp=$fpp diverged")
     }
   }
+
+  test("conversationDedup: id-independent, but turn ORDER and role " +
+      "both distinguish; partition-independent") {
+    val turns = Seq(
+      // convs 1 and 2: identical ordered turns (different ids) → dup
+      (1L, 0L, "user", "hello there"), (1L, 1L, "assistant", "hi"),
+      (2L, 0L, "user", "hello there"), (2L, 1L, "assistant", "hi"),
+      // conv 3: SAME turns, swapped order → distinct
+      (3L, 0L, "assistant", "hi"), (3L, 1L, "user", "hello there"),
+      // conv 4: same order + content, one role flipped → distinct
+      (4L, 0L, "user", "hello there"), (4L, 1L, "user", "hi"))
+      .toDF("conv", "turn_idx", "role", "content")
+    val out = Dedup.conversationDedup(turns, "conv", "turn_idx",
+      "role", "content")
+      .select(col("conv"), col("dup_count"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    val re = Dedup.conversationDedup(turns.repartition(5), "conv",
+      "turn_idx", "role", "content")
+      .select(col("conv"), col("dup_count"))
+      .as[(Long, Long)].collect().toMap
+    assert(re == out)
+  }
 }

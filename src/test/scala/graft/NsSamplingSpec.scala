@@ -416,6 +416,38 @@ class NsSamplingSpec extends SparkSpec {
     assert(re == base)
   }
 
+  test("packSegments: per-doc lengths conserved, per-pack segments " +
+      "tile [0, chunk) exactly, zero-length docs emit nothing") {
+    // lengths engineered so docs straddle chunk boundaries: chunk 10,
+    // lens 7, 6 (spans packs 0-1), 0 (must vanish), 12 (spans 1-2), 4
+    val lens = Seq((1L, 7L), (2L, 6L), (3L, 0L), (4L, 12L), (5L, 4L))
+      .toDF("doc_id", "n")
+    val packed = Sampling.packOffsets(lens, "doc_id", "n",
+      chunkSize = 10, bucketSize = 100L)
+    val segs = Sampling.packSegments(packed, "doc_id", "n",
+      chunkSize = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    // conservation: each doc's segment lengths sum to its length
+    val byDoc = segs.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byDoc == Map(1L -> 7L, 2L -> 6L, 4L -> 12L, 5L -> 4L))
+    assert(!byDoc.contains(3L), "zero-length doc must emit no segment")
+    // tiling: within each pack, sorted segments are contiguous from 0
+    segs.groupBy(_._1).foreach { case (pack, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"pack $pack does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._4 == b._3, s"gap in pack $pack")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum <= 10L, s"pack $pack overflows")
+    }
+    // every pack except the last is FULL (total 29 tokens → packs
+    // 0..2: 10, 10, 9)
+    val packTotals = segs.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    assert(packTotals.toMap == Map(0L -> 10L, 1L -> 10L, 2L -> 9L))
+  }
+
   test("dsirResample: planted distribution shift — target-vocab docs " +
       "upweighted above every background doc; selection tracks " +
       "keepFrac; deterministic under repartitioning") {

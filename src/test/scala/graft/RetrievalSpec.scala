@@ -128,6 +128,29 @@ class RetrievalSpec extends SparkSpec {
     assert(again == out.toSet)
   }
 
+  test("contextAssembly: kept set is a strict rank prefix — a later " +
+      "small doc never leapfrogs an earlier overflow") {
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q", "id", "rn")
+    val docs = Seq((10L, "one two three"),
+      (11L, "a b c d e f g h i j k l"), (12L, "x"))
+      .toDF("doc_id", "text")
+    // token counts 3, 12, 1; budget 5: cum = 3, 15, 16 → only rank 1
+    // kept; rank 3 (1 token, would fit alone) must NOT be kept —
+    // prompt order is rank order
+    val out = Retrieval.contextAssembly(ranked, "q", "id", "rn",
+      docs, "doc_id", "text", tokenBudget = 5)
+      .select(col("q"), col("id"), col("rn"), col("n_tokens"),
+        col("cum_tokens"), col("kept"))
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._3)
+    assert(out.map(t => (t._2, t._4, t._5, t._6)).toSeq == Seq(
+      (10L, 3L, 3L, true), (11L, 12L, 15L, false),
+      (12L, 1L, 16L, false)))
+    // monotone: once false, always false (prefix property)
+    assert(!out.dropWhile(_._6).exists(_._6))
+  }
+
   test("deterministic under repartitioning; knownStats reproduces " +
       "the computed-stats output") {
     val docs = Tables(spark, sf, "documents")
