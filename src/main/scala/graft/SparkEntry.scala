@@ -2554,6 +2554,39 @@ object SparkEntry {
           Seq("conversation_id"))
     }),
 
+    // ---- §2.8 [NS] conversation quality gates (r13) ----
+    // Turn-structure defects document gates cannot see, planted per
+    // id class: %11 swaps roles (opens with assistant), %7 empties
+    // the user turn, %5 appends a second consecutive assistant turn
+    // (an alternation violation UNLESS %11 also swapped — the
+    // overlap the oracle must reproduce from the same formulas, not
+    // from per-class shortcuts). Clean conversations keep.
+    "ns189_conversation_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val id = col("doc_id")
+      val content = regexp_replace(
+        array_join(slice(TextOps.wordTokens(col("text")), 1, 3), " "),
+        "[^a-z0-9 ]", "")
+      val role0 = when(pmod(id, lit(11)) === 0, lit("assistant"))
+        .otherwise(lit("user"))
+      val role1 = when(pmod(id, lit(11)) === 0, lit("user"))
+        .otherwise(lit("assistant"))
+      val turn0 = docs.select(id.as("conversation_id"),
+        lit(0L).as("turn_idx"), role0.as("role"),
+        when(pmod(id, lit(7)) === 0, lit(""))
+          .otherwise(content).as("content"))
+      val turn1 = docs.select(id.as("conversation_id"),
+        lit(1L).as("turn_idx"), role1.as("role"),
+        concat(lit("ok "), id.cast("string")).as("content"))
+      val turn2 = docs.filter(pmod(id, lit(5)) === 0)
+        .select(id.as("conversation_id"), lit(2L).as("turn_idx"),
+          lit("assistant").as("role"),
+          concat(lit("extra "), id.cast("string")).as("content"))
+      graft.ns.Posttrain.conversationQuality(
+        turn0.unionByName(turn1).unionByName(turn2),
+        "conversation_id", "turn_idx", "role", "content")
+    }),
+
     // ---- §2.8 [NS] agent-trace tool-call validation (r13) ----
     // The agentic-corpus QA step: assistant turns carrying tool
     // calls must parse as structured JSON before an episode enters

@@ -242,6 +242,50 @@ object Posttrain {
           .otherwise(lit(0.0)).as("kappa"))
   }
 
+  /** Conversation-level quality gates — the SFT corpus's Gopher:
+    * document gates cannot see TURN-STRUCTURE defects, and a trainer
+    * fed a conversation that opens with the assistant, repeats a
+    * role back-to-back, or carries empty turns learns the template
+    * wrong. Battery (each a named count/flag so a datasheet can
+    * report WHY a conversation dropped, the ns129 convention):
+    * turn count, consecutive-same-role violations, empty-content
+    * turns, opens-with-user, closes-with-assistant; `keep` is the
+    * conjunction (≥ 2 turns, zero violations, zero empties, right
+    * endpoints). One conversation-keyed exchange: a lag window for
+    * adjacency plus min/max-(turn, role) structs for the endpoints,
+    * both over template-bounded turn counts.
+    * Output: (convCol, n_turns, n_violations, n_empty,
+    * starts_with_user, ends_with_assistant, keep). */
+  def conversationQuality(turns: DataFrame, convCol: String,
+      turnCol: String, roleCol: String,
+      contentCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col("__turn"))
+    val flagged = turns
+      .select(col(convCol), col(turnCol).cast("long").as("__turn"),
+        col(roleCol).as("__role"),
+        coalesce(col(contentCol), lit("")).as("__c"))
+      .withColumn("__prev", lag(col("__role"), 1).over(w))
+      .withColumn("__viol",
+        when(col("__prev").isNotNull &&
+          col("__prev") === col("__role"), 1L).otherwise(0L))
+      .withColumn("__empty",
+        when(length(trim(col("__c"))) === 0, 1L).otherwise(0L))
+    flagged.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("__viol")).as("n_violations"),
+        sum(col("__empty")).as("n_empty"),
+        min(struct(col("__turn"), col("__role"))).as("__first"),
+        max(struct(col("__turn"), col("__role"))).as("__last"))
+      .select(col(convCol), col("n_turns"), col("n_violations"),
+        col("n_empty"),
+        (col("__first.__role") === "user").as("starts_with_user"),
+        (col("__last.__role") === "assistant").as("ends_with_assistant"))
+      .withColumn("keep",
+        col("n_turns") >= 2 && col("n_violations") === 0 &&
+          col("n_empty") === 0 && col("starts_with_user") &&
+          col("ends_with_assistant"))
+  }
+
   /** Token-aligned SFT assembly — the step that turns a curated chat
     * corpus into what a dataloader actually reads: every turn renders
     * into the deterministic template `<|role|>content<|end|>` (the

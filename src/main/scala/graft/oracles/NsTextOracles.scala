@@ -434,6 +434,36 @@ private[graft] object NsTextOracles {
     // truncated docs emit exactly one quarantine row with the raw
     // line rebuilt. s16 is the streaming restatement over the same
     // fixture lines — the drained sink must equal the same rows.
+    // Conversation quality: every battery column re-derived from the
+    // planting formulas INCLUDING their overlaps (%55 swaps-and-
+    // appends: the extra assistant turn follows a USER turn — no
+    // violation — but the conversation still opens with the
+    // assistant) and the natural-empty case (a content formula that
+    // strips to whitespace counts as empty with or without %7).
+    "ns189_conversation_quality" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(array_to_string(
+        |      string_split(regexp_replace(lower(trim(text)),
+        |        '\s+', ' ', 'g'), ' ')[1:3], ' '),
+        |      '[^a-z0-9 ]', '', 'g') AS content
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS n_turns,
+        |    CAST(CASE WHEN doc_id % 5 = 0 AND doc_id % 11 <> 0
+        |      THEN 1 ELSE 0 END AS BIGINT) AS n_violations,
+        |    CAST(CASE WHEN trim(CASE WHEN doc_id % 7 = 0 THEN ''
+        |      ELSE content END) = '' THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_empty,
+        |    doc_id % 11 <> 0 AS starts_with_user,
+        |    (doc_id % 5 = 0 OR doc_id % 11 <> 0) AS ends_with_assistant
+        |  FROM c)
+        |SELECT doc_id AS conversation_id, n_turns, n_violations,
+        |  n_empty, starts_with_user, ends_with_assistant,
+        |  n_turns >= 2 AND n_violations = 0 AND n_empty = 0
+        |    AND starts_with_user AND ends_with_assistant AS keep
+        |FROM q""".stripMargin,
     // Tool-call validation: one row per good conversation, the tool
     // name and validity predicted per planted class — repairable
     // classes surface their name, the truncated class must be

@@ -259,6 +259,32 @@ class PosttrainPrivacySpec extends SparkSpec {
     assert(d.toSet === Set(1L))
   }
 
+  test("conversationQuality: each battery column fires on exactly " +
+      "its defect class; clean conversations keep") {
+    val turns = Seq(
+      // conv 1: clean two-turn
+      (1L, 0L, "user", "hi"), (1L, 1L, "assistant", "hello"),
+      // conv 2: opens with assistant
+      (2L, 0L, "assistant", "hi"), (2L, 1L, "user", "ok"),
+      // conv 3: consecutive assistant turns (still ends assistant)
+      (3L, 0L, "user", "hi"), (3L, 1L, "assistant", "a"),
+      (3L, 2L, "assistant", "b"),
+      // conv 4: whitespace-only user turn
+      (4L, 0L, "user", "   "), (4L, 1L, "assistant", "x"),
+      // conv 5: singleton user turn (too short, wrong close)
+      (5L, 0L, "user", "alone"))
+      .toDF("conv", "turn_idx", "role", "content")
+    val out = Posttrain.conversationQuality(turns, "conv",
+      "turn_idx", "role", "content")
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 0L, 0L, true, true, true)))
+    assert(out(2L) == ((2L, 2L, 0L, 0L, false, false, false)))
+    assert(out(3L) == ((3L, 3L, 1L, 0L, true, true, false)))
+    assert(out(4L) == ((4L, 2L, 0L, 1L, true, true, false)))
+    assert(out(5L) == ((5L, 1L, 0L, 0L, true, false, false)))
+  }
+
   test("sftTokenMask: per-turn spans tile the conversation token " +
       "stream, and per-turn encoding equals whole-conversation " +
       "encoding on real fixture text") {
