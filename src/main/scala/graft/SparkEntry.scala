@@ -137,13 +137,18 @@ object SparkEntry {
     }
 
   /** The hybrid (BM25 ⊕ int8-MIPS) RRF ranking ns181/ns185 share:
-    * both legs over the doc_id%59==3 query set (vec_id ≡ doc_id in
-    * the fixture star schema), fused at k=60. Output: (q_id, doc_id,
-    * rrf_nano, n_legs, rn). */
+    * both legs over the doc_id%59==3, doc_id<3000 query set (vec_id
+    * ≡ doc_id in the fixture star schema; the id cap PINS |Q| ≈ 50
+    * past sf0.1 — the ns166 fixed-query convention, so the dense
+    * leg's |Q|·N scan stays corpus-LINEAR at scale instead of
+    * growing with both factors), fused at k=60. Output: (q_id,
+    * doc_id, rrf_nano, n_legs, rn). */
   private def hybridRrf(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val emb = t(s, d, "embeddings")
-    val qText = docs.filter(pmod(col("doc_id"), lit(59)) === 3)
+    val qPred = pmod(col("doc_id"), lit(59)) === 3 &&
+      col("doc_id") < 3000
+    val qText = docs.filter(qPred)
       .select(col("doc_id").as("q_id"),
         array_join(slice(TextOps.wordTokens(col("text")), 1, 4), " ")
           .as("q_text"))
@@ -151,7 +156,8 @@ object SparkEntry {
         qText, "q_id", "q_text", k = 10,
         maxPostingsPerTerm = Some(200))
       .select(col("q_id"), col("doc_id"), col("rn"))
-    val qEmb = emb.filter(pmod(col("vec_id"), lit(59)) === 3)
+    val qEmb = emb.filter(pmod(col("vec_id"), lit(59)) === 3 &&
+        col("vec_id") < 3000)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val dense = graft.ns.Similarity.int8MipsTopK(emb, "vec_id",
         "embedding", qEmb, "q_id", "q_emb", k = 10)

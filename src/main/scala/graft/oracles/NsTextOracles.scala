@@ -153,7 +153,7 @@ private[graft] object NsTextOracles {
       |st AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS t
       |  FROM tok),
       |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(toks[1:4]) AS term
-      |  FROM base WHERE doc_id % 59 = 3),
+      |  FROM base WHERE doc_id % 59 = 3 AND doc_id < 3000),
       |dfq AS (SELECT term, count(*) AS dfreq FROM tf
       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
       |idf AS (SELECT term,
@@ -197,7 +197,7 @@ private[graft] object NsTextOracles {
       |    END AS q
       |  FROM es),
       |qs AS (SELECT vec_id AS q_id, q AS qv FROM eq
-      |  WHERE vec_id % 59 = 3),
+      |  WHERE vec_id % 59 = 3 AND vec_id < 3000),
       |dsc AS (SELECT qs.q_id, d.vec_id AS doc_id,
       |    CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
       |      i -> CAST(qs.qv[i] AS BIGINT) * d.q[i])) AS BIGINT)
