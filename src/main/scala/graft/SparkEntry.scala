@@ -1958,6 +1958,53 @@ object SparkEntry {
     // assigned BEFORE the seen filter (a crawl round reserves slots,
     // then skips already-fetched URLs). The oracle re-derives the
     // whole funnel in independent SQL.
+    // ---- §2.8 [NS] SFT assembly round, end-to-end (r13, p10) ----
+    // The separately-gated SFT stages composed, the chat analogue of
+    // p09's crawl round: chat-JSONL parse (ns169's front door, conv
+    // < 100 — the Python oracle's slice) → conversation quality gate
+    // (ns189's battery; a planted broken-export class — conv%13==0
+    // gains a second consecutive assistant turn — must drop here) →
+    // conversation dedup (ns186 over the gated set ∪ re-upload
+    // twins; min-id survivors) → token-mask encode (ns179's real
+    // BPE) → pack offsets + loss-token counts (ns180's machinery).
+    // The oracle composes the closed forms: the independent
+    // encoder's lens restricted to survivors, then the pack window.
+    "p10_sft_assembly" -> ((s, d) => {
+      val conv = col("conversation_id")
+      val parsed = graft.ingest.ChatIngest.parseChatLines(
+        chatJsonlLines(s, d).select(col("line")), "line")
+        .filter(!col("quarantined") && conv < 100)
+        .select(conv, col("turn_idx"), col("role"), col("content"))
+      val extra = parsed
+        .filter(col("role") === "assistant" && pmod(conv, lit(13)) === 0)
+        .select(conv, lit(2L).as("turn_idx"),
+          lit("assistant").as("role"),
+          concat(lit("retry "), conv.cast("string")).as("content"))
+      val base = parsed.unionByName(extra)
+      val twins = base.select((conv + 3000000L).as("conversation_id"),
+        col("turn_idx"), col("role"), col("content"))
+      val all = base.unionByName(twins)
+      val kept = graft.ns.Posttrain.conversationQuality(all,
+          "conversation_id", "turn_idx", "role", "content")
+        .filter(col("keep")).select(conv)
+      val keptTurns = all.join(kept, Seq("conversation_id"),
+        "left_semi")
+      val survivors = Dedup.conversationDedup(keptTurns,
+          "conversation_id", "turn_idx", "role", "content")
+        .select(conv)
+      val survTurns = keptTurns.join(survivors,
+        Seq("conversation_id"), "left_semi")
+      val toks = graft.ns.Posttrain.sftTokenMask(survTurns,
+        "conversation_id", "turn_idx", "role", "content")
+      val lens = toks.groupBy(conv)
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("loss"), 1L).otherwise(0L)).as("n_loss_tokens"))
+      Sampling.packOffsets(lens, "conversation_id", "n_tokens",
+          chunkSize = 256, bucketSize = 100L)
+        .join(lens.select(conv, col("n_loss_tokens")),
+          Seq("conversation_id"))
+    }),
+
     "p09_polite_crawl" -> ((s, d) => {
       val base = t(s, d, "documents")
         .select(col("doc_id"), fixtureUrl.as("url"))

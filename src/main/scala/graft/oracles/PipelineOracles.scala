@@ -152,6 +152,32 @@ private[graft] object PipelineOracles {
     // dedup with variant multiplicity, the domain blocklist, the
     // politeness window, and the seen-set anti-join last (slots are
     // reserved before the seen filter, matching the engine).
+    // p10: the SFT chain's closed forms composed — survivors are the
+    // good (%17<>0) conversations under 100 minus the planted
+    // broken-export class (%13==0, dropped by the quality gate; its
+    // re-upload twin drops with it, and every surviving group's
+    // min-id survivor is the base id), with lens from the
+    // independent encoder's table and ns180's pack window.
+    "p10_sft_assembly" ->
+      """WITH lens AS (
+        |  SELECT conversation_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_loss_tokens
+        |  FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/sft_oracle_sf001.parquet')
+        |  WHERE conversation_id % 13 <> 0
+        |  GROUP BY 1)
+        |SELECT conversation_id, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY conversation_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_offset,
+        |  CAST(floor(CAST(coalesce(SUM(n_tokens) OVER (
+        |    ORDER BY conversation_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS DOUBLE) / 256) AS BIGINT) AS pack_id,
+        |  n_loss_tokens
+        |FROM lens""".stripMargin,
     "p09_polite_crawl" ->
       """WITH u0 AS (
         |  SELECT doc_id,
