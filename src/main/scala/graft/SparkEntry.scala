@@ -1971,8 +1971,13 @@ object SparkEntry {
     // encoder's lens restricted to survivors, then the pack window.
     "p10_sft_assembly" -> ((s, d) => {
       val conv = col("conversation_id")
+      // pre-filter the LINES to the gated slice (doc_id ≡ the
+      // conversation id the good lines carry) so the parse pays the
+      // slice, not the corpus — the predicate-pushdown discipline at
+      // the pipeline's front door
       val parsed = graft.ingest.ChatIngest.parseChatLines(
-        chatJsonlLines(s, d).select(col("line")), "line")
+        chatJsonlLines(s, d).filter(col("doc_id") < 100)
+          .select(col("line")), "line")
         .filter(!col("quarantined") && conv < 100)
         .select(conv, col("turn_idx"), col("role"), col("content"))
       val extra = parsed
