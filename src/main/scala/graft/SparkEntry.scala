@@ -2004,6 +2004,7 @@ object SparkEntry {
       val lens = toks.groupBy(conv)
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("loss"), 1L).otherwise(0L)).as("n_loss_tokens"))
+        .localCheckpoint(true)
       Sampling.packOffsets(lens, "conversation_id", "n_tokens",
           chunkSize = 256, bucketSize = 100L)
         .join(lens.select(conv, col("n_loss_tokens")),
@@ -2603,9 +2604,14 @@ object SparkEntry {
           chatJsonlLines(s, d).select(col("line")), "line")
           .filter(!col("quarantined") && col("conversation_id") < 100),
         "conversation_id", "turn_idx", "role", "content")
+      // materialize the conversation-sized lens ONCE: packOffsets
+      // legitimately scans its input twice (totals + windowed pass)
+      // and the loss-count join adds a third — without this, each
+      // pass re-runs the whole parse+encode chain
       val lens = toks.groupBy(col("conversation_id"))
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("loss"), 1L).otherwise(0L)).as("n_loss_tokens"))
+        .localCheckpoint(true)
       Sampling.packOffsets(lens, "conversation_id", "n_tokens",
           chunkSize = 256, bucketSize = 100L)
         .join(lens.select(col("conversation_id"), col("n_loss_tokens")),
@@ -2737,6 +2743,7 @@ object SparkEntry {
         "conversation_id", "turn_idx", "role", "content")
       val lens = toks.groupBy(col("conversation_id"))
         .agg(count(lit(1)).as("n_tokens"))
+        .localCheckpoint(true)
       Sampling.packSegments(
         Sampling.packOffsets(lens, "conversation_id", "n_tokens",
           chunkSize = 256, bucketSize = 100L),
