@@ -618,7 +618,10 @@ case class PqAdcScoreExpr(left: Expression, right: Expression)
   * (|a_i·b_i| ≤ 127² = 16 129; any real dim fits), iteration runs
   * over min(len) ascending — for equal-length codes (the quantizer's
   * invariant) that is element-for-element the zip-fold's sum, which
-  * is what the kernel≡HOF law in NsSimilaritySpec pins. */
+  * is what the kernel≡HOF law in NsSimilaritySpec pins. The kernel is
+  * only reached on equal lengths: [[Int8DotExpr]] returns NULL on a
+  * dimension mismatch (round-13 ADVICE — the zip_with twin's
+  * semantics; a truncated score must never rank). */
 object Int8DotKernel {
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
@@ -642,14 +645,27 @@ case class Int8DotExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def nullSafeEval(a: Any, b: Any): Any =
-    Int8DotKernel.dot(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  // Length mismatch → NULL (round-13 ADVICE): the interpreted
+  // zip_with/aggregate formulation this kernel replaced returned null
+  // on mismatched dimensions, and a silently TRUNCATED dot product
+  // would hand a wrong-dimension corpus row a plausible score that
+  // could crack the top-k. Null sorts out of the ranking, same as the
+  // HOF twin — so nullable is unconditionally true.
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else Int8DotKernel.dot(aa, bb)
+  }
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |${ev.value} = graft.functions.Int8DotKernel.dot($a, $b);
+      |if ($a.numElements() != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.Int8DotKernel.dot($a, $b);
+      |}
       |""".stripMargin)
   override def prettyName: String = "int8_dot"
   override protected def withNewChildrenInternal(newLeft: Expression,

@@ -230,11 +230,23 @@ object Retrieval {
       rnCol: String, docs: DataFrame, docIdCol: String,
       textCol: String, tokenBudget: Long): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
+    // LEFT join + loud failure on unresolved ids (round-13 ADVICE):
+    // an inner join would silently DROP a ranked id missing from
+    // docs, leaving a rank gap — later docs kept as if the missing
+    // one cost zero tokens, violating the strict rank-prefix
+    // contract. A candidate set pointing at absent doc text is a
+    // pipeline bug (stale index vs store), so it raises, not shifts.
     val withTok = broadcast(ranked
         .select(col(qCol), col(idCol), col(rnCol).cast("long").as("rn")))
       .join(docs.select(col(docIdCol).as(idCol),
         TextOps.bpeTokenCount(col(textCol)).cast("long")
-          .as("n_tokens")), Seq(idCol))
+          .as("__tok")), Seq(idCol), "left")
+      .withColumn("n_tokens", when(col("__tok").isNull,
+          raise_error(concat(
+            lit("contextAssembly: ranked id missing from docs: "),
+            col(idCol).cast("string"))).cast("long"))
+        .otherwise(col("__tok")))
+      .drop("__tok")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qCol)).orderBy(col("rn"))
       .rowsBetween(org.apache.spark.sql.expressions.Window

@@ -167,6 +167,18 @@ private[graft] object PipelineOracles {
         |  FROM read_parquet(
         |'/root/repo/src/test/resources/graft/sft_oracle_sf001.parquet')
         |  WHERE conversation_id % 13 <> 0
+        |    -- natural-empty gate (round-13 ADVICE): a conversation
+        |    -- whose first-3-words canonical content strips to empty
+        |    -- drops at the engine's n_empty battery column (the
+        |    -- ns189 convention) — modeled here so the oracle stays
+        |    -- closed-form under fixture regeneration, not just under
+        |    -- the current corpus where no doc_id < 100 hits it.
+        |    AND conversation_id NOT IN (
+        |      SELECT doc_id FROM documents
+        |      WHERE trim(regexp_replace(array_to_string(
+        |          string_split(regexp_replace(lower(trim(text)),
+        |            '\s+', ' ', 'g'), ' ')[1:3], ' '),
+        |          '[^a-z0-9 ]', '', 'g')) = '')
         |  GROUP BY 1)
         |SELECT conversation_id, n_tokens,
         |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY conversation_id

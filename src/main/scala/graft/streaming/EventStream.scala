@@ -255,8 +255,14 @@ object EventStream {
           // match against STRICTLY EARLIER batches only: a replayed
           // batch re-sees exactly the bank prefix it saw originally
           // (never itself, never later batches), so matches replay
-          // bit-identically
-          if (new java.io.File(bankPath).exists()) {
+          // bit-identically. Existence goes through Hadoop's
+          // FileSystem (round-13 ADVICE): java.io.File is local-only
+          // and on HDFS/S3 would be always-false — the bank would
+          // fill while matches were silently never produced.
+          val bankHPath = new org.apache.hadoop.fs.Path(bankPath)
+          val bankFs = bankHPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (bankFs.exists(bankHPath)) {
             val bank = spark.read.parquet(bankPath)
               .filter(col("batch_id") < batchId)
             val cands = rows

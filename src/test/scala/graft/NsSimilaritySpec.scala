@@ -633,6 +633,22 @@ class NsSimilaritySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("Int8DotExpr: dimension mismatch yields NULL, never a " +
+      "truncated score (round-13 ADVICE — the zip_with twin's law)") {
+    val df = Seq(
+      (1L, Seq(1, 2, 3), Seq(4, 5, 6)),
+      (2L, Seq(1, 2, 3), Seq(4, 5)), // mismatched: must be null
+      (3L, Seq(7), Seq(-7)))
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.functions.int8_dot(col("a"), col("b"))
+          .as("dot"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(df(1L).contains(32L))
+    assert(df(2L).isEmpty, "mismatched lengths must score null")
+    assert(df(3L).contains(-49L))
+  }
+
   test("labelCentroids: exact means on representable values") {
     // values with ≤ 24 fractional bits are fixed-point-exact, so the
     // centroid is the EXACT arithmetic mean — no fp tolerance needed.

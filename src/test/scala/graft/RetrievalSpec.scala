@@ -151,6 +151,22 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.dropWhile(_._6).exists(_._6))
   }
 
+  test("contextAssembly: a ranked id missing from docs fails loudly " +
+      "instead of silently shifting the kept prefix (round-13 ADVICE)") {
+    val ranked = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3))
+      .toDF("q", "id", "rn")
+    val docs = Seq((10L, "one two three"), (12L, "x"))
+      .toDF("doc_id", "text") // 99 absent: stale index vs store
+    val ex = intercept[Exception] {
+      Retrieval.contextAssembly(ranked, "q", "id", "rn",
+        docs, "doc_id", "text", tokenBudget = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("missing from docs")), ex.toString)
+  }
+
   test("deterministic under repartitioning; knownStats reproduces " +
       "the computed-stats output") {
     val docs = Tables(spark, sf, "documents")
