@@ -136,6 +136,43 @@ object SparkEntry {
           .otherwise(goodLine).as("line"))
     }
 
+  /** Shared s18/s20 runner: documents split into two micro-batches,
+    * the MinHash signature bank maintained through
+    * [[EventStream.startMinhashBankStream]] with the injected
+    * band-row builder (md5 algorithm gate for s18, xxhash64
+    * production idiom for s20 — the ns03b/ns03 split at the
+    * streaming layer, r14), drained bank returned. */
+  private def minhashBankStream(s: SparkSession, d: String,
+      tag: String,
+      bandRows: (DataFrame, String, String, Int, Int) => DataFrame)
+      : DataFrame = {
+    val base = newScratchDir(tag)
+    val srcDir = new java.io.File(base, "src")
+    srcDir.mkdirs()
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0)
+      .zipWithIndex.foreach { case (p, i) =>
+        val tmp = new java.io.File(base, s"tmp$i")
+        docs.filter(p).coalesce(1).write.parquet(tmp.getPath)
+        val part = tmp.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        deleteRecursively(tmp)
+      }
+    val stream = EventStream.fileSource(s, srcDir.getPath,
+      s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+    val q = EventStream.startMinhashBankStream(stream,
+      s"${base.getPath}/bank", s"${base.getPath}/matches",
+      s"${base.getPath}/ckpt", "doc_id", "text", n = 3,
+      bandRows = bandRows)
+    q.awaitTermination()
+    materializeAndDrop(
+      EventStream.readMinhashBank(s, s"${base.getPath}/bank",
+        "doc_id"), base)
+  }
+
   /** The hybrid (BM25 ⊕ int8-MIPS) RRF ranking ns181/ns185 share:
     * both legs over the doc_id%59==3, doc_id<3000 query set (vec_id
     * ≡ doc_id in the fixture star schema; the id cap PINS |Q| ≈ 50
@@ -216,7 +253,8 @@ object SparkEntry {
       "ns03b_minhash_exact",       // md5 MinHash twin of ns03
       "ns04b_simhash_exact",       // md5 SimHash twin of ns04
       "ns06b_ann_topk_exact",      // md5-parity-plane twin of ns06
-      "ns146b_pq_encode_exact")    // md5-parity-codebook twin of ns146
+      "ns146b_pq_encode_exact",    // md5-parity-codebook twin of ns146
+      "s18_stream_minhash_bank")   // md5 bank twin of s20 (r14)
     queries.keys.map(n =>
       n -> (if (diagnostic(n)) "diagnostic"
             else if (gates(n)) "algorithm_gate"
@@ -4553,32 +4591,25 @@ object SparkEntry {
     // partition. The drained bank must equal the ns03b banding
     // CTEs run once over the whole corpus — batching-invariant by
     // construction since a signature depends only on its document.
-    "s18_stream_minhash_bank" -> ((s, d) => {
-      val base = newScratchDir("graft_s18")
-      val srcDir = new java.io.File(base, "src")
-      srcDir.mkdirs()
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0)
-        .zipWithIndex.foreach { case (p, i) =>
-          val tmp = new java.io.File(base, s"tmp$i")
-          docs.filter(p).coalesce(1).write.parquet(tmp.getPath)
-          val part = tmp.listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = new java.io.File(srcDir, s"batch$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          deleteRecursively(tmp)
-        }
-      val stream = EventStream.fileSource(s, srcDir.getPath,
-        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
-      val q = EventStream.startMinhashBankStream(stream,
-        s"${base.getPath}/bank", s"${base.getPath}/matches",
-        s"${base.getPath}/ckpt", "doc_id", "text", n = 3)
-      q.awaitTermination()
-      materializeAndDrop(
-        EventStream.readMinhashBank(s, s"${base.getPath}/bank",
-          "doc_id"), base)
-    }),
+    // Since r14 this is the ALGORITHM-GATE twin (tier re-declared,
+    // r13 verdict #2): the md5 idiom exists to hash-gate the banding
+    // against DuckDB, while the registered production bank is s20's
+    // xxhash64 build of the SAME machinery.
+    "s18_stream_minhash_bank" -> ((s, d) =>
+      minhashBankStream(s, d, "graft_s18",
+        Dedup.minhashBandRowsExact(_, _, _, _, _))),
+
+    // ---- §7.4.6 [NS] streaming MinHash bank, production tier ----
+    // s18's machinery with the PRODUCTION signature idiom (r14): bank
+    // rows from Dedup.minhashBandRows — ONE xxhash64 per gram plus k
+    // long-mixes, vs the md5 twin's 16 md5 evaluations per gram that
+    // made s18 the slowest production query at sf1 (78.8 s). Rows-
+    // only by its xxhash64 (the ns03/ns03b split); the bank≡batch and
+    // idempotent-replay laws hold for both builders in StreamingSpec,
+    // and the md5 twin (s18) hash-gates the banding algorithm itself.
+    "s20_stream_minhash_bank" -> ((s, d) =>
+      minhashBankStream(s, d, "graft_s20",
+        Dedup.minhashBandRows(_, _, _, _, _))),
 
     // ---- §7.4.6 [NS] streaming SFT token-mask assembly (r13) ----
     // ns179 on the ingest stream: chat-JSONL lines (the cached s16

@@ -520,6 +520,30 @@ object Dedup {
           col("chunk.h1").cast("string")).as("chunk"))
   }
 
+  /** PRODUCTION-tier signature-bank rows — [[minhashBandRowsExact]]'s
+    * storable (idCol, band, chunk) projection built from the ns03
+    * xxhash64 idiom: ONE 64-bit string hash per gram, then k cheap
+    * long-mixes ([[minhashSignature]]), vs the md5 twin's 16 md5
+    * evaluations per gram. Identical banding semantics (16 min-hashes,
+    * 8 bands × 2 rows, chunk = "h0:h1"), so two docs band-collide iff
+    * they share a (band, chunk) row — same candidate surface, same
+    * storability, ~an order of magnitude less hash work. Rows-only by
+    * its xxhash64 (like ns03); the md5 twin is the hash-gated
+    * algorithm pin (ns03b / s18), and the bank≡batch + replay laws in
+    * StreamingSpec hold for BOTH builders through the same streaming
+    * machinery. Output: (idCol, band, chunk). */
+  def minhashBandRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = 2
+    val g = shingles(df, idCol, textCol, n)
+    val sig = minhashSignature(g, idCol, numHashTables * rowsPerBand,
+      seed)
+    bandedSig(sig, idCol, numHashTables)
+      .select(col(idCol), col("band").cast("long").as("band"),
+        concat(col("chunk.h0").cast("string"), lit(":"),
+          col("chunk.h1").cast("string")).as("chunk"))
+  }
+
   def minhashNearDupPairsExact(df: DataFrame, idCol: String,
       textCol: String, n: Int, maxJaccardDist: Double,
       numHashTables: Int = 8): DataFrame = {

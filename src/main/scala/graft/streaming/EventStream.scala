@@ -220,8 +220,11 @@ object EventStream {
 
   /** Streaming MinHash signature-bank maintenance — the near-dup
     * index's store-once shape (r13): each micro-batch of documents
-    * computes its OWN banded signatures (batch-sized work, the
-    * [[graft.ns.Dedup.minhashBandRowsExact]] md5 idiom), matches
+    * computes its OWN banded signatures (batch-sized work; the
+    * production default is [[graft.ns.Dedup.minhashBandRows]]'s
+    * xxhash64 idiom — one 64-bit hash per gram — with
+    * [[graft.ns.Dedup.minhashBandRowsExact]]'s md5 idiom injectable
+    * for the hash-gated algorithm pin, r13 verdict #2), matches
     * them against the bank AS STORED BEFORE THIS BATCH (band-chunk
     * equi-join — batch×matching-buckets cost, the ns41 delta shape;
     * candidate pairs land under `matchPath`, new-doc id first), and
@@ -242,7 +245,22 @@ object EventStream {
   def startMinhashBankStream(docs: DataFrame, bankPath: String,
       matchPath: String, checkpointDir: String, idCol: String,
       textCol: String, n: Int = 3, numHashTables: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      // The PRODUCTION default builds bank rows with the ns03
+      // xxhash64 idiom (one 64-bit hash per gram — r13 verdict #2:
+      // the md5 idiom's 16-md5s-per-gram constant made the bank the
+      // slowest production query); pass
+      // [[graft.ns.Dedup.minhashBandRowsExact]] for the hash-gated
+      // md5 algorithm pin (s18). Both builders emit the same
+      // (idCol, band, chunk) shape through identical machinery.
+      bandRows: (DataFrame, String, String, Int, Int) => DataFrame =
+        graft.ns.Dedup.minhashBandRows(_, _, _, _, _),
+      // Per-batch output files (r13 verdict finding: a fixed
+      // coalesce(1) serializes a LARGE ingest batch through one write
+      // task; fixture-scale batches keep the single-file default,
+      // production sizes this to batch volume). Idempotent replay is
+      // untouched — the batch still replaces its whole partition.
+      batchPartitions: Int = 1): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -250,8 +268,7 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val rows = graft.ns.Dedup.minhashBandRowsExact(batch,
-            idCol, textCol, n, numHashTables)
+          val rows = bandRows(batch, idCol, textCol, n, numHashTables)
           // match against STRICTLY EARLIER batches only: a replayed
           // batch re-sees exactly the bank prefix it saw originally
           // (never itself, never later batches), so matches replay
@@ -274,10 +291,12 @@ object EventStream {
               .distinct()
               .withColumn("batch_id", lit(batchId))
             IdempotentWriter.replacePartitions(
-              cands.coalesce(1), matchPath, Seq("batch_id"))
+              cands.coalesce(batchPartitions), matchPath,
+              Seq("batch_id"))
           }
           IdempotentWriter.replacePartitions(
-            rows.withColumn("batch_id", lit(batchId)).coalesce(1),
+            rows.withColumn("batch_id", lit(batchId))
+              .coalesce(batchPartitions),
             bankPath, Seq("batch_id"))
         }
       }
@@ -305,7 +324,13 @@ object EventStream {
     * batching-invariant and reads as a plain scan. */
   def startSftTokenStream(lines: DataFrame, path: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      // r13 verdict finding: this store lands one row per TOKEN, so a
+      // fixed coalesce(1) would serialize a large ingest batch
+      // through a single write task. Fixture-scale callers keep the
+      // single-file default; production sizes this to batch volume
+      // (replay idempotency is per-partition and unaffected).
+      batchPartitions: Int = 1): StreamingQuery =
     lines.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -318,7 +343,8 @@ object EventStream {
           val toks = graft.ns.Posttrain.sftTokenMask(turns,
             "conversation_id", "turn_idx", "role", "content")
           IdempotentWriter.replacePartitions(
-            toks.withColumn("batch_id", lit(batchId)).coalesce(1),
+            toks.withColumn("batch_id", lit(batchId))
+              .coalesce(batchPartitions),
             path, Seq("batch_id"))
         }
       }

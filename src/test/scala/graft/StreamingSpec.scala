@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -337,54 +338,63 @@ class StreamingSpec extends SparkSpec {
 
   test("startMinhashBankStream: drained bank equals the batch " +
       "banding; matches are the cross-batch collisions; replay " +
-      "changes nothing") {
+      "changes nothing — for BOTH signature idioms (xxhash64 " +
+      "production default and the md5 algorithm gate)") {
     import graft.ns.Dedup
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_minhash_bank").toString
-    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
-    val shared = "the quick brown fox jumps over the lazy dog"
-    val docs = Seq(
-      (2L, shared), (4L, "completely different words entirely here"),
-      (1L, shared), (3L, "another unrelated document body text"))
-      .toDF("doc_id", "text")
-    // batch 0 = even ids, batch 1 = odd ids (arrival order pinned)
-    Seq(0, 1).foreach { i =>
-      val tmp = new java.io.File(base, s"tmp$i")
-      docs.filter(col("doc_id") % 2 === i).coalesce(1)
-        .write.parquet(tmp.getPath)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(srcDir, s"b$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
-    }
-    val bank = s"$base/bank"; val matches = s"$base/matches"
-    def drain(ckpt: String): Unit = {
-      val stream = EventStream.fileSource(spark, srcDir.getPath,
-        spark.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
-      EventStream.startMinhashBankStream(stream, bank, matches,
-        ckpt, "doc_id", "text", n = 3).awaitTermination()
-    }
-    drain(s"$base/ckpt")
-    def bankRows(): Set[(Long, Long, String)] =
-      EventStream.readMinhashBank(spark, bank, "doc_id")
+    val builders: Seq[(String,
+        (DataFrame, String, String, Int, Int) => DataFrame)] = Seq(
+      "xxhash64" -> (Dedup.minhashBandRows(_, _, _, _, _)),
+      "md5" -> (Dedup.minhashBandRowsExact(_, _, _, _, _)))
+    builders.foreach { case (idiom, build) =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_minhash_bank_$idiom").toString
+      val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+      val shared = "the quick brown fox jumps over the lazy dog"
+      val docs = Seq(
+        (2L, shared), (4L, "completely different words entirely here"),
+        (1L, shared), (3L, "another unrelated document body text"))
+        .toDF("doc_id", "text")
+      // batch 0 = even ids, batch 1 = odd ids (arrival order pinned)
+      Seq(0, 1).foreach { i =>
+        val tmp = new java.io.File(base, s"tmp$i")
+        docs.filter(col("doc_id") % 2 === i).coalesce(1)
+          .write.parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+      val bank = s"$base/bank"; val matches = s"$base/matches"
+      def drain(ckpt: String): Unit = {
+        val stream = EventStream.fileSource(spark, srcDir.getPath,
+          spark.read.parquet(srcDir.getPath).schema,
+          maxFilesPerTrigger = 1)
+        EventStream.startMinhashBankStream(stream, bank, matches,
+          ckpt, "doc_id", "text", n = 3, bandRows = build)
+          .awaitTermination()
+      }
+      drain(s"$base/ckpt")
+      def bankRows(): Set[(Long, Long, String)] =
+        EventStream.readMinhashBank(spark, bank, "doc_id")
+          .as[(Long, Long, String)].collect().toSet
+      def matchRows(): Set[(Long, Long)] =
+        spark.read.parquet(matches).select(col("new_id"),
+          col("stored_id")).as[(Long, Long)].collect().toSet
+      // 1. drained bank ≡ one batch banding pass over all docs
+      val whole = build(docs, "doc_id", "text", 3, 8)
         .as[(Long, Long, String)].collect().toSet
-    def matchRows(): Set[(Long, Long)] =
-      spark.read.parquet(matches).select(col("new_id"),
-        col("stored_id")).as[(Long, Long)].collect().toSet
-    // 1. drained bank ≡ one batch banding pass over all docs
-    val whole = Dedup.minhashBandRowsExact(docs, "doc_id", "text", 3)
-      .as[(Long, Long, String)].collect().toSet
-    assert(bankRows() == whole)
-    // 2. matches = batch-1 docs colliding with batch-0 docs: doc 1
-    // shares doc 2's text (identical signature); the unrelated docs
-    // collide with nothing
-    assert(matchRows() == Set((1L, 2L)))
-    // 3. fresh-checkpoint replay re-delivers both batches; partition
-    // replacement + the strictly-earlier match prefix keep both
-    // stores unchanged
-    drain(s"$base/ckpt2")
-    assert(bankRows() == whole)
-    assert(matchRows() == Set((1L, 2L)))
+      assert(bankRows() == whole, s"bank≡batch failed for $idiom")
+      // 2. matches = batch-1 docs colliding with batch-0 docs: doc 1
+      // shares doc 2's text (identical signature); the unrelated docs
+      // collide with nothing
+      assert(matchRows() == Set((1L, 2L)), s"matches wrong for $idiom")
+      // 3. fresh-checkpoint replay re-delivers both batches; partition
+      // replacement + the strictly-earlier match prefix keep both
+      // stores unchanged
+      drain(s"$base/ckpt2")
+      assert(bankRows() == whole)
+      assert(matchRows() == Set((1L, 2L)))
+    }
   }
 
   test("clickAttribution drained equals the batch range join") {
