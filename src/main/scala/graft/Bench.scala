@@ -208,7 +208,10 @@ object Bench {
       "ns153_ivfpq_topk",
       // r12: the cross-corpus containment join (ns150's machinery
       // over eval ∪ planted quotes) — cold ~12 s at sf0.1
-      "ns178_contamination_attribution")
+      "ns178_contamination_attribution",
+      // r14: conversation-grain MinHash (LSH candidate join family)
+      "ns194_conversation_near_dup",
+      "ns194b_conversation_near_dup_exact")
     // r14 (round-13 verdict #1): EVERY streaming query warms under
     // capMin, not just the six that were hand-listed. On the r13
     // driver host, s03/s04/s09–s11 finished their contended warm-up

@@ -203,6 +203,44 @@ object SparkEntry {
       "rn", k = 60, topK = 10)
   }
 
+  /** ns194/ns194b shared corpus: parsed good conversations plus
+    * EDITED re-upload twins (id+3000000, "hi " prepended to the user
+    * turn) — near-identical transcripts the exact fingerprint
+    * (ns186) cannot collapse. */
+  private def conversationNearDupCorpus(s: SparkSession,
+      d: String): DataFrame = {
+    val turns = graft.ingest.ChatIngest.parseChatLines(
+      chatJsonlLines(s, d).select(col("line")), "line")
+      .filter(!col("quarantined"))
+      .select(col("conversation_id"), col("turn_idx"), col("role"),
+        col("content"))
+    val twins = turns.select(
+      (col("conversation_id") + 3000000L).as("conversation_id"),
+      col("turn_idx"), col("role"),
+      when(col("role") === "user",
+        concat(lit("hi "), coalesce(col("content"), lit(""))))
+        .otherwise(col("content")).as("content"))
+    turns.unionByName(twins)
+  }
+
+  /** ns108/ns193 shared provenance edges — §2.8 [NS] dedup
+    * provenance (r10): the duplicate → survivor mapping exactDedup
+    * discards, one row per dropped doc with its kept twin and BOTH
+    * sides' sources (the takedown-propagation / funnel-attribution
+    * shape). Corpus is p03's replay fixture: every 10th doc
+    * re-ingested under a shifted id. The dropped side's source is on
+    * the row; the survivor's rides the same window via struct-min —
+    * one fingerprint shuffle, no corpus-sized join-back. */
+  private def provenanceEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    graft.ns.Dedup.exactDedupProvenance(corpus, "doc_id", "text",
+      carry = Seq("source"))
+  }
+
   /** The shared near-dup cluster assignment (3-gram Jaccard ≥ 0.5,
     * df-capped pairs → connected components), computed once per
     * (session, sf). ns37 publishes it; ns49 (survivors), ns52
@@ -254,7 +292,8 @@ object SparkEntry {
       "ns04b_simhash_exact",       // md5 SimHash twin of ns04
       "ns06b_ann_topk_exact",      // md5-parity-plane twin of ns06
       "ns146b_pq_encode_exact",    // md5-parity-codebook twin of ns146
-      "s18_stream_minhash_bank")   // md5 bank twin of s20 (r14)
+      "s18_stream_minhash_bank",   // md5 bank twin of s20 (r14)
+      "ns194b_conversation_near_dup_exact") // md5 twin of ns194 (r14)
     queries.keys.map(n =>
       n -> (if (diagnostic(n)) "diagnostic"
             else if (gates(n)) "algorithm_gate"
@@ -891,17 +930,21 @@ object SparkEntry {
     // The dropped side's source is on the row; the survivor's rides
     // the same window via struct-min — one fingerprint shuffle, no
     // corpus-sized join-back.
-    "ns108_dedup_provenance" -> ((s, d) => {
-      // p03's replay corpus: every 10th doc re-ingested under a
-      // shifted id, so each replay maps to its original as an edge
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-      val corpus = docs.unionAll(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .withColumn("doc_id", col("doc_id") + 100000L))
-      graft.ns.Dedup.exactDedupProvenance(corpus, "doc_id", "text",
-        carry = Seq("source"))
-    }),
+    "ns108_dedup_provenance" -> ((s, d) => provenanceEdges(s, d)),
+
+    // ---- §2.8 [NS] cross-source duplication matrix (r14) ----
+    // The Dolma-datasheet table over ns108's provenance edges: per
+    // (kept_source, dropped_source) pair, how many duplicates one
+    // source absorbs from another, plus the distinct survivor count —
+    // the release artifact that answers "which sources copy which".
+    // One broadcast-sized aggregation over the edge table (edges are
+    // duplicate-volume-sized, never corpus-sized); within-source
+    // replays land on the DIAGONAL (the law in NsDedupSpec).
+    "ns193_source_dup_matrix" -> ((s, d) =>
+      provenanceEdges(s, d)
+        .groupBy(col("kept_source"), col("dropped_source"))
+        .agg(count(lit(1)).as("n_dups"),
+          countDistinct(col("kept_id")).as("n_groups"))),
 
     // ---- §2.8 [NS] length-bucketed batching manifest (r10) ----
     // The padding-minimizing dataloader layout: rank by (word-length
@@ -1758,6 +1801,39 @@ object SparkEntry {
           .select(regexp_extract(col("file_name"), "img_(\\d+)\\.bin", 1)
             .cast("long").as("img_id"),
             col("format"), col("decode_ok"), col("width"), col("height")),
+        dir)
+    }),
+
+    // ---- §2.8 [NS] MP4/ISO-BMFF video metadata tier (r14) ----
+    // The video face of ns183's header-exact split: an ISO-BMFF box
+    // walk (ftyp brand, mvhd timescale/duration, tkhd 16.16 dims)
+    // over closed-form containers — every field exact integer header
+    // arithmetic, no codec, duration_ms = duration·1000/timescale
+    // floored. Planted i%5==4 containers are cut 20 bytes short, so
+    // moov's declared size runs past the buffer and the walk
+    // quarantines the WHOLE container (the ns120 WARC framing
+    // discipline applied to ISO boxes) instead of emitting fields
+    // from a desynced stream.
+    "ns191_video_metadata" -> ((s, d) => {
+      val dir = newScratchDir("graft_mm_mp4")
+      (0 until 60).foreach { i =>
+        val full = Multimodal.writeMp4(
+          if (i % 2 == 0) "isom" else "mp42",
+          600 + (i % 7) * 100, (i + 1).toLong * 1234L,
+          320 + (i % 16) * 8, 240 + (i % 9) * 16)
+        val bytes = if (i % 5 == 4) full.take(full.length - 20) else full
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, f"vid_$i%03d.mp4"), bytes)
+      }
+      materializeAndDrop(
+        Multimodal.mp4Metadata(
+          Multimodal.readBinaryDir(s, dir.getPath, "vid_*"))
+          .toDF()
+          .select(regexp_extract(col("file_name"), "vid_(\\d+)\\.mp4", 1)
+            .cast("long").as("video_id"),
+            col("status"), col("brand"), col("timescale"),
+            col("duration"), col("duration_ms"), col("width"),
+            col("height")),
         dir)
     }),
 
@@ -2721,28 +2797,80 @@ object SparkEntry {
     }),
 
     // ---- §2.8 [NS] tokenizer coverage / unk-rate datasheet (r13) --
-    // The release-time tokenizer-health row: per-source token
-    // volume, <unk> counts, and the fixed-point unk rate over the
-    // REAL encoder (ns61's codec). Planted: doc_id%9==0 docs carry a
-    // non-ASCII tail (" é μ") whose two code points fall outside the
-    // printable-ASCII base alphabet and encode to exactly two <unk>
-    // ids each — the oracle adjusts the independent Python table's
-    // per-doc counts by that closed form, so a drifted unk policy
-    // (dropping instead of emitting, wrong id) breaks the hash.
+    // The release-time tokenizer-health row, re-derived over the
+    // BYTE-FALLBACK codec (r14): per-source token volume, <unk>
+    // counts — STRUCTURALLY zero now, the production-tokenizer
+    // contract the row certifies — and byte-fallback volume. The
+    // planted non-ASCII tails (" é μ" for doc_id%9==0) that encoded
+    // to <unk> under the strict codec now decompose to UTF-8 byte
+    // tokens the independent Python table predicts id-for-id; the
+    // oracle aggregates that table per source, with byte_base derived
+    // from the checked-in merge count (a pure function of the merge
+    // table on both sides).
     "ns187_tokenizer_coverage" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"), col("source"),
           concat(col("text"),
             when(pmod(col("doc_id"), lit(9)) === 0,
               lit(" é μ")).otherwise(lit(""))).as("text"))
-      graft.ns.Bpe.encodeDocs(docs, "doc_id", "text").toDF()
+      val base = graft.ns.Bpe.byteBase(graft.ns.Bpe.default)
+      graft.ns.Bpe.encodeDocsBf(docs, "doc_id", "text").toDF()
         .select(col("doc_id"), explode(col("token_ids")).as("tid"))
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_unk"))
+          sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_unk"),
+          sum(when(col("tid") >= base, 1L).otherwise(0L)).as("n_byte"))
         .withColumn("unk_micro",
           expr("(n_unk * 1000000L) div n_tokens"))
+    }),
+
+    // ---- §2.8 [NS] byte-fallback BPE encode (r14) ----
+    // The production-tokenizer contract: nothing maps to <unk> —
+    // out-of-vocabulary symbols decompose to UTF-8 byte tokens
+    // (appended after the merge block, a pure function of the merge
+    // table) and whitespace runs are pre-tokens of their own, so the
+    // codec is byte-lossless on canonical text (the upgraded ns77
+    // gate). Same slice + planting as ns187; the oracle is the
+    // independent Python byte-fallback encoder's id stream,
+    // rank-for-rank (tools/gen_bpe.py).
+    "ns190_bpe_byte_fallback" -> ((s, d) =>
+      graft.ns.Bpe.encodeDocsBf(
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            concat(col("text"),
+              when(pmod(col("doc_id"), lit(9)) === 0,
+                lit(" é μ")).otherwise(lit(""))).as("text")),
+        "doc_id", "text")
+        .toDF()
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id").cast("long").as("token_id"))),
+
+    // ---- §2.8 [NS] retrieval-quality datasheet (r14) ----
+    // recall@10 / MRR / nDCG@10 of the ns181 fused ranking against a
+    // planted gold relevance set — gold(q) = {q, q+59, q+118} ∩
+    // corpus (the self doc plus two formula neighbors; known-item
+    // search over the fixture star schema). All exact fixed point:
+    // the per-rank log2 discounts are checked-in integer literals
+    // shared with the oracle (rank domain ≤ 10 — no libm tightrope),
+    // mrr = 1e9/first-hit-rank, ndcg = dcg·1e9/idcg floored.
+    // Queries whose gold never surfaces still emit zero rows — the
+    // datasheet must not survivorship-bias itself.
+    "ns192_retrieval_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // bounded driver scalar (corpus max id) — gates the planted
+      // gold neighbors to ids that exist at this sf
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val gold = docs
+        .filter(pmod(col("doc_id"), lit(59)) === 3 && col("doc_id") < 3000)
+        .select(col("doc_id").as("g_q"))
+        .select(col("g_q"), explode(array(col("g_q"),
+          col("g_q") + 59L, col("g_q") + 118L)).as("g_doc"))
+        .filter(col("g_doc") <= maxId)
+      graft.ns.Retrieval.rankingQuality(hybridRrf(s, d), "q_id",
+        "doc_id", "rn", gold, "g_q", "g_doc", k = 10)
     }),
 
     // ---- §2.8 [NS] conversation-level exact dedup (r13) ----
@@ -2765,6 +2893,22 @@ object SparkEntry {
           col("role"), col("content")).unionByName(twins),
         "conversation_id", "turn_idx", "role", "content")
     }),
+
+    // ---- §2.8 [NS] conversation-level NEAR-dup (r14) ----
+    // ns186 catches byte-identical re-uploads; this catches the
+    // trivially-EDITED ones (a greeting prepended to the user turn —
+    // the planted twin class, id+3000000): MinHash over word
+    // shingles of the rendered transcript, banded candidates, exact
+    // Jaccard verify — the ns03 machinery at conversation grain.
+    // Production xxhash64 idiom → rows-only like ns03; ns194b is the
+    // hash-gated md5 algorithm pin.
+    "ns194_conversation_near_dup" -> ((s, d) =>
+      Dedup.conversationNearDup(conversationNearDupCorpus(s, d),
+        "conversation_id", "turn_idx", "role", "content")),
+
+    "ns194b_conversation_near_dup_exact" -> ((s, d) =>
+      Dedup.conversationNearDupExact(conversationNearDupCorpus(s, d),
+        "conversation_id", "turn_idx", "role", "content")),
 
     // ---- §2.8 [NS] packed-sequence attention segments (r13) ----
     // The second half of ns180's packing contract: conversations
@@ -3185,14 +3329,20 @@ object SparkEntry {
         "doc_id", "text")),
 
     // ---- §2.8 [NS] BPE decode ∘ encode losslessness, corpus-wide --
-    // The decoder inverts the checked-in merge table; on canonical
-    // text the composition loses exactly the whitespace the
-    // pre-tokenizer discards, so the oracle is a pure string
-    // prediction over the ORIGINAL documents — every token id must
-    // carry its full surface form for this to hash-match.
+    // Upgraded to the byte-fallback codec (r14): decode∘encode now
+    // reproduces canonical text EXACTLY — whitespace survives as
+    // byte tokens and non-ASCII chars (planted " é μ" tails,
+    // doc_id%9==0, corpus-wide) roundtrip through their UTF-8 bytes
+    // — so the oracle is the canonical text itself, with no
+    // whitespace caveat and no unk loss. Every token id must carry
+    // its full surface form for this to hash-match.
     "ns77_bpe_decode_roundtrip" -> ((s, d) =>
-      graft.ns.Bpe.decodeDocs(
-        graft.ns.Bpe.encodeDocs(t(s, d, "documents"),
+      graft.ns.Bpe.decodeDocsBf(
+        graft.ns.Bpe.encodeDocsBf(
+          t(s, d, "documents").select(col("doc_id"),
+            concat(col("text"),
+              when(pmod(col("doc_id"), lit(9)) === 0,
+                lit(" é μ")).otherwise(lit(""))).as("text")),
           "doc_id", "text").toDF(),
         "doc_id", "token_ids")
         .select(col("doc_id"), col("decoded"),

@@ -100,13 +100,24 @@ object Bpe {
     finally src.close()
   }
 
-  /** Greedy BPE over one pre-token: merge ALL non-overlapping
-    * occurrences of the lowest-rank adjacent pair, repeat until no
-    * pair ranks. */
-  def encodeWord(word: String, c: Codec): Array[Int] = {
+  /** The greedy merge loop shared by both id mappings: merge ALL
+    * non-overlapping occurrences of the lowest-rank adjacent pair,
+    * repeat until no pair ranks. Returns the final symbol sequence. */
+  private def mergeSyms(word: String,
+      c: Codec): scala.collection.mutable.ArrayBuffer[String] = {
     var syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    // split by CODE POINT, not Java char: an astral code point must be
+    // ONE symbol (the Python twin's list(word) semantics) — split by
+    // char it becomes two lone surrogates, which is one spurious extra
+    // <unk> in the strict codec and mojibake ('?' bytes) under byte
+    // fallback
     var i = 0
-    while (i < word.length) { syms += word.charAt(i).toString; i += 1 }
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms += word.substring(i, i + n)
+      i += n
+    }
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue; var bi = -1
@@ -130,8 +141,15 @@ object Bpe {
         if (syms.length < 2) done = true
       }
     }
-    syms.iterator.map(s => c.ids.getOrElse(s, c.unkId)).toArray
+    syms
   }
+
+  /** Greedy BPE over one pre-token: merge ALL non-overlapping
+    * occurrences of the lowest-rank adjacent pair, repeat until no
+    * pair ranks. */
+  def encodeWord(word: String, c: Codec): Array[Int] =
+    mergeSyms(word, c).iterator
+      .map(s => c.ids.getOrElse(s, c.unkId)).toArray
 
   /** Encode a full text: canonicalize, pre-tokenize, BPE per
     * pre-token, concatenate. */
@@ -264,6 +282,122 @@ object Bpe {
         val cod = bc.value
         it.grouped(batchSize).flatMap(_.map { case (id, ids) =>
           (id, decode(if (ids == null) Array.empty[Int] else ids, cod))
+        })
+      }
+      .toDF(idCol, "decoded")
+  }
+
+  // --------------------------------------------------------------
+  // Byte-fallback tier (r14): the production-tokenizer contract —
+  // NOTHING maps to <unk>. A symbol outside the derived vocabulary
+  // decomposes into its UTF-8 bytes, each mapping to one of 256
+  // byte tokens appended AFTER the merge block, and the
+  // pre-tokenizer additionally emits whitespace runs (canonical
+  // text collapses them to single spaces) so decode∘encode
+  // reproduces canonical text EXACTLY — true byte-losslessness, no
+  // whitespace caveat (the ns77 gate). Byte ids are a pure function
+  // of the merge table, like every other id: byte b → 95 + |merges|
+  // + b, so every strict-vocab id (<unk>, ASCII base, merges) is
+  // UNCHANGED and the bf codec is a strict superset — ns61's gated
+  // id stream stays valid verbatim. This is the public
+  // byte-fallback design (SentencePiece/LLaMA-style fallback over a
+  // character-level vocab); tools/gen_bpe.py carries the
+  // independent Python twin the ns190 gate compares against.
+  // --------------------------------------------------------------
+
+  /** Byte-fallback pre-tokenizer: [[preToken]]'s three classes plus
+    * whitespace runs as pre-tokens of their own. */
+  private val preTokenBf = java.util.regex.Pattern
+    .compile("[a-z]+|[0-9]+|\\s+|[^a-z0-9\\s]")
+
+  def preTokensBf(normed: String): Iterator[String] = {
+    val m = preTokenBf.matcher(normed)
+    new Iterator[String] {
+      private var ready = m.find()
+      def hasNext: Boolean = ready
+      def next(): String = { val g = m.group(); ready = m.find(); g }
+    }
+  }
+
+  /** First id of the 256-token byte alphabet — appended after the
+    * merge block, so it is a pure function of the merge table. */
+  def byteBase(c: Codec): Int = 95 + c.ranks.size
+
+  /** [[encodeWord]] with byte fallback: the same greedy merge loop,
+    * but a final symbol outside the vocabulary becomes its UTF-8
+    * bytes' tokens instead of `<unk>`. Emits ≥ 1 id per input char —
+    * never zero, never unk. */
+  def encodeWordBf(word: String, c: Codec): Array[Int] = {
+    val base = byteBase(c)
+    mergeSyms(word, c).iterator.flatMap { s =>
+      c.ids.get(s) match {
+        case Some(id) => Iterator.single(id)
+        case None => s.getBytes("UTF-8").iterator
+          .map(b => base + (b & 0xff))
+      }
+    }.toArray
+  }
+
+  /** Byte-fallback encode of a full text: canonicalize, pre-tokenize
+    * INCLUDING whitespace runs, BPE-with-fallback per pre-token. */
+  def encodeBf(text: String, c: Codec): Array[Int] =
+    preTokensBf(norm(text)).flatMap(encodeWordBf(_, c)).toArray
+
+  /** Corpus byte-fallback encode — [[encodeDocs]]'s broadcast +
+    * per-partition batch shape over [[encodeBf]]. */
+  def encodeDocsBf(df: DataFrame, idCol: String, textCol: String,
+      c: Codec = default, batchSize: Int = 64): Dataset[Encoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(c)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cod = bc.value
+        it.grouped(batchSize).flatMap(_.map { case (id, text) =>
+          Encoded(id, encodeBf(if (text == null) "" else text, cod))
+        })
+      }
+  }
+
+  /** Byte-fallback decode: maximal runs of byte tokens decode as
+    * UTF-8; every other id appends its symbol. On any [[encodeBf]]
+    * output this reproduces the canonical input text exactly. */
+  def decodeBf(ids: Array[Int], c: Codec): String = {
+    val base = byteBase(c)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val sb = new java.lang.StringBuilder(ids.length * 2)
+    def flush(): Unit = if (bytes.size > 0) {
+      sb.append(new String(bytes.toByteArray, "UTF-8"))
+      bytes.reset()
+    }
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      if (id >= base && id < base + 256) bytes.write(id - base)
+      else {
+        flush()
+        if (id != c.unkId) sb.append(c.symbols.getOrElse(id, ""))
+      }
+      i += 1
+    }
+    flush()
+    sb.toString
+  }
+
+  /** Corpus byte-fallback decode — [[decodeDocs]]'s shape over
+    * [[decodeBf]]. Output: (doc_id, decoded). */
+  def decodeDocsBf(df: DataFrame, idCol: String, idsCol: String,
+      c: Codec = default, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(c)
+    df.select(col(idCol).cast("long"), col(idsCol))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val cod = bc.value
+        it.grouped(batchSize).flatMap(_.map { case (id, ids) =>
+          (id, decodeBf(if (ids == null) Array.empty[Int] else ids, cod))
         })
       }
       .toDF(idCol, "decoded")

@@ -637,6 +637,58 @@ object Dedup {
         count(lit(1)).as("dup_count"))
   }
 
+  /** Render each conversation's ORDERED turns to one whitespace-
+    * joined transcript string — "<|role|> content <|end|> …" — the
+    * ns100 session-transcript trick at conversation grain, with
+    * spaces around the template markers so word-shingling treats
+    * them as ordinary tokens. One conversation-keyed aggregation
+    * (array_sort over (turn, text) structs makes the order total and
+    * partition-independent — [[conversationDedup]]'s convention).
+    * Output: (convCol, transcript). */
+  def conversationTranscripts(turns: DataFrame, convCol: String,
+      turnCol: String, roleCol: String,
+      contentCol: String): DataFrame = {
+    val rendered = concat(lit("<|"), col(roleCol), lit("|> "),
+      coalesce(col(contentCol), lit("")), lit(" <|end|>"))
+    turns
+      .select(col(convCol), col(turnCol).cast("long").as("__turn"),
+        rendered.as("__t"))
+      .groupBy(col(convCol))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("__turn"), col("__t")))),
+        e => e.getField("__t")), " ").as("transcript"))
+  }
+
+  /** Conversation-level NEAR-dup — what [[conversationDedup]] cannot
+    * catch (r13 verdict gap #8): a re-uploaded chat with a trivial
+    * edit (greeting variant, appended thanks) renders to a DIFFERENT
+    * exact fingerprint but an almost-identical transcript. MinHash
+    * over word shingles of the rendered transcript (the ns03
+    * machinery at conversation grain): banded candidates, exact
+    * Jaccard verify, same sublinear-LSH scale shape. Production uses
+    * the xxhash64 idiom (rows-only, like ns03); the md5 twin
+    * ([[conversationNearDupExact]]) hash-gates the algorithm.
+    * Output: (id_a, id_b, jaccard_dist), id_a < id_b. */
+  def conversationNearDup(turns: DataFrame, convCol: String,
+      turnCol: String, roleCol: String, contentCol: String,
+      n: Int = 3, maxJaccardDist: Double = 0.5,
+      numHashTables: Int = 8, seed: Long = 42L): DataFrame =
+    minhashNearDupPairs(
+      conversationTranscripts(turns, convCol, turnCol, roleCol,
+        contentCol),
+      convCol, "transcript", n, maxJaccardDist, numHashTables, seed)
+
+  /** md5-idiom twin of [[conversationNearDup]] — the hash-gated
+    * algorithm pin (the ns03/ns03b split at conversation grain). */
+  def conversationNearDupExact(turns: DataFrame, convCol: String,
+      turnCol: String, roleCol: String, contentCol: String,
+      n: Int = 3, maxJaccardDist: Double = 0.5,
+      numHashTables: Int = 8): DataFrame =
+    minhashNearDupPairsExact(
+      conversationTranscripts(turns, convCol, turnCol, roleCol,
+        contentCol),
+      convCol, "transcript", n, maxJaccardDist, numHashTables)
+
   /** 64-bit SimHash of the canonical token stream: each token votes
     * ±1 on every bit of its 64-bit hash; the sign of the vote sum
     * becomes the fingerprint bit. One explode + one 64-way map-side-

@@ -927,4 +927,176 @@ object Multimodal {
         })
       }
   }
+
+  // --------------------------------------------------------------
+  // MP4 / ISO-BMFF metadata tier (r14) — the video face of the
+  // ns183 header-exact/pixel-never split. An ISO base-media file is
+  // a tree of length-prefixed boxes (u32 big-endian size + 4CC
+  // type; size 1 = 64-bit largesize follows; size 0 = to EOF — the
+  // public ISO/IEC 14496-12 layout), and every metadata field a
+  // corpus pass needs (brand, movie timescale/duration, track
+  // dimensions) is EXACT INTEGER HEADER ARITHMETIC — no codec, no
+  // lossy boundary. Truncated or desynchronized boxes quarantine
+  // the whole container (the ns120 WARC walk discipline applied to
+  // ISO boxes): a size that runs past the buffer or below the
+  // 8-byte header minimum means the walk has lost framing and
+  // nothing after it can be trusted.
+  // --------------------------------------------------------------
+
+  /** Closed-form minimal MP4: ftyp(brand) + moov(mvhd(timescale,
+    * duration) + trak(tkhd(width, height))). Version-0 full boxes,
+    * dims as 16.16 fixed point — enough structure for the metadata
+    * walk to be real; media data is absent by design (a metadata
+    * pass never reads mdat). */
+  def writeMp4(brand: String, timescale: Int, duration: Long,
+      width: Int, height: Int): Array[Byte] = {
+    require(brand.length == 4, "brand must be a 4CC")
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp",
+      brand.getBytes("US-ASCII") ++ u32(0L) ++
+        "isom".getBytes("US-ASCII"))
+    // mvhd v0: version+flags, creation, modification, timescale,
+    // duration, rate(16.16), volume(8.8)+reserved, reserved(8),
+    // matrix(36), predefined(24), next_track_id
+    val mvhd = box("mvhd",
+      u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(timescale.toLong) ++
+        u32(duration) ++ u32(0x00010000L) ++ u32(0x01000000L) ++
+        Array.fill[Byte](8)(0) ++
+        (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+          0x40000000L).flatMap(u32).toArray) ++
+        Array.fill[Byte](24)(0) ++ u32(2L))
+    // tkhd v0: version+flags(track enabled), creation, modification,
+    // track_id, reserved, duration, reserved(8), layer+altgroup,
+    // volume+reserved, matrix(36), width(16.16), height(16.16)
+    val tkhd = box("tkhd",
+      u32(1L) ++ u32(0L) ++ u32(0L) ++ u32(1L) ++ u32(0L) ++
+        u32(duration) ++ Array.fill[Byte](8)(0) ++ u32(0L) ++ u32(0L) ++
+        (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+          0x40000000L).flatMap(u32).toArray) ++
+        u32(width.toLong << 16) ++ u32(height.toLong << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    out.write(ftyp); out.write(moov)
+    out.toByteArray
+  }
+
+  /** One parsed container: framing status plus the header fields.
+    * Quarantined rows (status != "ok") carry nulls. */
+  final case class Mp4Meta(file_name: String, status: String,
+      brand: Option[String], timescale: Option[Long],
+      duration: Option[Long], duration_ms: Option[Long],
+      width: Option[Long], height: Option[Long])
+
+  /** Walk one ISO-BMFF buffer. Returns Left(reason) when framing
+    * breaks (truncated/desynced/undersized box, missing moov or
+    * required child), Right((brand, timescale, duration,
+    * duration_ms, width, height)) otherwise. */
+  def parseMp4(bytes: Array[Byte]): Either[String,
+      (String, Long, Long, Long, Long, Long)] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    // walk [from, until): invoke f(type, bodyFrom, bodyUntil) per box
+    def walk(from: Int, until: Int)
+        (f: (String, Int, Int) => Unit): Option[String] = {
+      var off = from
+      while (off < until) {
+        if (until - off < 8) return Some("truncated_header")
+        var size = u32(off)
+        var hdr = 8
+        if (size == 1L) {
+          if (until - off < 16) return Some("truncated_largesize")
+          size = u64(off + 8); hdr = 16
+        } else if (size == 0L) size = (until - off).toLong
+        if (size < hdr || off + size > until)
+          return Some("desynced_box")
+        f(fourcc(off + 4), off + hdr, off + size.toInt)
+        off += size.toInt
+      }
+      None
+    }
+    var brand: Option[String] = None
+    var timescale: Option[Long] = None
+    var duration: Option[Long] = None
+    var dims: Option[(Long, Long)] = None
+    var err: Option[String] = None
+    def fullBoxAt(from: Int, until: Int): (Int, Int) =
+      ((bytes(from) & 0xff, from + 4)) // (version, body offset)
+    val topErr = walk(0, bytes.length) { (typ, b, e) =>
+      if (err.isEmpty) typ match {
+        case "ftyp" =>
+          if (e - b < 8) err = Some("truncated_ftyp")
+          else brand = Some(fourcc(b))
+        case "moov" =>
+          val inner = walk(b, e) { (t2, b2, e2) =>
+            if (err.isEmpty) t2 match {
+              case "mvhd" =>
+                val (v, p) = fullBoxAt(b2, e2)
+                // v0: creation/modification u32 ×2 then timescale u32,
+                // duration u32; v1: u64 ×2 then u32, u64
+                if (v == 0 && e2 - p >= 16) {
+                  timescale = Some(u32(p + 8)); duration = Some(u32(p + 12))
+                } else if (v == 1 && e2 - p >= 28) {
+                  timescale = Some(u32(p + 16)); duration = Some(u64(p + 20))
+                } else err = Some("truncated_mvhd")
+              case "trak" =>
+                val inner2 = walk(b2, e2) { (t3, b3, e3) =>
+                  if (err.isEmpty && t3 == "tkhd" && dims.isEmpty) {
+                    // width/height are the LAST 8 bytes, 16.16 fixed
+                    if (e3 - b3 < 8) err = Some("truncated_tkhd")
+                    else dims = Some((u32(e3 - 8) >> 16, u32(e3 - 4) >> 16))
+                  }
+                }
+                if (err.isEmpty) err = inner2
+              case _ => ()
+            }
+          }
+          if (err.isEmpty) err = inner
+        case _ => () // free/mdat/unknown top-level boxes skip cleanly
+      }
+    }
+    val fail = err.orElse(topErr)
+      .orElse(if (brand.isEmpty) Some("missing_ftyp") else None)
+      .orElse(if (timescale.isEmpty) Some("missing_mvhd") else None)
+      .orElse(if (dims.isEmpty) Some("missing_tkhd") else None)
+      .orElse(if (timescale.contains(0L)) Some("zero_timescale") else None)
+    fail match {
+      case Some(r) => Left(r)
+      case None =>
+        val ts = timescale.get; val du = duration.get
+        Right((brand.get, ts, du, du * 1000L / ts,
+          dims.get._1, dims.get._2))
+    }
+  }
+
+  /** Corpus MP4 metadata pass — the [[imageMetadata]] shape for
+    * video containers: batched mapPartitions walk, quarantine on
+    * broken framing, exact integer duration_ms = duration · 1000 /
+    * timescale (floor). Map-side, no shuffle; at 100 TB the pass is
+    * header-bound (a metadata walk reads box headers, never mdat). */
+  def mp4Metadata(df: DataFrame,
+      batchSize: Int = 64): Dataset[Mp4Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (name, bytes) =>
+          parseMp4(if (bytes == null) Array.emptyByteArray else bytes) match {
+            case Left(reason) =>
+              Mp4Meta(name, reason, None, None, None, None, None, None)
+            case Right((brand, ts, du, ms, w, h)) =>
+              Mp4Meta(name, "ok", Some(brand), Some(ts), Some(du),
+                Some(ms), Some(w), Some(h))
+          }
+        })
+      }
+  }
 }

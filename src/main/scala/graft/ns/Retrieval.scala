@@ -257,4 +257,68 @@ object Retrieval {
         col("cum_tokens"),
         (col("cum_tokens") <= tokenBudget).as("kept"))
   }
+
+  /** Per-rank nDCG discount, nano fixed point: floor(1e9 / log2(r+1))
+    * for rank r = 1..10, checked in as EXACT INTEGER LITERALS shared
+    * with the DuckDB oracle — the rank domain is tiny (k ≤ 10), so
+    * instead of trusting two libms to round log2 identically (the
+    * ns58 tightrope), both sides read the same ten constants. */
+  val ndcgDiscNano: Seq[Long] = Seq(1000000000L, 630929753L,
+    500000000L, 430676558L, 386852807L, 356207187L, 333333333L,
+    315464876L, 301029995L, 289064826L)
+
+  /** Prefix sums of [[ndcgDiscNano]] — IDCG@k for a gold set of size
+    * ≥ k under binary relevance. */
+  val ndcgIdealNano: Seq[Long] = ndcgDiscNano.scanLeft(0L)(_ + _).tail
+
+  /** Ranking-quality metrics against a gold relevance set — the
+    * release-datasheet row a retrieval stack ships with (recall@k,
+    * MRR, nDCG@k), all EXACT fixed-point arithmetic over rank
+    * columns (the ns149 PR-curve convention one level up): binary
+    * relevance, mrr_nano = 1e9/first-hit-rank (0 when no hit),
+    * dcg from the literal discount table, ndcg_nano =
+    * dcg·1e9/idcg floored. Queries with no top-k hit still emit
+    * their row (zeros) — a datasheet that silently drops failing
+    * queries overstates quality.
+    *
+    * Plan shape: `ranked` is |Q|·k rows and `gold` |Q|·|gold| — both
+    * candidate-sized; the joins broadcast and the aggregation is one
+    * |Q|-keyed exchange. The corpus-scale work happened inside the
+    * retrieval legs. Output: (qCol, n_gold, n_hits, recall_nano,
+    * mrr_nano, dcg_nano, idcg_nano, ndcg_nano). */
+  def rankingQuality(ranked: DataFrame, qCol: String, idCol: String,
+      rnCol: String, gold: DataFrame, gQCol: String, gIdCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscNano.length,
+      s"k must be in [1, ${ndcgDiscNano.length}]")
+    val g = gold.select(col(gQCol).as(qCol), col(gIdCol).as(idCol))
+    val nGold = g.groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_gold"))
+    val disc = (1 to k).foldLeft(lit(0L)) { (acc, r) =>
+      when(col("rn") === r, lit(ndcgDiscNano(r - 1))).otherwise(acc)
+    }
+    val hits = ranked
+      .select(col(qCol), col(idCol), col(rnCol).cast("long").as("rn"))
+      .filter(col("rn") <= k)
+      .join(broadcast(g), Seq(qCol, idCol))
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rn")).as("__first"),
+        sum(disc).as("__dcg"))
+    val ideal = (1 to k).foldLeft(lit(0L)) { (acc, n) =>
+      when(least(col("n_gold"), lit(k.toLong)) === n,
+        lit(ndcgIdealNano(n - 1))).otherwise(acc)
+    }
+    nGold.join(hits, Seq(qCol), "left")
+      .select(col(qCol), col("n_gold"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("__first"), coalesce(col("__dcg"), lit(0L)).as("dcg_nano"),
+        ideal.as("idcg_nano"))
+      .select(col(qCol), col("n_gold"), col("n_hits"),
+        expr("(n_hits * 1000000000L) div n_gold").as("recall_nano"),
+        when(col("__first").isNull, 0L)
+          .otherwise(expr("1000000000L div __first")).as("mrr_nano"),
+        col("dcg_nano"), col("idcg_nano"),
+        expr("(dcg_nano * 1000000000L) div idcg_nano").as("ndcg_nano"))
+  }
 }

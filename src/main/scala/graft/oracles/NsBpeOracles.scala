@@ -107,33 +107,41 @@ private[graft] object NsBpeOracles {
         |    AS DOUBLE) / 256) AS BIGINT) AS pack_id,
         |  n_loss_tokens
         |FROM lens""".stripMargin,
-    // Tokenizer coverage: the independent table's per-doc counts,
-    // adjusted by the planted non-ASCII tail's closed form (+2
-    // tokens, +2 unks for doc_id%9==0 — the base corpus is printable
-    // ASCII, so it contributes zero unks), aggregated per source
-    // with the exact integer unk rate.
+    // Tokenizer coverage over the byte-fallback codec (r14): the
+    // independent bf table carries the planted tails' byte tokens
+    // id-for-id, so the oracle just aggregates it per source.
+    // byte_base = 95 + |merges|, derived from the checked-in ranked
+    // merges parquet — a pure function of the merge table, matching
+    // Bpe.byteBase on the engine side. unk is structurally zero (the
+    // gen_bpe.py assert), and the gate pins that.
     "ns187_tokenizer_coverage" ->
       """WITH base AS (
         |  SELECT doc_id, source FROM documents WHERE doc_id < 100),
+        |bb AS (SELECT 95 + count(*) AS byte_base FROM read_parquet(
+        |'/root/repo/src/test/resources/graft/bpe_merges_sf001.parquet')),
         |tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CASE WHEN token_id = 0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS u
+        |      AS BIGINT) AS u,
+        |    CAST(sum(CASE WHEN token_id >= (SELECT byte_base FROM bb)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb
         |  FROM read_parquet(
-        |'/root/repo/src/test/resources/graft/bpe_oracle_sf001.parquet')
-        |  GROUP BY 1),
-        |perdoc AS (SELECT b.doc_id, b.source,
-        |    coalesce(tok.n, 0)
-        |      + CASE WHEN b.doc_id % 9 = 0 THEN 2 ELSE 0 END
-        |      AS n_tokens,
-        |    coalesce(tok.u, 0)
-        |      + CASE WHEN b.doc_id % 9 = 0 THEN 2 ELSE 0 END AS n_unk
-        |  FROM base b LEFT JOIN tok USING (doc_id))
-        |SELECT source,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(n_unk) AS BIGINT) AS n_unk,
-        |  CAST((SUM(n_unk) * 1000000) // SUM(n_tokens) AS BIGINT)
+        |'/root/repo/src/test/resources/graft/bpe_bf_oracle_sf001.parquet')
+        |  GROUP BY 1)
+        |SELECT b.source,
+        |  CAST(SUM(tok.n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tok.u) AS BIGINT) AS n_unk,
+        |  CAST(SUM(tok.nb) AS BIGINT) AS n_byte,
+        |  CAST((SUM(tok.u) * 1000000) // SUM(tok.n) AS BIGINT)
         |    AS unk_micro
-        |FROM perdoc GROUP BY source""".stripMargin,
+        |FROM base b JOIN tok USING (doc_id)
+        |GROUP BY b.source""".stripMargin,
+    // Byte-fallback encode: the independent Python byte-fallback
+    // encoder's id stream (whitespace pre-tokens + UTF-8 byte
+    // decomposition, planted non-ASCII tails included), compared
+    // rank-for-rank like ns61.
+    "ns190_bpe_byte_fallback" ->
+      """SELECT doc_id, pos, token_id
+        |FROM read_parquet('/root/repo/src/test/resources/graft/bpe_bf_oracle_sf001.parquet')""".stripMargin,
     // Pack segments: the ns180 offset window plus exact interval
     // intersection with the chunk grid, replayed from the same
     // independent lens — a conversation spanning packs emits one
@@ -160,15 +168,20 @@ private[graft] object NsBpeOracles {
         |  CAST(least(s + n_tokens, (t.p + 1) * 256)
         |    - greatest(s, t.p * 256) AS BIGINT) AS seg_len
         |FROM seg, UNNEST(range(p0, p1 + 1)) AS t(p)""".stripMargin,
-    // decode∘encode = canonical text minus the whitespace the
-    // pre-tokenizer discards — a pure string prediction; any id that
-    // dropped its surface form breaks the hash.
+    // decode∘encode over the byte-fallback codec = the canonical
+    // text EXACTLY (r14 — no whitespace caveat, no unk loss; the
+    // planted non-ASCII tails roundtrip through UTF-8 byte tokens) —
+    // a pure string prediction; any id that dropped its surface form
+    // breaks the hash.
     "ns77_bpe_decode_roundtrip" ->
-      """SELECT doc_id,
-        |  replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-        |    ' ', '') AS decoded,
-        |  CAST(length(replace(regexp_replace(lower(trim(text)),
-        |    '\s+', ' ', 'g'), ' ', '')) AS BIGINT) AS n_chars_decoded
-        |FROM documents""".stripMargin,
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text ||
+        |      CASE WHEN doc_id % 9 = 0 THEN ' é μ' ELSE '' END)),
+        |      '\s+', ' ', 'g') AS canon
+        |  FROM documents)
+        |SELECT doc_id, canon AS decoded,
+        |  CAST(length(canon) AS BIGINT) AS n_chars_decoded
+        |FROM c""".stripMargin,
   )
 }

@@ -7,6 +7,28 @@ package graft.oracles
   * disjoint). Pure data: every value is a DuckDB SQL literal
   * aligned column-for-column with its Spark query. */
 private[graft] object NsDedupOracles {
+  /** ns108/ns193 shared edge derivation: p03's replay corpus, md5
+    * fingerprint groups, min-id survivors, both sides' sources. */
+  private val provenanceEdgeSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, source, text FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |base AS (
+      |  SELECT doc_id, source,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM corpus),
+      |grp AS (
+      |  SELECT fp, min(doc_id) AS kept_id FROM base GROUP BY fp),
+      |k AS (
+      |  SELECT g.fp, g.kept_id, b.source AS kept_source
+      |  FROM grp g JOIN base b ON b.doc_id = g.kept_id)
+      |SELECT b.doc_id AS dropped_id, k.kept_id, b.fp AS fingerprint,
+      |  b.source AS dropped_source, k.kept_source
+      |FROM base b JOIN k ON b.fp = k.fp
+      |WHERE b.doc_id <> k.kept_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "ns87_phrase_blocklist" ->
       """WITH built AS (
@@ -89,25 +111,16 @@ private[graft] object NsDedupOracles {
         |WHERE contains(t, c)""".stripMargin,
     // The duplicate->survivor mapping: min-id survivor per md5
     // fingerprint group; both sides' sources attached.
-    "ns108_dedup_provenance" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, source, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, source, text FROM documents
-        |  WHERE doc_id % 10 = 0),
-        |base AS (
-        |  SELECT doc_id, source,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM corpus),
-        |grp AS (
-        |  SELECT fp, min(doc_id) AS kept_id FROM base GROUP BY fp),
-        |k AS (
-        |  SELECT g.fp, g.kept_id, b.source AS kept_source
-        |  FROM grp g JOIN base b ON b.doc_id = g.kept_id)
-        |SELECT b.doc_id AS dropped_id, k.kept_id, b.fp AS fingerprint,
-        |  b.source AS dropped_source, k.kept_source
-        |FROM base b JOIN k ON b.fp = k.fp
-        |WHERE b.doc_id <> k.kept_id""".stripMargin,
+    "ns108_dedup_provenance" -> provenanceEdgeSql,
+    // Cross-source duplication matrix (r14): the same edge CTEs,
+    // one GROUP BY source pair — duplicate volume plus distinct
+    // survivor groups per (kept_source, dropped_source).
+    "ns193_source_dup_matrix" ->
+      s"""WITH e AS ($provenanceEdgeSql)
+        |SELECT kept_source, dropped_source,
+        |  CAST(count(*) AS BIGINT) AS n_dups,
+        |  CAST(count(DISTINCT kept_id) AS BIGINT) AS n_groups
+        |FROM e GROUP BY 1, 2""".stripMargin,
     // Independent closure: tombstones = every member of a fingerprint
     // GROUP containing a requested id (the engine computes the same
     // set through the edge table — a broken edge table fails here).
@@ -347,6 +360,69 @@ private[graft] object NsDedupOracles {
          |FROM common c
          |  JOIN sizes sa ON c.id_a = sa.doc_id
          |  JOIN sizes sb ON c.id_b = sb.doc_id
+         |WHERE 1.0 - CAST(cm AS DOUBLE) / (sa.sz + sb.sz - cm) <= 0.5""".stripMargin
+    },
+    // Conversation near-dup md5 twin (r14): the ns03b banding +
+    // exact-Jaccard CTEs over RENDERED TRANSCRIPTS rebuilt from the
+    // chat fixture's closed forms (never parsing JSON — the ns186
+    // convention), with the edited re-upload twins planted
+    // (id+3000000, 'hi ' prepended to the user turn).
+    "ns194b_conversation_near_dup_exact" -> {
+      val minCols = (0 until 16).map(j =>
+        s"    min(CAST(('0x' || substr(md5(g || ':mh$j'), 1, 15)) " +
+          s"AS BIGINT)) AS mh$j").mkString(",\n")
+      val branches = (0 until 8).map(b =>
+        s"WHEN $b THEN CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+          s"CAST(mh${2 * b + 1} AS VARCHAR)").mkString(" ")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    regexp_replace(array_to_string(
+         |      string_split(regexp_replace(lower(trim(text)),
+         |        '\\s+', ' ', 'g'), ' ')[1:3], ' '),
+         |      '[^a-z0-9 ]', '', 'g') AS content
+         |  FROM documents WHERE doc_id % 17 <> 0),
+         |tr AS (
+         |  SELECT doc_id AS conversation_id,
+         |    '<|user|> ' || content || ' <|end|> <|assistant|> ok '
+         |      || doc_id || ' <|end|>' AS tx
+         |  FROM c
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    '<|user|> hi ' || content || ' <|end|> <|assistant|> ok '
+         |      || doc_id || ' <|end|>'
+         |  FROM c),
+         |docs AS (
+         |  SELECT conversation_id AS doc_id,
+         |    string_split(regexp_replace(lower(trim(tx)), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM tr),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+         |  FROM docs, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+         |sig AS (
+         |  SELECT doc_id,
+         |$minCols
+         |  FROM grams GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band $branches END AS chunk
+         |  FROM sig, UNNEST(range(8)) AS b(band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.chunk = b.chunk
+         |    AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         |common AS (
+         |  SELECT c2.id_a, c2.id_b, count(*) AS cm
+         |  FROM cand c2
+         |    JOIN grams ga ON ga.doc_id = c2.id_a
+         |    JOIN grams gb ON gb.doc_id = c2.id_b AND ga.g = gb.g
+         |  GROUP BY 1, 2)
+         |SELECT c3.id_a, c3.id_b,
+         |  1.0 - CAST(cm AS DOUBLE) / (sa.sz + sb.sz - cm) AS jaccard_dist
+         |FROM common c3
+         |  JOIN sizes sa ON c3.id_a = sa.doc_id
+         |  JOIN sizes sb ON c3.id_b = sb.doc_id
          |WHERE 1.0 - CAST(cm AS DOUBLE) / (sa.sz + sb.sz - cm) <= 0.5""".stripMargin
     },
     "ns02b_ngram_jaccard_capped" ->

@@ -23,6 +23,29 @@ private[graft] object NsMultimodalOracles {
         |  CASE WHEN i % 4 = 3 THEN NULL
         |    ELSE CAST(12 + i % 5 AS BIGINT) END AS height
         |FROM range(64) t(i)""".stripMargin,
+    // MP4 metadata tier: every field closed-form from the fixture
+    // index; the i%5==4 class is cut 20 bytes short so moov's
+    // declared size overruns the buffer — the walk must quarantine
+    // with the desync reason and all-null fields. duration_ms is the
+    // exact integer floor division.
+    "ns191_video_metadata" ->
+      """SELECT i AS video_id,
+        |  CASE WHEN i % 5 = 4 THEN 'desynced_box' ELSE 'ok' END
+        |    AS status,
+        |  CASE WHEN i % 5 = 4 THEN NULL
+        |    WHEN i % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CASE WHEN i % 5 = 4 THEN NULL
+        |    ELSE CAST(600 + (i % 7) * 100 AS BIGINT) END AS timescale,
+        |  CASE WHEN i % 5 = 4 THEN NULL
+        |    ELSE CAST((i + 1) * 1234 AS BIGINT) END AS duration,
+        |  CASE WHEN i % 5 = 4 THEN NULL
+        |    ELSE CAST(((i + 1) * 1234 * 1000)
+        |      // (600 + (i % 7) * 100) AS BIGINT) END AS duration_ms,
+        |  CASE WHEN i % 5 = 4 THEN NULL
+        |    ELSE CAST(320 + (i % 16) * 8 AS BIGINT) END AS width,
+        |  CASE WHEN i % 5 = 4 THEN NULL
+        |    ELSE CAST(240 + (i % 9) * 16 AS BIGINT) END AS height
+        |FROM range(60) t(i)""".stripMargin,
     // WAV oracle: every decoded field predicted from the generation
     // formulas. The sawtooth (i*8192 mod 32768) - 16384 cycles through
     // {-16384,-8192,0,8192}, so peak is 16384 and energy per full

@@ -554,6 +554,52 @@ private[graft] object NsTextOracles {
         |  CAST(rn AS BIGINT) AS rn
         |FROM fused
         |WHERE rn <= 10""".stripMargin,
+    // Retrieval-quality datasheet (r14): the same fused chain scored
+    // against the planted gold set {q, q+59, q+118} ∩ corpus. The
+    // per-rank discounts and ideal prefixes are the SAME integer
+    // literals the engine checks in (Retrieval.ndcgDiscNano) — rank
+    // domain ≤ 10, so no libm rounding is trusted anywhere; every
+    // metric is integer floor arithmetic.
+    "ns192_retrieval_quality" ->
+      s"""WITH $hybridRrfCtes,
+        |mx AS (SELECT max(doc_id) AS m FROM documents),
+        |qs2 AS (SELECT DISTINCT doc_id AS q_id FROM documents
+        |  WHERE doc_id % 59 = 3 AND doc_id < 3000),
+        |gold AS (
+        |  SELECT q_id, q_id + 59 * t.k AS doc_id
+        |  FROM qs2, UNNEST([0, 1, 2]) AS t(k), mx
+        |  WHERE q_id + 59 * t.k <= mx.m),
+        |ng AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_gold
+        |  FROM gold GROUP BY 1),
+        |hits AS (SELECT f.q_id, f.rn
+        |  FROM fused f JOIN gold g
+        |    ON f.q_id = g.q_id AND f.doc_id = g.doc_id
+        |  WHERE f.rn <= 10),
+        |ha AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    CAST(min(rn) AS BIGINT) AS fr,
+        |    CAST(sum(CASE rn
+        |      WHEN 1 THEN 1000000000 WHEN 2 THEN 630929753
+        |      WHEN 3 THEN 500000000 WHEN 4 THEN 430676558
+        |      WHEN 5 THEN 386852807 WHEN 6 THEN 356207187
+        |      WHEN 7 THEN 333333333 WHEN 8 THEN 315464876
+        |      WHEN 9 THEN 301029995 ELSE 289064826 END) AS BIGINT)
+        |      AS dcg
+        |  FROM hits GROUP BY 1)
+        |SELECT ng.q_id, ng.n_gold,
+        |  coalesce(ha.n_hits, 0) AS n_hits,
+        |  CAST(coalesce(ha.n_hits, 0) * 1000000000 // ng.n_gold
+        |    AS BIGINT) AS recall_nano,
+        |  CAST(CASE WHEN ha.fr IS NULL THEN 0
+        |    ELSE 1000000000 // ha.fr END AS BIGINT) AS mrr_nano,
+        |  CAST(coalesce(ha.dcg, 0) AS BIGINT) AS dcg_nano,
+        |  CAST(CASE least(ng.n_gold, 10)
+        |    WHEN 1 THEN 1000000000 WHEN 2 THEN 1630929753
+        |    ELSE 2130929753 END AS BIGINT) AS idcg_nano,
+        |  CAST(coalesce(ha.dcg, 0) * 1000000000
+        |    // (CASE least(ng.n_gold, 10)
+        |      WHEN 1 THEN 1000000000 WHEN 2 THEN 1630929753
+        |      ELSE 2130929753 END) AS BIGINT) AS ndcg_nano
+        |FROM ng LEFT JOIN ha USING (q_id)""".stripMargin,
     // Context assembly: the same fused chain, joined back to the doc
     // text for the BPE-proxy token count, one running-sum window per
     // query in rank order, prefix-kept under the 384 budget.

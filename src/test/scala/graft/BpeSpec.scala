@@ -134,4 +134,61 @@ class BpeSpec extends SparkSpec {
         "if the driver regenerated documents, rerun tools/gen_bpe.py " +
         "and recommit merges.txt + bpe_oracle_sf001.parquet")
   }
+
+  test("byte fallback: decodeBf∘encodeBf = canonical text EXACTLY — " +
+      "whitespace, non-ASCII, and 4-byte code points all roundtrip") {
+    val texts = Seq("Hello, world! 42 times",
+      "  spark   SPARK spark  ", "café 世界 — naïve Grüße",
+      "emoji 😀 tail", "tabs\tand\nnewlines", "", "   ",
+      "mixed: key-value_7 (agg) é μ")
+    texts.foreach { t =>
+      val ids = Bpe.encodeBf(t, codec)
+      assert(Bpe.decodeBf(ids, codec) == Bpe.norm(t),
+        s"bf round-trip failed for '$t'")
+      // the production-tokenizer contract: nothing maps to <unk>
+      assert(!ids.contains(codec.unkId), s"bf emitted unk for '$t'")
+    }
+  }
+
+  test("byte fallback is a strict superset: vocab ids unchanged, " +
+      "byte ids disjoint after the merge block") {
+    // strict-vocab pre-tokens encode to the IDENTICAL id sequence
+    Seq("the", "12345", "!", "agg").foreach { w =>
+      assert(Bpe.encodeWordBf(w, codec).toSeq ==
+        Bpe.encodeWord(w, codec).toSeq, s"ids drifted for '$w'")
+    }
+    // byte ids start exactly where the derived vocab ends
+    assert(Bpe.byteBase(codec) == codec.ids.size)
+    // a space falls back to its single UTF-8 byte token
+    assert(Bpe.encodeWordBf(" ", codec).toSeq ==
+      Seq(Bpe.byteBase(codec) + 0x20))
+    // é (2 UTF-8 bytes) and 😀 (4 bytes) decompose byte-for-byte
+    assert(Bpe.encodeWordBf("é", codec).length == 2)
+    assert(Bpe.encodeWordBf("😀", codec).length == 4)
+  }
+
+  test("Scala byte-fallback encoder ≡ independent Python bf oracle " +
+      "on real fixture text with planted non-ASCII tails") {
+    val oraclePath =
+      getClass.getResource("/graft/bpe_bf_oracle_sf001.parquet")
+    assert(oraclePath != null, "checked-in bf oracle parquet missing")
+    val oracle = spark.read.parquet(oraclePath.getPath)
+    val docsPath = "/root/testdata/sf0.01/documents.parquet"
+    assume(new java.io.File(docsPath).exists(), s"fixture absent: $docsPath")
+    val docs = spark.read.parquet(docsPath).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            lit(" é μ")).otherwise(lit(""))).as("text"))
+    val mine = Bpe.encodeDocsBf(docs, "doc_id", "text").toDF()
+      .select(col("doc_id"),
+        posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id").cast("long").as("token_id"))
+    val diff = mine.exceptAll(oracle).count() + oracle.exceptAll(mine).count()
+    assert(diff == 0,
+      "Scala byte-fallback output diverged from the checked-in Python " +
+        "bf oracle — rerun tools/gen_bpe.py and recommit if the " +
+        "documents fixture was regenerated")
+  }
 }

@@ -46,6 +46,70 @@ class NsDedupSpec extends SparkSpec {
       s"provenance must shuffle once, on the fingerprint:\n$plan")
   }
 
+  test("source dup matrix: cells partition the edge set, within-" +
+      "source replays land on the diagonal (r14 datasheet law)") {
+    // s0 docs 1/2 duplicate each other (diagonal cell), s1 doc 3
+    // copies s0's survivor 1 (off-diagonal), 5 copies 3's content
+    // but 3 itself dropped into 1's group -> 5 also maps to 1
+    val df = docs(
+      1L -> "alpha beta", 2L -> "alpha  BETA", 3L -> "Alpha beta",
+      4L -> "gamma", 5L -> "alpha beta ")
+      .withColumn("source",
+        when(col("doc_id") <= 2, "s0").otherwise("s1"))
+    val edges = Dedup.exactDedupProvenance(df, "doc_id", "text",
+      carry = Seq("source"))
+    val matrix = edges
+      .groupBy(col("kept_source"), col("dropped_source"))
+      .agg(count(lit(1)).as("n_dups"),
+        countDistinct(col("kept_id")).as("n_groups"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(matrix == Set(("s0", "s0", 1L, 1L), ("s0", "s1", 2L, 1L)))
+    // cells partition the edges: totals agree
+    assert(matrix.toSeq.map(_._3).sum == edges.count())
+  }
+
+  test("conversation near-dup: transcripts render in turn order; " +
+      "planted edited twins surface while unrelated chats don't " +
+      "(r14 — both idioms through the same machinery)") {
+    // 20 conversations, 2 turns each; twins = id+100 with "hi "
+    // prepended to the user turn (the re-upload-with-greeting class).
+    // Content words are per-conversation (no shared sentence
+    // template) so unrelated chats share no 3-gram — only the
+    // <|...|> markers, which never form a full gram alone.
+    val base = (0L until 20L).flatMap { c =>
+      Seq((c, 0L, "user",
+        s"alpha$c beta$c gamma$c delta$c epsilon$c zeta$c eta$c " +
+          s"theta$c iota$c kappa$c"),
+        (c, 1L, "assistant", s"mu$c nu$c xi$c omicron$c pi$c rho$c"))
+    }
+    val twins = base.map { case (c, t, r, txt) =>
+      (c + 100L, t, r, if (r == "user") s"hi $txt" else txt)
+    }
+    val turns = (base ++ twins).toDF("conversation_id", "turn_idx",
+      "role", "content")
+    // rendering law: ordered, space-joined, template-marked
+    val tx = Dedup.conversationTranscripts(turns, "conversation_id",
+      "turn_idx", "role", "content")
+      .filter(col("conversation_id") === 0L)
+      .select(col("transcript")).as[String].head()
+    assert(tx == "<|user|> alpha0 beta0 gamma0 delta0 epsilon0 " +
+      "zeta0 eta0 theta0 iota0 kappa0 <|end|> <|assistant|> mu0 " +
+      "nu0 xi0 omicron0 pi0 rho0 <|end|>")
+    // both idioms: every planted twin pair surfaces (long shared
+    // transcript → Jaccard well inside the threshold), nothing else
+    // does (per-id content makes unrelated chats distant)
+    Seq(
+      Dedup.conversationNearDup(turns, "conversation_id", "turn_idx",
+        "role", "content"),
+      Dedup.conversationNearDupExact(turns, "conversation_id",
+        "turn_idx", "role", "content")).foreach { pairs =>
+      val got = pairs.select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == (0L until 20L).map(c => (c, c + 100L)).toSet,
+        s"wrong pair set: $got")
+    }
+  }
+
   test("simhashNearDupNewVsStore equals the whole-corpus self-join " +
       "restricted to cross pairs") {
     // ids 0..9 = store, 100..109 = new; new 100/102 are planted

@@ -659,4 +659,50 @@ class NsSketchesMultimodalSpec extends SparkSpec {
       Multimodal.writeJpeg(20, 14, seed = 5L)).isEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
+
+  test("parseMp4: writeMp4 round-trips every header field; truncated, " +
+      "desynced, undersized, and headerless buffers all quarantine " +
+      "with a named reason (the ns120 framing discipline)") {
+    val full = Multimodal.writeMp4("isom", 600, 7404L, 320, 240)
+    assert(Multimodal.parseMp4(full) ==
+      Right(("isom", 600L, 7404L, 7404L * 1000L / 600L, 320L, 240L)))
+    // duration_ms floors: 7404*1000/600 = 12340 exactly; odd case too
+    val odd = Multimodal.writeMp4("mp42", 700, 999L, 8, 16)
+    assert(Multimodal.parseMp4(odd) ==
+      Right(("mp42", 700L, 999L, 999L * 1000L / 700L, 8L, 16L)))
+    // truncation: moov's declared size overruns the cut buffer
+    assert(Multimodal.parseMp4(full.take(full.length - 20)) ==
+      Left("desynced_box"))
+    // a box size below the 8-byte header minimum desyncs the walk;
+    // ftyp is 20 bytes (8-byte header + brand + minor + one compat
+    // brand), so moov's u32 size starts right there
+    val moovOff = 20
+    assert(new String(full, moovOff + 4, 4, "US-ASCII") == "moov")
+    val bad = full.clone()
+    bad(moovOff) = 0; bad(moovOff + 1) = 0
+    bad(moovOff + 2) = 0; bad(moovOff + 3) = 4 // moov size := 4
+    assert(Multimodal.parseMp4(bad) == Left("desynced_box"))
+    // fewer than 8 bytes left mid-walk: truncated header
+    assert(Multimodal.parseMp4(full ++ Array[Byte](0, 0, 0)) ==
+      Left("truncated_header"))
+    // no ftyp/moov at all
+    assert(Multimodal.parseMp4("free".getBytes("US-ASCII")).isLeft)
+    assert(Multimodal.parseMp4(Array.emptyByteArray) ==
+      Left("missing_ftyp"))
+    // 64-bit largesize framing parses: rewrap moov with size=1 +
+    // largesize
+    val ftyp = full.take(moovOff)
+    val moov = full.drop(moovOff)
+    def u32be(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    val large = u32be(1L) ++ "moov".getBytes("US-ASCII") ++
+      u32be(0L) ++ u32be(moov.length.toLong + 8L) ++ moov.drop(8)
+    assert(Multimodal.parseMp4(ftyp ++ large) ==
+      Right(("isom", 600L, 7404L, 12340L, 320L, 240L)))
+    // zero timescale quarantines instead of dividing by zero
+    assert(Multimodal.parseMp4(
+      Multimodal.writeMp4("isom", 0, 10L, 4, 4)) ==
+      Left("zero_timescale"))
+  }
 }

@@ -167,6 +167,95 @@ class RetrievalSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("missing from docs")), ex.toString)
   }
 
+  test("rankingQuality: hand-computed metrics, zero-hit queries keep " +
+      "their row, perfect ranking scores exactly 1e9") {
+    // q=1: gold {10, 11, 12}, hits at ranks 1 and 3 → recall 2/3,
+    // mrr 1e9, dcg = disc(1)+disc(3); q=2: gold {20}, hit rank 2 →
+    // ndcg = disc(2)/disc(1); q=3: gold {30}, no hit → zeros
+    val ranked = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3),
+      (2L, 98L, 1), (2L, 20L, 2), (3L, 97L, 1))
+      .toDF("q", "id", "rn")
+    val gold = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L),
+      (3L, 30L)).toDF("gq", "gid")
+    val out = Retrieval.rankingQuality(ranked, "q", "id", "rn",
+      gold, "gq", "gid", k = 10)
+      .select(col("q"), col("n_gold"), col("n_hits"),
+        col("recall_nano"), col("mrr_nano"), col("dcg_nano"),
+        col("idcg_nano"), col("ndcg_nano"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val d = Retrieval.ndcgDiscNano
+    assert(out(1L) == ((1L, 3L, 2L, 666666666L, 1000000000L,
+      d(0) + d(2), d(0) + d(1) + d(2),
+      (d(0) + d(2)) * 1000000000L / (d(0) + d(1) + d(2)))))
+    assert(out(2L) == ((2L, 1L, 1L, 1000000000L, 500000000L,
+      d(1), d(0), d(1) * 1000000000L / d(0))))
+    assert(out(3L) == ((3L, 1L, 0L, 0L, 0L, 0L, d(0), 0L)))
+    // a perfect ranking of the whole gold set scores exactly 1e9
+    val perfect = Retrieval.rankingQuality(
+      Seq((7L, 1L, 1), (7L, 2L, 2)).toDF("q", "id", "rn"),
+      "q", "id", "rn",
+      Seq((7L, 1L), (7L, 2L)).toDF("gq", "gid"), "gq", "gid")
+      .select(col("recall_nano"), col("ndcg_nano"), col("mrr_nano"))
+      .as[(Long, Long, Long)].head()
+    assert(perfect == ((1000000000L, 1000000000L, 1000000000L)))
+  }
+
+  test("rankingQuality on the fixture: RRF fusion never loses a gold " +
+      "hit both legs agree on, and fused quality >= the weaker leg " +
+      "(the planted-set pin)") {
+    val docs = Tables(spark, sf, "documents")
+    val emb = Tables(spark, sf, "embeddings")
+    val qText = docs
+      .filter(col("doc_id") % 59 === 3 && col("doc_id") < 3000)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.ns.TextOps.wordTokens(col("text")), 1, 4),
+          " ").as("q_text"))
+    val lex = Retrieval.bm25TopK(docs, "doc_id", "text", qText,
+        "q_id", "q_text", k = 10, maxPostingsPerTerm = Some(200))
+      .select(col("q_id"), col("doc_id"), col("rn"))
+    val qEmb = emb.filter(col("vec_id") % 59 === 3 && col("vec_id") < 3000)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dense = graft.ns.Similarity.int8MipsTopK(emb, "vec_id",
+        "embedding", qEmb, "q_id", "q_emb", k = 10)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rn"))
+    val fused = Retrieval.rrfFuse(Seq(lex, dense), "q_id", "doc_id",
+      "rn", k = 60, topK = 10)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val gold = docs
+      .filter(col("doc_id") % 59 === 3 && col("doc_id") < 3000)
+      .select(col("doc_id").as("gq"))
+      .select(col("gq"), explode(array(col("gq"), col("gq") + 59L,
+        col("gq") + 118L)).as("gid"))
+      .filter(col("gid") <= maxId)
+    def total(ranked: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Retrieval.rankingQuality(ranked, "q_id", "doc_id", "rn",
+        gold, "gq", "gid", k = 10)
+        .agg(sum(col("mrr_nano")), sum(col("ndcg_nano")))
+        .as[(Long, Long)].head()
+      r
+    }
+    val (fMrr, fNdcg) = total(fused)
+    val (lMrr, lNdcg) = total(lex)
+    val (dMrr, dNdcg) = total(dense)
+    // fusion beats (or ties) the WEAKER leg on the planted set — the
+    // reason to fuse at all; a fixture pin, not a theorem
+    assert(fMrr >= math.min(lMrr, dMrr), s"$fMrr < min($lMrr, $dMrr)")
+    assert(fNdcg >= math.min(lNdcg, dNdcg),
+      s"$fNdcg < min($lNdcg, $dNdcg)")
+    // agreement preservation IS a theorem at these sizes: a gold doc
+    // in BOTH legs' top-10 carries rrf >= 2/70ths while a doc in one
+    // leg's top-1 carries at most 1/61st — with 20 candidate slots
+    // and 10 output slots, both-leg hits always survive fusion
+    val both = lex.join(dense, Seq("q_id", "doc_id"))
+      .join(gold.select(col("gq").as("q_id"), col("gid").as("doc_id")),
+        Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("doc_id"))
+    val lost = both.join(fused.select(col("q_id"), col("doc_id")),
+      Seq("q_id", "doc_id"), "left_anti").count()
+    assert(lost == 0L, s"$lost agreed-on gold hits lost by fusion")
+  }
+
   test("deterministic under repartitioning; knownStats reproduces " +
       "the computed-stats output") {
     val docs = Tables(spark, sf, "documents")

@@ -31,6 +31,9 @@ import pandas as pd
 
 ASCII_WS = r"[ \t\n\x0b\f\r]+"
 PRE_TOKEN = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]", re.ASCII)
+# byte-fallback pre-tokenizer (r14): whitespace runs are pre-tokens
+# too, so decode∘encode reproduces canonical text exactly
+PRE_TOKEN_BF = re.compile(r"[a-z]+|[0-9]+|\s+|[^a-z0-9\s]", re.ASCII)
 
 
 def norm(s: str) -> str:
@@ -39,6 +42,10 @@ def norm(s: str) -> str:
 
 def pre_tokens(normed: str):
     return PRE_TOKEN.findall(normed)
+
+
+def pre_tokens_bf(normed: str):
+    return PRE_TOKEN_BF.findall(normed)
 
 
 def train(word_freq: Counter, n_merges: int):
@@ -83,7 +90,7 @@ def make_ids(merges):
     return ids
 
 
-def encode_word(word, ranks, ids):
+def merge_syms(word, ranks):
     syms = list(word)
     while len(syms) >= 2:
         best_rank, best_i = None, -1
@@ -103,7 +110,23 @@ def encode_word(word, ranks, ids):
                 out.append(syms[k])
                 k += 1
         syms = out
-    return [ids.get(s, 0) for s in syms]
+    return syms
+
+
+def encode_word(word, ranks, ids):
+    return [ids.get(s, 0) for s in merge_syms(word, ranks)]
+
+
+def encode_word_bf(word, ranks, ids, byte_base):
+    """Byte fallback: a symbol outside the vocab decomposes into its
+    UTF-8 bytes' tokens (ids byte_base..byte_base+255) — never unk."""
+    out = []
+    for s in merge_syms(word, ranks):
+        if s in ids:
+            out.append(ids[s])
+        else:
+            out.extend(byte_base + b for b in s.encode("utf-8"))
+    return out
 
 
 def main():
@@ -148,6 +171,30 @@ def main():
     n_tok = oracle.groupby("doc_id").size()
     print(f"tokens/doc min={n_tok.min()} mean={n_tok.mean():.1f} "
           f"max={n_tok.max()}; vocab={len(ids)}")
+
+    # 2b. byte-fallback oracle (r14): the same doc_id < 100 slice with
+    # the ns187 planted non-ASCII tail (" é μ" for doc_id % 9 == 0),
+    # encoded with whitespace pre-tokens + byte fallback — the id
+    # stream the ns190 gate compares rank-for-rank. byte_base is a
+    # pure function of the merge table: 95 + len(merges).
+    byte_base = 95 + len(merges)
+    bf_rows = []
+    for r in docs[docs.doc_id < 100].itertuples():
+        text = r.text + (" é μ" if r.doc_id % 9 == 0 else "")
+        pos = 0
+        for w in pre_tokens_bf(norm(text)):
+            for tid in encode_word_bf(w, ranks, ids, byte_base):
+                bf_rows.append((r.doc_id, pos, tid))
+                pos += 1
+    bf = pd.DataFrame(bf_rows, columns=["doc_id", "pos", "token_id"]) \
+        .astype("int64")
+    bf_out = "src/test/resources/graft/bpe_bf_oracle_sf001.parquet"
+    bf.to_parquet(bf_out, index=False)
+    n_byte = (bf.token_id >= byte_base).sum()
+    n_unk = (bf.token_id == 0).sum()
+    print(f"wrote {len(bf)} bf oracle rows -> {bf_out} "
+          f"(byte_base={byte_base}, byte_tokens={n_byte}, unk={n_unk})")
+    assert n_unk == 0, "byte fallback must never emit unk"
 
     # 3. SFT oracle: the chat fixture's conversations (doc_id < 100,
     # %17 != 0 — truncated lines quarantine and carry no turns),
