@@ -225,6 +225,15 @@ object Bench {
       n.length > 2 && n.charAt(0) == 's' && n.charAt(1).isDigit &&
         n.charAt(2).isDigit
     def heavy(n: String): Boolean = heavySet(n) || streamingQ(n)
+    // The p0 PIPELINE family, by shape not by prefix-literal (r14):
+    // `startsWith("p0")` silently excluded p10 from the sequential
+    // once-through AND from the retime rounds — its 50 s cold pooled
+    // number shipped as final in BENCH_r13. Any pNN query is a
+    // multi-job end-to-end gate: pooled capMin warmth slice, then one
+    // sequential contention-free timed pass, never retimed.
+    def pipelineQ(n: String): Boolean =
+      n.length > 2 && n.charAt(0) == 'p' && n.charAt(1).isDigit &&
+        n.charAt(2).isDigit
     // Warm-up order is heavy-FIRST (r12): heavy queries are the ones
     // whose steady number depends on the warmth slice, and under the
     // hard stop whatever warm-up does not reach cold-retimes in the
@@ -235,7 +244,7 @@ object Bench {
     // inverted so a budget death still left core numbers; now every
     // query is guaranteed a number downstream.
     def famRank(n: String): Int =
-      if (heavy(n) || n.startsWith("p0")) 0
+      if (heavy(n) || pipelineQ(n)) 0
       else if (n.startsWith("q") || n.startsWith("o") || n.startsWith("j") ||
         n.startsWith("dq")) 2
       else 1
@@ -300,18 +309,18 @@ object Bench {
     // run REPLACES the slice's number by the capped-replace /
     // min-of-clean-times rule, so the artifact never keeps a pooled
     // contended time a clean sequential run beat).
-    val seqOnce = warmupOrder.filter(_.startsWith("p0"))
+    val seqOnce = warmupOrder.filter(pipelineQ)
     warmupOrder.foreach { n =>
       pool.submit(new Runnable {
         def run(): Unit =
           if (elapsed >= warmupBudget) {
             // p0s are not "skipped": their timed pass runs sequentially
             // below regardless of whether the warmth slice fit.
-            if (!n.startsWith("p0"))
+            if (!pipelineQ(n))
               lock.synchronized { skippedWarmup += n }
           }
           else attempt(n,
-            tierCap(n, if (heavy(n) || n.startsWith("p0")) capMin else capMax),
+            tierCap(n, if (heavy(n) || pipelineQ(n)) capMin else capMax),
             isRetime = false)
       })
     }
@@ -335,7 +344,7 @@ object Bench {
       (skippedWarmup.contains(name) || cappedAt.contains(name) ||
         times.get(name).exists(t => t >= 0 &&
           (t <= retimeCap || production(name)))) &&
-        !name.startsWith("p0")
+        !pipelineQ(name)
     // Timed-rounds floor (round-11 verdict #1b): the rounds phase gets
     // at least half the deadline of its own, even when a contended
     // host let warm-up + the sequential p0 section eat the nominal
@@ -450,7 +459,7 @@ object Bench {
     // under pool contention. p0 pipelines are excluded — they run
     // exactly once, sequentially, after the pool drains.
     val notRetimedJson = names.sorted
-      .filter(n => !retimed.contains(n) && !n.startsWith("p0"))
+      .filter(n => !retimed.contains(n) && !pipelineQ(n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Freshness stamp (round-7/8 ADVICE): a rerun is verifiably new.
     val runTs = java.time.Instant.now().toString

@@ -2125,6 +2125,67 @@ object SparkEntry {
           Seq("conversation_id"))
     }),
 
+    // ---- §2.8 [NS] image-text pair curation round (r14, p11) ----
+    // The CLIP-corpus shape end-to-end, composing the separately-
+    // gated pieces at PAIR grain: join integrity (caption ⋈ image —
+    // the %23==1 broken-link class has no image payload and drops
+    // here), caption gates (ns73's linear quality logit AND ns10's
+    // en-dominance rule — the p03 battery on the caption column),
+    // real dHash over real BMP payloads (ns63's decode, even/odd
+    // base pairs share pixel-identical images), then CROSS-MODAL
+    // dedup: same-image-different-caption collapses by dHash group
+    // and same-caption-different-image (the %10==0 re-upload twins,
+    // +100000 with fresh images) by caption fingerprint group —
+    // survivors are min-id of BOTH groups, carrying each group's
+    // multiplicity. The oracle re-derives every stage in closed form
+    // including the dHash values (ns63's grid CTEs), so a misrouted
+    // payload, a dropped gate, or a wrong survivor breaks the hash.
+    "p11_pair_curation" -> ((s, d) => {
+      val dir = newScratchDir("graft_p11")
+      val imgDir = new java.io.File(dir, "imgs")
+      imgDir.mkdirs()
+      val base = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id").as("pair_id"), col("text").as("caption"))
+      val twins = base.filter(pmod(col("pair_id"), lit(10)) === 0)
+        .select((col("pair_id") + 100000L).as("pair_id"),
+          col("caption"))
+      val captions = base.unionByName(twins)
+      (0 until 120).filter(_ % 23 != 1).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(imgDir.getPath, f"pair_$i%06d.bmp"),
+          Multimodal.writeBmp(72, 64, (i / 2).toLong * 1000L))
+      }
+      (0 until 120).filter(_ % 10 == 0).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(imgDir.getPath,
+            f"pair_${i + 100000}%06d.bmp"),
+          Multimodal.writeBmp(72, 64, i.toLong * 7919L + 123456L))
+      }
+      val hashes = Multimodal.dhashImages(
+          Multimodal.readBinaryDir(s, imgDir.getPath, "pair_*"))
+        .toDF()
+        .select(regexp_extract(col("file_name"), "pair_(\\d+)\\.bmp", 1)
+          .cast("long").as("pair_id"), col("dhash"))
+      val gated = captions
+        .join(hashes, Seq("pair_id")) // inner: broken links drop
+        .filter(TextOps.linearLogitCol(col("caption")) > 0L &&
+          TextOps.langIdCol(col("caption")) === "en")
+        // pair-count-sized and feeds three consumers (two dedup
+        // group-bys + the final join) — materialize once so the
+        // decode/gate chain never re-runs (the p10 lens move)
+        .localCheckpoint(true)
+      val imgSurv = gated.groupBy(col("dhash"))
+        .agg(min(col("pair_id")).as("pair_id"),
+          count(lit(1)).as("n_image_dups"))
+      val capSurv = gated
+        .groupBy(md5(Dedup.normText(col("caption"))).as("__fp"))
+        .agg(min(col("pair_id")).as("pair_id"),
+          count(lit(1)).as("n_caption_dups"))
+      imgSurv.join(capSurv, Seq("pair_id"))
+        .select(col("pair_id"), col("dhash"), col("n_image_dups"),
+          col("n_caption_dups"))
+    }),
+
     "p09_polite_crawl" -> ((s, d) => {
       val base = t(s, d, "documents")
         .select(col("doc_id"), fixtureUrl.as("url"))

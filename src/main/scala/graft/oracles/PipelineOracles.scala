@@ -190,6 +190,93 @@ private[graft] object PipelineOracles {
         |    AS DOUBLE) / 256) AS BIGINT) AS pack_id,
         |  n_loss_tokens
         |FROM lens""".stripMargin,
+    // p11: the pair round re-derived stage by stage — caption/image
+    // universes with the broken-link and re-upload plantings, the
+    // ns73 logit + p03 lang gates on the caption, ns63's grid CTEs
+    // recomputing every surviving pair's dHash VALUE from the seed
+    // formula (no injectivity assumed anywhere), then both dedup
+    // group-bys and the min-of-both-groups survivor join.
+    "p11_pair_curation" ->
+      """WITH caps0 AS (
+        |  SELECT doc_id AS pair_id, text AS caption
+        |  FROM documents WHERE doc_id < 120),
+        |caps AS (
+        |  SELECT pair_id, caption FROM caps0
+        |  UNION ALL
+        |  SELECT pair_id + 100000, caption FROM caps0
+        |  WHERE pair_id % 10 = 0),
+        |imgs AS (
+        |  SELECT pair_id, CAST((pair_id // 2) * 1000 AS BIGINT) AS seed
+        |  FROM caps0 WHERE pair_id % 23 <> 1
+        |  UNION ALL
+        |  SELECT pair_id + 100000,
+        |    CAST(pair_id * 7919 + 123456 AS BIGINT)
+        |  FROM caps0 WHERE pair_id % 10 = 0),
+        |n0 AS (
+        |  SELECT c.pair_id, i.seed,
+        |    regexp_replace(lower(trim(c.caption)), '\s+', ' ', 'g')
+        |      AS normc,
+        |    string_split(regexp_replace(lower(trim(c.caption)),
+        |      '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM caps c JOIN imgs i USING (pair_id)),
+        |sc AS (
+        |  SELECT pair_id, seed, normc,
+        |    -50000 + coalesce(list_sum(list_transform(toks,
+        |      t -> CASE t
+        |      WHEN 'the' THEN 40000 WHEN 'and' THEN 30000
+        |      WHEN 'of' THEN 30000 WHEN 'to' THEN 25000
+        |      WHEN 'a' THEN 25000 WHEN 'in' THEN 20000
+        |      WHEN 'is' THEN 20000 WHEN 'it' THEN 15000
+        |      WHEN 'for' THEN 15000 WHEN 'with' THEN 15000
+        |      WHEN 'lorem' THEN -250000 WHEN 'ipsum' THEN -250000
+        |      WHEN 'click' THEN -120000 WHEN 'subscribe' THEN -150000
+        |      WHEN 'cookie' THEN -100000 WHEN 'buy' THEN -90000
+        |      WHEN 'winner' THEN -120000 WHEN 'free' THEN -80000
+        |      WHEN 'http' THEN -60000 ELSE 0 END)), 0) AS logit,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it'],
+        |      t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['le','les','et','est','dans','une','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['el','los','las','y','es','una','por'], t))) AS es
+        |  FROM n0),
+        |gate AS (
+        |  SELECT pair_id, seed, normc FROM sc
+        |  WHERE logit > 0 AND en >= de AND en >= fr AND en >= es
+        |    AND en > 0),
+        |cells AS (
+        |  SELECT pair_id, x // 8 AS cx, y // 8 AS cy,
+        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |        + (seed + y*72 + x) % 239) AS s
+        |  FROM gate, range(0, 64) ty(y), range(0, 72) tx(x)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.pair_id, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
+        |  FROM cells l JOIN cells r
+        |    ON l.pair_id = r.pair_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8 AND l.s > r.s),
+        |hv AS (
+        |  SELECT g2.pair_id, g2.normc,
+        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+        |  FROM gate g2 LEFT JOIN bits USING (pair_id) GROUP BY 1, 2),
+        |dh AS (
+        |  SELECT pair_id, normc,
+        |    CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+        |      THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM hv),
+        |ig AS (SELECT dhash, min(pair_id) AS pair_id,
+        |    CAST(count(*) AS BIGINT) AS n_image_dups
+        |  FROM dh GROUP BY 1),
+        |fg AS (SELECT md5(normc) AS fp, min(pair_id) AS pair_id,
+        |    CAST(count(*) AS BIGINT) AS n_caption_dups
+        |  FROM dh GROUP BY 1)
+        |SELECT ig.pair_id, ig.dhash, ig.n_image_dups,
+        |  fg.n_caption_dups
+        |FROM ig JOIN fg USING (pair_id)""".stripMargin,
     "p09_polite_crawl" ->
       """WITH u0 AS (
         |  SELECT doc_id,

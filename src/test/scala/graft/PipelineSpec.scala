@@ -195,6 +195,37 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("p11 pair curation: broken links never surface, re-upload " +
+      "twins collapse to the original with multiplicity, shared-image " +
+      "pairs collapse by dHash (r14)") {
+    val out = SparkEntry.queries("p11_pair_curation")(spark, sf)
+      .select("pair_id", "dhash", "n_image_dups", "n_caption_dups")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    // join integrity: the %23==1 base pairs have no image payload and
+    // must never surface
+    assert(ids.forall(id => id >= 100000L || id % 23 != 1))
+    // caption dedup keeps the ORIGINAL id — a re-uploaded +100000
+    // twin survives ONLY when its base pair was a broken link
+    // (%23==1 ∩ %10==0, e.g. 70): the re-upload is then the corpus's
+    // only intact copy, which is exactly what a curation pass should
+    // keep
+    assert(ids.forall(id => id < 100000L || (id - 100000L) % 23 == 1))
+    // a surviving %10==0 BASE pair carries its re-upload in
+    // n_caption_dups (>= 2); a twin that survived alone carries 1
+    assert(out.forall { case (id, _, _, cd) =>
+      if (id < 100000L && id % 10 == 0) cd >= 2L else cd >= 1L })
+    // image dedup: even/odd base pairs share pixel-identical images,
+    // so a surviving base pair is the min of its dHash group — an odd
+    // id survives only when its even twin is gone (broken link or
+    // gated), and group multiplicities are consistent
+    assert(out.forall(_._3 >= 1L))
+    val dhashes = out.map(_._2)
+    assert(dhashes.distinct.length == dhashes.length,
+      "two survivors share a dHash — image dedup leaked a duplicate")
+  }
+
   test("p04 incremental curation: only delta docs admitted, store honored") {
     val out = SparkEntry.queries("p04_incremental_curation")(spark, sf)
       .select("doc_id", "dup_count", "split")
