@@ -2186,6 +2186,59 @@ object SparkEntry {
           col("n_caption_dups"))
     }),
 
+    // ---- §2.8 [NS] video curation round (r14, p12) ----
+    // The ns191 MP4 metadata tier composed into an end-to-end video
+    // curation pass — the container-level face of p11: framing
+    // quarantine (the i%5==4 truncation class loses moov and drops),
+    // metadata gates (duration_ms >= 3000, height >= 240 — both
+    // exact integer header arithmetic), EXACT container dedup by
+    // content fingerprint (even/odd ids share one parameter group g
+    // = i/2, and writeMp4 is a pure function of (brand, timescale,
+    // duration, dims), so byte-identity ⇔ parameter-group identity
+    // in BOTH directions — the oracle groups by the closed-form
+    // parameter tuple, assuming nothing beyond md5 over distinct
+    // byte strings), min-id survivors carrying multiplicity, and a
+    // frame-sample schedule sized from the exact duration (1 fps + 1
+    // — the ns85 sampling arithmetic at the planning layer). At
+    // 100 TB the pass is header-bound (mdat never read), the dedup
+    // is one fingerprint-keyed exchange, and gates are map-side.
+    "p12_video_curation" -> ((s, d) => {
+      val dir = newScratchDir("graft_p12")
+      (0 until 150).foreach { i =>
+        val g = i / 2
+        val full = Multimodal.writeMp4(
+          if (g % 2 == 0) "isom" else "mp42",
+          600 + (g % 5) * 200, (g + 1).toLong * 900L,
+          320 + (g % 12) * 16, 180 + (g % 8) * 30)
+        val bytes = if (i % 5 == 4) full.take(full.length - 20) else full
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, f"vid_$i%03d.mp4"), bytes)
+      }
+      val bin = Multimodal.readBinaryDir(s, dir.getPath, "vid_*")
+      val fp = bin.select(col("file_name"),
+        md5(col("content")).as("__fp"))
+      val meta = Multimodal.mp4Metadata(bin).toDF()
+      val gated = meta.join(fp, Seq("file_name"))
+        .filter(col("status") === "ok" &&
+          col("duration_ms") >= 3000L && col("height") >= 240L)
+        .select(regexp_extract(col("file_name"), "vid_(\\d+)\\.mp4", 1)
+          .cast("long").as("video_id"),
+          col("brand"), col("duration_ms"), col("width"),
+          col("height"), col("__fp"))
+      materializeAndDrop(
+        gated.groupBy(col("__fp"))
+          .agg(min(col("video_id")).as("video_id"),
+            min(col("brand")).as("brand"),
+            min(col("duration_ms")).as("duration_ms"),
+            min(col("width")).as("width"),
+            min(col("height")).as("height"),
+            count(lit(1)).as("n_dups"))
+          .select(col("video_id"), col("brand"), col("duration_ms"),
+            col("width"), col("height"), col("n_dups"),
+            expr("duration_ms div 1000 + 1").as("n_frames")),
+        dir)
+    }),
+
     "p09_polite_crawl" -> ((s, d) => {
       val base = t(s, d, "documents")
         .select(col("doc_id"), fixtureUrl.as("url"))
@@ -4821,6 +4874,56 @@ object SparkEntry {
     "s20_stream_minhash_bank" -> ((s, d) =>
       minhashBankStream(s, d, "graft_s20",
         Dedup.minhashBandRows(_, _, _, _, _))),
+
+    // ---- §7.4.6 [NS] streaming conversation near-dup bank (r14) ----
+    // ns194's conversation-grain near-dup on the ingest stream: the
+    // s20 bank machinery with a band-row builder that first renders
+    // each micro-batch's turns to ordered transcripts (safe per batch
+    // — the batch split is by conversation, so a conversation never
+    // straddles a micro-batch) and then bands the transcript with the
+    // production xxhash64 idiom. Batch 0 lands the original
+    // conversations' signatures; batch 1 streams the re-uploaded
+    // edited twins (+3000000, "hi "-prefixed user turns), and the
+    // strictly-earlier-batch match join surfaces (twin, original)
+    // candidates — the registered output. Deterministic despite LSH
+    // (xxhash64 is seedless-deterministic); rows-only like ns194; the
+    // stream≡batch-collision and replay laws run in StreamingSpec.
+    "s21_stream_conversation_bank" -> ((s, d) => {
+      val base = newScratchDir("graft_s21")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      val corpus = conversationNearDupCorpus(s, d)
+      Seq(col("conversation_id") < 3000000L,
+          col("conversation_id") >= 3000000L)
+        .zipWithIndex.foreach { case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          corpus.filter(p).coalesce(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+        }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val q = EventStream.startMinhashBankStream(stream,
+        s"${base.getPath}/bank", s"${base.getPath}/matches",
+        s"${base.getPath}/ckpt", "conversation_id", "transcript",
+        n = 3,
+        bandRows = (batch, id, text, n, k) =>
+          Dedup.minhashBandRows(
+            Dedup.conversationTranscripts(batch, id, "turn_idx",
+              "role", "content"), id, text, n, k),
+        // conversation grain needs the density cap (the ns194
+        // bucketCap at the bank layer — templated transcripts make
+        // stored-bucket occupancy grow with the corpus)
+        matchBucketCap = Some(8))
+      q.awaitTermination()
+      materializeAndDrop(
+        s.read.parquet(s"${base.getPath}/matches")
+          .select(col("new_id"), col("stored_id")), base)
+    }),
 
     // ---- §7.4.6 [NS] streaming SFT token-mask assembly (r13) ----
     // ns179 on the ingest stream: chat-JSONL lines (the cached s16

@@ -432,12 +432,34 @@ object Dedup {
 
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxJaccardDist: Double, numHashTables: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      // The 100-TB density knob (r14, the ns194 sf1 finding): with a
+      // cap K, each (band, chunk) bucket contributes only its K
+      // LOWEST ids on the left side of the candidate join, so
+      // candidate volume is Σ occ·K ≈ corpus-LINEAR instead of the
+      // uncapped Σ occ² (measured 50× wall at 10× rows on template-
+      // heavy conversation transcripts, where bucket occupancy grows
+      // with the corpus). Every bucket member still pairs with the
+      // bucket MIN (the min is always in the core), so min-id
+      // survivorship — what dedup consumes — is unaffected; what the
+      // cap trades away is pair recall between two mid-bucket
+      // members neither of whom is in the low-id core, and the
+      // exact-Jaccard verify still prunes every surviving candidate.
+      // None = complete banding (the ns03/ns03b gate semantics).
+      bucketCap: Option[Int] = None): DataFrame = {
     val rowsPerBand = 2
     val g = shingles(df, idCol, textCol, n)
     val sig = minhashSignature(g, idCol, numHashTables * rowsPerBand, seed)
     val banded = bandedSig(sig, idCol, numHashTables)
-    val cand = banded.select(col(idCol).as("id_a"), col("band"),
+    val left = bucketCap match {
+      case Some(k) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("chunk")).orderBy(col(idCol))
+        banded.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k).drop("__rk")
+      case None => banded
+    }
+    val cand = left.select(col(idCol).as("id_a"), col("band"),
       col("chunk"))
       .join(banded.select(col(idCol).as("id_b"), col("band"),
         col("chunk")), Seq("band", "chunk"))
@@ -672,11 +694,20 @@ object Dedup {
   def conversationNearDup(turns: DataFrame, convCol: String,
       turnCol: String, roleCol: String, contentCol: String,
       n: Int = 3, maxJaccardDist: Double = 0.5,
-      numHashTables: Int = 8, seed: Long = 42L): DataFrame =
+      numHashTables: Int = 8, seed: Long = 42L,
+      // ON by default at conversation grain: short templated
+      // transcripts (greeting/ack turns) make bucket occupancy grow
+      // WITH the corpus, and the uncapped self-join measured 50× wall
+      // at 10× rows (SCALE.md r14). Fixture-scale buckets sit far
+      // below the cap, so the planted-twin laws and the md5 gate
+      // twin ([[conversationNearDupExact]], uncapped by design) are
+      // untouched.
+      bucketCap: Option[Int] = Some(8)): DataFrame =
     minhashNearDupPairs(
       conversationTranscripts(turns, convCol, turnCol, roleCol,
         contentCol),
-      convCol, "transcript", n, maxJaccardDist, numHashTables, seed)
+      convCol, "transcript", n, maxJaccardDist, numHashTables, seed,
+      bucketCap)
 
   /** md5-idiom twin of [[conversationNearDup]] — the hash-gated
     * algorithm pin (the ns03/ns03b split at conversation grain). */

@@ -277,6 +277,32 @@ private[graft] object PipelineOracles {
         |SELECT ig.pair_id, ig.dhash, ig.n_image_dups,
         |  fg.n_caption_dups
         |FROM ig JOIN fg USING (pair_id)""".stripMargin,
+    // p12: the video round re-derived from the fixture index formula
+    // alone — the i%5==4 truncation class quarantines (moov runs past
+    // the buffer), duration_ms is exact integer floor division, both
+    // gates replay, and exact container dedup groups by the parameter
+    // tuple (writeMp4 is pure, so byte-identity ⇔ parameter identity;
+    // duration = (g+1)*900 alone already separates groups).
+    "p12_video_curation" ->
+      """WITH ids AS (
+        |  SELECT i AS video_id, i // 2 AS g
+        |  FROM range(0, 150) t(i) WHERE i % 5 <> 4),
+        |par AS (
+        |  SELECT video_id, g,
+        |    CASE WHEN g % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |    ((g + 1) * 900 * 1000) // (600 + (g % 5) * 200)
+        |      AS duration_ms,
+        |    CAST(320 + (g % 12) * 16 AS BIGINT) AS width,
+        |    CAST(180 + (g % 8) * 30 AS BIGINT) AS height
+        |  FROM ids),
+        |gated AS (
+        |  SELECT * FROM par
+        |  WHERE duration_ms >= 3000 AND height >= 240)
+        |SELECT min(video_id) AS video_id, min(brand) AS brand,
+        |  min(duration_ms) AS duration_ms, min(width) AS width,
+        |  min(height) AS height, CAST(count(*) AS BIGINT) AS n_dups,
+        |  min(duration_ms) // 1000 + 1 AS n_frames
+        |FROM gated GROUP BY g""".stripMargin,
     "p09_polite_crawl" ->
       """WITH u0 AS (
         |  SELECT doc_id,

@@ -260,7 +260,18 @@ object EventStream {
       // task; fixture-scale batches keep the single-file default,
       // production sizes this to batch volume). Idempotent replay is
       // untouched — the batch still replaces its whole partition.
-      batchPartitions: Int = 1): StreamingQuery =
+      batchPartitions: Int = 1,
+      // The 100-TB density knob for the MATCH join (r14 — the
+      // minhashNearDupPairs bucketCap applied at the bank layer):
+      // with a cap K, each stored (band, chunk) bucket contributes
+      // only its K lowest ids to the candidate join, so a new item
+      // in a dense bucket matches the bucket's LOW-ID CORE (which
+      // always contains the bucket min — survivorship intact)
+      // instead of every stored occupant. Deterministic: the cap
+      // depends only on stored ids, not arrival order, so replays
+      // still re-derive identical matches. None = complete matching
+      // (the s18/s20 document-grain default).
+      matchBucketCap: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -282,10 +293,20 @@ object EventStream {
           if (bankFs.exists(bankHPath)) {
             val bank = spark.read.parquet(bankPath)
               .filter(col("batch_id") < batchId)
+            val stored = matchBucketCap match {
+              case Some(k) =>
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("band"), col("chunk"))
+                  .orderBy(col(idCol))
+                bank.withColumn("__rk",
+                    org.apache.spark.sql.functions.row_number().over(w))
+                  .filter(col("__rk") <= k).drop("__rk")
+              case None => bank
+            }
             val cands = rows
               .select(col(idCol).as("new_id"), col("band"),
                 col("chunk"))
-              .join(bank.select(col(idCol).as("stored_id"),
+              .join(stored.select(col(idCol).as("stored_id"),
                 col("band"), col("chunk")), Seq("band", "chunk"))
               .select(col("new_id"), col("stored_id"))
               .distinct()

@@ -68,6 +68,42 @@ class NsDedupSpec extends SparkSpec {
     assert(matrix.toSeq.map(_._3).sum == edges.count())
   }
 
+  test("minhash bucket cap: capped candidates stay a subset of the " +
+      "complete banding, the cap actually fires on a dense bucket, " +
+      "and every dense-bucket member keeps its edge to the bucket " +
+      "min (r14 — the conversation-grain density knob)") {
+    // one 30-member near-dup group (identical user turn, per-id
+    // assistant tail — the templated-transcript shape that makes
+    // bucket occupancy grow with the corpus) plus one unrelated chat
+    val turns = ((0L until 30L).flatMap { c =>
+      Seq((c, 0L, "user",
+        "the quick brown fox jumps over the lazy dog again and " +
+          "again today for emphasis"),
+        (c, 1L, "assistant", s"done$c fin$c"))
+    } ++ Seq(
+      (500L, 0L, "user",
+        "completely unrelated words entirely here nothing shared"),
+      (500L, 1L, "assistant", "acknowledged and closed out")))
+      .toDF("conversation_id", "turn_idx", "role", "content")
+    def pairs(cap: Option[Int]): Set[(Long, Long)] =
+      Dedup.conversationNearDup(turns, "conversation_id", "turn_idx",
+        "role", "content", bucketCap = cap)
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+    val capped = pairs(Some(4))
+    val full = pairs(None)
+    assert(capped.subsetOf(full), "cap invented a candidate")
+    assert(capped.size < full.size, "cap never fired on a 30-bucket")
+    // min-id survivorship: the bucket min (conv 0) is always in the
+    // low-id core, so every group member keeps its edge to it
+    (1L until 30L).foreach { c =>
+      assert(capped.contains((0L, c)), s"lost the min edge for $c")
+    }
+    // the exact-Jaccard verify still prunes: the unrelated chat
+    // never pairs under either setting
+    assert(!full.exists(p => p._1 == 500L || p._2 == 500L))
+  }
+
   test("conversation near-dup: transcripts render in turn order; " +
       "planted edited twins surface while unrelated chats don't " +
       "(r14 — both idioms through the same machinery)") {

@@ -226,6 +226,33 @@ class PipelineSpec extends SparkSpec {
       "two survivors share a dHash — image dedup leaked a duplicate")
   }
 
+  test("p12 video curation: truncated containers quarantine, gates " +
+      "enforce duration/resolution floors, byte-identical containers " +
+      "collapse to the min id with multiplicity (r14)") {
+    val out = SparkEntry.queries("p12_video_curation")(spark, sf)
+      .select("video_id", "duration_ms", "height", "n_dups", "n_frames")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    // framing: the i%5==4 truncation class loses moov and must drop
+    assert(ids.forall(_ % 5 != 4))
+    // gates are floors, exactly
+    assert(out.forall { case (_, ms, h, _, _) => ms >= 3000L && h >= 240L })
+    // the parameter group g=i/2 has members {2g, 2g+1}; the survivor
+    // is the min NON-truncated member and n_dups counts exactly the
+    // non-truncated members (1 when the twin was cut short, 2 else)
+    assert(out.forall { case (id, _, _, nd, _) =>
+      val g = id / 2
+      val members = Seq(2L * g, 2L * g + 1).filter(_ % 5 != 4)
+      id == members.min && nd == members.size.toLong
+    })
+    // frame schedule is pure arithmetic over the exact duration
+    assert(out.forall { case (_, ms, _, _, nf) => nf == ms / 1000L + 1 })
+    // one survivor per parameter group
+    val gs = out.map(_._1 / 2)
+    assert(gs.distinct.length == gs.length)
+  }
+
   test("p04 incremental curation: only delta docs admitted, store honored") {
     val out = SparkEntry.queries("p04_incremental_curation")(spark, sf)
       .select("doc_id", "dup_count", "split")

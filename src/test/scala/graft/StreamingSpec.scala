@@ -397,6 +397,87 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("conversation bank stream: drained bank equals the batch " +
+      "banding over rendered transcripts; matches equal the batch " +
+      "cross-batch collision set; an identical re-upload always " +
+      "collides; replay changes nothing (r14)") {
+    import graft.ns.Dedup
+    val base = Files.createTempDirectory("graft_s21_law").toString
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val turns = Seq(
+      // conv 1 original; conv 3000001 byte-identical re-upload
+      (1L, 0L, "user", "please summarize the quarterly report"),
+      (1L, 1L, "assistant", "the report shows steady growth overall"),
+      (3000001L, 0L, "user", "please summarize the quarterly report"),
+      (3000001L, 1L, "assistant",
+        "the report shows steady growth overall"),
+      // conv 2 unrelated original; conv 3000002 edited twin of 1
+      (2L, 0L, "user", "what is the capital of france"),
+      (2L, 1L, "assistant", "paris is the capital of france"),
+      (3000002L, 0L, "user",
+        "hi please summarize the quarterly report"),
+      (3000002L, 1L, "assistant",
+        "the report shows steady growth overall"))
+      .toDF("conversation_id", "turn_idx", "role", "content")
+    Seq(0, 1).foreach { i =>
+      val tmp = new java.io.File(base, s"tmp$i")
+      val p = if (i == 0) col("conversation_id") < 3000000L
+              else col("conversation_id") >= 3000000L
+      turns.filter(p).coalesce(1).write.parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val build: (DataFrame, String, String, Int, Int) => DataFrame =
+      (batch, id, text, n, k) => Dedup.minhashBandRows(
+        Dedup.conversationTranscripts(batch, id, "turn_idx", "role",
+          "content"), id, text, n, k)
+    val bank = s"$base/bank"; val matches = s"$base/matches"
+    def drain(ckpt: String): Unit = {
+      val stream = EventStream.fileSource(spark, srcDir.getPath,
+        spark.read.parquet(srcDir.getPath).schema,
+        maxFilesPerTrigger = 1)
+      // same cap as the registered s21: buckets here hold at most 2
+      // ids, so capped ≡ uncapped and the expected set below (raw
+      // cross-batch collisions) is exact
+      EventStream.startMinhashBankStream(stream, bank, matches,
+        ckpt, "conversation_id", "transcript", n = 3,
+        bandRows = build,
+        matchBucketCap = Some(8)).awaitTermination()
+    }
+    drain(s"$base/ckpt")
+    // 1. drained bank ≡ one batch banding pass over ALL conversations
+    val whole = build(turns, "conversation_id", "transcript", 3, 8)
+      .as[(Long, Long, String)].collect().toSet
+    def bankRows(): Set[(Long, Long, String)] =
+      EventStream.readMinhashBank(spark, bank, "conversation_id")
+        .as[(Long, Long, String)].collect().toSet
+    assert(bankRows() == whole)
+    // 2. matches ≡ the batch-computed cross-batch collision set
+    val b0 = build(turns.filter(col("conversation_id") < 3000000L),
+      "conversation_id", "transcript", 3, 8)
+    val b1 = build(turns.filter(col("conversation_id") >= 3000000L),
+      "conversation_id", "transcript", 3, 8)
+    val expected = b1.select(col("conversation_id").as("new_id"),
+        col("band"), col("chunk"))
+      .join(b0.select(col("conversation_id").as("stored_id"),
+        col("band"), col("chunk")), Seq("band", "chunk"))
+      .select(col("new_id"), col("stored_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    def matchRows(): Set[(Long, Long)] =
+      spark.read.parquet(matches).select(col("new_id"),
+        col("stored_id")).as[(Long, Long)].collect().toSet
+    assert(matchRows() == expected)
+    // an identical re-upload shares every signature chunk — it MUST
+    // surface regardless of LSH banding luck
+    assert(expected.contains((3000001L, 1L)))
+    // 3. fresh-checkpoint replay changes neither store
+    drain(s"$base/ckpt2")
+    assert(bankRows() == whole)
+    assert(matchRows() == expected)
+  }
+
   test("clickAttribution drained equals the batch range join") {
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val batchEv = Tables.normalizeTs(raw)
