@@ -1837,6 +1837,45 @@ object SparkEntry {
         dir)
     }),
 
+    // ---- §2.8 [NS] video shot-boundary detection (r14) ----
+    // The video-ANALYSIS tier over real decoded frames: 12 videos ×
+    // 16 BMP frames whose seed advances every 4 frames (a 4-frame
+    // shot structure), dHash per frame (ns63's decode), then
+    // boundaries where adjacent-frame hamming exceeds 7 and
+    // contiguous shot ids from the running boundary count — the
+    // shot's first frame is its keyframe. The oracle re-derives
+    // EVERY dHash from the pixel formula (ns63's grid CTEs) and
+    // replays the lag/threshold/running-sum arithmetic, so a wrong
+    // decode, a broken window order, or an off-by-one in the shot
+    // numbering breaks the hash.
+    "ns195_shot_boundaries" -> ((s, d) => {
+      val dir = newScratchDir("graft_ns195")
+      (0 until 12).foreach { v =>
+        (0 until 16).foreach { f =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath,
+              f"vid_$v%02d_f$f%02d.bmp"),
+            Multimodal.writeBmp(72, 64,
+              v.toLong * 1000000L + (f / 4).toLong * 1000L))
+        }
+      }
+      val hashes = Multimodal.dhashImages(
+          Multimodal.readBinaryDir(s, dir.getPath, "vid_*"))
+        .toDF()
+        .select(
+          regexp_extract(col("file_name"), "vid_(\\d+)_f(\\d+)\\.bmp",
+            1).cast("long").as("video_id"),
+          regexp_extract(col("file_name"), "vid_(\\d+)_f(\\d+)\\.bmp",
+            2).cast("long").as("frame_idx"),
+          col("dhash"))
+      materializeAndDrop(
+        Multimodal.shotBoundaries(hashes, "video_id", "frame_idx",
+          "dhash", maxHamming = 7)
+          .select(col("video_id"), col("frame_idx"), col("shot_id"),
+            col("is_boundary")),
+        dir)
+    }),
+
     // Hamming-banded image near-dup over the same dHashes — EXACTLY
     // the SimHash band-join machinery (ns04) on a different signature
     // source, and unlike ns04 this one is hash-GATED: maxHamming 7 <

@@ -793,6 +793,34 @@ object Multimodal {
   final case class ImageHash(file_name: String, width: Int, height: Int,
       dhash: Long)
 
+  /** Shot-boundary detection over per-frame dHashes (r14) — the
+    * video-ANALYSIS face the metadata tier (ns191/p12) deliberately
+    * does not cover: a frame starts a new shot when its dHash is
+    * more than `maxHamming` bits from the PREVIOUS frame's (or it is
+    * the video's first frame), and `shot_id` is the running boundary
+    * count minus one — so ids are contiguous from 0 and a shot's
+    * first frame is its keyframe. One lag + one running sum, both
+    * over the SAME video-partitioned frame-ordered window: per-video
+    * state only, no video ever compares against another, and at
+    * 100 TB the pass shuffles once on video_id (frames of one video
+    * co-locate) with every comparison map-side thereafter. */
+  def shotBoundaries(frames: DataFrame, videoCol: String,
+      frameCol: String, dhashCol: String,
+      maxHamming: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(videoCol)).orderBy(col(frameCol))
+    frames
+      .withColumn("__prev", lag(col(dhashCol), 1).over(w))
+      .withColumn("is_boundary", col("__prev").isNull ||
+        bit_count(col(dhashCol).bitwiseXOR(col("__prev"))) >
+          maxHamming)
+      .withColumn("shot_id",
+        sum(col("is_boundary").cast("long")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)) - 1L)
+      .drop("__prev")
+  }
+
   /** Batched BMP→dHash over a binaryFile frame (the
     * [[decodeFeatures]] execution shape); malformed/undersized
     * payloads are dropped, not crashed on. */

@@ -660,6 +660,35 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("shotBoundaries: first frame always opens shot 0; identical " +
+      "frames never split a shot; shot ids are the running boundary " +
+      "count; window is per-video (r14)") {
+    val out = SparkEntry.queries("ns195_shot_boundaries")(spark, sf)
+      .select("video_id", "frame_idx", "shot_id", "is_boundary")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length == 12 * 16)
+    val byVid = out.groupBy(_._1)
+    byVid.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // frame 0 opens shot 0, always
+      assert(sorted.head._4 && sorted.head._3 == 0L)
+      // identical frames (f%4 != 0 shares f/4's seed) never split:
+      // no boundary inside a 4-frame block, so the block shares one
+      // shot id
+      sorted.filter(_._2 % 4 != 0).foreach { case (_, f, sid, b) =>
+        assert(!b, s"boundary inside an identical block at frame $f")
+        val blockHead = sorted.find(_._2 == (f / 4) * 4).get
+        assert(sid == blockHead._3)
+      }
+      // shot_id is exactly the running boundary count - 1
+      var run = 0L
+      sorted.foreach { case (_, _, sid, b) =>
+        if (b) run += 1
+        assert(sid == run - 1)
+      }
+    }
+  }
+
   test("parseMp4: writeMp4 round-trips every header field; truncated, " +
       "desynced, undersized, and headerless buffers all quarantine " +
       "with a named reason (the ns120 framing discipline)") {
