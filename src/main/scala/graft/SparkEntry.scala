@@ -1837,6 +1837,36 @@ object SparkEntry {
         dir)
     }),
 
+    // ---- §2.8 [NS] WARC image acquisition (r14) ----
+    // The Common-Crawl-images / LAION acquisition shape: BINARY WARC
+    // containers (image/bmp response payloads — bytes a UTF-8 string
+    // walk would corrupt) parse through the SAME framing walk as
+    // ns120, ok image responses route by content-type, and the
+    // byte-exact payloads decode to dHashes map-side. The i%11==5
+    // class ships a 10-byte-truncated BMP: WARC framing stays intact
+    // (Content-Length is the true octet count), so the record
+    // surfaces and the DECODER quarantines it — the two quarantine
+    // layers stay separate, exactly as in production crawls. Oracle:
+    // every surviving dHash re-derived from the pixel formula.
+    "ns196_warc_images" -> ((s, d) => {
+      import s.implicits._
+      val containers = graft.ns.Warc.buildImageWarcContainers(
+        (0L until 120L), 8,
+        i => {
+          val full = Multimodal.writeBmp(72, 64, i * 31L + 7L)
+          if (i % 11 == 5) full.take(full.length - 10) else full
+        }).toDF("container_id", "content")
+      val imgs = graft.ns.Warc.parseContainersBinary(containers)
+        .toDF()
+        .filter(col("http_content_type") === "image/bmp")
+        .select(col("target_uri").as("file_name"),
+          col("body").as("content"))
+      Multimodal.dhashImages(imgs).toDF()
+        .select(regexp_extract(col("file_name"), "img/(\\d+)$", 1)
+          .cast("long").as("img_id"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
     // ---- §2.8 [NS] video shot-boundary detection (r14) ----
     // The video-ANALYSIS tier over real decoded frames: 12 videos ×
     // 16 BMP frames whose seed advances every 4 frames (a 4-frame

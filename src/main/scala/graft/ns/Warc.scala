@@ -59,9 +59,19 @@ object Warc {
       status: String, http_status: Option[Long],
       http_content_type: String, body: String)
 
-  /** Walk one container's records (see object doc for the rules). */
-  def parseWarc(containerId: Long, bytes: Array[Byte]): Seq[WarcRec] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
+  /** The framing walk shared by the string and binary faces: emits
+    * one callback per record — (rec_index, warc_type, target_uri,
+    * content_length, status, http_status, http_content_type,
+    * bodyFrom, bodyTo) with bodyFrom = −1 when the record carries no
+    * parsed HTTP body (non-response, bad_http, framing stop). The
+    * HTTP header/body split is located in BYTES (the CRLFCRLF
+    * sequence cannot occur inside a UTF-8 multibyte character, so
+    * this finds exactly the split the old string scan found), which
+    * is what lets [[parseWarcBinary]] hand back byte-exact payloads
+    * for non-text records. */
+  private def walkRecords(bytes: Array[Byte])(
+      emit: (Long, String, String, Long, String, Option[Long],
+        String, Int, Int) => Unit): Unit = {
     var off = 0
     var idx = 0L
     def lineEnd(from: Int): Int = {
@@ -72,14 +82,16 @@ object Warc {
     }
     def str(from: Int, until: Int): String =
       new String(bytes, from, until - from, "UTF-8")
-    def stop(wtype: String, uri: String, clen: Long, why: String): Seq[WarcRec] = {
-      out += WarcRec(containerId, idx, wtype, uri, clen, why, None, null, null)
-      out.toSeq
-    }
+    def crlf2At(i: Int): Boolean =
+      i + 4 <= bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+        bytes(i + 2) == '\r' && bytes(i + 3) == '\n'
+    def stop(wtype: String, uri: String, clen: Long, why: String): Unit =
+      emit(idx, wtype, uri, clen, why, None, null, -1, -1)
     while (off < bytes.length) {
       val ve = lineEnd(off)
-      if (ve < 0 || ve - off < 5 || str(off, off + 5) != "WARC/")
-        return stop(null, null, -1L, "desync")
+      if (ve < 0 || ve - off < 5 || str(off, off + 5) != "WARC/") {
+        stop(null, null, -1L, "desync"); return
+      }
       var h = ve + 2
       var wtype: String = null
       var uri: String = null
@@ -107,22 +119,26 @@ object Warc {
           h = he + 2
         }
       }
-      if (!headersOk || wtype == null || clen < 0)
-        return stop(wtype, uri, clen, "desync")
+      if (!headersOk || wtype == null || clen < 0) {
+        stop(wtype, uri, clen, "desync"); return
+      }
       // Long bound check BEFORE narrowing: a huge declared length
       // must not overflow Int and sneak past the range test.
-      if (h.toLong + clen > bytes.length.toLong)
-        return stop(wtype, uri, clen, "truncated")
+      if (h.toLong + clen > bytes.length.toLong) {
+        stop(wtype, uri, clen, "truncated"); return
+      }
       val bodyEnd = h + clen.toInt
       if (wtype == "response") {
-        val payload = str(h, bodyEnd)
-        val sep = payload.indexOf("\r\n\r\n")
+        // locate the header/body split in bytes
+        var sep = -1
+        var i = h
+        while (sep < 0 && i + 4 <= bodyEnd) {
+          if (crlf2At(i)) sep = i else i += 1
+        }
         if (sep < 0)
-          out += WarcRec(containerId, idx, wtype, uri, clen,
-            "bad_http", None, null, null)
+          emit(idx, wtype, uri, clen, "bad_http", None, null, -1, -1)
         else {
-          val head = payload.substring(0, sep)
-          val body = payload.substring(sep + 4)
+          val head = str(h, sep)
           val lines = head.split("\r\n")
           val statusCode = lines.headOption
             .filter(_.toUpperCase.startsWith("HTTP/"))
@@ -136,16 +152,14 @@ object Warc {
             .orNull
           statusCode match {
             case Some(code) =>
-              out += WarcRec(containerId, idx, wtype, uri, clen,
-                "ok", Some(code), ctype, body)
+              emit(idx, wtype, uri, clen, "ok", Some(code), ctype,
+                sep + 4, bodyEnd)
             case None =>
-              out += WarcRec(containerId, idx, wtype, uri, clen,
-                "bad_http", None, null, null)
+              emit(idx, wtype, uri, clen, "bad_http", None, null, -1, -1)
           }
         }
       } else {
-        out += WarcRec(containerId, idx, wtype, uri, clen,
-          "ok", None, null, null)
+        emit(idx, wtype, uri, clen, "ok", None, null, -1, -1)
       }
       idx += 1
       // Record separator (two CRLFs). Payloads are length-framed, so
@@ -154,11 +168,46 @@ object Warc {
       // version line (lenient resync). Anything else is a desync on
       // the next iteration's version-line check.
       var next = bodyEnd
-      if (next + 4 <= bytes.length && bytes(next) == '\r' &&
-        bytes(next + 1) == '\n' && bytes(next + 2) == '\r' &&
-        bytes(next + 3) == '\n') next += 4
-      if (next <= off) return stop(null, null, -1L, "desync")
+      if (crlf2At(next)) next += 4
+      if (next <= off) { stop(null, null, -1L, "desync"); return }
       off = next
+    }
+  }
+
+  /** Walk one container's records (see object doc for the rules). */
+  def parseWarc(containerId: Long, bytes: Array[Byte]): Seq[WarcRec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
+    walkRecords(bytes) { (idx, wtype, uri, clen, status, hs, ctype,
+        bodyFrom, bodyTo) =>
+      out += WarcRec(containerId, idx, wtype, uri, clen, status, hs,
+        ctype,
+        if (bodyFrom >= 0)
+          new String(bytes, bodyFrom, bodyTo - bodyFrom, "UTF-8")
+        else null)
+    }
+    out.toSeq
+  }
+
+  /** One ok `response` record with its payload BYTES preserved —
+    * what the string face cannot do (a UTF-8 decode of a binary
+    * body is lossy). The image-acquisition front door: filter on
+    * `http_content_type`, decode the bytes downstream. */
+  final case class WarcBinRec(container_id: Long, rec_index: Long,
+      target_uri: String, http_status: Long,
+      http_content_type: String, body: Array[Byte])
+
+  /** Binary face of [[parseWarc]]: SAME framing walk (every
+    * quarantine rule identical — a framing stop simply ends the
+    * record stream), but only ok responses are returned and their
+    * bodies are byte-exact slices. */
+  def parseWarcBinary(containerId: Long,
+      bytes: Array[Byte]): Seq[WarcBinRec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcBinRec]
+    walkRecords(bytes) { (idx, wtype, uri, _, status, hs, ctype,
+        bodyFrom, bodyTo) =>
+      if (status == "ok" && wtype == "response" && bodyFrom >= 0)
+        out += WarcBinRec(containerId, idx, uri, hs.getOrElse(-1L),
+          ctype, java.util.Arrays.copyOfRange(bytes, bodyFrom, bodyTo))
     }
     out.toSeq
   }
@@ -218,6 +267,64 @@ object Warc {
       .mapPartitions(it => it.grouped(batchSize).flatMap(_.flatMap {
         case (cid, bytes) => parseWarcAuto(cid, bytes)
       }))
+  }
+
+  /** Binary twin of [[parseContainers]] — the image/audio
+    * acquisition front door: same batched mapPartitions walk, ok
+    * responses only, payload bytes preserved. Filter on
+    * `http_content_type` downstream and feed the bytes to the
+    * decoders ([[Multimodal.dhashImages]] et al.). */
+  def parseContainersBinary(df: DataFrame,
+      idCol: String = "container_id", binCol: String = "content",
+      batchSize: Int = 16): Dataset[WarcBinRec] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(_.flatMap {
+        case (cid, bytes) =>
+          parseWarcBinary(cid, gunzipAll(bytes).getOrElse(bytes))
+      }))
+  }
+
+  /** Closed-form BINARY WARC fixture: `ids` grouped `perContainer`
+    * to a container each opening with `warcinfo`, then per image a
+    * `request` record and a `response` record whose HTTP payload is
+    * `Content-Type: image/bmp` + the RAW image bytes from
+    * `imgBytes(id)` — the Common-Crawl-images acquisition shape
+    * ([[buildWarcFixture]]'s text twin carries HTML instead).
+    * Driver-side fixture tool: Content-Length is the true octet
+    * count (ASCII head + binary body), so the framing walk is
+    * exercised over genuinely binary payloads. */
+  def buildImageWarcContainers(ids: Seq[Long], perContainer: Int,
+      imgBytes: Long => Array[Byte]): Seq[(Long, Array[Byte])] = {
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    ids.grouped(perContainer).zipWithIndex.map { case (group, ci) =>
+      val out = new java.io.ByteArrayOutputStream()
+      val info = "software: graft-warc-fixture" + Crlf
+      out.write(ascii("WARC/1.0" + Crlf + "WARC-Type: warcinfo" +
+        Crlf + "Content-Length: " + info.length + Crlf + Crlf +
+        info + Crlf + Crlf))
+      group.foreach { i =>
+        val uri = s"http://crawl.example.com/img/$i"
+        val req = s"GET /img/$i HTTP/1.1" + Crlf +
+          "Host: crawl.example.com" + Crlf + Crlf
+        out.write(ascii("WARC/1.0" + Crlf + "WARC-Type: request" +
+          Crlf + s"WARC-Target-URI: $uri" + Crlf +
+          s"Content-Length: ${req.length}" + Crlf + Crlf + req +
+          Crlf + Crlf))
+        val body = imgBytes(i)
+        val head = "HTTP/1.1 200 OK" + Crlf +
+          "Content-Type: image/bmp" + Crlf + Crlf
+        out.write(ascii("WARC/1.0" + Crlf + "WARC-Type: response" +
+          Crlf + s"WARC-Target-URI: $uri" + Crlf +
+          s"Content-Length: ${head.length + body.length}" + Crlf +
+          Crlf + head))
+        out.write(body)
+        out.write(ascii(Crlf + Crlf))
+      }
+      (ci.toLong, out.toByteArray)
+    }.toSeq
   }
 
   private val Crlf = "\r\n"

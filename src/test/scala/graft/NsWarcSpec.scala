@@ -183,6 +183,49 @@ class NsWarcSpec extends SparkSpec {
       s"corrupt gzip must never yield ok records, got ${c.map(_.status)}")
   }
 
+  test("binary face: image payloads round-trip BYTE-EXACT through " +
+      "the walk, the string face on the same container is lossy or " +
+      "equal-length-only, and framing quarantine rules are shared " +
+      "(r14)") {
+    import graft.ns.Multimodal
+    // payload bytes deliberately include values invalid as UTF-8
+    val imgs = (0L until 5L).map(i =>
+      i -> Multimodal.writeBmp(16, 12, i * 7L)).toMap
+    val containers = Warc.buildImageWarcContainers(0L until 5L, 3,
+      imgs(_))
+    assert(containers.length == 2)
+    val recs = containers.flatMap { case (cid, bytes) =>
+      Warc.parseWarcBinary(cid, bytes)
+    }
+    // only ok responses surface, with content-type routed and the
+    // payload byte-identical to what was written
+    assert(recs.length == 5)
+    recs.foreach { r =>
+      assert(r.http_content_type == "image/bmp")
+      assert(r.http_status == 200L)
+      val id = r.target_uri.split("/").last.toLong
+      assert(java.util.Arrays.equals(r.body, imgs(id)),
+        s"payload for $id not byte-exact")
+    }
+    // the string face walks the SAME frames (indexes and statuses
+    // agree) — it just cannot carry the bytes
+    val strRecs = containers.flatMap { case (cid, bytes) =>
+      Warc.parseWarc(cid, bytes)
+    }
+    assert(strRecs.count(_.warc_type == "response") == 5)
+    assert(strRecs.forall(_.status == "ok"))
+    // shared framing quarantine: truncating the container mid-record
+    // stops BOTH faces at the same boundary
+    val (cid0, c0) = containers.head
+    val cut = c0.take(c0.length - 30)
+    val binCut = Warc.parseWarcBinary(cid0, cut)
+    val strCut = Warc.parseWarc(cid0, cut)
+    assert(strCut.last.status == "truncated" ||
+      strCut.last.status == "desync")
+    assert(binCut.length ==
+      strCut.count(r => r.status == "ok" && r.warc_type == "response"))
+  }
+
   test("non-HTTP response payload is bad_http, not a crash") {
     val notHttp = "BINARYJUNK" + crlf + crlf + "tail"
     val bytes = rec("response", "http://x.example.com/z", notHttp)
