@@ -1837,6 +1837,40 @@ object SparkEntry {
         dir)
     }),
 
+    // ---- §2.8 [NS] audio activity segmentation (r14) ----
+    // The audio face of ns195's per-frame analysis: PCM16 clips cut
+    // into fixed 160-sample windows (exact integer peak per window),
+    // then voice-activity segments = maximal runs of windows whose
+    // peak reaches the threshold — decode in a batched mapPartitions
+    // (the parseWav chunk walk), the run-grouping as the classic
+    // gaps-and-islands in plain DataFrame code. Planted classes:
+    // every clip silences windows w ≡ id (mod 3) (closed-form
+    // segment pattern), id%13==3 clips are ALL silence (no
+    // segments), id%7==2 clips carry a corrupt RIFF magic (decoder
+    // quarantine — absent entirely).
+    "ns197_audio_segments" -> ((s, d) => {
+      val dir = newScratchDir("graft_ns197")
+      (0 until 48).foreach { id =>
+        val bytes = Multimodal.writeWav(8000, 2400,
+          i => if (id % 13 == 3 || (i / 160) % 3 == id % 3) 0.toShort
+               else (((i.toLong * 8192) % 32768) - 16384).toShort)
+        if (id % 7 == 2) bytes(0) = 'X'.toByte
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, f"aud_$id%03d.wav"),
+          bytes)
+      }
+      val wins = Multimodal.audioWindows(
+          Multimodal.readBinaryDir(s, dir.getPath, "aud_*"), 160)
+        .toDF()
+        .select(regexp_extract(col("file_name"), "aud_(\\d+)\\.wav", 1)
+          .cast("long").as("doc_id"),
+          col("window_idx"), col("peak"))
+      materializeAndDrop(
+        Multimodal.activitySegments(wins, "doc_id",
+          threshold = 1000, msPerWindow = 20L),
+        dir)
+    }),
+
     // ---- §2.8 [NS] WARC image acquisition (r14) ----
     // The Common-Crawl-images / LAION acquisition shape: BINARY WARC
     // containers (image/bmp response payloads — bytes a UTF-8 string

@@ -305,6 +305,75 @@ object Multimodal {
     None
   }
 
+  final case class AudioWindow(file_name: String, sample_rate: Int,
+      window_idx: Int, peak: Int)
+
+  /** Fixed-width activity windows over PCM16 clips (r14) — the
+    * audio face of the per-frame video analysis: each FULL window of
+    * `windowSamples` channel-0 samples reports its peak |amplitude|
+    * (exact integer; a trailing partial window is dropped by
+    * contract). Decode is the [[parseWav]] chunk walk — batched
+    * mapPartitions, malformed payloads quarantined by returning no
+    * windows — and everything downstream is ordinary DataFrame code. */
+  def audioWindows(df: DataFrame, windowSamples: Int,
+      batchSize: Int = 64): Dataset[AudioWindow] = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (name, bytes) =>
+          parseWavSamples(
+            if (bytes == null) Array.emptyByteArray else bytes) match {
+            case None => Seq.empty
+            case Some((rate, samples)) =>
+              (0 until samples.length / windowSamples).map { w =>
+                var peak = 0
+                var i = w * windowSamples
+                val end = i + windowSamples
+                while (i < end) {
+                  val a = math.abs(samples(i))
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                AudioWindow(name, rate, w, peak)
+              }
+          }
+        })
+      }
+  }
+
+  /** Voice-activity segmentation over [[audioWindows]] output: a
+    * window is ACTIVE when its peak reaches `threshold`, and a
+    * segment is a maximal run of active windows — the classic
+    * gaps-and-islands (window_idx − row_number over the clip's
+    * active windows is constant exactly on a run). Output per
+    * segment: (idCol, seg_idx from 0 in time order, start_ms,
+    * end_ms exclusive, n_windows), all exact integer arithmetic at
+    * `msPerWindow` per window. One shuffle on the clip id; no clip
+    * ever compares against another. */
+  def activitySegments(windows: DataFrame, idCol: String,
+      threshold: Int, msPerWindow: Long): DataFrame = {
+    val byClip = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("window_idx"))
+    windows.filter(col("peak") >= threshold)
+      .withColumn("__isl",
+        col("window_idx") - row_number().over(byClip))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("window_idx")).as("__sw"),
+        max(col("window_idx")).as("__ew"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("seg_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("__sw")))
+          .cast("long") - 1L)
+      .select(col(idCol), col("seg_idx"),
+        (col("__sw") * lit(msPerWindow)).as("start_ms"),
+        ((col("__ew") + 1) * lit(msPerWindow)).as("end_ms"),
+        col("n_windows"))
+  }
+
   final case class WavDominant(file_name: String, sample_rate: Int,
       n_samples: Long, dom_idx: Int, dominant_hz: Double)
 

@@ -46,6 +46,33 @@ private[graft] object NsMultimodalOracles {
         |  CASE WHEN i % 5 = 4 THEN NULL
         |    ELSE CAST(240 + (i % 9) * 16 AS BIGINT) END AS height
         |FROM range(60) t(i)""".stripMargin,
+    // Audio activity segments: active windows from the planting
+    // formula (w % 3 <> id % 3 — the sawtooth's window peak is
+    // always 16384 >= threshold, a silenced window's is 0), the
+    // all-silent and corrupt-magic classes absent, islands replayed
+    // with the same window_idx - row_number arithmetic.
+    "ns197_audio_segments" ->
+      """WITH ids AS (
+        |  SELECT i AS doc_id FROM range(0, 48) t(i)
+        |  WHERE i % 13 <> 3 AND i % 7 <> 2),
+        |w AS (
+        |  SELECT doc_id, wi FROM ids, range(0, 15) tw(wi)
+        |  WHERE wi % 3 <> doc_id % 3),
+        |isl AS (
+        |  SELECT doc_id, wi,
+        |    wi - row_number() OVER (PARTITION BY doc_id ORDER BY wi)
+        |      AS g
+        |  FROM w),
+        |seg AS (
+        |  SELECT doc_id, g, min(wi) AS sw, max(wi) AS ew,
+        |    CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sw)
+        |    - 1 AS BIGINT) AS seg_idx,
+        |  CAST(sw * 20 AS BIGINT) AS start_ms,
+        |  CAST((ew + 1) * 20 AS BIGINT) AS end_ms, n_windows
+        |FROM seg""".stripMargin,
     // WARC image acquisition: the i%11==5 truncated-BMP class is
     // framing-intact but decoder-quarantined, so it is absent; every
     // surviving image's dHash re-derived from the pixel formula.

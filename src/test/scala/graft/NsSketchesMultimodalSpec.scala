@@ -660,6 +660,37 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("activitySegments: silent-window pattern yields the closed-" +
+      "form island structure; all-silent and corrupt-magic clips " +
+      "are absent; ms arithmetic is exact (r14)") {
+    val out = SparkEntry.queries("ns197_audio_segments")(spark, sf)
+      .select("doc_id", "seg_idx", "start_ms", "end_ms", "n_windows")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val ids = out.map(_._1).toSet
+    // quarantine classes absent
+    assert(ids.forall(id => id % 13 != 3 && id % 7 != 2))
+    // every eligible clip has segments
+    assert(ids == (0L until 48L)
+      .filter(id => id % 13 != 3 && id % 7 != 2).toSet)
+    out.groupBy(_._1).foreach { case (id, segs) =>
+      val sorted = segs.sortBy(_._2)
+      // silencing w ≡ id (mod 3) over 15 windows: 6 runs when the
+      // silent slot is w%3==1, 5 otherwise
+      val expected = if (id % 3 == 1) 6 else 5
+      assert(sorted.length == expected, s"clip $id: ${sorted.length}")
+      // segments are disjoint, in order, and exactly span their
+      // windows at 20 ms each
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._3)
+        case _ => ()
+      }
+      sorted.foreach { case (_, _, sms, ems, nw) =>
+        assert(ems - sms == nw * 20L)
+        assert(sms >= 0L && ems <= 300L)
+      }
+    }
+  }
+
   test("shotBoundaries: first frame always opens shot 0; identical " +
       "frames never split a shot; shot ids are the running boundary " +
       "count; window is per-video (r14)") {
