@@ -1837,6 +1837,74 @@ object SparkEntry {
         dir)
     }),
 
+    // ---- §2.8 [NS] audio curation round (r14, p13) ----
+    // The audio face of the p11/p12 trilogy, end-to-end at CLIP
+    // grain: decode quarantine (the i%9==4 corrupt-RIFF class drops
+    // in BOTH decode paths), exact metadata + activity gates
+    // (duration_ms >= 300 from the real chunk walk; active windows
+    // >= half of all windows from ns197's exact peaks; the g%5==0
+    // all-silence class has no active window and drops), activity
+    // segmentation carried through (ns197's islands — survivors
+    // report their segment count), and EXACT dedup by content
+    // fingerprint (even/odd ids share one parameter group g = i/2;
+    // writeWav is pure, so byte-identity ⇔ parameter identity — the
+    // p12 argument at the audio layer), min-id survivors with
+    // multiplicity. The oracle re-derives every stage from the
+    // planting formulas alone — windows, islands, gates, groups.
+    "p13_audio_curation" -> ((s, d) => {
+      val dir = newScratchDir("graft_p13")
+      def saw(j: Int): Short =
+        (((j.toLong * 8192) % 32768) - 16384).toShort
+      (0 until 150).foreach { i =>
+        val g = i / 2
+        // the +g DC offset on active samples makes byte content
+        // INJECTIVE in g (the window/silence pattern alone repeats
+        // every lcm(6,4,5)=60 groups, which would md5-collapse
+        // distinct groups); peak stays 16384+g, far above threshold
+        val bytes = Multimodal.writeWav(8000, 1600 + (g % 6) * 320,
+          j => if (g % 5 == 0 || (j / 160) % 4 == g % 4) 0.toShort
+               else (saw(j) + g).toShort)
+        if (i % 9 == 4) bytes(0) = 'X'.toByte
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, f"clip_$i%03d.wav"),
+          bytes)
+      }
+      val bin = Multimodal.readBinaryDir(s, dir.getPath, "clip_*")
+      val idOf = regexp_extract(col("file_name"),
+        "clip_(\\d+)\\.wav", 1).cast("long")
+      val fp = bin.select(idOf.as("clip_id"),
+        md5(col("content")).as("__fp"))
+      val feats = Multimodal.decodeWavFeatures(bin).toDF()
+        .select(idOf.as("clip_id"), col("duration_ms"))
+      val wins = Multimodal.audioWindows(bin, 160).toDF()
+        .select(idOf.as("clip_id"), col("window_idx"), col("peak"))
+      val winAgg = wins.groupBy(col("clip_id")).agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("peak") >= 1000, 1L).otherwise(0L))
+          .as("n_active"))
+      val segs = Multimodal
+        .activitySegments(wins, "clip_id", 1000, 20L)
+        .groupBy(col("clip_id"))
+        .agg(count(lit(1)).as("n_segments"))
+      val gated = feats.join(winAgg, Seq("clip_id"))
+        .join(segs, Seq("clip_id"))
+        .join(fp, Seq("clip_id"))
+        .filter(col("duration_ms") >= 300L &&
+          col("n_active") * 2 >= col("n_windows"))
+      materializeAndDrop(
+        gated.groupBy(col("__fp")).agg(
+          min(col("clip_id")).as("clip_id"),
+          min(col("duration_ms")).as("duration_ms"),
+          min(col("n_windows")).as("n_windows"),
+          min(col("n_active")).as("n_active"),
+          min(col("n_segments")).as("n_segments"),
+          count(lit(1)).as("n_dups"))
+          .select(col("clip_id"), col("duration_ms"),
+            col("n_windows"), col("n_active"), col("n_segments"),
+            col("n_dups")),
+        dir)
+    }),
+
     // ---- §2.8 [NS] audio activity segmentation (r14) ----
     // The audio face of ns195's per-frame analysis: PCM16 clips cut
     // into fixed 160-sample windows (exact integer peak per window),

@@ -277,6 +277,50 @@ private[graft] object PipelineOracles {
         |SELECT ig.pair_id, ig.dhash, ig.n_image_dups,
         |  fg.n_caption_dups
         |FROM ig JOIN fg USING (pair_id)""".stripMargin,
+    // p13: the audio round re-derived from the planting formulas
+    // alone — corrupt-magic class absent, windows and islands
+    // replayed (the ns197 idiom), both gates applied, and exact
+    // dedup grouped by the parameter tuple (writeWav is pure, so
+    // byte-identity ⇔ parameter-group identity).
+    "p13_audio_curation" ->
+      """WITH ids AS (
+        |  SELECT i AS clip_id, i // 2 AS g FROM range(0, 150) t(i)
+        |  WHERE i % 9 <> 4),
+        |par AS (
+        |  SELECT clip_id, g, 10 + 2 * (g % 6) AS nw,
+        |    CAST((1600 + (g % 6) * 320) // 8 AS BIGINT)
+        |      AS duration_ms
+        |  FROM ids),
+        |w AS (
+        |  SELECT clip_id, g, nw, duration_ms, wi
+        |  FROM par, range(0, 20) tw(wi)
+        |  WHERE wi < nw AND g % 5 <> 0 AND wi % 4 <> g % 4),
+        |agg AS (
+        |  SELECT clip_id, g, min(nw) AS nw,
+        |    min(duration_ms) AS duration_ms,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM w GROUP BY 1, 2),
+        |isl AS (
+        |  SELECT clip_id,
+        |    wi - row_number() OVER (PARTITION BY clip_id ORDER BY wi)
+        |      AS grp
+        |  FROM w),
+        |nseg AS (
+        |  SELECT clip_id, CAST(count(DISTINCT grp) AS BIGINT)
+        |    AS n_segments
+        |  FROM isl GROUP BY 1),
+        |gated AS (
+        |  SELECT a.clip_id, a.g, a.duration_ms,
+        |    CAST(a.nw AS BIGINT) AS n_windows, a.n_active,
+        |    s.n_segments
+        |  FROM agg a JOIN nseg s USING (clip_id)
+        |  WHERE a.duration_ms >= 300 AND a.n_active * 2 >= a.nw)
+        |SELECT min(clip_id) AS clip_id,
+        |  min(duration_ms) AS duration_ms,
+        |  min(n_windows) AS n_windows, min(n_active) AS n_active,
+        |  min(n_segments) AS n_segments,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM gated GROUP BY g""".stripMargin,
     // p12: the video round re-derived from the fixture index formula
     // alone — the i%5==4 truncation class quarantines (moov runs past
     // the buffer), duration_ms is exact integer floor division, both

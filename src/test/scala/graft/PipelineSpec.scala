@@ -253,6 +253,33 @@ class PipelineSpec extends SparkSpec {
     assert(gs.distinct.length == gs.length)
   }
 
+  test("p13 audio curation: corrupt clips quarantine, all-silent and " +
+      "short clips gate out, byte-identical clips collapse to the " +
+      "min id, survivors report exact activity structure (r14)") {
+    val out = SparkEntry.queries("p13_audio_curation")(spark, sf)
+      .select("clip_id", "duration_ms", "n_windows", "n_active",
+        "n_segments", "n_dups")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, ms, nw, na, nseg, nd) =>
+      val g = id / 2
+      // quarantine + gates
+      assert(id % 9 != 4 && g % 5 != 0)
+      assert(ms >= 300L && na * 2 >= nw)
+      // exact closed-form structure
+      assert(nw == 10 + 2 * (g % 6))
+      assert(ms == (1600 + (g % 6) * 320) / 8)
+      // survivor is the min NON-corrupt member of its pair; dups
+      // count exactly the non-corrupt members
+      val members = Seq(2 * g, 2 * g + 1).filter(_ % 9 != 4)
+      assert(id == members.min && nd == members.size.toLong)
+      // islands are bounded by the active count and non-empty
+      assert(nseg >= 1L && nseg <= na)
+    }
+    val gs = out.map(_._1 / 2)
+    assert(gs.distinct.length == gs.length)
+  }
+
   test("p04 incremental curation: only delta docs admitted, store honored") {
     val out = SparkEntry.queries("p04_incremental_curation")(spark, sf)
       .select("doc_id", "dup_count", "split")
