@@ -5096,6 +5096,59 @@ object SparkEntry {
           .select(col("new_id"), col("stored_id")), base)
     }),
 
+    // ---- §7.4.6 [NS] streaming WARC image acquisition (r14) ----
+    // ns196 on the ingest stream (the s11 pattern for BINARY
+    // payloads): image-bearing WARC containers arrive in two
+    // micro-batches; the binary framing walk, content-type routing,
+    // and dHash decode run UNCHANGED on the streaming frame — all
+    // stateless mapPartitions, no watermark — and the drained store
+    // must equal ns196's batch answer verbatim (the oracle is shared
+    // by construction).
+    "s22_stream_warc_images" -> ((s, d) => {
+      import s.implicits._
+      val base = newScratchDir("graft_s22")
+      val srcDir = new java.io.File(base, "src")
+      srcDir.mkdirs()
+      val containers = graft.ns.Warc.buildImageWarcContainers(
+        (0L until 120L), 8,
+        i => {
+          val full = Multimodal.writeBmp(72, 64, i * 31L + 7L)
+          if (i % 11 == 5) full.take(full.length - 10) else full
+        }).toDF("container_id", "content")
+      Seq(pmod(col("container_id"), lit(2)) === 0,
+        pmod(col("container_id"), lit(2)) =!= 0).zipWithIndex.foreach {
+        case (p, i) =>
+          val tmp = new java.io.File(base, s"tmp$i")
+          containers.filter(p).coalesce(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          deleteRecursively(tmp)
+      }
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val imgs = graft.ns.Warc.parseContainersBinary(stream).toDF()
+        .filter(col("http_content_type") === "image/bmp")
+        .select(col("target_uri").as("file_name"),
+          col("body").as("content"))
+      val out = s"${base.getPath}/hashes"
+      val q = Multimodal.dhashImages(imgs).toDF()
+        .select(regexp_extract(col("file_name"), "img/(\\d+)$", 1)
+          .cast("long").as("img_id"),
+          col("width"), col("height"), col("dhash"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"${base.getPath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start()
+      q.awaitTermination()
+      materializeAndDrop(s.read.parquet(out), base)
+    }),
+
     // ---- §7.4.6 [NS] streaming SFT token-mask assembly (r13) ----
     // ns179 on the ingest stream: chat-JSONL lines (the cached s16
     // fixture, conv < 100 — the checked-in Python oracle's slice)

@@ -7,7 +7,40 @@ package graft.oracles
   * disjoint). Pure data: every value is a DuckDB SQL literal
   * aligned column-for-column with its Spark query. */
 private[graft] object NsMultimodalOracles {
+  // WARC image acquisition: the i%11==5 truncated-BMP class is
+  // framing-intact but decoder-quarantined, so it is absent; every
+  // surviving image's dHash re-derived from the pixel formula.
+  // Shared verbatim by ns196 (batch) and s22 (the streaming face
+  // over the same fixture — the drained store must equal the batch
+  // answer, so the oracle is identical by construction).
+  private val warcImagesSql: String =
+    """WITH ids AS (
+      |  SELECT i AS img_id, CAST(i * 31 + 7 AS BIGINT) AS seed
+      |  FROM range(0, 120) t(i) WHERE i % 11 <> 5),
+      |cells AS (
+      |  SELECT img_id, x // 8 AS cx, y // 8 AS cy,
+      |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+      |        + (seed + y*72 + x) % 239) AS s
+      |  FROM ids, range(0, 64) ty(y), range(0, 72) tx(x)
+      |  GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT l.img_id, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
+      |  FROM cells l JOIN cells r
+      |    ON l.img_id = r.img_id AND r.cy = l.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8 AND l.s > r.s),
+      |hv AS (
+      |  SELECT ids.img_id,
+      |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+      |  FROM ids LEFT JOIN bits USING (img_id) GROUP BY 1)
+      |SELECT img_id, CAST(72 AS INTEGER) AS width,
+      |  CAST(64 AS INTEGER) AS height,
+      |  CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+      |    THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT)
+      |    AS dhash
+      |FROM hv""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "s22_stream_warc_images" -> warcImagesSql,
     // Metadata tier: every field is closed-form from the fixture
     // index — dims live in stream headers (exact through ANY
     // conformant decoder, JPEG included), corrupt class i%4==3
@@ -73,34 +106,7 @@ private[graft] object NsMultimodalOracles {
         |  CAST(sw * 20 AS BIGINT) AS start_ms,
         |  CAST((ew + 1) * 20 AS BIGINT) AS end_ms, n_windows
         |FROM seg""".stripMargin,
-    // WARC image acquisition: the i%11==5 truncated-BMP class is
-    // framing-intact but decoder-quarantined, so it is absent; every
-    // surviving image's dHash re-derived from the pixel formula.
-    "ns196_warc_images" ->
-      """WITH ids AS (
-        |  SELECT i AS img_id, CAST(i * 31 + 7 AS BIGINT) AS seed
-        |  FROM range(0, 120) t(i) WHERE i % 11 <> 5),
-        |cells AS (
-        |  SELECT img_id, x // 8 AS cx, y // 8 AS cy,
-        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
-        |        + (seed + y*72 + x) % 239) AS s
-        |  FROM ids, range(0, 64) ty(y), range(0, 72) tx(x)
-        |  GROUP BY 1, 2, 3),
-        |bits AS (
-        |  SELECT l.img_id, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
-        |  FROM cells l JOIN cells r
-        |    ON l.img_id = r.img_id AND r.cy = l.cy AND r.cx = l.cx + 1
-        |  WHERE l.cx < 8 AND l.s > r.s),
-        |hv AS (
-        |  SELECT ids.img_id,
-        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
-        |  FROM ids LEFT JOIN bits USING (img_id) GROUP BY 1)
-        |SELECT img_id, CAST(72 AS INTEGER) AS width,
-        |  CAST(64 AS INTEGER) AS height,
-        |  CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
-        |    THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT)
-        |    AS dhash
-        |FROM hv""".stripMargin,
+    "ns196_warc_images" -> warcImagesSql,
     // Shot boundaries: every frame's dHash re-derived from the pixel
     // formula (the ns63 grid CTEs at (video, frame) grain — seed
     // advances every 4 frames), then the SAME lag/hamming-threshold/
