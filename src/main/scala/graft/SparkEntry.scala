@@ -136,6 +136,61 @@ object SparkEntry {
           .otherwise(goodLine).as("line"))
     }
 
+  /** Stage `df` as one single-file parquet micro-batch per predicate
+    * under `base`/src, with strictly increasing mtimes so a
+    * maxFilesPerTrigger=1 file source delivers them in order — the
+    * shared fixture-staging convention of every two-batch streaming
+    * gate (minhashBankStream/s21/s22; r14 review: the block existed
+    * inline at three sites and a drifted copy would silently change
+    * one stream's batch order). Returns the source dir. */
+  private def stageBatches(base: java.io.File, df: DataFrame,
+      preds: Seq[org.apache.spark.sql.Column]): java.io.File = {
+    val srcDir = new java.io.File(base, "src")
+    srcDir.mkdirs()
+    preds.zipWithIndex.foreach { case (p, i) =>
+      val tmp = new java.io.File(base, s"tmp$i")
+      df.filter(p).coalesce(1).write.parquet(tmp.getPath)
+      val part = tmp.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"batch$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      deleteRecursively(tmp)
+    }
+    srcDir
+  }
+
+  /** documents with the BPE planting: the " é μ" non-ASCII tail on
+    * doc_id%9==0 that must stay byte-for-byte in sync with
+    * tools/gen_bpe.py's independent encoder. ONE definition so the
+    * three consumers (ns187 coverage, ns190 byte-fallback gate, ns77
+    * losslessness) cannot drift from each other or the Python twin
+    * (r14 review). */
+  private def bpePlantedDocs(s: SparkSession, d: String,
+      limit: Option[Long] = None): DataFrame = {
+    val base = t(s, d, "documents")
+    limit.fold(base)(n => base.filter(col("doc_id") < n))
+      .select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            lit(" é μ")).otherwise(lit(""))).as("text"))
+  }
+
+  /** ns196/s22 shared fixture: 120 image/bmp WARC response payloads
+    * (seed i·31+7), 8 per container, with the i%11==5 class cut 10
+    * bytes short (framing-intact, decoder-quarantined). ONE builder
+    * so "s22's oracle equals ns196's by construction" is structural,
+    * not two hand-synchronized lambdas (r14 review). */
+  private def imageWarcContainers(s: SparkSession): DataFrame = {
+    import s.implicits._
+    graft.ns.Warc.buildImageWarcContainers(
+      (0L until 120L), 8,
+      i => {
+        val full = Multimodal.writeBmp(72, 64, i * 31L + 7L)
+        if (i % 11 == 5) full.take(full.length - 10) else full
+      }).toDF("container_id", "content")
+  }
+
   /** Shared s18/s20 runner: documents split into two micro-batches,
     * the MinHash signature bank maintained through
     * [[EventStream.startMinhashBankStream]] with the injected
@@ -147,20 +202,9 @@ object SparkEntry {
       bandRows: (DataFrame, String, String, Int, Int) => DataFrame)
       : DataFrame = {
     val base = newScratchDir(tag)
-    val srcDir = new java.io.File(base, "src")
-    srcDir.mkdirs()
-    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0)
-      .zipWithIndex.foreach { case (p, i) =>
-        val tmp = new java.io.File(base, s"tmp$i")
-        docs.filter(p).coalesce(1).write.parquet(tmp.getPath)
-        val part = tmp.listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(srcDir, s"batch$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1700000000000L + i * 60000L)
-        deleteRecursively(tmp)
-      }
+    val srcDir = stageBatches(base,
+      t(s, d, "documents").select(col("doc_id"), col("text")),
+      Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0))
     val stream = EventStream.fileSource(s, srcDir.getPath,
       s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
     val q = EventStream.startMinhashBankStream(stream,
@@ -1951,14 +1995,8 @@ object SparkEntry {
     // layers stay separate, exactly as in production crawls. Oracle:
     // every surviving dHash re-derived from the pixel formula.
     "ns196_warc_images" -> ((s, d) => {
-      import s.implicits._
-      val containers = graft.ns.Warc.buildImageWarcContainers(
-        (0L until 120L), 8,
-        i => {
-          val full = Multimodal.writeBmp(72, 64, i * 31L + 7L)
-          if (i % 11 == 5) full.take(full.length - 10) else full
-        }).toDF("container_id", "content")
-      val imgs = graft.ns.Warc.parseContainersBinary(containers)
+      val imgs = graft.ns.Warc.parseContainersBinary(
+          imageWarcContainers(s))
         .toDF()
         .filter(col("http_content_type") === "image/bmp")
         .select(col("target_uri").as("file_name"),
@@ -2352,9 +2390,15 @@ object SparkEntry {
         .groupBy(md5(Dedup.normText(col("caption"))).as("__fp"))
         .agg(min(col("pair_id")).as("pair_id"),
           count(lit(1)).as("n_caption_dups"))
-      imgSurv.join(capSurv, Seq("pair_id"))
-        .select(col("pair_id"), col("dhash"), col("n_image_dups"),
-          col("n_caption_dups"))
+      // gated is eagerly checkpointed above (lineage cut), so the
+      // BMP scratch dir is droppable here — without this, every
+      // bench/verify evaluation leaked a ~113-file temp dir until
+      // JVM exit (r14 review)
+      materializeAndDrop(
+        imgSurv.join(capSurv, Seq("pair_id"))
+          .select(col("pair_id"), col("dhash"), col("n_image_dups"),
+            col("n_caption_dups")),
+        dir)
     }),
 
     // ---- §2.8 [NS] video curation round (r14, p12) ----
@@ -3093,11 +3137,7 @@ object SparkEntry {
     // from the checked-in merge count (a pure function of the merge
     // table on both sides).
     "ns187_tokenizer_coverage" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("source"),
-          concat(col("text"),
-            when(pmod(col("doc_id"), lit(9)) === 0,
-              lit(" é μ")).otherwise(lit(""))).as("text"))
+      val docs = bpePlantedDocs(s, d, limit = Some(100L))
       val base = graft.ns.Bpe.byteBase(graft.ns.Bpe.default)
       graft.ns.Bpe.encodeDocsBf(docs, "doc_id", "text").toDF()
         .select(col("doc_id"), explode(col("token_ids")).as("tid"))
@@ -3121,11 +3161,7 @@ object SparkEntry {
     // rank-for-rank (tools/gen_bpe.py).
     "ns190_bpe_byte_fallback" -> ((s, d) =>
       graft.ns.Bpe.encodeDocsBf(
-        t(s, d, "documents").filter(col("doc_id") < 100)
-          .select(col("doc_id"),
-            concat(col("text"),
-              when(pmod(col("doc_id"), lit(9)) === 0,
-                lit(" é μ")).otherwise(lit(""))).as("text")),
+        bpePlantedDocs(s, d, limit = Some(100L)),
         "doc_id", "text")
         .toDF()
         .select(col("doc_id"),
@@ -3624,10 +3660,7 @@ object SparkEntry {
     "ns77_bpe_decode_roundtrip" -> ((s, d) =>
       graft.ns.Bpe.decodeDocsBf(
         graft.ns.Bpe.encodeDocsBf(
-          t(s, d, "documents").select(col("doc_id"),
-            concat(col("text"),
-              when(pmod(col("doc_id"), lit(9)) === 0,
-                lit(" é μ")).otherwise(lit(""))).as("text")),
+          bpePlantedDocs(s, d),
           "doc_id", "text").toDF(),
         "doc_id", "token_ids")
         .select(col("doc_id"), col("decoded"),
@@ -5061,21 +5094,9 @@ object SparkEntry {
     // stream≡batch-collision and replay laws run in StreamingSpec.
     "s21_stream_conversation_bank" -> ((s, d) => {
       val base = newScratchDir("graft_s21")
-      val srcDir = new java.io.File(base, "src")
-      srcDir.mkdirs()
-      val corpus = conversationNearDupCorpus(s, d)
-      Seq(col("conversation_id") < 3000000L,
-          col("conversation_id") >= 3000000L)
-        .zipWithIndex.foreach { case (p, i) =>
-          val tmp = new java.io.File(base, s"tmp$i")
-          corpus.filter(p).coalesce(1).write.parquet(tmp.getPath)
-          val part = tmp.listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = new java.io.File(srcDir, s"batch$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          deleteRecursively(tmp)
-        }
+      val srcDir = stageBatches(base, conversationNearDupCorpus(s, d),
+        Seq(col("conversation_id") < 3000000L,
+          col("conversation_id") >= 3000000L))
       val stream = EventStream.fileSource(s, srcDir.getPath,
         s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
       val q = EventStream.startMinhashBankStream(stream,
@@ -5105,28 +5126,10 @@ object SparkEntry {
     // must equal ns196's batch answer verbatim (the oracle is shared
     // by construction).
     "s22_stream_warc_images" -> ((s, d) => {
-      import s.implicits._
       val base = newScratchDir("graft_s22")
-      val srcDir = new java.io.File(base, "src")
-      srcDir.mkdirs()
-      val containers = graft.ns.Warc.buildImageWarcContainers(
-        (0L until 120L), 8,
-        i => {
-          val full = Multimodal.writeBmp(72, 64, i * 31L + 7L)
-          if (i % 11 == 5) full.take(full.length - 10) else full
-        }).toDF("container_id", "content")
-      Seq(pmod(col("container_id"), lit(2)) === 0,
-        pmod(col("container_id"), lit(2)) =!= 0).zipWithIndex.foreach {
-        case (p, i) =>
-          val tmp = new java.io.File(base, s"tmp$i")
-          containers.filter(p).coalesce(1).write.parquet(tmp.getPath)
-          val part = tmp.listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = new java.io.File(srcDir, s"batch$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          deleteRecursively(tmp)
-      }
+      val srcDir = stageBatches(base, imageWarcContainers(s),
+        Seq(pmod(col("container_id"), lit(2)) === 0,
+          pmod(col("container_id"), lit(2)) =!= 0))
       val stream = EventStream.fileSource(s, srcDir.getPath,
         s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
       val imgs = graft.ns.Warc.parseContainersBinary(stream).toDF()

@@ -1135,14 +1135,23 @@ object Multimodal {
           val inner = walk(b, e) { (t2, b2, e2) =>
             if (err.isEmpty) t2 match {
               case "mvhd" =>
-                val (v, p) = fullBoxAt(b2, e2)
-                // v0: creation/modification u32 ×2 then timescale u32,
-                // duration u32; v1: u64 ×2 then u32, u64
-                if (v == 0 && e2 - p >= 16) {
-                  timescale = Some(u32(p + 8)); duration = Some(u32(p + 12))
-                } else if (v == 1 && e2 - p >= 28) {
-                  timescale = Some(u32(p + 16)); duration = Some(u64(p + 20))
-                } else err = Some("truncated_mvhd")
+                // guard the full-box header read itself: a size-8
+                // mvhd (empty body, size == hdr is legal framing) at
+                // end-of-buffer would otherwise read bytes(b2) out of
+                // bounds — quarantine, never crash (r14 review)
+                if (e2 - b2 < 4) err = Some("truncated_mvhd")
+                else {
+                  val (v, p) = fullBoxAt(b2, e2)
+                  // v0: creation/modification u32 ×2 then timescale
+                  // u32, duration u32; v1: u64 ×2 then u32, u64
+                  if (v == 0 && e2 - p >= 16) {
+                    timescale = Some(u32(p + 8))
+                    duration = Some(u32(p + 12))
+                  } else if (v == 1 && e2 - p >= 28) {
+                    timescale = Some(u32(p + 16))
+                    duration = Some(u64(p + 20))
+                  } else err = Some("truncated_mvhd")
+                }
               case "trak" =>
                 val inner2 = walk(b2, e2) { (t3, b3, e3) =>
                   if (err.isEmpty && t3 == "tkhd" && dims.isEmpty) {

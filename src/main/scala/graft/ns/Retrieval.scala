@@ -230,28 +230,42 @@ object Retrieval {
       rnCol: String, docs: DataFrame, docIdCol: String,
       textCol: String, tokenBudget: Long): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
-    // LEFT join + loud failure on unresolved ids (round-13 ADVICE):
-    // an inner join would silently DROP a ranked id missing from
-    // docs, leaving a rank gap — later docs kept as if the missing
-    // one cost zero tokens, violating the strict rank-prefix
-    // contract. A candidate set pointing at absent doc text is a
-    // pipeline bug (stale index vs store), so it raises, not shifts.
+    // Loud failure on unresolved ids (round-13 ADVICE) WITHOUT
+    // giving up the broadcast plan (r14 review): a left join would
+    // catch missing ids via nulls, but Spark cannot broadcast the
+    // PRESERVED side of a left-outer join, so the candidate-sized
+    // hint degrades to a corpus-wide shuffle of the docs projection.
+    // Instead the join stays INNER (broadcast-able: build side =
+    // the tiny ranked set), and the missing-id detection rides the
+    // window pass that runs anyway: `rn` is the documented
+    // contiguous 1-based rank per query, so a dropped candidate
+    // leaves a gap where rn != row_number over the same order and
+    // every later row raises. A candidate set pointing at absent
+    // doc text is a pipeline bug (stale index vs store), so it
+    // raises, not shifts. Boundary: a missing LAST rank has no
+    // later rows to misalign and is silently absent — but it also
+    // shifts nothing (no doc ranks after it), so the kept prefix
+    // stays correct by construction.
     val withTok = broadcast(ranked
         .select(col(qCol), col(idCol), col(rnCol).cast("long").as("rn")))
       .join(docs.select(col(docIdCol).as(idCol),
         TextOps.bpeTokenCount(col(textCol)).cast("long")
-          .as("__tok")), Seq(idCol), "left")
-      .withColumn("n_tokens", when(col("__tok").isNull,
+          .as("__tok")), Seq(idCol))
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qCol)).orderBy(col("rn"))
+    val w = ordered.rowsBetween(org.apache.spark.sql.expressions
+      .Window.unboundedPreceding, 0)
+    withTok
+      .withColumn("n_tokens", when(
+          col("rn") =!= row_number().over(ordered).cast("long"),
           raise_error(concat(
-            lit("contextAssembly: ranked id missing from docs: "),
-            col(idCol).cast("string"))).cast("long"))
+            lit("contextAssembly: rank gap at rn="),
+            col("rn").cast("string"), lit(" for query "),
+            col(qCol).cast("string"),
+            lit(" — a ranked id is missing from docs")))
+            .cast("long"))
         .otherwise(col("__tok")))
       .drop("__tok")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(qCol)).orderBy(col("rn"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    withTok
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .select(col(qCol), col(idCol), col("rn"), col("n_tokens"),
         col("cum_tokens"),
@@ -291,7 +305,11 @@ object Retrieval {
       k: Int = 10): DataFrame = {
     require(k >= 1 && k <= ndcgDiscNano.length,
       s"k must be in [1, ${ndcgDiscNano.length}]")
+    // distinct: a duplicated (query, doc) gold row would otherwise
+    // inflate n_gold AND double-count its hit's dcg through the join
+    // fan-out — nDCG could exceed 1e9 with no error (r14 review).
     val g = gold.select(col(gQCol).as(qCol), col(gIdCol).as(idCol))
+      .distinct()
     val nGold = g.groupBy(col(qCol))
       .agg(count(lit(1)).as("n_gold"))
     val disc = (1 to k).foldLeft(lit(0L)) { (acc, r) =>

@@ -764,5 +764,13 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4(
       Multimodal.writeMp4("isom", 0, 10L, 4, 4)) ==
       Left("zero_timescale"))
+    // a size-8 mvhd (EMPTY body — legal framing, size == header) at
+    // end-of-buffer quarantines instead of reading out of bounds
+    // (r14 review: fullBoxAt read bytes(from) unguarded)
+    val emptyMvhd = u32be(8L) ++ "mvhd".getBytes("US-ASCII")
+    val moovEmpty = u32be(emptyMvhd.length.toLong + 8L) ++
+      "moov".getBytes("US-ASCII") ++ emptyMvhd
+    assert(Multimodal.parseMp4(ftyp ++ moovEmpty) ==
+      Left("truncated_mvhd"))
   }
 }
