@@ -45,7 +45,7 @@ import org.apache.spark.sql.SparkSession
   *    Round 8 shipped the opposite policy — heavy warmed last under
   *    the full 60 s cap — and warm-up ate 266 s of a 366 s wall:
   *    `rounds_completed: 0` with cold values 6–10× above steady state.
-  *  - Warm-up runs CONCURRENTLY (`warmupThreads`, default 4): at
+  *  - Warm-up runs CONCURRENTLY (`warmupThreads`, default 6): at
   *    159 registered queries a sequential once-through costs ~190 s
   *    of a 360 s wall by itself, leaving no budget for steady
   *    rounds. A small pool overlaps the many sub-second queries

@@ -660,6 +660,23 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("audioWindows: a trailing PARTIAL window is dropped by " +
+      "contract, full windows report exact integer peaks (r14)") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = JFiles.createTempDirectory("graft_aw_law")
+    // 2450 samples at window 160 = 15 full windows + 50 leftover
+    JFiles.write(Paths.get(dir.toString, "a.wav"),
+      Multimodal.writeWav(8000, 2450,
+        j => (if (j < 160) 1000 else 7).toShort))
+    val out = Multimodal.audioWindows(
+      Multimodal.readBinaryDir(spark, dir.toString, "*.wav"), 160)
+      .collect()
+    assert(out.length == 15, s"got ${out.length} windows")
+    assert(out.find(_.window_idx == 0).get.peak == 1000)
+    assert(out.filter(_.window_idx > 0).forall(_.peak == 7))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("activitySegments: silent-window pattern yields the closed-" +
       "form island structure; all-silent and corrupt-magic clips " +
       "are absent; ms arithmetic is exact (r14)") {

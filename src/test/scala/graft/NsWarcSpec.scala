@@ -226,6 +226,26 @@ class NsWarcSpec extends SparkSpec {
       strCut.count(r => r.status == "ok" && r.warc_type == "response"))
   }
 
+  test("binary face through gzip: a .warc.gz image container " +
+      "(multi-member or single) still yields byte-exact payloads " +
+      "via parseContainersBinary (r14)") {
+    import graft.ns.Multimodal
+    val imgs = (0L until 3L).map(i =>
+      i -> Multimodal.writeBmp(12, 8, i * 13L)).toMap
+    val containers = Warc.buildImageWarcContainers(0L until 3L, 3,
+      imgs(_))
+    val gz = containers.map { case (cid, bytes) =>
+      (cid, Warc.gzipBytes(bytes))
+    }
+    val recs = Warc.parseContainersBinary(
+      gz.toDF("container_id", "content")).collect()
+    assert(recs.length == 3)
+    recs.foreach { r =>
+      val id = r.target_uri.split("/").last.toLong
+      assert(java.util.Arrays.equals(r.body, imgs(id)))
+    }
+  }
+
   test("non-HTTP response payload is bad_http, not a crash") {
     val notHttp = "BINARYJUNK" + crlf + crlf + "tail"
     val bytes = rec("response", "http://x.example.com/z", notHttp)
