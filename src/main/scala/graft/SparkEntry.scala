@@ -1904,7 +1904,9 @@ object SparkEntry {
         // the +g DC offset on active samples makes byte content
         // INJECTIVE in g (the window/silence pattern alone repeats
         // every lcm(6,4,5)=60 groups, which would md5-collapse
-        // distinct groups); peak stays 16384+g, far above threshold
+        // distinct groups); the sawtooth cycles {-16384,-8192,0,8192},
+        // so with the +g shift the peak |amplitude| is 16384-g (the
+        // shifted -16384 sample) — still far above the 1000 threshold
         val bytes = Multimodal.writeWav(8000, 1600 + (g % 6) * 320,
           j => if (g % 5 == 0 || (j / 160) % 4 == g % 4) 0.toShort
                else (saw(j) + g).toShort)

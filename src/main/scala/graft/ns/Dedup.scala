@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The opt-OUT LSH density cap (r14 verdict #4): every banded
+    * candidate join defaults to keep-min-K per (band, chunk) bucket
+    * so candidate volume is corpus-LINEAR (Σ occ·K) even when a new
+    * data grain turns out template-heavy (ns194's measured 50× wall
+    * at 10× rows). Min-id survivorship is provably unaffected — the
+    * bucket MIN is always in the kept core, so every member keeps
+    * its edge to the min. Reaching complete banding (md5 gate twins,
+    * recall studies) requires an EXPLICIT `bucketCap = None`. */
+  val DefaultBucketCap: Option[Int] = Some(8)
+
   /** Canonical text: trimmed, lower-cased, whitespace collapsed. */
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
@@ -445,8 +455,13 @@ object Dedup {
       // cap trades away is pair recall between two mid-bucket
       // members neither of whom is in the low-id core, and the
       // exact-Jaccard verify still prunes every surviving candidate.
-      // None = complete banding (the ns03/ns03b gate semantics).
-      bucketCap: Option[Int] = None): DataFrame = {
+      // ON BY DEFAULT since r15 (r14 verdict #4): ns194's 50×-at-10×
+      // incident was a caller inheriting the then-uncapped default at
+      // a new (templated, short-text) grain — the trap recurs at
+      // every future grain, so the safe behavior is the unconfigured
+      // one. Complete banding (the md5 gate twins, recall studies)
+      // now requires an EXPLICIT None at the call site.
+      bucketCap: Option[Int] = Dedup.DefaultBucketCap): DataFrame = {
     val rowsPerBand = 2
     val g = shingles(df, idCol, textCol, n)
     val sig = minhashSignature(g, idCol, numHashTables * rowsPerBand, seed)
@@ -597,16 +612,33 @@ object Dedup {
 
   def minhashNearDupNewVsStore(batch: DataFrame, store: DataFrame,
       idCol: String, textCol: String, n: Int, maxJaccardDist: Double,
-      numHashTables: Int = 8, seed: Long = 42L): DataFrame = {
+      numHashTables: Int = 8, seed: Long = 42L,
+      // Keep-min-K on the STORE side of the match join, on by
+      // default ([[DefaultBucketCap]], r15): a hot store bucket —
+      // the templated-text density trap at batch-vs-store grain —
+      // otherwise costs every batch arrival its full occupancy per
+      // band. The bucket MIN is always in the kept core, so a batch
+      // doc in a dense dup group still finds the group's min-id
+      // representative; complete matching requires an explicit None.
+      storeBucketCap: Option[Int] = Dedup.DefaultBucketCap)
+      : DataFrame = {
     val rowsPerBand = 2
     val gb = shingles(batch, idCol, textCol, n)
     val gs = shingles(store, idCol, textCol, n)
     val bb = bandedSig(
       minhashSignature(gb, idCol, numHashTables * rowsPerBand, seed),
       idCol, numHashTables)
-    val bs = bandedSig(
+    val bs0 = bandedSig(
       minhashSignature(gs, idCol, numHashTables * rowsPerBand, seed),
       idCol, numHashTables)
+    val bs = storeBucketCap match {
+      case Some(k) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("chunk")).orderBy(col(idCol))
+        bs0.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k).drop("__rk")
+      case None => bs0
+    }
     val cand = bb
       .select(col(idCol).as("batch_id"), col("band"), col("chunk"))
       .join(bs.select(col(idCol).as("store_id"), col("band"),
@@ -695,14 +727,14 @@ object Dedup {
       turnCol: String, roleCol: String, contentCol: String,
       n: Int = 3, maxJaccardDist: Double = 0.5,
       numHashTables: Int = 8, seed: Long = 42L,
-      // ON by default at conversation grain: short templated
+      // ON by default ([[DefaultBucketCap]]): short templated
       // transcripts (greeting/ack turns) make bucket occupancy grow
       // WITH the corpus, and the uncapped self-join measured 50× wall
       // at 10× rows (SCALE.md r14). Fixture-scale buckets sit far
       // below the cap, so the planted-twin laws and the md5 gate
       // twin ([[conversationNearDupExact]], uncapped by design) are
       // untouched.
-      bucketCap: Option[Int] = Some(8)): DataFrame =
+      bucketCap: Option[Int] = Dedup.DefaultBucketCap): DataFrame =
     minhashNearDupPairs(
       conversationTranscripts(turns, convCol, turnCol, roleCol,
         contentCol),

@@ -242,12 +242,19 @@ object Retrieval {
     // leaves a gap where rn != row_number over the same order and
     // every later row raises. A candidate set pointing at absent
     // doc text is a pipeline bug (stale index vs store), so it
-    // raises, not shifts. Boundary: a missing LAST rank has no
-    // later rows to misalign and is silently absent — but it also
-    // shifts nothing (no doc ranks after it), so the kept prefix
-    // stays correct by construction.
-    val withTok = broadcast(ranked
-        .select(col(qCol), col(idCol), col(rnCol).cast("long").as("rn")))
+    // raises, not shifts. A missing LAST rank has no later rows to
+    // misalign, so (r14 ADVICE) a second completeness check closes
+    // that hole: the expected per-query candidate count (= max rn,
+    // ranks are contiguous 1-based by contract) is stamped on the
+    // TINY ranked side before the join, and after the join the
+    // full-partition survivor count must equal it — same qCol
+    // partitioning as the running sum, so no extra exchange on the
+    // corpus-sized side and the broadcast plan is preserved.
+    val rankedX = ranked
+      .select(col(qCol), col(idCol), col(rnCol).cast("long").as("rn"))
+      .withColumn("__expect", max(col("rn")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qCol))))
+    val withTok = broadcast(rankedX)
       .join(docs.select(col(docIdCol).as(idCol),
         TextOps.bpeTokenCount(col(textCol)).cast("long")
           .as("__tok")), Seq(idCol))
@@ -255,6 +262,10 @@ object Retrieval {
       .partitionBy(col(qCol)).orderBy(col("rn"))
     val w = ordered.rowsBetween(org.apache.spark.sql.expressions
       .Window.unboundedPreceding, 0)
+    val full = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qCol)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     withTok
       .withColumn("n_tokens", when(
           col("rn") =!= row_number().over(ordered).cast("long"),
@@ -264,8 +275,15 @@ object Retrieval {
             col(qCol).cast("string"),
             lit(" — a ranked id is missing from docs")))
             .cast("long"))
+        .when(count(lit(1)).over(full) =!= col("__expect"),
+          raise_error(concat(
+            lit("contextAssembly: query "), col(qCol).cast("string"),
+            lit(" resolved "), count(lit(1)).over(full).cast("string"),
+            lit(" of "), col("__expect").cast("string"),
+            lit(" ranked candidates — a trailing ranked id is missing"
+              + " from docs"))).cast("long"))
         .otherwise(col("__tok")))
-      .drop("__tok")
+      .drop("__tok", "__expect")
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .select(col(qCol), col(idCol), col("rn"), col("n_tokens"),
         col("cum_tokens"),

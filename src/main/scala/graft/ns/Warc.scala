@@ -265,7 +265,12 @@ object Warc {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.grouped(batchSize).flatMap(_.flatMap {
-        case (cid, bytes) => parseWarcAuto(cid, bytes)
+        // null-payload guard (r14 ADVICE): the gzip sniff reads
+        // bytes.length, which NPEs on a null row — and an NPE kills
+        // the task instead of quarantining. Empty bytes walk to the
+        // established zero-record container quarantine.
+        case (cid, bytes) => parseWarcAuto(cid,
+          if (bytes == null) Array.emptyByteArray else bytes)
       }))
   }
 
@@ -283,7 +288,13 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.grouped(batchSize).flatMap(_.flatMap {
         case (cid, bytes) =>
-          parseWarcBinary(cid, gunzipAll(bytes).getOrElse(bytes))
+          // null-payload guard (r14 ADVICE): gunzipAll's
+          // ByteArrayInputStream constructor NPEs on null, and NPE
+          // is not the IOException the quarantine catches — a null
+          // content row would fail the task. Mirror the Multimodal
+          // readers' guard.
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          parseWarcBinary(cid, gunzipAll(b).getOrElse(b))
       }))
   }
 

@@ -269,9 +269,12 @@ object EventStream {
       // always contains the bucket min — survivorship intact)
       // instead of every stored occupant. Deterministic: the cap
       // depends only on stored ids, not arrival order, so replays
-      // still re-derive identical matches. None = complete matching
-      // (the s18/s20 document-grain default).
-      matchBucketCap: Option[Int] = None): StreamingQuery =
+      // still re-derive identical matches. ON BY DEFAULT since r15
+      // ([[graft.ns.Dedup.DefaultBucketCap]] — the density trap
+      // recurs at every new grain); complete matching requires an
+      // explicit None.
+      matchBucketCap: Option[Int] = graft.ns.Dedup.DefaultBucketCap)
+      : StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

@@ -380,11 +380,15 @@ class NsDedupSpec extends SparkSpec {
     // the batch against the store finds EXACTLY the pairs the full
     // (store ∪ batch) self-join would report between the two halves —
     // same seed, same bands, same exact verify, bit-equal distances.
+    // COMPLETE banding on both sides (explicit None — r15 flipped
+    // the defaults to capped): this is the algebra law; the capped
+    // default's containment law follows below.
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val batch = d.filter(col("doc_id") % 2 === 1)
     val store = d.filter(col("doc_id") % 2 === 0)
     val full = Dedup.minhashNearDupPairs(d, "doc_id", "text", 3,
-      maxJaccardDist = 0.5, numHashTables = 8, seed = 42L)
+      maxJaccardDist = 0.5, numHashTables = 8, seed = 42L,
+      bucketCap = None)
       .as[(Long, Long, Double)].collect()
       .filter { case (a, b, _) => (a % 2) != (b % 2) } // cross only
       .map { case (a, b, dist) =>
@@ -392,12 +396,51 @@ class NsDedupSpec extends SparkSpec {
       .toSet
     val inc = Dedup.minhashNearDupNewVsStore(batch, store,
       "doc_id", "text", 3, maxJaccardDist = 0.5, numHashTables = 8,
-      seed = 42L)
+      seed = 42L, storeBucketCap = None)
       .as[(Long, Long, Double)].collect().toSet
     assert(full.nonEmpty, "fixture should contain cross-half near-dups")
     assert(inc == full, s"incremental ${inc.size} vs full-cross ${full.size}")
+    // the DEFAULT (store-capped) path is a subset of complete matching
+    val incDefault = Dedup.minhashNearDupNewVsStore(batch, store,
+      "doc_id", "text", 3, maxJaccardDist = 0.5, numHashTables = 8,
+      seed = 42L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incDefault.subsetOf(inc), "store cap invented a candidate")
     assertNoCartesian(Dedup.minhashNearDupNewVsStore(batch, store,
       "doc_id", "text", 3, 0.5))
+  }
+
+  test("the UNCONFIGURED banded paths are density-capped (r15 — the " +
+      "uncapped path requires an explicit None): DefaultBucketCap is " +
+      "set, a default call equals the explicitly-capped call on a " +
+      "planted dense bucket, and differs from complete banding") {
+    assert(Dedup.DefaultBucketCap == Some(8))
+    // 30 near-identical docs: one dense bucket per band, occupancy 30
+    val dense = (0L until 30L).map(i => (i,
+      "the quick brown fox jumps over the lazy dog again and again " +
+        s"today for emphasis tail$i"))
+      .toDF("doc_id", "text")
+    def pairs(cap: Option[Int]): Set[(Long, Long)] =
+      Dedup.minhashNearDupPairs(dense, "doc_id", "text", 3,
+        maxJaccardDist = 0.9, bucketCap = cap)
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+    val byDefault = Dedup.minhashNearDupPairs(dense, "doc_id",
+      "text", 3, maxJaccardDist = 0.9)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    val capped = pairs(Dedup.DefaultBucketCap)
+    val complete = pairs(None)
+    assert(byDefault == capped,
+      "the unconfigured call did not take the default cap")
+    assert(capped.size < complete.size,
+      "cap did not fire on a 30-dense bucket")
+    assert(capped.subsetOf(complete))
+    // min-id survivorship under the default: every member keeps its
+    // edge to the bucket min
+    (1L until 30L).foreach { i =>
+      assert(byDefault.contains((0L, i)), s"lost the min edge for $i")
+    }
   }
 
   test("simhash: identical docs agree, near-identical docs are close") {

@@ -252,4 +252,20 @@ class NsWarcSpec extends SparkSpec {
       .getBytes("UTF-8")
     assert(Warc.parseWarc(6L, bytes).map(_.status) == Seq("bad_http"))
   }
+
+  test("null content rows quarantine instead of NPE-killing the task " +
+      "(r14 ADVICE — both container faces)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, Option.empty[Array[Byte]]),
+      (2L, Some("not a warc at all".getBytes("UTF-8"))))
+      .toDF("container_id", "content")
+    // both walks complete; the null container contributes no record
+    // (or only quarantine records) — never a task failure
+    val text = Warc.parseContainers(df).collect()
+    assert(!text.exists(r => r.container_id == 1L && r.status == "ok"))
+    // the binary face only emits ok responses: none for container 1
+    val bin = Warc.parseContainersBinary(df).collect()
+    assert(!bin.exists(_.container_id == 1L))
+  }
 }

@@ -167,6 +167,24 @@ class RetrievalSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("missing from docs")), ex.toString)
   }
 
+  test("contextAssembly: a missing LAST-ranked candidate also fails " +
+      "loudly (r14 ADVICE — the trailing gap the rank-gap check " +
+      "cannot see)") {
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3))
+      .toDF("q", "id", "rn")
+    val docs = Seq((10L, "one two three"), (11L, "a b"))
+      .toDF("doc_id", "text") // 99 (the LAST rank) absent
+    val ex = intercept[Exception] {
+      Retrieval.contextAssembly(ranked, "q", "id", "rn",
+        docs, "doc_id", "text", tokenBudget = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("trailing ranked id is missing")),
+      ex.toString)
+  }
+
   test("rankingQuality: hand-computed metrics, zero-hit queries keep " +
       "their row, perfect ranking scores exactly 1e9") {
     // q=1: gold {10, 11, 12}, hits at ranks 1 and 3 → recall 2/3,
