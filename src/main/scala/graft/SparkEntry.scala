@@ -663,6 +663,43 @@ object SparkEntry {
           col("n_regionkey").cast("long").as("n_regionkey")), dir)
     }),
 
+    // ---- §2.2 [NS] snapshot commit layer (r15): atomic publish ----
+    // O10/O15/O16 as TRANSACTIONS (ops/Manifest.scala): data staged
+    // under per-commit immutable directories, one manifest published
+    // per commit via atomic rename, readers resolve through manifests
+    // only. The shared three-commit history (init → region-1
+    // replacement → region-3 takedown) is built once per session
+    // (snapshotDemoTable); the three consumers read DIFFERENT
+    // snapshots of it. Gate: latest snapshot = region-1 names
+    // suffixed, region 3 gone — re-derived in SQL from nation alone.
+    "o17_snapshot_commit_read" -> ((s, d) => {
+      val root = snapshotDemoTable(s, d)
+      graft.ops.Manifest.read(s, root, "n_regionkey")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
+    // Time travel: version 2 (after the replacement, BEFORE the
+    // takedown) still shows region 3 — published manifests and data
+    // directories are immutable, so any historical snapshot replays.
+    "o18_snapshot_time_travel" -> ((s, d) => {
+      val root = snapshotDemoTable(s, d)
+      graft.ops.Manifest.readAt(s, root, "n_regionkey", 2L)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
+    // The manifest IS data: the live-entry frame of the final
+    // version hash-gates against the commit history spelled out as
+    // SQL literals (partition 1 owned by the replacement commit,
+    // partition 3 absent after the takedown, the rest from init).
+    "o19_manifest_table" -> ((s, d) => {
+      val root = snapshotDemoTable(s, d)
+      graft.ops.Manifest.readManifest(s, root, 3L)
+    }),
+
     // ---- §2.1 schema evolution across landed batches ----
     // Production tables GROW columns across runs; readers must take
     // the union schema and null-fill history. Fixture: an early batch
@@ -5675,6 +5712,38 @@ object SparkEntry {
     scratchDirs.add(dir)
     dir
   }
+
+  /** Snapshot-commit demo table for o17/o18/o19: nation committed
+    * three times through [[graft.ops.Manifest]] — init, a region-1
+    * replacement, a region-3 takedown. Built ONCE per (session, sf)
+    * (the FixtureCache producer idiom, but the fixture here is an
+    * on-disk COMMIT HISTORY, so the cache stores the table root and
+    * the scratch dir lives until session shutdown): the three
+    * consumers read different snapshots of one history, exactly as
+    * production readers would. A build cancelled mid-flight caches
+    * nothing; the next caller rebuilds under a fresh root. */
+  private val snapRoots =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+  private def snapshotDemoTable(s: SparkSession, d: String): String =
+    snapRoots.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
+      val dir = newScratchDir("graft_snapcommit")
+      val root = s"${dir.getPath}/t"
+      val nation = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      graft.ops.Manifest.commitReplacePartitions(nation, root,
+        "n_regionkey", "init")
+      graft.ops.Manifest.commitReplacePartitions(
+        nation.filter(col("n_regionkey") === 1)
+          .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
+        root, "n_regionkey", "fix_r1")
+      graft.ops.Manifest.commitDelete(
+        nation.filter(col("n_regionkey") === 3)
+          .select(col("n_nationkey"), col("n_regionkey")),
+        root, Seq("n_nationkey"), "n_regionkey", "takedown_r3")
+      root
+    })
 
   /** Collect a DIMENSION-SIZED result into driver memory, eagerly
     * delete the scratch dir it reads from, and return a local-backed

@@ -1,0 +1,354 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transactional snapshot commit layer over a partitioned parquet
+  * store — the piece O10/O15/O16 lack (r14 verdict, missing #1):
+  * path-based dynamic partition overwrite mutates directories in
+  * place, so a reader racing a multi-partition overwrite can see a
+  * half-committed run, and two concurrent writers to one table are
+  * undefined. This layer gives the gold store:
+  *
+  *  - **Atomic multi-partition publish**: a commit stages its data
+  *    files under a NEVER-SHARED directory (`data/<commitKey>/`),
+  *    invisible to every reader, then publishes ONE manifest file via
+  *    an atomic rename. Readers resolve data through manifests only,
+  *    so a commit is all-or-nothing no matter how many partitions it
+  *    spans.
+  *  - **Snapshot-isolated reads + time travel**: a manifest version
+  *    pins an immutable set of data directories (commits never
+  *    rewrite a published directory — copy-on-write lands under a new
+  *    key), so a pinned reader is untouched by concurrent commits and
+  *    `readAt(version)` replays any historical snapshot.
+  *  - **Optimistic concurrency**: publishing is a compare-and-swap on
+  *    the next manifest name (`rename` fails when the destination
+  *    exists — the HDFS/local atomic-commit primitive). A writer that
+  *    loses the race REBASES: blind partition replacement recomputes
+  *    its manifest over the winner's and retries; a read-modify-write
+  *    commit (merge/delete) revalidates the partitions it READ and
+  *    raises [[Manifest.ConcurrentCommitException]] when the winner
+  *    touched them (partition-grain conflict detection — the Iceberg
+  *    validation model on plain parquet).
+  *  - **Replay idempotence**: every commit carries a caller-chosen
+  *    `commitKey`; a key that already appears in the manifest log
+  *    short-circuits to its committed version BEFORE staging (the S2
+  *    skip-if-exists guard at the transaction layer), so reruns
+  *    cannot double-publish or mutate files a reader references.
+  *
+  * Layout under the table root:
+  * {{{
+  *   data/<commitKey>/<pCol>=<val>/part-*.parquet   // immutable
+  *   manifests/v00000007__<commitKey>.json          // immutable
+  * }}}
+  * A manifest is JSON LINES — one row per LIVE partition:
+  * `{"partition":"<val>","data_key":"<key>","since_version":N}` — so
+  * the manifest itself is a DataFrame ([[readManifest]]) and the
+  * read side hash-gates (o19). Version and key ride in the FILE NAME,
+  * which is what makes replay detection a driver-side listing, not a
+  * file-content scan.
+  *
+  * Scale shape: manifest size is O(live partitions) and commit cost
+  * is O(touched partitions) driver-side plus the staged write — at
+  * 100 TB with hourly/daily partition grain that is thousands of
+  * manifest rows, read once per query plan. The snapshot read is a
+  * union of per-commit-key parquet scans over EXPLICIT live
+  * directories, so partition pruning is the path list itself and
+  * column pruning/pushdown reach every scan unchanged. (File-level
+  * manifests — the next granularity down — only matter once a single
+  * partition's file set must evolve without a rewrite; the repo's
+  * COW semantics are partition-grain, so partition-level entries
+  * carry exactly the information the reader needs.)
+  *
+  * Crash safety: a writer that dies after staging but before its
+  * rename leaves an UNREFERENCED data directory (and possibly a tmp
+  * manifest) — invisible to readers, re-staged in place by the
+  * replayed commit, removable by an offline vacuum that keeps every
+  * directory any manifest references.
+  */
+object Manifest {
+
+  /** A live-partition entry of one manifest version. */
+  final case class Entry(partition: String, data_key: String,
+      since_version: Long)
+
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Commit keys name immutable directories and manifest files, and
+    * are embedded in the manifest JSON — path-safe, quote-free. */
+  private val KeyRe = "[A-Za-z0-9_\\-]+".r
+  /** Partition values land in directory names and JSON strings; the
+    * simple-scalar contract ([[MergeUpsert]]) plus no-quote keeps
+    * both faces escape-free. */
+  private val PartRe = "[A-Za-z0-9_\\-.]+".r
+
+  private val ManifestRe = "v(\\d{8})__([A-Za-z0-9_\\-]+)\\.json".r
+
+  private def fs(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Driver-side manifest log listing: (version, commitKey) pairs,
+    * ascending. One FS listing of a directory with one entry per
+    * commit — bounded by commit count, the same class of driver
+    * state as [[MergeUpsert]]'s touched-partition list. */
+  def listCommits(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    val (filesystem, rootPath) = fs(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
+    if (!filesystem.exists(dir)) Seq.empty
+    else filesystem.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case ManifestRe(v, k) => (v.toLong, k) }
+      .sortBy(_._1)
+  }
+
+  /** Latest committed version; 0 = empty table (no snapshot yet). */
+  def currentVersion(spark: SparkSession, root: String): Long =
+    listCommits(spark, root).lastOption.map(_._1).getOrElse(0L)
+
+  private def manifestPath(root: String, version: Long, key: String) =
+    f"$root/manifests/v$version%08d__$key.json"
+
+  /** The manifest is DATA: its live-partition rows as a DataFrame
+    * (partition, data_key, since_version) — hash-gated by o19. */
+  def readManifest(spark: SparkSession, root: String,
+      version: Long): DataFrame = {
+    val key = listCommits(spark, root).find(_._1 == version)
+      .getOrElse(sys.error(s"manifest: no version $version at $root"))
+      ._2
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("partition", StringType),
+        StructField("data_key", StringType),
+        StructField("since_version", LongType))))
+      .json(manifestPath(root, version, key))
+  }
+
+  /** Driver-side entry parse. The writer serializes entries itself
+    * (exact canonical lines, below), so the reader is a regex over
+    * that canonical form, not a general JSON parser. */
+  private val EntryRe =
+    ("\\{\"partition\":\"([^\"]*)\",\"data_key\":\"([^\"]*)\"," +
+      "\"since_version\":(\\d+)\\}").r
+  private def readEntries(spark: SparkSession, root: String,
+      version: Long, key: String): Seq[Entry] = {
+    val (filesystem, _) = fs(spark, root)
+    val in = filesystem.open(
+      new org.apache.hadoop.fs.Path(manifestPath(root, version, key)))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map {
+      case EntryRe(p, k, v) => Entry(p, k, v.toLong)
+      case bad => sys.error(s"manifest: unparseable entry '$bad'")
+    }.toSeq
+  }
+
+  private def writeEntriesAtomic(spark: SparkSession, root: String,
+      version: Long, key: String, entries: Seq[Entry]): Boolean = {
+    val (filesystem, rootPath) = fs(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
+    filesystem.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_${key}_$version")
+    val out = filesystem.create(tmp, true)
+    try out.write(entries.sortBy(e => (e.partition, e.data_key))
+      .map(e => s"""{"partition":"${e.partition}",""" +
+        s""""data_key":"${e.data_key}",""" +
+        s""""since_version":${e.since_version}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // the CAS: rename fails (returns false) when the destination
+    // exists — another writer published this version first
+    val ok = filesystem.rename(tmp,
+      new org.apache.hadoop.fs.Path(manifestPath(root, version, key)))
+    if (!ok) filesystem.delete(tmp, false)
+    ok
+  }
+
+  /** Snapshot read at `version` (default: latest). Live directories
+    * are grouped by commit key so each group is ONE parquet scan
+    * with `basePath` recovering the partition column; groups union.
+    * Version 0 / empty table yields an error — callers own the
+    * "does the table exist yet" decision via [[currentVersion]]. */
+  def readAt(spark: SparkSession, root: String, pCol: String,
+      version: Long): DataFrame = {
+    val key = listCommits(spark, root).find(_._1 == version)
+      .getOrElse(sys.error(s"manifest: no version $version at $root"))._2
+    val entries = readEntries(spark, root, version, key)
+    require(entries.nonEmpty, s"manifest v$version is empty")
+    entries.groupBy(_.data_key).toSeq.sortBy(_._1).map {
+      case (dataKey, es) =>
+        val base = s"$root/data/$dataKey"
+        spark.read.option("basePath", base)
+          .parquet(es.map(e => s"$base/$pCol=${e.partition}"): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Latest-snapshot read. */
+  def read(spark: SparkSession, root: String, pCol: String): DataFrame =
+    readAt(spark, root, pCol, currentVersion(spark, root))
+
+  /** Stage `df` under `data/<commitKey>/` and return its touched
+    * partition values (bounded driver list). */
+  private def stage(df: DataFrame, root: String, pCol: String,
+      commitKey: String): Seq[String] = {
+    val touched = df.select(col(pCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(touched.nonEmpty, "commit: empty dataset")
+    touched.foreach(p => require(PartRe.pattern.matcher(p).matches(),
+      s"commit: partition value '$p' is not path/JSON-safe"))
+    df.repartition(col(pCol)).write.mode(SaveMode.Overwrite)
+      .partitionBy(pCol).parquet(s"$root/data/$commitKey")
+    touched
+  }
+
+  /** Test seam (ManifestSpec only): runs at the top of every publish
+    * attempt — the window between a commit's staging/read and its
+    * manifest CAS, where a real concurrent writer interleaves. */
+  private[graft] var onPublishAttempt: () => Unit = () => ()
+
+  /** The publish loop shared by every commit type. `rebase` maps the
+    * current live entries to the next ones, or throws
+    * [[ConcurrentCommitException]] when its read dependencies no
+    * longer hold. Returns the committed version (an existing one
+    * when `commitKey` already published — replay idempotence). */
+  private def publish(spark: SparkSession, root: String,
+      commitKey: String, rebase: Seq[Entry] => Seq[Entry]): Long = {
+    var attempts = 0
+    while (attempts < 32) {
+      onPublishAttempt()
+      val log = listCommits(spark, root)
+      log.find(_._2 == commitKey) match {
+        case Some((v, _)) => return v // replayed commit: already in
+        case None =>
+      }
+      val base = log.lastOption
+      val current = base.map { case (v, k) =>
+        readEntries(spark, root, v, k) }.getOrElse(Seq.empty)
+      val next = rebase(current)
+      val version = base.map(_._1).getOrElse(0L) + 1L
+      if (writeEntriesAtomic(spark, root, version, commitKey,
+        next.map(e => if (e.since_version == -1L)
+          e.copy(since_version = version) else e)))
+        return version
+      attempts += 1
+    }
+    throw new ConcurrentCommitException(
+      s"commit $commitKey: lost the manifest race 32 times at $root")
+  }
+
+  /** Atomic multi-partition replacement — O10's semantics as a
+    * commit. Partitions present in `df` replace their live entries;
+    * every other partition is untouched. Blind write (no read
+    * dependency), so a lost race REBASES and retries — last writer
+    * wins per partition, serialized by the manifest log. */
+  def commitReplacePartitions(df: DataFrame, root: String,
+      pCol: String, commitKey: String): Long = {
+    require(KeyRe.pattern.matcher(commitKey).matches(),
+      s"commit key '$commitKey' is not path-safe")
+    val spark = df.sparkSession
+    listCommits(spark, root).find(_._2 == commitKey) match {
+      case Some((v, _)) => return v // replay: NEVER re-stage published data
+      case None =>
+    }
+    val touched = stage(df, root, pCol, commitKey)
+    publish(spark, root, commitKey, { current =>
+      current.filterNot(e => touched.contains(e.partition)) ++
+        touched.map(Entry(_, commitKey, -1L))
+    })
+  }
+
+  /** Keyed MERGE as a commit — O15's semantics with snapshot
+    * isolation: the touched partitions are READ from the current
+    * snapshot, anti-joined with the delta, unioned, staged under the
+    * commit key, and published only if the partitions read are STILL
+    * live from the same data keys (read-modify-write validation). A
+    * concurrent commit to a read partition raises
+    * [[ConcurrentCommitException]]; the caller replays the merge
+    * against the new snapshot. */
+  def commitMerge(delta: DataFrame, root: String, keyCols: Seq[String],
+      pCol: String, commitKey: String): Long =
+    commitReadModifyWrite(delta, root, pCol, commitKey,
+      (target, d) => {
+        require(target.columns.toSet == d.columns.toSet,
+          "commitMerge: delta columns must equal target columns")
+        val matchKeys = keyCols :+ pCol
+        val aligned = target.select(d.columns.map(c =>
+          col(c).cast(d.schema(c).dataType).as(c)): _*)
+        d.unionByName(
+          aligned.join(d.select(matchKeys.map(col): _*),
+            matchKeys, "left_anti"))
+      })
+
+  /** Targeted deletion as a commit — O16's semantics with snapshot
+    * isolation. Fully-emptied partitions simply leave the manifest
+    * (no directory delete — the files stay immutable for time
+    * travel, invisible to the new snapshot). */
+  def commitDelete(deleteKeys: DataFrame, root: String,
+      keyCols: Seq[String], pCol: String, commitKey: String): Long =
+    commitReadModifyWrite(deleteKeys, root, pCol, commitKey,
+      (target, dk) => {
+        val matchKeys = keyCols :+ pCol
+        val aligned = dk.select(matchKeys.map(c =>
+          col(c).cast(target.schema(c).dataType).as(c)): _*)
+        target.join(aligned, matchKeys, "left_anti")
+      })
+
+  /** Shared read-modify-write commit: read the touched partitions of
+    * the CURRENT snapshot, transform, stage, publish with read
+    * validation. The staged survivor set decides which partitions
+    * stay live (a transform may empty a partition). */
+  private def commitReadModifyWrite(request: DataFrame, root: String,
+      pCol: String, commitKey: String,
+      transform: (DataFrame, DataFrame) => DataFrame): Long = {
+    require(KeyRe.pattern.matcher(commitKey).matches(),
+      s"commit key '$commitKey' is not path-safe")
+    val spark = request.sparkSession
+    listCommits(spark, root).find(_._2 == commitKey) match {
+      case Some((v, _)) => return v // replay
+      case None =>
+    }
+    val touched = request.select(col(pCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return currentVersion(spark, root)
+    val baseVersion = currentVersion(spark, root)
+    require(baseVersion > 0, s"read-modify-write on empty table $root")
+    val baseKey = listCommits(spark, root).find(_._1 == baseVersion).get._2
+    val baseEntries = readEntries(spark, root, baseVersion, baseKey)
+    // the READ SET this commit depends on: (partition -> data_key)
+    // for every touched partition that is live
+    val readSet = baseEntries
+      .filter(e => touched.contains(e.partition))
+      .map(e => e.partition -> e.data_key).toMap
+    if (readSet.isEmpty) return baseVersion // nothing to modify
+    val target = readSet.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (dataKey, ps) =>
+        val base = s"$root/data/$dataKey"
+        spark.read.option("basePath", base)
+          .parquet(ps.keys.toSeq.sorted
+            .map(p => s"$base/$pCol=$p"): _*)
+    }.reduce(_.unionByName(_))
+    val result = transform(target, request)
+    // survivors decide liveness; an emptied partition exits the
+    // manifest (still listing surviving dirs is a bounded distinct)
+    val surviving =
+      if (result.isEmpty) Seq.empty[String]
+      else stage(result, root, pCol, commitKey)
+    publish(spark, root, commitKey, { current =>
+      // validation: every partition this commit READ must still be
+      // live from the same data key; otherwise the staged result was
+      // computed against a stale snapshot
+      val liveNow = current.map(e => e.partition -> e.data_key).toMap
+      readSet.foreach { case (p, k) =>
+        if (!liveNow.get(p).contains(k))
+          throw new ConcurrentCommitException(
+            s"commit $commitKey: partition $p changed " +
+              s"(read from $k, now ${liveNow.get(p)}) — replay " +
+              "against the current snapshot")
+      }
+      current.filterNot(e => readSet.contains(e.partition)) ++
+        surviving.map(Entry(_, commitKey, -1L))
+    })
+  }
+}

@@ -91,6 +91,32 @@ private[graft] object OpsOracles {
       """SELECT p_partkey AS part_key, p_name AS part_name, p_brand AS brand,
         | p_type AS part_type, p_size AS part_size,
         | p_retailprice AS retail_price FROM part""".stripMargin,
+    // Snapshot commit layer (r15): the latest snapshot after
+    // init → replace(region 1, names suffixed) → takedown(region 3),
+    // re-derived from nation alone.
+    "o17_snapshot_commit_read" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN n_name || '_v2'
+        |       ELSE n_name END AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey <> 3""".stripMargin,
+    // Time travel to version 2: replacement applied, takedown not.
+    "o18_snapshot_time_travel" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN n_name || '_v2'
+        |       ELSE n_name END AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+    // The final manifest's live entries: partition 1 owned by the
+    // replacement commit since v2, partition 3 deleted, the rest
+    // from init since v1 — the commit history as table literals.
+    "o19_manifest_table" ->
+      """SELECT * FROM (VALUES
+        |  ('0', 'init', CAST(1 AS BIGINT)),
+        |  ('1', 'fix_r1', CAST(2 AS BIGINT)),
+        |  ('2', 'init', CAST(1 AS BIGINT)),
+        |  ('4', 'init', CAST(1 AS BIGINT)))
+        |AS m("partition", data_key, since_version)""".stripMargin,
     // Union schema with null-filled history + the partition column.
     "j05_schema_evolution" ->
       """SELECT doc_id, source, CAST(NULL AS INTEGER) AS n_chars,
