@@ -2085,6 +2085,44 @@ object SparkEntry {
         dir)
     }),
 
+    // ns195 with the frames EXTRACTED FROM CONTAINERS (r15 — video
+    // tier 2): the same 12×16 closed-form frame corpus, but each
+    // video's frames live in a frames-in-mdat MP4 (real stbl
+    // addressing) and the analysis consumes byte-exact mdat slices
+    // via extractMp4Frames. Same oracle as ns195 verbatim — the
+    // gate proves container → frames → dHash → shots end-to-end:
+    // if any extracted byte differed from the formula, every
+    // downstream hash would move.
+    "ns198_container_frame_shots" -> ((s, d) => {
+      val dir = newScratchDir("graft_ns198")
+      (0 until 12).foreach { v =>
+        val frames = (0 until 16).map(f =>
+          Multimodal.writeBmp(72, 64,
+            v.toLong * 1000000L + (f / 4).toLong * 1000L))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.getPath, f"vid_$v%02d.mp4"),
+          Multimodal.writeMp4Frames("isom", 600, 16L * 600L, 72, 64,
+            frames))
+      }
+      val bin = Multimodal.readBinaryDir(s, dir.getPath, "vid_*")
+      val frames = Multimodal.extractMp4Frames(bin, 16).toDF()
+        .select(concat_ws("#", col("file_name"),
+          col("frame_idx")).as("file_name"), col("content"))
+      val hashes = Multimodal.dhashImages(frames).toDF()
+        .select(
+          regexp_extract(col("file_name"), "vid_(\\d+)\\.mp4#(\\d+)",
+            1).cast("long").as("video_id"),
+          regexp_extract(col("file_name"), "vid_(\\d+)\\.mp4#(\\d+)",
+            2).cast("long").as("frame_idx"),
+          col("dhash"))
+      materializeAndDrop(
+        Multimodal.shotBoundaries(hashes, "video_id", "frame_idx",
+          "dhash", maxHamming = 7)
+          .select(col("video_id"), col("frame_idx"), col("shot_id"),
+            col("is_boundary")),
+        dir)
+    }),
+
     // Hamming-banded image near-dup over the same dHashes — EXACTLY
     // the SimHash band-join machinery (ns04) on a different signature
     // source, and unlike ns04 this one is hash-GATED: maxHamming 7 <
@@ -2441,29 +2479,36 @@ object SparkEntry {
     }),
 
     // ---- §2.8 [NS] video curation round (r14, p12) ----
-    // The ns191 MP4 metadata tier composed into an end-to-end video
-    // curation pass — the container-level face of p11: framing
-    // quarantine (the i%5==4 truncation class loses moov and drops),
-    // metadata gates (duration_ms >= 3000, height >= 240 — both
-    // exact integer header arithmetic), EXACT container dedup by
-    // content fingerprint (even/odd ids share one parameter group g
-    // = i/2, and writeMp4 is a pure function of (brand, timescale,
-    // duration, dims), so byte-identity ⇔ parameter-group identity
-    // in BOTH directions — the oracle groups by the closed-form
-    // parameter tuple, assuming nothing beyond md5 over distinct
-    // byte strings), min-id survivors carrying multiplicity, and a
-    // frame-sample schedule sized from the exact duration (1 fps + 1
-    // — the ns85 sampling arithmetic at the planning layer). At
-    // 100 TB the pass is header-bound (mdat never read), the dedup
-    // is one fingerprint-keyed exchange, and gates are map-side.
+    // p12 v2 (r15 — frames FROM containers): the end-to-end video
+    // curation round now runs ANALYSIS over frames EXTRACTED from the
+    // containers, not a schedule. Fixture: 150 frames-in-mdat MP4s
+    // (writeMp4Frames — real stbl{stsz,stco} addressing 12 closed-
+    // form 72×64 BMP frames whose seed g·1e6 + (f/L)·1000 changes
+    // shot every L = 2 + g%3 frames); the i%5==4 truncation class
+    // cuts the mdat box and quarantines at the framing walk. Stages:
+    // framing quarantine → metadata gates (duration_ms >= 3000,
+    // height >= 240 — exact header arithmetic) → EXACT container
+    // dedup by content fingerprint (byte-identity ⇔ parameter-group
+    // identity: duration alone is injective in g) → for each
+    // min-id survivor, extract the 4-sample schedule {0,3,6,9} as
+    // byte-exact mdat slices (ONLY those ranges read — the ranged-
+    // read law), dHash each frame, detect shot boundaries over the
+    // sampled sequence (ns195 machinery). The oracle re-derives
+    // frame bytes, dHashes, and shot ids from the container formula
+    // alone. At 100 TB: header walk + 4 ranged reads per survivor,
+    // one fingerprint-keyed exchange, one video-keyed exchange.
     "p12_video_curation" -> ((s, d) => {
       val dir = newScratchDir("graft_p12")
       (0 until 150).foreach { i =>
         val g = i / 2
-        val full = Multimodal.writeMp4(
+        val shotLen = 2 + g % 3
+        val frames = (0 until 12).map(f =>
+          Multimodal.writeBmp(72, 64,
+            g.toLong * 1000000L + (f / shotLen).toLong * 1000L))
+        val full = Multimodal.writeMp4Frames(
           if (g % 2 == 0) "isom" else "mp42",
           600 + (g % 5) * 200, (g + 1).toLong * 900L,
-          320 + (g % 12) * 16, 180 + (g % 8) * 30)
+          320 + (g % 12) * 16, 180 + (g % 8) * 30, frames)
         val bytes = if (i % 5 == 4) full.take(full.length - 20) else full
         java.nio.file.Files.write(
           java.nio.file.Paths.get(dir.getPath, f"vid_$i%03d.mp4"), bytes)
@@ -2478,19 +2523,37 @@ object SparkEntry {
         .select(regexp_extract(col("file_name"), "vid_(\\d+)\\.mp4", 1)
           .cast("long").as("video_id"),
           col("brand"), col("duration_ms"), col("width"),
-          col("height"), col("__fp"))
+          col("height"), col("__fp"), col("file_name"))
+      val survivors = gated.groupBy(col("__fp"))
+        .agg(min(col("video_id")).as("video_id"),
+          min(col("brand")).as("brand"),
+          min(col("duration_ms")).as("duration_ms"),
+          min(col("width")).as("width"),
+          min(col("height")).as("height"),
+          count(lit(1)).as("n_dups"),
+          // names are zero-padded, so min(file_name) IS the min-id
+          // survivor's container
+          min(col("file_name")).as("file_name"))
+      val survBin = bin.join(survivors.select(col("file_name")),
+        Seq("file_name"))
+      val frames = Multimodal.extractMp4Frames(survBin, 4).toDF()
+        .select(concat_ws("#", col("file_name"),
+          col("frame_idx")).as("file_name"), col("content"))
+      val hashes = Multimodal.dhashImages(frames).toDF()
+        .select(
+          regexp_extract(col("file_name"), "vid_(\\d+)\\.mp4#(\\d+)",
+            1).cast("long").as("video_id"),
+          regexp_extract(col("file_name"), "vid_(\\d+)\\.mp4#(\\d+)",
+            2).cast("long").as("frame_idx"),
+          col("dhash"))
+      val perVid = Multimodal.shotBoundaries(hashes, "video_id",
+          "frame_idx", "dhash", maxHamming = 7)
+        .groupBy(col("video_id"))
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          (max(col("shot_id")) + 1L).as("n_shots"))
       materializeAndDrop(
-        gated.groupBy(col("__fp"))
-          .agg(min(col("video_id")).as("video_id"),
-            min(col("brand")).as("brand"),
-            min(col("duration_ms")).as("duration_ms"),
-            min(col("width")).as("width"),
-            min(col("height")).as("height"),
-            count(lit(1)).as("n_dups"))
-          .select(col("video_id"), col("brand"), col("duration_ms"),
-            col("width"), col("height"), col("n_dups"),
-            expr("duration_ms div 1000 + 1").as("n_frames")),
-        dir)
+        survivors.drop("__fp", "file_name")
+          .join(perVid, Seq("video_id")), dir)
     }),
 
     "p09_polite_crawl" -> ((s, d) => {

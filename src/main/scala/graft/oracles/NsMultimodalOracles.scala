@@ -111,6 +111,54 @@ private[graft] object NsMultimodalOracles {
     // formula (the ns63 grid CTEs at (video, frame) grain — seed
     // advances every 4 frames), then the SAME lag/hamming-threshold/
     // running-sum arithmetic the engine runs.
+    // ns198 (r15): same corpus and same re-derivation as ns195 — the
+    // Spark side extracts the frames from frames-in-mdat containers,
+    // and byte-exact extraction means the oracle is UNCHANGED: any
+    // container-walk defect moves every downstream hash.
+    "ns198_container_frame_shots" ->
+      """WITH f AS (
+        |  SELECT v, fr,
+        |    CAST(v * 1000000 + (fr // 4) * 1000 AS BIGINT) AS seed
+        |  FROM range(0, 12) tv(v), range(0, 16) tf(fr)),
+        |cells AS (
+        |  SELECT v, fr, x // 8 AS cx, y // 8 AS cy,
+        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |        + (seed + y*72 + x) % 239) AS s
+        |  FROM f, range(0, 64) ty(y), range(0, 72) tx(x)
+        |  GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT l.v, l.fr, CAST(l.cy * 8 + l.cx AS INTEGER) AS idx
+        |  FROM cells l JOIN cells r
+        |    ON l.v = r.v AND l.fr = r.fr AND r.cy = l.cy
+        |    AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8 AND l.s > r.s),
+        |hv AS (
+        |  SELECT f.v, f.fr,
+        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+        |  FROM f LEFT JOIN bits ON bits.v = f.v AND bits.fr = f.fr
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT v, fr,
+        |    CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+        |      THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT)
+        |      AS dh
+        |  FROM hv),
+        |lagd AS (
+        |  SELECT v, fr, dh,
+        |    lag(dh) OVER (PARTITION BY v ORDER BY fr) AS pdh
+        |  FROM h),
+        |b AS (
+        |  SELECT v, fr,
+        |    (pdh IS NULL OR bit_count(xor(dh, pdh)) > 7)
+        |      AS is_boundary
+        |  FROM lagd)
+        |SELECT CAST(v AS BIGINT) AS video_id,
+        |  CAST(fr AS BIGINT) AS frame_idx,
+        |  CAST(SUM(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY v ORDER BY fr) - 1 AS BIGINT)
+        |    AS shot_id,
+        |  is_boundary
+        |FROM b""".stripMargin,
     "ns195_shot_boundaries" ->
       """WITH f AS (
         |  SELECT v, fr,

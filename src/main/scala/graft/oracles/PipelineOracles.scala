@@ -327,6 +327,10 @@ private[graft] object PipelineOracles {
     // gates replay, and exact container dedup groups by the parameter
     // tuple (writeMp4 is pure, so byte-identity ⇔ parameter identity;
     // duration = (g+1)*900 alone already separates groups).
+    // p12 v2 (r15): gates and dedup from the parameter formulas as
+    // before, then frame bytes, dHashes, and shot ids re-derived for
+    // the 4-sample schedule {0,3,6,9} from the container formula —
+    // seed(g, fr) = g·1e6 + (fr // (2 + g%3))·1000 over 72×64 BMPs.
     "p12_video_curation" ->
       """WITH ids AS (
         |  SELECT i AS video_id, i // 2 AS g
@@ -337,16 +341,62 @@ private[graft] object PipelineOracles {
         |    ((g + 1) * 900 * 1000) // (600 + (g % 5) * 200)
         |      AS duration_ms,
         |    CAST(320 + (g % 12) * 16 AS BIGINT) AS width,
-        |    CAST(180 + (g % 8) * 30 AS BIGINT) AS height
+        |    CAST(180 + (g % 8) * 30 AS BIGINT) AS height,
+        |    2 + g % 3 AS shot_len
         |  FROM ids),
         |gated AS (
         |  SELECT * FROM par
-        |  WHERE duration_ms >= 3000 AND height >= 240)
-        |SELECT min(video_id) AS video_id, min(brand) AS brand,
-        |  min(duration_ms) AS duration_ms, min(width) AS width,
-        |  min(height) AS height, CAST(count(*) AS BIGINT) AS n_dups,
-        |  min(duration_ms) // 1000 + 1 AS n_frames
-        |FROM gated GROUP BY g""".stripMargin,
+        |  WHERE duration_ms >= 3000 AND height >= 240),
+        |surv AS (
+        |  SELECT min(video_id) AS video_id, g, min(brand) AS brand,
+        |    min(duration_ms) AS duration_ms, min(width) AS width,
+        |    min(height) AS height, CAST(count(*) AS BIGINT) AS n_dups,
+        |    min(shot_len) AS shot_len
+        |  FROM gated GROUP BY g),
+        |f AS (
+        |  SELECT s.video_id, fr,
+        |    CAST(s.g * 1000000 + (fr // s.shot_len) * 1000 AS BIGINT)
+        |      AS seed
+        |  FROM surv s, (VALUES (0), (3), (6), (9)) tf(fr)),
+        |cells AS (
+        |  SELECT video_id, fr, x // 8 AS cx, y // 8 AS cy,
+        |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241
+        |        + (seed + y*72 + x) % 239) AS s
+        |  FROM f, range(0, 64) ty(y), range(0, 72) tx(x)
+        |  GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT l.video_id, l.fr, CAST(l.cy * 8 + l.cx AS INTEGER)
+        |    AS idx
+        |  FROM cells l JOIN cells r
+        |    ON l.video_id = r.video_id AND l.fr = r.fr
+        |    AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8 AND l.s > r.s),
+        |hv AS (
+        |  SELECT f.video_id, f.fr,
+        |    coalesce(SUM(CAST(1 AS HUGEINT) << idx), 0) AS hraw
+        |  FROM f LEFT JOIN bits
+        |    ON bits.video_id = f.video_id AND bits.fr = f.fr
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT video_id, fr,
+        |    CAST(hraw - CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+        |      THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT)
+        |      AS dh
+        |  FROM hv),
+        |lagd AS (
+        |  SELECT video_id, fr, dh,
+        |    lag(dh) OVER (PARTITION BY video_id ORDER BY fr) AS pdh
+        |  FROM h),
+        |shots AS (
+        |  SELECT video_id, CAST(count(*) AS BIGINT)
+        |      AS n_frames_sampled,
+        |    CAST(SUM(CASE WHEN pdh IS NULL
+        |        OR bit_count(xor(dh, pdh)) > 7
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_shots
+        |  FROM lagd GROUP BY video_id)
+        |SELECT s.video_id, s.brand, s.duration_ms, s.width, s.height,
+        |  s.n_dups, sh.n_frames_sampled, sh.n_shots
+        |FROM surv s JOIN shots sh ON sh.video_id = s.video_id""".stripMargin,
     "p09_polite_crawl" ->
       """WITH u0 AS (
         |  SELECT doc_id,

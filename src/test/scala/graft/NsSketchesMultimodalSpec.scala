@@ -790,4 +790,67 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4(ftyp ++ moovEmpty) ==
       Left("truncated_mvhd"))
   }
+
+  test("frames-in-mdat (r15): writeMp4Frames round-trips the sample " +
+      "table; extracted frames are BYTE-EXACT payload slices; the " +
+      "metadata walk still reads the header tree") {
+    val frames = (0 until 6).map(f =>
+      Multimodal.writeBmp(72, 64, 5000L + (f / 2) * 1000L))
+    val full = Multimodal.writeMp4Frames("isom", 600, 3600L, 72, 64,
+      frames)
+    // metadata tier unchanged on the richer container
+    assert(Multimodal.parseMp4(full) ==
+      Right(("isom", 600L, 3600L, 6000L, 72L, 64L)))
+    val s = Multimodal.parseMp4Samples(full).toOption.get
+    assert(s.sampleSizes.length == 6)
+    assert(s.sampleSizes.forall(_ == frames.head.length.toLong))
+    // every sample range slices back the exact frame bytes
+    (0 until 6).foreach { i =>
+      val got = java.util.Arrays.copyOfRange(full,
+        s.sampleOffsets(i).toInt,
+        (s.sampleOffsets(i) + s.sampleSizes(i)).toInt)
+      assert(java.util.Arrays.equals(got, frames(i)), s"frame $i")
+    }
+  }
+
+  test("frames-in-mdat: scheduled extraction touches ONLY scheduled " +
+      "samples (corrupting an unscheduled one changes nothing), " +
+      "truncated mdat quarantines, out-of-range sample table " +
+      "quarantines as its own class") {
+    val spark2 = spark
+    import spark2.implicits._
+    val frames = (0 until 8).map(f =>
+      Multimodal.writeBmp(72, 64, 9000L + f * 1000L))
+    val full = Multimodal.writeMp4Frames("mp42", 600, 4800L, 72, 64,
+      frames)
+    val s = Multimodal.parseMp4Samples(full).toOption.get
+    // schedule 4 of 8 → samples 0,2,4,6; corrupt sample 3 (UNscheduled)
+    val corrupted = full.clone()
+    val c3 = s.sampleOffsets(3).toInt + 100
+    corrupted(c3) = (corrupted(c3) ^ 0x55).toByte
+    def extract(bytes: Array[Byte]) =
+      Multimodal.extractMp4Frames(
+        Seq(("v.mp4", bytes)).toDF("file_name", "content"), 4)
+        .collect().sortBy(_.frame_idx)
+        .map(f => (f.frame_idx, f.content.toSeq))
+    assert(extract(full).map(_._1).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(extract(corrupted).toSeq == extract(full).toSeq,
+      "an unscheduled sample's bytes leaked into scheduled extraction")
+    // extracted payloads decode as the planted BMPs
+    assert(extract(full).forall { case (i, bytes) =>
+      bytes == Multimodal.writeBmp(72, 64, 9000L + i * 1000L).toSeq })
+    // truncated mdat: framing breaks before any slice is addressed
+    assert(Multimodal.parseMp4Samples(full.take(full.length - 20)) ==
+      Left("desynced_box"))
+    // out-of-range sample table: patch stco's offset field to point
+    // past EOF — the range validation quarantines with its own class
+    val patched = full.clone()
+    val stcoAt = (0 until full.length - 4).find(i =>
+      full(i) == 's' && full(i + 1) == 't' && full(i + 2) == 'c' &&
+        full(i + 3) == 'o').get
+    // body = [ver+flags 4][entry_count 4][offset 4]
+    patched(stcoAt + 12) = 0x7f.toByte
+    assert(Multimodal.parseMp4Samples(patched) ==
+      Left("sample_out_of_range"))
+  }
 }

@@ -226,28 +226,38 @@ class PipelineSpec extends SparkSpec {
       "two survivors share a dHash — image dedup leaked a duplicate")
   }
 
-  test("p12 video curation: truncated containers quarantine, gates " +
+  test("p12 video curation v2: truncated containers quarantine, gates " +
       "enforce duration/resolution floors, byte-identical containers " +
-      "collapse to the min id with multiplicity (r14)") {
+      "collapse to the min id with multiplicity, and shot structure " +
+      "over container-EXTRACTED frames matches the planting formula " +
+      "(r15)") {
     val out = SparkEntry.queries("p12_video_curation")(spark, sf)
-      .select("video_id", "duration_ms", "height", "n_dups", "n_frames")
-      .as[(Long, Long, Long, Long, Long)].collect()
+      .select("video_id", "duration_ms", "height", "n_dups",
+        "n_frames_sampled", "n_shots")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(out.nonEmpty)
     val ids = out.map(_._1).toSet
-    // framing: the i%5==4 truncation class loses moov and must drop
+    // framing: the i%5==4 truncation class cuts mdat and must drop
     assert(ids.forall(_ % 5 != 4))
     // gates are floors, exactly
-    assert(out.forall { case (_, ms, h, _, _) => ms >= 3000L && h >= 240L })
+    assert(out.forall { case (_, ms, h, _, _, _) =>
+      ms >= 3000L && h >= 240L })
     // the parameter group g=i/2 has members {2g, 2g+1}; the survivor
     // is the min NON-truncated member and n_dups counts exactly the
     // non-truncated members (1 when the twin was cut short, 2 else)
-    assert(out.forall { case (id, _, _, nd, _) =>
+    assert(out.forall { case (id, _, _, nd, _, _) =>
       val g = id / 2
       val members = Seq(2L * g, 2L * g + 1).filter(_ % 5 != 4)
       id == members.min && nd == members.size.toLong
     })
-    // frame schedule is pure arithmetic over the exact duration
-    assert(out.forall { case (_, ms, _, _, nf) => nf == ms / 1000L + 1 })
+    // the 4-sample schedule {0,3,6,9} over shot length L = 2 + g%3:
+    // sampled shot groups are fr/L, distinct counts 4/4/3 — shots
+    // detected over EXTRACTED frame bytes must equal the formula
+    assert(out.forall { case (id, _, _, _, nfs, ns) =>
+      val g = id / 2
+      val expect = Seq(0L, 3L, 6L, 9L).map(_ / (2 + g % 3)).distinct.size
+      nfs == 4L && ns == expect.toLong
+    })
     // one survivor per parameter group
     val gs = out.map(_._1 / 2)
     assert(gs.distinct.length == gs.length)
