@@ -1952,13 +1952,53 @@ object SparkEntry {
           java.nio.file.Paths.get(dir.getPath, f"clip_$i%03d.wav"),
           bytes)
       }
+      // v2 (r15): the 16 kHz lane — sine-band clips (the s23 fixture
+      // idiom, frameLen 1120 = 7 aligned activity windows per frame)
+      // in quads q: members m∈{0,1} byte-identical originals (amp
+      // 3000), m=2 the SAME waveform re-encoded at amp 2000 (exact
+      // dedup cannot collapse it — the near-dup stage must), m=3
+      // corrupt (decode quarantine). Window activity is frame
+      // activity (alignment) and every active window's peak clears
+      // 1000 by Parseval (max >= amp/sqrt(2) >= 1414); fingerprint
+      // words are amplitude-invariant md5-pattern functions, so the
+      // oracle recomputes them and replays the collapse in SQL.
+      def sineClip(q: Long, amp: Double): Array[Byte] = {
+        def hexActive(f: Int, j: Int): Boolean = {
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$q:$f:$j".getBytes("UTF-8"))
+          "0123456789abcdef".charAt((h(0) & 0xff) >> 4) <= '5'
+        }
+        val frames = 8; val frameLen = 1120; val grid = 16
+        Multimodal.writeWav(16000, frames * frameLen, { i =>
+          val f = i / frameLen; val t0 = i % frameLen
+          var v = 0.0
+          var j = 1
+          while (j <= 7) {
+            if (hexActive(f, j))
+              v += amp * math.sin(2.0 * math.Pi * j * t0 / grid)
+            j += 1
+          }
+          math.round(v).toShort
+        })
+      }
+      (0 until 25).foreach { q =>
+        (0 until 4).foreach { m =>
+          val bytes = sineClip(q.toLong,
+            if (m == 2) 2000.0 else 3000.0)
+          if (m == 3) bytes(0) = 'X'.toByte
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir.getPath,
+              f"clip_${200 + 4 * q + m}%03d.wav"), bytes)
+        }
+      }
       val bin = Multimodal.readBinaryDir(s, dir.getPath, "clip_*")
       val idOf = regexp_extract(col("file_name"),
         "clip_(\\d+)\\.wav", 1).cast("long")
       val fp = bin.select(idOf.as("clip_id"),
         md5(col("content")).as("__fp"))
       val feats = Multimodal.decodeWavFeatures(bin).toDF()
-        .select(idOf.as("clip_id"), col("duration_ms"))
+        .select(idOf.as("clip_id"), col("sample_rate"),
+          col("duration_ms"))
       val wins = Multimodal.audioWindows(bin, 160).toDF()
         .select(idOf.as("clip_id"), col("window_idx"), col("peak"))
       val winAgg = wins.groupBy(col("clip_id")).agg(
@@ -1974,18 +2014,43 @@ object SparkEntry {
         .join(fp, Seq("clip_id"))
         .filter(col("duration_ms") >= 300L &&
           col("n_active") * 2 >= col("n_windows"))
-      materializeAndDrop(
-        gated.groupBy(col("__fp")).agg(
+      val exact = gated.groupBy(col("__fp")).agg(
+        min(col("clip_id")).as("clip_id"),
+        min(col("sample_rate")).as("sample_rate"),
+        min(col("duration_ms")).as("duration_ms"),
+        min(col("n_windows")).as("n_windows"),
+        min(col("n_active")).as("n_active"),
+        min(col("n_segments")).as("n_segments"),
+        count(lit(1)).as("n_dups"))
+      // v2 near-dup stage, 16 kHz lane: fingerprint each exact
+      // survivor and collapse equal words — amplitude re-encodes
+      // merge onto the min id, multiplicities add. The 8 kHz saw
+      // lane keeps exact-only dedup: its words are float DSP over
+      // non-bin-aligned content, which no SQL oracle can re-derive —
+      // the collapse runs exactly where the gate can verify it.
+      val sigs = Multimodal.audioFingerprint(
+          bin.filter(idOf >= 200L), gridSize = 16, frames = 8).toDF()
+        .select(regexp_extract(col("file_name"), "clip_(\\d+)\\.wav",
+          1).cast("long").as("clip_id"), col("sig"))
+      val lane16 = exact.filter(col("sample_rate") === 16000)
+        .join(sigs, Seq("clip_id"))
+        .groupBy(col("sig")).agg(
           min(col("clip_id")).as("clip_id"),
+          min(col("sample_rate")).as("sample_rate"),
           min(col("duration_ms")).as("duration_ms"),
           min(col("n_windows")).as("n_windows"),
           min(col("n_active")).as("n_active"),
           min(col("n_segments")).as("n_segments"),
-          count(lit(1)).as("n_dups"))
-          .select(col("clip_id"), col("duration_ms"),
-            col("n_windows"), col("n_active"), col("n_segments"),
-            col("n_dups")),
-        dir)
+          sum(col("n_dups")).as("n_dups"),
+          count(lit(1)).as("n_variants"))
+        .drop("sig")
+      val lane8 = exact.filter(col("sample_rate") =!= 16000)
+        .withColumn("n_variants", lit(1L))
+      val cols = Seq("clip_id", "sample_rate", "duration_ms",
+        "n_windows", "n_active", "n_segments", "n_dups", "n_variants")
+      materializeAndDrop(
+        lane8.select(cols.map(col): _*)
+          .unionByName(lane16.select(cols.map(col): _*)), dir)
     }),
 
     // ---- §2.8 [NS] audio activity segmentation (r14) ----
@@ -5227,6 +5292,50 @@ object SparkEntry {
     // stateless mapPartitions, no watermark — and the drained store
     // must equal ns196's batch answer verbatim (the oracle is shared
     // by construction).
+    // ---- §7.4.6 [NS] streaming AUDIO near-dup bank (r15) ----
+    // ns124's fingerprints through the s20 batch-vs-bank machinery
+    // at clip grain: the bank stores 8×8-bit Hamming bands of the
+    // 64-bit binary-spectrogram word, each new batch matches
+    // strictly-earlier batches only. Batch 0 lands the originals
+    // (amp 3000); batch 1 streams RE-ENCODED twins (the same
+    // waveform written at half level, ids +1000) — both amplitudes
+    // clear the absolute bit threshold, so a re-encode's word is
+    // BIT-IDENTICAL and the bank collapses it onto its original.
+    // Unlike the text banks (xxhash64, rows-only), the signature
+    // here is a DSP word the oracle recomputes from the planting
+    // formula — so the matches HASH-GATE: DuckDB re-derives every
+    // word, every band chunk, and the full cross-batch candidate
+    // join.
+    "s23_stream_audio_bank" -> ((s, d) => {
+      import s.implicits._
+      val base = newScratchDir("graft_s23")
+      val corpus = ((0L until 40L).map(i =>
+        (i, audioBankClip(i, 3000.0))) ++
+        (0L until 40L).map(i =>
+          (i + 1000L, audioBankClip(i, 1500.0))))
+        .toDF("clip_id", "content")
+      val srcDir = stageBatches(base, corpus,
+        Seq(col("clip_id") < 1000L, col("clip_id") >= 1000L))
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val q = EventStream.startMinhashBankStream(stream,
+        s"${base.getPath}/bank", s"${base.getPath}/matches",
+        s"${base.getPath}/ckpt", "clip_id", "content", n = 3,
+        bandRows = (batch, id, _, _, _) =>
+          Dedup.simhashBandRows(
+            Multimodal.audioFingerprint(
+              batch.select(col(id).cast("string").as("file_name"),
+                col("content")),
+              gridSize = 16, frames = 8).toDF()
+              .select(col("file_name").cast("long").as(id),
+                col("sig").as("simhash")),
+            id))
+      q.awaitTermination()
+      materializeAndDrop(
+        s.read.parquet(s"${base.getPath}/matches")
+          .select(col("new_id"), col("stored_id")), base)
+    }),
+
     "s22_stream_warc_images" -> ((s, d) => {
       val base = newScratchDir("graft_s22")
       val srcDir = stageBatches(base, imageWarcContainers(s),
@@ -5774,6 +5883,35 @@ object SparkEntry {
     val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
     scratchDirs.add(dir)
     dir
+  }
+
+  /** Closed-form sine-band clip for the audio near-dup bank (s23):
+    * ns124's md5-activity fixture idiom at clip grain — 8 frames ×
+    * 128 samples, band j of frame f active iff the first md5 nibble
+    * of "key:f:j" ≤ '5'. Both amplitudes (3000 originals, 1500
+    * re-encodes) sit far above the fingerprint's absolute bit
+    * threshold (500) while inactive bands are exactly zero at exact
+    * Goertzel bins, so the 64-bit word is a pure function of the
+    * PATTERN — which is what makes an amplitude re-encode collapse
+    * and lets DuckDB recompute every word. */
+  private def audioBankClip(patternKey: Long, amp: Double): Array[Byte] = {
+    def hexActive(k: Long, f: Int, j: Int): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$f:$j".getBytes("UTF-8"))
+      "0123456789abcdef".charAt((h(0) & 0xff) >> 4) <= '5'
+    }
+    val frames = 8; val frameLen = 128; val grid = 16
+    Multimodal.writeWav(16000, frames * frameLen, { i =>
+      val f = i / frameLen; val t0 = i % frameLen
+      var v = 0.0
+      var j = 1
+      while (j <= 7) {
+        if (hexActive(patternKey, f, j))
+          v += amp * math.sin(2.0 * math.Pi * j * t0 / grid)
+        j += 1
+      }
+      math.round(v).toShort
+    })
   }
 
   /** Snapshot-commit demo table for o17/o18/o19: nation committed

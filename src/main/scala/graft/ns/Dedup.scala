@@ -868,6 +868,17 @@ object Dedup {
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
   }
 
+  /** Public band-row face of the Hamming banding — (idCol, band,
+    * chunk), the shape [[graft.streaming.EventStream
+    * .startMinhashBankStream]] injects via `bandRows`. Any 64-bit
+    * signature source drops in: SimHash text signatures, dHash image
+    * bits, [[graft.ns.Multimodal.audioFingerprint]] words (the r15
+    * audio bank). */
+  def simhashBandRows(sig: DataFrame, idCol: String, bands: Int = 8,
+      bits: Int = 64): DataFrame =
+    simhashBands(sig, idCol, bands, bits)
+      .select(col(idCol), col("band"), col("chunk"))
+
   def simhashNearDupPairs(sig: DataFrame, idCol: String,
       maxHamming: Int, bands: Int = 8, bits: Int = 64): DataFrame = {
     val banded = simhashBands(sig, idCol, bands, bits)

@@ -282,6 +282,12 @@ private[graft] object PipelineOracles {
     // replayed (the ns197 idiom), both gates applied, and exact
     // dedup grouped by the parameter tuple (writeWav is pure, so
     // byte-identity ⇔ parameter-group identity).
+    // p13 v2 (r15): the 8 kHz saw lane replays exactly as before
+    // (exact-only dedup, n_variants 1); the 16 kHz sine lane's
+    // fingerprint words are recomputed from the md5-activity
+    // formula (amplitude-invariant), and the near-dup collapse —
+    // amplitude re-encodes merging onto their originals — replays
+    // as a GROUP BY on the recomputed word.
     "p13_audio_curation" ->
       """WITH ids AS (
         |  SELECT i AS clip_id, i // 2 AS g FROM range(0, 150) t(i)
@@ -314,13 +320,56 @@ private[graft] object PipelineOracles {
         |    CAST(a.nw AS BIGINT) AS n_windows, a.n_active,
         |    s.n_segments
         |  FROM agg a JOIN nseg s USING (clip_id)
-        |  WHERE a.duration_ms >= 300 AND a.n_active * 2 >= a.nw)
-        |SELECT min(clip_id) AS clip_id,
-        |  min(duration_ms) AS duration_ms,
-        |  min(n_windows) AS n_windows, min(n_active) AS n_active,
-        |  min(n_segments) AS n_segments,
-        |  CAST(count(*) AS BIGINT) AS n_dups
-        |FROM gated GROUP BY g""".stripMargin,
+        |  WHERE a.duration_ms >= 300 AND a.n_active * 2 >= a.nw),
+        |lane8 AS (
+        |  SELECT min(clip_id) AS clip_id,
+        |    CAST(8000 AS INTEGER) AS sample_rate,
+        |    min(duration_ms) AS duration_ms,
+        |    min(n_windows) AS n_windows, min(n_active) AS n_active,
+        |    min(n_segments) AS n_segments,
+        |    CAST(count(*) AS BIGINT) AS n_dups,
+        |    CAST(1 AS BIGINT) AS n_variants
+        |  FROM gated GROUP BY g),
+        |fb AS (
+        |  SELECT q.q, t.f, u.j,
+        |    substr(md5(CAST(q.q AS VARCHAR) || ':' ||
+        |      CAST(t.f AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)),
+        |      1, 1) IN ('0','1','2','3','4','5') AS active
+        |  FROM (SELECT unnest(range(0, 25)) AS q) q,
+        |    (SELECT unnest(range(0, 8)) AS f) t,
+        |    (SELECT unnest(range(1, 8)) AS j) u),
+        |fact AS (
+        |  SELECT q, f, bool_or(active) AS fa FROM fb GROUP BY 1, 2),
+        |aagg AS (
+        |  SELECT q, CAST(7 * SUM(CASE WHEN fa THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_active
+        |  FROM fact GROUP BY q),
+        |fisl AS (
+        |  SELECT q, f - row_number() OVER (PARTITION BY q ORDER BY f)
+        |    AS grp
+        |  FROM fact WHERE fa),
+        |nseg16 AS (
+        |  SELECT q, CAST(count(DISTINCT grp) AS BIGINT) AS n_segments
+        |  FROM fisl GROUP BY q),
+        |sig16 AS (
+        |  SELECT q, CAST(coalesce(SUM(CASE WHEN active
+        |    THEN CAST(1 AS BIGINT) << (f * 8 + j - 1) ELSE 0 END), 0)
+        |    AS BIGINT) AS s
+        |  FROM fb GROUP BY q),
+        |surv16 AS (
+        |  SELECT a.q, a.n_active, n.n_segments, s.s
+        |  FROM aagg a JOIN nseg16 n USING (q) JOIN sig16 s USING (q)
+        |  WHERE a.n_active * 2 >= 56),
+        |lane16 AS (
+        |  SELECT CAST(min(200 + 4 * q) AS BIGINT) AS clip_id,
+        |    CAST(16000 AS INTEGER) AS sample_rate,
+        |    CAST(560 AS BIGINT) AS duration_ms,
+        |    CAST(56 AS BIGINT) AS n_windows,
+        |    min(n_active) AS n_active, min(n_segments) AS n_segments,
+        |    CAST(3 * count(*) AS BIGINT) AS n_dups,
+        |    CAST(2 * count(*) AS BIGINT) AS n_variants
+        |  FROM surv16 GROUP BY s)
+        |SELECT * FROM lane8 UNION ALL SELECT * FROM lane16""".stripMargin,
     // p12: the video round re-derived from the fixture index formula
     // alone — the i%5==4 truncation class quarantines (moov runs past
     // the buffer), duration_ms is exact integer floor division, both

@@ -282,5 +282,35 @@ private[graft] object StreamingOracles {
         |SELECT user_id, session_start, session_end, n_events, total_value
         |FROM flagged, mx
         |WHERE NOT is_last OR session_end + INTERVAL 12 HOUR < m - INTERVAL 1 HOUR""".stripMargin,
+    // s23 (r15): the streaming audio near-dup bank's matches,
+    // re-derived end to end — fingerprint words from the planting
+    // md5-activity formula (amplitude-invariant by construction),
+    // 8×8-bit band chunks, and the batch-1-vs-batch-0 candidate
+    // equi-join. Signature bits stop at index 62, so the word is
+    // non-negative and DuckDB's arithmetic >> equals the unsigned
+    // banding shift.
+    "s23_stream_audio_bank" ->
+      """WITH ids AS (SELECT unnest(range(0, 40)) AS k),
+        |bits AS (
+        |  SELECT i.k, t.f, u.j,
+        |    substr(md5(CAST(i.k AS VARCHAR) || ':' ||
+        |      CAST(t.f AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)),
+        |      1, 1) IN ('0','1','2','3','4','5') AS active
+        |  FROM ids i,
+        |    (SELECT unnest(range(0, 8)) AS f) t,
+        |    (SELECT unnest(range(1, 8)) AS j) u),
+        |sig AS (
+        |  SELECT k,
+        |    CAST(coalesce(SUM(CASE WHEN active
+        |      THEN CAST(1 AS BIGINT) << (f * 8 + j - 1)
+        |      ELSE 0 END), 0) AS BIGINT) AS s
+        |  FROM bits GROUP BY k),
+        |bands AS (
+        |  SELECT k, b, (s >> (b * 8)) & 255 AS chunk
+        |  FROM sig, (SELECT unnest(range(0, 8)) AS b) tb)
+        |SELECT DISTINCT CAST(n.k + 1000 AS BIGINT) AS new_id,
+        |  CAST(o.k AS BIGINT) AS stored_id
+        |FROM bands n JOIN bands o
+        |  ON n.b = o.b AND n.chunk = o.chunk""".stripMargin,
   )
 }

@@ -263,15 +263,17 @@ class PipelineSpec extends SparkSpec {
     assert(gs.distinct.length == gs.length)
   }
 
-  test("p13 audio curation: corrupt clips quarantine, all-silent and " +
-      "short clips gate out, byte-identical clips collapse to the " +
-      "min id, survivors report exact activity structure (r14)") {
-    val out = SparkEntry.queries("p13_audio_curation")(spark, sf)
-      .select("clip_id", "duration_ms", "n_windows", "n_active",
-        "n_segments", "n_dups")
-      .as[(Long, Long, Long, Long, Long, Long)].collect()
+  test("p13 audio curation v2: corrupt clips quarantine, all-silent " +
+      "and short clips gate out, byte-identical clips collapse to " +
+      "the min id, and AMPLITUDE RE-ENCODES collapse through the " +
+      "fingerprint near-dup stage on the 16 kHz lane (r15)") {
+    val rows = SparkEntry.queries("p13_audio_curation")(spark, sf)
+      .select("clip_id", "sample_rate", "duration_ms", "n_windows",
+        "n_active", "n_segments", "n_dups", "n_variants")
+      .as[(Long, Int, Long, Long, Long, Long, Long, Long)].collect()
+    val out = rows.filter(_._2 == 8000)
     assert(out.nonEmpty)
-    out.foreach { case (id, ms, nw, na, nseg, nd) =>
+    out.foreach { case (id, _, ms, nw, na, nseg, nd, nv) =>
       val g = id / 2
       // quarantine + gates
       assert(id % 9 != 4 && g % 5 != 0)
@@ -285,9 +287,24 @@ class PipelineSpec extends SparkSpec {
       assert(id == members.min && nd == members.size.toLong)
       // islands are bounded by the active count and non-empty
       assert(nseg >= 1L && nseg <= na)
+      // the saw lane never near-dup-merges
+      assert(nv == 1L)
     }
     val gs = out.map(_._1 / 2)
     assert(gs.distinct.length == gs.length)
+    // 16 kHz lane: quad q = {2 byte-identical originals, 1 amplitude
+    // re-encode, 1 corrupt}; the near-dup stage must merge the
+    // re-encode's exact-group onto the originals': survivor 200+4q,
+    // n_dups 3 (all playable members), n_variants 2 (exact groups)
+    val lane16 = rows.filter(_._2 == 16000)
+    assert(lane16.nonEmpty, "16 kHz lane produced no survivors")
+    lane16.foreach { case (id, _, ms, nw, _, _, nd, nv) =>
+      assert((id - 200L) % 4 == 0, s"survivor $id is not a quad min")
+      assert(ms == 560L && nw == 56L)
+      // collapsed word groups carry whole quads (3 dups, 2 variants
+      // per merged q — multiples when two q's share a word)
+      assert(nd == 3L * nv / 2 && nv % 2 == 0L)
+    }
   }
 
   test("p04 incremental curation: only delta docs admitted, store honored") {

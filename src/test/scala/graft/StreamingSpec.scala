@@ -478,6 +478,21 @@ class StreamingSpec extends SparkSpec {
     assert(matchRows() == expected)
   }
 
+  test("audio near-dup bank (s23): every amplitude re-encode matches " +
+      "its original (bit-identical fingerprint word), and unrelated " +
+      "clips never exceed chance band collisions (r15)") {
+    val out = SparkEntry.queries("s23_stream_audio_bank")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    // the planted re-encode law: clip i re-encoded at half level is
+    // (1000+i) and MUST collapse onto i — all 40 of them
+    (0L until 40L).foreach { i =>
+      assert(out.contains((1000L + i, i)), s"re-encode $i lost")
+    }
+    // matches only flow new(batch 1) -> stored(batch 0): ids obey
+    // the strictly-earlier-batch direction
+    assert(out.forall { case (n, o) => n >= 1000L && o < 1000L })
+  }
+
   test("clickAttribution drained equals the batch range join") {
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val batchEv = Tables.normalizeTs(raw)
