@@ -2517,10 +2517,38 @@ object SparkEntry {
         .toDF()
         .select(regexp_extract(col("file_name"), "pair_(\\d+)\\.bmp", 1)
           .cast("long").as("pair_id"), col("dhash"))
-      val gated = captions
+      // v2 (r15) cross-modal mismatch gate: caption-side and
+      // image-side embeddings arrive as pair-grain columns from the
+      // (stubbed) encoders — entries ((key·7+j) mod 3) − 1 ∈
+      // {−1,0,1}, so int8 quantization is exactly ±127/0 and the dot
+      // is exact integer. The planted wrong-image class
+      // (pair_id % 17 == 3) carries the NEXT key's image embedding:
+      // its dot is provably ≤ −2·127² while every matched pair
+      // scores ≥ 5·127² — a caption-on-the-wrong-image defect that
+      // survives every text/image gate and must drop HERE.
+      def embOf(key: Column) = transform(sequence(lit(1), lit(8)),
+        j => (pmod(key * 7 + j, lit(3)) - 1).cast("double"))
+      val withEmb = captions
         .join(hashes, Seq("pair_id")) // inner: broken links drop
         .filter(TextOps.linearLogitCol(col("caption")) > 0L &&
           TextOps.langIdCol(col("caption")) === "en")
+        .withColumn("cap_emb", embOf(col("pair_id")))
+        .withColumn("img_emb", embOf(
+          when(pmod(col("pair_id"), lit(17)) === 3,
+            col("pair_id") + 1L).otherwise(col("pair_id"))))
+      val capQ = graft.ns.Embeddings.quantizeInt8(
+          withEmb.select(col("pair_id"), col("cap_emb")),
+          "pair_id", "cap_emb")
+        .select(col("pair_id"), col("q").as("__qc"))
+      val imgQ = graft.ns.Embeddings.quantizeInt8(
+          withEmb.select(col("pair_id"), col("img_emb")),
+          "pair_id", "img_emb")
+        .select(col("pair_id"), col("q").as("__qi"))
+      val gated = withEmb
+        .join(capQ, Seq("pair_id")).join(imgQ, Seq("pair_id"))
+        .filter(graft.functions.functions.int8_dot(col("__qc"),
+          col("__qi")) >= 40000L)
+        .drop("cap_emb", "img_emb", "__qc", "__qi")
         // pair-count-sized and feeds three consumers (two dedup
         // group-bys + the final join) — materialize once so the
         // decode/gate chain never re-runs (the p10 lens move)

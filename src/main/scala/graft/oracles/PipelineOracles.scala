@@ -244,9 +244,15 @@ private[graft] object PipelineOracles {
         |      ['el','los','las','y','es','una','por'], t))) AS es
         |  FROM n0),
         |gate AS (
+        |  -- v2 (r15) cross-modal mismatch gate, closed form: matched
+        |  -- pairs score nnz*127^2 with nnz = 8 - #{j: (7*pid+j) mod 3
+        |  -- = 1} in {5,6} (>= 80645 >= threshold 40000); the planted
+        |  -- wrong-image class (pid % 17 = 3, image embedding of key
+        |  -- pid+1) scores -#{j: (7*pid+j) mod 3 = 2}*127^2 < 0 — so
+        |  -- the int8-cosine gate keeps exactly pid % 17 <> 3
         |  SELECT pair_id, seed, normc FROM sc
         |  WHERE logit > 0 AND en >= de AND en >= fr AND en >= es
-        |    AND en > 0),
+        |    AND en > 0 AND pair_id % 17 <> 3),
         |cells AS (
         |  SELECT pair_id, x // 8 AS cx, y // 8 AS cy,
         |    SUM((seed + y*72 + x) % 251 + (seed + y*72 + x) % 241

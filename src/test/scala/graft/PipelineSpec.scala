@@ -195,9 +195,10 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
   }
 
-  test("p11 pair curation: broken links never surface, re-upload " +
+  test("p11 pair curation v2: broken links never surface, re-upload " +
       "twins collapse to the original with multiplicity, shared-image " +
-      "pairs collapse by dHash (r14)") {
+      "pairs collapse by dHash, and the planted wrong-image class " +
+      "drops at the cross-modal int8-cosine gate (r15)") {
     val out = SparkEntry.queries("p11_pair_curation")(spark, sf)
       .select("pair_id", "dhash", "n_image_dups", "n_caption_dups")
       .as[(Long, Long, Long, Long)].collect()
@@ -206,12 +207,19 @@ class PipelineSpec extends SparkSpec {
     // join integrity: the %23==1 base pairs have no image payload and
     // must never surface
     assert(ids.forall(id => id >= 100000L || id % 23 != 1))
+    // the planted wrong-image class survives every text/image gate
+    // but MUST drop at the cross-modal gate
+    assert(ids.forall(_ % 17 != 3), "a wrong-image pair survived")
     // caption dedup keeps the ORIGINAL id — a re-uploaded +100000
     // twin survives ONLY when its base pair was a broken link
-    // (%23==1 ∩ %10==0, e.g. 70): the re-upload is then the corpus's
-    // only intact copy, which is exactly what a curation pass should
-    // keep
-    assert(ids.forall(id => id < 100000L || (id - 100000L) % 23 == 1))
+    // (%23==1 ∩ %10==0, e.g. 70) or itself dropped at the
+    // cross-modal gate (%17==3, e.g. base 20): the re-upload is then
+    // the corpus's only intact copy, which is exactly what a
+    // curation pass should keep
+    assert(ids.forall(id => id < 100000L ||
+      (id - 100000L) % 23 == 1 || (id - 100000L) % 17 == 3))
+    // and at least one such rescue exists in the fixture (base 20)
+    assert(ids.contains(100020L))
     // a surviving %10==0 BASE pair carries its re-upload in
     // n_caption_dups (>= 2); a twin that survived alone carries 1
     assert(out.forall { case (id, _, _, cd) =>
