@@ -69,6 +69,21 @@ object SparkEntry {
         .select(src.as("src"), lit("sink.example").as("dst")))
   }
 
+  /** Incremental authority ranks (ns199; ns177 reads them): a
+    * 5-round refit on the BASE graph (docs with doc_id%10 != 7 —
+    * "yesterday's corpus"), stored, then 3 warm-started rounds over
+    * base ∪ delta. */
+  private def incrementalAuthority(s: SparkSession,
+      d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val stored = graft.ns.Clusters.domainAuthority(
+      authorityEdges(docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)),
+      "src", "dst")
+    graft.ns.Clusters.domainAuthorityFrom(
+      authorityEdges(docs), "src", "dst", Some(stored),
+      iterations = 3)
+  }
+
   /** The messy-URL fixture expression ns68/ns134 share: scheme and
     * www casing, multi-label TLDs, default ports, tracking params,
     * fragments — every class the canonicalizer must collapse. */
@@ -2870,8 +2885,10 @@ object SparkEntry {
         graft.ns.Robots.buildSitemapFixture(t(s, d, "documents")),
         "doc_id", "xml")
         .filter(col("kind") === "urlset" && col("lastmod").isNotNull)
-      val auth = graft.ns.Clusters.domainAuthority(
-        authorityEdges(t(s, d, "documents")), "src", "dst")
+      // r15: the schedule now reads the INCREMENTALLY-maintained
+      // ranks (ns199) — the nightly shape: a delta batch warm-starts
+      // from the stored table instead of refitting the graph
+      val auth = incrementalAuthority(s, d)
       val aged = sm
         // future-dated lastmods clamp to age 0 (they are not due)
         .withColumn("age_days",
@@ -2980,6 +2997,19 @@ object SparkEntry {
     "ns162_domain_authority" -> ((s, d) =>
       graft.ns.Clusters.domainAuthority(
         authorityEdges(t(s, d, "documents")), "src", "dst")),
+
+    // ---- §2.8 [NS] incremental domain authority (r15) ----
+    // The nightly maintenance shape verdict-r14 asked for: the BASE
+    // graph's stored 5-round ranks warm-start 3 more rounds over
+    // base∪delta (delta = the doc_id%10==7 docs' edges) instead of
+    // refitting from the uniform vector. The recurrence dag is
+    // identical to ns162's, so the oracle UNROLLS the base refit
+    // AND the warm-started rounds — every intermediate rank must
+    // match bit for bit. ClustersSpec proves the convergence law:
+    // warm and cold reach the SAME integer fixed point, warm in
+    // fewer rounds.
+    "ns199_incremental_authority" -> ((s, d) =>
+      incrementalAuthority(s, d)),
 
     // ---- §2.8 [NS] authority-ordered frontier (r12) ----
     // The composition the authority score exists for: ns134's

@@ -240,6 +240,11 @@ private[graft] object NsTextOracles {
       |  FROM e GROUP BY src),
       |r0 AS (SELECT domain, (SELECT $scale // n FROM meta) AS r
       |  FROM nodes)""".stripMargin
+    // rank stages are MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each round references the previous one three
+    // times — unrolled chains otherwise grow exponentially (the r15
+    // 5+3-round incremental chain regressed from seconds to minutes
+    // before this hint; ns162's own 5 rounds drop ~5 s → ms)
     val iters = (1 to 5).map { k =>
       s"""d$k AS (SELECT coalesce(sum(r), 0) AS dang
          |  FROM r${k - 1} LEFT JOIN outdeg USING (domain)
@@ -248,7 +253,7 @@ private[graft] object NsTextOracles {
          |  FROM r${k - 1} rr JOIN outdeg o USING (domain)
          |  JOIN e ON e.src = rr.domain
          |  GROUP BY e.dst),
-         |r$k AS (SELECT nd.domain,
+         |r$k AS MATERIALIZED (SELECT nd.domain,
          |  (SELECT 15 * ($scale // n) // 100 FROM meta)
          |  + 85 * (coalesce(c.ins, 0)
          |    + ((SELECT dang FROM d$k) // (SELECT n FROM meta)))
@@ -256,6 +261,62 @@ private[graft] object NsTextOracles {
          |  FROM nodes nd LEFT JOIN c$k c USING (domain))""".stripMargin
     }
     (head +: iters).mkString(",\n")
+  }
+
+  /** r15: the incremental-authority chain (ns199/ns177) — 5 unrolled
+    * rounds on the BASE graph (doc_id%10 <> 7), the warm-start
+    * vector spread over the FULL graph's nodes (new domains at the
+    * uniform base), then 3 more unrolled rounds over base∪delta.
+    * Same integer dag as [[authorityCtes]], different r0. */
+  private val incrementalAuthorityCtes: String = {
+    val scale = "1000000000000"
+    def graph(p: String, filt: String): String =
+      s"""${p}e AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT source || '.com' AS src,
+         |      'src' || (doc_id % 16) || '.com' AS dst
+         |    FROM documents$filt
+         |    UNION ALL
+         |    SELECT source || '.com', 'sink.example' FROM documents
+         |    WHERE doc_id % 17 = 0${
+           if (filt.isEmpty) "" else " AND doc_id % 10 <> 7"})
+         |  WHERE src <> dst),
+         |${p}nodes AS (SELECT DISTINCT domain FROM (
+         |  SELECT src AS domain FROM ${p}e
+         |  UNION ALL SELECT dst FROM ${p}e)),
+         |${p}meta AS (SELECT count(*) AS n FROM ${p}nodes),
+         |${p}outdeg AS (SELECT src AS domain, count(*) AS outdeg
+         |  FROM ${p}e GROUP BY src)""".stripMargin
+    // every rank stage MATERIALIZED — see the authorityCtes note:
+    // plain CTEs inline per reference and this chain unrolls 5+3
+    // rounds, which is exponential without the hint
+    def iter(p: String, r: Int => String, k: Int): String =
+      s"""${p}d$k AS (SELECT coalesce(sum(r), 0) AS dang
+         |  FROM ${r(k - 1)} LEFT JOIN ${p}outdeg USING (domain)
+         |  WHERE outdeg IS NULL),
+         |${p}c$k AS (SELECT ${p}e.dst AS domain,
+         |    sum(rr.r // o.outdeg) AS ins
+         |  FROM ${r(k - 1)} rr JOIN ${p}outdeg o USING (domain)
+         |  JOIN ${p}e ON ${p}e.src = rr.domain
+         |  GROUP BY ${p}e.dst),
+         |${r(k)} AS MATERIALIZED (SELECT nd.domain,
+         |  (SELECT 15 * ($scale // n) // 100 FROM ${p}meta)
+         |  + 85 * (coalesce(c.ins, 0)
+         |    + ((SELECT dang FROM ${p}d$k) // (SELECT n FROM ${p}meta)))
+         |    // 100 AS r
+         |  FROM ${p}nodes nd LEFT JOIN ${p}c$k c USING (domain))"""
+        .stripMargin
+    val baseR0 =
+      s"""br0 AS MATERIALIZED (
+         |  SELECT domain, (SELECT $scale // n FROM bmeta) AS r
+         |  FROM bnodes)""".stripMargin
+    val warmR0 =
+      s"""ir0 AS MATERIALIZED (SELECT nd.domain, coalesce(b.r, 0) AS r
+         |  FROM inodes nd LEFT JOIN br5 b USING (domain))""".stripMargin
+    (Seq(graph("b", " WHERE doc_id % 10 <> 7"), baseR0) ++
+      (1 to 5).map(k => iter("b", i => s"br$i", k)) ++
+      Seq(graph("i", ""), warmR0) ++
+      (1 to 3).map(k => iter("i", i => s"ir$i", k))).mkString(",\n")
   }
 
   /** ns134's full funnel SQL, shared verbatim by the ns163
@@ -411,7 +472,7 @@ private[graft] object NsTextOracles {
     // The ns137 urlset-entry-0 lastmod formula + the unrolled
     // authority recurrence + the clamped age×authority arithmetic.
     "ns177_recrawl_priority" ->
-      s"""WITH $authorityCtes,
+      s"""WITH $incrementalAuthorityCtes,
          |sm AS (
          |  SELECT doc_id, CAST(0 AS BIGINT) AS ord,
          |    'https://maps.example.com/p/' || doc_id || '-0?a='
@@ -423,11 +484,17 @@ private[graft] object NsTextOracles {
          |  d.source || '.com' AS domain,
          |  CAST(greatest(date_diff('day', lm, DATE '2026-06-30'), 0)
          |    AS BIGINT) AS age_days,
-         |  CAST(coalesce(r5.r, 0) AS BIGINT) AS auth_micro,
+         |  CAST(coalesce(ir3.r, 0) AS BIGINT) AS auth_micro,
          |  CAST(greatest(date_diff('day', lm, DATE '2026-06-30'), 0)
-         |    * coalesce(r5.r, 0) AS BIGINT) AS priority
+         |    * coalesce(ir3.r, 0) AS BIGINT) AS priority
          |FROM sm JOIN documents d ON d.doc_id = sm.doc_id
-         |LEFT JOIN r5 ON r5.domain = d.source || '.com'""".stripMargin,
+         |LEFT JOIN ir3 ON ir3.domain = d.source || '.com'""".stripMargin,
+    // r15: the warm-started refresh — base refit and warm rounds
+    // both unrolled; every intermediate rank bit-exact.
+    "ns199_incremental_authority" ->
+      s"""WITH $incrementalAuthorityCtes
+         |SELECT domain, CAST(r AS BIGINT) AS auth_micro
+         |FROM ir3""".stripMargin,
     // Closed-form prediction of every parsed chat row — the oracle
     // never parses JSON: good docs emit exactly the (user, assistant)
     // turn pair from the same word-slice formula the fixture encodes,
