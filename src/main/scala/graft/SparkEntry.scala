@@ -69,6 +69,51 @@ object SparkEntry {
         .select(src.as("src"), lit("sink.example").as("dst")))
   }
 
+  /** p10's survivor token lens (conversation_id, n_tokens,
+    * n_loss_tokens): chat-JSONL parse (slice-filtered at the front
+    * door), quality gate (the planted conv%13==0 broken-export
+    * class drops), conversation dedup (re-upload twins collapse to
+    * originals), token-mask encode, per-conversation counts. Shared
+    * by p10 (packs it in id order) and p14 (the dataloader-order
+    * round packs it in INTERLEAVE order). */
+  private def sftSurvivorLens(s: SparkSession, d: String): DataFrame = {
+    val conv = col("conversation_id")
+    // pre-filter the LINES to the gated slice (doc_id ≡ the
+    // conversation id the good lines carry) so the parse pays the
+    // slice, not the corpus — the predicate-pushdown discipline at
+    // the pipeline's front door
+    val parsed = graft.ingest.ChatIngest.parseChatLines(
+      chatJsonlLines(s, d).filter(col("doc_id") < 100)
+        .select(col("line")), "line")
+      .filter(!col("quarantined") && conv < 100)
+      .select(conv, col("turn_idx"), col("role"), col("content"))
+    val extra = parsed
+      .filter(col("role") === "assistant" && pmod(conv, lit(13)) === 0)
+      .select(conv, lit(2L).as("turn_idx"),
+        lit("assistant").as("role"),
+        concat(lit("retry "), conv.cast("string")).as("content"))
+    val base = parsed.unionByName(extra)
+    val twins = base.select((conv + 3000000L).as("conversation_id"),
+      col("turn_idx"), col("role"), col("content"))
+    val all = base.unionByName(twins)
+    val kept = graft.ns.Posttrain.conversationQuality(all,
+        "conversation_id", "turn_idx", "role", "content")
+      .filter(col("keep")).select(conv)
+    val keptTurns = all.join(kept, Seq("conversation_id"),
+      "left_semi")
+    val survivors = Dedup.conversationDedup(keptTurns,
+        "conversation_id", "turn_idx", "role", "content")
+      .select(conv)
+    val survTurns = keptTurns.join(survivors,
+      Seq("conversation_id"), "left_semi")
+    val toks = graft.ns.Posttrain.sftTokenMask(survTurns,
+      "conversation_id", "turn_idx", "role", "content")
+    toks.groupBy(conv)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("loss"), 1L).otherwise(0L)).as("n_loss_tokens"))
+      .localCheckpoint(true)
+  }
+
   /** Incremental authority ranks (ns199; ns177 reads them): a
     * 5-round refit on the BASE graph (docs with doc_id%10 != 7 —
     * "yesterday's corpus"), stored, then 3 warm-started rounds over
@@ -2451,44 +2496,68 @@ object SparkEntry {
     // encoder's lens restricted to survivors, then the pack window.
     "p10_sft_assembly" -> ((s, d) => {
       val conv = col("conversation_id")
-      // pre-filter the LINES to the gated slice (doc_id ≡ the
-      // conversation id the good lines carry) so the parse pays the
-      // slice, not the corpus — the predicate-pushdown discipline at
-      // the pipeline's front door
-      val parsed = graft.ingest.ChatIngest.parseChatLines(
-        chatJsonlLines(s, d).filter(col("doc_id") < 100)
-          .select(col("line")), "line")
-        .filter(!col("quarantined") && conv < 100)
-        .select(conv, col("turn_idx"), col("role"), col("content"))
-      val extra = parsed
-        .filter(col("role") === "assistant" && pmod(conv, lit(13)) === 0)
-        .select(conv, lit(2L).as("turn_idx"),
-          lit("assistant").as("role"),
-          concat(lit("retry "), conv.cast("string")).as("content"))
-      val base = parsed.unionByName(extra)
-      val twins = base.select((conv + 3000000L).as("conversation_id"),
-        col("turn_idx"), col("role"), col("content"))
-      val all = base.unionByName(twins)
-      val kept = graft.ns.Posttrain.conversationQuality(all,
-          "conversation_id", "turn_idx", "role", "content")
-        .filter(col("keep")).select(conv)
-      val keptTurns = all.join(kept, Seq("conversation_id"),
-        "left_semi")
-      val survivors = Dedup.conversationDedup(keptTurns,
-          "conversation_id", "turn_idx", "role", "content")
-        .select(conv)
-      val survTurns = keptTurns.join(survivors,
-        Seq("conversation_id"), "left_semi")
-      val toks = graft.ns.Posttrain.sftTokenMask(survTurns,
-        "conversation_id", "turn_idx", "role", "content")
-      val lens = toks.groupBy(conv)
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("loss"), 1L).otherwise(0L)).as("n_loss_tokens"))
-        .localCheckpoint(true)
+      val lens = sftSurvivorLens(s, d)
       Sampling.packOffsets(lens, "conversation_id", "n_tokens",
           chunkSize = 256, bucketSize = 100L)
         .join(lens.select(conv, col("n_loss_tokens")),
           Seq("conversation_id"))
+    }),
+
+    // ---- §2.8 [NS] dataloader-order round, end-to-end (r15, p14) ----
+    // The FINAL trainer-consumable manifest, composing the
+    // separately-gated layout stages over p10's survivor store:
+    // survivors gain their mixture source (documents.source at
+    // conversation grain) → ns175's interleave schedule fixes the
+    // READ ORDER (smooth weighted round-robin — every prefix of the
+    // stream holds each source at its proportion) → ns180's pack
+    // offsets fill fixed 256-token chunks IN THAT ORDER (the order
+    // scalar packs interleave_key ∥ source-number ∥ id, a total
+    // order) → ns184's attention segments tile every pack → ns116's
+    // length-batch assignment rides along as the unpacked-eval
+    // face. One row per (pack, conversation) segment; the oracle
+    // composes every stage's closed form over the checked-in
+    // independent token lens.
+    "p14_dataloader_manifest" -> ((s, d) => {
+      val conv = col("conversation_id")
+      val withSrc = sftSurvivorLens(s, d)
+        .join(t(s, d, "documents")
+          .select(col("doc_id").as("conversation_id"), col("source")),
+          Seq("conversation_id"))
+        .localCheckpoint(true) // survivor-count-sized, 3 consumers
+      val sched = Sampling.interleaveSchedule(withSrc,
+          "conversation_id", "source")
+        .withColumn("__srcnum",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long"))
+        // total order: interleave_key (< 2e6) ∥ source number
+        // (< 256) ∥ conversation id (< 2^32) — fits a long
+        .withColumn("ord",
+          col("interleave_key") * lit(1099511627776L) +
+            col("__srcnum") * lit(4294967296L) + conv)
+      val ordLens = withSrc.join(
+        sched.select(conv, col("interleave_key"), col("ord")),
+        Seq("conversation_id"))
+      val packed = Sampling.packOffsets(
+          ordLens.select(col("ord"), col("n_tokens")),
+          "ord", "n_tokens", chunkSize = 256,
+          // ord div 2^50 = interleave_key div 1024 → ≤ ~2000
+          // driver prefix rows at ANY corpus size
+          bucketSize = 1L << 50)
+        .join(ordLens.select(col("ord"), conv, col("source"),
+          col("interleave_key"), col("n_loss_tokens")), Seq("ord"))
+      val segs = Sampling.packSegments(packed, "conversation_id",
+        "n_tokens", chunkSize = 256)
+      val lb = Sampling.lengthBatchAssignments(withSrc,
+          "conversation_id", "n_tokens", batchSize = 8)
+        .select(conv, col("batch_id").as("length_batch_id"))
+      segs
+        .join(packed.select(conv, col("source"),
+          col("interleave_key"), col("n_tokens"),
+          col("n_loss_tokens")), Seq("conversation_id"))
+        .join(lb, Seq("conversation_id"))
+        .select(col("pack_id"), conv, col("seg_start"),
+          col("seg_len"), col("source"), col("interleave_key"),
+          col("n_tokens"), col("n_loss_tokens"),
+          col("length_batch_id"))
     }),
 
     // ---- §2.8 [NS] image-text pair curation round (r14, p11) ----

@@ -315,7 +315,25 @@ object Sampling {
     * form is law-tested. Output: (batch_id, n_docs, max_len,
     * sum_len, padding_waste). */
   def lengthBatches(df: DataFrame, idCol: String, lenCol: String,
-      batchSize: Int, bucketSize: Long = 1000000L): DataFrame = {
+      batchSize: Int, bucketSize: Long = 1000000L): DataFrame =
+    lengthBatchAssignments(df, idCol, lenCol, batchSize, bucketSize)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .select(col("batch_id"), col("n_docs"), col("max_len"),
+        col("sum_len"),
+        (col("n_docs") * col("max_len") - col("sum_len"))
+          .as("padding_waste"))
+
+  /** Per-document face of [[lengthBatches]] (r15 — the p14 manifest
+    * column): the (idCol, __len, batch_id) assignment BEFORE the
+    * batch-grain aggregation, for consumers that need each
+    * document's rectangular-batch id. `lengthBatches ≡ assignments
+    * → groupBy` is law-tested. */
+  def lengthBatchAssignments(df: DataFrame, idCol: String,
+      lenCol: String, batchSize: Int,
+      bucketSize: Long = 1000000L): DataFrame = {
     require(batchSize >= 1, "batchSize must be positive")
     require(bucketSize > 0, "bucketSize must be positive")
     val spark = df.sparkSession
@@ -349,14 +367,7 @@ object Sampling {
       .withColumn("__rank0", col("__prefix") + col("__local"))
       .withColumn("batch_id",
         expr(s"__rank0 div ${batchSize}L").cast("long"))
-      .groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        max(col("__len")).as("max_len"),
-        sum(col("__len")).as("sum_len"))
-      .select(col("batch_id"), col("n_docs"), col("max_len"),
-        col("sum_len"),
-        (col("n_docs") * col("max_len") - col("sum_len"))
-          .as("padding_waste"))
+      .select(col(idCol), col("__len"), col("batch_id"))
   }
 
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,

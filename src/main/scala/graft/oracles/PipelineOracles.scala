@@ -7,6 +7,32 @@ package graft.oracles
   * disjoint). Pure data: every value is a DuckDB SQL literal
   * aligned column-for-column with its Spark query. */
 private[graft] object PipelineOracles {
+
+  /** The p10/p14 shared survivor token lens: the checked-in
+    * independent (Python twin) token table restricted to survivors —
+    * the conv%13==0 broken-export class and the natural-empty gate
+    * (round-13 ADVICE: a conversation whose first-3-words canonical
+    * content strips to empty drops at the engine's n_empty battery
+    * column — modeled so the oracle stays closed-form under fixture
+    * regeneration, not just under the current corpus where no
+    * doc_id < 100 hits it). */
+  private val sftLensCte: String =
+    """lens AS (
+      |  SELECT conversation_id,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_loss_tokens
+      |  FROM read_parquet(
+      |'/root/repo/src/test/resources/graft/sft_oracle_sf001.parquet')
+      |  WHERE conversation_id % 13 <> 0
+      |    AND conversation_id NOT IN (
+      |      SELECT doc_id FROM documents
+      |      WHERE trim(regexp_replace(array_to_string(
+      |          string_split(regexp_replace(lower(trim(text)),
+      |            '\s+', ' ', 'g'), ' ')[1:3], ' '),
+      |          '[^a-z0-9 ]', '', 'g')) = '')
+      |  GROUP BY 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
     // Incremental-curation oracle: same snapshot pair, raw-md5 delta
     // (snapshotDiff semantics), p03's gate SQL over delta and store,
@@ -159,27 +185,7 @@ private[graft] object PipelineOracles {
     // min-id survivor is the base id), with lens from the
     // independent encoder's table and ns180's pack window.
     "p10_sft_assembly" ->
-      """WITH lens AS (
-        |  SELECT conversation_id,
-        |    CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_loss_tokens
-        |  FROM read_parquet(
-        |'/root/repo/src/test/resources/graft/sft_oracle_sf001.parquet')
-        |  WHERE conversation_id % 13 <> 0
-        |    -- natural-empty gate (round-13 ADVICE): a conversation
-        |    -- whose first-3-words canonical content strips to empty
-        |    -- drops at the engine's n_empty battery column (the
-        |    -- ns189 convention) — modeled here so the oracle stays
-        |    -- closed-form under fixture regeneration, not just under
-        |    -- the current corpus where no doc_id < 100 hits it.
-        |    AND conversation_id NOT IN (
-        |      SELECT doc_id FROM documents
-        |      WHERE trim(regexp_replace(array_to_string(
-        |          string_split(regexp_replace(lower(trim(text)),
-        |            '\s+', ' ', 'g'), ' ')[1:3], ' '),
-        |          '[^a-z0-9 ]', '', 'g')) = '')
-        |  GROUP BY 1)
+      s"""WITH $sftLensCte
         |SELECT conversation_id, n_tokens,
         |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY conversation_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -190,6 +196,57 @@ private[graft] object PipelineOracles {
         |    AS DOUBLE) / 256) AS BIGINT) AS pack_id,
         |  n_loss_tokens
         |FROM lens""".stripMargin,
+    // p14 (r15): every layout stage's closed form composed over the
+    // same independent token lens — interleave keys from the
+    // smooth-WRR midpoint formula, the ∥-packed order scalar,
+    // offsets as a running sum in that order, segments as interval
+    // arithmetic over pack boundaries, and the (length desc, id)
+    // rectangular-batch assignment.
+    "p14_dataloader_manifest" ->
+      s"""WITH $sftLensCte,
+        |src AS (
+        |  SELECT l.conversation_id, l.n_tokens, l.n_loss_tokens,
+        |    d.source
+        |  FROM lens l JOIN documents d
+        |    ON d.doc_id = l.conversation_id),
+        |sched AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY conversation_id) AS rin,
+        |    count(*) OVER (PARTITION BY source) AS nsrc
+        |  FROM src),
+        |keyed AS (
+        |  SELECT *, ((2 * rin - 1) * 1000000) // nsrc
+        |      AS interleave_key,
+        |    CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+        |      AS srcnum
+        |  FROM sched),
+        |ordd AS (
+        |  SELECT *, interleave_key * 1099511627776
+        |    + srcnum * 4294967296 + conversation_id AS o
+        |  FROM keyed),
+        |off AS (
+        |  SELECT *, CAST(coalesce(SUM(n_tokens) OVER (ORDER BY o
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_offset
+        |  FROM ordd),
+        |seg0 AS (
+        |  SELECT *, unnest(range(start_offset // 256,
+        |    (start_offset + n_tokens - 1) // 256 + 1)) AS pack_id
+        |  FROM off WHERE n_tokens > 0),
+        |lb AS (
+        |  SELECT conversation_id,
+        |    (row_number() OVER (ORDER BY n_tokens DESC,
+        |      conversation_id) - 1) // 8 AS length_batch_id
+        |  FROM src)
+        |SELECT s.pack_id, s.conversation_id,
+        |  greatest(s.start_offset, s.pack_id * 256) - s.pack_id * 256
+        |    AS seg_start,
+        |  least(s.start_offset + s.n_tokens, (s.pack_id + 1) * 256)
+        |    - greatest(s.start_offset, s.pack_id * 256) AS seg_len,
+        |  s.source, s.interleave_key, s.n_tokens, s.n_loss_tokens,
+        |  lb.length_batch_id
+        |FROM seg0 s JOIN lb USING (conversation_id)""".stripMargin,
     // p11: the pair round re-derived stage by stage — caption/image
     // universes with the broken-link and re-upload plantings, the
     // ns73 logit + p03 lang gates on the caption, ns63's grid CTEs

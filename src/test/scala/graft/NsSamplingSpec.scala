@@ -416,6 +416,36 @@ class NsSamplingSpec extends SparkSpec {
     assert(re == base)
   }
 
+  test("lengthBatches ≡ lengthBatchAssignments → groupBy (r15 — the " +
+      "per-doc face aggregates to the batch manifest exactly)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val fromAssign = Sampling.lengthBatchAssignments(d, "doc_id",
+        "n_chars", batchSize = 16)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .select(col("batch_id"), col("n_docs"), col("max_len"),
+        col("sum_len"),
+        (col("n_docs") * col("max_len") - col("sum_len"))
+          .as("padding_waste"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val direct = Sampling.lengthBatches(d, "doc_id", "n_chars",
+        batchSize = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(fromAssign == direct)
+    // the assignment is a partition: every doc in exactly one batch,
+    // batches full except possibly the last
+    val assign = Sampling.lengthBatchAssignments(d, "doc_id",
+      "n_chars", batchSize = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(assign.map(_._1).distinct.length == assign.length)
+    val byBatch = assign.groupBy(_._3).view.mapValues(_.length).toMap
+    val maxB = byBatch.keys.max
+    byBatch.foreach { case (b, n) =>
+      assert(if (b == maxB) n >= 1 else n == 16) }
+  }
+
   test("packSegments: per-doc lengths conserved, per-pack segments " +
       "tile [0, chunk) exactly, zero-length docs emit nothing") {
     // lengths engineered so docs straddle chunk boundaries: chunk 10,

@@ -315,6 +315,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("p14 dataloader manifest: segments conserve every survivor's " +
+      "token count, packs tile exactly, and the interleave " +
+      "proportionality law CARRIES THROUGH the packed stream (r15)") {
+    val out = SparkEntry.queries("p14_dataloader_manifest")(spark, sf)
+      .select("pack_id", "conversation_id", "seg_start", "seg_len",
+        "source", "n_tokens")
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+    assert(out.nonEmpty)
+    // conservation: per conversation, segment lengths sum to n_tokens
+    out.groupBy(_._2).foreach { case (c, segs) =>
+      assert(segs.map(_._4).sum == segs.head._6, s"conv $c leaks")
+    }
+    // packs tile [0, 256) exactly (final pack tiles a prefix)
+    val maxPack = out.map(_._1).max
+    out.groupBy(_._1).foreach { case (p, segs) =>
+      val sorted = segs.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3)
+        case _ =>
+      }
+      if (p != maxPack)
+        assert(sorted.map(_._4).sum == 256L, s"pack $p not full")
+    }
+    // the carried proportionality law: conversations in PACKED
+    // STREAM order (first-segment position) hold each source within
+    // ~1.5 of its proportional share at every prefix — the ns175
+    // interleave guarantee survives the packing stage because
+    // packing preserves the order
+    val stream = out.groupBy(_._2).map { case (c, segs) =>
+      val first = segs.minBy(s => (s._1, s._3))
+      (first._1 * 256 + first._3, c, segs.head._5)
+    }.toSeq.sortBy(_._1)
+    val n = stream.size.toDouble
+    val sizes = stream.groupBy(_._3).view.mapValues(_.size).toMap
+    stream.indices.foreach { k =>
+      val prefix = stream.take(k + 1)
+      sizes.foreach { case (s, ns) =>
+        val got = prefix.count(_._3 == s)
+        val want = (k + 1) * ns / n
+        assert(math.abs(got - want) <= 1.5,
+          s"prefix ${k + 1}: source $s has $got, expected ~$want")
+      }
+    }
+  }
+
   test("p04 incremental curation: only delta docs admitted, store honored") {
     val out = SparkEntry.queries("p04_incremental_curation")(spark, sf)
       .select("doc_id", "dup_count", "split")
