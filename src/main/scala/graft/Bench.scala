@@ -293,8 +293,14 @@ object Bench {
     // deadline) and the timed rounds got the scraps:
     // rounds_completed: 0 two rounds in a row.
     val warmupBudget = deadline * warmupFrac
+    // 8 since r15 (was 6): at 289 queries the pooled warm-up is the
+    // wall item that grows with every registry addition — the
+    // contended r14 host spent 171 s of a 144 s budget and skipped
+    // the tail. Two more lanes cut the wall ~20% at the cost of
+    // placeholder-number noise the retime rounds re-measure anyway;
+    // local[32] is idle-heavy under the many sub-second queries.
     val warmupThreads =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_THREADS", "6").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_THREADS", "8").toInt
     val skippedWarmup =
       scala.collection.mutable.Set.empty[String] // guarded by `lock`
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

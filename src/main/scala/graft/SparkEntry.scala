@@ -75,15 +75,34 @@ object SparkEntry {
     * class drops), conversation dedup (re-upload twins collapse to
     * originals), token-mask encode, per-conversation counts. Shared
     * by p10 (packs it in id order) and p14 (the dataloader-order
-    * round packs it in INTERLEAVE order). */
-  private def sftSurvivorLens(s: SparkSession, d: String): DataFrame = {
+    * round packs it in INTERLEAVE order). FixtureCache discipline:
+    * the lens is computed ONCE per (session, sf) like a production
+    * store; p10 is the PRODUCER (refresh — its bench number always
+    * reports the build), p14 the consumer (cached — its number is
+    * the incremental layout cost over the stored lens, which is
+    * what a real run pays). */
+  private def sftSurvivorLens(s: SparkSession, d: String,
+      producer: Boolean = false): DataFrame = {
+    // dependency resolved BEFORE the thunk (FixtureCache contract:
+    // cached builders must not re-enter the cache)
+    val lines = chatJsonlLines(s, d)
+    if (producer)
+      FixtureCache.refresh(s, d, "sft_survivor_lens")(
+        buildSftSurvivorLens(s, lines))
+    else
+      FixtureCache.cached(s, d, "sft_survivor_lens")(
+        buildSftSurvivorLens(s, lines))
+  }
+
+  private def buildSftSurvivorLens(s: SparkSession,
+      lines: DataFrame): DataFrame = {
     val conv = col("conversation_id")
     // pre-filter the LINES to the gated slice (doc_id ≡ the
     // conversation id the good lines carry) so the parse pays the
     // slice, not the corpus — the predicate-pushdown discipline at
     // the pipeline's front door
     val parsed = graft.ingest.ChatIngest.parseChatLines(
-      chatJsonlLines(s, d).filter(col("doc_id") < 100)
+      lines.filter(col("doc_id") < 100)
         .select(col("line")), "line")
       .filter(!col("quarantined") && conv < 100)
       .select(conv, col("turn_idx"), col("role"), col("content"))
@@ -117,16 +136,22 @@ object SparkEntry {
   /** Incremental authority ranks (ns199; ns177 reads them): a
     * 5-round refit on the BASE graph (docs with doc_id%10 != 7 —
     * "yesterday's corpus"), stored, then 3 warm-started rounds over
-    * base ∪ delta. */
-  private def incrementalAuthority(s: SparkSession,
-      d: String): DataFrame = {
+    * base ∪ delta. FixtureCache discipline: in production the rank
+    * table IS a stored table; ns199 is the producer (refresh — its
+    * number reports the maintenance run), ns177 the consumer. */
+  private def incrementalAuthority(s: SparkSession, d: String,
+      producer: Boolean = false): DataFrame = {
     val docs = t(s, d, "documents")
-    val stored = graft.ns.Clusters.domainAuthority(
-      authorityEdges(docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)),
-      "src", "dst")
-    graft.ns.Clusters.domainAuthorityFrom(
-      authorityEdges(docs), "src", "dst", Some(stored),
-      iterations = 3)
+    def build: DataFrame = {
+      val stored = graft.ns.Clusters.domainAuthority(
+        authorityEdges(docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)),
+        "src", "dst")
+      graft.ns.Clusters.domainAuthorityFrom(
+        authorityEdges(docs), "src", "dst", Some(stored),
+        iterations = 3)
+    }
+    if (producer) FixtureCache.refresh(s, d, "incr_authority")(build)
+    else FixtureCache.cached(s, d, "incr_authority")(build)
   }
 
   /** The messy-URL fixture expression ns68/ns134 share: scheme and
@@ -2496,7 +2521,8 @@ object SparkEntry {
     // encoder's lens restricted to survivors, then the pack window.
     "p10_sft_assembly" -> ((s, d) => {
       val conv = col("conversation_id")
-      val lens = sftSurvivorLens(s, d)
+      // producer: p10's number always reports the lens build
+      val lens = sftSurvivorLens(s, d, producer = true)
       Sampling.packOffsets(lens, "conversation_id", "n_tokens",
           chunkSize = 256, bucketSize = 100L)
         .join(lens.select(conv, col("n_loss_tokens")),
@@ -3078,7 +3104,7 @@ object SparkEntry {
     // warm and cold reach the SAME integer fixed point, warm in
     // fewer rounds.
     "ns199_incremental_authority" -> ((s, d) =>
-      incrementalAuthority(s, d)),
+      incrementalAuthority(s, d, producer = true)),
 
     // ---- §2.8 [NS] authority-ordered frontier (r12) ----
     // The composition the authority score exists for: ns134's
