@@ -83,7 +83,14 @@ object Manifest {
     * both faces escape-free. */
   private val PartRe = "[A-Za-z0-9_\\-.]+".r
 
-  private val ManifestRe = "v(\\d{8})__([A-Za-z0-9_\\-]+)\\.json".r
+  // The destination name carries ONLY the version — the name IS the
+  // CAS object. (The first r15 cut embedded the commit key in the
+  // name, so two writers racing to one version published two
+  // different filenames and both "won"; self-review.) The commit
+  // key rides in the manifest's META line instead: a sentinel entry
+  // with partition = "" (real partition values are validated
+  // non-empty), filtered out of every read face.
+  private val ManifestRe = "v(\\d{8})\\.json".r
 
   private def fs(spark: SparkSession, root: String) = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -91,52 +98,63 @@ object Manifest {
   }
 
   /** Driver-side manifest log listing: (version, commitKey) pairs,
-    * ascending. One FS listing of a directory with one entry per
-    * commit — bounded by commit count, the same class of driver
-    * state as [[MergeUpsert]]'s touched-partition list. */
+    * ascending. One FS listing plus one meta-line read per commit —
+    * bounded by commit count, the same class of driver state as
+    * [[MergeUpsert]]'s touched-partition list (a production log
+    * would cache/compact this; the read is a few bytes per file). */
   def listCommits(spark: SparkSession, root: String): Seq[(Long, String)] = {
     val (filesystem, rootPath) = fs(spark, root)
     val dir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
     if (!filesystem.exists(dir)) Seq.empty
     else filesystem.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .collect { case ManifestRe(v, k) => (v.toLong, k) }
-      .sortBy(_._1)
+      .collect { case ManifestRe(v) => v.toLong }
+      .sorted
+      .map(v => v -> readLines(spark, root, v).collectFirst {
+        case Entry("", k, _) => k
+      }.getOrElse(sys.error(s"manifest v$v at $root has no meta line")))
   }
 
   /** Latest committed version; 0 = empty table (no snapshot yet). */
-  def currentVersion(spark: SparkSession, root: String): Long =
-    listCommits(spark, root).lastOption.map(_._1).getOrElse(0L)
+  def currentVersion(spark: SparkSession, root: String): Long = {
+    val (filesystem, rootPath) = fs(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
+    if (!filesystem.exists(dir)) 0L
+    else filesystem.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case ManifestRe(v) => v.toLong }
+      .maxOption.getOrElse(0L)
+  }
 
-  private def manifestPath(root: String, version: Long, key: String) =
-    f"$root/manifests/v$version%08d__$key.json"
+  private def manifestPath(root: String, version: Long) =
+    f"$root/manifests/v$version%08d.json"
 
   /** The manifest is DATA: its live-partition rows as a DataFrame
-    * (partition, data_key, since_version) — hash-gated by o19. */
+    * (partition, data_key, since_version) — hash-gated by o19. The
+    * meta line (partition = "") is filtered out. */
   def readManifest(spark: SparkSession, root: String,
       version: Long): DataFrame = {
-    val key = listCommits(spark, root).find(_._1 == version)
-      .getOrElse(sys.error(s"manifest: no version $version at $root"))
-      ._2
     import org.apache.spark.sql.types._
     spark.read.schema(StructType(Seq(
         StructField("partition", StringType),
         StructField("data_key", StringType),
         StructField("since_version", LongType))))
-      .json(manifestPath(root, version, key))
+      .json(manifestPath(root, version))
+      .filter(col("partition") =!= "")
   }
 
-  /** Driver-side entry parse. The writer serializes entries itself
-    * (exact canonical lines, below), so the reader is a regex over
-    * that canonical form, not a general JSON parser. */
+  /** Driver-side line parse (meta line INCLUDED). The writer
+    * serializes entries itself (exact canonical lines, below), so
+    * the reader is a regex over that canonical form, not a general
+    * JSON parser. */
   private val EntryRe =
     ("\\{\"partition\":\"([^\"]*)\",\"data_key\":\"([^\"]*)\"," +
       "\"since_version\":(\\d+)\\}").r
-  private def readEntries(spark: SparkSession, root: String,
-      version: Long, key: String): Seq[Entry] = {
+  private def readLines(spark: SparkSession, root: String,
+      version: Long): Seq[Entry] = {
     val (filesystem, _) = fs(spark, root)
     val in = filesystem.open(
-      new org.apache.hadoop.fs.Path(manifestPath(root, version, key)))
+      new org.apache.hadoop.fs.Path(manifestPath(root, version)))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     text.linesIterator.filter(_.nonEmpty).map {
@@ -145,24 +163,52 @@ object Manifest {
     }.toSeq
   }
 
-  private def writeEntriesAtomic(spark: SparkSession, root: String,
-      version: Long, key: String, entries: Seq[Entry]): Boolean = {
+  /** Live entries of one version (meta line excluded). */
+  private def readEntries(spark: SparkSession, root: String,
+      version: Long): Seq[Entry] =
+    readLines(spark, root, version).filter(_.partition.nonEmpty)
+
+  private[graft] def writeEntriesAtomic(spark: SparkSession,
+      root: String, version: Long, key: String,
+      entries: Seq[Entry]): Boolean = {
     val (filesystem, rootPath) = fs(spark, root)
     val dir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
     filesystem.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_${key}_$version")
     val out = filesystem.create(tmp, true)
-    try out.write(entries.sortBy(e => (e.partition, e.data_key))
+    // meta line first (partition = "" sentinel carrying the commit
+    // key), then the live entries in canonical order
+    try out.write((Entry("", key, version) +:
+        entries.sortBy(e => (e.partition, e.data_key)))
       .map(e => s"""{"partition":"${e.partition}",""" +
         s""""data_key":"${e.data_key}",""" +
         s""""since_version":${e.since_version}}""")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    // the CAS: rename fails (returns false) when the destination
-    // exists — another writer published this version first
-    val ok = filesystem.rename(tmp,
-      new org.apache.hadoop.fs.Path(manifestPath(root, version, key)))
-    if (!ok) filesystem.delete(tmp, false)
+    val dst = new org.apache.hadoop.fs.Path(manifestPath(root, version))
+    // The CAS must FAIL when the destination exists. HDFS rename
+    // honors that contract, but RawLocalFileSystem.rename delegates
+    // to File.renameTo — rename(2) on POSIX — which silently
+    // REPLACES an existing destination and returns true (caught in
+    // r15 self-review; ManifestSpec pins the loser-fails law). On
+    // the local scheme the atomic no-overwrite primitive is a hard
+    // link (link(2) fails with EEXIST); elsewhere rename is the
+    // contract, with an exists pre-check to shrink the window on
+    // any nonconforming store.
+    val ok =
+      if (filesystem.exists(dst)) false
+      else if ("file" == filesystem.getScheme) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else filesystem.rename(tmp, dst)
+    // the tmp copy is kept by neither outcome (createLink leaves it)
+    filesystem.delete(tmp, false): Unit
     ok
   }
 
@@ -173,9 +219,9 @@ object Manifest {
     * "does the table exist yet" decision via [[currentVersion]]. */
   def readAt(spark: SparkSession, root: String, pCol: String,
       version: Long): DataFrame = {
-    val key = listCommits(spark, root).find(_._1 == version)
-      .getOrElse(sys.error(s"manifest: no version $version at $root"))._2
-    val entries = readEntries(spark, root, version, key)
+    require(version >= 1 && version <= currentVersion(spark, root),
+      s"manifest: no version $version at $root")
+    val entries = readEntries(spark, root, version)
     require(entries.nonEmpty, s"manifest v$version is empty")
     entries.groupBy(_.data_key).toSeq.sortBy(_._1).map {
       case (dataKey, es) =>
@@ -224,8 +270,8 @@ object Manifest {
         case None =>
       }
       val base = log.lastOption
-      val current = base.map { case (v, k) =>
-        readEntries(spark, root, v, k) }.getOrElse(Seq.empty)
+      val current = base.map { case (v, _) =>
+        readEntries(spark, root, v) }.getOrElse(Seq.empty)
       val next = rebase(current)
       val version = base.map(_._1).getOrElse(0L) + 1L
       if (writeEntriesAtomic(spark, root, version, commitKey,
@@ -314,8 +360,7 @@ object Manifest {
     if (touched.isEmpty) return currentVersion(spark, root)
     val baseVersion = currentVersion(spark, root)
     require(baseVersion > 0, s"read-modify-write on empty table $root")
-    val baseKey = listCommits(spark, root).find(_._1 == baseVersion).get._2
-    val baseEntries = readEntries(spark, root, baseVersion, baseKey)
+    val baseEntries = readEntries(spark, root, baseVersion)
     // the READ SET this commit depends on: (partition -> data_key)
     // for every touched partition that is live
     val readSet = baseEntries

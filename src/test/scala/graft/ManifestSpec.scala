@@ -203,6 +203,26 @@ class ManifestSpec extends SparkSpec {
       Seq((1L, "init"), (2L, "fix_p10")))
   }
 
+  test("the manifest CAS: the SECOND writer of one version FAILS and " +
+      "the first writer's manifest is untouched (r15 self-review — " +
+      "RawLocalFileSystem.rename silently REPLACES an existing " +
+      "destination, so the local scheme must publish via link(2))") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "init")
+    // two writers race to publish version 2 directly at the CAS
+    assert(Manifest.writeEntriesAtomic(spark, root, 2L, "winner",
+      Seq(Manifest.Entry("10", "winner", 2L))))
+    assert(!Manifest.writeEntriesAtomic(spark, root, 2L, "loser",
+      Seq(Manifest.Entry("10", "loser", 2L))),
+      "second publish of v2 must fail the CAS")
+    // exactly one v2 manifest, the winner's, content intact
+    assert(Manifest.listCommits(spark, root) ==
+      Seq((1L, "init"), (2L, "winner")))
+    val m = Manifest.readManifest(spark, root, 2L)
+      .select("data_key").as[String].collect().toSet
+    assert(m == Set("winner"))
+  }
+
   test("commit keys and partition values are validated path-safe") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
