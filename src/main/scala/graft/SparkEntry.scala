@@ -785,6 +785,34 @@ object SparkEntry {
       graft.ops.Manifest.readManifest(s, root, 3L)
     }),
 
+    // Vacuum (r15): the crash story's other half — a writer that
+    // died after staging leaves an unreferenced data directory;
+    // vacuum removes exactly the unreferenced keys and nothing a
+    // manifest references (every snapshot still reads — the 1-row
+    // count cross-join proves it in the same gated output). Own
+    // private table per evaluation: vacuum mutates state, so it
+    // never runs against the shared o17–o19 history.
+    "o20_manifest_vacuum" -> ((s, d) => {
+      import s.implicits._
+      val dir = newScratchDir("graft_o20")
+      val root = s"${dir.getPath}/t"
+      val nation = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      graft.ops.Manifest.commitReplacePartitions(nation, root,
+        "n_regionkey", "init")
+      // a crashed writer's stage: data, no manifest
+      nation.filter(col("n_regionkey") === 1)
+        .write.partitionBy("n_regionkey")
+        .parquet(s"$root/data/crashed_run")
+      val removed = graft.ops.Manifest.vacuum(s, root)
+      materializeAndDrop(
+        removed.toDF("removed_key").crossJoin(
+          graft.ops.Manifest.read(s, root, "n_regionkey")
+            .agg(count(lit(1)).as("n_rows_after"))), dir)
+    }),
+
     // ---- §2.1 schema evolution across landed batches ----
     // Production tables GROW columns across runs; readers must take
     // the union schema and null-fill history. Fixture: an early batch

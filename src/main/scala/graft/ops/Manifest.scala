@@ -341,6 +341,42 @@ object Manifest {
         target.join(aligned, matchKeys, "left_anti")
       })
 
+  /** Garbage-collect UNREFERENCED data directories (r15 — the
+    * documented crash story's missing half): a writer that dies
+    * after staging leaves `data/<key>/` on disk, invisible to every
+    * reader (no manifest references it) but occupying storage.
+    * Vacuum removes every data directory whose key is referenced by
+    * NO manifest version — time travel keeps ALL referenced history
+    * alive, so a vacuumed table still serves every `readAt` — plus
+    * stray `_tmp_*` manifest files from failed CAS attempts.
+    * Returns the removed data keys, sorted (driver-side, bounded by
+    * directory count). Safe concurrently with readers (only
+    * unreferenced paths are touched) but NOT with an in-flight
+    * writer whose stage has not yet published — run it like any
+    * table maintenance, outside the write path. */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val (filesystem, rootPath) = fs(spark, root)
+    val referenced = listCommits(spark, root).map(_._1)
+      .flatMap(v => readEntries(spark, root, v).map(_.data_key))
+      .toSet
+    val dataDir = new org.apache.hadoop.fs.Path(rootPath, "data")
+    val removed =
+      if (!filesystem.exists(dataDir)) Seq.empty[String]
+      else filesystem.listStatus(dataDir).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(referenced)
+        .sorted
+    removed.foreach(k => filesystem.delete(
+      new org.apache.hadoop.fs.Path(dataDir, k), true))
+    val mDir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
+    if (filesystem.exists(mDir))
+      filesystem.listStatus(mDir).toSeq
+        .map(_.getPath)
+        .filter(_.getName.startsWith("_tmp_"))
+        .foreach(filesystem.delete(_, false))
+    removed
+  }
+
   /** Shared read-modify-write commit: read the touched partitions of
     * the CURRENT snapshot, transform, stage, publish with read
     * validation. The staged survivor set decides which partitions

@@ -107,6 +107,12 @@ private[graft] object OpsOracles {
         |       ELSE n_name END AS n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
+    // Vacuum removes exactly the planted crash-garbage key; the
+    // ride-along count proves the referenced snapshot survived.
+    "o20_manifest_vacuum" ->
+      """SELECT 'crashed_run' AS removed_key,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation)
+        |    AS n_rows_after""".stripMargin,
     // The final manifest's live entries: partition 1 owned by the
     // replacement commit since v2, partition 3 deleted, the rest
     // from init since v1 — the commit history as table literals.

@@ -223,6 +223,26 @@ class ManifestSpec extends SparkSpec {
     assert(m == Set("winner"))
   }
 
+  test("vacuum removes crash garbage (staged-never-published dirs, " +
+      "tmp manifests) and NOTHING referenced — every historical " +
+      "snapshot still reads after; idempotent (r15)") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "init")
+    Manifest.commitReplacePartitions(
+      Seq((1L, "alpha_v2", 10L)).toDF("id", "name", "part"),
+      root, "part", "fix_p10")
+    // simulate a crashed writer: staged data, no manifest
+    Seq((9L, "ghost", 10L)).toDF("id", "name", "part")
+      .write.partitionBy("part").parquet(s"$root/data/crashed_run")
+    val removed = Manifest.vacuum(spark, root)
+    assert(removed == Seq("crashed_run"))
+    // every version still reads, bit-identically
+    assert(snap(root, 1L) == base.as[(Long, String, Long)].collect().toSet)
+    assert(snap(root, 2L).contains((1L, "alpha_v2", 10L)))
+    // idempotent: nothing left to remove
+    assert(Manifest.vacuum(spark, root).isEmpty)
+  }
+
   test("commit keys and partition values are validated path-safe") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
