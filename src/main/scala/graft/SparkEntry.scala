@@ -2065,39 +2065,21 @@ object SparkEntry {
           java.nio.file.Paths.get(dir.getPath, f"clip_$i%03d.wav"),
           bytes)
       }
-      // v2 (r15): the 16 kHz lane — sine-band clips (the s23 fixture
-      // idiom, frameLen 1120 = 7 aligned activity windows per frame)
-      // in quads q: members m∈{0,1} byte-identical originals (amp
-      // 3000), m=2 the SAME waveform re-encoded at amp 2000 (exact
-      // dedup cannot collapse it — the near-dup stage must), m=3
-      // corrupt (decode quarantine). Window activity is frame
-      // activity (alignment) and every active window's peak clears
-      // 1000 by Parseval (max >= amp/sqrt(2) >= 1414); fingerprint
-      // words are amplitude-invariant md5-pattern functions, so the
-      // oracle recomputes them and replays the collapse in SQL.
-      def sineClip(q: Long, amp: Double): Array[Byte] = {
-        def hexActive(f: Int, j: Int): Boolean = {
-          val h = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$q:$f:$j".getBytes("UTF-8"))
-          "0123456789abcdef".charAt((h(0) & 0xff) >> 4) <= '5'
-        }
-        val frames = 8; val frameLen = 1120; val grid = 16
-        Multimodal.writeWav(16000, frames * frameLen, { i =>
-          val f = i / frameLen; val t0 = i % frameLen
-          var v = 0.0
-          var j = 1
-          while (j <= 7) {
-            if (hexActive(f, j))
-              v += amp * math.sin(2.0 * math.Pi * j * t0 / grid)
-            j += 1
-          }
-          math.round(v).toShort
-        })
-      }
+      // v2 (r15): the 16 kHz lane — sine-band clips (sineBandClip,
+      // the s23 fixture idiom; frameLen 1120 = 7 aligned activity
+      // windows per frame) in quads q: members m∈{0,1}
+      // byte-identical originals (amp 3000), m=2 the SAME waveform
+      // re-encoded at amp 2000 (exact dedup cannot collapse it —
+      // the near-dup stage must), m=3 corrupt (decode quarantine).
+      // Window activity is frame activity (alignment) and every
+      // active window's peak clears 1000 by Parseval (max >=
+      // amp/sqrt(2) >= 1414); fingerprint words are amplitude-
+      // invariant md5-pattern functions, so the oracle recomputes
+      // them and replays the collapse in SQL.
       (0 until 25).foreach { q =>
         (0 until 4).foreach { m =>
-          val bytes = sineClip(q.toLong,
-            if (m == 2) 2000.0 else 3000.0)
+          val bytes = sineBandClip(q.toLong,
+            if (m == 2) 2000.0 else 3000.0, frameLen = 1120, 16000)
           if (m == 3) bytes(0) = 'X'.toByte
           java.nio.file.Files.write(
             java.nio.file.Paths.get(dir.getPath,
@@ -5491,9 +5473,9 @@ object SparkEntry {
       import s.implicits._
       val base = newScratchDir("graft_s23")
       val corpus = ((0L until 40L).map(i =>
-        (i, audioBankClip(i, 3000.0))) ++
+        (i, sineBandClip(i, 3000.0, frameLen = 128, 16000))) ++
         (0L until 40L).map(i =>
-          (i + 1000L, audioBankClip(i, 1500.0))))
+          (i + 1000L, sineBandClip(i, 1500.0, frameLen = 128, 16000))))
         .toDF("clip_id", "content")
       val srcDir = stageBatches(base, corpus,
         Seq(col("clip_id") < 1000L, col("clip_id") >= 1000L))
@@ -6066,33 +6048,42 @@ object SparkEntry {
     dir
   }
 
-  /** Closed-form sine-band clip for the audio near-dup bank (s23):
-    * ns124's md5-activity fixture idiom at clip grain — 8 frames ×
-    * 128 samples, band j of frame f active iff the first md5 nibble
-    * of "key:f:j" ≤ '5'. Both amplitudes (3000 originals, 1500
-    * re-encodes) sit far above the fingerprint's absolute bit
-    * threshold (500) while inactive bands are exactly zero at exact
-    * Goertzel bins, so the 64-bit word is a pure function of the
-    * PATTERN — which is what makes an amplitude re-encode collapse
-    * and lets DuckDB recompute every word. */
-  private def audioBankClip(patternKey: Long, amp: Double): Array[Byte] = {
-    def hexActive(k: Long, f: Int, j: Int): Boolean = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$k:$f:$j".getBytes("UTF-8"))
-      "0123456789abcdef".charAt((h(0) & 0xff) >> 4) <= '5'
-    }
-    val frames = 8; val frameLen = 128; val grid = 16
-    Multimodal.writeWav(16000, frames * frameLen, { i =>
-      val f = i / frameLen; val t0 = i % frameLen
-      var v = 0.0
-      var j = 1
-      while (j <= 7) {
-        if (hexActive(patternKey, f, j))
-          v += amp * math.sin(2.0 * math.Pi * j * t0 / grid)
-        j += 1
+  /** Closed-form sine-band clip shared by the audio bank (s23, 128-
+    * sample frames) and p13's 16 kHz lane (1120-sample frames):
+    * ns124's md5-activity fixture idiom at clip grain — 8 frames,
+    * band j of frame f active iff the first md5 nibble of "key:f:j"
+    * ≤ '5'. Any amplitude well above the fingerprint's absolute bit
+    * threshold (500) yields the SAME 64-bit word, because inactive
+    * bands are exactly zero at exact Goertzel bins — which is what
+    * makes an amplitude re-encode collapse and lets DuckDB recompute
+    * every word from the pattern alone. The activity grid and one
+    * 16-sample period per frame are precomputed (r15 review: the
+    * per-sample lambda re-hashed md5 per (sample, band) — ~6M
+    * digests per p13 fixture build; frameLen is a multiple of the
+    * grid, so each frame's waveform is periodic over 16 samples). */
+  private def sineBandClip(patternKey: Long, amp: Double,
+      frameLen: Int, sampleRate: Int): Array[Byte] = {
+    val frames = 8; val grid = 16
+    require(frameLen % grid == 0, "frameLen must be a grid multiple")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val period = Array.tabulate(frames) { f =>
+      val active = Array.tabulate(7) { j0 =>
+        val h = md.digest(s"$patternKey:$f:${j0 + 1}".getBytes("UTF-8"))
+        "0123456789abcdef".charAt((h(0) & 0xff) >> 4) <= '5'
       }
-      math.round(v).toShort
-    })
+      Array.tabulate(grid) { t =>
+        var v = 0.0
+        var j = 1
+        while (j <= 7) {
+          if (active(j - 1))
+            v += amp * math.sin(2.0 * math.Pi * j * t / grid)
+          j += 1
+        }
+        math.round(v).toShort
+      }
+    }
+    Multimodal.writeWav(sampleRate, frames * frameLen,
+      i => period(i / frameLen)(i % frameLen % grid))
   }
 
   /** Snapshot-commit demo table for o17/o18/o19: nation committed

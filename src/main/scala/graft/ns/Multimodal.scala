@@ -1380,9 +1380,15 @@ object Multimodal {
             case Left(_) => Seq.empty[Mp4Frame]
             case Right(s) =>
               val count = s.sampleSizes.length
-              val sched = (0 until math.min(nSamples, count))
-                .map(j => (j.toLong * count / nSamples).toInt)
-                .distinct
+              // a container with count <= nSamples yields ALL its
+              // samples (the floor-spacing indices collide on short
+              // containers and silently dropped tail frames — r15
+              // review); evenly-spaced only when sampling down
+              val sched =
+                if (count <= nSamples) 0 until count
+                else (0 until nSamples)
+                  .map(j => (j.toLong * count / nSamples).toInt)
+                  .distinct
               sched.map { i =>
                 Mp4Frame(name, i.toLong, count.toLong,
                   java.util.Arrays.copyOfRange(bytes,

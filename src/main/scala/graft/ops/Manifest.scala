@@ -325,7 +325,10 @@ object Manifest {
         d.unionByName(
           aligned.join(d.select(matchKeys.map(col): _*),
             matchKeys, "left_anti"))
-      })
+      },
+      // all-new-partition merge = pure insert: empty target with
+      // the delta's own schema
+      targetWhenNoneLive = d => Some(d.limit(0)))
 
   /** Targeted deletion as a commit — O16's semantics with snapshot
     * isolation. Fully-emptied partitions simply leave the manifest
@@ -339,7 +342,9 @@ object Manifest {
         val aligned = dk.select(matchKeys.map(c =>
           col(c).cast(target.schema(c).dataType).as(c)): _*)
         target.join(aligned, matchKeys, "left_anti")
-      })
+      },
+      // deleting from partitions that are not live is a no-op
+      targetWhenNoneLive = _ => None)
 
   /** Garbage-collect UNREFERENCED data directories (r15 — the
     * documented crash story's missing half): a writer that dies
@@ -383,7 +388,14 @@ object Manifest {
     * stay live (a transform may empty a partition). */
   private def commitReadModifyWrite(request: DataFrame, root: String,
       pCol: String, commitKey: String,
-      transform: (DataFrame, DataFrame) => DataFrame): Long = {
+      transform: (DataFrame, DataFrame) => DataFrame,
+      // what an all-new-partition request means: a MERGE against no
+      // live target is a pure insert (Some(empty target with the
+      // request's schema)); a DELETE against no live target is a
+      // no-op (None). Without this, a merge whose partitions were
+      // ALL new silently dropped its rows and still reported a
+      // version (r15 review finding #1).
+      targetWhenNoneLive: DataFrame => Option[DataFrame]): Long = {
     require(KeyRe.pattern.matcher(commitKey).matches(),
       s"commit key '$commitKey' is not path-safe")
     val spark = request.sparkSession
@@ -398,37 +410,50 @@ object Manifest {
     require(baseVersion > 0, s"read-modify-write on empty table $root")
     val baseEntries = readEntries(spark, root, baseVersion)
     // the READ SET this commit depends on: (partition -> data_key)
-    // for every touched partition that is live
+    // for every touched partition that is live; touched partitions
+    // ABSENT at read time are part of the dependency too (validated
+    // still-absent at publish)
     val readSet = baseEntries
       .filter(e => touched.contains(e.partition))
       .map(e => e.partition -> e.data_key).toMap
-    if (readSet.isEmpty) return baseVersion // nothing to modify
-    val target = readSet.groupBy(_._2).toSeq.sortBy(_._1).map {
-      case (dataKey, ps) =>
-        val base = s"$root/data/$dataKey"
-        spark.read.option("basePath", base)
-          .parquet(ps.keys.toSeq.sorted
-            .map(p => s"$base/$pCol=$p"): _*)
-    }.reduce(_.unionByName(_))
-    val result = transform(target, request)
+    val target =
+      if (readSet.isEmpty) targetWhenNoneLive(request) match {
+        case Some(t) => t
+        case None => return baseVersion // nothing to modify
+      }
+      else readSet.groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (dataKey, ps) =>
+          val base = s"$root/data/$dataKey"
+          spark.read.option("basePath", base)
+            .parquet(ps.keys.toSeq.sorted
+              .map(p => s"$base/$pCol=$p"): _*)
+      }.reduce(_.unionByName(_))
+    // one evaluation feeds three consumers (isEmpty probe, the
+    // staging distinct, the staged write) — cut the lineage so the
+    // target scan + transform run once (r15 review finding #4)
+    val result = transform(target, request).localCheckpoint(true)
     // survivors decide liveness; an emptied partition exits the
     // manifest (still listing surviving dirs is a bounded distinct)
     val surviving =
       if (result.isEmpty) Seq.empty[String]
       else stage(result, root, pCol, commitKey)
     publish(spark, root, commitKey, { current =>
-      // validation: every partition this commit READ must still be
-      // live from the same data key; otherwise the staged result was
-      // computed against a stale snapshot
+      // validation over EVERY touched partition: live-from-same-key
+      // if read, still-ABSENT if it was absent at read time — a
+      // partition created concurrently is a write-write conflict,
+      // not something to silently double-list (r15 review finding
+      // #2: filtering by readSet alone kept the interloper's entry
+      // AND appended ours, publishing two live entries for one
+      // partition)
       val liveNow = current.map(e => e.partition -> e.data_key).toMap
-      readSet.foreach { case (p, k) =>
-        if (!liveNow.get(p).contains(k))
+      touched.foreach { p =>
+        if (liveNow.get(p) != readSet.get(p))
           throw new ConcurrentCommitException(
             s"commit $commitKey: partition $p changed " +
-              s"(read from $k, now ${liveNow.get(p)}) — replay " +
-              "against the current snapshot")
+              s"(read ${readSet.get(p)}, now ${liveNow.get(p)}) — " +
+              "replay against the current snapshot")
       }
-      current.filterNot(e => readSet.contains(e.partition)) ++
+      current.filterNot(e => touched.contains(e.partition)) ++
         surviving.map(Entry(_, commitKey, -1L))
     })
   }

@@ -366,9 +366,13 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // one count serves both the emptiness check and the
+        // partition sizing (an isEmpty probe PLUS a count would scan
+        // a file-source batch twice — r15 review)
+        val nLines = batch.count()
+        if (nLines > 0) {
           val parts = batchPartitions.getOrElse(
-            math.max(1L, batch.count() / 512L).toInt)
+            math.max(1L, nLines / 512L).toInt)
           val turns = graft.ingest.ChatIngest
             .parseChatLines(batch, "line")
             .filter(!col("quarantined"))

@@ -223,6 +223,50 @@ class ManifestSpec extends SparkSpec {
     assert(m == Set("winner"))
   }
 
+  test("commitMerge into ONLY-new partitions is a pure insert, not a " +
+      "silent drop; a partition CREATED concurrently with a merge " +
+      "that touches it conflicts instead of double-listing (r15 " +
+      "review findings #1/#2)") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "init")
+    // all-new-partition merge: every row lands
+    Manifest.commitMerge(
+      Seq((7L, "eta", 40L), (8L, "theta", 50L))
+        .toDF("id", "name", "part"),
+      root, Seq("id"), "part", "insert_new")
+    assert(snap(root).contains((7L, "eta", 40L)))
+    assert(snap(root).contains((8L, "theta", 50L)))
+    // concurrent creation of a touched-but-absent partition: writer
+    // A merges into (live 10, NEW 60); B creates 60 inside A's
+    // commit window — A must conflict, never publish two live
+    // entries for partition 60
+    var fired = false
+    Manifest.onPublishAttempt = () => {
+      if (!fired) {
+        fired = true
+        Manifest.commitReplacePartitions(
+          Seq((90L, "interloper", 60L)).toDF("id", "name", "part"),
+          root, "part", "writer_b60")
+      }
+    }
+    try {
+      val ex = intercept[Manifest.ConcurrentCommitException] {
+        Manifest.commitMerge(
+          Seq((1L, "alpha_m", 10L), (91L, "mine", 60L))
+            .toDF("id", "name", "part"),
+          root, Seq("id"), "part", "writer_a60")
+      }
+      assert(ex.getMessage.contains("partition 60"))
+      // exactly ONE live entry for partition 60 (the interloper's)
+      val live60 = Manifest.readManifest(spark, root,
+          Manifest.currentVersion(spark, root))
+        .filter(col("partition") === "60")
+        .select("data_key").as[String].collect().toSeq
+      assert(live60 == Seq("writer_b60"))
+      assert(snap(root).contains((90L, "interloper", 60L)))
+    } finally Manifest.onPublishAttempt = () => ()
+  }
+
   test("vacuum removes crash garbage (staged-never-published dirs, " +
       "tmp manifests) and NOTHING referenced — every historical " +
       "snapshot still reads after; idempotent (r15)") {

@@ -834,6 +834,15 @@ class NsSketchesMultimodalSpec extends SparkSpec {
         .collect().sortBy(_.frame_idx)
         .map(f => (f.frame_idx, f.content.toSeq))
     assert(extract(full).map(_._1).toSeq == Seq(0L, 2L, 4L, 6L))
+    // a container SHORTER than the schedule yields ALL its samples
+    // (r15 review: floor-spaced indices collided on short containers
+    // and silently dropped tail frames)
+    val short3 = Multimodal.writeMp4Frames("mp42", 600, 1800L, 72, 64,
+      frames.take(3))
+    val gotShort = Multimodal.extractMp4Frames(
+        Seq(("s.mp4", short3)).toDF("file_name", "content"), 4)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(gotShort == Seq(0L, 1L, 2L))
     assert(extract(corrupted).toSeq == extract(full).toSeq,
       "an unscheduled sample's bytes leaked into scheduled extraction")
     // extracted payloads decode as the planted BMPs
