@@ -147,4 +147,29 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
   }
+
+  test("Manifest.readAt: snapshot scans stay ordinary parquet scans — " +
+      "data-column filters and column pruning reach every per-key " +
+      "scan (r15; the partition pruning is the path list itself)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_plan").toString + "/t"
+    val spark2 = spark
+    import spark2.implicits._
+    val t0 = Seq((1L, "alpha", 10L), (2L, "beta", 20L))
+      .toDF("id", "name", "part")
+    graft.ops.Manifest.commitReplacePartitions(t0, dir, "part", "init")
+    graft.ops.Manifest.commitReplacePartitions(
+      Seq((3L, "gamma", 20L)).toDF("id", "name", "part"),
+      dir, "part", "fix20")
+    val p = graft.ops.Manifest.read(spark, dir, "part")
+      .filter(col("id") > 1L).select(col("id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"id filter not pushed to the snapshot scans:\n$p")
+    // projection pruned to the one needed data column
+    assert(p.contains("ReadSchema: struct<id:bigint>"),
+      s"snapshot scan not column-pruned:\n$p")
+    assert(!p.contains("name"), s"unneeded column read:\n$p")
+  }
 }
