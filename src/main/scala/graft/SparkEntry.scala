@@ -5499,6 +5499,31 @@ object SparkEntry {
           .select(col("new_id"), col("stored_id")), base)
     }),
 
+    // ---- §7.4.6 [NS] streaming sink THROUGH the commit layer ----
+    // (r15) The snapshot layer at the streaming boundary: two
+    // micro-batches of documents land as atomic per-batch COMMITS
+    // (key = batch id — replay idempotence from the transaction log,
+    // not path overwrite; a racing reader never sees a half-written
+    // batch). Registered output = the latest snapshot, which must
+    // equal the plain batch projection with the batch split as a
+    // column. StreamingSpec proves replay publishes NO new versions.
+    "s24_stream_manifest_sink" -> ((s, d) => {
+      val base = newScratchDir("graft_s24")
+      val srcDir = stageBatches(base,
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        Seq(pmod(col("doc_id"), lit(2)) === 0,
+          pmod(col("doc_id"), lit(2)) =!= 0))
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val root = s"${base.getPath}/table"
+      EventStream.startManifestSink(stream, root,
+        s"${base.getPath}/ckpt").awaitTermination()
+      materializeAndDrop(
+        graft.ops.Manifest.read(s, root, "batch_id")
+          .select(col("doc_id"), col("source"),
+            col("batch_id").cast("long").as("batch_id")), base)
+    }),
+
     "s22_stream_warc_images" -> ((s, d) => {
       val base = newScratchDir("graft_s22")
       val srcDir = stageBatches(base, imageWarcContainers(s),

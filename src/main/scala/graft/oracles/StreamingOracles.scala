@@ -289,6 +289,13 @@ private[graft] object StreamingOracles {
     // equi-join. Signature bits stop at index 62, so the word is
     // non-negative and DuckDB's arithmetic >> equals the unsigned
     // banding shift.
+    // s24 (r15): the drained manifest-sink snapshot — the plain
+    // projection with the even/odd batch split as a column.
+    "s24_stream_manifest_sink" ->
+      """SELECT doc_id, source,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS batch_id
+        |FROM documents""".stripMargin,
     "s23_stream_audio_bank" ->
       """WITH ids AS (SELECT unnest(range(0, 40)) AS k),
         |bits AS (

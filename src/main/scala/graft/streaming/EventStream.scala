@@ -326,6 +326,37 @@ object EventStream {
       }
       .start()
 
+  /** Micro-batch sink THROUGH the snapshot commit layer (r15): each
+    * batch publishes atomically under commit key `batch_<id>`, so
+    *
+    *  - replay idempotence comes from the TRANSACTION LOG (a
+    *    replayed batch's key short-circuits before staging), not
+    *    from path overwrite — stronger than the
+    *    [[graft.ops.IdempotentWriter]] sinks, which re-write the
+    *    partition on every replay;
+    *  - a reader racing the stream resolves through manifests only
+    *    and can NEVER see a half-written micro-batch, and a pinned
+    *    reader is untouched by batches landing behind it;
+    *  - the table time-travels per batch ([[graft.ops.Manifest
+    *    .readAt]]) — the streaming face of O10-as-a-commit.
+    *
+    * The batch frame is partitioned by the literal batch_id column
+    * the sink appends. */
+  def startManifestSink(df: DataFrame, root: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Manifest.commitReplacePartitions(
+            batch.withColumn("batch_id", lit(batchId)),
+            root, "batch_id", s"batch_$batchId"): Unit
+      }
+      .start()
+
   /** Read a [[startMinhashBankStream]] bank: the current signature
     * rows (append-only facts — no merge to do). */
   def readMinhashBank(spark: SparkSession, path: String,

@@ -493,6 +493,48 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall { case (n, o) => n >= 1000L && o < 1000L })
   }
 
+  test("manifest sink (s24): each micro-batch is one atomic commit, " +
+      "fresh-checkpoint replay publishes NO new versions, and every " +
+      "per-batch snapshot time-travels (r15)") {
+    val out = Files.createTempDirectory("graft_s24_law").toFile
+    val srcDir = new java.io.File(out, "src")
+    srcDir.mkdirs()
+    val rows = (0L until 20L).map(i => (i, s"src${i % 3}"))
+    rows.toDF("doc_id", "source").filter(col("doc_id") < 10)
+      .coalesce(1).write.parquet(s"${out.getPath}/tmp0")
+    rows.toDF("doc_id", "source").filter(col("doc_id") >= 10)
+      .coalesce(1).write.parquet(s"${out.getPath}/tmp1")
+    Seq(0, 1).foreach { i =>
+      val part = new java.io.File(out, s"tmp$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L): Unit
+    }
+    val root = s"${out.getPath}/table"
+    def drain(ckpt: String): Unit =
+      EventStream.startManifestSink(
+        EventStream.fileSource(spark, srcDir.getPath,
+          spark.read.parquet(srcDir.getPath).schema,
+          maxFilesPerTrigger = 1),
+        root, s"${out.getPath}/$ckpt").awaitTermination()
+    drain("ckpt")
+    assert(graft.ops.Manifest.currentVersion(spark, root) == 2L)
+    def snapAll(v: Long): Set[Long] =
+      graft.ops.Manifest.readAt(spark, root, "batch_id", v)
+        .select("doc_id").as[Long].collect().toSet
+    // per-batch time travel: v1 = batch 0 only, v2 = both
+    assert(snapAll(1L) == (0L until 10L).toSet)
+    assert(snapAll(2L) == (0L until 20L).toSet)
+    // replay from a fresh checkpoint: the commit keys short-circuit,
+    // so NO new versions land and every snapshot is untouched
+    drain("ckpt2")
+    assert(graft.ops.Manifest.currentVersion(spark, root) == 2L)
+    assert(graft.ops.Manifest.listCommits(spark, root) ==
+      Seq((1L, "batch_0"), (2L, "batch_1")))
+    assert(snapAll(2L) == (0L until 20L).toSet)
+  }
+
   test("clickAttribution drained equals the batch range join") {
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val batchEv = Tables.normalizeTs(raw)
