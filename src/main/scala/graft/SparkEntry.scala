@@ -813,6 +813,33 @@ object SparkEntry {
             .agg(count(lit(1)).as("n_rows_after"))), dir)
     }),
 
+    // Schema evolution THROUGH the commit layer (r15): j05's
+    // staging-evolution story at the snapshot layer — a later
+    // replace-partition commit carries a NEW column; the snapshot
+    // read returns the union schema with history null-filled where
+    // the column predates its partition's last rewrite, and time
+    // travel to v1 still reads the ORIGINAL 3-column shape.
+    "o21_snapshot_schema_evolution" -> ((s, d) => {
+      val dir = newScratchDir("graft_o21")
+      val root = s"${dir.getPath}/t"
+      val nation = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      graft.ops.Manifest.commitReplacePartitions(nation, root,
+        "n_regionkey", "init")
+      graft.ops.Manifest.commitReplacePartitions(
+        nation.filter(col("n_regionkey") === 1)
+          .withColumn("n_flag", pmod(col("n_nationkey"), lit(2))),
+        root, "n_regionkey", "add_flag_r1")
+      materializeAndDrop(
+        graft.ops.Manifest.read(s, root, "n_regionkey")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"),
+            col("n_flag").cast("long").as("n_flag"),
+            col("n_regionkey").cast("long").as("n_regionkey")), dir)
+    }),
+
     // ---- §2.1 schema evolution across landed batches ----
     // Production tables GROW columns across runs; readers must take
     // the union schema and null-fill history. Fixture: an early batch

@@ -214,9 +214,15 @@ object Manifest {
 
   /** Snapshot read at `version` (default: latest). Live directories
     * are grouped by commit key so each group is ONE parquet scan
-    * with `basePath` recovering the partition column; groups union.
-    * Version 0 / empty table yields an error — callers own the
-    * "does the table exist yet" decision via [[currentVersion]]. */
+    * with `basePath` recovering the partition column; groups union
+    * BY NAME with null-fill (r15): commits may GROW columns across
+    * runs — the j05 staging-evolution story at the snapshot layer —
+    * so a snapshot spanning old and new commits reads as the union
+    * schema, history null-filled where a column predates its
+    * partition's last rewrite. Within one commit the schema is
+    * uniform by construction (one staged write). Version 0 / empty
+    * table yields an error — callers own the "does the table exist
+    * yet" decision via [[currentVersion]]. */
   def readAt(spark: SparkSession, root: String, pCol: String,
       version: Long): DataFrame = {
     require(version >= 1 && version <= currentVersion(spark, root),
@@ -228,7 +234,7 @@ object Manifest {
         val base = s"$root/data/$dataKey"
         spark.read.option("basePath", base)
           .parquet(es.map(e => s"$base/$pCol=${e.partition}"): _*)
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Latest-snapshot read. */

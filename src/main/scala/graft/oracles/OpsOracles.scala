@@ -107,6 +107,14 @@ private[graft] object OpsOracles {
         |       ELSE n_name END AS n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
+    // Schema evolution at the snapshot layer: region 1 rewritten
+    // with the new column, everyone else null-filled.
+    "o21_snapshot_schema_evolution" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CASE WHEN n_regionkey = 1
+        |    THEN CAST(n_nationkey % 2 AS BIGINT) END AS n_flag,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
     // Vacuum removes exactly the planted crash-garbage key; the
     // ride-along count proves the referenced snapshot survived.
     "o20_manifest_vacuum" ->

@@ -267,6 +267,26 @@ class ManifestSpec extends SparkSpec {
     } finally Manifest.onPublishAttempt = () => ()
   }
 
+  test("schema evolution through commits (r15): a later commit's new " +
+      "column null-fills history in the snapshot read; time travel " +
+      "still reads the original shape") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "init")
+    Manifest.commitReplacePartitions(
+      Seq((1L, "alpha_v2", 10L, "x")).toDF("id", "name", "part", "tag"),
+      root, "part", "add_tag_p10")
+    val latest = Manifest.read(spark, root, "part")
+    assert(latest.columns.toSet == Set("id", "name", "part", "tag"))
+    val rows = latest
+      .select(col("id"), col("tag"), col("part").cast("long"))
+      .as[(Long, Option[String], Long)].collect().toSet
+    assert(rows.contains((1L, Some("x"), 10L)))
+    assert(rows.contains((3L, None, 20L)), "history not null-filled")
+    // time travel: v1 keeps the ORIGINAL 3-column shape
+    assert(Manifest.readAt(spark, root, "part", 1L).columns.toSet ==
+      Set("id", "name", "part"))
+  }
+
   test("vacuum removes crash garbage (staged-never-published dirs, " +
       "tmp manifests) and NOTHING referenced — every historical " +
       "snapshot still reads after; idempotent (r15)") {
