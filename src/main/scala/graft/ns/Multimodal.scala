@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** One decoded media row: real payload facts (name, bytes, sha256)
-    * plus decoder output (dims — stubbed here). */
+    * plus decoder output. Dims come from the REAL header decoders
+    * below for the codec-free formats (BMP/PNG/PNM/JPEG markers, WAV
+    * and MP4 via their own parsers); [[stubDims]] is only the
+    * declared fallback for lossy-codec payloads no header walk can
+    * size. */
   final case class MediaFeatures(file_name: String, byte_len: Long,
       sha256: String, width: Int, height: Int)
 
@@ -1321,7 +1325,14 @@ object Multimodal {
             else {
               val fixed = u32(b + 4)
               val n = u32(b + 8)
-              if (n > Int.MaxValue || n < 0) err = Some("bad_stsz")
+              // Plausibility bound BEFORE allocating (r15 ADVICE): the
+              // header's sample_count is untrusted, and the fixed-size
+              // branch otherwise allocates Array.fill(n) straight from
+              // it — an adversarial count OOM-kills the task instead
+              // of quarantining. Every sample's bytes must lie inside
+              // this buffer, so any count > bytes.length is corrupt.
+              if (n > Int.MaxValue || n < 0 || n > bytes.length)
+                err = Some("bad_stsz")
               else if (fixed != 0L)
                 sizes = Some(Array.fill(n.toInt)(fixed))
               else if (e - b < 12 + 4 * n) err = Some("bad_stsz")

@@ -254,10 +254,26 @@ object Retrieval {
       .select(col(qCol), col(idCol), col(rnCol).cast("long").as("rn"))
       .withColumn("__expect", max(col("rn")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(qCol))))
-    val withTok = broadcast(rankedX)
+    val joined = broadcast(rankedX)
       .join(docs.select(col(docIdCol).as(idCol),
         TextOps.bpeTokenCount(col(textCol)).cast("long")
           .as("__tok")), Seq(idCol))
+    // One SENTINEL row per query (rn = 0), unioned into the
+    // candidate-sized joined frame (r15 ADVICE): a query whose ranked
+    // candidates are ALL missing from docs survives the inner join
+    // with ZERO rows, so no per-row raise could fire — the sentinel
+    // guarantees every query at least one row in the window pass, and
+    // the completeness check below (survivor count vs __expect, now
+    // counted EXCLUDING the sentinel) raises for it like any other
+    // trailing gap. Built from the tiny ranked side: no second corpus
+    // pass, and the broadcast inner-join plan is untouched.
+    val idType = rankedX.schema(idCol).dataType
+    val sentinels = rankedX.groupBy(col(qCol))
+      .agg(max(col("rn")).as("__expect"))
+      .select(lit(null).cast(idType).as(idCol), col(qCol),
+        lit(0L).as("rn"), col("__expect"),
+        lit(null).cast("long").as("__tok"))
+    val withTok = joined.unionByName(sentinels)
     val ordered = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qCol)).orderBy(col("rn"))
     val w = ordered.rowsBetween(org.apache.spark.sql.expressions
@@ -267,24 +283,32 @@ object Retrieval {
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     withTok
+      // the sentinel is always row 1 (rn = 0 sorts first), so real
+      // rows sit at row_number − 1; both raises evaluate on the
+      // sentinel row too, which is what catches a zero-survivor query
       .withColumn("n_tokens", when(
-          col("rn") =!= row_number().over(ordered).cast("long"),
+          col("rn") =!= row_number().over(ordered).cast("long") - 1L,
           raise_error(concat(
             lit("contextAssembly: rank gap at rn="),
             col("rn").cast("string"), lit(" for query "),
             col(qCol).cast("string"),
             lit(" — a ranked id is missing from docs")))
             .cast("long"))
-        .when(count(lit(1)).over(full) =!= col("__expect"),
+        .when(count(lit(1)).over(full) - 1L =!= col("__expect"),
           raise_error(concat(
             lit("contextAssembly: query "), col(qCol).cast("string"),
-            lit(" resolved "), count(lit(1)).over(full).cast("string"),
+            lit(" resolved "),
+            (count(lit(1)).over(full) - 1L).cast("string"),
             lit(" of "), col("__expect").cast("string"),
             lit(" ranked candidates — a trailing ranked id is missing"
               + " from docs"))).cast("long"))
-        .otherwise(col("__tok")))
+        .otherwise(coalesce(col("__tok"), lit(0L))))
       .drop("__tok", "__expect")
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // the sentinel (rn = 0, 0 tokens) exits AFTER the window pass,
+      // so its raises evaluated; the filter cannot push below the
+      // window (rn is not a partition column)
+      .filter(col("rn") >= 1L)
       .select(col(qCol), col(idCol), col("rn"), col("n_tokens"),
         col("cum_tokens"),
         (col("cum_tokens") <= tokenBudget).as("kept"))

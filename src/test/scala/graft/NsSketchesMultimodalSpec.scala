@@ -861,5 +861,21 @@ class NsSketchesMultimodalSpec extends SparkSpec {
     patched(stcoAt + 12) = 0x7f.toByte
     assert(Multimodal.parseMp4Samples(patched) ==
       Left("sample_out_of_range"))
+    // adversarial fixed-size stsz: patch sample_count to ~2^31-ish —
+    // must quarantine as bad_stsz BEFORE allocating (r15 ADVICE: the
+    // fixed-size branch allocated Array.fill(n) from the untrusted
+    // header and OOM-killed the task instead of quarantining)
+    val stszAt = (0 until full.length - 4).find(i =>
+      full(i) == 's' && full(i + 1) == 't' && full(i + 2) == 's' &&
+        full(i + 3) == 'z').get
+    val bomb = full.clone()
+    // body = [ver+flags 4][sample_size 4][sample_count 4]: set a
+    // fixed sample_size so the count drives the allocation, then a
+    // count far past the buffer length
+    bomb(stszAt + 8) = 0; bomb(stszAt + 9) = 0
+    bomb(stszAt + 10) = 0; bomb(stszAt + 11) = 1
+    bomb(stszAt + 12) = 0x7f.toByte; bomb(stszAt + 13) = 0xff.toByte
+    bomb(stszAt + 14) = 0xff.toByte; bomb(stszAt + 15) = 0xff.toByte
+    assert(Multimodal.parseMp4Samples(bomb) == Left("bad_stsz"))
   }
 }

@@ -185,6 +185,34 @@ class RetrievalSpec extends SparkSpec {
       ex.toString)
   }
 
+  test("contextAssembly: a query whose ranked candidates are ALL " +
+      "missing from docs also fails loudly instead of vanishing " +
+      "(r15 ADVICE — zero survivors leave no row for a raise), and " +
+      "intact sibling queries still assemble correctly") {
+    val ranked = Seq((1L, 10L, 1), (1L, 12L, 2),
+      (7L, 98L, 1), (7L, 99L, 2)) // q=7: BOTH ids absent from docs
+      .toDF("q", "id", "rn")
+    val docs = Seq((10L, "one two three"), (12L, "x"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Retrieval.contextAssembly(ranked, "q", "id", "rn",
+        docs, "doc_id", "text", tokenBudget = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("query 7") &&
+      m.contains("resolved 0 of 2")), ex.toString)
+    // and with the vanished query removed, assembly is unchanged by
+    // the sentinel machinery: rn, tokens, prefix all as before
+    val ok = Retrieval.contextAssembly(
+      ranked.filter(col("q") === 1), "q", "id", "rn",
+      docs, "doc_id", "text", tokenBudget = 5)
+      .select(col("id"), col("rn"), col("n_tokens"), col("kept"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._2)
+    assert(ok.toSeq == Seq((10L, 1L, 3L, true), (12L, 2L, 1L, true)))
+  }
+
   test("rankingQuality: hand-computed metrics, zero-hit queries keep " +
       "their row, perfect ranking scores exactly 1e9") {
     // q=1: gold {10, 11, 12}, hits at ranks 1 and 3 → recall 2/3,
