@@ -780,9 +780,85 @@ object SparkEntry {
     // version hash-gates against the commit history spelled out as
     // SQL literals (partition 1 owned by the replacement commit,
     // partition 3 absent after the takedown, the rest from init).
+    // data_key carries the per-ATTEMPT staging nonce (r16 — the
+    // same-key concurrent-writer fix), so the gate projects the
+    // commit identity by stripping the 8-hex suffix; ownership and
+    // versions stay fully gated.
     "o19_manifest_table" -> ((s, d) => {
       val root = snapshotDemoTable(s, d)
       graft.ops.Manifest.readManifest(s, root, 3L)
+        .select(col("partition"),
+          regexp_replace(col("data_key"), "__[0-9a-f]{8}$", "")
+            .as("data_key"),
+          col("since_version"))
+    }),
+
+    // commitMerge driver-gated (o22, r15 verdict #2): o15's MERGE
+    // semantics THROUGH the transaction layer — the read-set-
+    // validated read-modify-write path, not the spec-only seam. Same
+    // oracle shape as o15: delta wins on key match, survivors keep,
+    // the insert lands in its partition.
+    "o22_commit_merge" -> ((s, d) => {
+      val dir = newScratchDir("graft_o22")
+      val root = s"${dir.getPath}/t"
+      val nation = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      graft.ops.Manifest.commitReplacePartitions(nation, root,
+        "n_regionkey", "init")
+      val delta = nation
+        .filter(col("n_regionkey") === 1 && col("n_nationkey") < 10)
+        .select(col("n_nationkey"),
+          concat(col("n_name"), lit("_v2")).as("n_name"),
+          col("n_regionkey"))
+        .unionByName(s.range(1).select(
+          lit(990L).as("n_nationkey"), lit("NEWLAND").as("n_name"),
+          lit(1L).as("n_regionkey")))
+      graft.ops.Manifest.commitMerge(delta, root,
+        Seq("n_nationkey"), "n_regionkey", "merge_1")
+      materializeAndDrop(
+        graft.ops.Manifest.read(s, root, "n_regionkey")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"),
+            col("n_regionkey").cast("long").as("n_regionkey")), dir)
+    }),
+
+    // Manifest log checkpointing (o23, r15 verdict #3): three
+    // commits, an explicit checkpoint roll, a manifest vacuum down
+    // to the retention floor, then a FOURTH commit published over
+    // the checkpointed log — the read resolves history through ONE
+    // checkpoint read plus the post-checkpoint manifests (O(1)-reads
+    // law in ManifestSpec). Gate: the final snapshot re-derived from
+    // nation alone.
+    "o23_manifest_checkpoint" -> ((s, d) => {
+      val dir = newScratchDir("graft_o23")
+      val root = s"${dir.getPath}/t"
+      val nation = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      graft.ops.Manifest.commitReplacePartitions(nation, root,
+        "n_regionkey", "init")
+      graft.ops.Manifest.commitReplacePartitions(
+        nation.filter(col("n_regionkey") === 1)
+          .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
+        root, "n_regionkey", "fix_r1")
+      graft.ops.Manifest.commitDelete(
+        nation.filter(col("n_regionkey") === 3)
+          .select(col("n_nationkey"), col("n_regionkey")),
+        root, Seq("n_nationkey"), "n_regionkey", "takedown_r3")
+      require(graft.ops.Manifest.checkpoint(s, root) == 3L)
+      graft.ops.Manifest.vacuumManifests(s, root, keepLast = 1): Unit
+      graft.ops.Manifest.commitReplacePartitions(
+        nation.filter(col("n_regionkey") === 0)
+          .withColumn("n_name", concat(col("n_name"), lit("_v4"))),
+        root, "n_regionkey", "fix_r0")
+      materializeAndDrop(
+        graft.ops.Manifest.read(s, root, "n_regionkey")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"),
+            col("n_regionkey").cast("long").as("n_regionkey")), dir)
     }),
 
     // Vacuum (r15): the crash story's other half — a writer that
@@ -813,12 +889,17 @@ object SparkEntry {
             .agg(count(lit(1)).as("n_rows_after"))), dir)
     }),
 
-    // Schema evolution THROUGH the commit layer (r15): j05's
-    // staging-evolution story at the snapshot layer — a later
-    // replace-partition commit carries a NEW column; the snapshot
-    // read returns the union schema with history null-filled where
-    // the column predates its partition's last rewrite, and time
-    // travel to v1 still reads the ORIGINAL 3-column shape.
+    // Schema evolution THROUGH the commit layer (r15; widened r16 —
+    // verdict #7): j05's staging-evolution story at the snapshot
+    // layer. Three commits: init (no n_flag), region 1 adds n_flag
+    // as INT, region 2 rewrites with n_flag as LONG — the most
+    // common real evolution (add, then widen int→long). The
+    // snapshot read resolves the union schema at the WIDEST type
+    // (n_flag is taken UNCAST, so the gate's BIGINT oracle fails if
+    // the union ever resolves narrow or throws), history null-fills,
+    // and time travel to v1/v2 keeps each version's own shape
+    // (ManifestSpec pins the shapes and the decimal-precision
+    // carry).
     "o21_snapshot_schema_evolution" -> ((s, d) => {
       val dir = newScratchDir("graft_o21")
       val root = s"${dir.getPath}/t"
@@ -830,13 +911,19 @@ object SparkEntry {
         "n_regionkey", "init")
       graft.ops.Manifest.commitReplacePartitions(
         nation.filter(col("n_regionkey") === 1)
-          .withColumn("n_flag", pmod(col("n_nationkey"), lit(2))),
+          .withColumn("n_flag",
+            pmod(col("n_nationkey"), lit(2)).cast("int")),
         root, "n_regionkey", "add_flag_r1")
+      graft.ops.Manifest.commitReplacePartitions(
+        nation.filter(col("n_regionkey") === 2)
+          .withColumn("n_flag",
+            (pmod(col("n_nationkey"), lit(2)) + 10L).cast("long")),
+        root, "n_regionkey", "widen_flag_r2")
       materializeAndDrop(
         graft.ops.Manifest.read(s, root, "n_regionkey")
           .select(col("n_nationkey").cast("long").as("n_nationkey"),
             col("n_name"),
-            col("n_flag").cast("long").as("n_flag"),
+            col("n_flag"),
             col("n_regionkey").cast("long").as("n_regionkey")), dir)
     }),
 
@@ -862,18 +949,30 @@ object SparkEntry {
             col("batch").cast("int").as("batch")), dir)
     }),
 
-    // ---- §2.1 small-file compaction ----
-    // The lakehouse hygiene op: a fragmented landing (64 files) is
-    // compacted to a handful and must read back content-identical.
-    // IngestSpec pins the file counts; the gate pins the content.
+    // ---- §2.1 small-file compaction, as a COMMIT (j08 v2, r16) ----
+    // The lakehouse hygiene op, routed through the transaction layer
+    // (r15 verdict #4: the path-based rewrite raced readers with the
+    // exact torn-read hole the commit layer closes): a fragmented
+    // table (64 files across 4 partitions) is planted as v1, then
+    // commitCompact rewrites the live partitions copy-on-write —
+    // one file per partition after the rewrite (file-count law in
+    // ManifestSpec), readers resolve v1 or v2, never a half-
+    // compacted directory. The gate pins content identity.
     "j08_compaction" -> ((s, d) => {
       val dir = newScratchDir("graft_compact")
-      t(s, d, "documents").repartition(64)
-        .write.parquet(s"${dir.getPath}/frag")
-      s.read.parquet(s"${dir.getPath}/frag").coalesce(2)
-        .write.parquet(s"${dir.getPath}/compact")
+      val root = s"${dir.getPath}/t"
+      val parts = Seq("0", "1", "2", "3")
+      t(s, d, "documents")
+        .withColumn("pt", pmod(col("doc_id"), lit(4)))
+        .repartition(64)
+        .write.partitionBy("pt").parquet(s"$root/data/init_frag")
+      require(graft.ops.Manifest.writeEntriesAtomic(s, root, 1L,
+        "init_frag",
+        parts.map(graft.ops.Manifest.Entry(_, "init_frag", 1L))))
+      graft.ops.Manifest.commitCompact(s, root, "pt", parts,
+        "compact_1")
       materializeAndDrop(
-        s.read.parquet(s"${dir.getPath}/compact")
+        graft.ops.Manifest.read(s, root, "pt")
           .select(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_chars")), dir)
     }),
@@ -5990,7 +6089,11 @@ object SparkEntry {
 
   /** Weather flow: one bronze doc per nation row (python-repr for odd
     * keys — the reference's unrepaired-weather quirk), S11 sensor,
-    * S6 staged read, flat gold transform, Q2 gate, O10 write. */
+    * S6 staged read, flat gold transform, Q2 gate, and the gold
+    * publish as an ATOMIC COMMIT through [[graft.ops.Manifest]] with
+    * a snapshot read back (p01 v2, r15 verdict #1: the pipeline's
+    * write path IS the transaction layer; the path-based o10 writer
+    * stays gated as the legacy path). */
   private def p01WeatherPipeline(s: SparkSession, d: String): DataFrame = {
     val base = newScratchDir("graft_p01")
     val bronze = s"${base.getPath}/bronze/weather/run_hr=$pipelineRunHr"
@@ -6025,10 +6128,11 @@ object SparkEntry {
         maxNullRate = Map("city" -> 0.0, "temp_c" -> 0.0),
         expectedRunHr = Some(pipelineRunHr),
         uniqueKey = Some(Seq("city_key"))))(_ => ())
-    IdempotentWriter.replacePartitions(gold,
-      s"${base.getPath}/gold/weather", Seq("run_hr"))
+    graft.ops.Manifest.commitReplacePartitions(gold,
+      s"${base.getPath}/gold/weather", "run_hr",
+      s"weather_${pipelineRunHr}_a1"): Unit
     materializeAndDrop(
-      s.read.parquet(s"${base.getPath}/gold/weather")
+      graft.ops.Manifest.read(s, s"${base.getPath}/gold/weather", "run_hr")
         .select(col("city_key"), col("city"), col("country"),
           col("localtime_ts"), col("temp_c"), col("temp_f"), col("is_day"),
           col("condition_text"), col("condition_code"), col("humidity"),

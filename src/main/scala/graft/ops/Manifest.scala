@@ -38,9 +38,21 @@ import org.apache.spark.sql.functions._
   *
   * Layout under the table root:
   * {{{
-  *   data/<commitKey>/<pCol>=<val>/part-*.parquet   // immutable
-  *   manifests/v00000007__<commitKey>.json          // immutable
+  *   data/<commitKey>__<nonce>/<pCol>=<val>/part-*.parquet  // immutable
+  *   manifests/v00000007.json                               // immutable
+  *   manifests/ckpt_v00000016.json                          // log checkpoint
   * }}}
+  * Every ATTEMPT stages under its own `<commitKey>__<nonce>` directory
+  * (r15 ADVICE: the replay guard is check-then-act, so two concurrent
+  * runs of one commitKey could both pass the pre-stage log check —
+  * with a shared staging directory the loser's Overwrite re-staged
+  * files the winner's PUBLISHED manifest already referenced,
+  * corrupting the live snapshot mid-read). With per-attempt nonces a
+  * published directory is never written again by anyone: the loser
+  * short-circuits at publish (replay) and its own staged directory is
+  * unreferenced garbage for [[vacuum]]. The manifest entries record
+  * the winner's ACTUAL data_key.
+  *
   * A manifest is JSON LINES — one row per LIVE partition:
   * `{"partition":"<val>","data_key":"<key>","since_version":N}` — so
   * the manifest itself is a DataFrame ([[readManifest]]) and the
@@ -62,9 +74,10 @@ import org.apache.spark.sql.functions._
   *
   * Crash safety: a writer that dies after staging but before its
   * rename leaves an UNREFERENCED data directory (and possibly a tmp
-  * manifest) — invisible to readers, re-staged in place by the
-  * replayed commit, removable by an offline vacuum that keeps every
-  * directory any manifest references.
+  * manifest) — invisible to readers; a retry of the commit stages a
+  * FRESH nonce directory and publishes normally, and the orphan is
+  * removable by an offline [[vacuum]] that keeps every directory any
+  * manifest or checkpoint references.
   */
 object Manifest {
 
@@ -91,25 +104,57 @@ object Manifest {
   // with partition = "" (real partition values are validated
   // non-empty), filtered out of every read face.
   private val ManifestRe = "v(\\d{8})\\.json".r
+  // Log checkpoints (r15 verdict #3): listCommits otherwise pays one
+  // meta-line read per historical commit on EVERY resolve, and the
+  // streaming sink grows the log per micro-batch. A checkpoint file
+  // rolls the whole log up to its version into one read: meta lines
+  // (partition = "") for every (version, commitKey) pair, then the
+  // LIVE entries of the snapshot at that version.
+  private val CkptRe = "ckpt_v(\\d{8})\\.json".r
+
+  /** Auto-checkpoint cadence: after a successful publish of a version
+    * divisible by this, the publisher rolls a checkpoint (best
+    * effort — a failed checkpoint never fails the commit; the next
+    * multiple retries). Test seam via [[checkpoint]] for explicit
+    * rolls. */
+  private[graft] var checkpointEvery: Long = 16L
+
+  /** Test instrumentation: manifest/checkpoint FILE READS performed —
+    * the resolve-cost law (after a checkpoint, listCommits pays O(1)
+    * checkpoint reads plus one read per post-checkpoint commit, not
+    * one per historical commit). */
+  private[graft] val metaReads = new java.util.concurrent.atomic.AtomicLong
 
   private def fs(spark: SparkSession, root: String) = {
     val p = new org.apache.hadoop.fs.Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Driver-side manifest log listing: (version, commitKey) pairs,
-    * ascending. One FS listing plus one meta-line read per commit —
-    * bounded by commit count, the same class of driver state as
-    * [[MergeUpsert]]'s touched-partition list (a production log
-    * would cache/compact this; the read is a few bytes per file). */
-  def listCommits(spark: SparkSession, root: String): Seq[(Long, String)] = {
+  /** One listing of the manifests dir: (manifest versions ascending,
+    * checkpoint versions ascending). */
+  private def listVersions(spark: SparkSession,
+      root: String): (Seq[Long], Seq[Long]) = {
     val (filesystem, rootPath) = fs(spark, root)
     val dir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
-    if (!filesystem.exists(dir)) Seq.empty
-    else filesystem.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case ManifestRe(v) => v.toLong }
-      .sorted
+    if (!filesystem.exists(dir)) (Seq.empty, Seq.empty)
+    else {
+      val names = filesystem.listStatus(dir).toSeq.map(_.getPath.getName)
+      (names.collect { case ManifestRe(v) => v.toLong }.sorted,
+        names.collect { case CkptRe(v) => v.toLong }.sorted)
+    }
+  }
+
+  /** Driver-side manifest log listing: (version, commitKey) pairs,
+    * ascending. One FS listing, one checkpoint read, and one
+    * meta-line read per POST-checkpoint commit — O(1 + commits since
+    * the last checkpoint), not O(total commits) (r15 verdict #3). */
+  def listCommits(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    val (manifests, ckpts) = listVersions(spark, root)
+    val (history, floor) = ckpts.lastOption match {
+      case Some(cv) => (readCkpt(spark, root, cv)._1, cv)
+      case None => (Seq.empty[(Long, String)], 0L)
+    }
+    history ++ manifests.filter(_ > floor)
       .map(v => v -> readLines(spark, root, v).collectFirst {
         case Entry("", k, _) => k
       }.getOrElse(sys.error(s"manifest v$v at $root has no meta line")))
@@ -117,17 +162,14 @@ object Manifest {
 
   /** Latest committed version; 0 = empty table (no snapshot yet). */
   def currentVersion(spark: SparkSession, root: String): Long = {
-    val (filesystem, rootPath) = fs(spark, root)
-    val dir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
-    if (!filesystem.exists(dir)) 0L
-    else filesystem.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case ManifestRe(v) => v.toLong }
-      .maxOption.getOrElse(0L)
+    val (manifests, ckpts) = listVersions(spark, root)
+    (manifests ++ ckpts).maxOption.getOrElse(0L)
   }
 
   private def manifestPath(root: String, version: Long) =
     f"$root/manifests/v$version%08d.json"
+  private def ckptPath(root: String, version: Long) =
+    f"$root/manifests/ckpt_v$version%08d.json"
 
   /** The manifest is DATA: its live-partition rows as a DataFrame
     * (partition, data_key, since_version) — hash-gated by o19. The
@@ -150,11 +192,11 @@ object Manifest {
   private val EntryRe =
     ("\\{\"partition\":\"([^\"]*)\",\"data_key\":\"([^\"]*)\"," +
       "\"since_version\":(\\d+)\\}").r
-  private def readLines(spark: SparkSession, root: String,
-      version: Long): Seq[Entry] = {
+  private def parseLines(spark: SparkSession, root: String,
+      path: String): Seq[Entry] = {
+    metaReads.incrementAndGet(): Unit
     val (filesystem, _) = fs(spark, root)
-    val in = filesystem.open(
-      new org.apache.hadoop.fs.Path(manifestPath(root, version)))
+    val in = filesystem.open(new org.apache.hadoop.fs.Path(path))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     text.linesIterator.filter(_.nonEmpty).map {
@@ -163,15 +205,59 @@ object Manifest {
     }.toSeq
   }
 
-  /** Live entries of one version (meta line excluded). */
-  private def readEntries(spark: SparkSession, root: String,
+  private def readLines(spark: SparkSession, root: String,
       version: Long): Seq[Entry] =
-    readLines(spark, root, version).filter(_.partition.nonEmpty)
+    parseLines(spark, root, manifestPath(root, version))
+
+  /** Parse one checkpoint: (commit history ascending, live entries of
+    * the checkpoint's own version). Meta lines (partition = "") carry
+    * one (version, commitKey) pair each. */
+  private def readCkpt(spark: SparkSession, root: String,
+      version: Long): (Seq[(Long, String)], Seq[Entry]) = {
+    val lines = parseLines(spark, root, ckptPath(root, version))
+    (lines.filter(_.partition.isEmpty)
+       .map(e => e.since_version -> e.data_key).sortBy(_._1),
+      lines.filter(_.partition.nonEmpty))
+  }
+
+  /** Live entries of one version (meta line excluded). Resolves from
+    * the manifest file when present, else from a checkpoint AT that
+    * exact version; versions older than both (manifest vacuumed past
+    * the retention floor) raise. */
+  private def readEntries(spark: SparkSession, root: String,
+      version: Long): Seq[Entry] = {
+    val (filesystem, _) = fs(spark, root)
+    if (filesystem.exists(
+        new org.apache.hadoop.fs.Path(manifestPath(root, version))))
+      readLines(spark, root, version).filter(_.partition.nonEmpty)
+    else if (filesystem.exists(
+        new org.apache.hadoop.fs.Path(ckptPath(root, version))))
+      readCkpt(spark, root, version)._2
+    else sys.error(s"manifest: version $version at $root was vacuumed " +
+      "past the retention floor (no manifest file, no checkpoint)")
+  }
+
+  /** The CAS needs an atomic no-overwrite primitive: link(2) on the
+    * local scheme, rename-fails-on-existing-destination on HDFS-like
+    * stores. Object-store schemes (s3a, gs, abfs...) rename by
+    * copy+delete WITHOUT failing on an existing destination, so the
+    * CAS would silently degrade to an exists pre-check — two racing
+    * writers could both "win" one version and lose a commit. Fail
+    * FAST there (r15 ADVICE) instead of running with a broken CAS;
+    * those stores need a conforming committer (a conditional-PUT
+    * layer or a coordinating lock service) in front of this layer. */
+  private[graft] def requireCasCapable(scheme: String): Unit =
+    require(scheme == "file" || scheme == "hdfs" || scheme == "viewfs",
+      s"manifest: scheme '$scheme' has no atomic no-overwrite rename/" +
+        "link primitive — the manifest CAS would be unsound. Use " +
+        "file/hdfs/viewfs, or front this store with a conditional-PUT " +
+        "committer.")
 
   private[graft] def writeEntriesAtomic(spark: SparkSession,
       root: String, version: Long, key: String,
       entries: Seq[Entry]): Boolean = {
     val (filesystem, rootPath) = fs(spark, root)
+    requireCasCapable(filesystem.getScheme)
     val dir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
     filesystem.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_${key}_$version")
@@ -241,24 +327,37 @@ object Manifest {
   def read(spark: SparkSession, root: String, pCol: String): DataFrame =
     readAt(spark, root, pCol, currentVersion(spark, root))
 
-  /** Stage `df` under `data/<commitKey>/` and return its touched
-    * partition values (bounded driver list). */
+  /** Stage `df` under `data/<commitKey>__<nonce>/` — a directory no
+    * other attempt (concurrent or replayed) ever writes — and return
+    * (the staged data key, the touched partition values — a bounded
+    * driver list). The nonce is what makes a lost same-key race
+    * harmless: the loser's directory is unreferenced garbage for
+    * [[vacuum]], never an overwrite of published data (r15 ADVICE). */
   private def stage(df: DataFrame, root: String, pCol: String,
-      commitKey: String): Seq[String] = {
+      commitKey: String): (String, Seq[String]) = {
+    onStageStart()
     val touched = df.select(col(pCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     require(touched.nonEmpty, "commit: empty dataset")
     touched.foreach(p => require(PartRe.pattern.matcher(p).matches(),
       s"commit: partition value '$p' is not path/JSON-safe"))
+    val nonce = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    val dataKey = s"${commitKey}__$nonce"
     df.repartition(col(pCol)).write.mode(SaveMode.Overwrite)
-      .partitionBy(pCol).parquet(s"$root/data/$commitKey")
-    touched
+      .partitionBy(pCol).parquet(s"$root/data/$dataKey")
+    (dataKey, touched)
   }
 
   /** Test seam (ManifestSpec only): runs at the top of every publish
     * attempt — the window between a commit's staging/read and its
     * manifest CAS, where a real concurrent writer interleaves. */
   private[graft] var onPublishAttempt: () => Unit = () => ()
+
+  /** Test seam (ManifestSpec only): runs before a commit stages its
+    * data — the window where a concurrent run of the SAME commitKey
+    * can slip a full stage+publish in (the r15 ADVICE race). */
+  private[graft] var onStageStart: () => Unit = () => ()
 
   /** The publish loop shared by every commit type. `rebase` maps the
     * current live entries to the next ones, or throws
@@ -282,8 +381,14 @@ object Manifest {
       val version = base.map(_._1).getOrElse(0L) + 1L
       if (writeEntriesAtomic(spark, root, version, commitKey,
         next.map(e => if (e.since_version == -1L)
-          e.copy(since_version = version) else e)))
+          e.copy(since_version = version) else e))) {
+        // Auto-checkpoint cadence (best effort): rolling the log is
+        // maintenance, never part of the commit's success.
+        if (checkpointEvery > 0 && version % checkpointEvery == 0L)
+          try checkpoint(spark, root): Unit
+          catch { case scala.util.control.NonFatal(_) => }
         return version
+      }
       attempts += 1
     }
     throw new ConcurrentCommitException(
@@ -301,14 +406,74 @@ object Manifest {
       s"commit key '$commitKey' is not path-safe")
     val spark = df.sparkSession
     listCommits(spark, root).find(_._2 == commitKey) match {
-      case Some((v, _)) => return v // replay: NEVER re-stage published data
+      case Some((v, _)) => return v // replay: publish nothing new
       case None =>
     }
-    val touched = stage(df, root, pCol, commitKey)
+    val (dataKey, touched) = stage(df, root, pCol, commitKey)
     publish(spark, root, commitKey, { current =>
       current.filterNot(e => touched.contains(e.partition)) ++
-        touched.map(Entry(_, commitKey, -1L))
+        touched.map(Entry(_, dataKey, -1L))
     })
+  }
+
+  /** Roll the manifest log into ONE checkpoint file at the current
+    * version: the full (version, commitKey) history plus the live
+    * entries of that snapshot. Idempotent (an existing checkpoint at
+    * the version wins) and atomic (same no-overwrite primitive as the
+    * manifest CAS, reusing [[writeEntriesAtomic]]'s tmp+link path via
+    * a direct write here — checkpoints have no CAS loser to protect,
+    * any consistent checkpoint at a version is valid). After a
+    * checkpoint, [[listCommits]] costs one checkpoint read plus one
+    * read per NEWER commit, and [[vacuumManifests]] may drop the
+    * manifest files the checkpoint covers. Returns the checkpointed
+    * version. */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val history = listCommits(spark, root)
+    require(history.nonEmpty, s"checkpoint: empty table $root")
+    val version = history.last._1
+    val entries = readEntries(spark, root, version)
+    val (filesystem, _) = fs(spark, root)
+    val dst = new org.apache.hadoop.fs.Path(ckptPath(root, version))
+    if (filesystem.exists(dst)) return version
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/manifests/_tmp_ckpt_$version")
+    val out = filesystem.create(tmp, true)
+    try out.write((history.map { case (v, k) => Entry("", k, v) } ++
+        entries.sortBy(e => (e.partition, e.data_key)))
+      .map(e => s"""{"partition":"${e.partition}",""" +
+        s""""data_key":"${e.data_key}",""" +
+        s""""since_version":${e.since_version}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if ("file" == filesystem.getScheme) {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath)): Unit
+      catch { case _: java.nio.file.FileAlreadyExistsException => }
+    } else filesystem.rename(tmp, dst): Unit
+    filesystem.delete(tmp, false): Unit
+    version
+  }
+
+  /** Drop manifest FILES a checkpoint already covers, keeping the
+    * newest `keepLast` versions as the time-travel retention floor
+    * (their per-version snapshots stay directly readable; older
+    * versions remain readable only at checkpoint versions). Returns
+    * the removed versions. Run like [[vacuum]]: table maintenance,
+    * outside the write path. */
+  def vacuumManifests(spark: SparkSession, root: String,
+      keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1 (the publish loop " +
+      "rebases over the latest manifest)")
+    val (manifests, ckpts) = listVersions(spark, root)
+    val ckptFloor = ckpts.maxOption.getOrElse(return Seq.empty)
+    val current = (manifests ++ ckpts).max
+    val removable = manifests
+      .filter(v => v <= ckptFloor && v <= current - keepLast)
+    val (filesystem, _) = fs(spark, root)
+    removable.foreach(v => filesystem.delete(
+      new org.apache.hadoop.fs.Path(manifestPath(root, v)), false))
+    removable
   }
 
   /** Keyed MERGE as a commit — O15's semantics with snapshot
@@ -323,13 +488,33 @@ object Manifest {
       pCol: String, commitKey: String): Long =
     commitReadModifyWrite(delta, root, pCol, commitKey,
       (target, d) => {
-        require(target.columns.toSet == d.columns.toSet,
-          "commitMerge: delta columns must equal target columns")
         val matchKeys = keyCols :+ pCol
-        val aligned = target.select(d.columns.map(c =>
-          col(c).cast(d.schema(c).dataType).as(c)): _*)
-        d.unionByName(
-          aligned.join(d.select(matchKeys.map(col): _*),
+        require(matchKeys.forall(d.columns.contains) &&
+            matchKeys.forall(target.columns.contains),
+          "commitMerge: match keys must exist on both sides")
+        // Align BOTH sides to the union schema (r15 ADVICE: the old
+        // exact-column-set require broke merges on evolved tables
+        // even though snapshot reads succeeded). Shared columns take
+        // the delta's type (the caller's declared current schema —
+        // this is also where widening lands, e.g. an int delta over
+        // a long target casts up to the target read's union type via
+        // the final unionByName); one-sided columns null-fill: a
+        // delta-only column is schema GROWTH (history null-filled,
+        // the o21 semantics), a target-only column survives on kept
+        // rows and null-fills inserted/updated ones.
+        val dOnly = d.columns.filterNot(target.columns.contains)
+        val tOnly = target.columns.filterNot(d.columns.contains)
+        val alignedT = target.select(
+          (d.columns.filter(target.columns.contains).map(c =>
+            col(c).cast(d.schema(c).dataType).as(c)) ++
+            dOnly.map(c => lit(null).cast(d.schema(c).dataType).as(c)) ++
+            tOnly.map(col(_))): _*)
+        val alignedD = d.select(
+          (d.columns.map(col(_)) ++
+            tOnly.map(c =>
+              lit(null).cast(target.schema(c).dataType).as(c))): _*)
+        alignedD.unionByName(
+          alignedT.join(alignedD.select(matchKeys.map(col): _*),
             matchKeys, "left_anti"))
       },
       // all-new-partition merge = pure insert: empty target with
@@ -352,6 +537,30 @@ object Manifest {
       // deleting from partitions that are not live is a no-op
       targetWhenNoneLive = _ => None)
 
+  /** Small-file compaction as a COMMIT (r15 verdict #4): rewrite the
+    * named partitions' live data copy-on-write under a fresh data
+    * key — one file per partition value after [[stage]]'s
+    * repartition — published with the same read-set validation as
+    * any read-modify-write. A reader racing the compaction resolves
+    * the OLD manifest or the NEW one, never a half-rewritten
+    * directory (the torn-read hole the path-based j08 had); a
+    * concurrent writer to a compacted partition conflicts instead of
+    * losing its write. Content is identical by construction
+    * (transform = identity); time travel still reads the fragmented
+    * files. Partition-at-a-time granularity: each partition's
+    * rewrite lands via one shuffle task, which is the right shape
+    * for the SMALL fragmented partitions compaction targets — a
+    * partition too big for one task is not a compaction candidate. */
+  def commitCompact(spark: SparkSession, root: String, pCol: String,
+      partitions: Seq[String], commitKey: String): Long = {
+    require(partitions.nonEmpty, "commitCompact: no partitions named")
+    import spark.implicits._
+    commitReadModifyWrite(partitions.toDF(pCol), root, pCol, commitKey,
+      (target, _) => target,
+      // compacting absent partitions is a no-op, like deleting them
+      targetWhenNoneLive = _ => None)
+  }
+
   /** Garbage-collect UNREFERENCED data directories (r15 — the
     * documented crash story's missing half): a writer that dies
     * after staging leaves `data/<key>/` on disk, invisible to every
@@ -367,9 +576,17 @@ object Manifest {
     * table maintenance, outside the write path. */
   def vacuum(spark: SparkSession, root: String): Seq[String] = {
     val (filesystem, rootPath) = fs(spark, root)
-    val referenced = listCommits(spark, root).map(_._1)
-      .flatMap(v => readEntries(spark, root, v).map(_.data_key))
-      .toSet
+    // Referenced = every data key any EXISTING manifest or checkpoint
+    // file lists (not the commit-history keys — with per-attempt
+    // nonces the data key is `<commitKey>__<nonce>`, and after
+    // [[vacuumManifests]] some historical versions read only through
+    // checkpoints). A key referenced solely by a vacuumed manifest is
+    // garbage by definition: its snapshot is no longer reachable.
+    val (manifests, ckpts) = listVersions(spark, root)
+    val referenced =
+      (manifests.flatMap(v => readLines(spark, root, v)) ++
+        ckpts.flatMap(v => readCkpt(spark, root, v)._2))
+        .filter(_.partition.nonEmpty).map(_.data_key).toSet
     val dataDir = new org.apache.hadoop.fs.Path(rootPath, "data")
     val removed =
       if (!filesystem.exists(dataDir)) Seq.empty[String]
@@ -433,15 +650,19 @@ object Manifest {
           spark.read.option("basePath", base)
             .parquet(ps.keys.toSeq.sorted
               .map(p => s"$base/$pCol=$p"): _*)
-      }.reduce(_.unionByName(_))
+      // allowMissingColumns (r15 ADVICE): touched partitions may span
+      // pre- and post-evolution data keys — read-modify-write must
+      // match readAt's union-schema-with-null-fill semantics, or
+      // merges/deletes stop working on evolved tables
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     // one evaluation feeds three consumers (isEmpty probe, the
     // staging distinct, the staged write) — cut the lineage so the
     // target scan + transform run once (r15 review finding #4)
     val result = transform(target, request).localCheckpoint(true)
     // survivors decide liveness; an emptied partition exits the
     // manifest (still listing surviving dirs is a bounded distinct)
-    val surviving =
-      if (result.isEmpty) Seq.empty[String]
+    val (dataKey, surviving) =
+      if (result.isEmpty) ("", Seq.empty[String])
       else stage(result, root, pCol, commitKey)
     publish(spark, root, commitKey, { current =>
       // validation over EVERY touched partition: live-from-same-key
@@ -460,7 +681,7 @@ object Manifest {
               "replay against the current snapshot")
       }
       current.filterNot(e => touched.contains(e.partition)) ++
-        surviving.map(Entry(_, commitKey, -1L))
+        surviving.map(Entry(_, dataKey, -1L))
     })
   }
 }

@@ -107,14 +107,46 @@ private[graft] object OpsOracles {
         |       ELSE n_name END AS n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
-    // Schema evolution at the snapshot layer: region 1 rewritten
-    // with the new column, everyone else null-filled.
+    // Schema evolution at the snapshot layer: region 1 added the
+    // column as INT, region 2 widened it to LONG (+10 values),
+    // everyone else null-filled — the snapshot read must resolve
+    // BIGINT (the Spark side leaves n_flag UNCAST, so a narrow or
+    // thrown union fails this gate).
     "o21_snapshot_schema_evolution" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CASE WHEN n_regionkey = 1
-        |    THEN CAST(n_nationkey % 2 AS BIGINT) END AS n_flag,
+        |    THEN CAST(n_nationkey % 2 AS BIGINT)
+        |       WHEN n_regionkey = 2
+        |    THEN CAST(n_nationkey % 2 + 10 AS BIGINT) END AS n_flag,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
+    // o22: o15's MERGE oracle through the commit layer (same
+    // anti-join + union semantics, snapshot-isolated publish).
+    "o22_commit_merge" ->
+      """WITH target AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |         CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation),
+        |delta AS (
+        |  SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+        |  FROM target WHERE n_regionkey = 1 AND n_nationkey < 10
+        |  UNION ALL
+        |  SELECT CAST(990 AS BIGINT), 'NEWLAND', CAST(1 AS BIGINT))
+        |SELECT * FROM delta
+        |UNION ALL
+        |SELECT t.* FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM delta d
+        |  WHERE d.n_nationkey = t.n_nationkey
+        |    AND d.n_regionkey = t.n_regionkey)""".stripMargin,
+    // o23: the post-checkpoint snapshot — init, region-1 names
+    // suffixed, region 3 taken down, region-0 names re-suffixed by
+    // the commit published OVER the checkpointed log.
+    "o23_manifest_checkpoint" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN n_name || '_v2'
+        |       WHEN n_regionkey = 0 THEN n_name || '_v4'
+        |       ELSE n_name END AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey <> 3""".stripMargin,
     // Vacuum removes exactly the planted crash-garbage key; the
     // ride-along count proves the referenced snapshot survived.
     "o20_manifest_vacuum" ->

@@ -9,7 +9,7 @@ import graft.dq.Checks
 import graft.dq.Checks.CheckConfig
 import graft.ingest.JsonIngest
 import graft.model.Schemas
-import graft.ops.IdempotentWriter
+import graft.ops.Manifest
 
 /** §3.1 pipeline composition: the reference's hourly
   * bronze→silver→gold→DQ flow restated as one Spark application
@@ -29,14 +29,22 @@ object Run {
 
   /** Pipeline wiring for one run. `sensorPollMs` is short because the
     * offline filesystem is local; the reference polls GCS at 60 s with
-    * a 600 s budget. */
+    * a 600 s budget.
+    *
+    * `attempt` names the logical attempt of a (run_hr, attempt) gold
+    * commit: an orchestrator RETRY of the same attempt replays
+    * idempotently at the transaction layer (the S2 skip-if-exists
+    * guard — nothing republishes, nothing a reader references is
+    * touched), while a deliberate BACKFILL with revised bronze passes
+    * a new attempt id and atomically replaces the hour. */
   final case class PipelineConfig(
       bronzeDir: String,
       goldDir: String,
       dqDir: String,
       skipSecondSink: Boolean = false,
       sensorTimeoutMs: Long = 5000L,
-      sensorPollMs: Long = 50L)
+      sensorPollMs: Long = 50L,
+      attempt: String = "a1")
 
   /** What a run did — counts for orchestration/alerting, not data. */
   final case class RunReport(
@@ -171,8 +179,20 @@ object Run {
     * is expected under `bronzeDir/<entity>/run_hr=<hr>/` (the
     * reference's S3 key layout). Executes: sensor → staged reads →
     * DQ-gated nested gold writes → optional flat second sink →
-    * dq_results append. Rerunning the same run_hr replaces exactly
-    * that partition everywhere (O10). */
+    * dq_results append.
+    *
+    * Gold lands through the TRANSACTIONAL commit layer (r15 verdict
+    * #1 — [[graft.ops.Manifest]] is the engine's default write path,
+    * not a sidecar): each entity's run_hr partition publishes as one
+    * atomic commit keyed `<entity>_<runHr>_<attempt>`, so a reader
+    * racing the publish sees the previous snapshot or the new one,
+    * never a half-written directory; an orchestrator retry of the
+    * same attempt replays idempotently (O10's replace-exactly-this-
+    * partition semantics live at `(run_hr, attempt)` grain — replace
+    * by committing a NEW attempt, replay by re-running the same one).
+    * Gold tables are read through [[graft.ops.Manifest.read]]. The
+    * path-based [[graft.ops.IdempotentWriter]] remains the legacy
+    * single-writer path (gated by o10). */
   def run(spark: SparkSession, cfg: PipelineConfig,
       runHr: Long): RunReport = {
     import spark.implicits._
@@ -203,14 +223,16 @@ object Run {
       maxNullRate = Map("location" -> 0.0, "current" -> 0.0),
       expectedRunHr = Some(runHr),
       uniqueKey = Some(Seq("location.name"))))(dqSink)
-    IdempotentWriter.replacePartitions(wGold,
-      s"${cfg.goldDir}/weather", Seq("run_hr"))
+    Manifest.commitReplacePartitions(wGold,
+      s"${cfg.goldDir}/weather", "run_hr",
+      s"weather_${runHr}_${cfg.attempt}"): Unit
 
     // C3: the second (flat/Snowflake-analogue) sink is skippable.
     if (!cfg.skipSecondSink)
-      IdempotentWriter.replacePartitions(
+      Manifest.commitReplacePartitions(
         withAuditCols(weatherGoldFlat(wStage), runHr),
-        s"${cfg.goldDir}/weather_flat", Seq("run_hr"))
+        s"${cfg.goldDir}/weather_flat", "run_hr",
+        s"weather_flat_${runHr}_${cfg.attempt}"): Unit
 
     // Cocktails: staged read → explode+rename gold → gate → O10.
     val cStage = JsonIngest.readStaged(spark, s"$cocktailsBronze/*.json",
@@ -222,12 +244,13 @@ object Run {
       maxNullRate = Map("id_drink" -> 0.0, "drink" -> 0.0),
       expectedRunHr = Some(runHr),
       uniqueKey = Some(Seq("id_drink"))))(dqSink)
-    IdempotentWriter.replacePartitions(cGold,
-      s"${cfg.goldDir}/cocktails", Seq("run_hr"))
+    Manifest.commitReplacePartitions(cGold,
+      s"${cfg.goldDir}/cocktails", "run_hr",
+      s"cocktails_${runHr}_${cfg.attempt}"): Unit
 
-    val wRows = spark.read.parquet(s"${cfg.goldDir}/weather")
+    val wRows = Manifest.read(spark, s"${cfg.goldDir}/weather", "run_hr")
       .filter(col("run_hr") === runHr).count()
-    val cRows = spark.read.parquet(s"${cfg.goldDir}/cocktails")
+    val cRows = Manifest.read(spark, s"${cfg.goldDir}/cocktails", "run_hr")
       .filter(col("run_hr") === runHr).count()
     RunReport(runHr, wRows, cRows, dqAllPassed = true,
       secondSinkWritten = !cfg.skipSecondSink)

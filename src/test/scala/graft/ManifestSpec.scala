@@ -29,6 +29,11 @@ class ManifestSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
   }
 
+  /** Data keys are `<commitKey>__<8-hex attempt nonce>` (r16); laws
+    * about commit OWNERSHIP compare the stripped key. */
+  private def stripNonce(k: String): String =
+    k.replaceAll("__[0-9a-f]{8}$", "")
+
   test("init commit + readback; version increments per commit") {
     val root = freshRoot()
     assert(Manifest.currentVersion(spark, root) == 0L)
@@ -196,7 +201,8 @@ class ManifestSpec extends SparkSpec {
       Seq((1L, "alpha_v2", 10L)).toDF("id", "name", "part"),
       root, "part", "fix_p10")
     val m = Manifest.readManifest(spark, root, 2L)
-      .as[(String, String, Long)].collect().toSet
+      .as[(String, String, Long)].collect()
+      .map(e => (e._1, stripNonce(e._2), e._3)).toSet
     assert(m == Set(("10", "fix_p10", 2L), ("20", "init", 1L),
       ("30", "init", 1L)))
     assert(Manifest.listCommits(spark, root) ==
@@ -261,7 +267,7 @@ class ManifestSpec extends SparkSpec {
       val live60 = Manifest.readManifest(spark, root,
           Manifest.currentVersion(spark, root))
         .filter(col("partition") === "60")
-        .select("data_key").as[String].collect().toSeq
+        .select("data_key").as[String].collect().toSeq.map(stripNonce)
       assert(live60 == Seq("writer_b60"))
       assert(snap(root).contains((90L, "interloper", 60L)))
     } finally Manifest.onPublishAttempt = () => ()
@@ -317,5 +323,237 @@ class ManifestSpec extends SparkSpec {
         Seq((1L, "x", "we ird")).toDF("id", "name", "part"),
         root, "part", "ok_key")
     }
+  }
+
+  test("same-key concurrent race (r15 ADVICE): a run of commitKey K " +
+      "that stages while ANOTHER run of K publishes never mutates " +
+      "the winner's published files — it replays to the winner's " +
+      "version and its own staging is vacuumable garbage") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "init")
+    // writer B (same key, DIFFERENT data — a speculative retry with
+    // a revised upstream) runs a FULL stage+publish inside writer
+    // A's pre-stage window
+    var fired = false
+    Manifest.onStageStart = () => {
+      if (!fired) {
+        fired = true
+        Manifest.commitReplacePartitions(
+          Seq((1L, "winner", 10L)).toDF("id", "name", "part"),
+          root, "part", "retry_k")
+      }
+    }
+    try {
+      val v = Manifest.commitReplacePartitions(
+        Seq((1L, "loser", 10L)).toDF("id", "name", "part"),
+        root, "part", "retry_k")
+      assert(v == 2L, "the second run must replay to the winner's version")
+      // the winner's published data is untouched by the loser's stage
+      assert(snap(root).contains((1L, "winner", 10L)))
+      assert(!snap(root).exists(_._2 == "loser"))
+      // the loser's staged directory is unreferenced → vacuumable;
+      // after vacuum the snapshot still reads bit-identically
+      val removed = Manifest.vacuum(spark, root)
+      assert(removed.size == 1 && stripNonce(removed.head) == "retry_k")
+      assert(snap(root).contains((1L, "winner", 10L)))
+    } finally Manifest.onStageStart = () => ()
+  }
+
+  test("checkpoint rolls the log: resolve cost is O(1 + commits " +
+      "since checkpoint) file reads; vacuumed manifests keep a " +
+      "retention floor; time travel works at checkpoint versions " +
+      "and raises PAST the floor (r15 verdict #3)") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "c1")
+    (2 to 6).foreach { i =>
+      Manifest.commitReplacePartitions(
+        Seq((i.toLong, s"row$i", 10L)).toDF("id", "name", "part"),
+        root, "part", s"c$i")
+    }
+    assert(Manifest.checkpoint(spark, root) == 6L)
+    // two more commits after the checkpoint
+    (7 to 8).foreach { i =>
+      Manifest.commitReplacePartitions(
+        Seq((i.toLong, s"row$i", 20L)).toDF("id", "name", "part"),
+        root, "part", s"c$i")
+    }
+    val fullLog = (1 to 8).map(i => i.toLong -> s"c$i")
+    assert(Manifest.listCommits(spark, root) == fullLog)
+    // O(1)-reads law: after the checkpoint, a listCommits resolve
+    // reads 1 checkpoint + the 2 post-checkpoint manifests — never
+    // one file per historical commit
+    Manifest.metaReads.set(0L)
+    Manifest.listCommits(spark, root)
+    assert(Manifest.metaReads.get() == 3L,
+      s"resolve paid ${Manifest.metaReads.get()} file reads, want 3")
+    // vacuum manifests to the floor: keepLast=2 keeps v7, v8 files
+    assert(Manifest.vacuumManifests(spark, root, keepLast = 2) ==
+      (1L to 6L))
+    // everything still resolves: history via the checkpoint, latest
+    // via the kept manifests
+    assert(Manifest.listCommits(spark, root) == fullLog)
+    assert(snap(root).contains((8L, "row8", 20L)))
+    // time travel at the CHECKPOINT version still reads (its live
+    // entries are in the checkpoint file): partition 10 from c6's
+    // wholesale replace, partitions 20/30 still from c1
+    assert(snap(root, 6L) == Set((6L, "row6", 10L),
+      (3L, "gamma", 20L), (4L, "delta", 20L), (5L, "epsilon", 30L)))
+    // ...and a version past the floor raises the documented error
+    val ex = intercept[RuntimeException] { snap(root, 3L) }
+    assert(ex.getMessage.contains("vacuumed"))
+    // data vacuum after manifest vacuum drops exactly the data keys
+    // no remaining manifest/checkpoint references: c2..c5's
+    // partition-10 rewrites are unreachable once v1..v6 resolve only
+    // through the checkpoint; c1 stays (partitions 20/30 at v6 and
+    // partition 30 at v7/v8 still live from it), c6..c8 stay
+    val dropped = Manifest.vacuum(spark, root).map(stripNonce)
+    assert(dropped.toSet == Set("c2", "c3", "c4", "c5"))
+    assert(snap(root, 6L).contains((6L, "row6", 10L)))
+    assert(snap(root).contains((8L, "row8", 20L)))
+  }
+
+  test("auto-checkpoint cadence: every checkpointEvery-th publish " +
+      "rolls a checkpoint without being asked") {
+    val root = freshRoot()
+    val old = Manifest.checkpointEvery
+    Manifest.checkpointEvery = 2L
+    try {
+      (1 to 5).foreach { i =>
+        Manifest.commitReplacePartitions(
+          Seq((i.toLong, s"r$i", 10L)).toDF("id", "name", "part"),
+          root, "part", s"a$i")
+      }
+      val ckpts = new java.io.File(s"$root/manifests").listFiles()
+        .map(_.getName).filter(_.startsWith("ckpt_")).sorted.toSeq
+      assert(ckpts == Seq("ckpt_v00000002.json", "ckpt_v00000004.json"))
+      Manifest.metaReads.set(0L)
+      assert(Manifest.listCommits(spark, root).size == 5)
+      assert(Manifest.metaReads.get() == 2L) // ckpt_v4 + v5's manifest
+    } finally Manifest.checkpointEvery = old
+  }
+
+  test("commitCompact (r15 verdict #4): fragmented partitions " +
+      "rewrite to ONE file each, content-identical; a reader racing " +
+      "the compaction resolves the old snapshot whole; time travel " +
+      "still reads the fragmented version") {
+    val root = freshRoot()
+    // plant fragmentation: 8 files across 2 partitions, published v1
+    base.repartition(8)
+      .write.partitionBy("part").parquet(s"$root/data/frag")
+    assert(Manifest.writeEntriesAtomic(spark, root, 1L, "frag",
+      Seq("10", "20", "30").map(Manifest.Entry(_, "frag", 1L))))
+    def files(dataKey: String, part: String): Int =
+      Option(new java.io.File(s"$root/data/$dataKey/part=$part")
+        .listFiles()).map(_.count(_.getName.endsWith(".parquet")))
+        .getOrElse(0)
+    assert(Seq("10", "20", "30").map(files("frag", _)).sum > 3,
+      "fixture must actually be fragmented")
+    val before = snap(root)
+    // racing reader: mid-publish, the table still reads v1 whole
+    var seen: Option[Set[(Long, String, Long)]] = None
+    Manifest.onPublishAttempt = () =>
+      if (seen.isEmpty) seen = Some(snap(root))
+    try {
+      val v = Manifest.commitCompact(spark, root, "part",
+        Seq("10", "20", "30"), "compact_1")
+      assert(v == 2L)
+    } finally Manifest.onPublishAttempt = () => ()
+    assert(seen.contains(before),
+      "a reader during the compaction window must see the OLD snapshot")
+    assert(snap(root) == before, "compaction must not change content")
+    // one file per partition after the rewrite
+    val m = Manifest.readManifest(spark, root, 2L)
+      .as[(String, String, Long)].collect()
+    assert(m.forall(e => stripNonce(e._2) == "compact_1"))
+    m.foreach { case (p, dataKey, _) =>
+      assert(files(dataKey, p) == 1, s"partition $p not compacted") }
+    // time travel: v1 still reads the fragmented files
+    assert(snap(root, 1L) == before)
+    // compacting absent partitions is a no-op
+    assert(Manifest.commitCompact(spark, root, "part", Seq("99"),
+      "compact_nothing") == 2L)
+  }
+
+  test("commitMerge on an EVOLVED table (r15 ADVICE): touched " +
+      "partitions spanning pre- and post-evolution data keys merge " +
+      "with union-schema null-fill instead of throwing; delta-only " +
+      "columns grow the schema") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "init")
+    // evolve partition 10 only: new column `tag`
+    Manifest.commitReplacePartitions(
+      Seq((1L, "alpha_v2", 10L, "x")).toDF("id", "name", "part", "tag"),
+      root, "part", "evolve_p10")
+    // merge a delta WITHOUT `tag` spanning evolved p10 and legacy p20
+    Manifest.commitMerge(
+      Seq((1L, "alpha_m", 10L), (7L, "eta", 20L))
+        .toDF("id", "name", "part"),
+      root, Seq("id"), "part", "merge_legacy_delta")
+    val rows = Manifest.read(spark, root, "part")
+      .select(col("id"), col("name"), col("tag"),
+        col("part").cast("long"))
+      .as[(Long, String, Option[String], Long)].collect().toSet
+    assert(rows.contains((1L, "alpha_m", None, 10L)), // delta won, tag nulled
+      rows.toString)
+    assert(rows.contains((7L, "eta", None, 20L)))   // insert into legacy
+    assert(rows.contains((3L, "gamma", None, 20L))) // kept legacy row
+    // and a delta carrying a NEW column grows the schema (the o21
+    // semantics through the merge path)
+    Manifest.commitMerge(
+      Seq((5L, "epsilon_v2", 30L, 7L)).toDF("id", "name", "part", "score"),
+      root, Seq("id"), "part", "merge_new_col")
+    val withScore = Manifest.read(spark, root, "part")
+      .select(col("id"), col("score"), col("part").cast("long"))
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(withScore.contains((5L, Some(7L), 30L)))
+    assert(withScore.contains((1L, None, 10L)))
+  }
+
+  test("type WIDENING through snapshots (r15 verdict #7): int → " +
+      "long and decimal precision resolve to the widest type in the " +
+      "snapshot read; time travel keeps each version's own shape") {
+    val root = freshRoot()
+    import org.apache.spark.sql.types._
+    Manifest.commitReplacePartitions(
+      Seq((1, 10)).toDF("id", "part")
+        .select(col("id").cast("int").as("id"), col("part")),
+      root, "part", "narrow")
+    Manifest.commitReplacePartitions(
+      Seq((2L, 20)).toDF("id", "part"),
+      root, "part", "wide")
+    val latest = Manifest.read(spark, root, "part")
+    assert(latest.schema("id").dataType == LongType,
+      latest.schema.simpleString)
+    assert(latest.select(col("id")).as[Long].collect().toSet ==
+      Set(1L, 2L))
+    // time travel: v1 keeps its own narrow shape
+    assert(Manifest.readAt(spark, root, "part", 1L)
+      .schema("id").dataType == IntegerType)
+    // decimal precision carry: (10,2) ∪ (38,9) reads as (38,9)
+    val root2 = freshRoot()
+    Manifest.commitReplacePartitions(
+      Seq(("1.50", 10)).toDF("v", "part")
+        .select(col("v").cast("decimal(10,2)").as("v"), col("part")),
+      root2, "part", "d1")
+    Manifest.commitReplacePartitions(
+      Seq(("2.123456789", 20)).toDF("v", "part")
+        .select(col("v").cast("decimal(38,9)").as("v"), col("part")),
+      root2, "part", "d2")
+    val dec = Manifest.read(spark, root2, "part")
+    assert(dec.schema("v").dataType == DecimalType(38, 9),
+      dec.schema.simpleString)
+    assert(dec.select(col("v").cast("string")).as[String].collect()
+      .toSet == Set("1.500000000", "2.123456789"))
+  }
+
+  test("the manifest CAS refuses schemes without an atomic " +
+      "no-overwrite primitive (r15 ADVICE): object stores fail fast " +
+      "instead of running with a broken CAS") {
+    Manifest.requireCasCapable("file")
+    Manifest.requireCasCapable("hdfs")
+    val ex = intercept[IllegalArgumentException] {
+      Manifest.requireCasCapable("s3a")
+    }
+    assert(ex.getMessage.contains("committer"))
   }
 }

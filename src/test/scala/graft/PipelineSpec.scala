@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.dq.Checks
+import graft.ops.Manifest
 import graft.pipeline.Run
 import graft.pipeline.Run.PipelineConfig
 
@@ -56,6 +57,11 @@ class PipelineSpec extends SparkSpec {
       dqDir = s"${base.getPath}/dq")
   }
 
+  /** Gold tables publish through the Manifest commit layer (r16):
+    * read them through it. */
+  private def gold(cfg: PipelineConfig, entity: String) =
+    Manifest.read(spark, s"${cfg.goldDir}/$entity", "run_hr")
+
   private def landBronze(cfg: PipelineConfig, hr: Long,
       cocktailIds: Seq[Int] = Seq(11470, 11471, 11472)): Unit = {
     val cities = Run.topCities(spark).as[String].collect().toSeq
@@ -76,22 +82,22 @@ class PipelineSpec extends SparkSpec {
     assert(report.cocktailsRows == 3L)
     assert(report.secondSinkWritten)
 
-    val gold = spark.read.parquet(s"${cfg.goldDir}/weather")
+    val gold0 = gold(cfg, "weather")
       .filter(col("run_hr") === runHr)
     // nested structs with parsed timestamps + repaired python-repr docs
-    val ny = gold.filter(col("location.name") === "Los Angeles")
+    val ny = gold0.filter(col("location.name") === "Los Angeles")
       .select(col("current.temp_c").cast("double"),
         col("location.localtime_ts").cast("string"))
       .as[(Double, String)].collect().head
     assert(ny._1 == 21.0)
     assert(ny._2 == "2026-08-12 10:30:00")
 
-    val flat = spark.read.parquet(s"${cfg.goldDir}/weather_flat")
+    val flat = gold(cfg, "weather_flat")
       .filter(col("run_hr") === runHr)
     assert(flat.count() == 5L)
     assert(flat.filter(col("is_day")).count() == 2L) // 0/1 → boolean
 
-    val cock = spark.read.parquet(s"${cfg.goldDir}/cocktails")
+    val cock = gold(cfg, "cocktails")
       .filter(col("run_hr") === runHr)
     val drinks = cock.select(col("id_drink").cast("long"), col("drink"),
       col("alcoholic")).as[(Long, String, String)].collect().sortBy(_._1)
@@ -108,10 +114,10 @@ class PipelineSpec extends SparkSpec {
     val cfg = freshDirs()
     landBronze(cfg, runHr)
     Run.run(spark, cfg, runHr)
-    val first = spark.read.parquet(s"${cfg.goldDir}/weather")
+    val first = gold(cfg, "weather")
       .drop("created_at_ts").collect().toSet
     Run.run(spark, cfg, runHr) // replay, same bronze
-    val second = spark.read.parquet(s"${cfg.goldDir}/weather")
+    val second = gold(cfg, "weather")
       .drop("created_at_ts").collect().toSet
     assert(first == second)
     // a different hour lands alongside, untouched by later replays
@@ -119,9 +125,67 @@ class PipelineSpec extends SparkSpec {
     landBronze(cfg, otherHr)
     Run.run(spark, cfg, otherHr)
     Run.run(spark, cfg, runHr)
-    val gold = spark.read.parquet(s"${cfg.goldDir}/weather")
-    assert(gold.filter(col("run_hr") === otherHr).count() == 5L)
-    assert(gold.count() == 10L)
+    val g = gold(cfg, "weather")
+    assert(g.filter(col("run_hr") === otherHr).count() == 5L)
+    assert(g.count() == 10L)
+  }
+
+  test("backfill semantics at the transaction layer (p01 v2): a " +
+      "retry of the SAME attempt replays (revised bronze ignored — " +
+      "the S2 guard), a NEW attempt atomically replaces the hour") {
+    val cfg = freshDirs()
+    landBronze(cfg, runHr)
+    Run.run(spark, cfg, runHr)
+    // bronze revised in place (say, a corrected upstream drop)
+    Run.writeRawText(spark, s"${cfg.bronzeDir}/weather/run_hr=$runHr",
+      Run.topCities(spark).as[String].collect().toSeq.zipWithIndex.map {
+        case (c, i) => (c.toLowerCase.replace(" ", "_") + ".json",
+          weatherDoc(c, 90.0 + i, i % 2, pyRepr = false))
+      })
+    // same attempt → replay: the ORIGINAL temperatures stay
+    Run.run(spark, cfg, runHr)
+    val tempsAfterRetry = gold(cfg, "weather")
+      .select(col("current.temp_c").cast("double")).as[Double]
+      .collect().toSet
+    assert(tempsAfterRetry == Set(20.0, 21.0, 22.0, 23.0, 24.0))
+    // new attempt → the backfill lands, wholesale
+    Run.run(spark, cfg.copy(attempt = "a2"), runHr)
+    val tempsAfterBackfill = gold(cfg, "weather")
+      .select(col("current.temp_c").cast("double")).as[Double]
+      .collect().toSet
+    assert(tempsAfterBackfill == Set(90.0, 91.0, 92.0, 93.0, 94.0))
+  }
+
+  test("racing reader (p01 v2 law): during a MULTI-partition gold " +
+      "backfill publish, a reader sees the old snapshot whole or " +
+      "the new one — never one hour new and the other old") {
+    val cfg = freshDirs()
+    val hr2 = runHr + 100
+    landBronze(cfg, runHr)
+    landBronze(cfg, hr2)
+    Run.run(spark, cfg, runHr)
+    Run.run(spark, cfg, hr2)
+    val before = gold(cfg, "weather").drop("created_at_ts")
+      .collect().toSet
+    // a two-hour backfill in ONE commit (both partitions revised)
+    val revised = gold(cfg, "weather")
+      .withColumn("current", col("current")
+        .withField("temp_c", col("current.temp_c") + 100))
+    var seen: Option[Set[org.apache.spark.sql.Row]] = None
+    Manifest.onPublishAttempt = () =>
+      if (seen.isEmpty)
+        seen = Some(gold(cfg, "weather").drop("created_at_ts")
+          .collect().toSet)
+    try Manifest.commitReplacePartitions(revised,
+      s"${cfg.goldDir}/weather", "run_hr", "backfill_both"): Unit
+    finally Manifest.onPublishAttempt = () => ()
+    assert(seen.contains(before),
+      "the mid-publish reader must see the OLD snapshot, whole")
+    val after = gold(cfg, "weather")
+    assert(after.count() == 10L)
+    assert(after.select(col("current.temp_c").cast("double"))
+      .as[Double].collect().forall(_ >= 120.0),
+      "both hours must flip together")
   }
 
   test("C3: skipSecondSink suppresses exactly the flat sink") {
@@ -129,7 +193,7 @@ class PipelineSpec extends SparkSpec {
     landBronze(cfg, runHr)
     val report = Run.run(spark, cfg, runHr)
     assert(!report.secondSinkWritten)
-    assert(spark.read.parquet(s"${cfg.goldDir}/weather").count() == 5L)
+    assert(gold(cfg, "weather").count() == 5L)
     assert(!new java.io.File(
       s"${cfg.goldDir}/weather_flat".replace("file:", "")).exists())
   }
@@ -143,7 +207,7 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unique_key_id_drink"))
     // weather (gated first, green) was written; cocktails was not
-    assert(spark.read.parquet(s"${cfg.goldDir}/weather").count() == 5L)
+    assert(gold(cfg, "weather").count() == 5L)
     assert(!new java.io.File(s"${cfg.goldDir}/cocktails").exists())
     // and the red check run is on record
     val dq = spark.read.parquet(cfg.dqDir)
