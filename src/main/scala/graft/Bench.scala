@@ -253,10 +253,34 @@ object Bench {
     val times = scala.collection.mutable.Map.empty[String, Double]
     val cappedAt = scala.collection.mutable.Map.empty[String, Double]
     val retimed = scala.collection.mutable.Set.empty[String]
+    // Per-query provenance of the RECORDED number (r15 verdict #3 —
+    // the artifact must explain its own outliers): which phase
+    // produced it, how many evaluations the query got, and the
+    // engine-cache hit/miss delta of the recording evaluation (so a
+    // cold-fit number is visibly cold). Cache deltas from pooled
+    // warm-up evals can bleed across overlapping queries — warm-up
+    // numbers are placeholders; the sequential/retime phases, which
+    // produce the numbers that matter, measure their deltas cleanly.
+    final case class Prov(phase: String, attempts: Int,
+      cacheHits: Long, cacheMisses: Long)
+    val prov = scala.collection.mutable.Map.empty[String, Prov]
     val lock = new Object
-    def attempt(name: String, capSec: Double, isRetime: Boolean): Unit =
+    def attempt(name: String, capSec: Double, isRetime: Boolean,
+        phase: String): Unit =
       try {
         val wasCapped = lock.synchronized(cappedAt.contains(name))
+        val (h0, m0) = CacheStats.totals()
+        def recordProv(): Unit = {
+          val (h1, m1) = CacheStats.totals()
+          prov(name) = Prov(phase,
+            prov.get(name).map(_.attempts).getOrElse(0) + 1,
+            h1 - h0, m1 - m0)
+        }
+        def bumpAttempts(): Unit =
+          prov.get(name) match {
+            case Some(p) => prov(name) = p.copy(attempts = p.attempts + 1)
+            case None => prov(name) = Prov("none", 1, 0L, 0L)
+          }
         runCapped(name, capSec) match {
           case Right(sec) => lock.synchronized {
             if (isRetime) retimed += name
@@ -264,14 +288,17 @@ object Bench {
             // A capped prior time is a lower bound, not a measurement:
             // a clean run REPLACES it even when slower.
             if (wasCapped || (times.getOrElse(name, Double.MaxValue) > sec &&
-              times.getOrElse(name, 0.0) >= 0)) times(name) = sec
+              times.getOrElse(name, 0.0) >= 0)) {
+              times(name) = sec; recordProv()
+            } else bumpAttempts()
           }
           case Left(sec) =>
             System.err.println(f"[bench] $name CAPPED at $sec%.1f s")
             lock.synchronized {
               if (!times.contains(name)) {
                 times(name) = sec; cappedAt(name) = capSec
-              }
+                recordProv()
+              } else bumpAttempts()
             }
         }
       } catch {
@@ -327,12 +354,14 @@ object Bench {
           }
           else attempt(n,
             tierCap(n, if (heavy(n) || pipelineQ(n)) capMin else capMax),
-            isRetime = false)
+            isRetime = false, phase = "warmup")
       })
     }
     pool.shutdown()
     pool.awaitTermination(3600, java.util.concurrent.TimeUnit.SECONDS)
-    seqOnce.foreach(n => attempt(n, tierCap(n, capMax), isRetime = false))
+    seqOnce.foreach(n =>
+      attempt(n, tierCap(n, capMax), isRetime = false,
+        phase = "sequential"))
     val warmupWall = elapsed
     val warmupTimes = times.toMap
     def production(n: String): Boolean =
@@ -401,7 +430,7 @@ object Bench {
             // warm-up: bound it at retimeCap so one pathological cold
             // path cannot eat the rounds floor.
             else retimeCap),
-            isRetime = true)
+            isRetime = true, phase = s"round$r")
         else if (significant(name)) preempted = true
       if (!preempted) roundsCompleted = r
     }
@@ -428,7 +457,8 @@ object Bench {
     names.filterNot(times.contains).foreach { n =>
       if (elapsed < sweepEnd)
         attempt(n, math.min(tierCap(n, capMin),
-          math.max(2.0, sweepEnd - elapsed)), isRetime = false)
+          math.max(2.0, sweepEnd - elapsed)), isRetime = false,
+          phase = "sweep")
       else lock.synchronized {
         System.err.println(s"[bench] $n SWEEP-SKIPPED (out of budget)")
         times(n) = 0.0; cappedAt(n) = 0.0; sweepSkipped += n
@@ -477,7 +507,20 @@ object Bench {
     val runTs = java.time.Instant.now().toString
     val sweepSkippedJson = sweepSkipped.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"tier_totals":$tierTotalsJson,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"warmup_skipped":${skippedWarmup.size},"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"not_retimed":$notRetimedJson,"capped":$cappedJson,"sweep_skipped":$sweepSkippedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // Per-query provenance (r15 verdict #3): phase that produced the
+    // recorded number, evaluation count, and the recording eval's
+    // cache hit/miss delta — so an outlier explains itself (a
+    // retimed number with cache_misses > 0 paid a cold fit; a
+    // "warmup"-phase number was never retimed).
+    val provJson = names.sorted.map { n =>
+      val p = prov.getOrElse(n, Prov("none", 0, 0L, 0L))
+      s""""$n":{"phase":"${p.phase}","attempts":${p.attempts},""" +
+        s""""cache_hits":${p.cacheHits},"cache_misses":${p.cacheMisses}}"""
+    }.mkString("{", ",", "}")
+    val cacheStatsJson = CacheStats.snapshot().map { case (c, h, m) =>
+      s""""$c":{"hits":$h,"misses":$m}"""
+    }.mkString("{", ",", "}")
+    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"tier_totals":$tierTotalsJson,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"warmup_skipped":${skippedWarmup.size},"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"not_retimed":$notRetimedJson,"capped":$cappedJson,"sweep_skipped":$sweepSkippedJson,"provenance":$provJson,"cache_stats":$cacheStatsJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full line is ~4 KB at 64 queries and can start BEFORE the
     // driver's fixed-size tail window, leaving it a parse-proof
     // fragment (round-6 artifact: parsed=null despite the line being

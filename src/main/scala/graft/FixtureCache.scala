@@ -54,8 +54,12 @@ object FixtureCache {
     val sc = spark.sparkContext
     // Purge frames owned by stopped contexts (serial test sessions).
     cache.forEach((k, v) => if (v._1.isStopped) cache.remove(k))
-    cache.computeIfAbsent((sc.applicationId, sfDir, name),
-      _ => (sc, build.localCheckpoint(true)))._2
+    val key = (sc.applicationId, sfDir, name)
+    // Hit/miss provenance for the bench artifact (approximate under
+    // a concurrent first build — stats, not synchronization).
+    if (cache.containsKey(key)) CacheStats.hit(s"fixture:$name")
+    else CacheStats.miss(s"fixture:$name")
+    cache.computeIfAbsent(key, _ => (sc, build.localCheckpoint(true)))._2
   }
 
   /** Rebuild unconditionally and replace the cached entry. The

@@ -326,12 +326,16 @@ object Similarity {
         // Lock held across the fit: contending callers for the SAME
         // key would otherwise fit twice and leak a persisted copy.
         ivfIndexCache.synchronized {
-          Option(ivfIndexCache.get(cacheKey)).getOrElse {
-            val (a, c) = buildIvfIndex(corpus, idCol, vecCol, nlist,
-              seed, fitSampleCap)
-            val idx = (a.persist(), c)
-            ivfIndexCache.put(cacheKey, idx)
-            idx
+          Option(ivfIndexCache.get(cacheKey)) match {
+            case Some(idx) =>
+              graft.CacheStats.hit("ivf_index"); idx
+            case None =>
+              graft.CacheStats.miss("ivf_index")
+              val (a, c) = buildIvfIndex(corpus, idCol, vecCol, nlist,
+                seed, fitSampleCap)
+              val idx = (a.persist(), c)
+              ivfIndexCache.put(cacheKey, idx)
+              idx
           }
         }
       case None =>
@@ -800,7 +804,12 @@ object Similarity {
           val cb = fit()
           pqCodebookCache.put(ck, cb)
           cb
-        } else pqCodebookCache.computeIfAbsent(ck, _ => fit())
+        } else {
+          if (pqCodebookCache.containsKey(ck))
+            graft.CacheStats.hit("pq_codebook")
+          else graft.CacheStats.miss("pq_codebook")
+          pqCodebookCache.computeIfAbsent(ck, _ => fit())
+        }
       case None => fit()
     }
   }
