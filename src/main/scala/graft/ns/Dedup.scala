@@ -890,8 +890,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct (r16): a pair colliding in k bands
+      // appears k times with the SAME hamming, so the order is
+      // equivalence-preserving — but the dedup exchange then carries
+      // only QUALIFYING pairs, not every band collision (at sf1 the
+      // collision volume is ~78M rows vs thousands of qualifiers;
+      // the old order shuffled all of them through the distinct)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Incremental Hamming-banded near-dup: a NEW batch of signatures
@@ -915,8 +921,10 @@ object Dedup {
     n.join(s, Seq("band", "chunk"))
       .select(col("new_id"), col("store_id"),
         bit_count(col("sig_n").bitwiseXOR(col("sig_s"))).as("hamming"))
-      .distinct()
+      // filter before distinct — same equivalence-preserving
+      // reorder as the self-join form (r16)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Sub-document (segment-level) exact dedup with reassembly — the

@@ -368,13 +368,22 @@ object Similarity {
     // nlist centroids need ~1000·nlist points, not billions — then
     // assign the FULL corpus in the single transform pass below.
     val n = corpusF.count()
+    // PERSIST the fit set: MLlib's k-means makes one pass per
+    // iteration (plus the kmeans|| init passes) over its input, and
+    // an unpersisted fit set re-runs the parquet scan + HOF
+    // normalization + array_to_vector lineage on EVERY pass — at
+    // sf1 that lineage replay was 24-28 s of ns106's 51.6 s (r16
+    // probe: fit on persisted input 3.2 s, unpersisted 23-28 s).
+    // The fit set is capped (≤ fitSampleCap rows of d doubles), so
+    // the pin is bounded memory by construction; unpersisted after
+    // the fit.
     val fitSet =
-      if (n <= fitSampleCap) corpusF
-      else corpusF.sample(withReplacement = false,
-        fitSampleCap.toDouble / n, seed)
+      (if (n <= fitSampleCap) corpusF
+       else corpusF.sample(withReplacement = false,
+        fitSampleCap.toDouble / n, seed)).persist()
     val km = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(fitSet)
+    val model = try km.fit(fitSet) finally { fitSet.unpersist(): Unit }
     // The fit produces CENTROIDS ONLY; the corpus assignment runs
     // through [[assignWithIndex]] — the same deterministic literal
     // expression the incremental path uses — so "assign a new batch

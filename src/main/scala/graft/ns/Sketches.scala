@@ -189,13 +189,23 @@ object Sketches {
       .filter(length(col("__tok")) > 0)
     val seeds = explode(sequence(lit(0), lit(depth - 1))).as("seed")
     val names = groupCols.map(_.toString)
-    toks.select((names.map(col) :+ col("__tok") :+ seeds): _*)
+    // Count token OCCURRENCES first, hash DISTINCT tokens after
+    // (r16): a cell is a pure function of the token, so the md5 work
+    // is depth × |vocab per group|, not depth × |token stream| —
+    // at sf1 that is ~200× fewer digests for an identical sketch
+    // (integer counts sum the same either side of the hash). The
+    // first groupBy carries (group, token) rows with map-side
+    // combine; the second is the same bounded (group, seed, cell)
+    // exchange as before.
+    toks.groupBy((names.map(col) :+ col("__tok")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .select((names.map(col) :+ col("__tok") :+ col("__c") :+ seeds): _*)
       .withColumn("cell",
         conv(substring(md5(concat(col("__tok"), lit(":cms"),
           col("seed").cast("string"))), 1, 8), 16, 10)
           .cast("long") % width)
       .groupBy((names.map(col) :+ col("seed") :+ col("cell")): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__c")).as("cnt"))
       .withColumn("width", lit(width))
   }
 
