@@ -5650,6 +5650,45 @@ object SparkEntry {
             col("batch_id").cast("long").as("batch_id")), base)
     }),
 
+    // ---- §7.4.6 [NS] streaming TABLE MAINTENANCE (s25, r16) ----
+    // The close of the s24 story: a per-micro-batch commit stream
+    // leaves one small-file partition AND one manifest per batch —
+    // exactly the log/file growth the r15 verdict flagged. The
+    // maintenance pass a production table runs on a schedule:
+    // checkpoint the manifest log (one-read resolve), COMPACT every
+    // live partition copy-on-write (one file each, torn-read
+    // impossible), vacuum superseded manifests to the retention
+    // floor and unreferenced data dirs. The maintained table must
+    // read IDENTICALLY to the never-maintained s24 table — same
+    // oracle.
+    "s25_stream_table_maintenance" -> ((s, d) => {
+      val base = newScratchDir("graft_s25")
+      val srcDir = stageBatches(base,
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        Seq(pmod(col("doc_id"), lit(2)) === 0,
+          pmod(col("doc_id"), lit(2)) =!= 0))
+      val stream = EventStream.fileSource(s, srcDir.getPath,
+        s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
+      val root = s"${base.getPath}/table"
+      EventStream.startManifestSink(stream, root,
+        s"${base.getPath}/ckpt").awaitTermination()
+      val m = graft.ops.Manifest
+      val live = m.readManifest(s, root, m.currentVersion(s, root))
+        .select(col("partition")).collect().map(_.getString(0)).toSeq
+      m.commitCompact(s, root, "batch_id", live, "maint_compact"): Unit
+      // one checkpoint AFTER the compaction: the rolled log keeps
+      // every commit key (replay stays safe) while the per-batch
+      // manifests and the superseded small-file directories become
+      // droppable — time travel keeps the retention floor
+      m.checkpoint(s, root): Unit
+      m.vacuumManifests(s, root, keepLast = 1): Unit
+      m.vacuum(s, root): Unit
+      materializeAndDrop(
+        m.read(s, root, "batch_id")
+          .select(col("doc_id"), col("source"),
+            col("batch_id").cast("long").as("batch_id")), base)
+    }),
+
     "s22_stream_warc_images" -> ((s, d) => {
       val base = newScratchDir("graft_s22")
       val srcDir = stageBatches(base, imageWarcContainers(s),

@@ -296,6 +296,14 @@ private[graft] object StreamingOracles {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
         |    AS batch_id
         |FROM documents""".stripMargin,
+    // s25 (r16): table maintenance must be CONTENT-INVISIBLE — the
+    // checkpointed + compacted + vacuumed table reads exactly like
+    // the never-maintained s24 table.
+    "s25_stream_table_maintenance" ->
+      """SELECT doc_id, source,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS batch_id
+        |FROM documents""".stripMargin,
     "s23_stream_audio_bank" ->
       """WITH ids AS (SELECT unnest(range(0, 40)) AS k),
         |bits AS (

@@ -493,9 +493,11 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall { case (n, o) => n >= 1000L && o < 1000L })
   }
 
-  test("manifest sink (s24): each micro-batch is one atomic commit, " +
-      "fresh-checkpoint replay publishes NO new versions, and every " +
-      "per-batch snapshot time-travels (r15)") {
+  test("manifest sink (s24) + table maintenance (s25): each " +
+      "micro-batch is one atomic commit, fresh-checkpoint replay " +
+      "publishes NO new versions, per-batch snapshots time-travel, " +
+      "and maintenance (compact + checkpoint + vacuum) is " +
+      "content-invisible while dropping superseded files (r15/r16)") {
     val out = Files.createTempDirectory("graft_s24_law").toFile
     val srcDir = new java.io.File(out, "src")
     srcDir.mkdirs()
@@ -533,6 +535,29 @@ class StreamingSpec extends SparkSpec {
     assert(graft.ops.Manifest.listCommits(spark, root) ==
       Seq((1L, "batch_0"), (2L, "batch_1")))
     assert(snapAll(2L) == (0L until 20L).toSet)
+
+    // ---- s25 maintenance over the drained table (r16) ----
+    val m = graft.ops.Manifest
+    val before = m.read(spark, root, "batch_id")
+      .select("doc_id").as[Long].collect().toSet
+    m.commitCompact(spark, root, "batch_id", Seq("0", "1"),
+      "maint"): Unit
+    m.checkpoint(spark, root): Unit
+    assert(m.vacuumManifests(spark, root, keepLast = 1) == Seq(1L, 2L))
+    val droppedKeys = m.vacuum(spark, root)
+    // the superseded per-batch small-file dirs are gone...
+    assert(droppedKeys.map(_.replaceAll("__[0-9a-f]{8}$", "")).toSet ==
+      Set("batch_0", "batch_1"))
+    // ...content is invisible to maintenance, replay keys survive
+    // through the checkpointed log, and a re-drain still no-ops
+    assert(m.read(spark, root, "batch_id")
+      .select("doc_id").as[Long].collect().toSet == before)
+    assert(m.listCommits(spark, root) == Seq((1L, "batch_0"),
+      (2L, "batch_1"), (3L, "maint")))
+    drain("ckpt3")
+    assert(m.currentVersion(spark, root) == 3L)
+    // old versions are past the retention floor now
+    intercept[RuntimeException] { snapAll(1L) }
   }
 
   test("clickAttribution drained equals the batch range join") {
