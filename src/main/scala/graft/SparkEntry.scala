@@ -927,6 +927,26 @@ object SparkEntry {
             col("n_regionkey").cast("long").as("n_regionkey")), dir)
     }),
 
+    // Partition-grain incremental consumption (o24/o25, r16): a
+    // downstream job that synced at version N reads ONLY the
+    // partitions rewritten after N (o24 — partition pruning by
+    // construction: the scan path list IS the changed set) and the
+    // change FEED tells it which partitions were replaced/added/
+    // removed (o25). Over the shared o17–o19 history: since v1,
+    // partition 1 was replaced (v2) and partition 3 removed (v3).
+    "o24_incremental_read" -> ((s, d) => {
+      val root = snapshotDemoTable(s, d)
+      graft.ops.Manifest.readChangedSince(s, root, "n_regionkey", 1L)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
+    "o25_change_feed" -> ((s, d) => {
+      val root = snapshotDemoTable(s, d)
+      graft.ops.Manifest.changesSince(s, root, 1L)
+    }),
+
     // ---- §2.1 schema evolution across landed batches ----
     // Production tables GROW columns across runs; readers must take
     // the union schema and null-fill history. Fixture: an early batch
@@ -969,8 +989,15 @@ object SparkEntry {
       require(graft.ops.Manifest.writeEntriesAtomic(s, root, 1L,
         "init_frag",
         parts.map(graft.ops.Manifest.Entry(_, "init_frag", 1L))))
+      // the rewrite is ALSO a Z-order layout pass (r16): rows land
+      // sorted by the interleaved (doc_id, n_chars) key inside each
+      // compacted file — min/max row-group skipping on both
+      // dimensions, same commit, same content (the gate), file
+      // sortedness law in ManifestSpec
       graft.ops.Manifest.commitCompact(s, root, "pt", parts,
-        "compact_1")
+        "compact_1",
+        sortWithin = Seq(graft.ops.ZOrder.zValue(
+          col("doc_id"), col("n_chars"))))
       materializeAndDrop(
         graft.ops.Manifest.read(s, root, "pt")
           .select(col("doc_id"), col("text"), col("lang"),

@@ -327,6 +327,65 @@ object Manifest {
   def read(spark: SparkSession, root: String, pCol: String): DataFrame =
     readAt(spark, root, pCol, currentVersion(spark, root))
 
+  /** Partition-grain CHANGE FEED since `sinceVersion` — the
+    * incremental-consumer primitive (r16): a downstream job that
+    * synced at version N asks "which partitions must I reprocess,
+    * and which disappeared?" and pays for exactly those, never a
+    * full-table rescan. One row per changed partition:
+    * (partition, change ∈ replaced|added|removed, since_version —
+    * the version that last rewrote a live partition, NULL for
+    * removed). Requires the baseline version to still resolve
+    * (manifest file or checkpoint — consumers sync within the
+    * retention floor; past it this raises rather than guessing).
+    * Driver-sized output by construction (O(changed partitions)),
+    * returned as a DataFrame for joins against workload metadata. */
+  def changesSince(spark: SparkSession, root: String,
+      sinceVersion: Long): DataFrame = {
+    import spark.implicits._
+    val current = currentVersion(spark, root)
+    require(sinceVersion >= 1 && sinceVersion <= current,
+      s"changesSince: version $sinceVersion out of range 1..$current")
+    val base = readEntries(spark, root, sinceVersion)
+      .map(e => e.partition -> e.data_key).toMap
+    val now = readEntries(spark, root, current)
+    val changed = now.collect {
+      case e if !base.contains(e.partition) =>
+        (e.partition, "added", Some(e.since_version))
+      case e if base(e.partition) != e.data_key =>
+        (e.partition, "replaced", Some(e.since_version))
+    }
+    val removed = (base.keySet -- now.map(_.partition)).toSeq.sorted
+      .map(p => (p, "removed", None: Option[Long]))
+    (changed ++ removed).sortBy(r => (r._1, r._2))
+      .toDF("partition", "change", "since_version")
+  }
+
+  /** Rows of every live partition REWRITTEN after `sinceVersion` —
+    * the data half of [[changesSince]] (added + replaced; removed
+    * partitions have no rows, consumers take them from the feed).
+    * Needs only the CURRENT manifest (live entries carry
+    * since_version), so it works past the retention floor. The scan
+    * reads exactly the changed directories — partition pruning by
+    * construction, like [[readAt]]. */
+  def readChangedSince(spark: SparkSession, root: String, pCol: String,
+      sinceVersion: Long): DataFrame = {
+    val current = currentVersion(spark, root)
+    require(current >= 1, s"readChangedSince: empty table $root")
+    val entries = readEntries(spark, root, current)
+      .filter(_.since_version > sinceVersion)
+    // no rewrites since the sync point: an EMPTY frame with the
+    // current snapshot schema (an incremental run with no new work
+    // is normal, not an error)
+    if (entries.isEmpty)
+      return readAt(spark, root, pCol, current).limit(0)
+    entries.groupBy(_.data_key).toSeq.sortBy(_._1).map {
+      case (dataKey, es) =>
+        val base = s"$root/data/$dataKey"
+        spark.read.option("basePath", base)
+          .parquet(es.map(e => s"$base/$pCol=${e.partition}"): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Stage `df` under `data/<commitKey>__<nonce>/` — a directory no
     * other attempt (concurrent or replayed) ever writes — and return
     * (the staged data key, the touched partition values — a bounded
@@ -334,7 +393,9 @@ object Manifest {
     * harmless: the loser's directory is unreferenced garbage for
     * [[vacuum]], never an overwrite of published data (r15 ADVICE). */
   private def stage(df: DataFrame, root: String, pCol: String,
-      commitKey: String): (String, Seq[String]) = {
+      commitKey: String,
+      sortWithin: Seq[org.apache.spark.sql.Column] = Nil)
+      : (String, Seq[String]) = {
     onStageStart()
     val touched = df.select(col(pCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -344,7 +405,16 @@ object Manifest {
     val nonce = java.util.UUID.randomUUID().toString
       .replace("-", "").take(8)
     val dataKey = s"${commitKey}__$nonce"
-    df.repartition(col(pCol)).write.mode(SaveMode.Overwrite)
+    val arranged = df.repartition(col(pCol))
+    // optional within-file layout (the Z-order/compaction rewrite
+    // path): sort AFTER the partition shuffle so the order lands in
+    // the written files. The sort is PREFIXED with the partition
+    // column: FileFormatWriter requires tasks sorted by partition
+    // columns and would otherwise insert its own sort on pCol,
+    // discarding the requested layout.
+    val laid = if (sortWithin.isEmpty) arranged
+      else arranged.sortWithinPartitions(col(pCol) +: sortWithin: _*)
+    laid.write.mode(SaveMode.Overwrite)
       .partitionBy(pCol).parquet(s"$root/data/$dataKey")
     (dataKey, touched)
   }
@@ -550,15 +620,22 @@ object Manifest {
     * files. Partition-at-a-time granularity: each partition's
     * rewrite lands via one shuffle task, which is the right shape
     * for the SMALL fragmented partitions compaction targets — a
-    * partition too big for one task is not a compaction candidate. */
+    * partition too big for one task is not a compaction candidate.
+    * `sortWithin` optionally lays the rewritten files out in a
+    * chosen order — pass [[graft.ops.ZOrder.zValue]] to make the
+    * compaction ALSO a Z-order rewrite (min/max row-group skipping
+    * on the interleaved dimensions), inside the same
+    * torn-read-free commit. */
   def commitCompact(spark: SparkSession, root: String, pCol: String,
-      partitions: Seq[String], commitKey: String): Long = {
+      partitions: Seq[String], commitKey: String,
+      sortWithin: Seq[org.apache.spark.sql.Column] = Nil): Long = {
     require(partitions.nonEmpty, "commitCompact: no partitions named")
     import spark.implicits._
     commitReadModifyWrite(partitions.toDF(pCol), root, pCol, commitKey,
       (target, _) => target,
       // compacting absent partitions is a no-op, like deleting them
-      targetWhenNoneLive = _ => None)
+      targetWhenNoneLive = _ => None,
+      sortWithin = sortWithin)
   }
 
   /** Garbage-collect UNREFERENCED data directories (r15 — the
@@ -618,7 +695,8 @@ object Manifest {
       // no-op (None). Without this, a merge whose partitions were
       // ALL new silently dropped its rows and still reported a
       // version (r15 review finding #1).
-      targetWhenNoneLive: DataFrame => Option[DataFrame]): Long = {
+      targetWhenNoneLive: DataFrame => Option[DataFrame],
+      sortWithin: Seq[org.apache.spark.sql.Column] = Nil): Long = {
     require(KeyRe.pattern.matcher(commitKey).matches(),
       s"commit key '$commitKey' is not path-safe")
     val spark = request.sparkSession
@@ -663,7 +741,7 @@ object Manifest {
     // manifest (still listing surviving dirs is a bounded distinct)
     val (dataKey, surviving) =
       if (result.isEmpty) ("", Seq.empty[String])
-      else stage(result, root, pCol, commitKey)
+      else stage(result, root, pCol, commitKey, sortWithin)
     publish(spark, root, commitKey, { current =>
       // validation over EVERY touched partition: live-from-same-key
       // if read, still-ABSENT if it was absent at read time — a

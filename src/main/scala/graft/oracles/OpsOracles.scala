@@ -137,6 +137,22 @@ private[graft] object OpsOracles {
         |WHERE NOT EXISTS (SELECT 1 FROM delta d
         |  WHERE d.n_nationkey = t.n_nationkey
         |    AND d.n_regionkey = t.n_regionkey)""".stripMargin,
+    // o24: rows of partitions rewritten AFTER version 1 in the
+    // o17–o19 history — only region 1 (replaced at v2, names
+    // suffixed); the removed region 3 has no rows (it rides the o25
+    // feed), untouched regions never rescan.
+    "o24_incremental_read" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || '_v2' AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey = 1""".stripMargin,
+    // o25: the partition-grain change feed since version 1 —
+    // region 1 replaced at v2, region 3 removed (no live version).
+    "o25_change_feed" ->
+      """SELECT * FROM (VALUES
+        |  ('1', 'replaced', CAST(2 AS BIGINT)),
+        |  ('3', 'removed', CAST(NULL AS BIGINT)))
+        |AS m("partition", change, since_version)""".stripMargin,
     // o23: the post-checkpoint snapshot — init, region-1 names
     // suffixed, region 3 taken down, region-0 names re-suffixed by
     // the commit published OVER the checkpointed log.

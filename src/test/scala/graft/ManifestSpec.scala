@@ -546,6 +546,59 @@ class ManifestSpec extends SparkSpec {
       .toSet == Set("1.500000000", "2.123456789"))
   }
 
+  test("change feed + incremental read (r16): changesSince reports " +
+      "exactly the replaced/added/removed partitions; " +
+      "readChangedSince reads ONLY rewritten partitions' rows and " +
+      "returns an empty frame when nothing changed") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "init") // v1
+    Manifest.commitReplacePartitions(
+      Seq((1L, "alpha_v2", 10L), (7L, "eta", 40L))
+        .toDF("id", "name", "part"), root, "part", "fix") // v2: 10 repl, 40 added
+    Manifest.commitDelete(Seq((5L, 30L)).toDF("id", "part"),
+      root, Seq("id"), "part", "drop30") // v3: 30 emptied
+    val feed = Manifest.changesSince(spark, root, 1L)
+      .as[(String, String, Option[Long])].collect().toSet
+    assert(feed == Set(("10", "replaced", Some(2L)),
+      ("40", "added", Some(2L)), ("30", "removed", None)))
+    // data half: rows of rewritten live partitions only (10 and 40)
+    val rows = Manifest.readChangedSince(spark, root, "part", 1L)
+      .select(col("id"), col("part").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 10L), (7L, 40L)))
+    // sync point = current: empty feed, empty frame, schema intact
+    assert(Manifest.changesSince(spark, root, 3L).isEmpty)
+    val none = Manifest.readChangedSince(spark, root, "part", 3L)
+    assert(none.isEmpty && none.columns.contains("name"))
+  }
+
+  test("compaction with a Z-order layout (r16): rows inside each " +
+      "rewritten file are sorted by the interleaved key; content " +
+      "identical") {
+    val root = freshRoot()
+    val rows = (0L until 64L).map(i => (i, (i * 37) % 64, 10L))
+    rows.toDF("x", "y", "part").repartition(8)
+      .write.partitionBy("part").parquet(s"$root/data/frag")
+    assert(Manifest.writeEntriesAtomic(spark, root, 1L, "frag",
+      Seq(Manifest.Entry("10", "frag", 1L))))
+    Manifest.commitCompact(spark, root, "part", Seq("10"), "zrw",
+      sortWithin = Seq(graft.ops.ZOrder.zValue(col("x"), col("y"))))
+    val snap2 = Manifest.read(spark, root, "part")
+      .select(col("x"), col("y")).as[(Long, Long)].collect().toSet
+    assert(snap2 == rows.map(r => (r._1, r._2)).toSet)
+    // the single rewritten file holds rows in z order
+    val dataKey = Manifest.readManifest(spark, root, 2L)
+      .select("data_key").as[String].collect().head
+    val files = new java.io.File(s"$root/data/$dataKey/part=10")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    val inFile = spark.read.parquet(files.head.getPath)
+      .select(graft.ops.ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    assert(inFile.sameElements(inFile.sorted),
+      "rows in the rewritten file must be in z order")
+  }
+
   test("the manifest CAS refuses schemes without an atomic " +
       "no-overwrite primitive (r15 ADVICE): object stores fail fast " +
       "instead of running with a broken CAS") {
