@@ -304,7 +304,13 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          lock.synchronized { times(name) = -1.0 }
+          lock.synchronized {
+            times(name) = -1.0
+            // the -1 sentinel's provenance must say so, not carry a
+            // stale earlier recording (r16 review)
+            prov(name) = Prov("failed",
+              prov.get(name).map(_.attempts).getOrElse(0) + 1, 0L, 0L)
+          }
       }
     // Warm-up: heavy queries get a capMin warmth slice (their number
     // comes from the guaranteed-first retime); everything else runs

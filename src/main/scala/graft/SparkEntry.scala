@@ -788,8 +788,8 @@ object SparkEntry {
       val root = snapshotDemoTable(s, d)
       graft.ops.Manifest.readManifest(s, root, 3L)
         .select(col("partition"),
-          regexp_replace(col("data_key"), "__[0-9a-f]{8}$", "")
-            .as("data_key"),
+          regexp_replace(col("data_key"),
+            graft.ops.Manifest.NonceSuffixRe, "").as("data_key"),
           col("since_version"))
     }),
 

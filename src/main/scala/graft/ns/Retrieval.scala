@@ -302,7 +302,12 @@ object Retrieval {
             lit(" of "), col("__expect").cast("string"),
             lit(" ranked candidates — a trailing ranked id is missing"
               + " from docs"))).cast("long"))
-        .otherwise(coalesce(col("__tok"), lit(0L))))
+        // ONLY the sentinel (rn = 0) takes the 0-token fill; a real
+        // row's null __tok (null doc text) keeps propagating as null
+        // instead of silently costing nothing and reading as kept
+        // (r16 review)
+        .otherwise(when(col("rn") === 0L, lit(0L))
+          .otherwise(col("__tok"))))
       .drop("__tok", "__expect")
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       // the sentinel (rn = 0, 0 tokens) exits AFTER the window pass,

@@ -112,6 +112,16 @@ object Manifest {
   // LIVE entries of the snapshot at that version.
   private val CkptRe = "ckpt_v(\\d{8})\\.json".r
 
+  /** 8-hex per-attempt nonce; suffixed onto staging data keys and
+    * tmp manifest names so no two attempts ever share a path. */
+  private def newNonce(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** The nonce suffix as a regex — THE pattern for recovering commit
+    * identity from a physical data key (o19's gate, ownership laws).
+    * Lives next to the generator so the two cannot drift. */
+  private[graft] val NonceSuffixRe: String = "__[0-9a-f]{8}$"
+
   /** Auto-checkpoint cadence: after a successful publish of a version
     * divisible by this, the publisher rolls a checkpoint (best
     * effort — a failed checkpoint never fails the commit; the next
@@ -177,11 +187,26 @@ object Manifest {
   def readManifest(spark: SparkSession, root: String,
       version: Long): DataFrame = {
     import org.apache.spark.sql.types._
+    // same resolution order as readEntries (r16 review): a version
+    // whose manifest file was vacuumed but which a checkpoint covers
+    // still reads — the checkpoint's meta/history lines have
+    // partition = "" and are filtered like the manifest's own meta
+    val (filesystem, _) = fs(spark, root)
+    val path =
+      if (filesystem.exists(
+        new org.apache.hadoop.fs.Path(manifestPath(root, version))))
+        manifestPath(root, version)
+      else if (filesystem.exists(
+        new org.apache.hadoop.fs.Path(ckptPath(root, version))))
+        ckptPath(root, version)
+      else sys.error(s"manifest: version $version at $root was " +
+        "vacuumed past the retention floor (no manifest file, no " +
+        "checkpoint)")
     spark.read.schema(StructType(Seq(
         StructField("partition", StringType),
         StructField("data_key", StringType),
         StructField("since_version", LongType))))
-      .json(manifestPath(root, version))
+      .json(path)
       .filter(col("partition") =!= "")
   }
 
@@ -260,7 +285,12 @@ object Manifest {
     requireCasCapable(filesystem.getScheme)
     val dir = new org.apache.hadoop.fs.Path(rootPath, "manifests")
     filesystem.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_${key}_$version")
+    // per-ATTEMPT tmp name (r16 review): two attempts of the SAME
+    // commit key racing one version would otherwise share this path,
+    // and the loser's truncate-and-rewrite could tear the inode the
+    // winner just hard-linked as the published manifest
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"_tmp_${key}_${version}_${newNonce()}")
     val out = filesystem.create(tmp, true)
     // meta line first (partition = "" sentinel carrying the commit
     // key), then the live entries in canonical order
@@ -402,9 +432,7 @@ object Manifest {
     require(touched.nonEmpty, "commit: empty dataset")
     touched.foreach(p => require(PartRe.pattern.matcher(p).matches(),
       s"commit: partition value '$p' is not path/JSON-safe"))
-    val nonce = java.util.UUID.randomUUID().toString
-      .replace("-", "").take(8)
-    val dataKey = s"${commitKey}__$nonce"
+    val dataKey = s"${commitKey}__${newNonce()}"
     val arranged = df.repartition(col(pCol))
     // optional within-file layout (the Z-order/compaction rewrite
     // path): sort AFTER the partition shuffle so the order lands in
@@ -506,7 +534,7 @@ object Manifest {
     val dst = new org.apache.hadoop.fs.Path(ckptPath(root, version))
     if (filesystem.exists(dst)) return version
     val tmp = new org.apache.hadoop.fs.Path(
-      s"$root/manifests/_tmp_ckpt_$version")
+      s"$root/manifests/_tmp_ckpt_${version}_${newNonce()}")
     val out = filesystem.create(tmp, true)
     try out.write((history.map { case (v, k) => Entry("", k, v) } ++
         entries.sortBy(e => (e.partition, e.data_key)))
@@ -522,6 +550,12 @@ object Manifest {
       catch { case _: java.nio.file.FileAlreadyExistsException => }
     } else filesystem.rename(tmp, dst): Unit
     filesystem.delete(tmp, false): Unit
+    // a lost race against another checkpointer of the same version is
+    // benign (any consistent checkpoint at a version is valid), but a
+    // FAILED publish must not report success (r16 review: callers
+    // vacuum manifests on the strength of this return)
+    require(filesystem.exists(dst),
+      s"checkpoint: publish of ${dst} failed")
     version
   }
 
@@ -555,30 +589,37 @@ object Manifest {
     * [[ConcurrentCommitException]]; the caller replays the merge
     * against the new snapshot. */
   def commitMerge(delta: DataFrame, root: String, keyCols: Seq[String],
-      pCol: String, commitKey: String): Long =
+      pCol: String, commitKey: String,
+      evolveSchema: Boolean = false): Long =
     commitReadModifyWrite(delta, root, pCol, commitKey,
       (target, d) => {
         val matchKeys = keyCols :+ pCol
         require(matchKeys.forall(d.columns.contains) &&
             matchKeys.forall(target.columns.contains),
           "commitMerge: match keys must exist on both sides")
-        // Align BOTH sides to the union schema (r15 ADVICE: the old
-        // exact-column-set require broke merges on evolved tables
-        // even though snapshot reads succeeded). Shared columns take
-        // the delta's type (the caller's declared current schema —
-        // this is also where widening lands, e.g. an int delta over
-        // a long target casts up to the target read's union type via
-        // the final unionByName); one-sided columns null-fill: a
-        // delta-only column is schema GROWTH (history null-filled,
-        // the o21 semantics), a target-only column survives on kept
-        // rows and null-fills inserted/updated ones.
+        // Align the COLUMN SETS, never the types (r16 review: the
+        // first cut cast shared target columns DOWN to the delta's
+        // declared type, so an int-typed delta over a long-widened
+        // table wrapped kept rows' values — the union's own widening
+        // is the only safe coercion, and the anti-join coerces its
+        // key comparison to the wider side by itself). Evolved-table
+        // merges (r15 ADVICE) work both ways: a target-only column
+        // (old producer, evolved table) null-fills on delta rows; a
+        // DELTA-only column is schema GROWTH and needs
+        // `evolveSchema = true` — by default it throws, because the
+        // silent alternative turns a misspelled delta column into a
+        // junk table column plus a real column nulled on every
+        // merged row.
         val dOnly = d.columns.filterNot(target.columns.contains)
         val tOnly = target.columns.filterNot(d.columns.contains)
+        require(evolveSchema || dOnly.isEmpty,
+          s"commitMerge: delta columns ${dOnly.mkString(",")} are not " +
+            "in the target schema — pass evolveSchema = true to grow " +
+            "the schema (or fix the column name)")
         val alignedT = target.select(
-          (d.columns.filter(target.columns.contains).map(c =>
-            col(c).cast(d.schema(c).dataType).as(c)) ++
-            dOnly.map(c => lit(null).cast(d.schema(c).dataType).as(c)) ++
-            tOnly.map(col(_))): _*)
+          (target.columns.map(col(_)) ++
+            dOnly.map(c =>
+              lit(null).cast(d.schema(c).dataType).as(c))): _*)
         val alignedD = d.select(
           (d.columns.map(col(_)) ++
             tOnly.map(c =>

@@ -32,7 +32,7 @@ class ManifestSpec extends SparkSpec {
   /** Data keys are `<commitKey>__<8-hex attempt nonce>` (r16); laws
     * about commit OWNERSHIP compare the stripped key. */
   private def stripNonce(k: String): String =
-    k.replaceAll("__[0-9a-f]{8}$", "")
+    k.replaceAll(Manifest.NonceSuffixRe, "")
 
   test("init commit + readback; version increments per commit") {
     val root = freshRoot()
@@ -497,16 +497,48 @@ class ManifestSpec extends SparkSpec {
       rows.toString)
     assert(rows.contains((7L, "eta", None, 20L)))   // insert into legacy
     assert(rows.contains((3L, "gamma", None, 20L))) // kept legacy row
-    // and a delta carrying a NEW column grows the schema (the o21
-    // semantics through the merge path)
+    // a delta carrying a NEW column grows the schema ONLY with the
+    // explicit opt-in (r16 review: the silent default turned a
+    // misspelled delta column into a junk table column plus a real
+    // column nulled on every merged row)
+    val typo = intercept[IllegalArgumentException] {
+      Manifest.commitMerge(
+        Seq((5L, "epsilon_v2", 30L, 7L))
+          .toDF("id", "name", "part", "score"),
+        root, Seq("id"), "part", "merge_new_col")
+    }
+    assert(typo.getMessage.contains("evolveSchema"))
     Manifest.commitMerge(
       Seq((5L, "epsilon_v2", 30L, 7L)).toDF("id", "name", "part", "score"),
-      root, Seq("id"), "part", "merge_new_col")
+      root, Seq("id"), "part", "merge_new_col", evolveSchema = true)
     val withScore = Manifest.read(spark, root, "part")
       .select(col("id"), col("score"), col("part").cast("long"))
       .as[(Long, Option[Long], Long)].collect().toSet
     assert(withScore.contains((5L, Some(7L), 30L)))
     assert(withScore.contains((1L, None, 10L)))
+  }
+
+  test("commitMerge never NARROWS a widened table (r16 review): an " +
+      "int-typed delta over a long-widened column keeps kept rows' " +
+      "long values intact and the result stays long") {
+    val root = freshRoot()
+    import org.apache.spark.sql.types._
+    // table widened to long ids, with a value only a long can hold
+    Manifest.commitReplacePartitions(
+      Seq((5_000_000_000L, "big", 10), (7L, "small", 10))
+        .toDF("id", "name", "part"),
+      root, "part", "init_long")
+    // a lagging producer still emits int ids
+    val delta = Seq((7, "small_v2", 10)).toDF("id", "name", "part")
+    assert(delta.schema("id").dataType == IntegerType)
+    Manifest.commitMerge(delta, root, Seq("id"), "part", "narrow_delta")
+    val out = Manifest.read(spark, root, "part")
+    assert(out.schema("id").dataType == LongType, out.schema.simpleString)
+    val rows = out.select(col("id"), col("name"))
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((5_000_000_000L, "big"), (7L, "small_v2")),
+      "the kept long row must survive unwrapped and the int delta " +
+        "row must match its long target key")
   }
 
   test("type WIDENING through snapshots (r15 verdict #7): int → " +

@@ -546,7 +546,8 @@ class StreamingSpec extends SparkSpec {
     assert(m.vacuumManifests(spark, root, keepLast = 1) == Seq(1L, 2L))
     val droppedKeys = m.vacuum(spark, root)
     // the superseded per-batch small-file dirs are gone...
-    assert(droppedKeys.map(_.replaceAll("__[0-9a-f]{8}$", "")).toSet ==
+    assert(droppedKeys.map(
+      _.replaceAll(graft.ops.Manifest.NonceSuffixRe, "")).toSet ==
       Set("batch_0", "batch_1"))
     // ...content is invisible to maintenance, replay keys survive
     // through the checkpointed log, and a re-drain still no-ops
