@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static (Java-callable) kernel for [[PyToJson]] codegen: generated
@@ -636,6 +636,108 @@ object Int8DotKernel {
   }
 }
 
+/** Static kernel for [[VecDotExpr]]: the DOUBLE-precision dot
+  * product of two numeric arrays as one tight JVM loop, widening
+  * each element to double exactly like the HOF it replaces
+  * (`aggregate(zip_with(toD(a), toD(b), x·y), 0.0, +)` — a
+  * SEQUENTIAL left fold, so the kernel's ascending-index loop is the
+  * IDENTICAL IEEE operation sequence and every cosine hash gate
+  * stays bit-exact; law in NsSimilaritySpec). Exists because that
+  * HOF is the interpreted per-element-lambda cost class (the
+  * Int8Dot/TopGram/IvfAssign story) sitting in the hottest
+  * similarity path of all: LSH candidate verification evaluates one
+  * dot per CANDIDATE PAIR (r16 probe: ~40 s of ns07b's sf1 time).
+  * Element types are resolved ONCE at bind time (the `code`s), not
+  * per element. Null semantics mirror the HOF exactly: mismatched
+  * lengths (zip_with pads with null) and null elements both yield
+  * NULL. */
+object VecDotKernel {
+  // element accessor codes: 0 = double, 1 = float, 2 = int, 3 = long
+  def code(t: DataType): Int = t match {
+    case DoubleType => 0
+    case FloatType => 1
+    case IntegerType => 2
+    case LongType => 3
+    case other => throw new IllegalArgumentException(
+      s"vec_dot: unsupported element type $other")
+  }
+  private def get(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      i: Int, c: Int): Double = c match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getInt(i).toDouble
+    case _ => a.getLong(i).toDouble
+  }
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      ca: Int, cb: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(a, i, ca) * get(b, i, cb)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Catalyst-native double dot product over numeric arrays — the
+  * codegen'd twin of `Similarity.dot`'s sequential zip-fold. One
+  * static [[VecDotKernel]] call per pair keeps the LSH-verify /
+  * brute-force / IVF-probe scoring scans inside WholeStageCodegen. */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType | FloatType | IntegerType | LongType,
+        _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"vec_dot needs numeric arrays, got ${left.dataType} and " +
+          s"${right.dataType}")
+  }
+  private lazy val codeL = VecDotKernel.code(
+    left.dataType.asInstanceOf[ArrayType].elementType)
+  private lazy val codeR = VecDotKernel.code(
+    right.dataType.asInstanceOf[ArrayType].elementType)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDotKernel.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codeL, codeR)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh per instance: several vec_dots can share one codegen
+      // stage (cosine = three dots), and a fixed local would collide
+      val r = ctx.freshName("vecDotRes")
+      s"""
+      |java.lang.Double $r =
+      |  graft.functions.VecDotKernel.dot($a, $b, $codeL, $codeR);
+      |if ($r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = $r.doubleValue();
+      |}
+      |""".stripMargin
+    })
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Catalyst-native exact int8-code dot product: two `array<int>`
   * code vectors in, long sum of element products out. Codegen emits
   * one static [[Int8DotKernel]] call per pair so the |Q|·N MIPS
@@ -726,4 +828,10 @@ object functions {
     * the fused MIPS scoring kernel. */
   def int8_dot(a: Column, b: Column): Column =
     Shim.column(Int8DotExpr(Shim.expression(a), Shim.expression(b)))
+
+  /** Double dot product of two numeric arrays (float widened to
+    * double per element) — the fused similarity scoring kernel,
+    * bit-identical to the sequential zip-fold it replaces. */
+  def vec_dot(a: Column, b: Column): Column =
+    Shim.column(VecDotExpr(Shim.expression(a), Shim.expression(b)))
 }

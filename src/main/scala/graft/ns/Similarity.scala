@@ -74,10 +74,16 @@ object Similarity {
 
   private def toD(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Double-precision dot product, sequential fold over elements. */
+  /** Double-precision dot product — one codegen'd kernel call per
+    * pair ([[graft.functions.functions.vec_dot]]), bit-identical to
+    * the sequential `aggregate(zip_with(toD(a), toD(b), x·y))` fold
+    * it replaced (same ascending-index IEEE sequence, same
+    * null-on-mismatch/null-element semantics; kernel≡HOF law in
+    * NsSimilaritySpec). The HOF form evaluated an interpreted
+    * per-element lambda per candidate pair — ~40 s of ns07b's sf1
+    * wall before the swap (r16). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toD(a), toD(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.functions.vec_dot(a, b)
 
   /** Exact cosine similarity (double): dot / (‖a‖·‖b‖). */
   def cosine(a: Column, b: Column): Column =

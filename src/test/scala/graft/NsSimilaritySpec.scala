@@ -633,6 +633,65 @@ class NsSimilaritySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("VecDotExpr kernel ≡ interpreted zip-fold BIT-EXACTLY over " +
+      "real float vectors, unit double vectors, and the mismatch/" +
+      "null-element cases (r16 — the promotion law for the " +
+      "similarity hot path)") {
+    val emb = Tables(spark, sf, "embeddings").limit(300)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    // float × float: raw corpus vectors
+    val both = emb.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.functions.vec_dot(col("embedding"), col("qv"))
+          .as("kernel"),
+        aggregate(zip_with(
+          transform(col("embedding"), x => x.cast("double")),
+          transform(col("qv"), x => x.cast("double")),
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x).as("hof"))
+    // BIT-exact: compare the raw IEEE bits driver-side, not an epsilon
+    val rows = both.select(col("kernel"), col("hof")).collect()
+    val bad = rows.count { r =>
+      r.isNullAt(0) != r.isNullAt(1) || (!r.isNullAt(0) &&
+        java.lang.Double.doubleToRawLongBits(r.getDouble(0)) !=
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    assert(bad == 0, s"$bad pairs disagree bitwise between kernel and HOF")
+    // double × double through the public cosine (3 dots in one stage)
+    val c = emb.limit(20).crossJoin(broadcast(q))
+      .select(Similarity.cosine(col("embedding"), col("qv")).as("k"),
+        (aggregate(zip_with(
+          transform(col("embedding"), x => x.cast("double")),
+          transform(col("qv"), x => x.cast("double")),
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(zip_with(
+            transform(col("embedding"), x => x.cast("double")),
+            transform(col("embedding"), x => x.cast("double")),
+            (a, b) => a * b), lit(0.0), (acc, x) => acc + x)) *
+           sqrt(aggregate(zip_with(
+             transform(col("qv"), x => x.cast("double")),
+             transform(col("qv"), x => x.cast("double")),
+             (a, b) => a * b), lit(0.0), (acc, x) => acc + x))))
+          .as("h"))
+    val cosBad = c.collect().count { r =>
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) !=
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+    }
+    assert(cosBad == 0, s"$cosBad cosine rows disagree bitwise")
+    // mismatch and null element → NULL, like the zip_with twin
+    val edge = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.functions.vec_dot(col("a"), col("b")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(edge(1L).contains(11.0))
+    assert(edge(2L).isEmpty, "length mismatch must be NULL")
+    assert(edge(3L).isEmpty, "null element must be NULL")
+  }
+
   test("Int8DotExpr: dimension mismatch yields NULL, never a " +
       "truncated score (round-13 ADVICE — the zip_with twin's law)") {
     val df = Seq(
