@@ -156,9 +156,10 @@ object Similarity {
   private def lshBuckets(unit: DataFrame, idCol: String,
       planes: Array[Array[Double]], bucketLength: Double): DataFrame = {
     val buckets = array(planes.map { p =>
-      val planeLit = array(p.map(lit): _*)
-      floor(aggregate(zip_with(col("__u"), planeLit, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v) / bucketLength).cast("long")
+      // kernel dot (r16): same sequential fold, fused — the
+      // bucketing pays corpus × numHashTables dots
+      floor(dot(col("__u"), array(p.map(lit): _*)) / bucketLength)
+        .cast("long")
     }: _*)
     unit.select(col(idCol),
       posexplode(buckets).as(Seq("table", "bucket")))
@@ -190,11 +191,10 @@ object Similarity {
     // measured effective split factor per appended projection on
     // dense (central) buckets; only steers DEPTH selection
     val branching = 3.0
-    def proj(p: Array[Double]): Column = {
-      val planeLit = array(p.map(lit): _*)
-      floor(aggregate(zip_with(col("__u"), planeLit, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v) / bucketLength).cast("long")
-    }
+    def proj(p: Array[Double]): Column =
+      // kernel dot (r16): identical fold, fused
+      floor(dot(col("__u"), array(p.map(lit): _*)) / bucketLength)
+        .cast("long")
     val buckets = array(planes.map(proj): _*)
     val rb = array(refinePlanes.map(proj): _*)
     val base = unit.select(col(idCol), rb.as("__rb"),
