@@ -5092,21 +5092,24 @@ object SparkEntry {
           col("n_regionkey").cast("long").as("n_regionkey")), dir)
     }),
 
-    // ---- §7.4.6 streaming takedown, driver-gated (r10) ----
-    // The o16 delete as a CONTINUOUS pipeline: delete requests arrive
-    // as two micro-batches (customer keys < 40 of nation 1, then ALL
-    // of nation 3's customers), each applied by foreachBatch via
-    // MergeUpsert.delete against the customer store partitioned by
-    // nation. The drained store must equal one global anti-join over
-    // every request — which is the SQL oracle.
+    // ---- §7.4.6 streaming takedown, driver-gated (r10; v2 r17) ----
+    // The right-to-be-forgotten pipeline as a CONTINUOUS TRANSACTIONAL
+    // stream (r16 verdict #2): delete requests arrive as two
+    // micro-batches (customer keys < 40 of nation 1, then ALL of
+    // nation 3's customers), each applied as one atomic
+    // batch-id-keyed Manifest.commitDelete against the customer
+    // commit table partitioned by nation. The drained snapshot must
+    // equal one global anti-join over every request — the SQL oracle,
+    // unchanged from v1 (the transaction layer is content-invisible).
     "s09_stream_takedown" -> ((s, d) => {
       val base = newScratchDir("graft_s09")
-      val path = s"${base.getPath}/target"
+      val root = s"${base.getPath}/target"
       val cust = t(s, d, "customer")
         .select(col("c_custkey").cast("long").as("c_custkey"),
           col("c_name"),
           col("c_nationkey").cast("long").as("c_nationkey"))
-      graft.ops.MergeUpsert.init(cust, path, "c_nationkey")
+      graft.ops.Manifest.commitReplacePartitions(cust, root,
+        "c_nationkey", "init"): Unit
       val srcDir = new java.io.File(base, "src")
       srcDir.mkdirs()
       Seq(col("c_nationkey") === 1 && col("c_custkey") < 40,
@@ -5122,12 +5125,12 @@ object SparkEntry {
       }
       val stream = EventStream.fileSource(s, srcDir.getPath,
         s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
-      val q = EventStream.startTakedownStream(stream, path,
+      val q = EventStream.startTakedownStream(stream, root,
         s"${base.getPath}/ckpt", keyCols = Seq("c_custkey"),
         partitionCol = "c_nationkey")
       q.awaitTermination()
       materializeAndDrop(
-        s.read.parquet(path).select(
+        graft.ops.Manifest.read(s, root, "c_nationkey").select(
           col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
           col("c_nationkey").cast("long").as("c_nationkey")), base)
     }),
@@ -5422,12 +5425,16 @@ object SparkEntry {
     }),
 
     // ---- §7.4.6 streaming keyed upsert (CDC apply), driver-gated ----
-    // A "latest row per user" table maintained by startUpsertStream:
-    // target seeded from pre-cut1 history, then two time-split update
-    // files merged as separate micro-batches (maxFilesPerTrigger=1).
-    // Batches arrive in time order, so the final table must equal the
-    // global argmax-by-(ts, event_id) per user — the oracle computes
-    // exactly that over ALL events in one window.
+    // A "latest row per user" COMMIT TABLE maintained by
+    // startUpsertStream v2 (r16 verdict #2 — the CDC lane through the
+    // transaction layer): target seeded as an init commit, then two
+    // time-split update files merged as separate micro-batches
+    // (maxFilesPerTrigger=1), each landing as one atomic
+    // batch-id-keyed Manifest.commitMerge. Batches arrive in time
+    // order, so the final snapshot must equal the global
+    // argmax-by-(ts, event_id) per user — the oracle computes exactly
+    // that over ALL events in one window (unchanged from v1: the
+    // transaction layer must be content-invisible).
     "s07_stream_upsert" -> ((s, d) => {
       val base = newScratchDir("graft_s07")
       val cut1 = "2024-01-15 00:00:00"
@@ -5441,8 +5448,9 @@ object SparkEntry {
       val seed = ev.filter(col("ts") < lit(cut1))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-      val path = s"${base.getPath}/target"
-      graft.ops.MergeUpsert.init(seed, path, "part")
+      val root = s"${base.getPath}/target"
+      graft.ops.Manifest.commitReplacePartitions(seed, root, "part",
+        "init"): Unit
       val srcDir = new java.io.File(base, "src")
       srcDir.mkdirs()
       // Two flat, mtime-ordered batch files: the file source processes
@@ -5459,14 +5467,15 @@ object SparkEntry {
       }
       val stream = EventStream.fileSource(s, srcDir.getPath,
         s.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
-      val q = EventStream.startUpsertStream(stream, path,
+      val q = EventStream.startUpsertStream(stream, root,
         s"${base.getPath}/ckpt", keyCols = Seq("user_id"),
         versionCols = Seq("ts", "event_id"), partitionCol = "part")
       q.awaitTermination()
       materializeAndDrop(
-        s.read.parquet(path).select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"), col("event_type"),
-          col("value"), col("part").cast("long").as("part")), base)
+        graft.ops.Manifest.read(s, root, "part")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"),
+            col("value"), col("part").cast("long").as("part")), base)
     }),
 
     // ---- §7.4.6 streaming sketch maintenance, driver-gated ----
@@ -6194,11 +6203,19 @@ object SparkEntry {
         maxNullRate = Map("city" -> 0.0, "temp_c" -> 0.0),
         expectedRunHr = Some(pipelineRunHr),
         uniqueKey = Some(Seq("city_key"))))(_ => ())
-    graft.ops.Manifest.commitReplacePartitions(gold,
+    // p01 v3 (r16 verdict missing #2): the table commit is made
+    // visible by a RUN-LEVEL pin commit, and the read-back resolves
+    // through the pins — the cross-table atomic-publish path the
+    // full pipeline (Run.run) uses for weather+cocktails. Content
+    // is pin-layer-invisible, so the v2 oracle gates unchanged.
+    val wVersion = graft.ops.Manifest.commitReplacePartitions(gold,
       s"${base.getPath}/gold/weather", "run_hr",
-      s"weather_${pipelineRunHr}_a1"): Unit
+      s"weather_${pipelineRunHr}_a1")
+    graft.ops.Manifest.commitTablePins(s, s"${base.getPath}/gold",
+      Map("weather" -> wVersion), s"run_${pipelineRunHr}_a1"): Unit
     materializeAndDrop(
-      graft.ops.Manifest.read(s, s"${base.getPath}/gold/weather", "run_hr")
+      graft.ops.Manifest.readPinned(s, s"${base.getPath}/gold",
+        "weather", "run_hr")
         .select(col("city_key"), col("city"), col("country"),
           col("localtime_ts"), col("temp_c"), col("temp_f"), col("is_day"),
           col("condition_text"), col("condition_code"), col("humidity"),

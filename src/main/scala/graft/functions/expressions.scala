@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static (Java-callable) kernel for [[PyToJson]] codegen: generated
@@ -652,21 +652,38 @@ object Int8DotKernel {
   * lengths (zip_with pads with null) and null elements both yield
   * NULL. */
 object VecDotKernel {
-  // element accessor codes: 0 = double, 1 = float, 2 = int, 3 = long
+  // element accessor codes: 0 = double, 1 = float, 2 = int, 3 = long,
+  // 4 = short, 5 = byte; decimal(p, s) rides as 10000 + p*100 + s
+  // (r16 ADVICE #2: the HOF this kernel replaced accepted ANY
+  // castable numeric element — short/byte/decimal embeddings must
+  // keep computing, not fail analysis)
   def code(t: DataType): Int = t match {
     case DoubleType => 0
     case FloatType => 1
     case IntegerType => 2
     case LongType => 3
+    case ShortType => 4
+    case ByteType => 5
+    case d: DecimalType => 10000 + d.precision * 100 + d.scale
     case other => throw new IllegalArgumentException(
       s"vec_dot: unsupported element type $other")
+  }
+  def supported(t: DataType): Boolean = t match {
+    case DoubleType | FloatType | IntegerType | LongType | ShortType |
+      ByteType => true
+    case _: DecimalType => true
+    case _ => false
   }
   private def get(a: org.apache.spark.sql.catalyst.util.ArrayData,
       i: Int, c: Int): Double = c match {
     case 0 => a.getDouble(i)
     case 1 => a.getFloat(i).toDouble
     case 2 => a.getInt(i).toDouble
-    case _ => a.getLong(i).toDouble
+    case 3 => a.getLong(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case 5 => a.getByte(i).toDouble
+    case _ =>
+      a.getDecimal(i, (c - 10000) / 100, (c - 10000) % 100).toDouble
   }
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -696,8 +713,7 @@ case class VecDotExpr(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(DoubleType | FloatType | IntegerType | LongType,
-        _) => true
+      case ArrayType(t, _) => VecDotKernel.supported(t)
       case _ => false
     }
     if (ok(left) && ok(right))

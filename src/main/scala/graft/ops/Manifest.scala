@@ -362,9 +362,13 @@ object Manifest {
     * synced at version N asks "which partitions must I reprocess,
     * and which disappeared?" and pays for exactly those, never a
     * full-table rescan. One row per changed partition:
-    * (partition, change ∈ replaced|added|removed, since_version —
-    * the version that last rewrote a live partition, NULL for
-    * removed). Requires the baseline version to still resolve
+    * (partition, change ∈ replaced|added|removed|rewritten,
+    * since_version — the version that last LOGICALLY changed a live
+    * partition, NULL for removed). `rewritten` (r16 ADVICE #3) means
+    * the physical data key changed but the content's since_version
+    * predates the sync point — a layout-only rewrite (compaction,
+    * Z-ordering); consumers reprocess replaced/added, drop removed,
+    * and IGNORE rewritten. Requires the baseline version to still resolve
     * (manifest file or checkpoint — consumers sync within the
     * retention floor; past it this raises rather than guessing).
     * Driver-sized output by construction (O(changed partitions)),
@@ -382,7 +386,13 @@ object Manifest {
       case e if !base.contains(e.partition) =>
         (e.partition, "added", Some(e.since_version))
       case e if base(e.partition) != e.data_key =>
-        (e.partition, "replaced", Some(e.since_version))
+        // data key changed but the content's last logical change
+        // predates the sync point → a layout-only rewrite
+        // (compaction/Z-order carried since_version through)
+        (e.partition,
+          if (e.since_version <= sinceVersion) "rewritten"
+          else "replaced",
+          Some(e.since_version))
     }
     val removed = (base.keySet -- now.map(_.partition)).toSeq.sorted
       .map(p => (p, "removed", None: Option[Long]))
@@ -514,6 +524,68 @@ object Manifest {
     })
   }
 
+  // ---- Cross-table atomic publish (r16 verdict, missing #2) -------
+  //
+  // A pipeline run writing SEVERAL tables (p01: weather + cocktails
+  // gold for one run_hr) is per-table atomic but not per-RUN atomic:
+  // a reader between the two table commits sees new weather with old
+  // cocktails. The run-level fix is a second, tiny manifest log at a
+  // PARENT root whose entries pin (table → version): the pin commit
+  // is one CAS, so a reader that resolves tables through the pins
+  // sees every table of a run flip together — both-old or both-new,
+  // never mixed. Per-table logs stay the source of data truth (time
+  // travel, change feeds, maintenance all unchanged); the pin layer
+  // only adds the cross-table cut points. Readers that go straight
+  // to a table root opt out of the run-level guarantee by
+  // construction — route run-consistent reads through [[readPinned]].
+  //
+  // Crash between a table commit and the pin commit leaves readers on
+  // the old pins (invisible); the retry replays the table commits
+  // (same commit keys → short-circuit) and publishes the pins.
+
+  /** Atomically pin `pins` (table name → committed version) at the
+    * parent `root`, replacing those tables' previous pins and keeping
+    * every other table's. One manifest commit = one CAS = the
+    * cross-table atomicity point. Table names ride in the entry's
+    * partition field; versions in the data_key as `v<version>`. */
+  def commitTablePins(spark: SparkSession, root: String,
+      pins: Map[String, Long], commitKey: String): Long = {
+    require(pins.nonEmpty, "commitTablePins: no pins")
+    require(KeyRe.pattern.matcher(commitKey).matches(),
+      s"commit key '$commitKey' is not path-safe")
+    pins.keys.foreach(t =>
+      require(PartRe.pattern.matcher(t).matches(),
+        s"commitTablePins: table name '$t' is not path/JSON-safe"))
+    publish(spark, root, commitKey, { current =>
+      current.filterNot(e => pins.contains(e.partition)) ++
+        pins.toSeq.sortBy(_._1).map { case (t, v) =>
+          Entry(t, s"v$v", -1L)
+        }
+    })
+  }
+
+  /** The current (table → pinned version) map at a pin root; empty
+    * when no pin commit has published yet. */
+  def tablePins(spark: SparkSession, root: String): Map[String, Long] = {
+    val v = currentVersion(spark, root)
+    if (v == 0) Map.empty
+    else readEntries(spark, root, v).map(e =>
+      e.partition -> e.data_key.stripPrefix("v").toLong).toMap
+  }
+
+  /** Run-consistent snapshot read: resolve `table`'s pinned version
+    * at the parent `root`, then read the per-table snapshot AT that
+    * version. Two tables read through the same pin root always come
+    * from the same run-level cut. */
+  def readPinned(spark: SparkSession, root: String, table: String,
+      pCol: String): DataFrame = {
+    val pins = tablePins(spark, root)
+    val v = pins.getOrElse(table, sys.error(
+      s"readPinned: no pin for table '$table' at $root " +
+        s"(pinned: ${pins.keys.toSeq.sorted.mkString(",")})"))
+    readAt(spark, s"$root/$table", pCol, v)
+  }
+
   /** Roll the manifest log into ONE checkpoint file at the current
     * version: the full (version, commitKey) history plus the live
     * entries of that snapshot. Idempotent (an existing checkpoint at
@@ -587,10 +659,23 @@ object Manifest {
     * live from the same data keys (read-modify-write validation). A
     * concurrent commit to a read partition raises
     * [[ConcurrentCommitException]]; the caller replays the merge
-    * against the new snapshot. */
+    * against the new snapshot.
+    *
+    * '''Matched rows are replaced WHOLESALE''' (r16 ADVICE #1): the
+    * delta row wins column-by-column over the entire row, so on an
+    * EVOLVED table a delta missing a target-only column NULLS that
+    * column on every row it matches — an old producer's routine
+    * upsert erases evolved-column data. This differs from
+    * column-wise MERGE `updateAll` semantics (Delta preserves
+    * target-only column values on updates). Pass
+    * `preserveTargetColumns = true` for the Delta-like behavior:
+    * matched rows keep their target-only column values (coalesced
+    * from the current snapshot); delta-carried columns still win
+    * wholesale. */
   def commitMerge(delta: DataFrame, root: String, keyCols: Seq[String],
       pCol: String, commitKey: String,
-      evolveSchema: Boolean = false): Long =
+      evolveSchema: Boolean = false,
+      preserveTargetColumns: Boolean = false): Long =
     commitReadModifyWrite(delta, root, pCol, commitKey,
       (target, d) => {
         val matchKeys = keyCols :+ pCol
@@ -620,10 +705,19 @@ object Manifest {
           (target.columns.map(col(_)) ++
             dOnly.map(c =>
               lit(null).cast(d.schema(c).dataType).as(c))): _*)
-        val alignedD = d.select(
-          (d.columns.map(col(_)) ++
-            tOnly.map(c =>
-              lit(null).cast(target.schema(c).dataType).as(c))): _*)
+        val alignedD =
+          if (preserveTargetColumns && tOnly.nonEmpty) {
+            // updateAll-style: matched rows keep their target-only
+            // column values — one extra key+tOnly projection join
+            // against the already-read target, no second scan
+            val tSlim = target.select(
+              (matchKeys.map(col(_)) ++ tOnly.map(col(_))): _*)
+            d.join(tSlim, matchKeys, "left")
+              .select((d.columns.map(col(_)) ++ tOnly.map(col(_))): _*)
+          } else d.select(
+            (d.columns.map(col(_)) ++
+              tOnly.map(c =>
+                lit(null).cast(target.schema(c).dataType).as(c))): _*)
         alignedD.unionByName(
           alignedT.join(alignedD.select(matchKeys.map(col): _*),
             matchKeys, "left_anti"))
@@ -666,7 +760,14 @@ object Manifest {
     * chosen order — pass [[graft.ops.ZOrder.zValue]] to make the
     * compaction ALSO a Z-order rewrite (min/max row-group skipping
     * on the interleaved dimensions), inside the same
-    * torn-read-free commit. */
+    * torn-read-free commit.
+    *
+    * Identity rewrites carry each partition's ORIGINAL since_version
+    * forward (r16 ADVICE #3): the content is unchanged, so
+    * [[changesSince]] reports the partition as `rewritten` (not
+    * `replaced`) and [[readChangedSince]] skips it entirely — an
+    * incremental consumer pays NOTHING for whole-table maintenance
+    * (the s25 pattern) instead of a full-table reprocess. */
   def commitCompact(spark: SparkSession, root: String, pCol: String,
       partitions: Seq[String], commitKey: String,
       sortWithin: Seq[org.apache.spark.sql.Column] = Nil): Long = {
@@ -676,7 +777,8 @@ object Manifest {
       (target, _) => target,
       // compacting absent partitions is a no-op, like deleting them
       targetWhenNoneLive = _ => None,
-      sortWithin = sortWithin)
+      sortWithin = sortWithin,
+      preserveSince = true)
   }
 
   /** Garbage-collect UNREFERENCED data directories (r15 — the
@@ -737,7 +839,12 @@ object Manifest {
       // ALL new silently dropped its rows and still reported a
       // version (r15 review finding #1).
       targetWhenNoneLive: DataFrame => Option[DataFrame],
-      sortWithin: Seq[org.apache.spark.sql.Column] = Nil): Long = {
+      sortWithin: Seq[org.apache.spark.sql.Column] = Nil,
+      // layout-only rewrites (compaction, Z-ordering) carry each
+      // surviving partition's ORIGINAL since_version forward (r16
+      // ADVICE #3): the content did not change, so the change feed
+      // must not tell incremental consumers to reprocess it
+      preserveSince: Boolean = false): Long = {
     require(KeyRe.pattern.matcher(commitKey).matches(),
       s"commit key '$commitKey' is not path-safe")
     val spark = request.sparkSession
@@ -748,26 +855,33 @@ object Manifest {
     val touched = request.select(col(pCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return currentVersion(spark, root)
+    // An EMPTY table (version 0) reads as "every touched partition is
+    // absent": a merge degrades to a pure insert, a delete to a no-op
+    // (r17 — the streaming CDC sinks' first micro-batch lands on a
+    // table nothing has seeded yet). The publish-time validation
+    // still holds: every touched partition must be ABSENT at publish,
+    // so a concurrent seeder is a conflict, not a silent double-list.
     val baseVersion = currentVersion(spark, root)
-    require(baseVersion > 0, s"read-modify-write on empty table $root")
-    val baseEntries = readEntries(spark, root, baseVersion)
+    val baseEntries =
+      if (baseVersion == 0) Seq.empty[Entry]
+      else readEntries(spark, root, baseVersion)
     // the READ SET this commit depends on: (partition -> data_key)
     // for every touched partition that is live; touched partitions
     // ABSENT at read time are part of the dependency too (validated
     // still-absent at publish)
     val readSet = baseEntries
       .filter(e => touched.contains(e.partition))
-      .map(e => e.partition -> e.data_key).toMap
+      .map(e => e.partition -> e).toMap
     val target =
       if (readSet.isEmpty) targetWhenNoneLive(request) match {
         case Some(t) => t
         case None => return baseVersion // nothing to modify
       }
-      else readSet.groupBy(_._2).toSeq.sortBy(_._1).map {
+      else readSet.toSeq.groupBy(_._2.data_key).toSeq.sortBy(_._1).map {
         case (dataKey, ps) =>
           val base = s"$root/data/$dataKey"
           spark.read.option("basePath", base)
-            .parquet(ps.keys.toSeq.sorted
+            .parquet(ps.map(_._1).sorted
               .map(p => s"$base/$pCol=$p"): _*)
       // allowMissingColumns (r15 ADVICE): touched partitions may span
       // pre- and post-evolution data keys — read-modify-write must
@@ -793,14 +907,18 @@ object Manifest {
       // partition)
       val liveNow = current.map(e => e.partition -> e.data_key).toMap
       touched.foreach { p =>
-        if (liveNow.get(p) != readSet.get(p))
+        if (liveNow.get(p) != readSet.get(p).map(_.data_key))
           throw new ConcurrentCommitException(
             s"commit $commitKey: partition $p changed " +
-              s"(read ${readSet.get(p)}, now ${liveNow.get(p)}) — " +
+              s"(read ${readSet.get(p).map(_.data_key)}, " +
+              s"now ${liveNow.get(p)}) — " +
               "replay against the current snapshot")
       }
       current.filterNot(e => touched.contains(e.partition)) ++
-        surviving.map(Entry(_, dataKey, -1L))
+        surviving.map(p => Entry(p, dataKey,
+          if (preserveSince)
+            readSet.get(p).map(_.since_version).getOrElse(-1L)
+          else -1L))
     })
   }
 }

@@ -223,16 +223,17 @@ object Run {
       maxNullRate = Map("location" -> 0.0, "current" -> 0.0),
       expectedRunHr = Some(runHr),
       uniqueKey = Some(Seq("location.name"))))(dqSink)
-    Manifest.commitReplacePartitions(wGold,
+    val wVersion = Manifest.commitReplacePartitions(wGold,
       s"${cfg.goldDir}/weather", "run_hr",
-      s"weather_${runHr}_${cfg.attempt}"): Unit
+      s"weather_${runHr}_${cfg.attempt}")
 
     // C3: the second (flat/Snowflake-analogue) sink is skippable.
-    if (!cfg.skipSecondSink)
-      Manifest.commitReplacePartitions(
+    val wfVersion =
+      if (cfg.skipSecondSink) None
+      else Some(Manifest.commitReplacePartitions(
         withAuditCols(weatherGoldFlat(wStage), runHr),
         s"${cfg.goldDir}/weather_flat", "run_hr",
-        s"weather_flat_${runHr}_${cfg.attempt}"): Unit
+        s"weather_flat_${runHr}_${cfg.attempt}"))
 
     // Cocktails: staged read → explode+rename gold → gate → O10.
     val cStage = JsonIngest.readStaged(spark, s"$cocktailsBronze/*.json",
@@ -244,15 +245,35 @@ object Run {
       maxNullRate = Map("id_drink" -> 0.0, "drink" -> 0.0),
       expectedRunHr = Some(runHr),
       uniqueKey = Some(Seq("id_drink"))))(dqSink)
-    Manifest.commitReplacePartitions(cGold,
+    val cVersion = Manifest.commitReplacePartitions(cGold,
       s"${cfg.goldDir}/cocktails", "run_hr",
-      s"cocktails_${runHr}_${cfg.attempt}"): Unit
+      s"cocktails_${runHr}_${cfg.attempt}"): Long
 
-    val wRows = Manifest.read(spark, s"${cfg.goldDir}/weather", "run_hr")
+    // Run-level atomicity (p01 v3, r16 verdict missing #2): the
+    // per-table commits above are invisible to PIN-ROUTED readers
+    // until this ONE pin commit flips every gold table of the run
+    // together — a reader between the weather and cocktails commits
+    // can no longer see a mixed run_hr. Same-attempt replays
+    // short-circuit at both layers (table commits return their
+    // existing versions; the pin commit's key is already logged).
+    Manifest.commitTablePins(spark, cfg.goldDir,
+      Map("weather" -> wVersion, "cocktails" -> cVersion) ++
+        wfVersion.map("weather_flat" -> _),
+      s"run_${runHr}_${cfg.attempt}"): Unit
+
+    val wRows = readGold(spark, cfg, "weather")
       .filter(col("run_hr") === runHr).count()
-    val cRows = Manifest.read(spark, s"${cfg.goldDir}/cocktails", "run_hr")
+    val cRows = readGold(spark, cfg, "cocktails")
       .filter(col("run_hr") === runHr).count()
     RunReport(runHr, wRows, cRows, dqAllPassed = true,
       secondSinkWritten = !cfg.skipSecondSink)
   }
+
+  /** The run-consistent gold reader: resolves `entity` through the
+    * run-level pins, so two entities read in one job come from the
+    * same run cut — both-old or both-new during a publish, never
+    * mixed (the racing-reader law in PipelineSpec). */
+  def readGold(spark: SparkSession, cfg: PipelineConfig,
+      entity: String): DataFrame =
+    Manifest.readPinned(spark, cfg.goldDir, entity, "run_hr")
 }

@@ -518,6 +518,32 @@ class ManifestSpec extends SparkSpec {
     assert(withScore.contains((1L, None, 10L)))
   }
 
+  test("commitMerge preserveTargetColumns (r16 ADVICE #1): an old " +
+      "producer's delta without the evolved column keeps matched " +
+      "rows' values (updateAll semantics) instead of nulling them") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(
+      Seq((1L, "alpha", 10L, "keep_me"), (2L, "beta", 10L, "mine"),
+        (3L, "gamma", 20L, "hers"))
+        .toDF("id", "name", "part", "tag"), root, "part", "init")
+    // delta WITHOUT `tag`: update id=1, insert id=7
+    Manifest.commitMerge(
+      Seq((1L, "alpha_m", 10L), (7L, "eta", 20L))
+        .toDF("id", "name", "part"),
+      root, Seq("id"), "part", "old_producer",
+      preserveTargetColumns = true)
+    val rows = Manifest.read(spark, root, "part")
+      .select(col("id"), col("name"), col("tag"),
+        col("part").cast("long"))
+      .as[(Long, String, Option[String], Long)].collect().toSet
+    assert(rows == Set(
+      (1L, "alpha_m", Some("keep_me"), 10L), // updated, tag PRESERVED
+      (2L, "beta", Some("mine"), 10L),       // untouched
+      (3L, "gamma", Some("hers"), 20L),      // untouched
+      (7L, "eta", None, 20L)),               // true insert: no value
+      rows.toString)
+  }
+
   test("commitMerge never NARROWS a widened table (r16 review): an " +
       "int-typed delta over a long-widened column keeps kept rows' " +
       "long values intact and the result stays long") {
@@ -602,6 +628,41 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.changesSince(spark, root, 3L).isEmpty)
     val none = Manifest.readChangedSince(spark, root, "part", 3L)
     assert(none.isEmpty && none.columns.contains("name"))
+  }
+
+  test("layout-only rewrites are change-feed-invisible (r16 ADVICE " +
+      "#3): after whole-table compaction, changesSince reports " +
+      "'rewritten' (not 'replaced') and readChangedSince reads " +
+      "NOTHING — an incremental consumer pays zero for maintenance") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "init") // v1
+    Manifest.commitReplacePartitions(
+      Seq((1L, "alpha_v2", 10L)).toDF("id", "name", "part"),
+      root, "part", "fix10") // v2
+    // consumer syncs at v2, then whole-table maintenance runs
+    Manifest.commitCompact(spark, root, "part",
+      Seq("10", "20", "30"), "maint") // v3: identity rewrite
+    val feed = Manifest.changesSince(spark, root, 2L)
+      .as[(String, String, Option[Long])].collect().toSet
+    assert(feed == Set(("10", "rewritten", Some(2L)),
+      ("20", "rewritten", Some(1L)), ("30", "rewritten", Some(1L))),
+      s"got $feed")
+    assert(Manifest.readChangedSince(spark, root, "part", 2L).isEmpty,
+      "layout-only rewrites must not be re-read")
+    // but a consumer synced BEFORE the last logical change still
+    // sees partition 10 as replaced (content DID change at v2)
+    val old = Manifest.changesSince(spark, root, 1L)
+      .as[(String, String, Option[Long])].collect().toSet
+    assert(old == Set(("10", "replaced", Some(2L)),
+      ("20", "rewritten", Some(1L)), ("30", "rewritten", Some(1L))))
+    assert(Manifest.readChangedSince(spark, root, "part", 1L)
+      .select(col("part").cast("long")).as[Long].collect().toSet ==
+      Set(10L))
+    // content identical through it all (fix10 replaced partition 10
+    // wholesale: alpha and beta gave way to alpha_v2)
+    assert(Manifest.read(spark, root, "part")
+      .select(col("name")).as[String].collect().toSet ==
+      Set("alpha_v2", "gamma", "delta", "epsilon"))
   }
 
   test("compaction with a Z-order layout (r16): rows inside each " +

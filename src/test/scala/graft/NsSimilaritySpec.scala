@@ -690,6 +690,22 @@ class NsSimilaritySpec extends SparkSpec {
     assert(edge(1L).contains(11.0))
     assert(edge(2L).isEmpty, "length mismatch must be NULL")
     assert(edge(3L).isEmpty, "null element must be NULL")
+    // every castable numeric element type the HOF accepted keeps
+    // computing (r16 ADVICE #2): short, byte, and decimal arrays
+    // must not fail analysis, and must match the cast-to-double fold
+    val mixed = Seq((1L, Seq(1, -2, 3), Seq(10, 20, 30)))
+      .toDF("id", "ai", "bi")
+      .select(col("id"),
+        col("ai").cast("array<smallint>").as("as"),
+        col("bi").cast("array<tinyint>").as("bb"),
+        col("ai").cast("array<decimal(10,2)>").as("ad"),
+        col("bi").cast("array<double>").as("bd"))
+    val m = mixed.select(
+      graft.functions.functions.vec_dot(col("as"), col("bb")).as("sb"),
+      graft.functions.functions.vec_dot(col("ad"), col("bd")).as("dd"))
+      .as[(Double, Double)].collect().head
+    assert(m._1 == (1 * 10 + -2 * 20 + 3 * 30).toDouble)
+    assert(m._2 == (1.0 * 10 + -2.0 * 20 + 3.0 * 30))
   }
 
   test("Int8DotExpr: dimension mismatch yields NULL, never a " +

@@ -188,6 +188,52 @@ class PipelineSpec extends SparkSpec {
       "both hours must flip together")
   }
 
+  test("cross-table atomic publish (p01 v3, r17): a PIN-ROUTED " +
+      "reader during a backfill run sees weather and cocktails gold " +
+      "both-old or both-new, never a mixed run") {
+    val cfg = freshDirs()
+    landBronze(cfg, runHr)
+    Run.run(spark, cfg, runHr)
+    // one run-level cut: both entities through the pin root
+    def cut(): (Set[Double], Set[Long]) = (
+      Run.readGold(spark, cfg, "weather")
+        .select(col("current.temp_c").cast("double"))
+        .as[Double].collect().toSet,
+      Run.readGold(spark, cfg, "cocktails")
+        .select(col("id_drink").cast("long"))
+        .as[Long].collect().toSet)
+    val before = cut()
+    assert(before._1 == Set(20.0, 21.0, 22.0, 23.0, 24.0))
+    assert(before._2 == Set(11470L, 11471L, 11472L))
+    // bronze revised for BOTH entities; a NEW attempt backfills the
+    // hour. The per-table commits land one after another — the
+    // window the pin layer exists to close.
+    Run.writeRawText(spark, s"${cfg.bronzeDir}/weather/run_hr=$runHr",
+      Run.topCities(spark).as[String].collect().toSeq.zipWithIndex.map {
+        case (c, i) => (c.toLowerCase.replace(" ", "_") + ".json",
+          weatherDoc(c, 90.0 + i, i % 2, pyRepr = false))
+      })
+    Run.writeRawText(spark, s"${cfg.bronzeDir}/cocktails/run_hr=$runHr",
+      Seq(("cocktails.json", cocktailsDoc(Seq(20001, 20002)))))
+    val observed =
+      scala.collection.mutable.ArrayBuffer.empty[(Set[Double], Set[Long])]
+    // the seam fires inside EVERY publish attempt of the run — after
+    // the weather table commit but before cocktails is exactly the
+    // torn window a non-pinned reader would see mixed
+    Manifest.onPublishAttempt = () => observed += cut()
+    try Run.run(spark, cfg.copy(attempt = "a2"), runHr)
+    finally Manifest.onPublishAttempt = () => ()
+    val after = cut()
+    assert(after._1 == Set(90.0, 91.0, 92.0, 93.0, 94.0))
+    assert(after._2 == Set(20001L, 20002L))
+    assert(observed.nonEmpty && observed.forall(o =>
+      o == before || o == after),
+      s"a pin-routed reader saw a MIXED run cut: " +
+        observed.filterNot(o => o == before || o == after).headOption)
+    // and the mid-run observations (pre-pin-commit) saw the old run
+    assert(observed.contains(before))
+  }
+
   test("C3: skipSecondSink suppresses exactly the flat sink") {
     val cfg = freshDirs().copy(skipSecondSink = true)
     landBronze(cfg, runHr)

@@ -251,15 +251,17 @@ class StreamingSpec extends SparkSpec {
   // operator-level twin): the drained watermarked inner join must
   // equal graft.ops.TemporalJoin.rangeJoin over the same fixture.
   test("startUpsertStream: within-batch disorder resolved by version, " +
-      "cross-batch last-writer wins, replayed batch is a no-op") {
-    import graft.ops.MergeUpsert
+      "cross-batch last-writer wins, replayed batches publish NO new " +
+      "versions (commit-layer replay law, r17)") {
+    import graft.ops.Manifest
     val base = java.nio.file.Files
       .createTempDirectory("graft_upsert_spec").toString
-    val path = s"$base/t"
-    // part is a pure function of the key (stable-partition contract)
-    MergeUpsert.init(
+    val root = s"$base/t"
+    // part is a pure function of the key (stable-partition contract);
+    // the target is seeded as an init COMMIT (v1)
+    Manifest.commitReplacePartitions(
       Seq((1L, 10L, "a", 10L), (2L, 10L, "b", 10L), (3L, 20L, "c", 1L))
-        .toDF("uid", "ver", "payload", "part"), path, "part")
+        .toDF("uid", "ver", "payload", "part"), root, "part", "init")
     // Batch file with WITHIN-batch disorder: uid=1 arrives ver 30
     // then ver 20 — the sink must keep ver 30. uid=4 is an insert.
     val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
@@ -278,23 +280,152 @@ class StreamingSpec extends SparkSpec {
     def drain(ckpt: String): Unit = {
       val stream = EventStream.fileSource(spark, srcDir.getPath,
         spark.read.parquet(srcDir.getPath).schema, maxFilesPerTrigger = 1)
-      val q = EventStream.startUpsertStream(stream, path, ckpt,
+      val q = EventStream.startUpsertStream(stream, root, ckpt,
         keyCols = Seq("uid"), versionCols = Seq("ver"),
         partitionCol = "part")
       q.awaitTermination()
     }
     drain(s"$base/ckpt")
     def table(): Set[(Long, Long, String, Long)] =
-      spark.read.parquet(path)
+      Manifest.read(spark, root, "part")
         .select($"uid", $"ver", $"payload", $"part".cast("long"))
         .as[(Long, Long, String, Long)].collect().toSet
     val want = Set((1L, 30L, "a3", 10L), (2L, 40L, "b4", 10L),
       (3L, 20L, "c", 1L), (4L, 5L, "d", 20L))
     assert(table() == want)
-    // Replaying the SAME files through a fresh checkpoint re-merges
-    // both batches; the idempotency law keeps the table unchanged.
+    // init + two batch merges
+    val versionAfter = Manifest.currentVersion(spark, root)
+    assert(versionAfter == 3L)
+    assert(Manifest.listCommits(spark, root).map(_._2) ==
+      Seq("init", "upsert_b0", "upsert_b1"))
+    // Replaying the SAME files through a fresh checkpoint re-delivers
+    // both batches with the same batch ids; their commit keys are
+    // already in the manifest log, so the replay publishes NOTHING —
+    // the version counter and the table both stand still.
     drain(s"$base/ckpt2")
     assert(table() == want)
+    assert(Manifest.currentVersion(spark, root) == versionAfter,
+      "a replayed batch must not burn a version")
+  }
+
+  test("startUpsertStream racing-reader law (r17): a reader pinned " +
+      "mid-merge sees the pre-batch snapshot whole; time travel " +
+      "keeps every batch boundary") {
+    import graft.ops.Manifest
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_upsert_race").toString
+    val root = s"$base/t"
+    Manifest.commitReplacePartitions(
+      Seq((1L, 10L, "a", 10L), (2L, 10L, "b", 20L))
+        .toDF("uid", "ver", "payload", "part"), root, "part", "init")
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val tmp = new java.io.File(base, "tmp0")
+    // one batch touching BOTH partitions — the torn-read shape
+    Seq((1L, 30L, "a3", 10L), (2L, 40L, "b4", 20L))
+      .toDF("uid", "ver", "payload", "part")
+      .coalesce(1).write.parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(srcDir, "b0.parquet").toPath)
+    def snap(): Set[(Long, Long)] =
+      Manifest.read(spark, root, "part")
+        .select($"uid", $"ver").as[(Long, Long)].collect().toSet
+    val before = snap()
+    var seen: Option[Set[(Long, Long)]] = None
+    Manifest.onPublishAttempt = () =>
+      if (seen.isEmpty) seen = Some(snap())
+    try {
+      val stream = EventStream.fileSource(spark, srcDir.getPath,
+        spark.read.parquet(srcDir.getPath).schema)
+      EventStream.startUpsertStream(stream, root, s"$base/ckpt",
+        keyCols = Seq("uid"), versionCols = Seq("ver"),
+        partitionCol = "part").awaitTermination()
+    } finally Manifest.onPublishAttempt = () => ()
+    assert(seen.contains(before),
+      "the mid-merge reader must see the OLD snapshot, whole — " +
+        "never one partition merged and the other not")
+    assert(snap() == Set((1L, 30L), (2L, 40L)))
+    // the pre-batch snapshot stays readable at its version
+    assert(Manifest.readAt(spark, root, "part", 1L)
+      .select($"uid", $"ver").as[(Long, Long)].collect().toSet == before)
+  }
+
+  test("startTakedownStream on a commit table: emptied partition " +
+      "leaves the snapshot, replay publishes no versions, the " +
+      "pre-delete snapshot survives for audit until vacuum") {
+    import graft.ops.Manifest
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_takedown_spec").toString
+    val root = s"$base/t"
+    Manifest.commitReplacePartitions(
+      Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 20L))
+        .toDF("uid", "payload", "part"), root, "part", "init")
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val tmp = new java.io.File(base, "tmp0")
+    // delete uid=1 from part 10 and BOTH of... uid=3 empties part 20
+    Seq((1L, 10L), (3L, 20L)).toDF("uid", "part")
+      .coalesce(1).write.parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(srcDir, "b0.parquet").toPath)
+    def drain(ckpt: String): Unit = {
+      val stream = EventStream.fileSource(spark, srcDir.getPath,
+        spark.read.parquet(srcDir.getPath).schema)
+      EventStream.startTakedownStream(stream, root, ckpt,
+        keyCols = Seq("uid"), partitionCol = "part").awaitTermination()
+    }
+    drain(s"$base/ckpt")
+    assert(Manifest.read(spark, root, "part")
+      .select($"uid").as[Long].collect().toSet == Set(2L))
+    val v = Manifest.currentVersion(spark, root)
+    assert(Manifest.listCommits(spark, root).map(_._2) ==
+      Seq("init", "takedown_b0"))
+    // replay through a fresh checkpoint: no new versions, same table
+    drain(s"$base/ckpt2")
+    assert(Manifest.currentVersion(spark, root) == v)
+    // compliance note pinned by the law: the deleted rows remain
+    // readable at the PRE-delete version until manifest vacuum +
+    // data vacuum retire them (the s25 maintenance step)
+    assert(Manifest.readAt(spark, root, "part", 1L)
+      .select($"uid").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("streaming CDC sinks on an EMPTY table: first upsert batch " +
+      "is a pure insert; a takedown batch is a no-op") {
+    import graft.ops.Manifest
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cdc_empty").toString
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val tmp = new java.io.File(base, "tmp0")
+    Seq((1L, 10L, "a", 10L), (2L, 10L, "b", 20L))
+      .toDF("uid", "ver", "payload", "part")
+      .coalesce(1).write.parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(srcDir, "b0.parquet").toPath)
+    val stream = EventStream.fileSource(spark, srcDir.getPath,
+      spark.read.parquet(srcDir.getPath).schema)
+    val root = s"$base/t"
+    EventStream.startUpsertStream(stream, root, s"$base/ckpt",
+      keyCols = Seq("uid"), versionCols = Seq("ver"),
+      partitionCol = "part").awaitTermination()
+    assert(Manifest.read(spark, root, "part")
+      .select($"uid").as[Long].collect().toSet == Set(1L, 2L))
+    // takedown against a table that does not exist yet: no-op, no
+    // version — commitDelete's empty-table degradation
+    val root2 = s"$base/t2"
+    val delSrc = new java.io.File(base, "dsrc"); delSrc.mkdirs()
+    val tmp2 = new java.io.File(base, "tmp1")
+    Seq((1L, 10L)).toDF("uid", "part")
+      .coalesce(1).write.parquet(tmp2.getPath)
+    val p2 = tmp2.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(p2.toPath,
+      new java.io.File(delSrc, "b0.parquet").toPath)
+    val dstream = EventStream.fileSource(spark, delSrc.getPath,
+      spark.read.parquet(delSrc.getPath).schema)
+    EventStream.startTakedownStream(dstream, root2, s"$base/ckpt2",
+      keyCols = Seq("uid"), partitionCol = "part").awaitTermination()
+    assert(Manifest.currentVersion(spark, root2) == 0L)
   }
 
   test("startSketchStream: drained store reads bit-equal to the " +
