@@ -401,7 +401,14 @@ object Bench {
       priors.getOrElse(n, warmupTimes.getOrElse(n, 0.0))
     def roundOrder(pool: Seq[String]): Seq[String] =
       pool.sortBy(n =>
-        (if (cappedAt.contains(n) || skippedWarmup.contains(n)) 0 else 1,
+        // capped/never-warmed first (their numbers are phony or
+        // absent), then the rest of the SIGNIFICANT set — they gate
+        // rounds_completed, and a cheap-by-prior query that warmed
+        // cold (ns146 in the r17 rehearsal: prior 0.5 s, warmup
+        // 1.5 s) must not sort into the sub-second tail the budget
+        // cut truncates — then everything else, heaviest first.
+        (if (cappedAt.contains(n) || skippedWarmup.contains(n)) 0
+         else if (significant(n)) 1 else 2,
           -est(n), n))
     def roundCap(name: String): Double = tierCap(name,
       // Capped lower bounds and suspect-slow clean warm-ups retry
@@ -537,8 +544,13 @@ object Bench {
     // deliberate commit, not a side effect.
     val steadyOut: Map[String, Double] = {
       val fresh = names.flatMap { n =>
-        val ok = times.get(n).exists(_ >= 0) && !cappedAt.contains(n) &&
-          prov.get(n).exists(p => timedPhase(p.phase))
+        val clean = times.get(n).exists(_ >= 0) && !cappedAt.contains(n)
+        val ok = clean && prov.get(n).exists(p => timedPhase(p.phase) ||
+          // a sub-second WARMUP number is pool-contended and cold —
+          // i.e. an upper bound on steady — so it is sound evidence
+          // for the skip decision (steady < warmSkip follows), even
+          // though it is not a steady measurement
+          (p.phase == "warmup" && times(n) < warmSkipSec))
         if (ok) Some(n -> times(n)) else None
       }.toMap
       priors ++ fresh

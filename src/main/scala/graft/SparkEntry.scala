@@ -947,6 +947,66 @@ object SparkEntry {
       graft.ops.Manifest.changesSince(s, root, 1L)
     }),
 
+    // ROW-grain change feed (o26, r17): the keyed full-outer diff
+    // within o25's changed partitions — over the shared history,
+    // every region-1 row is an UPDATE (name suffixed at v2,
+    // postimage) and every region-3 row a DELETE (preimage). Derived
+    // in SQL from nation alone.
+    "o26_row_change_feed" -> ((s, d) => {
+      val root = snapshotDemoTable(s, d)
+      graft.ops.Manifest.changedRowsSince(s, root, "n_regionkey",
+        Seq("n_nationkey"), 1L)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"),
+          col("_change").as("change"))
+    }),
+
+    // Manifest-level scan pruning (o27, r17): a commit records
+    // per-partition min/max bounds for chosen columns; readWhere
+    // drops provably-empty partitions BEFORE listing files and
+    // re-applies the predicate exactly, so the gate is plain
+    // filtered content (the files-touched law lives in ManifestSpec).
+    "o27_stats_pruned_read" -> ((s, d) => {
+      val dir = newScratchDir("graft_o27")
+      val root = s"${dir.getPath}/t"
+      val cust = t(s, d, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+      graft.ops.Manifest.commitReplacePartitions(cust, root,
+        "c_nationkey", "init",
+        statsCols = Seq("c_custkey", "c_acctbal")): Unit
+      materializeAndDrop(
+        graft.ops.Manifest.readWhere(s, root, "c_nationkey",
+          col("c_nationkey").isin(1L, 2L, 3L) &&
+            col("c_acctbal") > lit(9000.0))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_nationkey").cast("long").as("c_nationkey")), dir)
+    }),
+
+    // SQL over the transaction layer (q17, r17): snapshots registered
+    // as temp views — the latest and a VERSION-AS-OF-2 view — joined
+    // in ONE spark.sql statement, proving the parameterized-SQL lane
+    // and the commit layer are the same engine. Region 1's names
+    // differ across the two versions ('_v2' suffix landed at v2...
+    // which version 2 ALREADY has — the diff column isolates the
+    // takedown instead: v2 still shows region 3, current does not).
+    "q17_snapshot_sql" -> ((s, d) => {
+      val root = snapshotDemoTable(s, d)
+      graft.ops.Manifest.createSnapshotViews(s, root, "n_regionkey",
+        "nation_commit", versions = Seq(2L))
+      s.sql(
+        """SELECT CAST(v2.n_nationkey AS BIGINT) AS n_nationkey,
+          |  v2.n_name,
+          |  CAST(v2.n_regionkey AS BIGINT) AS n_regionkey,
+          |  cur.n_nationkey IS NOT NULL AS still_live
+          |FROM nation_commit_v2 v2
+          |LEFT JOIN nation_commit cur
+          |  ON v2.n_nationkey = cur.n_nationkey""".stripMargin)
+    }),
+
     // ---- §2.1 schema evolution across landed batches ----
     // Production tables GROW columns across runs; readers must take
     // the union schema and null-fill history. Fixture: an early batch

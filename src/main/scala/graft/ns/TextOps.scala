@@ -353,13 +353,38 @@ object TextOps {
     * text repairs one layer per pass (the "ÃƒÂ©" cascade: each pass
     * peels one mis-decode). Clean text is a fixed point, so the
     * stage is safe to run unconditionally; `passes` = 2 covers the
-    * double-encode, the worst case seen in practice. */
+    * double-encode, the worst case seen in practice.
+    *
+    * Fast path (r17 — the p05 stage probe found this chain was ~8.7 s
+    * of p05's ~14 s at sf1): every occurrence of a table key contains
+    * every character of that key, so ONE witness character per rule —
+    * the rule's first non-ASCII char, chosen over the head because
+    * one key LEADS with a plain space, which would mark every
+    * document dirty — is a sound containment test: a document
+    * containing no witness character cannot match any rule in any
+    * pass (pass 1 is then the identity, so later passes are too).
+    * One `translate` scan decides, and the ~140-replace chain (each
+    * replace a full materializing pass over the string) runs only on
+    * rows that might actually be dirty. On a clean corpus (the
+    * overwhelming case at 100 TB) the stage collapses to a single
+    * scan; guarded ≡ unguarded bit-exactly (the ns122 gate's
+    * every-row-dirty fixture still drives the chain). */
   def repairMojibakeCol(text: Column, passes: Int = 2): Column = {
     require(passes >= 1, "passes must be positive")
-    (1 to passes).foldLeft(text) { case (c, _) =>
-      mojibakeTable.foldLeft(c) { case (acc, (bad, good)) =>
+    // the closure generation leaves IDENTITY rules (" " -> " ") in
+    // the table — semantic no-ops that would still cost a full
+    // materializing replace pass each AND (space!) defeat the
+    // witness guard below; provably droppable (replace(x, a, a) ≡ x)
+    val rules = mojibakeTable.filter { case (bad, good) => bad != good }
+    val witnesses = rules
+      .map(r => r._1.find(_ >= 0x80.toChar).getOrElse(r._1.head))
+      .distinct.mkString
+    val chain = (1 to passes).foldLeft(text) { case (c, _) =>
+      rules.foldLeft(c) { case (acc, (bad, good)) =>
         replace(acc, lit(bad), lit(good)) }
     }
+    when(length(translate(text, witnesses, "")) === length(text), text)
+      .otherwise(chain)
   }
 
   /** DataFrame form of [[repairMojibakeCol]] with the audit column a
@@ -553,13 +578,48 @@ object TextOps {
     ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
       "<IPV4>"))
 
+  /** Witness character set per PII pattern — a necessary any-of
+    * containment condition every match must satisfy, so the scrub
+    * kernel can clear clean text with one indexOf scan instead of
+    * engaging the regex engine (exact: no '@' → no email match, no
+    * digit → no number shape, no '.' → no dotted quad). */
+  private val piiWitness: Map[String, String] = Map(
+    "email" -> "@",
+    "phone" -> "+",
+    "cc" -> "0123456789",
+    "ssn" -> "0123456789",
+    "ipv4" -> ".")
+
   /** PII redaction for training corpora (the C4/CCNet-style scrub
     * pass): replace emails, phone numbers, card numbers, SSNs, and
     * IPv4 addresses with typed placeholder tokens and report how many
-    * of each were hit. Pure map-side projection — codegen'd regexp
-    * chain, zero shuffle. Output:
+    * of each were hit. Pure map-side projection, zero shuffle —
+    * since r17 ONE codegen'd kernel call per row
+    * ([[graft.functions.PiiScrubExpr]]: count-while-replace, 5 regex
+    * passes worst case instead of the fold's 10 + 5 intermediate
+    * strings; the s04 probe measured the fold at ~9.7 s of s04's
+    * 15.4 s at sf1). [[redactPiiFold]] is the reference twin the law
+    * test compares bit-exactly. The two-step select is deliberate:
+    * Spark's CollapseProject never duplicates a non-cheap producer
+    * consumed more than once, so the kernel runs ONCE per row (plan
+    * law in NsTextOpsSpec). Output:
     * (idCol, n_email, n_phone, n_cc, n_ssn, n_ipv4, redacted_text). */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spec = piiPatterns.map { case (name, re, repl) =>
+      (name, re, repl, piiWitness.getOrElse(name, "")) }
+    df.select(col(idCol),
+      graft.functions.functions.pii_scrub(col(textCol), spec).as("__pii"))
+      .select(col(idCol) +:
+        piiPatterns.map { case (n, _, _) =>
+          col(s"__pii.n_$n").as(s"n_$n") } :+
+        col("__pii.redacted_text").as("redacted_text"): _*)
+  }
+
+  /** The pre-kernel regexp_count + regexp_replace fold — retained as
+    * the REFERENCE implementation the kernel law-gates against
+    * (kernel ≡ fold bit-exactly in NsTextOpsSpec). */
+  def redactPiiFold(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val (redacted, counts) = piiPatterns
       .foldLeft((col(textCol), Seq.empty[(String, Column)])) {
         case ((cur, cs), (name, re, repl)) =>

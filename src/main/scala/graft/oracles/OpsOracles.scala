@@ -153,6 +153,38 @@ private[graft] object OpsOracles {
         |  ('1', 'replaced', CAST(2 AS BIGINT)),
         |  ('3', 'removed', CAST(NULL AS BIGINT)))
         |AS m("partition", change, since_version)""".stripMargin,
+    // o26: the ROW-grain feed since version 1 — every region-1 row
+    // updated (postimage: suffixed name), every region-3 row deleted
+    // (preimage: original name).
+    "o26_row_change_feed" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || '_v2' AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  'update' AS change
+        |FROM nation WHERE n_regionkey = 1
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS BIGINT), n_name,
+        |  CAST(n_regionkey AS BIGINT), 'delete'
+        |FROM nation WHERE n_regionkey = 3""".stripMargin,
+    // o27: stats-pruned snapshot read ≡ plain filtered content (the
+    // files-touched pruning law is in ManifestSpec).
+    "o27_stats_pruned_read" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer
+        |WHERE c_nationkey IN (1, 2, 3)
+        |  AND CAST(c_acctbal AS DOUBLE) > 9000.0""".stripMargin,
+    // q17: SQL over snapshots — v2 (post-replacement, pre-takedown)
+    // left-joined to the CURRENT snapshot: region 3 rows are no
+    // longer live, everyone else is.
+    "q17_snapshot_sql" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN n_name || '_v2'
+        |       ELSE n_name END AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  n_regionkey <> 3 AS still_live
+        |FROM nation""".stripMargin,
     // o23: the post-checkpoint snapshot — init, region-1 names
     // suffixed, region 3 taken down, region-0 names re-suffixed by
     // the commit published OVER the checkpointed log.

@@ -692,6 +692,116 @@ class ManifestSpec extends SparkSpec {
       "rows in the rewritten file must be in z order")
   }
 
+  test("row-grain change feed (o26, r17): keyed diff within changed " +
+      "partitions only — unchanged rider rows absent, inserts carry " +
+      "postimages, deletes preimages, layout rewrites invisible, " +
+      "full-outer oracle equality") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(base, root, "part", "init") // v1
+    // v2 replaces partition 10 WHOLESALE: alpha updated, beta kept
+    // IDENTICAL (the rider), zeta inserted
+    Manifest.commitReplacePartitions(
+      Seq((1L, "alpha_v2", 10L), (2L, "beta", 10L), (9L, "zeta", 10L))
+        .toDF("id", "name", "part"), root, "part", "fix10")
+    // v3 deletes id=5, emptying partition 30
+    Manifest.commitDelete(Seq((5L, 30L)).toDF("id", "part"),
+      root, Seq("id"), "part", "drop30")
+    // v4: layout-only maintenance — must not appear in the feed
+    Manifest.commitCompact(spark, root, "part", Seq("10", "20"),
+      "maint")
+    val feed = Manifest.changedRowsSince(spark, root, "part",
+      Seq("id"), 1L)
+      .select(col("id"), col("name"), col("part").cast("long"),
+        col("_change"))
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(feed == Set(
+      (1L, "alpha_v2", 10L, "update"), // postimage
+      (9L, "zeta", 10L, "insert"),     // postimage
+      (5L, "epsilon", 30L, "delete")), // preimage
+      feed.toString)
+    // oracle shape: the full-outer diff of the two whole snapshots
+    // must agree (the partition restriction is an optimization)
+    val oldS = Manifest.readAt(spark, root, "part", 1L)
+      .select(col("id"), col("name").as("old_name"))
+    val newS = Manifest.read(spark, root, "part")
+      .select(col("id"), col("name").as("new_name"))
+    val oracle = newS.join(oldS, Seq("id"), "full_outer")
+      .withColumn("_change",
+        when(col("old_name").isNull, "insert")
+          .when(col("new_name").isNull, "delete")
+          .when(!(col("new_name") <=> col("old_name")), "update"))
+      .filter(col("_change").isNotNull)
+      .select(col("id"), col("_change"))
+      .as[(Long, String)].collect().toSet
+    assert(feed.map(r => (r._1, r._4)) == oracle)
+    // schema evolution across the diff: a column added after the
+    // sync point null-fills the old side and still diffs correctly
+    Manifest.commitReplacePartitions(
+      Seq((3L, "gamma", 20L, "x")).toDF("id", "name", "part", "tag"),
+      root, "part", "evolve20") // v5
+    val evolved = Manifest.changedRowsSince(spark, root, "part",
+      Seq("id"), 4L)
+      .select(col("id"), col("tag"), col("_change"))
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(evolved == Set((3L, Some("x"), "update"),
+      (4L, None, "delete")), // delta replaced p20 wholesale: delta out
+      evolved.toString)
+  }
+
+  test("manifest column stats prune the SCAN, not just row groups " +
+      "(r16 verdict missing #3): readWhere with a selective predicate " +
+      "touches files only in may-match partitions, returns exactly " +
+      "filter()'s rows, and stats survive checkpoint round-trips") {
+    val root = freshRoot()
+    // id ranges are disjoint per partition: p10 → ids 0-9,
+    // p20 → 100-109, p30 → 200-209
+    val rows = Seq(10L, 20L, 30L).flatMap(p =>
+      (0L until 10L).map(i => (p * 10 - 100 + i, s"n${p * 10 + i}", p)))
+    Manifest.commitReplacePartitions(
+      rows.toDF("id", "name", "part"), root, "part", "init",
+      statsCols = Seq("id", "name"))
+    def filesOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.toSet
+    // selective numeric predicate: only partition 20 may match
+    val pruned = Manifest.readWhere(spark, root, "part",
+      col("id") >= 100L && col("id") < 110L)
+    assert(filesOf(pruned).forall(_.contains("part=20")),
+      s"pruned scan touched ${filesOf(pruned)}")
+    val want = Manifest.read(spark, root, "part")
+      .filter(col("id") >= 100L && col("id") < 110L)
+      .select(col("id"), col("name"), col("part").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(pruned.select(col("id"), col("name"),
+      col("part").cast("long"))
+      .as[(Long, String, Long)].collect().toSet == want && want.size == 10)
+    // the partition VALUE prunes even without recorded stats
+    val byPart = Manifest.readWhere(spark, root, "part",
+      col("part") === 30L)
+    assert(filesOf(byPart).forall(_.contains("part=30")))
+    assert(byPart.count() == 10L)
+    // provably-empty predicate: no partition read at all
+    val none = Manifest.readWhere(spark, root, "part",
+      col("id") > 100000L)
+    assert(none.isEmpty && none.columns.contains("name"))
+    // string bounds prune too (ASCII names sort with the parquet scan)
+    val s = Manifest.readWhere(spark, root, "part",
+      col("name") === "n205")
+    assert(filesOf(s).forall(_.contains("part=20")), filesOf(s).toString)
+    // beyond-interval shapes fall back to a full scan, same rows
+    val full = Manifest.readWhere(spark, root, "part",
+      upper(col("name")) === "N205")
+    assert(full.count() == 1L && filesOf(full).size == 3)
+    // stats survive the checkpoint round-trip: roll the log, drop the
+    // manifest FILE so the read resolves through the checkpoint's own
+    // entry lines, and prune from those
+    Manifest.checkpoint(spark, root)
+    assert(new java.io.File(s"$root/manifests/v00000001.json").delete())
+    val viaCkpt = Manifest.readWhere(spark, root, "part",
+      col("id") >= 200L)
+    assert(filesOf(viaCkpt).forall(_.contains("part=30")))
+    assert(viaCkpt.count() == 10L)
+  }
+
   test("the manifest CAS refuses schemes without an atomic " +
       "no-overwrite primitive (r15 ADVICE): object stores fail fast " +
       "instead of running with a broken CAS") {

@@ -96,6 +96,33 @@ class NsTextOpsSpec extends SparkSpec {
       "pay <CC> or <CC>, ssn <SSN>")))
   }
 
+  test("redactPii kernel ≡ regexp fold bit-exactly (r17 promotion " +
+      "law), kernel evaluates ONCE per row, null text stays null") {
+    val fixture = docs(
+      1L -> "mail bob@10.0.0.5.example.com or bob@corp.example.org, dial +1-555-010-2030, host 192.168.0.1",
+      2L -> "no pii here at all just words",
+      3L -> "pay 4111-1111-1111-1234 or 5500 0000 0000 0004, ssn 123-45-6789",
+      4L -> "edge@case.ab ip 999.999.999.999 plus 12.3.4.5 and 1-2",
+      5L -> "")
+      // adversarial: replacement-adjacent digits, $-chars near matches
+      .union(docs(6L -> "cost $5 email a@b.co 1.2.3.4\\$1 end"))
+      .union(Seq((7L, null: String)).toDF("doc_id", "text"))
+    val kernel = TextOps.redactPii(fixture, "doc_id", "text")
+    val fold = TextOps.redactPiiFold(fixture, "doc_id", "text")
+    val k = kernel.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val f = fold.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(k == f, s"kernel/fold diverge:\n$k\n$f")
+    assert(k(7L).forall(_ == null), "null text must stay null")
+    // the expensive kernel must appear exactly once in the plan (the
+    // two-step select relies on CollapseProject's non-cheap rule);
+    // repartition first or ConvertToLocalRelation pre-evaluates the
+    // whole fixture into a LocalTableScan and hides the expression
+    val plan = TextOps.redactPii(fixture.repartition(2), "doc_id",
+      "text").queryExecution.executedPlan.toString
+    assert("pii_scrub".r.findAllIn(plan).size == 1,
+      s"pii_scrub must evaluate once, plan:\n$plan")
+  }
+
   test("tfidf minDf cuts the broadcast side; output is a subset") {
     val d = docs(
       1L -> "rare rare base base",
