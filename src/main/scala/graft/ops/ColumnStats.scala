@@ -149,13 +149,11 @@ object ColumnStats {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute if u.nameParts.length == 1 =>
       Some(u.nameParts.head)
-    case Cast(c, _, _, _) => attrName(c) // cast(attr) keeps the bounds'
-    // column identity only for the EQUALITY/range shapes below, where
-    // widening casts preserve order; narrowing casts could reorder,
-    // so being here is still only ever a may-match (never must-miss
-    // beyond interval logic on the ORIGINAL bounds — conservative
-    // because Spark inserts widening casts for type-mismatched
-    // comparisons, and a widened compare agrees with the raw one)
+    // NO Cast unwrapping (r17 self-review): a NARROWING cast can wrap
+    // (cast(longCol as int) = 5 matches a row whose long value is
+    // 2^32+5), so pruning a comparison-through-cast against the
+    // ORIGINAL column's bounds could drop a matching partition —
+    // cast shapes stay opaque and are never pruned.
     case _ => None
   }
 

@@ -524,6 +524,9 @@ object Manifest {
       keys.forall(oldSide.columns.contains),
       s"changedRowsSince: key columns ${keys.mkString(",")} must exist " +
         "in both versions")
+    require(!newSide.columns.contains("_change") &&
+      !oldSide.columns.contains("_change"),
+      "changedRowsSince: the table already has a _change column")
     // union schema across the versions, null-filled per side
     val allCols =
       (newSide.columns ++ oldSide.columns.filterNot(

@@ -791,6 +791,12 @@ class ManifestSpec extends SparkSpec {
     val full = Manifest.readWhere(spark, root, "part",
       upper(col("name")) === "N205")
     assert(full.count() == 1L && filesOf(full).size == 3)
+    // a comparison THROUGH A CAST stays opaque (r17 self-review: a
+    // narrowing cast wraps, so pruning it against the original
+    // bounds could drop matching partitions) — full scan, same rows
+    val viaCast = Manifest.readWhere(spark, root, "part",
+      col("id").cast("int") >= 200)
+    assert(filesOf(viaCast).size == 3 && viaCast.count() == 10L)
     // stats survive the checkpoint round-trip: roll the log, drop the
     // manifest FILE so the read resolves through the checkpoint's own
     // entry lines, and prune from those
