@@ -75,7 +75,11 @@ import org.apache.spark.sql.SparkSession
   *    (plus the fallback retry above), never round-robin retimed.
   *  - A final coverage sweep gives any still-unvisited query one
   *    `capMin` attempt so the artifact is complete; sweep overrun
-  *    records an explicit 0-second CAPPED entry, never a silent hole.
+  *    ships the query's PRIOR steady time (phase `prior` — best-known,
+  *    not measured this run) when one exists, else an explicit
+  *    0-second CAPPED entry — never a silent hole, and a stormy
+  *    host's total still means something (r17: a 25×-steal window
+  *    left 51 zero-entries before this).
   *
   * Failures are not swallowed: a failed query reports -1 and forces
   * total = -1 so a regression can never read as a speedup.
@@ -453,19 +457,32 @@ object Bench {
         attempt(name, roundCap(name), isRetime = true, phase = "tooling")
     // Coverage sweep: any query still without a number gets one capMin
     // attempt (a missing entry would read as an engine failure). The
-    // sweep is BOUNDED: hard end at roundsEnd + 15% of the deadline;
-    // past it the rest record a 0-second CAPPED entry — explicitly
-    // "skipped, out of budget", never a silent hole.
+    // sweep is BOUNDED: hard end at roundsEnd + 15% of the deadline.
+    // Past it (r17 — the 25×-steal-window rehearsal left 51 holes):
+    // a query with a PRIOR steady time ships that prior, phase
+    // `prior` — the best-known number, explicitly not measured this
+    // run — so a stormy artifact's total still means something; only
+    // prior-less queries record the 0-second CAPPED sentinel
+    // ("skipped, out of budget", never a silent hole).
     val sweepEnd = roundsEnd + deadline * 0.15
     val sweepSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val priorFilled = scala.collection.mutable.ArrayBuffer.empty[String]
     names.filterNot(times.contains).foreach { n =>
       if (elapsed < sweepEnd)
         attempt(n, math.min(tierCap(n, capMin),
           math.max(2.0, sweepEnd - elapsed)), isRetime = false,
           phase = "sweep")
       else lock.synchronized {
-        System.err.println(s"[bench] $n SWEEP-SKIPPED (out of budget)")
-        times(n) = 0.0; cappedAt(n) = 0.0; sweepSkipped += n
+        priors.get(n) match {
+          case Some(p) =>
+            System.err.println(
+              f"[bench] $n PRIOR-FILLED ($p%.2f s, not measured this run)")
+            times(n) = p; priorFilled += n
+            prov(n) = Prov("prior", 0, 0L, 0L)
+          case None =>
+            System.err.println(s"[bench] $n SWEEP-SKIPPED (out of budget)")
+            times(n) = 0.0; cappedAt(n) = 0.0; sweepSkipped += n
+        }
       }
     }
     // Phase decomposition to stderr: which queries' FIRST runs carry
@@ -510,6 +527,8 @@ object Bench {
     val runTs = java.time.Instant.now().toString
     val sweepSkippedJson = sweepSkipped.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val priorFilledJson = priorFilled.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // deadline_fallback (r16 verdict #8): the recorded number is a
     // placeholder on a significant production query (the rounds never
     // reached it), or a sequential pipeline time still > 3× its prior
@@ -531,7 +550,7 @@ object Bench {
     val cacheStatsJson = CacheStats.snapshot().map { case (c, h, m) =>
       s""""$c":{"hits":$h,"misses":$m}"""
     }.mkString("{", ",", "}")
-    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"tier_totals":$tierTotalsJson,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"warmup_skipped":${skippedWarmup.size},"prior_skipped":${priorSkipped.size},"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"not_retimed":$notRetimedJson,"capped":$cappedJson,"sweep_skipped":$sweepSkippedJson,"provenance":$provJson,"cache_stats":$cacheStatsJson,"queries":$qs,"sf":"$sfDir"}"""
+    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"tier_totals":$tierTotalsJson,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"warmup_skipped":${skippedWarmup.size},"prior_skipped":${priorSkipped.size},"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"not_retimed":$notRetimedJson,"capped":$cappedJson,"sweep_skipped":$sweepSkippedJson,"prior_filled":$priorFilledJson,"provenance":$provJson,"cache_stats":$cacheStatsJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full line can start BEFORE the driver's fixed-size tail
     // window; a second, short, totals-only line — printed LAST —
     // always fits the window whole.
