@@ -353,18 +353,29 @@ object Manifest {
     * uniform by construction (one staged write). Version 0 / empty
     * table yields an error — callers own the "does the table exist
     * yet" decision via [[currentVersion]]. */
-  def readAt(spark: SparkSession, root: String, pCol: String,
-      version: Long): DataFrame = {
-    require(version >= 1 && version <= currentVersion(spark, root),
-      s"manifest: no version $version at $root")
-    val entries = readEntries(spark, root, version)
-    require(entries.nonEmpty, s"manifest v$version is empty")
+  /** THE snapshot scan: one parquet read per data key over that
+    * key's explicit partition directories, unioned BY NAME with
+    * null-fill (schema may grow across commits). Shared by every
+    * read face so the path/basePath/union semantics cannot diverge
+    * (r17 review: four copies had accumulated). */
+  private def scanEntries(spark: SparkSession, root: String,
+      pCol: String, entries: Seq[Entry]): DataFrame = {
+    require(entries.nonEmpty, "scanEntries: no entries")
     entries.groupBy(_.data_key).toSeq.sortBy(_._1).map {
       case (dataKey, es) =>
         val base = s"$root/data/$dataKey"
         spark.read.option("basePath", base)
           .parquet(es.map(e => s"$base/$pCol=${e.partition}"): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  def readAt(spark: SparkSession, root: String, pCol: String,
+      version: Long): DataFrame = {
+    require(version >= 1 && version <= currentVersion(spark, root),
+      s"manifest: no version $version at $root")
+    val entries = readEntries(spark, root, version)
+    require(entries.nonEmpty, s"manifest v$version is empty")
+    scanEntries(spark, root, pCol, entries)
   }
 
   /** Latest-snapshot read. */
@@ -389,28 +400,46 @@ object Manifest {
     val v = if (version < 0) currentVersion(spark, root) else version
     require(v >= 1, s"manifest: no committed version at $root")
     val entries = readEntries(spark, root, v)
-    val live = entries.filter { e =>
-      // the partition value is an exact single-point "stat" for pCol
+    val pred =
+      org.apache.spark.sql.graftshim.Shim.pruningExpression(predicate)
+    def mayMatch(e: Entry): Boolean = {
+      // The partition VALUE is an exact single-point "stat" for pCol
+      // — but only when it parses as a NUMBER (canonical under the
+      // BigDecimal compare: dir '010' ≡ literal 10, matching Spark's
+      // numeric partition inference). A string-typed point-stat is
+      // UNSOUND here (r17 review): Spark compares date/timestamp-
+      // typed partition columns to string literals by CASTING, so a
+      // non-canonical literal ('2024-1-5' vs dir '2024-01-05') would
+      // lexicographically mismatch and FALSE-PRUNE rows the real
+      // filter matches. Non-numeric partition values prune via
+      // recorded column stats only.
       val pStat =
-        if (ColumnStats.ColNameRe.pattern.matcher(pCol).matches())
-          Map(pCol -> ColumnStats.ColStat(
-            if (scala.util.Try(BigDecimal(e.partition)).isSuccess) "num"
-            else "str", e.partition, e.partition))
+        if (ColumnStats.ColNameRe.pattern.matcher(pCol).matches() &&
+          scala.util.Try(BigDecimal(e.partition)).isSuccess)
+          Map(pCol -> ColumnStats.ColStat("num",
+            e.partition, e.partition))
         else Map.empty[String, ColumnStats.ColStat]
-      ColumnStats.mayMatch(
-        org.apache.spark.sql.graftshim.Shim.pruningExpression(predicate),
-        e.stats ++ pStat)
+      ColumnStats.mayMatch(pred, e.stats ++ pStat)
     }
+    val (live, pruned) = entries.partition(mayMatch)
     if (live.isEmpty)
       // every partition provably empty under the predicate: an empty
       // frame with the snapshot's schema, no data files touched
       return readAt(spark, root, pCol, v).limit(0)
-    live.groupBy(_.data_key).toSeq.sortBy(_._1).map {
-      case (dataKey, es) =>
-        val base = s"$root/data/$dataKey"
-        spark.read.option("basePath", base)
-          .parquet(es.map(e => s"$base/$pCol=${e.partition}"): _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // Schema parity with readAt().filter() on EVOLVED tables (r17
+    // review): if every surviving partition predates a column the
+    // predicate or caller names, a survivors-only union would narrow
+    // the schema (or fail analysis). Fully-pruned data KEYS therefore
+    // contribute a limit(0) scan of ONE of their partitions — a
+    // schema-only read, one directory listing per pruned key, zero
+    // row data — so the union schema is identical to readAt's.
+    val liveKeys = live.map(_.data_key).toSet
+    val schemaOnly = pruned.filterNot(e => liveKeys.contains(e.data_key))
+      .groupBy(_.data_key).toSeq.sortBy(_._1)
+      .map { case (_, es) =>
+        scanEntries(spark, root, pCol, Seq(es.head)).limit(0) }
+    (scanEntries(spark, root, pCol, live) +: schemaOnly)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(predicate)
   }
 
@@ -431,14 +460,22 @@ object Manifest {
     * Driver-sized output by construction (O(changed partitions)),
     * returned as a DataFrame for joins against workload metadata. */
   def changesSince(spark: SparkSession, root: String,
-      sinceVersion: Long): DataFrame = {
+      sinceVersion: Long): DataFrame =
+    changesBetween(spark, root, sinceVersion,
+      currentVersion(spark, root))
+
+  /** [[changesSince]] against an explicitly PINNED target version —
+    * the form consumers composing feed + data reads must use so a
+    * concurrent commit between the two cannot make them describe
+    * different snapshots (r17 review; [[changedRowsSince]] pins). */
+  def changesBetween(spark: SparkSession, root: String,
+      sinceVersion: Long, toVersion: Long): DataFrame = {
     import spark.implicits._
-    val current = currentVersion(spark, root)
-    require(sinceVersion >= 1 && sinceVersion <= current,
-      s"changesSince: version $sinceVersion out of range 1..$current")
+    require(sinceVersion >= 1 && sinceVersion <= toVersion,
+      s"changesBetween: versions $sinceVersion..$toVersion out of order")
     val base = readEntries(spark, root, sinceVersion)
       .map(e => e.partition -> e.data_key).toMap
-    val now = readEntries(spark, root, current)
+    val now = readEntries(spark, root, toVersion)
     val changed = now.collect {
       case e if !base.contains(e.partition) =>
         (e.partition, "added", Some(e.since_version))
@@ -482,12 +519,7 @@ object Manifest {
       .filter(e => parts.contains(e.partition))
     if (entries.isEmpty)
       return readAt(spark, root, pCol, version).limit(0)
-    entries.groupBy(_.data_key).toSeq.sortBy(_._1).map {
-      case (dataKey, es) =>
-        val base = s"$root/data/$dataKey"
-        spark.read.option("basePath", base)
-          .parquet(es.map(e => s"$base/$pCol=${e.partition}"): _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    scanEntries(spark, root, pCol, entries)
   }
 
   /** ROW-grain change feed (o26, r16 verdict missing #6): the
@@ -508,8 +540,11 @@ object Manifest {
     * partition) do not appear. */
   def changedRowsSince(spark: SparkSession, root: String, pCol: String,
       keyCols: Seq[String], sinceVersion: Long): DataFrame = {
+    // ONE version resolution feeds the feed AND both data reads —
+    // a commit landing mid-derivation cannot split them across
+    // snapshots (r17 review: the feed previously re-resolved latest)
     val current = currentVersion(spark, root)
-    val feed = changesSince(spark, root, sinceVersion)
+    val feed = changesBetween(spark, root, sinceVersion, current)
       .select(col("partition"), col("change"))
       .collect().map(r => r.getString(0) -> r.getString(1))
     val replaced = feed.collect { case (p, "replaced") => p }.toSet
@@ -715,9 +750,20 @@ object Manifest {
     * parent `root`, replacing those tables' previous pins and keeping
     * every other table's. One manifest commit = one CAS = the
     * cross-table atomicity point. Table names ride in the entry's
-    * partition field; versions in the data_key as `v<version>`. */
+    * partition field; versions in the data_key as `v<version>`.
+    *
+    * Pins are MONOTONIC by default (r17 review): a delayed
+    * crash-retry of an OLDER run replays its table commits (their
+    * keys short-circuit to old versions) and then asks to pin those
+    * old versions — honoring that would make a newer completed run's
+    * data invisible to every pin-routed reader. A requested version
+    * at or below the current pin is therefore kept AT the current
+    * pin (table versions are linear, so the newer snapshot already
+    * contains the stale run's data); pass `allowRollback = true` for
+    * a deliberate operator rollback to an older cut. */
   def commitTablePins(spark: SparkSession, root: String,
-      pins: Map[String, Long], commitKey: String): Long = {
+      pins: Map[String, Long], commitKey: String,
+      allowRollback: Boolean = false): Long = {
     require(pins.nonEmpty, "commitTablePins: no pins")
     require(KeyRe.pattern.matcher(commitKey).matches(),
       s"commit key '$commitKey' is not path-safe")
@@ -725,9 +771,14 @@ object Manifest {
       require(PartRe.pattern.matcher(t).matches(),
         s"commitTablePins: table name '$t' is not path/JSON-safe"))
     publish(spark, root, commitKey, { current =>
+      val pinnedNow = current.map(e =>
+        e.partition -> e.data_key.stripPrefix("v").toLong).toMap
       current.filterNot(e => pins.contains(e.partition)) ++
         pins.toSeq.sortBy(_._1).map { case (t, v) =>
-          Entry(t, s"v$v", -1L)
+          val effective =
+            if (allowRollback) v
+            else math.max(v, pinnedNow.getOrElse(t, 0L))
+          Entry(t, s"v$effective", -1L)
         }
     })
   }

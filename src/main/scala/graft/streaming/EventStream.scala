@@ -107,6 +107,23 @@ object EventStream {
     }
   }
 
+  /** Default commit-key prefix for the CDC sinks: batch ids are only
+    * meaningful WITHIN one checkpoint, so the prefix carries the
+    * checkpoint's identity (r17 review). A bare constant default
+    * ('upsert') made two failure modes silent: a second stream on
+    * the same table root collided with the first stream's batch keys
+    * and its batches short-circuited to nothing, and a rebuilt
+    * checkpoint whose batches composed the source differently
+    * short-circuited its (larger) batch 0 against the old batch 0's
+    * key — data loss either way. With the checkpoint hash in the
+    * key, a SAME-checkpoint crash-replay still short-circuits (the
+    * exactly-once path), while a fresh checkpoint re-applies its
+    * batches — safe, because the merge/delete transforms are
+    * content-idempotent. */
+  private def ckptPrefix(kind: String, checkpointDir: String): String =
+    s"${kind}_" + (scala.util.hashing.MurmurHash3
+      .stringHash(checkpointDir) & 0x7fffffff).toHexString
+
   /** Streaming keyed UPSERT sink THROUGH the transaction layer: each
     * micro-batch MERGEs into a [[Manifest]] commit table via
     * [[Manifest.commitMerge]] — the streaming CDC-apply pattern (a
@@ -114,11 +131,14 @@ object EventStream {
     * with the commit layer's guarantees the path-based
     * [[MergeUpsert]] lane lacked (r16 verdict, missing #1): a reader
     * racing a batch resolves the previous snapshot or the new one,
-    * never a half-rewritten partition, and a REPLAYED batch
-    * (at-least-once delivery, checkpoint recovery) short-circuits at
-    * the manifest log — its commit key `<prefix>_b<batchId>` is
-    * already committed, so nothing republishes and no version is
-    * burned (the s24 per-batch-commit pattern on the merge face).
+    * never a half-rewritten partition, and a batch REPLAYED within
+    * its checkpoint (crash between the batch's commit and the
+    * checkpoint advancing — the at-least-once window) short-circuits
+    * at the manifest log: its commit key
+    * `<prefix(checkpoint)>_b<batchId>` is already committed, so
+    * nothing republishes and no version is burned (the s24
+    * per-batch-commit pattern on the merge face). Re-delivery under
+    * a FRESH checkpoint re-applies — see [[ckptPrefix]].
     *
     * Within a batch, last-writer-wins is made deterministic by
     * keeping only the max-`versionCols` row per key (one bounded
@@ -137,8 +157,10 @@ object EventStream {
   def startUpsertStream(updates: DataFrame, root: String,
       checkpointDir: String, keyCols: Seq[String],
       versionCols: Seq[String], partitionCol: String,
-      commitPrefix: String = "upsert",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      commitPrefix: String = "",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val prefix = if (commitPrefix.nonEmpty) commitPrefix
+      else ckptPrefix("upsert", checkpointDir)
     updates.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -152,10 +174,11 @@ object EventStream {
             row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
           commitWithReplay(() =>
             Manifest.commitMerge(latest, root, keyCols, partitionCol,
-              s"${commitPrefix}_b$batchId"))
+              s"${prefix}_b$batchId"))
         }
       }
       .start()
+  }
 
   /** Streaming takedown sink THROUGH the transaction layer: each
     * micro-batch of delete requests (keyCols..., partitionCol) lands
@@ -174,8 +197,10 @@ object EventStream {
   def startTakedownStream(requests: DataFrame, root: String,
       checkpointDir: String, keyCols: Seq[String],
       partitionCol: String,
-      commitPrefix: String = "takedown",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      commitPrefix: String = "",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val prefix = if (commitPrefix.nonEmpty) commitPrefix
+      else ckptPrefix("takedown", checkpointDir)
     requests.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -186,10 +211,11 @@ object EventStream {
             Manifest.commitDelete(
               batch.dropDuplicates(keyCols :+ partitionCol),
               root, keyCols, partitionCol,
-              s"${commitPrefix}_b$batchId"))
+              s"${prefix}_b$batchId"))
         }
       }
       .start()
+  }
 
   /** Streaming sketch maintenance: each micro-batch's count-min
     * sketch ([[graft.ns.Sketches.cmsSketch]]) lands as a PER-BATCH

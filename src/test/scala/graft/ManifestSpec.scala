@@ -808,6 +808,71 @@ class ManifestSpec extends SparkSpec {
     assert(viaCkpt.count() == 10L)
   }
 
+  test("table pins are monotonic (r17 review): a delayed crash-retry " +
+      "of an OLDER run cannot re-pin a newer completed run away; " +
+      "allowRollback is the deliberate override") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pins").toString
+    val t1 = s"$base/weather"
+    // run 1's table commit (v1), crash BEFORE its pin commit
+    Manifest.commitReplacePartitions(
+      Seq((1L, "a", 10L)).toDF("id", "name", "part"), t1, "part",
+      "run1_weather")
+    // run 2 completes fully: table v2, pins weather -> 2
+    Manifest.commitReplacePartitions(
+      Seq((2L, "b", 20L)).toDF("id", "name", "part"), t1, "part",
+      "run2_weather")
+    Manifest.commitTablePins(spark, base, Map("weather" -> 2L), "run2")
+    assert(Manifest.tablePins(spark, base) == Map("weather" -> 2L))
+    // run 1's delayed retry: its table commit short-circuits to v1,
+    // and its pin request for v1 must NOT hide run 2's data
+    val v = Manifest.commitReplacePartitions(
+      Seq((1L, "a", 10L)).toDF("id", "name", "part"), t1, "part",
+      "run1_weather")
+    assert(v == 1L)
+    Manifest.commitTablePins(spark, base, Map("weather" -> v), "run1")
+    assert(Manifest.tablePins(spark, base) == Map("weather" -> 2L),
+      "a stale retry must not roll the pin back")
+    assert(Manifest.readPinned(spark, base, "weather", "part")
+      .select(col("id")).as[Long].collect().toSet == Set(1L, 2L))
+    // deliberate operator rollback is still possible, explicitly
+    Manifest.commitTablePins(spark, base, Map("weather" -> 1L),
+      "rollback_to_v1", allowRollback = true)
+    assert(Manifest.tablePins(spark, base) == Map("weather" -> 1L))
+    assert(Manifest.readPinned(spark, base, "weather", "part")
+      .select(col("id")).as[Long].collect().toSet == Set(1L))
+  }
+
+  test("readWhere keeps readAt().filter()'s schema on EVOLVED tables " +
+      "(r17 review): pruning away every partition of the only commit " +
+      "carrying a column must not narrow the schema or break the " +
+      "re-applied filter") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(
+      Seq((1L, "a", 10L)).toDF("id", "name", "part"), root, "part",
+      "init")
+    // evolution commit adds `score` with recorded stats; its only
+    // partition is provably outside the predicate below
+    Manifest.commitReplacePartitions(
+      Seq((2L, "b", 5L, 20L)).toDF("id", "name", "score", "part"),
+      root, "part", "evolve", statsCols = Seq("score"))
+    val out = Manifest.readWhere(spark, root, "part",
+      col("score") > 100L)
+    // schema parity: the evolved column survives the prune
+    assert(out.columns.toSet == Set("id", "name", "score", "part"))
+    assert(out.isEmpty) // no row has score > 100
+    val want = Manifest.read(spark, root, "part")
+      .filter(col("score") > 100L)
+    assert(want.columns.toSet == out.columns.toSet && want.isEmpty)
+    // and a predicate matching ONLY the old commit still answers
+    // with the full union schema, score null-filled
+    val old = Manifest.readWhere(spark, root, "part",
+      col("part") === 10L)
+    assert(old.columns.toSet == Set("id", "name", "score", "part"))
+    assert(old.select(col("id"), col("score"))
+      .as[(Long, Option[Long])].collect().toSet == Set((1L, None)))
+  }
+
   test("the manifest CAS refuses schemes without an atomic " +
       "no-overwrite primitive (r15 ADVICE): object stores fail fast " +
       "instead of running with a broken CAS") {

@@ -251,8 +251,9 @@ class StreamingSpec extends SparkSpec {
   // operator-level twin): the drained watermarked inner join must
   // equal graft.ops.TemporalJoin.rangeJoin over the same fixture.
   test("startUpsertStream: within-batch disorder resolved by version, " +
-      "cross-batch last-writer wins, replayed batches publish NO new " +
-      "versions (commit-layer replay law, r17)") {
+      "cross-batch last-writer wins; same-checkpoint replays " +
+      "short-circuit, fresh-checkpoint re-delivery re-applies " +
+      "content-idempotently (commit-layer laws, r17)") {
     import graft.ops.Manifest
     val base = java.nio.file.Files
       .createTempDirectory("graft_upsert_spec").toString
@@ -293,19 +294,31 @@ class StreamingSpec extends SparkSpec {
     val want = Set((1L, 30L, "a3", 10L), (2L, 40L, "b4", 10L),
       (3L, 20L, "c", 1L), (4L, 5L, "d", 20L))
     assert(table() == want)
-    // init + two batch merges
+    // init + two batch merges; commit keys are CHECKPOINT-scoped
+    // (r17 review: a bare 'upsert_b0' key made a second stream on
+    // the same root — or a rebuilt checkpoint with different
+    // batching — silently short-circuit against the first's log)
     val versionAfter = Manifest.currentVersion(spark, root)
     assert(versionAfter == 3L)
-    assert(Manifest.listCommits(spark, root).map(_._2) ==
-      Seq("init", "upsert_b0", "upsert_b1"))
-    // Replaying the SAME files through a fresh checkpoint re-delivers
-    // both batches with the same batch ids; their commit keys are
-    // already in the manifest log, so the replay publishes NOTHING —
-    // the version counter and the table both stand still.
+    val keys = Manifest.listCommits(spark, root).map(_._2)
+    assert(keys.head == "init" &&
+      keys.tail.forall(_.matches("upsert_[0-9a-f]+_b[01]")), keys)
+    // SAME-checkpoint crash-replay (the at-least-once window): the
+    // batch's commit key is already logged → short-circuit, no
+    // version burned. Simulated by re-issuing batch 1's commit.
+    Manifest.commitMerge(
+      Seq((2L, 40L, "b4", 10L)).toDF("uid", "ver", "payload", "part"),
+      root, Seq("uid"), "part", keys.last)
+    assert(Manifest.currentVersion(spark, root) == versionAfter,
+      "a same-checkpoint replayed batch must not burn a version")
+    // Re-delivery under a FRESH checkpoint gets a new prefix and
+    // RE-APPLIES its batches — content-idempotent (the table is
+    // unchanged), versions advance; never the silent short-circuit
+    // that would drop a different stream's data.
     drain(s"$base/ckpt2")
     assert(table() == want)
-    assert(Manifest.currentVersion(spark, root) == versionAfter,
-      "a replayed batch must not burn a version")
+    assert(Manifest.currentVersion(spark, root) == versionAfter + 2,
+      "a fresh checkpoint's batches must re-apply, not short-circuit")
   }
 
   test("startUpsertStream racing-reader law (r17): a reader pinned " +
@@ -351,8 +364,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("startTakedownStream on a commit table: emptied partition " +
-      "leaves the snapshot, replay publishes no versions, the " +
-      "pre-delete snapshot survives for audit until vacuum") {
+      "leaves the snapshot, same-checkpoint replays publish no " +
+      "versions, the pre-delete snapshot survives for audit until " +
+      "vacuum") {
     import graft.ops.Manifest
     val base = java.nio.file.Files
       .createTempDirectory("graft_takedown_spec").toString
@@ -378,11 +392,17 @@ class StreamingSpec extends SparkSpec {
     assert(Manifest.read(spark, root, "part")
       .select($"uid").as[Long].collect().toSet == Set(2L))
     val v = Manifest.currentVersion(spark, root)
-    assert(Manifest.listCommits(spark, root).map(_._2) ==
-      Seq("init", "takedown_b0"))
-    // replay through a fresh checkpoint: no new versions, same table
-    drain(s"$base/ckpt2")
+    val keys = Manifest.listCommits(spark, root).map(_._2)
+    assert(keys.head == "init" &&
+      keys.tail.forall(_.matches("takedown_[0-9a-f]+_b0")), keys)
+    // same-checkpoint crash-replay short-circuits on the logged key
+    Manifest.commitDelete(Seq((1L, 10L)).toDF("uid", "part"),
+      root, Seq("uid"), "part", keys.last)
     assert(Manifest.currentVersion(spark, root) == v)
+    // fresh checkpoint: re-applies (content-idempotent — re-deleting
+    // absent keys anti-joins to the same survivors), versions advance
+    drain(s"$base/ckpt2")
+    assert(Manifest.currentVersion(spark, root) == v + 1)
     // compliance note pinned by the law: the deleted rows remain
     // readable at the PRE-delete version until manifest vacuum +
     // data vacuum retire them (the s25 maintenance step)
