@@ -988,11 +988,11 @@ object SparkEntry {
 
     // SQL over the transaction layer (q17, r17): snapshots registered
     // as temp views — the latest and a VERSION-AS-OF-2 view — joined
-    // in ONE spark.sql statement, proving the parameterized-SQL lane
-    // and the commit layer are the same engine. Region 1's names
-    // differ across the two versions ('_v2' suffix landed at v2...
-    // which version 2 ALREADY has — the diff column isolates the
-    // takedown instead: v2 still shows region 3, current does not).
+    // in ONE spark.sql statement, proving the SQL lane and the commit
+    // layer are the same engine. The gated diff column isolates the
+    // v3 takedown: v2 still shows region 3 (still_live = false on
+    // exactly those rows), everything else survives to the current
+    // snapshot (the v2 name suffixes ride along unchanged).
     "q17_snapshot_sql" -> ((s, d) => {
       val root = snapshotDemoTable(s, d)
       graft.ops.Manifest.createSnapshotViews(s, root, "n_regionkey",
