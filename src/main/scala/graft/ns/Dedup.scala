@@ -1056,8 +1056,6 @@ object Dedup {
     val stream = df.filter(col(idCol).isNotNull)
       .select(col(idCol), split(normText(col(textCol)), " ").as("__words"))
       .select(col(idCol), posexplode(grams).as(Seq("pos", "gram")))
-    val counts = stream.groupBy(col("gram"))
-      .agg(count(lit(1)).as("cnt"))
     val dupPos = array_sort(collect_list(
       when(col("cnt") > 1, col("pos").cast("long"))))
     // longest run of consecutive positions: fold (best, cur, prev)
@@ -1071,7 +1069,16 @@ object Dedup {
           cur.as("cur"), x.as("prev"))
       },
       acc => acc.getField("best"))
-    stream.join(counts, Seq("gram"))
+    // corpus count per gram as a WINDOW over the gram stream (r17 —
+    // measured 2.2× at sf1 over the agg + self-join shape): the
+    // aggregate branch re-computed the whole scan→normText→split→
+    // posexplode lineage a second time as the join probe and paid a
+    // second full-stream shuffle; the window pays ONE shuffle of one
+    // stream and the per-partition sort is over gram groups the join
+    // build side carried anyway. Same exact cnt semantics.
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    stream.withColumn("cnt", count(lit(1)).over(wg))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -1122,11 +1129,15 @@ object Dedup {
       .select(col(idCol), split(normText(col(textCol)), " ").as("__words"))
     val gramStream = toks
       .select(col(idCol), posexplode(grams).as(Seq("gpos", "gram")))
-    val dupGrams = gramStream.groupBy(col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1)
-      .select(col("gram"))
-    val dup = gramStream.join(dupGrams, Seq("gram"), "leftsemi")
+    // dup detection as a WINDOW count over the gram stream (r17 —
+    // the ns47 probe measured 2.2× over agg + self-semi-join, which
+    // recomputed the scan→split→explode lineage as the probe side
+    // and shuffled the stream twice)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    val dup = gramStream
+      .withColumn("__cnt", count(lit(1)).over(wg))
+      .filter(col("__cnt") > 1).drop("__cnt")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("gpos"))
     val spans = dup
