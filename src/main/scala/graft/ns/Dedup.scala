@@ -1031,15 +1031,35 @@ object Dedup {
     * relational plan; consecutive-gram runs are the equi-join
     * approximation of it.
     *
-    * Plan shape: gram stream (map-side explode) → occurrence counts
-    * (ONE map-combinable exchange on the gram) → join back on the
-    * same key (AQE reuses the exchange subtree, the ns02 pattern) →
-    * ONE per-document aggregation whose run-length scan is a codegen'd
+    * Plan shape (v3, r18 — hot-key-safe): the gram stream
+    * (scan→normText→split→per-position gram build→posexplode) is
+    * `localCheckpoint`ed ONCE — the r17 window form existed only to
+    * avoid re-running that lineage on a join probe side, and the
+    * checkpoint kills the recompute without giving up partial
+    * aggregation. The materialized stream feeds (1) a
+    * MAP-COMBINABLE `groupBy(gram).count` — a boilerplate gram in 30%
+    * of all documents costs each map task ONE partial row, so the
+    * count exchange is hot-key-safe by construction — filtered to the
+    * duplicated grams only (`cnt > 1`, the Zipf head plus true dups),
+    * and (2) a join of the stream back against that much smaller dup
+    * dictionary. The join broadcasts when the dictionary is small; at
+    * scale it shuffles, where AQE's skew-join split handles a hot
+    * gram's probe partition — unlike the r17 `Window.partitionBy
+    * (gram)`, which materialized EVERY occurrence of the hottest gram
+    * in one unsplittable partition with no partial aggregation (the
+    * straggler/spill bomb these operators exist to find). Then ONE
+    * per-document aggregation whose run-length scan is a codegen'd
     * `aggregate` fold over the doc's own sorted dup positions —
-    * per-document bounded, never corpus-wide. The shuffle carries
-    * gram STRINGS for cross-engine gateability; at 100 TB swap the
-    * gram for xxhash64(gram) (8 bytes, the ns11 trick) — collisions
-    * only overcount dups at ~2⁻⁶⁴.
+    * per-document bounded, never corpus-wide. The gram identity is
+    * the 8-byte xxhash64 of the word TUPLE (variadic `xxhash64(w_i,
+    * …, w_i+n−1)` — no gram string and no slice array is ever built;
+    * the ns11 trick): the
+    * explode emits longs, the count exchange and the join sort carry
+    * longs, and a collision between two distinct word tuples only
+    * overcounts dups at ~2⁻⁶⁴ — deterministic on a given corpus, and
+    * the exact-string DuckDB oracle stays green on the fixture. The
+    * r17 string form paid ~2× of the whole query in per-position
+    * `concat_ws` string building alone.
     *
     * Output: (idCol, n_grams, n_dup, max_dup_run, dup_frac); docs
     * with fewer than n words emit no grams and no row. */
@@ -1051,13 +1071,22 @@ object Dedup {
     val words = col("__words")
     val grams = when(size(words) >= n,
       transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+        i => xxhash64((0 until n).map(k =>
+          element_at(words, i + k + 1)): _*)))
+      .otherwise(array().cast("array<long>"))
+    // the gram stream is checkpointed AFTER the explode so both
+    // consumers read it materialized (id, pos, 8-byte gram id) —
+    // never recomputing the scan→normText→split lineage
     val stream = df.filter(col(idCol).isNotNull)
       .select(col(idCol), split(normText(col(textCol)), " ").as("__words"))
       .select(col(idCol), posexplode(grams).as(Seq("pos", "gram")))
+      .localCheckpoint(true)
+    // duplicated-gram dictionary: map-combinable count, dup head only
+    val dupGrams = stream.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
     val dupPos = array_sort(collect_list(
-      when(col("cnt") > 1, col("pos").cast("long"))))
+      when(col("cnt").isNotNull, col("pos").cast("long"))))
     // longest run of consecutive positions: fold (best, cur, prev)
     // across the sorted array — empty array yields best = 0
     val maxRun = aggregate(dupPos,
@@ -1069,20 +1098,12 @@ object Dedup {
           cur.as("cur"), x.as("prev"))
       },
       acc => acc.getField("best"))
-    // corpus count per gram as a WINDOW over the gram stream (r17 —
-    // measured 2.2× at sf1 over the agg + self-join shape): the
-    // aggregate branch re-computed the whole scan→normText→split→
-    // posexplode lineage a second time as the join probe and paid a
-    // second full-stream shuffle; the window pays ONE shuffle of one
-    // stream and the per-partition sort is over gram groups the join
-    // build side carried anyway. Same exact cnt semantics.
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gram"))
-    stream.withColumn("cnt", count(lit(1)).over(wg))
+    // a missed left join = unique gram (cnt null); cnt >= 2 otherwise
+    stream.join(dupGrams, Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
-        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_dup"),
         maxRun.as("max_dup_run"))
       .withColumn("dup_frac",
         col("n_dup").cast("double") / col("n_grams").cast("double"))
@@ -1098,10 +1119,15 @@ object Dedup {
     * and each document is reassembled from its surviving tokens in
     * original order.
     *
-    * Plan shape (v2, r17 — the r16 verdict's probe target): the dup
-    * set reuses dupSpanProfile's corpus gram-count exchange (one
-    * groupBy gram, map-combined to distinct grams) plus one semi-join
-    * of the gram stream; islands (gaps-and-islands on per-doc dup
+    * Plan shape (v3, r18 — hot-key-safe; see dupSpanProfile for the
+    * full rationale): the gram stream is `localCheckpoint`ed once, the
+    * dup-gram dictionary comes from a MAP-COMBINABLE
+    * `groupBy(gram).count` (a hot gram costs one partial row per map
+    * task), and the dup stream is a semi-join of the gram stream
+    * against that dictionary — broadcast when small, AQE-skew-split
+    * when shuffled — replacing the r17 `Window.partitionBy(gram)`
+    * count that materialized every occurrence of the hottest gram in
+    * one unsplittable partition; islands (gaps-and-islands on per-doc dup
     * positions) need one id-keyed window; from there everything is
     * PER-DOC INTERVAL ARITHMETIC — span sets collapse to one small
     * array per document (Σ spans ≤ corpus tokens / minRun) and the
@@ -1121,23 +1147,26 @@ object Dedup {
     require(n >= 1, "n must be >= 1")
     require(minRun >= 1, "minRun must be >= 1")
     val words = col("__words")
+    // 8-byte gram identity, no gram string built — see dupSpanProfile
     val grams = when(size(words) >= n,
       transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+        i => xxhash64((0 until n).map(k =>
+          element_at(words, i + k + 1)): _*)))
+      .otherwise(array().cast("array<long>"))
     val toks = df.filter(col(idCol).isNotNull)
       .select(col(idCol), split(normText(col(textCol)), " ").as("__words"))
+    // checkpointed AFTER the explode — the per-position gram build is
+    // the expensive half of the lineage (see dupSpanProfile)
     val gramStream = toks
       .select(col(idCol), posexplode(grams).as(Seq("gpos", "gram")))
-    // dup detection as a WINDOW count over the gram stream (r17 —
-    // the ns47 probe measured 2.2× over agg + self-semi-join, which
-    // recomputed the scan→split→explode lineage as the probe side
-    // and shuffled the stream twice)
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gram"))
-    val dup = gramStream
-      .withColumn("__cnt", count(lit(1)).over(wg))
-      .filter(col("__cnt") > 1).drop("__cnt")
+      .localCheckpoint(true)
+    // duplicated-gram dictionary (map-combinable, hot-key-safe), then
+    // a semi-join of the stream against it
+    val dupGrams = gramStream.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("gram"))
+    val dup = gramStream.join(dupGrams, Seq("gram"), "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("gpos"))
     val spans = dup
