@@ -37,8 +37,17 @@ import org.apache.spark.sql.types._
   */
 object ColumnStats {
 
-  /** One column's bounds within one partition: `t` ∈ num|str. */
-  final case class ColStat(t: String, min: String, max: String)
+  /** One column's bounds within one partition: `t` ∈ num|str|date.
+    * `date` bounds hold epoch-DAY numbers and compare only against
+    * DateType literals or string literals that parse as dates under
+    * Spark's lenient `y-M-d` cast grammar — the type-aware compare
+    * that makes date-partition pruning sound where a lexicographic
+    * string compare false-pruned (`'2024-1-5'` vs `'2024-01-05'`,
+    * the r17 removal's motivation). `nulls` (r18, opt-in) is the
+    * column's null count within the partition, for IS NULL / IS NOT
+    * NULL pruning. */
+  final case class ColStat(t: String, min: String, max: String,
+      nulls: Option[Long] = None)
 
   /** Manifest-embeddable (quote/backslash/control-free, and short
     * enough that a wide-bounds column cannot bloat the log). */
@@ -76,26 +85,40 @@ object ColumnStats {
     case _ => None
   }
 
-  /** Compute per-partition bounds for `statsCols` in ONE aggregation
-    * over the commit's data (driver-sized: touched partitions ×
-    * columns). Columns whose min or max cannot be rendered soundly
-    * are skipped for that partition. */
+  /** Compute per-partition bounds + null counts for `statsCols` in
+    * ONE aggregation over the commit's data (driver-sized: touched
+    * partitions × columns). Columns whose min or max cannot be
+    * rendered soundly are skipped for that partition, EXCEPT the
+    * all-null column (min/max null but the null count is exact and
+    * IS NOT NULL pruning wants it): it records tag `none` — no
+    * non-null value exists, so every comparison prunes — with the
+    * null count attached. */
   def compute(df: DataFrame, pCol: String, statsCols: Seq[String])
       : Map[String, Map[String, ColStat]] = {
     val cols = statsCols.filter(c =>
       ColNameRe.pattern.matcher(c).matches() && df.columns.contains(c))
     if (cols.isEmpty) return Map.empty
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col(c).isNull, 1L)
+            .otherwise(0L)).as(s"__nulls_$c")))
     df.groupBy(col(pCol).cast("string").as("__p"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { row =>
         val p = row.getString(0)
         val stats = cols.zipWithIndex.flatMap { case (c, i) =>
-          (render(row.get(1 + 2 * i)), render(row.get(2 + 2 * i))) match {
+          val nulls = Some(row.getLong(3 + 3 * i))
+          (render(row.get(1 + 3 * i)), render(row.get(2 + 3 * i))) match {
             case (Some((t1, lo)), Some((t2, hi))) if t1 == t2 =>
-              Some(c -> ColStat(t1, lo, hi))
+              Some(c -> ColStat(t1, lo, hi, nulls))
+            case (None, None) if nulls.exists(_ > 0) =>
+              // ALL-null column (min/max of only-nulls is null): no
+              // non-null value exists, so NO comparison can match —
+              // the `none` tag prunes every comparison op, and the
+              // exact null count serves IS NULL / IS NOT NULL
+              Some(c -> ColStat("none", "", "", nulls))
             case _ => None
           }
         }.toMap
@@ -104,20 +127,25 @@ object ColumnStats {
   }
 
   /** Canonical JSON fragment for one entry's stats (sorted by column
-    * name), e.g. `{"x":{"t":"num","min":"3","max":"17"}}`. */
+    * name), e.g. `{"x":{"t":"num","min":"3","max":"17","nulls":"0"}}`
+    * — `nulls` appears only when recorded, keeping pre-r18 logs
+    * byte-identical. */
   def toJson(stats: Map[String, ColStat]): String =
     stats.toSeq.sortBy(_._1).map { case (c, s) =>
-      s""""$c":{"t":"${s.t}","min":"${s.min}","max":"${s.max}"}"""
+      s""""$c":{"t":"${s.t}","min":"${s.min}","max":"${s.max}"""" +
+        s.nulls.map(n => s""","nulls":"$n"""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
 
   private val StatRe =
-    ("\"([A-Za-z0-9_]+)\":\\{\"t\":\"(num|str)\"," +
-      "\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\"\\}").r
+    ("\"([A-Za-z0-9_]+)\":\\{\"t\":\"(num|str|date|none)\"," +
+      "\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\"" +
+      "(?:,\"nulls\":\"(\\d+)\")?\\}").r
 
   /** Parse the fragment [[toJson]] wrote. */
   def fromJson(json: String): Map[String, ColStat] =
     StatRe.findAllMatchIn(json).map(m =>
-      m.group(1) -> ColStat(m.group(2), m.group(3), m.group(4))).toMap
+      m.group(1) -> ColStat(m.group(2), m.group(3), m.group(4),
+        Option(m.group(5)).map(_.toLong))).toMap
 
   // ---- predicate evaluation over intervals --------------------------
 
@@ -125,25 +153,46 @@ object ColumnStats {
     try Some(BigDecimal(new java.math.BigDecimal(s)))
     catch { case _: NumberFormatException => None }
 
-  /** The literal's comparable form: Left(number) or Right(string). */
-  private def litValue(l: Literal): Option[Either[BigDecimal, String]] =
-    l.value match {
-      case null => None
-      case i: Int => Some(scala.Left(BigDecimal(i)))
-      case v: Long => Some(scala.Left(BigDecimal(v)))
-      case s: Short => Some(scala.Left(BigDecimal(s.toInt)))
-      case b: Byte => Some(scala.Left(BigDecimal(b.toInt)))
-      case f: Float if !f.isNaN && !f.isInfinite =>
-        Some(scala.Left(BigDecimal(new java.math.BigDecimal(f.toDouble))))
-      case d: Double if !d.isNaN && !d.isInfinite =>
-        Some(scala.Left(BigDecimal(new java.math.BigDecimal(d))))
-      case d: org.apache.spark.sql.types.Decimal =>
-        Some(scala.Left(d.toBigDecimal))
-      case u: org.apache.spark.unsafe.types.UTF8String =>
-        val s = u.toString
-        if (safe(s)) Some(scala.Right(s)) else None
-      case _ => None
-    }
+  /** A literal's comparable form, TYPE-AWARE (r18): a DateType
+    * literal's Int payload is epoch days, not a number a date column
+    * would ever compare against numerically, so the two are distinct
+    * cases. */
+  private sealed trait Lit
+  private final case class NumLit(v: BigDecimal) extends Lit
+  private final case class StrLit(v: String) extends Lit
+  private final case class DateLit(days: Int) extends Lit
+
+  /** Spark's lenient `y-M-d` string→date cast grammar, full-date
+    * forms only (partial forms like `2024-01` answer None → no
+    * pruning). Must accept only strings Spark's own cast maps to the
+    * same date — a divergence here is a false prune. */
+  private val DateStrRe = "(\\d{4,5})-(\\d{1,2})-(\\d{1,2})".r
+  private[ops] def parseDate(s: String): Option[Int] = s match {
+    case DateStrRe(y, m, d) =>
+      try Some(java.time.LocalDate
+        .of(y.toInt, m.toInt, d.toInt).toEpochDay.toInt)
+      catch { case _: java.time.DateTimeException => None }
+    case _ => None
+  }
+
+  private def litValue(l: Literal): Option[Lit] = (l.dataType, l.value) match {
+    case (_, null) => None
+    case (DateType, i: Int) => Some(DateLit(i))
+    case (_, i: Int) => Some(NumLit(BigDecimal(i)))
+    case (_, v: Long) => Some(NumLit(BigDecimal(v)))
+    case (_, s: Short) => Some(NumLit(BigDecimal(s.toInt)))
+    case (_, b: Byte) => Some(NumLit(BigDecimal(b.toInt)))
+    case (_, f: Float) if !f.isNaN && !f.isInfinite =>
+      Some(NumLit(BigDecimal(new java.math.BigDecimal(f.toDouble))))
+    case (_, d: Double) if !d.isNaN && !d.isInfinite =>
+      Some(NumLit(BigDecimal(new java.math.BigDecimal(d))))
+    case (_, d: org.apache.spark.sql.types.Decimal) =>
+      Some(NumLit(d.toBigDecimal))
+    case (_, u: org.apache.spark.unsafe.types.UTF8String) =>
+      val s = u.toString
+      if (safe(s)) Some(StrLit(s)) else None
+    case _ => None
+  }
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
@@ -159,29 +208,60 @@ object ColumnStats {
 
   /** Can `c op lit` hold for some value in `s`'s interval? Unknown
     * comparability → true. */
-  private def cmp(s: ColStat, lit: Either[BigDecimal, String],
-      op: String): Boolean = (s.t, lit) match {
-    case ("num", scala.Left(v)) =>
-      (num(s.min), num(s.max)) match {
-        case (Some(lo), Some(hi)) => op match {
-          case "=" => v >= lo && v <= hi
-          case ">" => hi > v
-          case ">=" => hi >= v
-          case "<" => lo < v
-          case "<=" => lo <= v
-          case _ => true
-        }
+  private def cmp(s: ColStat, lit: Lit, op: String): Boolean = {
+    def numCmp(lo: BigDecimal, hi: BigDecimal, v: BigDecimal): Boolean =
+      op match {
+        case "=" => v >= lo && v <= hi
+        case ">" => hi > v
+        case ">=" => hi >= v
+        case "<" => lo < v
+        case "<=" => lo <= v
         case _ => true
       }
-    case ("str", scala.Right(v)) => op match {
-      case "=" => s.min <= v && v <= s.max
-      case ">" => s.max > v
-      case ">=" => s.max >= v
-      case "<" => s.min < v
-      case "<=" => s.min <= v
+    (s.t, lit) match {
+      case ("num", NumLit(v)) =>
+        (num(s.min), num(s.max)) match {
+          case (Some(lo), Some(hi)) => numCmp(lo, hi, v)
+          case _ => true
+        }
+      // date-typed stats columns are RENDERED as num epoch days, so a
+      // DateType literal compares numerically against them; `date`-
+      // tagged bounds (partition point stats) hold epoch days too
+      case ("num", DateLit(d)) =>
+        (num(s.min), num(s.max)) match {
+          case (Some(lo), Some(hi)) => numCmp(lo, hi, BigDecimal(d))
+          case _ => true
+        }
+      case ("date", DateLit(d)) =>
+        (num(s.min), num(s.max)) match {
+          case (Some(lo), Some(hi)) => numCmp(lo, hi, BigDecimal(d))
+          case _ => true
+        }
+      // a string literal against a DATE column: Spark casts the
+      // string to date (lenient y-M-d); comparing lexicographically
+      // here was the r17 false-prune — parse instead, unparseable →
+      // read (the real cast yields null → the filter drops the rows,
+      // pruning just cannot claim it)
+      case ("date", StrLit(v)) => parseDate(v) match {
+        case Some(d) => (num(s.min), num(s.max)) match {
+          case (Some(lo), Some(hi)) => numCmp(lo, hi, BigDecimal(d))
+          case _ => true
+        }
+        case None => true
+      }
+      case ("str", StrLit(v)) => op match {
+        case "=" => s.min <= v && v <= s.max
+        case ">" => s.max > v
+        case ">=" => s.max >= v
+        case "<" => s.min < v
+        case "<=" => s.min <= v
+        case _ => true
+      }
+      // all-null column: no non-null value exists, so no comparison
+      // against ANY literal can hold (null op x is null, not true)
+      case ("none", _) => false
       case _ => true
     }
-    case _ => true
   }
 
   private def flip(op: String): String = op match {
@@ -194,8 +274,11 @@ object ColumnStats {
 
   /** Could ANY row of a partition with `stats` satisfy `pred`?
     * Sound under-approximation of "definitely empty": `false` only
-    * when the intervals prove it. */
-  def mayMatch(pred: Expression, stats: Map[String, ColStat]): Boolean = {
+    * when the intervals prove it. `rows` (r18, when the entry
+    * recorded a row count) enables IS NOT NULL pruning of all-null
+    * columns; IS NULL prunes from a recorded zero null count alone. */
+  def mayMatch(pred: Expression, stats: Map[String, ColStat],
+      rows: Option[Long] = None): Boolean = {
     def bin(a: Expression, l: Expression, op: String): Boolean =
       (attrName(a), l) match {
         case (Some(c), lit: Literal) =>
@@ -209,8 +292,8 @@ object ColumnStats {
         case _ => true
       }
     pred match {
-      case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
-      case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+      case And(l, r) => mayMatch(l, stats, rows) && mayMatch(r, stats, rows)
+      case Or(l, r) => mayMatch(l, stats, rows) || mayMatch(r, stats, rows)
       case EqualTo(a, l: Literal) => bin(a, l, "=")
       case EqualTo(l: Literal, a) => bin(a, l, "=")
       case EqualNullSafe(a, l: Literal) => bin(a, l, "=")
@@ -225,7 +308,19 @@ object ColumnStats {
       case LessThanOrEqual(l: Literal, a) => bin(a, l, flip("<="))
       case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
         list.exists(l => bin(a, l.asInstanceOf[Literal], "="))
-      // anything else (Not, IsNull, UDFs, struct fields...) is beyond
+      // null-count pruning (r18): IS NULL is provably empty when the
+      // column recorded ZERO nulls in this partition; IS NOT NULL
+      // when every row is null (nulls == row count, both recorded)
+      case IsNull(a) => attrName(a).flatMap(stats.get) match {
+        case Some(s) => !s.nulls.contains(0L)
+        case None => true
+      }
+      case IsNotNull(a) => attrName(a).flatMap(stats.get) match {
+        case Some(s) =>
+          !(rows.nonEmpty && s.nulls.nonEmpty && s.nulls == rows)
+        case None => true
+      }
+      // anything else (Not, UDFs, struct fields...) is beyond
       // interval reasoning — read the partition
       case _ => true
     }

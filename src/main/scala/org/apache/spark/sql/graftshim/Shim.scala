@@ -52,6 +52,11 @@ object Shim {
             catalyst.expressions.LessThanOrEqual(a, b)
           case ("in", s) if s.length >= 2 =>
             catalyst.expressions.In(s.head, s.tail)
+          // Column.isNull builds "isNull"; SQL text builds "isnull"
+          case ("isnull" | "isNull", Seq(a)) =>
+            catalyst.expressions.IsNull(a)
+          case ("isnotnull" | "isNotNull", Seq(a)) =>
+            catalyst.expressions.IsNotNull(a)
           case _ => opaque
         }
       case a: internal.UnresolvedAttribute =>
@@ -64,5 +69,13 @@ object Shim {
       case c: internal.Cast =>
         catalyst.expressions.Cast(node2expr(c.child), c.dataType)
       case _ => opaque
+    }
+
+  /** Dev aid: the raw node/expression shape of a Column. */
+  def debugNode(c: Column): String =
+    ExpressionUtils.expression(c) match {
+      case classic.ColumnNodeExpression(node) =>
+        s"node[${node.getClass.getSimpleName}] $node"
+      case e => s"expr[${e.getClass.getSimpleName}] $e"
     }
 }

@@ -883,4 +883,219 @@ class ManifestSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("committer"))
   }
+
+  test("pluggable CommitProtocol (r17 verdict missing #1): an object " +
+      "store scheme is default-DENIED, and a registered conditional-" +
+      "put protocol restores the CAS-loser-must-fail law on a store " +
+      "whose native rename silently replaces") {
+    import graft.ops.CommitProtocol
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockobj.impl", classOf[MockObjFileSystem].getName)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mockobj").toString
+    val root = s"mockobj:$dir/t"
+    // default deny: no protocol registered for mockobj → fail FAST
+    val ex = intercept[IllegalArgumentException] {
+      Manifest.commitReplacePartitions(base, root, "part", "init")
+    }
+    assert(ex.getMessage.contains("CommitProtocol"))
+    // a conforming conditional-put committer (exists-check + publish
+    // under one mutual exclusion — the JVM-wide stand-in for S3
+    // If-None-Match / GCS ifGenerationMatch=0)
+    object ConditionalPut extends CommitProtocol {
+      private val mutex = new Object
+      def publishAtomic(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = mutex.synchronized {
+        if (fs.exists(dst)) false else fs.rename(tmp, dst)
+      }
+    }
+    CommitProtocol.register("mockobj", ConditionalPut)
+    try {
+      // the o17 gate shape, end-to-end through the plug
+      assert(Manifest.commitReplacePartitions(base, root, "part",
+        "init") == 1L)
+      assert(snap(root) == base.as[(Long, String, Long)].collect().toSet)
+      // CAS-loser-must-fail THROUGH the plug, on a store whose own
+      // rename would have let both writers "win"
+      assert(Manifest.writeEntriesAtomic(spark, root, 2L, "winner",
+        Seq(Manifest.Entry("10", "winner", 2L))))
+      assert(!Manifest.writeEntriesAtomic(spark, root, 2L, "loser",
+        Seq(Manifest.Entry("10", "loser", 2L))),
+        "second publish of v2 must fail the CAS through the protocol")
+      assert(Manifest.readManifest(spark, root, 2L)
+        .select("data_key").as[String].collect().toSet == Set("winner"))
+      // the native rename really is broken (the protocol, not the
+      // store, is what held the law above)
+      val (fs0, _) = {
+        val p = new org.apache.hadoop.fs.Path(root)
+        (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      }
+      val a = new org.apache.hadoop.fs.Path(s"$root/_probe_a")
+      val b = new org.apache.hadoop.fs.Path(s"$root/_probe_b")
+      fs0.create(a).close(); fs0.create(b).close()
+      assert(fs0.rename(a, b), "mock object store must replace on rename")
+    } finally CommitProtocol.unregister("mockobj")
+  }
+
+  test("date-partition pruning is typed (r17 ADVICE high + r18): a " +
+      "canonically date-partitioned table prunes by value, the " +
+      "non-canonical-literal trap reads instead of false-pruning, " +
+      "and recorded pCol stats can never lexicographically prune") {
+    val root = freshRoot()
+    val rows = Seq(
+      (1L, "a", "2024-01-05"), (2L, "b", "2024-01-05"),
+      (3L, "c", "2024-01-06"), (4L, "d", "2024-02-01"))
+      .toDF("id", "name", "dt")
+    // statsCols DELIBERATELY includes the partition column — the r17
+    // ADVICE trap: compute() records it as 'str' while the reader
+    // compares under the partition-inferred DATE type
+    Manifest.commitReplacePartitions(rows, root, "dt", "init",
+      statsCols = Seq("id", "dt"))
+    def filesOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.toSet
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("id")).as[Long].collect().toSet
+    // canonical literal: prunes to one partition
+    val canon = Manifest.readWhere(spark, root, "dt",
+      col("dt") === "2024-01-06")
+    assert(filesOf(canon).forall(_.contains("dt=2024-01-06")))
+    assert(ids(canon) == Set(3L))
+    // THE trap: non-canonical literal — Spark casts it to the same
+    // date; lexicographic pruning would have dropped the partition
+    val trap = Manifest.readWhere(spark, root, "dt",
+      col("dt") === "2024-1-5")
+    assert(ids(trap) == ids(Manifest.read(spark, root, "dt")
+      .filter(col("dt") === "2024-1-5")))
+    assert(ids(trap) == Set(1L, 2L), "non-canonical date literal lost rows")
+    assert(filesOf(trap).forall(_.contains("dt=2024-01-05")),
+      "the typed compare should still PRUNE, not just stay correct")
+    // typed date literal prunes
+    val lit = Manifest.readWhere(spark, root, "dt",
+      col("dt") === org.apache.spark.sql.functions.lit(
+        java.sql.Date.valueOf("2024-02-01")))
+    assert(filesOf(lit).forall(_.contains("dt=2024-02-01")))
+    assert(ids(lit) == Set(4L))
+    // range predicates prune through the typed compare too
+    val range = Manifest.readWhere(spark, root, "dt",
+      col("dt") >= "2024-01-06")
+    assert(ids(range) == Set(3L, 4L))
+    assert(filesOf(range).forall(f =>
+      f.contains("dt=2024-01-06") || f.contains("dt=2024-02-01")))
+    // a MIXED table (one non-date value → string column at read time)
+    // must disable date semantics entirely: equality on a
+    // non-canonical literal matches nothing, and nothing is lost
+    val root2 = freshRoot()
+    Manifest.commitReplacePartitions(
+      Seq((1L, "2024-01-05"), (2L, "foo")).toDF("id", "dt"),
+      root2, "dt", "init")
+    val mixed = Manifest.readWhere(spark, root2, "dt",
+      col("dt") === "2024-1-5")
+    assert(ids(mixed) == ids(Manifest.read(spark, root2, "dt")
+      .filter(col("dt") === "2024-1-5")))
+    assert(ids(Manifest.readWhere(spark, root2, "dt",
+      col("dt") === "foo")) == Set(2L))
+  }
+
+  test("null-count + row-count stats (r17 verdict missing #4): IS " +
+      "NULL / IS NOT NULL prune from recorded counts, and snapshot " +
+      "count(*) answers from the manifest without touching data") {
+    val root = freshRoot()
+    val rows = Seq[(Long, Option[String], Long)](
+      (1L, Some("a"), 10L), (2L, Some("b"), 10L), // no nulls
+      (3L, Some("c"), 20L), (4L, None, 20L),      // some nulls
+      (5L, None, 30L), (6L, None, 30L))           // ALL null
+      .toDF("id", "name", "part")
+    Manifest.commitReplacePartitions(rows, root, "part", "init",
+      statsCols = Seq("name"))
+    def filesOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.toSet
+    // IS NULL: partition 10 recorded zero nulls → provably empty
+    val isNull = Manifest.readWhere(spark, root, "part",
+      col("name").isNull)
+    assert(!filesOf(isNull).exists(_.contains("part=10")),
+      s"IS NULL read a null-free partition: ${filesOf(isNull)}")
+    assert(isNull.select(col("id")).as[Long].collect().toSet ==
+      Set(4L, 5L, 6L))
+    // IS NOT NULL: partition 30 is all-null (nulls == rows) → pruned
+    val notNull = Manifest.readWhere(spark, root, "part",
+      col("name").isNotNull)
+    assert(!filesOf(notNull).exists(_.contains("part=30")),
+      s"IS NOT NULL read an all-null partition: ${filesOf(notNull)}")
+    assert(notNull.select(col("id")).as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // comparisons on the all-null partition prune via its empty
+    // interval (min > max sentinel), never crash
+    val eq = Manifest.readWhere(spark, root, "part",
+      col("name") === "zzz")
+    assert(!filesOf(eq).exists(_.contains("part=30")))
+    assert(eq.isEmpty)
+    // count(*) from the manifest alone, matching the scan
+    assert(Manifest.rowCountAt(spark, root) == Some(6L))
+    assert(Manifest.read(spark, root, "part").count() == 6L)
+    // still exact after a merge rewrites one partition
+    Manifest.commitMerge(
+      Seq((7L, Some("g"), 10L)).toDF("id", "name", "part"),
+      root, Seq("id"), "part", "merge1")
+    assert(Manifest.rowCountAt(spark, root) == Some(7L))
+    assert(Manifest.read(spark, root, "part").count() == 7L)
+    // and row counts survive the checkpoint round-trip
+    Manifest.checkpoint(spark, root)
+    val cv = Manifest.currentVersion(spark, root)
+    (1L to cv).foreach(v =>
+      new java.io.File(f"$root/manifests/v$v%08d.json").delete(): Unit)
+    assert(Manifest.rowCountAt(spark, root) == Some(7L))
+  }
+
+  test("changedRowsSince on a FULLY-EMPTIED table (r18 ADVICE): a " +
+      "complete takedown's feed returns the delete preimages instead " +
+      "of raising on the empty current snapshot") {
+    val root = freshRoot()
+    Manifest.commitReplacePartitions(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "part"),
+      root, "part", "init")
+    // delete EVERY row → zero live entries at the current version
+    Manifest.commitDelete(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "part"),
+      root, Seq("id"), "part", "takedown_all")
+    val feed = Manifest.changedRowsSince(spark, root, "part",
+      Seq("id"), sinceVersion = 1L)
+    assert(feed.select(col("_change")).as[String].collect().toSet ==
+      Set("delete"))
+    assert(feed.select(col("id"), col("name"))
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")),
+      "delete preimages must carry the old values")
+  }
+
+  test("crossing table pins raise (r18 ADVICE): two runs whose pin " +
+      "requests cross the current cut cannot max-converge to a cut " +
+      "neither produced") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pins_x").toString
+    Manifest.commitTablePins(spark, base,
+      Map("weather" -> 2L, "cocktails" -> 1L), "run_a")
+    // crossing request: behind on weather, ahead on cocktails
+    intercept[Manifest.ConcurrentCommitException] {
+      Manifest.commitTablePins(spark, base,
+        Map("weather" -> 1L, "cocktails" -> 2L), "run_b")
+    }
+    assert(Manifest.tablePins(spark, base) ==
+      Map("weather" -> 2L, "cocktails" -> 1L))
+    // uniformly-stale retry still no-ops monotonic
+    Manifest.commitTablePins(spark, base,
+      Map("weather" -> 1L, "cocktails" -> 1L), "stale_retry")
+    assert(Manifest.tablePins(spark, base) ==
+      Map("weather" -> 2L, "cocktails" -> 1L))
+    // uniformly-ahead publishes; deliberate rollback bypasses the check
+    Manifest.commitTablePins(spark, base,
+      Map("weather" -> 3L, "cocktails" -> 2L), "run_c")
+    assert(Manifest.tablePins(spark, base) ==
+      Map("weather" -> 3L, "cocktails" -> 2L))
+    Manifest.commitTablePins(spark, base,
+      Map("weather" -> 1L, "cocktails" -> 2L), "rollback",
+      allowRollback = true)
+    assert(Manifest.tablePins(spark, base) ==
+      Map("weather" -> 1L, "cocktails" -> 2L))
+  }
 }
