@@ -4975,8 +4975,10 @@ object SparkEntry {
         EventStream.hourlyRollup(stream),
         s"${base.getPath}/gold", s"${base.getPath}/ckpt")
       q.awaitTermination()
+      // v2 (r18): the gold store is a commit table — resolve through
+      // the manifest, snapshot-isolated against the landing stream
       materializeAndDrop(
-        s.read.parquet(s"${base.getPath}/gold")
+        graft.ops.Manifest.read(s, s"${base.getPath}/gold", "run_hr")
           .select(col("run_hr").cast("long").as("run_hr"),
             col("event_type"), col("n"), col("total")), base)
     }),
@@ -5046,18 +5048,20 @@ object SparkEntry {
       val stream = Tables.normalizeTs(
         EventStream.fileSource(s, srcDir.getPath, raw))
         .filter(col("ts") >= lit("2024-01-20 00:00:00"))
+      // v2 (r18, r17 verdict #5): the dedup store lands through the
+      // manifest sink — per-batch atomic commits with checkpoint-
+      // identity keys — instead of a raw parquet sink a racing
+      // reader could catch half-written
       val out = s"${base.getPath}/deduped"
-      val q = EventStream.dedupWithinWatermark(stream, Seq("event_id"))
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"))
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"${base.getPath}/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out)
-        .start()
+      val q = EventStream.startManifestSink(
+        EventStream.dedupWithinWatermark(stream, Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        out, s"${base.getPath}/ckpt")
       q.awaitTermination()
-      materializeAndDrop(s.read.parquet(out), base)
+      materializeAndDrop(
+        graft.ops.Manifest.read(s, out, "batch_id").drop("batch_id"),
+        base)
     }),
 
     // ---- §7.4.6 stream-stream range join, driver-gated ----

@@ -62,11 +62,18 @@ object EventStream {
       .select(JsonIngest.runHr(col("window.start")).as("run_hr"),
         col("event_type"), col("n"), col("total"))
 
-  /** Write the rollup stream as idempotent run_hr-partitioned gold:
-    * each finalized window batch REPLACES its run_hr partitions via
-    * dynamic partition overwrite, so replays/retries of a batch are
-    * exactly-once at the partition level — the streaming analogue of
-    * the reference's delete+insert idempotency.
+  /** Write the rollup stream as run_hr-partitioned gold THROUGH the
+    * transaction layer (v2, r18 — r17 verdict #5): each finalized
+    * window batch lands as ONE [[Manifest.commitReplacePartitions]]
+    * of its run_hr partitions, so a reader racing the stream
+    * resolves the previous snapshot or the new one — never the
+    * half-written batch directory the v1 path-overwrite exposed —
+    * and a batch replayed within its checkpoint short-circuits at
+    * the manifest log (no version burned, nothing rewritten),
+    * stronger than v1's re-write-the-partition idempotence. Commit
+    * keys carry the checkpoint identity ([[ckptPrefix]]) so batch
+    * ids from different checkpoints can never collide. Read the
+    * gold table with `Manifest.read(spark, root, "run_hr")`.
     *
     * `trigger` defaults to AvailableNow (drain-and-stop — the batch
     * restatement and every test/gate use this); continuous operation
@@ -74,19 +81,24 @@ object EventStream {
     * /root/reference/dags/sandbox_data_pipeline.py:240 `0 * * * *`)
     * passes `Trigger.ProcessingTime("1 hour")` instead — same plan,
     * same checkpoint, only the firing schedule differs. */
-  def startGoldStream(rollup: DataFrame, path: String,
+  def startGoldStream(rollup: DataFrame, root: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      commitPrefix: String = ""): StreamingQuery = {
+    val prefix = if (commitPrefix.nonEmpty) commitPrefix
+      else ckptPrefix("gold", checkpointDir, rollup.sparkSession)
     rollup.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          IdempotentWriter.replacePartitions(
-            batch.repartition(col("run_hr")), path, Seq("run_hr"))
+          commitWithReplay(() =>
+            Manifest.commitReplacePartitions(batch, root, "run_hr",
+              s"${prefix}_b$batchId"))
       }
       .start()
+  }
 
   /** Bounded conflict-replay loop for the streaming commit sinks: a
     * read-modify-write commit racing table MAINTENANCE (compaction,
@@ -118,11 +130,25 @@ object EventStream {
     * key — data loss either way. With the checkpoint hash in the
     * key, a SAME-checkpoint crash-replay still short-circuits (the
     * exactly-once path), while a fresh checkpoint re-applies its
-    * batches — safe, because the merge/delete transforms are
-    * content-idempotent. */
-  private def ckptPrefix(kind: String, checkpointDir: String): String =
-    s"${kind}_" + (scala.util.hashing.MurmurHash3
-      .stringHash(checkpointDir) & 0x7fffffff).toHexString
+    * batches.
+    *
+    * The identity is the CANONICALIZED checkpoint path (r18 ADVICE:
+    * qualified through the Hadoop filesystem, so trailing slashes,
+    * relative spellings, and scheme prefixes of ONE checkpoint agree
+    * — equivalent spellings must not flip a replay from
+    * short-circuit to re-apply), widened to a sanitized path tail
+    * PLUS the full 32-bit hash so two different checkpoints on one
+    * table root cannot silently collide into a short-circuit. */
+  private def ckptPrefix(kind: String, checkpointDir: String,
+      spark: org.apache.spark.sql.SparkSession): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val norm = p.getFileSystem(conf).makeQualified(p).toString
+    val tail = norm.takeRight(24).replaceAll("[^A-Za-z0-9_\\-]", "-")
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(norm))
+    s"${kind}_${tail}_$h"
+  }
 
   /** Streaming keyed UPSERT sink THROUGH the transaction layer: each
     * micro-batch MERGEs into a [[Manifest]] commit table via
@@ -138,7 +164,16 @@ object EventStream {
     * `<prefix(checkpoint)>_b<batchId>` is already committed, so
     * nothing republishes and no version is burned (the s24
     * per-batch-commit pattern on the merge face). Re-delivery under
-    * a FRESH checkpoint re-applies — see [[ckptPrefix]].
+    * a FRESH checkpoint re-applies — see [[ckptPrefix]] — which
+    * CONVERGES to the same table only under two conditions (r18
+    * ADVICE): the full source history is still present (retention
+    * has not pruned files the old checkpoint already applied — a
+    * pruned update is permanently lost from the rebuild), and the
+    * replay runs to completion (while it catches up, snapshot
+    * readers can observe keys temporarily regressed to earlier
+    * versions; commitMerge has no cross-checkpoint version guard).
+    * Rebuilding a checkpoint over a retention-pruned source is an
+    * operator error this layer cannot detect.
     *
     * Within a batch, last-writer-wins is made deterministic by
     * keeping only the max-`versionCols` row per key (one bounded
@@ -160,7 +195,7 @@ object EventStream {
       commitPrefix: String = "",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val prefix = if (commitPrefix.nonEmpty) commitPrefix
-      else ckptPrefix("upsert", checkpointDir)
+      else ckptPrefix("upsert", checkpointDir, updates.sparkSession)
     updates.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -200,7 +235,7 @@ object EventStream {
       commitPrefix: String = "",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val prefix = if (commitPrefix.nonEmpty) commitPrefix
-      else ckptPrefix("takedown", checkpointDir)
+      else ckptPrefix("takedown", checkpointDir, requests.sparkSession)
     requests.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -219,16 +254,18 @@ object EventStream {
 
   /** Streaming sketch maintenance: each micro-batch's count-min
     * sketch ([[graft.ns.Sketches.cmsSketch]]) lands as a PER-BATCH
-    * partition of a sketch store; [[readSketchStore]] merges by
+    * partition of a sketch COMMIT TABLE (v2, r18 — r17 verdict #5:
+    * the store was path-based, so a racing reader could see a
+    * half-written batch directory); [[readSketchStore]] merges by
     * exact integer addition (the ns93 law), so the drained store
     * reads BIT-EQUAL to the batch sketch over all data regardless of
-    * how the stream was batched. Store-per-batch/merge-at-read makes
-    * replays exactly-once for free: a re-delivered batch REPLACES its
-    * own batch_id partition (O10's dynamic overwrite), never
-    * double-adds. No watermark, no state store — the store stays
-    * bounded at batches × groups × depth × width kilobyte-sized
-    * rows, re-compactable any time by rewriting the merged read
-    * (j08's move). */
+    * how the stream was batched. Store-per-batch/merge-at-read plus
+    * the manifest log makes replays exactly-once: a re-delivered
+    * batch's checkpoint-identity commit key short-circuits before
+    * staging — no version burned, nothing rewritten. No watermark,
+    * no state store — the store stays bounded at batches × groups ×
+    * depth × width kilobyte-sized rows, re-compactable any time via
+    * [[Manifest.commitCompact]] (the s25 maintenance move). */
   def startSketchStream(docs: DataFrame, path: String,
       checkpointDir: String, groupCol: String, textCol: String,
       depth: Int = 4, width: Int = 256,
@@ -242,8 +279,13 @@ object EventStream {
           val delta = graft.ns.Sketches.cmsSketch(batch,
             Seq(col(groupCol)), textCol, depth, width)
             .withColumn("batch_id", lit(batchId))
-          IdempotentWriter.replacePartitions(
-            delta.coalesce(1), path, Seq("batch_id"))
+          // v2 (r18): per-batch COMMIT — replays short-circuit at the
+          // manifest log and a racing reader never sees a
+          // half-written delta partition (r17 verdict #5)
+          commitWithReplay(() =>
+            Manifest.commitReplacePartitions(delta, path, "batch_id",
+              s"${ckptPrefix("sketch", checkpointDir,
+                docs.sparkSession)}_b$batchId"))
         }
       }
       .start()
@@ -391,7 +433,8 @@ object EventStream {
       .start()
 
   /** Micro-batch sink THROUGH the snapshot commit layer (r15): each
-    * batch publishes atomically under commit key `batch_<id>`, so
+    * batch publishes atomically under a checkpoint-identity commit
+    * key `<prefix(checkpoint)>_b<id>` (r18), so
     *
     *  - replay idempotence comes from the TRANSACTION LOG (a
     *    replayed batch's key short-circuits before staging), not
@@ -405,10 +448,23 @@ object EventStream {
     *    .readAt]]) — the streaming face of O10-as-a-commit.
     *
     * The batch frame is partitioned by the literal batch_id column
-    * the sink appends. */
+    * the sink appends. Rebuilding a checkpoint over an EXISTING
+    * table root re-commits under the new checkpoint's keys,
+    * replacing same-numbered batch_id partitions — content-invariant
+    * when the rebuilt stream reproduces the same batching (the
+    * grown-source rebuild lands correctly too: the wider batch 0
+    * replaces the old one); a rebuild that re-batches a SHRUNK or
+    * re-split source over an old store can leave stale higher
+    * batch_id partitions behind — start a fresh table root for that,
+    * as with any append store. */
   def startManifestSink(df: DataFrame, root: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // checkpoint-identity commit keys (r18, the s07/s09 r17 fix
+    // applied here too): bare `batch_N` let a SECOND stream on the
+    // same table root silently short-circuit against the first
+    // stream's batch numbers
+    val prefix = ckptPrefix("batch", checkpointDir, df.sparkSession)
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -417,9 +473,10 @@ object EventStream {
         if (!batch.isEmpty)
           graft.ops.Manifest.commitReplacePartitions(
             batch.withColumn("batch_id", lit(batchId)),
-            root, "batch_id", s"batch_$batchId"): Unit
+            root, "batch_id", s"${prefix}_b$batchId"): Unit
       }
       .start()
+  }
 
   /** Read a [[startMinhashBankStream]] bank: the current signature
     * rows (append-only facts — no merge to do). */
@@ -482,10 +539,11 @@ object EventStream {
       .start()
 
   /** Merge a [[startSketchStream]] store to the current sketch:
-    * exact addition per (group, seed, cell). */
+    * exact addition per (group, seed, cell), resolved through the
+    * manifest (v2 — snapshot-isolated against the landing stream). */
   def readSketchStore(spark: SparkSession, path: String,
       groupCol: String): DataFrame =
-    spark.read.parquet(path)
+    Manifest.read(spark, path, "batch_id")
       // width is part of the merge key: deltas built with different
       // widths must never sum into one sketch (cmsEstimate asserts a
       // single width downstream).

@@ -62,21 +62,34 @@ class StreamingSpec extends SparkSpec {
     val q = EventStream.startGoldStream(
       EventStream.hourlyRollup(stream), gold, ckpt)
     q.awaitTermination()
-    val out = spark.read.parquet(gold)
+    import graft.ops.Manifest
+    val out = Manifest.read(spark, gold, "run_hr")
       .select(col("run_hr").cast("long"), col("event_type"), col("n"))
       .as[(Long, String, Long)].collect().toSet
     assert(out == Set((202401011000L, "click", 2L)))
-    // one file per partition directory (repartitioned before write)
-    val dirs = new java.io.File(gold).listFiles()
-      .filter(_.getName.startsWith("run_hr="))
-    assert(dirs.length == 1)
-    // replaying the whole stream from a fresh checkpoint replaces the
-    // partition rather than duplicating it
+    // one file per partition (stage repartitions by run_hr)
+    assert(Manifest.read(spark, gold, "run_hr").inputFiles.length == 1)
+    val v1 = Manifest.currentVersion(spark, gold)
+    // same-checkpoint restart: every batch already consumed →
+    // publishes NO versions (the replay-publishes-nothing law)
+    val qr = EventStream.startGoldStream(
+      EventStream.hourlyRollup(EventStream.fileSource(spark, src,
+        events.toDF().schema)), gold, ckpt)
+    qr.awaitTermination()
+    assert(Manifest.currentVersion(spark, gold) == v1,
+      "a same-checkpoint replay must not burn versions")
+    // replaying the whole stream from a FRESH checkpoint re-commits,
+    // REPLACING the partition rather than duplicating it — and the
+    // pre-replay snapshot survives for a pinned reader (racing-reader
+    // law: a reader resolves a whole version, never a half-written
+    // batch directory)
     val q2 = EventStream.startGoldStream(
       EventStream.hourlyRollup(EventStream.fileSource(spark, src,
         events.toDF().schema)), gold, s"${base.getPath}/ckpt2")
     q2.awaitTermination()
-    assert(spark.read.parquet(gold)
+    assert(Manifest.read(spark, gold, "run_hr")
+      .filter(col("run_hr") === 202401011000L).count() == 1)
+    assert(Manifest.readAt(spark, gold, "run_hr", v1)
       .filter(col("run_hr") === 202401011000L).count() == 1)
   }
 
@@ -97,7 +110,8 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
     try {
       q.processAllAvailable()
-      val out = spark.read.parquet(s"${base.getPath}/gold")
+      val out = graft.ops.Manifest
+        .read(spark, s"${base.getPath}/gold", "run_hr")
         .select(col("run_hr").cast("long"), col("event_type"), col("n"))
         .as[(Long, String, Long)].collect().toSet
       assert(out == Set((202401011000L, "click", 1L)))
@@ -200,7 +214,8 @@ class StreamingSpec extends SparkSpec {
       try {
         q.processAllAvailable()
       } finally q.stop()
-      spark.read.parquet(s"${base.getPath}/gold_$tag")
+      graft.ops.Manifest.read(spark, s"${base.getPath}/gold_$tag",
+          "run_hr")
         .select(col("run_hr").cast("long"), col("event_type"),
           col("n"), col("total"))
         .as[(Long, String, Long, Double)].collect().toSet
@@ -302,7 +317,7 @@ class StreamingSpec extends SparkSpec {
     assert(versionAfter == 3L)
     val keys = Manifest.listCommits(spark, root).map(_._2)
     assert(keys.head == "init" &&
-      keys.tail.forall(_.matches("upsert_[0-9a-f]+_b[01]")), keys)
+      keys.tail.forall(_.matches("upsert_[A-Za-z0-9_\\-]+_[0-9a-f]+_b[01]")), keys)
     // SAME-checkpoint crash-replay (the at-least-once window): the
     // batch's commit key is already logged → short-circuit, no
     // version burned. Simulated by re-issuing batch 1's commit.
@@ -394,7 +409,7 @@ class StreamingSpec extends SparkSpec {
     val v = Manifest.currentVersion(spark, root)
     val keys = Manifest.listCommits(spark, root).map(_._2)
     assert(keys.head == "init" &&
-      keys.tail.forall(_.matches("takedown_[0-9a-f]+_b0")), keys)
+      keys.tail.forall(_.matches("takedown_[A-Za-z0-9_\\-]+_[0-9a-f]+_b0")), keys)
     // same-checkpoint crash-replay short-circuits on the logged key
     Manifest.commitDelete(Seq((1L, 10L)).toDF("uid", "part"),
       root, Seq("uid"), "part", keys.last)
@@ -481,10 +496,20 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Int, Long, Long, Int)].collect().toSet
     assert(merged() == whole,
       "drained store must bit-equal the batch sketch")
-    // fresh-checkpoint replay re-delivers both batches; batch_id
-    // partition replacement keeps the store unchanged
+    // v2 laws (r18): same-checkpoint replay publishes NO versions
+    // (every batch key already in the manifest log)...
+    val v1 = graft.ops.Manifest.currentVersion(spark, store)
+    drain(s"$base/ckpt")
+    assert(graft.ops.Manifest.currentVersion(spark, store) == v1,
+      "a same-checkpoint replay must not burn versions")
+    // ...and a fresh-checkpoint replay re-COMMITS both batch_id
+    // partitions (replacement, not duplication): store unchanged,
+    // pre-replay snapshot still whole for a pinned reader
     drain(s"$base/ckpt2")
     assert(merged() == whole)
+    assert(graft.ops.Manifest
+      .readAt(spark, store, "batch_id", v1).count() ==
+      graft.ops.Manifest.read(spark, store, "batch_id").count())
   }
 
   test("startMinhashBankStream: drained bank equals the batch " +
@@ -679,13 +704,23 @@ class StreamingSpec extends SparkSpec {
     // per-batch time travel: v1 = batch 0 only, v2 = both
     assert(snapAll(1L) == (0L until 10L).toSet)
     assert(snapAll(2L) == (0L until 20L).toSet)
-    // replay from a fresh checkpoint: the commit keys short-circuit,
-    // so NO new versions land and every snapshot is untouched
-    drain("ckpt2")
+    // SAME-checkpoint replay: every batch key already committed →
+    // NO new versions
+    drain("ckpt")
     assert(graft.ops.Manifest.currentVersion(spark, root) == 2L)
-    assert(graft.ops.Manifest.listCommits(spark, root) ==
-      Seq((1L, "batch_0"), (2L, "batch_1")))
+    // keys carry the checkpoint identity (r18 — the Delta txnAppId
+    // model; a second stream's batch numbers can never silently
+    // short-circuit against this stream's)
+    val keys = graft.ops.Manifest.listCommits(spark, root).map(_._2)
+    assert(keys.forall(
+      _.matches("batch_[A-Za-z0-9_\\-]+_[0-9a-f]+_b[01]")), keys)
+    // a FRESH checkpoint re-commits (its own keys), REPLACING the
+    // same-numbered batch_id partitions: content unchanged, old
+    // versions untouched for pinned readers
+    drain("ckpt2")
+    assert(graft.ops.Manifest.currentVersion(spark, root) == 4L)
     assert(snapAll(2L) == (0L until 20L).toSet)
+    assert(snapAll(4L) == (0L until 20L).toSet)
 
     // ---- s25 maintenance over the drained table (r16) ----
     val m = graft.ops.Manifest
@@ -694,20 +729,22 @@ class StreamingSpec extends SparkSpec {
     m.commitCompact(spark, root, "batch_id", Seq("0", "1"),
       "maint"): Unit
     m.checkpoint(spark, root): Unit
-    assert(m.vacuumManifests(spark, root, keepLast = 1) == Seq(1L, 2L))
+    assert(m.vacuumManifests(spark, root, keepLast = 1) ==
+      Seq(1L, 2L, 3L, 4L))
     val droppedKeys = m.vacuum(spark, root)
-    // the superseded per-batch small-file dirs are gone...
-    assert(droppedKeys.map(
-      _.replaceAll(graft.ops.Manifest.NonceSuffixRe, "")).toSet ==
-      Set("batch_0", "batch_1"))
+    // the superseded per-batch small-file dirs (BOTH checkpoints'
+    // commits) are gone...
+    assert(droppedKeys.size == 4 && droppedKeys.map(
+      _.replaceAll(graft.ops.Manifest.NonceSuffixRe, ""))
+      .forall(_.matches("batch_[A-Za-z0-9_\\-]+_[0-9a-f]+_b[01]")))
     // ...content is invisible to maintenance, replay keys survive
-    // through the checkpointed log, and a re-drain still no-ops
+    // through the checkpointed log: a SAME-checkpoint re-drain
+    // still publishes nothing
     assert(m.read(spark, root, "batch_id")
       .select("doc_id").as[Long].collect().toSet == before)
-    assert(m.listCommits(spark, root) == Seq((1L, "batch_0"),
-      (2L, "batch_1"), (3L, "maint")))
-    drain("ckpt3")
-    assert(m.currentVersion(spark, root) == 3L)
+    assert(m.currentVersion(spark, root) == 5L)
+    drain("ckpt2")
+    assert(m.currentVersion(spark, root) == 5L)
     // old versions are past the retention floor now
     intercept[RuntimeException] { snapAll(1L) }
   }
