@@ -1982,7 +1982,10 @@ object SparkEntry {
       val q = TextOps.qualityScoreCol(col("text")) === 1.0
       val l = TextOps.langIdCol(col("text")) === "en"
       val surv = Dedup.exactDedup(
-        docs.filter(q && l), "doc_id", "text", carry = Seq("source"))
+        // the fused kernel form of q && l — FilterExec predicates get
+        // no subexpression elimination (r18; law-equal)
+        docs.filter(TextOps.curationGateCol(col("text"))),
+        "doc_id", "text", carry = Seq("source"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
       docs.withColumn("__q", q).withColumn("__l", l)
         .groupBy(col("source")).agg(
@@ -5868,8 +5871,7 @@ object SparkEntry {
         java.nio.file.Paths.get(srcDir.getPath, "documents.parquet"))
       val raw = s.read.parquet(srcDir.getPath).schema
       val kept = s.readStream.schema(raw).parquet(srcDir.getPath)
-        .filter(TextOps.qualityScoreCol(col("text")) === 1.0 &&
-          TextOps.langIdCol(col("text")) === "en")
+        .filter(TextOps.curationGateCol(col("text")))
         .select(col("doc_id"),
           withPiiTail(col("text"), col("doc_id")).as("text"))
       val out = s"${base.getPath}/curated"
@@ -5974,13 +5976,11 @@ object SparkEntry {
         .join(delta, newSnap("doc_id") === col("delta_id"))
         .drop("delta_id")
       val kept = fresh
-        .filter(TextOps.qualityScoreCol(col("text")) === 1.0 &&
-          TextOps.langIdCol(col("text")) === "en")
+        .filter(TextOps.curationGateCol(col("text")))
       // the store holds what ITS ingest admitted: same gates, run at
       // the old snapshot's own ingest time — fingerprints only
       val store = oldSnap
-        .filter(TextOps.qualityScoreCol(col("text")) === 1.0 &&
-          TextOps.langIdCol(col("text")) === "en")
+        .filter(TextOps.curationGateCol(col("text")))
         .select(Dedup.fingerprint(col("text")).as("fingerprint"))
       val admitted = Dedup.incrementalExactDedup(
         kept, store, "doc_id", "text")
@@ -6184,8 +6184,7 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 100000L)
       val corpus = docs.unionAll(replay)
       val kept = corpus
-        .filter(TextOps.qualityScoreCol(col("text")) === 1.0 &&
-          TextOps.langIdCol(col("text")) === "en")
+        .filter(TextOps.curationGateCol(col("text")))
       // the survivor's source rides through the dedup agg (carry) —
       // no corpus-sized join-back to recover it
       val surv = Dedup.exactDedup(kept, "doc_id", "text",

@@ -889,6 +889,178 @@ case class PiiScrubExpr(child: Expression,
       newChild: Expression): PiiScrubExpr = copy(child = newChild)
 }
 
+/** Static kernel for [[TokenSetCountExpr]]: one hash probe per
+  * token. */
+object TokenSetCountKernel {
+  def count(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      set: java.util.HashSet[UTF8String]): Int = {
+    val n = a.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+}
+
+/** Catalyst-native closed-set token counter (r18 — the 11th codegen
+  * kernel): `array<string>` tokens in, count of elements present in
+  * a fixed word set out (multiset semantics — every occurrence
+  * counts; null elements never match; null array yields NULL) —
+  * exactly `size(filter(toks, t => array_contains(array(lits), t)))`,
+  * whose per-ELEMENT interpreted lambda re-built the literal array
+  * for every token of every document (the s04 probe measured the
+  * stopword/marker counts as ~6 s of the 10 s sf1 wall across
+  * quality + langid gates). The set rides as ONE plan reference
+  * object; codegen emits one static kernel call per row, one hash
+  * probe per token. */
+case class TokenSetCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"token_set_count needs array<string>, got $other")
+    }
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)): Unit)
+    s
+  }
+  override def nullSafeEval(v: Any): Any =
+    TokenSetCountKernel.count(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("tokenSet", set,
+      "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenSetCountKernel.count($c, " +
+        s"$setRef);")
+  }
+  override def prettyName: String = "token_set_count"
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenSetCountExpr = copy(child = newChild)
+}
+
+/** Static kernel for [[CurationGateExpr]]: the whole
+  * quality-and-English gate in ONE pass. Every primitive is the SAME
+  * one Spark's own expressions call — `UTF8String.trim/toLowerCase`
+  * (StringTrim/Lower), `java.util.regex` with default flags
+  * (RegExpReplace/RegExpCount/StringSplit), code-point counts
+  * (Length) — so the kernel is semantics-identical to the Column
+  * composition it fuses, including the NaN-comparison and
+  * empty-string edge cases (equivalence law in NsTextOpsSpec). */
+object CurationGateKernel {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  private val Sp = java.util.regex.Pattern.compile(" ")
+  private val Punct =
+    java.util.regex.Pattern.compile("[^A-Za-z0-9\\s]")
+
+  def gate(text: UTF8String, sw: java.util.HashSet[String],
+      de: java.util.HashSet[String], fr: java.util.HashSet[String],
+      es: java.util.HashSet[String]): Boolean = {
+    val nChars = text.numChars()
+    // normText: trimmed, lower-cased (UTF8String semantics — NOT
+    // java.lang.String's locale-dependent toLowerCase), whitespace
+    // collapsed with the exact `\s+` ASCII class regexp_replace uses
+    val norm = Ws.matcher(text.trim().toLowerCase.toString)
+      .replaceAll(" ")
+    // split(" ", -1) — StringSplit keeps leading/trailing empties
+    val toks = Sp.split(norm, -1)
+    val nWords = toks.length
+    var swN = 0; var deN = 0; var frN = 0; var esN = 0
+    var nonSpace = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      nonSpace += t.codePointCount(0, t.length)
+      if (sw.contains(t)) swN += 1
+      if (de.contains(t)) deN += 1
+      if (fr.contains(t)) frN += 1
+      if (es.contains(t)) esN += 1
+      i += 1
+    }
+    var punctN = 0
+    val m = Punct.matcher(text.toString)
+    while (m.find()) punctN += 1
+    val awl = nonSpace.toDouble / nWords
+    val punctRatio = punctN.toDouble / nChars // 0/0 → NaN → false
+    val swRatio = swN.toDouble / nWords
+    val quality = nChars >= 50 && nChars <= 100000 &&
+      nWords >= 10 && nWords <= 50000 &&
+      awl >= 2.0 && awl <= 12.0 &&
+      punctRatio <= 0.2 &&
+      swRatio >= 0.01
+    quality && swN >= deN && swN >= frN && swN >= esN && swN > 0
+  }
+}
+
+/** Catalyst-native fused curation gate (r18 — the 12th codegen
+  * kernel): `quality_score(text) == 1.0 AND lang_id(text) == 'en'`
+  * as ONE boolean kernel call per row. Exists because the Column
+  * composition re-evaluates its shared normText+split lineage per
+  * consumer inside a codegen'd FILTER (FilterExec predicates get no
+  * subexpression elimination, and predicate pushdown re-inlines any
+  * pre-projected gate column): the s04 probe measured the composed
+  * predicate at 6.5–8 s per sf1 pass interpreted (where CSE applies)
+  * and ~15 s codegen'd — this kernel does one normalize, one split,
+  * one token pass probing all four marker sets, one punct regex.
+  * One deliberate divergence: on EMPTY text the composed form raises
+  * DIVIDE_BY_ZERO under ANSI (punct-ratio denominator) where the
+  * gate is definitionally false (chk_chars needs ≥ 50 chars) — the
+  * kernel answers false (the law pins both behaviors). */
+case class CurationGateExpr(child: Expression,
+    stopwords: Seq[String], markersDe: Seq[String],
+    markersFr: Seq[String], markersEs: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"curation_gate needs string, got $other")
+    }
+  private def toSet(ws: Seq[String]) = {
+    val s = new java.util.HashSet[String](ws.size * 2)
+    ws.foreach(w => s.add(w): Unit)
+    s
+  }
+  @transient private lazy val swSet = toSet(stopwords)
+  @transient private lazy val deSet = toSet(markersDe)
+  @transient private lazy val frSet = toSet(markersFr)
+  @transient private lazy val esSet = toSet(markersEs)
+  override def nullSafeEval(v: Any): Any =
+    CurationGateKernel.gate(v.asInstanceOf[UTF8String],
+      swSet, deSet, frSet, esSet)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val refs = Seq(swSet, deSet, frSet, esSet).map(s =>
+      ctx.addReferenceObj("gateSet", s, "java.util.HashSet"))
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CurationGateKernel.gate($c, " +
+        refs.mkString(", ") + ");")
+  }
+  override def prettyName: String = "curation_gate"
+  override protected def withNewChildInternal(
+      newChild: Expression): CurationGateExpr = copy(child = newChild)
+}
+
 /** Column-API entry points for graft's custom expressions. */
 object functions {
   /** Repair python-repr "JSON" (single quotes, True/None, trailing
@@ -956,4 +1128,17 @@ object functions {
   def pii_scrub(c: Column,
       patterns: Seq[(String, String, String, String)]): Column =
     Shim.column(PiiScrubExpr(Shim.expression(c), patterns))
+
+  /** Count of tokens present in a closed word set (multiset — every
+    * occurrence counts), the fused form of
+    * `size(filter(toks, t => array_contains(array(lits...), t)))`. */
+  def token_set_count(tokens: Column, words: Seq[String]): Column =
+    Shim.column(TokenSetCountExpr(Shim.expression(tokens), words))
+
+  /** The fused quality+English curation gate — one kernel call per
+    * row, equal to `quality_score == 1.0 AND lang_id == 'en'`. */
+  def curation_gate(text: Column, stopwords: Seq[String],
+      de: Seq[String], fr: Seq[String], es: Seq[String]): Column =
+    Shim.column(CurationGateExpr(Shim.expression(text),
+      stopwords, de, fr, es))
 }

@@ -37,8 +37,16 @@ object TextOps {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** Tokens present in a closed word set, every occurrence counted —
+    * via the codegen'd [[graft.functions.TokenSetCountExpr]] kernel
+    * (r18): the previous `size(filter(toks, t => array_contains(
+    * array(lits), t)))` form re-built the literal array in an
+    * interpreted lambda PER TOKEN, and the s04 probe measured the
+    * stopword/marker counts as the dominant stage of the curation
+    * gates (~6 s of 10 s at sf1). Same semantics, hash gates
+    * unchanged (equivalence law in NsTextOpsSpec). */
   private def countIn(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => array_contains(array(words.map(lit): _*), t)))
+    graft.functions.functions.token_set_count(tokens, words)
 
   /** Per-document surface statistics. Output: (idCol, n_chars,
     * n_words, n_bpe_tokens, avg_word_len, punct_ratio,
@@ -93,6 +101,20 @@ object TextOps {
     val sw = countIn(toks, stopwordsEn).cast("double") / nWords
     scoreOf(qualityChecks(nChars, nWords, awl, punct, sw))
   }
+
+  /** The fused curation gate: EXACTLY
+    * `qualityScoreCol(text) === 1.0 && langIdCol(text) === "en"`,
+    * as ONE codegen'd kernel call per row
+    * ([[graft.functions.CurationGateExpr]]; equivalence law in
+    * NsTextOpsSpec). Use THIS form inside filters: a codegen'd
+    * FilterExec predicate gets no subexpression elimination, so the
+    * composed form re-evaluates its shared normalize+split lineage
+    * per check there (~2–4× the gate's one-pass cost at sf1 — the
+    * r18 s04 probe). The Column composition stays for projections,
+    * where codegen CSE already shares the lineage. */
+  def curationGateCol(text: Column): Column =
+    graft.functions.functions.curation_gate(text,
+      stopwordsEn, markersDe, markersFr, markersEs)
 
   /** [[langId]]'s prediction as a pure COLUMN (same marker sets, same
     * preference order). */

@@ -1355,4 +1355,69 @@ class NsTextOpsSpec extends SparkSpec {
     val meanEx = (nc * exC + nr * exR) / (nc + nr).toDouble
     assert(math.abs(meanEx - 1.0) < 1e-9, s"mean excess $meanEx")
   }
+
+  test("token_set_count kernel equals the HOF filter form (r18): " +
+      "multiset counts, null elements skipped, null array is NULL, " +
+      "empty array is 0") {
+    val words = Seq("the", "and", "of")
+    val rows = Seq(
+      (1L, Seq("the", "cat", "and", "the", "dog")), // 3 hits, dup 'the'
+      (2L, Seq("un", "chat")),                      // 0 hits
+      (3L, Seq[String]()),                          // empty -> 0
+      (4L, Seq("the", null, "of")),                 // null element skipped
+      (5L, null)                                    // null array -> NULL
+    ).toDF("id", "toks")
+    val hof = size(filter(col("toks"),
+      t => array_contains(array(words.map(lit): _*), t)))
+    val out = rows.select(col("id"),
+      graft.functions.functions.token_set_count(col("toks"), words)
+        .as("k"),
+      hof.as("h"))
+      .as[(Long, Option[Int], Option[Int])].collect()
+      .map { case (id, k, h) => id -> ((k, h)) }.toMap
+    assert(out(1L)._1.contains(3) && out(2L)._1.contains(0) &&
+      out(3L)._1.contains(0) && out(4L)._1.contains(2) &&
+      out(5L)._1.isEmpty)
+    // law: kernel == HOF on every row (size(null-array HOF) is -1 or
+    // null depending on conf; compare where the HOF is non-negative)
+    out.values.foreach { case (k, h) =>
+      h.filter(_ >= 0).foreach(hv => assert(k.contains(hv)))
+    }
+  }
+
+  test("curationGateCol equals the composed quality+langid gate " +
+      "(r18 fused-kernel law): fixture corpus plus whitespace, " +
+      "empty, non-ASCII, and null edges") {
+    val fixture = Tables(spark, sf, "documents")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+    val edges = Seq(
+      ("e1", "\t the and of " + ("hello world the and of it is " * 8)),
+      ("e3", "   "), // collapses to one space: leading-empty token
+      ("e5", "the " * 60), // high stopword, short words
+      ("e6", ("der und ist nicht ein " * 10) + "x"),
+      ("e7", "caf\u00e9 \u00dcber stra\u00dfe the and of " +
+        ("plain words the of and in it is " * 6)),
+      ("e8", ("a" * 200) + " the and of in it is to a an or " * 5))
+      .toDF("id", "text")
+    Seq(fixture, edges.select(col("id"), col("text"))).foreach { df =>
+      val composed = TextOps.qualityScoreCol(col("text")) === 1.0 &&
+        TextOps.langIdCol(col("text")) === "en"
+      val rows = df.select(col("id"),
+        TextOps.curationGateCol(col("text")).as("fused"),
+        composed.as("comp"))
+        .as[(String, Option[Boolean], Option[Boolean])].collect()
+      rows.foreach { case (id, f, c) =>
+        assert(f == c, s"gate mismatch on $id: fused=$f composed=$c")
+      }
+    }
+    // divergence pinned, not hidden: on EMPTY text the composed form
+    // raises DIVIDE_BY_ZERO under ANSI (the punct-ratio denominator)
+    // while the gate is definitionally false (chk_chars needs >= 50);
+    // the kernel answers false, and NULL stays NULL
+    val empt = Seq(("e2", ""), ("e4", null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.curationGateCol(col("text")).as("g"))
+      .as[(String, Option[Boolean])].collect().toMap
+    assert(empt("e2").contains(false) && empt("e4").isEmpty)
+  }
 }
