@@ -5015,19 +5015,16 @@ object SparkEntry {
           col("event_type"), col("value"))
         .as[EventStream.Event]
       val out = s"${base.getPath}/sessions"
-      val q = EventStream.sessionize(events, gapMinutes = 720,
-        watermark = "1 hour")
-        .toDF().writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"${base.getPath}/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out)
-        .start()
+      val q = EventStream.startManifestSink(
+        EventStream.sessionize(events, gapMinutes = 720,
+          watermark = "1 hour").toDF(),
+        out, s"${base.getPath}/ckpt")
       q.awaitTermination()
       materializeAndDrop(
-        s.read.parquet(out).select(col("user_id"), col("session_start"),
-          col("session_end"), col("n_events"),
-          round(col("total_value"), 2).as("total_value")), base)
+        graft.ops.Manifest.read(s, out, "batch_id")
+          .select(col("user_id"), col("session_start"),
+            col("session_end"), col("n_events"),
+            round(col("total_value"), 2).as("total_value")), base)
     }),
 
     // ---- §7.4.6 streaming at-least-once dedup, driver-gated ----
@@ -5086,18 +5083,15 @@ object SparkEntry {
         EventStream.fileSource(s, srcDir.getPath, raw))
         .filter(col("ts") >= lit("2024-01-20 00:00:00"))
       val out = s"${base.getPath}/joined"
-      val q = EventStream.clickAttribution(stream)
-        .select(col("purchase_id"), col("user_id"),
-          unix_micros(col("p_ts")).as("p_ts_us"),
-          col("click_id"), unix_micros(col("c_ts")).as("click_ts_us"))
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"${base.getPath}/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out)
-        .start()
+      val q = EventStream.startManifestSink(
+        EventStream.clickAttribution(stream)
+          .select(col("purchase_id"), col("user_id"),
+            unix_micros(col("p_ts")).as("p_ts_us"),
+            col("click_id"), unix_micros(col("c_ts")).as("click_ts_us")),
+        out, s"${base.getPath}/ckpt")
       q.awaitTermination()
-      materializeAndDrop(s.read.parquet(out), base)
+      materializeAndDrop(graft.ops.Manifest.read(s, out, "batch_id")
+        .drop("batch_id"), base)
     }),
 
     // ---- §7.4.6 stream-static broadcast enrichment join ----
@@ -5116,17 +5110,13 @@ object SparkEntry {
         EventStream.fileSource(s, srcDir.getPath, raw))
         .filter(col("ts") >= lit("2024-01-30 00:00:00"))
       val out = s"${base.getPath}/enriched"
-      val q = EventStream.enrichedRollup(stream,
-        t(s, d, "customer"), "c_custkey", "c_mktsegment")
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"${base.getPath}/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out)
-        .start()
+      val q = EventStream.startManifestSink(
+        EventStream.enrichedRollup(stream,
+          t(s, d, "customer"), "c_custkey", "c_mktsegment"),
+        out, s"${base.getPath}/ckpt")
       q.awaitTermination()
       materializeAndDrop(
-        s.read.parquet(out)
+        graft.ops.Manifest.read(s, out, "batch_id")
           .select(col("run_hr").cast("long").as("run_hr"),
             col("c_mktsegment"), col("n"), col("total")), base)
     }),
@@ -5672,7 +5662,8 @@ object SparkEntry {
         matchBucketCap = Some(8))
       q.awaitTermination()
       materializeAndDrop(
-        s.read.parquet(s"${base.getPath}/matches")
+        graft.ops.Manifest.read(s, s"${base.getPath}/matches",
+            "batch_id")
           .select(col("new_id"), col("stored_id")), base)
     }),
 
@@ -5724,7 +5715,8 @@ object SparkEntry {
             id))
       q.awaitTermination()
       materializeAndDrop(
-        s.read.parquet(s"${base.getPath}/matches")
+        graft.ops.Manifest.read(s, s"${base.getPath}/matches",
+            "batch_id")
           .select(col("new_id"), col("stored_id")), base)
     }),
 
@@ -5850,7 +5842,7 @@ object SparkEntry {
       EventStream.startSftTokenStream(stream, store,
         s"${base.getPath}/ckpt").awaitTermination()
       materializeAndDrop(
-        s.read.parquet(store)
+        graft.ops.Manifest.read(s, store, "batch_id")
           .select(col("conversation_id"), col("turn_idx"),
             col("tok_pos"), col("token_id"), col("loss")), base)
     }),
@@ -5875,15 +5867,12 @@ object SparkEntry {
         .select(col("doc_id"),
           withPiiTail(col("text"), col("doc_id")).as("text"))
       val out = s"${base.getPath}/curated"
-      val q = TextOps.redactPii(kept, "doc_id", "text")
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"${base.getPath}/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out)
-        .start()
+      val q = EventStream.startManifestSink(
+        TextOps.redactPii(kept, "doc_id", "text"),
+        out, s"${base.getPath}/ckpt")
       q.awaitTermination()
-      materializeAndDrop(s.read.parquet(out), base)
+      materializeAndDrop(graft.ops.Manifest.read(s, out, "batch_id")
+        .drop("batch_id"), base)
     }),
 
     // ---- §2.8 [NS] deterministic content-addressed split ----

@@ -669,7 +669,8 @@ object Manifest {
   private def stage(df: DataFrame, root: String, pCol: String,
       commitKey: String,
       sortWithin: Seq[org.apache.spark.sql.Column] = Nil,
-      statsCols: Seq[String] = Nil)
+      statsCols: Seq[String] = Nil,
+      writeTasks: Int = 1)
       : (String, Seq[String], Map[String, Map[String, ColumnStats.ColStat]],
         Map[String, Long]) = {
     onStageStart()
@@ -690,7 +691,19 @@ object Manifest {
       if (statsCols.isEmpty) Map.empty[String, Map[String, ColumnStats.ColStat]]
       else ColumnStats.compute(df, pCol, statsCols)
     val dataKey = s"${commitKey}__${newNonce()}"
-    val arranged = df.repartition(col(pCol))
+    // writeTasks (r18): repartition by pCol alone writes ONE file per
+    // partition value through ONE task — right for multi-partition
+    // gold commits, a serialization point for the streaming lanes
+    // that partition a whole micro-batch by a single batch_id value.
+    // writeTasks > 1 salts the shuffle so each partition value spans
+    // up to that many write tasks/files (the saltedJoin row-spreader:
+    // hash of a row nonce, decorrelated from input layout).
+    require(writeTasks >= 1, "commit: writeTasks must be >= 1")
+    val arranged =
+      if (writeTasks <= 1) df.repartition(col(pCol))
+      else df.repartition(col(pCol),
+        pmod(xxhash64(monotonically_increasing_id()),
+          lit(writeTasks.toLong)))
     // optional within-file layout (the Z-order/compaction rewrite
     // path): sort AFTER the partition shuffle so the order lands in
     // the written files. The sort is PREFIXED with the partition
@@ -763,7 +776,8 @@ object Manifest {
     * row-group skipping composes with partition skipping. */
   def commitReplacePartitions(df: DataFrame, root: String,
       pCol: String, commitKey: String,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      writeTasks: Int = 1): Long = {
     require(KeyRe.pattern.matcher(commitKey).matches(),
       s"commit key '$commitKey' is not path-safe")
     val spark = df.sparkSession
@@ -772,7 +786,8 @@ object Manifest {
       case None =>
     }
     val (dataKey, touched, stats, rows) =
-      stage(df, root, pCol, commitKey, statsCols = statsCols)
+      stage(df, root, pCol, commitKey, statsCols = statsCols,
+        writeTasks = writeTasks)
     publish(spark, root, commitKey, { current =>
       current.filterNot(e => touched.contains(e.partition)) ++
         touched.map(p =>

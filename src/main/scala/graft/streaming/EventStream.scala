@@ -310,16 +310,21 @@ object EventStream {
         if (!batch.isEmpty) {
           val delta = graft.ns.Retrieval.termStats(batch, idCol, textCol)
             .withColumn("batch_id", lit(batchId))
-          IdempotentWriter.replacePartitions(
-            delta.coalesce(1), path, Seq("batch_id"))
+          // v2 (r18): per-batch COMMIT — the s08 pattern (replays
+          // short-circuit at the log; no half-written batch visible)
+          commitWithReplay(() =>
+            Manifest.commitReplacePartitions(delta, path, "batch_id",
+              s"${ckptPrefix("terms", checkpointDir,
+                docs.sparkSession)}_b$batchId"))
         }
       }
       .start()
 
   /** Merge a [[startTermStatsStream]] store to the current index
-    * stats: exact integer addition per term. */
+    * stats: exact integer addition per term, resolved through the
+    * manifest (v2 — snapshot-isolated against the landing stream). */
   def readTermStatsStore(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    Manifest.read(spark, path, "batch_id")
       .groupBy(col("term"))
       .agg(sum(col("dfreq")).as("dfreq"),
         sum(col("tf_total")).as("tf_total"))
@@ -388,19 +393,19 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val prefix = ckptPrefix("bank", checkpointDir, spark)
           val rows = bandRows(batch, idCol, textCol, n, numHashTables)
           // match against STRICTLY EARLIER batches only: a replayed
           // batch re-sees exactly the bank prefix it saw originally
-          // (never itself, never later batches), so matches replay
-          // bit-identically. Existence goes through Hadoop's
-          // FileSystem (round-13 ADVICE): java.io.File is local-only
-          // and on HDFS/S3 would be always-false — the bank would
-          // fill while matches were silently never produced.
-          val bankHPath = new org.apache.hadoop.fs.Path(bankPath)
-          val bankFs = bankHPath.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          if (bankFs.exists(bankHPath)) {
-            val bank = spark.read.parquet(bankPath)
+          // (never itself, never later batches — the batch_id filter
+          // is content-based, so a replay after the bank commit
+          // landed still excludes its own partition), so matches
+          // replay bit-identically. v2 (r18): the bank and match
+          // stores are COMMIT TABLES — a racing reader resolves
+          // whole snapshots, and replays short-circuit at the
+          // manifest log under checkpoint-identity keys.
+          if (Manifest.currentVersion(spark, bankPath) >= 1) {
+            val bank = Manifest.read(spark, bankPath, "batch_id")
               .filter(col("batch_id") < batchId)
             val stored = matchBucketCap match {
               case Some(k) =>
@@ -420,14 +425,18 @@ object EventStream {
               .select(col("new_id"), col("stored_id"))
               .distinct()
               .withColumn("batch_id", lit(batchId))
-            IdempotentWriter.replacePartitions(
-              cands.coalesce(batchPartitions), matchPath,
-              Seq("batch_id"))
+            // a batch with zero candidates commits nothing — a
+            // replay re-derives the same zero
+            if (!cands.isEmpty)
+              commitWithReplay(() => Manifest.commitReplacePartitions(
+                cands, matchPath, "batch_id",
+                s"${prefix}_match_b$batchId",
+                writeTasks = batchPartitions))
           }
-          IdempotentWriter.replacePartitions(
-            rows.withColumn("batch_id", lit(batchId))
-              .coalesce(batchPartitions),
-            bankPath, Seq("batch_id"))
+          commitWithReplay(() => Manifest.commitReplacePartitions(
+            rows.withColumn("batch_id", lit(batchId)),
+            bankPath, "batch_id", s"${prefix}_bank_b$batchId",
+            writeTasks = batchPartitions))
         }
       }
       .start()
@@ -479,10 +488,11 @@ object EventStream {
   }
 
   /** Read a [[startMinhashBankStream]] bank: the current signature
-    * rows (append-only facts — no merge to do). */
+    * rows (append-only facts — no merge to do), resolved through the
+    * manifest (v2 — snapshot-isolated against the landing stream). */
   def readMinhashBank(spark: SparkSession, path: String,
       idCol: String): DataFrame =
-    spark.read.parquet(path)
+    Manifest.read(spark, path, "batch_id")
       .select(col(idCol), col("band"), col("chunk"))
 
   /** Streaming SFT token-mask assembly — ns179's training-ready
@@ -530,10 +540,17 @@ object EventStream {
             .filter(!col("quarantined"))
           val toks = graft.ns.Posttrain.sftTokenMask(turns,
             "conversation_id", "turn_idx", "role", "content")
-          IdempotentWriter.replacePartitions(
-            toks.withColumn("batch_id", lit(batchId))
-              .coalesce(parts),
-            path, Seq("batch_id"))
+            .withColumn("batch_id", lit(batchId))
+          // v2 (r18): per-batch COMMIT; `parts` carries through as
+          // the commit's write-task fan-out, so a large ingest batch
+          // still writes in parallel (the r13 finding, preserved at
+          // the transaction layer)
+          if (!toks.isEmpty)
+            commitWithReplay(() =>
+              Manifest.commitReplacePartitions(toks, path, "batch_id",
+                s"${ckptPrefix("sft", checkpointDir,
+                  lines.sparkSession)}_b$batchId",
+                writeTasks = parts))
         }
       }
       .start()

@@ -554,7 +554,8 @@ class StreamingSpec extends SparkSpec {
         EventStream.readMinhashBank(spark, bank, "doc_id")
           .as[(Long, Long, String)].collect().toSet
       def matchRows(): Set[(Long, Long)] =
-        spark.read.parquet(matches).select(col("new_id"),
+        graft.ops.Manifest.read(spark, matches, "batch_id")
+        .select(col("new_id"),
           col("stored_id")).as[(Long, Long)].collect().toSet
       // 1. drained bank ≡ one batch banding pass over all docs
       val whole = build(docs, "doc_id", "text", 3, 8)
@@ -642,7 +643,8 @@ class StreamingSpec extends SparkSpec {
       .select(col("new_id"), col("stored_id")).distinct()
       .as[(Long, Long)].collect().toSet
     def matchRows(): Set[(Long, Long)] =
-      spark.read.parquet(matches).select(col("new_id"),
+      graft.ops.Manifest.read(spark, matches, "batch_id")
+        .select(col("new_id"),
         col("stored_id")).as[(Long, Long)].collect().toSet
     assert(matchRows() == expected)
     // an identical re-upload shares every signature chunk — it MUST
