@@ -986,6 +986,34 @@ object SparkEntry {
             col("c_nationkey").cast("long").as("c_nationkey")), dir)
     }),
 
+    // Manifest row/null counts (o28, r18): every commit records
+    // per-partition row counts (free — they ride the staging
+    // aggregation) and the opt-in stats carry null counts, so
+    // snapshot count(*) answers from the LOG (rowCountAt — zero data
+    // files listed) and IS NULL / IS NOT NULL prune at the manifest.
+    // The gate: the log-derived total rides every row of an IS NULL
+    // pruned read, both checked against plain SQL over the same
+    // content (the files-touched laws live in ManifestSpec).
+    "o28_manifest_rowcount" -> ((s, d) => {
+      val dir = newScratchDir("graft_o28")
+      val root = s"${dir.getPath}/t"
+      val cust = t(s, d, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        when(col("c_acctbal").cast("double") < 0, lit(null))
+          .otherwise(col("c_name")).as("solvent_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+      graft.ops.Manifest.commitReplacePartitions(cust, root,
+        "c_nationkey", "init", statsCols = Seq("solvent_name")): Unit
+      val total = graft.ops.Manifest.rowCountAt(s, root)
+        .getOrElse(sys.error("o28: every r18 commit records rows"))
+      materializeAndDrop(
+        graft.ops.Manifest.readWhere(s, root, "c_nationkey",
+          col("solvent_name").isNull)
+          .select(col("c_custkey"),
+            col("c_nationkey").cast("long").as("c_nationkey"))
+          .withColumn("manifest_rows", lit(total)), dir)
+    }),
+
     // SQL over the transaction layer (q17, r17): snapshots registered
     // as temp views — the latest and a VERSION-AS-OF-2 view — joined
     // in ONE spark.sql statement, proving the SQL lane and the commit

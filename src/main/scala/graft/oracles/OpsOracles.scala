@@ -175,6 +175,15 @@ private[graft] object OpsOracles {
         |FROM customer
         |WHERE c_nationkey IN (1, 2, 3)
         |  AND CAST(c_acctbal AS DOUBLE) > 9000.0""".stripMargin,
+    // o28: manifest row/null counts — the log-derived snapshot
+    // count(*) rides every row of the IS-NULL pruned read; both are
+    // plain SQL over the same content.
+    "o28_manifest_rowcount" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  (SELECT count(*) FROM customer) AS manifest_rows
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DOUBLE) < 0""".stripMargin,
     // q17: SQL over snapshots — v2 (post-replacement, pre-takedown)
     // left-joined to the CURRENT snapshot: region 3 rows are no
     // longer live, everyone else is.
