@@ -960,6 +960,13 @@ case class TokenSetCountExpr(child: Expression, words: Seq[String])
   * (Length) — so the kernel is semantics-identical to the Column
   * composition it fuses, including the NaN-comparison and
   * empty-string edge cases (equivalence law in NsTextOpsSpec). */
+/** The five Gopher gate thresholds as a value, so the Column forms
+  * (graft.ns.TextOps.qualityChecks) and the fused kernel read ONE
+  * definition (r18 review — the kernel must not restate them). */
+final case class GateThresholds(minChars: Int, maxChars: Int,
+    minWords: Int, maxWords: Int, minAwl: Double, maxAwl: Double,
+    maxPunct: Double, minStopword: Double)
+
 object CurationGateKernel {
   private val Ws = java.util.regex.Pattern.compile("\\s+")
   private val Sp = java.util.regex.Pattern.compile(" ")
@@ -968,7 +975,7 @@ object CurationGateKernel {
 
   def gate(text: UTF8String, sw: java.util.HashSet[String],
       de: java.util.HashSet[String], fr: java.util.HashSet[String],
-      es: java.util.HashSet[String]): Boolean = {
+      es: java.util.HashSet[String], th: GateThresholds): Boolean = {
     val nChars = text.numChars()
     // normText: trimmed, lower-cased (UTF8String semantics — NOT
     // java.lang.String's locale-dependent toLowerCase), whitespace
@@ -996,11 +1003,11 @@ object CurationGateKernel {
     val awl = nonSpace.toDouble / nWords
     val punctRatio = punctN.toDouble / nChars // 0/0 → NaN → false
     val swRatio = swN.toDouble / nWords
-    val quality = nChars >= 50 && nChars <= 100000 &&
-      nWords >= 10 && nWords <= 50000 &&
-      awl >= 2.0 && awl <= 12.0 &&
-      punctRatio <= 0.2 &&
-      swRatio >= 0.01
+    val quality = nChars >= th.minChars && nChars <= th.maxChars &&
+      nWords >= th.minWords && nWords <= th.maxWords &&
+      awl >= th.minAwl && awl <= th.maxAwl &&
+      punctRatio <= th.maxPunct &&
+      swRatio >= th.minStopword
     quality && swN >= deN && swN >= frN && swN >= esN && swN > 0
   }
 }
@@ -1021,7 +1028,8 @@ object CurationGateKernel {
   * kernel answers false (the law pins both behaviors). */
 case class CurationGateExpr(child: Expression,
     stopwords: Seq[String], markersDe: Seq[String],
-    markersFr: Seq[String], markersEs: Seq[String])
+    markersFr: Seq[String], markersEs: Seq[String],
+    thresholds: GateThresholds)
     extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.BooleanType
@@ -1047,14 +1055,16 @@ case class CurationGateExpr(child: Expression,
   @transient private lazy val esSet = toSet(markersEs)
   override def nullSafeEval(v: Any): Any =
     CurationGateKernel.gate(v.asInstanceOf[UTF8String],
-      swSet, deSet, frSet, esSet)
+      swSet, deSet, frSet, esSet, thresholds)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val refs = Seq(swSet, deSet, frSet, esSet).map(s =>
       ctx.addReferenceObj("gateSet", s, "java.util.HashSet"))
+    val thRef = ctx.addReferenceObj("gateThresholds", thresholds,
+      classOf[GateThresholds].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.CurationGateKernel.gate($c, " +
-        refs.mkString(", ") + ");")
+        refs.mkString(", ") + s", $thRef);")
   }
   override def prettyName: String = "curation_gate"
   override protected def withNewChildInternal(
@@ -1138,7 +1148,8 @@ object functions {
   /** The fused quality+English curation gate — one kernel call per
     * row, equal to `quality_score == 1.0 AND lang_id == 'en'`. */
   def curation_gate(text: Column, stopwords: Seq[String],
-      de: Seq[String], fr: Seq[String], es: Seq[String]): Column =
+      de: Seq[String], fr: Seq[String], es: Seq[String],
+      thresholds: GateThresholds): Column =
     Shim.column(CurationGateExpr(Shim.expression(text),
-      stopwords, de, fr, es))
+      stopwords, de, fr, es, thresholds))
 }

@@ -68,18 +68,30 @@ object TextOps {
   }
 
   /** The five Gopher gate thresholds — ONE definition shared by the
-    * DataFrame form ([[qualityScore]]) and the Column form
-    * ([[qualityScoreCol]]), so a threshold change can't make the two
-    * gates drift. Given the five stats columns, returns the named
-    * boolean checks in order. */
+    * DataFrame form ([[qualityScore]]), the Column form
+    * ([[qualityScoreCol]]), AND the fused kernel
+    * ([[curationGateCol]], via [[GateThresholds]] — r18 review: the
+    * kernel must not restate these as literals in another file), so
+    * a threshold change can't make the gates drift. */
+  private[graft] val gateThresholds = graft.functions.GateThresholds(
+    minChars = 50, maxChars = 100000,
+    minWords = 10, maxWords = 50000,
+    minAwl = 2.0, maxAwl = 12.0,
+    maxPunct = 0.2, minStopword = 0.01)
+
+  /** Given the five stats columns, the named boolean checks in
+    * order, from [[gateThresholds]]. */
   private def qualityChecks(nChars: Column, nWords: Column,
       avgWordLen: Column, punctRatio: Column,
-      stopwordRatio: Column): Seq[(String, Column)] = Seq(
-    "chk_chars" -> nChars.between(50, 100000),
-    "chk_words" -> nWords.between(10, 50000),
-    "chk_avg_word_len" -> avgWordLen.between(2.0, 12.0),
-    "chk_punct" -> (punctRatio <= 0.2),
-    "chk_stopwords" -> (stopwordRatio >= 0.01))
+      stopwordRatio: Column): Seq[(String, Column)] = {
+    val t = gateThresholds
+    Seq(
+      "chk_chars" -> nChars.between(t.minChars, t.maxChars),
+      "chk_words" -> nWords.between(t.minWords, t.maxWords),
+      "chk_avg_word_len" -> avgWordLen.between(t.minAwl, t.maxAwl),
+      "chk_punct" -> (punctRatio <= t.maxPunct),
+      "chk_stopwords" -> (stopwordRatio >= t.minStopword))
+  }
 
   private def scoreOf(checks: Seq[(String, Column)]): Column =
     checks.map { case (_, c) => c.cast("int") }
@@ -114,7 +126,7 @@ object TextOps {
     * where codegen CSE already shares the lineage. */
   def curationGateCol(text: Column): Column =
     graft.functions.functions.curation_gate(text,
-      stopwordsEn, markersDe, markersFr, markersEs)
+      stopwordsEn, markersDe, markersFr, markersEs, gateThresholds)
 
   /** [[langId]]'s prediction as a pure COLUMN (same marker sets, same
     * preference order). */

@@ -27,8 +27,10 @@ import org.apache.spark.sql.types._
   * stats bug can cost performance, never rows.
   *
   * Stat values are canonical strings: numerics (integral, float,
-  * double, decimal, timestamp-as-micros, date-as-days) under type tag
-  * `num`, compared through exact [[BigDecimal]]; ASCII-only strings
+  * double, decimal, timestamp-as-micros) under type tag `num`,
+  * compared through exact [[BigDecimal]]; dates as epoch days under
+  * tag `date` (distinct from `num` so a date literal can never
+  * compare against micros); ASCII-only strings
   * under tag `str`, compared as Java strings (UTF-8 byte order and
   * UTF-16 order agree on the ASCII range; non-ASCII bounds are NOT
   * recorded because the two orders diverge past the BMP). Values are
@@ -37,7 +39,10 @@ import org.apache.spark.sql.types._
   */
 object ColumnStats {
 
-  /** One column's bounds within one partition: `t` ∈ num|str|date.
+  /** One column's bounds within one partition:
+    * `t` ∈ num|str|date|none|opaque — `none` marks an all-null
+    * column (every comparison prunes), `opaque` an unrenderable
+    * min/max (no comparison semantics, null count only).
     * `date` bounds hold epoch-DAY numbers and compare only against
     * DateType literals or string literals that parse as dates under
     * Spark's lenient `y-M-d` cast grammar — the type-aware compare
@@ -78,9 +83,13 @@ object ColumnStats {
     case t: java.time.Instant =>
       Some(("num",
         (t.getEpochSecond * 1000000L + t.getNano / 1000L).toString))
+    // date bounds carry the DISTINCT `date` tag (r18 review): under
+    // plain `num` a DateType literal's epoch-day payload would also
+    // compare against a TIMESTAMP column's epoch-MICROS bounds and
+    // false-prune every partition
     case d: java.sql.Date =>
-      Some(("num", d.toLocalDate.toEpochDay.toString))
-    case d: java.time.LocalDate => Some(("num", d.toEpochDay.toString))
+      Some(("date", d.toLocalDate.toEpochDay.toString))
+    case d: java.time.LocalDate => Some(("date", d.toEpochDay.toString))
     case s: String if safe(s) => Some(("str", s))
     case _ => None
   }
@@ -109,17 +118,27 @@ object ColumnStats {
       .map { row =>
         val p = row.getString(0)
         val stats = cols.zipWithIndex.flatMap { case (c, i) =>
+          val rawLo = row.get(1 + 3 * i)
+          val rawHi = row.get(2 + 3 * i)
           val nulls = Some(row.getLong(3 + 3 * i))
-          (render(row.get(1 + 3 * i)), render(row.get(2 + 3 * i))) match {
+          (render(rawLo), render(rawHi)) match {
             case (Some((t1, lo)), Some((t2, hi))) if t1 == t2 =>
               Some(c -> ColStat(t1, lo, hi, nulls))
-            case (None, None) if nulls.exists(_ > 0) =>
-              // ALL-null column (min/max of only-nulls is null): no
-              // non-null value exists, so NO comparison can match —
-              // the `none` tag prunes every comparison op, and the
-              // exact null count serves IS NULL / IS NOT NULL
+            // ALL-null column — the RAW aggregates are null, not
+            // merely unrenderable (r18 review: an un-renderable
+            // non-null min/max — a >64-char string, an all-NaN
+            // double — must record NO comparison stat, because rows
+            // exist that comparisons can match): no non-null value
+            // exists, so NO comparison can match — the `none` tag
+            // prunes every comparison op, and the exact null count
+            // serves IS NULL / IS NOT NULL
+            case _ if rawLo == null && rawHi == null =>
               Some(c -> ColStat("none", "", "", nulls))
-            case _ => None
+            // min or max unrenderable: keep ONLY the null count (for
+            // IS NULL pruning) under the `opaque` tag, which cmp()
+            // treats as unknown comparability — always read
+            case _ =>
+              Some(c -> ColStat("opaque", "", "", nulls))
           }
         }.toMap
         p -> stats
@@ -137,7 +156,7 @@ object ColumnStats {
     }.mkString("{", ",", "}")
 
   private val StatRe =
-    ("\"([A-Za-z0-9_]+)\":\\{\"t\":\"(num|str|date|none)\"," +
+    ("\"([A-Za-z0-9_]+)\":\\{\"t\":\"(num|str|date|none|opaque)\"," +
       "\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\"" +
       "(?:,\"nulls\":\"(\\d+)\")?\\}").r
 
@@ -224,14 +243,11 @@ object ColumnStats {
           case (Some(lo), Some(hi)) => numCmp(lo, hi, v)
           case _ => true
         }
-      // date-typed stats columns are RENDERED as num epoch days, so a
-      // DateType literal compares numerically against them; `date`-
-      // tagged bounds (partition point stats) hold epoch days too
-      case ("num", DateLit(d)) =>
-        (num(s.min), num(s.max)) match {
-          case (Some(lo), Some(hi)) => numCmp(lo, hi, BigDecimal(d))
-          case _ => true
-        }
+      // a DateType literal compares ONLY against `date`-tagged
+      // bounds (epoch days — date-typed stats columns and date
+      // partition point-stats). NOT against `num` (r18 review):
+      // timestamp columns render as epoch MICROS under `num`, and a
+      // days-vs-micros compare would false-prune every partition.
       case ("date", DateLit(d)) =>
         (num(s.min), num(s.max)) match {
           case (Some(lo), Some(hi)) => numCmp(lo, hi, BigDecimal(d))

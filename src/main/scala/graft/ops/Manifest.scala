@@ -696,13 +696,19 @@ object Manifest {
     // gold commits, a serialization point for the streaming lanes
     // that partition a whole micro-batch by a single batch_id value.
     // writeTasks > 1 salts the shuffle so each partition value spans
-    // up to that many write tasks/files (the saltedJoin row-spreader:
-    // hash of a row nonce, decorrelated from input layout).
+    // up to that many write tasks/files. The salt is a hash of the
+    // ROW'S OWN CONTENT, never monotonically_increasing_id (r18
+    // review): a nondeterministic partitioning key under a map-task
+    // retry re-deals rows across already-fetched reducers — the
+    // SPARK-23207 duplicate/loss class — inside the layer whose
+    // whole contract is committed exactness. Equal rows co-salt
+    // (mild skew under heavy duplication), which is the same trade
+    // [[Skew.saltedCountSum]] documents.
     require(writeTasks >= 1, "commit: writeTasks must be >= 1")
     val arranged =
       if (writeTasks <= 1) df.repartition(col(pCol))
       else df.repartition(col(pCol),
-        pmod(xxhash64(monotonically_increasing_id()),
+        pmod(xxhash64(df.columns.map(col): _*),
           lit(writeTasks.toLong)))
     // optional within-file layout (the Z-order/compaction rewrite
     // path): sort AFTER the partition shuffle so the order lands in

@@ -138,7 +138,16 @@ object EventStream {
     * — equivalent spellings must not flip a replay from
     * short-circuit to re-apply), widened to a sanitized path tail
     * PLUS the full 32-bit hash so two different checkpoints on one
-    * table root cannot silently collide into a short-circuit. */
+    * table root cannot silently collide into a short-circuit.
+    *
+    * MIGRATION NOTE (r18 key-format change, 7-hex → tail+8-hex): a
+    * stream deployed with a pre-r18 checkpoint will not match its
+    * old commit keys on the first post-upgrade restart, so
+    * already-committed batches re-apply once (content-idempotent for
+    * the merge/replace lanes, but each re-commit burns a manifest
+    * version). Restart such streams from a drained state, or pass
+    * the old prefix explicitly via `commitPrefix` until the
+    * checkpoint is retired. */
   private def ckptPrefix(kind: String, checkpointDir: String,
       spark: org.apache.spark.sql.SparkSession): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir)
@@ -276,9 +285,12 @@ object EventStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // materialized once: the commit's staging passes must not
+          // re-run the batch aggregation (r18 review)
           val delta = graft.ns.Sketches.cmsSketch(batch,
             Seq(col(groupCol)), textCol, depth, width)
             .withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true)
           // v2 (r18): per-batch COMMIT — replays short-circuit at the
           // manifest log and a racing reader never sees a
           // half-written delta partition (r17 verdict #5)
@@ -310,6 +322,7 @@ object EventStream {
         if (!batch.isEmpty) {
           val delta = graft.ns.Retrieval.termStats(batch, idCol, textCol)
             .withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true)
           // v2 (r18): per-batch COMMIT — the s08 pattern (replays
           // short-circuit at the log; no half-written batch visible)
           commitWithReplay(() =>
@@ -394,7 +407,10 @@ object EventStream {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val prefix = ckptPrefix("bank", checkpointDir, spark)
+          // materialized once: rows feeds BOTH the match join and the
+          // bank commit, and each commit makes two passes (r18 review)
           val rows = bandRows(batch, idCol, textCol, n, numHashTables)
+            .localCheckpoint(true)
           // match against STRICTLY EARLIER batches only: a replayed
           // batch re-sees exactly the bank prefix it saw originally
           // (never itself, never later batches — the batch_id filter
@@ -425,6 +441,7 @@ object EventStream {
               .select(col("new_id"), col("stored_id"))
               .distinct()
               .withColumn("batch_id", lit(batchId))
+              .localCheckpoint(true)
             // a batch with zero candidates commits nothing — a
             // replay re-derives the same zero
             if (!cands.isEmpty)
@@ -479,9 +496,13 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        // ONE evaluation per batch (r18 review): the emptiness probe
+        // plus the commit's staging passes would otherwise re-run an
+        // arbitrarily expensive batch plan 3x
+        val b = batch.localCheckpoint(true)
+        if (!b.isEmpty)
           graft.ops.Manifest.commitReplacePartitions(
-            batch.withColumn("batch_id", lit(batchId)),
+            b.withColumn("batch_id", lit(batchId)),
             root, "batch_id", s"${prefix}_b$batchId"): Unit
       }
       .start()
@@ -541,6 +562,7 @@ object EventStream {
           val toks = graft.ns.Posttrain.sftTokenMask(turns,
             "conversation_id", "turn_idx", "role", "content")
             .withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true)
           // v2 (r18): per-batch COMMIT; `parts` carries through as
           // the commit's write-task fan-out, so a large ingest batch
           // still writes in parallel (the r13 finding, preserved at

@@ -70,12 +70,4 @@ object Shim {
         catalyst.expressions.Cast(node2expr(c.child), c.dataType)
       case _ => opaque
     }
-
-  /** Dev aid: the raw node/expression shape of a Column. */
-  def debugNode(c: Column): String =
-    ExpressionUtils.expression(c) match {
-      case classic.ColumnNodeExpression(node) =>
-        s"node[${node.getClass.getSimpleName}] $node"
-      case e => s"expr[${e.getClass.getSimpleName}] $e"
-    }
 }

@@ -1047,6 +1047,45 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.rowCountAt(spark, root) == Some(7L))
   }
 
+  test("stats-pruning soundness edges (r18 review): unrenderable " +
+      "min/max with nulls present must NOT read as all-null, and a " +
+      "DATE literal must never compare against timestamp-micros " +
+      "bounds") {
+    val root = freshRoot()
+    val long170 = "x" * 70 // > 64-char SafeValue cap: unrenderable
+    val rows = Seq(
+      (1L, Some(long170), Some(java.sql.Timestamp.valueOf(
+        "2024-06-15 10:00:00")), 10L),
+      (2L, Some("short"), Some(java.sql.Timestamp.valueOf(
+        "2024-06-16 10:00:00")), 10L),
+      (3L, None, None, 10L),
+      (4L, Some("zz"), Some(java.sql.Timestamp.valueOf(
+        "2024-07-01 00:00:00")), 20L))
+      .toDF("id", "comment", "ts", "part")
+    Manifest.commitReplacePartitions(rows, root, "part", "init",
+      statsCols = Seq("comment", "ts"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("id")).as[Long].collect().toSet
+    // partition 10's comment stats are UNRENDERABLE (70-char min or
+    // max) AND it has a null — the all-null 'none' tag must not fire:
+    // the matching 'short' row must survive
+    assert(ids(Manifest.readWhere(spark, root, "part",
+      col("comment") === "short")) == Set(2L),
+      "unrenderable-bounds partition was falsely pruned")
+    // null-count pruning still works from the opaque stat
+    assert(ids(Manifest.readWhere(spark, root, "part",
+      col("comment").isNull)) == Set(3L))
+    // a DATE literal against the TIMESTAMP statsCol: Spark casts the
+    // date up to a timestamp; comparing epoch DAYS against the
+    // recorded epoch MICROS would prune everything
+    val d = org.apache.spark.sql.functions.lit(
+      java.sql.Date.valueOf("2024-06-16"))
+    val got = Manifest.readWhere(spark, root, "part", col("ts") >= d)
+    val want = Manifest.read(spark, root, "part").filter(col("ts") >= d)
+    assert(ids(got) == ids(want) && ids(got).nonEmpty,
+      "date-vs-timestamp compare lost rows")
+  }
+
   test("changedRowsSince on a FULLY-EMPTIED table (r18 ADVICE): a " +
       "complete takedown's feed returns the delete preimages instead " +
       "of raising on the empty current snapshot") {
