@@ -249,6 +249,11 @@ object Sampling {
       .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
       .withColumn("__ord", col(orderCol).cast("long"))
       .withColumn("__bucket", expr(s"__ord div ${bucketSize}L"))
+      // materialized once (r18): the two-phase prefix path evaluates
+      // this lineage for the driver-side bucket totals AND the output
+      // action — an expensive upstream (ns69 feeds the whole
+      // qualityScore projection in) would otherwise run 2-3x
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bucket")).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window
@@ -341,6 +346,7 @@ object Sampling {
       .withColumn("__len", col(lenCol).cast("long"))
       .withColumn("__neg", -col("__len"))
       .withColumn("__ib", expr(s"$idCol div ${bucketSize}L"))
+      .localCheckpoint(true) // see packOffsets (r18)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__neg"), col("__ib")).orderBy(col(idCol))
     val local = withB.withColumn("__local",
@@ -381,6 +387,7 @@ object Sampling {
       .withColumn("__neg",
         lit(1000000000L) - round(col(scoreCol) * 1e9).cast("long"))
       .withColumn("__ib", expr(s"$idCol div ${bucketSize}L"))
+      .localCheckpoint(true) // see packOffsets (r18)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__neg"), col("__ib")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window
