@@ -6090,6 +6090,10 @@ object SparkEntry {
           "doc_id")
       val scored = withSrc
         .withColumn("logit_micro", TextOps.linearLogitCol(col("main_text")))
+        // materialized before the filter (r18): predicate pushdown
+        // would inline the alias and evaluate the logit TWICE per
+        // row (once in the filter, once for the carried column)
+        .localCheckpoint(true)
         .filter(col("logit_micro") > 0L)
       val surv = Dedup.exactDedup(scored, "doc_id", "main_text",
         carry = Seq("source", "n_kept", "logit_micro"))
@@ -6129,6 +6133,10 @@ object SparkEntry {
           "doc_id")
       val scored = withSrc
         .withColumn("logit_micro", TextOps.linearLogitCol(col("md_text")))
+        // materialized before the filter (r18): predicate pushdown
+        // would inline the alias and evaluate the logit TWICE per
+        // row (once in the filter, once for the carried column)
+        .localCheckpoint(true)
         .filter(col("logit_micro") > 0L)
       val surv = Dedup.exactDedup(scored, "doc_id", "md_text",
         carry = Seq("source", "n_links", "logit_micro"))
@@ -6182,6 +6190,10 @@ object SparkEntry {
           "doc_id")
       val scored = withSrc
         .withColumn("logit_micro", TextOps.linearLogitCol(col("main_text")))
+        // materialized before the filter (r18): predicate pushdown
+        // would inline the alias and evaluate the logit TWICE per
+        // row (once in the filter, once for the carried column)
+        .localCheckpoint(true)
         .filter(col("logit_micro") > 0L)
       val surv = Dedup.exactDedup(scored, "doc_id", "main_text",
         carry = Seq("source", "n_kept", "logit_micro"))
