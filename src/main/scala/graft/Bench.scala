@@ -143,13 +143,28 @@ object Bench {
     val sfTag = new java.io.File(sfDir).getName
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
       "bench_steady.json")
-    val priors: Map[String, Double] = try {
+    // Core-count comparability (r18, second fix): the driver ALSO
+    // runs this bench at a LOWER core count to measure how each
+    // query scales. A steady prior measured at 32 cores is NOT a
+    // bound for an 8-core run — a perfectly-parallel query
+    // legitimately measures ~4x its 32-core prior there, so the
+    // storm-clamp (min(measured, prior)) and the >2x fallback flag
+    // would rewrite honest scaling numbers into 32-core ones and
+    // falsify the scaling artifact. Priors therefore carry the core
+    // count they were measured at; when it differs from this run's,
+    // they are still used for ORDERING, warm-up skips and
+    // (explicitly-flagged) sweep prior-fills — never for clamping,
+    // fallback excursion flags, or the steady refresh. A priors file
+    // without a cpus tag (pre-r18) is treated as 32-core (every
+    // committed rehearsal ran local[32]).
+    val (priors: Map[String, Double], priorsComparable: Boolean) = try {
       val f = new java.io.File(priorPath)
-      if (!f.exists()) Map.empty
+      if (!f.exists()) (Map.empty[String, Double], false)
       else {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(f)
-        if (node.path("sf").asText("") != sfTag) Map.empty
+        if (node.path("sf").asText("") != sfTag)
+          (Map.empty[String, Double], false)
         else {
           val it = node.path("times").properties().iterator()
           val b = Map.newBuilder[String, Double]
@@ -157,14 +172,19 @@ object Bench {
             val e = it.next()
             b += e.getKey -> e.getValue.asDouble(-1.0)
           }
-          b.result().filter(_._2 >= 0)
+          val priorCpus = node.path("cpus").asText("32")
+          (b.result().filter(_._2 >= 0), priorCpus == cpus)
         }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] prior load failed: ${e.getMessage}")
-        Map.empty
+        (Map.empty[String, Double], false)
     }
+    if (priors.nonEmpty && !priorsComparable)
+      System.err.println("[bench] priors loaded at a DIFFERENT core " +
+        "count: ordering/warm-skip/prior-fill only; no clamps, no " +
+        "excursion flags, no steady refresh")
 
     /** One evaluation under a watchdog. Returns Right(sec) on a clean
       * finish, Left(sec) if the watchdog cancelled it at ~capSec.
@@ -451,7 +471,7 @@ object Bench {
     // measurement. One more contention-free attempt while the rounds
     // budget lasts; entries still above 3× prior ship flagged.
     seqOnce.foreach { n =>
-      val p = priors.get(n)
+      val p = if (priorsComparable) priors.get(n) else None
       if (p.exists(pr => times.getOrElse(n, 0.0) > 3 * pr) &&
         elapsed < roundsEnd)
         attempt(n, tierCap(n, capMax), isRetime = false,
@@ -518,11 +538,15 @@ object Bench {
     // total past the acceptance bound. The excursion threshold is 2×:
     // calm run-to-run variance on timed numbers stays well under it,
     // while storm inflation lands far above.
+    // Prior-ratio excursion rules apply ONLY when the priors were
+    // measured at this run's core count (r18 second fix): at a lower
+    // core count a >2x-prior measurement is the honest scaling
+    // number, not a contention artifact.
     def fallbackFlag(n: String, ph: String): Boolean =
       (!timedPhase(ph) && ph != "failed" && significant(n)) ||
-        (ph == "sequential" && pipelineQ(n) &&
+        (priorsComparable && ph == "sequential" && pipelineQ(n) &&
           priors.get(n).exists(p => times.getOrElse(n, 0.0) > 3 * p)) ||
-        (ph != "failed" && ph != "prior" &&
+        (priorsComparable && ph != "failed" && ph != "prior" &&
           priors.get(n).exists(p => times.getOrElse(n, 0.0) > 2 * p))
     // Shipping rule (r17 verdict #1): a fallback-flagged entry with a
     // known steady prior ships min(measured, prior); the raw number
@@ -536,7 +560,9 @@ object Bench {
     def shippedTime(n: String): Double = {
       val t = times.getOrElse(n, -1.0)
       val ph = prov.get(n).map(_.phase).getOrElse("none")
-      if (t >= 0 && fallbackFlag(n, ph))
+      // clamping against a prior measured at a different core count
+      // would rewrite honest scaling numbers (r18 second fix)
+      if (t >= 0 && priorsComparable && fallbackFlag(n, ph))
         priors.get(n).map(math.min(t, _)).getOrElse(t)
       else t
     }
@@ -587,11 +613,11 @@ object Bench {
     val cacheStatsJson = CacheStats.snapshot().map { case (c, h, m) =>
       s""""$c":{"hits":$h,"misses":$m}"""
     }.mkString("{", ",", "}")
-    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"core_total":$core,"tier_totals":$tierTotalsJson,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"warmup_skipped":${skippedWarmup.size},"prior_skipped":${priorSkipped.size},"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"not_retimed":$notRetimedJson,"capped":$cappedJson,"sweep_skipped":$sweepSkippedJson,"prior_filled":$priorFilledJson,"provenance":$provJson,"cache_stats":$cacheStatsJson,"queries":$qs,"sf":"$sfDir"}"""
+    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","n_queries":${results.size},"cpus":"$cpus","priors_comparable":$priorsComparable,"core_total":$core,"tier_totals":$tierTotalsJson,"bench_wall_sec":$elapsed,"warmup_wall_sec":$warmupWall,"warmup_skipped":${skippedWarmup.size},"prior_skipped":${priorSkipped.size},"rounds_completed":$roundsCompleted,"retimed":${retimed.size},"not_retimed":$notRetimedJson,"capped":$cappedJson,"sweep_skipped":$sweepSkippedJson,"prior_filled":$priorFilledJson,"provenance":$provJson,"cache_stats":$cacheStatsJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full line can start BEFORE the driver's fixed-size tail
     // window; a second, short, totals-only line — printed LAST —
     // always fits the window whole.
-    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","core_total":$core,"tier_totals":$tierTotalsJson,"n_queries":${results.size},"rounds_completed":$roundsCompleted,"capped":$cappedJson,"sweep_skipped":$sweepSkippedJson,"sf":"$sfDir"}"""
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","run_ts":"$runTs","cpus":"$cpus","priors_comparable":$priorsComparable,"core_total":$core,"tier_totals":$tierTotalsJson,"n_queries":${results.size},"rounds_completed":$roundsCompleted,"capped":$cappedJson,"sweep_skipped":$sweepSkippedJson,"sf":"$sfDir"}"""
     // Refreshed steady priors for the NEXT run: this run's clean
     // timed-phase numbers, with stale priors carried forward for
     // queries this run never retimed (so one contended run cannot
@@ -610,13 +636,18 @@ object Bench {
           // a measurement > 2× its committed prior is a contention
           // artifact (r18 shipping rule): never promote it over the
           // calm prior — a genuine regression re-measures calm in the
-          // rehearsal that gates promotion.
-          !priors.get(n).exists(p => times(n) > 2 * p)
+          // rehearsal that gates promotion. (Only meaningful at the
+          // prior's own core count.)
+          !(priorsComparable && priors.get(n).exists(p => times(n) > 2 * p))
         if (ok) Some(n -> times(n)) else None
       }.toMap
-      priors ++ fresh
+      // Different-core priors must never be merged into (or carried
+      // under) this run's cpus tag — the refreshed file is tagged
+      // with THIS run's core count, so it carries only measurements
+      // made at it (r18 second fix).
+      if (priorsComparable) priors ++ fresh else fresh
     }
-    val steadyJson = s"""{"sf":"$sfTag","run_ts":"$runTs","times":${
+    val steadyJson = s"""{"sf":"$sfTag","cpus":"$cpus","run_ts":"$runTs","times":${
       steadyOut.toSeq.sortBy(_._1).map { case (n, v) =>
         s""""$n":$v"""
       }.mkString("{", ",", "}")}}"""
