@@ -456,6 +456,22 @@ object Bench {
     // PRODUCTION rounds first (r16 verdict #1b): rounds visit only
     // production-tier queries, so rounds_completed counts a
     // production round even when the tooling tier starves.
+    // Tooling runs after the FIRST completed round, before the
+    // luxury re-timing rounds (r18, declared in OPTIMIZATION_r18.md):
+    // round 2 exists only to sharpen already-measured production
+    // minima, but it costs a full production-sum pass — with 301
+    // queries it ran to the budget wire and starved the tooling pass
+    // EVERY run, so the 12 declared diagnostics/gates shipped their
+    // cold pool-contended warmup placeholders (~10 s caps; measured
+    // warm ~2-4 s) in every artifact. One warm tooling measurement
+    // beats a second production minimum: phase precedence, caps, and
+    // spacing are unchanged; every shipped number is still measured
+    // this run.
+    def toolingPass(): Unit =
+      for (name <- roundOrder(names.filter(n =>
+        retimable(n) && !production(n))))
+        if (elapsed < roundsEnd)
+          attempt(name, roundCap(name), isRetime = true, phase = "tooling")
     var roundsCompleted = 0
     for (r <- 1 to rounds) {
       var preempted = false
@@ -465,6 +481,7 @@ object Bench {
           attempt(name, roundCap(name), isRetime = true, phase = s"round$r")
         else if (significant(name)) preempted = true
       if (!preempted) roundsCompleted = r
+      if (r == 1) toolingPass()
     }
     // Pipeline fallback retry (r16 verdict #8): a sequential pNN time
     // far above its prior steady is a contended once-through, not a
@@ -477,14 +494,12 @@ object Bench {
         attempt(n, tierCap(n, capMax), isRetime = false,
           phase = "sequential")
     }
-    // Tooling pass: declared diagnostics/algorithm-gates retime once,
-    // after the production rounds, in whatever budget remains — a
-    // slow host truncates fixture-scale tooling precision, never the
-    // scale paths.
-    for (name <- roundOrder(names.filter(n =>
-      retimable(n) && !production(n))))
-      if (elapsed < roundsEnd)
-        attempt(name, roundCap(name), isRetime = true, phase = "tooling")
+    // Tooling backstop: anything the post-round-1 pass could not
+    // reach retries here, in whatever budget remains — a slow host
+    // truncates fixture-scale tooling precision, never the scale
+    // paths (roundOrder + the replace rule make a second visit on an
+    // already-timed entry keep the minimum).
+    toolingPass()
     // Coverage sweep: any query still without a number gets one capMin
     // attempt (a missing entry would read as an engine failure). The
     // sweep is BOUNDED: hard end at roundsEnd + 15% of the deadline.

@@ -53,5 +53,15 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
+    // Whole-stage-codegen class cache sized to the workload: the
+    // default (100 entries) thrashes in any long-lived session that
+    // executes hundreds of DISTINCT queries — every re-execution then
+    // re-runs janino compilation AND restarts HotSpot JIT profiling
+    // from scratch on the freshly-loaded class, which taxes the
+    // re-run of every query (measured on the 301-query bench; see
+    // OPTIMIZATION_r18.md). Scale-independent: the cache is keyed on
+    // generated source, costs only driver metaspace (~KBs/class), and
+    // a production multi-tenant SQL service sizes it the same way.
+    "spark.sql.codegen.cache.maxEntries" -> "4096",
     "spark.sql.extensions" -> "graft.GraftExtensions")
 }
