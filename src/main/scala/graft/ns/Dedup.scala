@@ -199,6 +199,43 @@ object Dedup {
       .filter(col("gram").isNotNull)
   }
 
+  /** Hashed-identity shingle stream: (idCol, gh) where `gh` is the
+    * xxhash64 of the n-word TUPLE (variadic — no gram string is ever
+    * built, no slice array materialized), the r17 dup-span form
+    * generalized. Downstream exchanges shuffle 8-byte longs instead
+    * of ~n-word strings (guide §2.3 "narrower types": the r18 sf1
+    * A/B measured the string-gram distinct at 6.1 s vs 3.4 s hashed,
+    * and ns02b end-to-end 7.9 → 4.6 s). For consumers that never
+    * EXPOSE gram identity — pair generators, membership counts —
+    * hash-gram equality stands in for string equality modulo 64-bit
+    * collisions, the same trade the repo's fingerprint/minhash-verify
+    * idiom already makes everywhere. Consumers that output grams
+    * (ngramTopK) or pin a hash basis (minhash signatures, md5 gate
+    * twins) stay on [[shingleStream]].
+    *
+    * The trailing not-null filter mirrors [[shingles]]' plan-shape
+    * device: consumers' subtrees stay canonically identical so AQE
+    * reuses the distinct exchange across branches. */
+  def shingleHashStream(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val words = col("__words")
+    val ghash = (i: Column) =>
+      xxhash64((1 to n).map(j => element_at(words, i + j)): _*)
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n), i => ghash(i)))
+      .otherwise(array().cast("array<long>"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), split(normText(col(textCol)), " ").as("__words"))
+      .select(col(idCol), explode(grams).as("gh"))
+      .filter(col("gh").isNotNull)
+  }
+
+  /** Distinct hashed shingles per document: (idCol, gh) — the
+    * [[shingles]]/[[shingleHashStream]] relationship. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleHashStream(df, idCol, textCol, n).distinct()
+
   /** Exact n-gram Jaccard similarity join via inverted index: all
     * document pairs with Jaccard(shingles(a), shingles(b)) >= threshold.
     * Output: (id_a, id_b, jaccard), id_a < id_b.
@@ -207,31 +244,36 @@ object Dedup {
     * documents before pairing. At fixture scale leave it None for
     * oracle parity; at corpus scale a cap (say 1000) bounds the worst
     * shingle bucket and therefore the join's quadratic term.
+    *
+    * Gram identity is the hashed tuple ([[shingleHashStream]], r18):
+    * nothing downstream exposes the gram, so the whole pipeline —
+    * df-cap count, inverted-index join, per-doc sizes — runs on
+    * 8-byte longs (sf1 A/B: 7.9 → 4.6 s at cap 5).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val g0 = shingles(df, idCol, textCol, n)
+    val g0 = shingleHashes(df, idCol, textCol, n)
     val g = maxDocFreq match {
       case Some(cap) =>
         // Two-pass stop-shingle cut: tiny (gram, df) side, broadcast
         // back. Keeps the pair join's Σ bucket² bounded by cap².
-        val rare = g0.groupBy(col("gram"))
+        val rare = g0.groupBy(col("gh"))
           .agg(count(lit(1)).as("df_count"))
           .filter(col("df_count") <= cap)
-          .select(col("gram"))
-        g0.join(rare, "gram")
+          .select(col("gh"))
+        g0.join(rare, "gh")
       case None => g0
     }
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // Alias both sides of the self-join: `a("gram") === b("gram")`
+    // Alias both sides of the self-join: `a("gh") === b("gh")`
     // resolves both sides to the SAME attribute (a and b share g's
     // lineage), which Spark only untangles via its self-join
     // heuristic — with a trivially-true-predicate warning per run.
-    val a = g.select(col(idCol).as("id_a"), col("gram")).as("ga")
-    val b = g.select(col(idCol).as("id_b"), col("gram")).as("gb")
+    val a = g.select(col(idCol).as("id_a"), col("gh")).as("ga")
+    val b = g.select(col(idCol).as("id_b"), col("gh")).as("gb")
     val common = a.join(b,
-      col("ga.gram") === col("gb.gram") && col("id_a") < col("id_b"))
+      col("ga.gh") === col("gb.gh") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -262,21 +304,23 @@ object Dedup {
   def ngramContainmentPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val g0 = shingles(df, idCol, textCol, n)
+    // hashed gram identity, same as [[ngramJaccardPairs]] (r18):
+    // the output exposes ids and counts, never grams
+    val g0 = shingleHashes(df, idCol, textCol, n)
     val g = maxDocFreq match {
       case Some(cap) =>
-        val rare = g0.groupBy(col("gram"))
+        val rare = g0.groupBy(col("gh"))
           .agg(count(lit(1)).as("df_count"))
           .filter(col("df_count") <= cap)
-          .select(col("gram"))
-        g0.join(rare, "gram")
+          .select(col("gh"))
+        g0.join(rare, "gh")
       case None => g0
     }
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = g.select(col(idCol).as("id_a"), col("gram")).as("ca")
-    val b = g.select(col(idCol).as("id_b"), col("gram")).as("cb")
+    val a = g.select(col(idCol).as("id_a"), col("gh")).as("ca")
+    val b = g.select(col(idCol).as("id_b"), col("gh")).as("cb")
     val common = a.join(b,
-      col("ca.gram") === col("cb.gram") && col("id_a") < col("id_b"))
+      col("ca.gh") === col("cb.gh") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")),

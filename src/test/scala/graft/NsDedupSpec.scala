@@ -280,7 +280,9 @@ class NsDedupSpec extends SparkSpec {
     val finalPlan = plan.split("== Initial Plan ==").head
     val gramExchanges = finalPlan.linesIterator
       .filter(_.contains("Exchange hashpartitioning"))
-      .filter(_.contains("gram")).toSeq
+      // the r18 hashed-gram form shuffles `gh` (xxhash64 of the
+      // word tuple) where the string form shuffled `gram`
+      .filter(l => l.contains("gh#") || l.contains("gram")).toSeq
     val (reused, materialized) =
       gramExchanges.partition(_.contains("ReusedExchange"))
     // One real shingle exchange; every other consumer (second join
