@@ -5903,7 +5903,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$d/documents.parquet"),
         java.nio.file.Paths.get(srcDir.getPath, "documents.parquet"))
       val raw = s.read.parquet(srcDir.getPath).schema
-      val kept = s.readStream.schema(raw).parquet(srcDir.getPath)
+      val kept = EventStream.fileSource(s, srcDir.getPath, raw)
         .filter(TextOps.curationGateCol(col("text")))
         .select(col("doc_id"),
           withPiiTail(col("text"), col("doc_id")).as("text"))

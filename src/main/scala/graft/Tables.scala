@@ -63,5 +63,19 @@ object Tables {
     // generated source, costs only driver metaspace (~KBs/class), and
     // a production multi-tenant SQL service sizes it the same way.
     "spark.sql.codegen.cache.maxEntries" -> "4096",
+    // Streaming checkpoint file checksums (new default-on in Spark
+    // 4.1) write a companion .crc-style checksum FILE for every
+    // checkpoint file through an async pool the writer then blocks
+    // on. On file:// the Hadoop LocalFileSystem ALREADY writes CRC
+    // companions for every file (ChecksumFileSystem), and HDFS
+    // checksums at the block layer — so locally and on HDFS the
+    // layer duplicates existing integrity work, and each extra file
+    // create costs two forked processes (chmod/readlink) on a
+    // no-native-lib Hadoop. Measured at sf0.1: state-store commit
+    // time dropped ~4x per stream with it off (OPTIMIZATION_r19.md).
+    // Parameterized: an object-store deployment (no FS-level
+    // read-back checksums) turns it back on via the env override.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled" ->
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_CKPT_CHECKSUM", "false"),
     "spark.sql.extensions" -> "graft.GraftExtensions")
 }

@@ -250,12 +250,30 @@ object Retrieval {
     // full-partition survivor count must equal it — same qCol
     // partitioning as the running sum, so no extra exchange on the
     // corpus-sized side and the broadcast plan is preserved.
+    // Candidate-sized (≤ |Q|·k rows) and consumed THREE times below
+    // (broadcast build, sentinels, semi-join ids): materialize once so
+    // an expensive upstream ranking (ns185 feeds the whole hybrid-RRF
+    // pipeline in) is evaluated once, not per consumer (r19; the r18
+    // §2 double-evaluation class).
     val rankedX = ranked
       .select(col(qCol), col(idCol), col(rnCol).cast("long").as("rn"))
       .withColumn("__expect", max(col("rn")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(qCol))))
+      .localCheckpoint(true)
+    // Candidate-prune BEFORE the token count (r19, guide §2.3/§3.2):
+    // the broadcast inner join only FILTERS at the probe, so a token
+    // count projected on the corpus side would be evaluated for every
+    // document and discarded for all but the ~k·|Q| candidates — the
+    // exact duplicated-expensive-work shape at 100 TB. A broadcast
+    // LEFT SEMI join on the candidate ids drops non-candidates first;
+    // the BPE count then runs on candidate rows only. Result-identical
+    // (the inner join keeps exactly the semi-join's survivors).
+    val candDocs = docs
+      .select(col(docIdCol).as(idCol), col(textCol))
+      .join(broadcast(rankedX.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi")
     val joined = broadcast(rankedX)
-      .join(docs.select(col(docIdCol).as(idCol),
+      .join(candDocs.select(col(idCol),
         TextOps.bpeTokenCount(col(textCol)).cast("long")
           .as("__tok")), Seq(idCol))
     // One SENTINEL row per query (rn = 0), unioned into the

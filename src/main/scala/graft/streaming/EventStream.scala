@@ -39,11 +39,62 @@ object EventStream {
   final case class SessionState(start: Long, end: Long,
       n: Long, total: Double)
 
+  /** Scale-adaptive state/shuffle partitioning for a file-backed
+    * stream (r19, guide §2.2/§2.5 "derive partitioning from input
+    * size"): stateful operators pin one state-store instance per
+    * shuffle partition for the stream's lifetime, and EVERY
+    * micro-batch pays a fixed per-store cost (delta file create +
+    * rename + status probes — two forked processes each on a
+    * local/no-native-lib Hadoop, one PUT round-trip on an object
+    * store) regardless of how little state the partition holds.
+    * Streaming disables AQE, so nothing coalesces an over-partitioned
+    * stateful shuffle the way batch plans self-heal — the partition
+    * count must be RIGHT at stream start (it is checkpoint-pinned
+    * thereafter). Deriving it from the source's own size keeps the
+    * per-batch constant amortized at every scale: a fixture-sized
+    * stream gets a handful of stores, a 100 TB/day stream gets
+    * thousands (bounded by a multiple of the cluster's parallelism,
+    * so the derivation grows with the cluster, not past it).
+    * Decomposition evidence in OPTIMIZATION_r19.md: at sf0.1 the
+    * 32-partition default spent 60–120 s of summed state-store commit
+    * time on <200 rows of state per stream. */
+  def adaptiveStatePartitions(spark: SparkSession, dir: String,
+      targetBytesPerPartition: Long = 16L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      try fs.getContentSummary(p).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    val cap = par * 16
+    // Parallelism floor: a tiny source still gets a few partitions so
+    // real per-batch compute (merge joins, banding) is not serialized
+    // through one task — the same trade AQE's parallelismFirst makes
+    // for batch coalescing. Growth past the floor is input-derived.
+    val floor = math.min(4, par)
+    math.max(floor.toLong, math.min(cap.toLong,
+      (bytes + targetBytesPerPartition - 1) / targetBytesPerPartition))
+      .toInt
+  }
+
+  /** Child session for one stream with the adaptive partitioning
+    * above: `newSession` shares the SparkContext but isolates the
+    * conf, so a concurrently-running batch query (the bench warm-up
+    * pool) never sees the stream's partition choice. */
+  def tunedStreamSession(spark: SparkSession, dir: String): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      adaptiveStatePartitions(spark, dir).toString)
+    ss
+  }
+
   /** File-source stream of events (parquet dir, declared schema —
-    * nothing inferred on a production stream). */
+    * nothing inferred on a production stream). Planned in a
+    * [[tunedStreamSession]] so the stream's stateful operators get
+    * the input-derived state partitioning. */
   def fileSource(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Int = 16): DataFrame =
-    spark.readStream.schema(schema)
+    tunedStreamSession(spark, dir).readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 

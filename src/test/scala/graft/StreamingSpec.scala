@@ -170,14 +170,17 @@ class StreamingSpec extends SparkSpec {
       .map { case (hr, et, n, tot) => (hr, et) -> ((n, tot)) }.toMap
     assert(closed.nonEmpty)
 
-    val q = EventStream.hourlyRollup(
+    val rollup = EventStream.hourlyRollup(
       EventStream.fileSource(spark, src, ev.schema))
+    val q = rollup
       .writeStream.format("memory").queryName("sb_rollup")
       .option("checkpointLocation", s"${base.getPath}/ckpt")
       .outputMode("append").trigger(
         org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val streamed = spark.table("sb_rollup")
+    // the memory sink registers its view in the stream's own tuned
+    // session (fileSource plans in a child session since r19)
+    val streamed = rollup.sparkSession.table("sb_rollup")
       .as[(Long, String, Long, Double)].collect()
       .map { case (hr, et, n, tot) => (hr, et) -> ((n, tot)) }.toMap
     // every window the watermark closed must match the batch answer
@@ -793,5 +796,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream ${streamed.size} vs batch ${batch.size} pairs")
     org.apache.commons.io.FileUtils.deleteQuietly(out)
+  }
+
+  test("adaptiveStatePartitions: input-derived with a parallelism " +
+    "floor and cap; tuned session isolates the choice") {
+    val base = Files.createTempDirectory("graft_asp").toFile
+    base.deleteOnExit()
+    val f = new java.io.File(base, "data.bin")
+    val bytes = Array.fill[Byte](1 << 20)(7) // 1 MiB
+    java.nio.file.Files.write(f.toPath, bytes)
+    val par = spark.sparkContext.defaultParallelism
+    // tiny source vs a large target: the floor holds
+    assert(EventStream.adaptiveStatePartitions(spark, base.getPath,
+      targetBytesPerPartition = 1L << 30) == math.min(4, par))
+    // input-derived growth: 1 MiB at a 64 KiB target = 16 partitions
+    assert(EventStream.adaptiveStatePartitions(spark, base.getPath,
+      targetBytesPerPartition = 64L << 10) == math.min(16, par * 16))
+    // cap: a 1-byte target cannot exceed 16x the parallelism
+    assert(EventStream.adaptiveStatePartitions(spark, base.getPath,
+      targetBytesPerPartition = 1L) == par * 16)
+    // the choice lands in a CHILD session; the parent conf is untouched
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val ss = EventStream.tunedStreamSession(spark, base.getPath)
+    assert(ss ne spark)
+    assert(ss.conf.get("spark.sql.shuffle.partitions") ==
+      math.min(4, par).toString)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 }
