@@ -652,7 +652,13 @@ object Similarity {
       maxRefine: Int = 4): DataFrame = {
     val dim = vecDim(df, vecCol)
     val planes = randUnitPlanes(dim, numHashTables, seed)
-    val u = unitized(df, idCol, vecCol)
+    // Materialize the unitized corpus ONCE (r19): it feeds the
+    // bucketing pass AND both sides of the verify join — three
+    // evaluations of whatever lineage produced `df` (ns104 feeds the
+    // whole PCA projection in). Lazy cut: rows are (id, unit vec),
+    // the same working set any production LSH keeps resident; spills
+    // to executor disk past memory (the r18 §2 class).
+    val u = unitized(df, idCol, vecCol).localCheckpoint(false)
     val v = maxBucketSize match {
       case Some(cap) =>
         lshBucketsCapped(u, idCol, planes, bucketLength, cap,
