@@ -232,9 +232,14 @@ object SparkEntry {
       preds: Seq[org.apache.spark.sql.Column]): java.io.File = {
     val srcDir = new java.io.File(base, "src")
     srcDir.mkdirs()
+    // each predicate is its own write ACTION, and actions never share
+    // exchanges — without a cut an expensive staged corpus (s21's
+    // chat-parse + twins) is re-evaluated once per batch file (r19;
+    // the r18 §2 class)
+    val src = if (preds.size > 1) df.localCheckpoint(true) else df
     preds.zipWithIndex.foreach { case (p, i) =>
       val tmp = new java.io.File(base, s"tmp$i")
-      df.filter(p).coalesce(1).write.parquet(tmp.getPath)
+      src.filter(p).coalesce(1).write.parquet(tmp.getPath)
       val part = tmp.listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val dst = new java.io.File(srcDir, s"batch$i.parquet")

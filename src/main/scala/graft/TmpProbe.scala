@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 object TmpProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(",").toSeq
+    val name = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,45 +18,35 @@ object TmpProbe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // config variants, A/B'd in one JVM via isolated child sessions
-    val variants: Seq[(String, Map[String, String])] = Seq(
-      "base" -> Map.empty,
-      "pf_false" -> Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false"),
-      "shj" -> Map(
-        "spark.sql.join.preferSortMergeJoin" -> "false"),
-      "both" -> Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-        "spark.sql.join.preferSortMergeJoin" -> "false"))
-    val sessions = variants.map { case (tag, confs) =>
-      val ss = spark.newSession()
-      confs.foreach { case (k, v) => ss.conf.set(k, v) }
-      tag -> ss
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      val acc = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        acc.computeIfAbsent(s"start:${js.jobId}", _ => new java.util.concurrent.atomic.AtomicLong(System.nanoTime()))
+        acc.computeIfAbsent(s"desc:${js.jobId}", _ => new java.util.concurrent.atomic.AtomicLong(0))
+        descs.put(js.jobId, desc)
+      }
+      val descs = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = Option(acc.get(s"start:${je.jobId}")).map(_.get()).getOrElse(0L)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[tmp] job ${je.jobId}%4d ${sec}%7.2f s  ${descs.getOrDefault(je.jobId, "?").take(110)}")
+      }
     }
+    spark.sparkContext.addSparkListener(listener)
 
-    def once(ss: SparkSession, name: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(ss, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    // warm everything once (codegen/JIT/file listing)
-    names.foreach(n => once(sessions.head._2, n))
-    val rounds = 3
-    val acc = scala.collection.mutable.Map.empty[(String, String),
-      List[Double]].withDefaultValue(Nil)
-    for (_ <- 1 to rounds; n <- names; (tag, ss) <- sessions)
-      acc((tag, n)) = once(ss, n) :: acc((tag, n))
-    for (n <- names) {
-      val cells = variants.map { case (tag, _) =>
-        f"$tag=${acc((tag, n)).min}%.2f" }.mkString("  ")
-      println(f"[tmp] $n%-36s $cells")
-    }
-    for ((tag, _) <- variants) {
-      val tot = names.map(n => acc((tag, n)).min).sum
-      println(f"[tmp] TOTAL $tag%-10s $tot%.2f")
-    }
+    // warm once, then one instrumented run
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    println("[tmp] ======== instrumented run ========")
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[tmp] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }
