@@ -25,6 +25,7 @@ ALLOWED_ENV = {
     "SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "SPARK_GRAFT_BENCH_QUERY_CAP_MIN_SEC",
     "SPARK_GRAFT_BENCH_WARMUP_FRAC", "SPARK_GRAFT_BENCH_WARMUP_THREADS",
     "SPARK_GRAFT_BENCH_WARM_SKIP_SEC", "SPARK_GRAFT_BENCH_PRIOR",
+    "SPARK_GRAFT_STREAM_CKPT_CHECKSUM",
     "SPARK_DRIVER_MEM",
 }
 # hosts that may appear in docs/comments as public references, plus
